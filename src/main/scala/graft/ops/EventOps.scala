@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.model.LogEvent
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's core column predicates and derivations, encoded once
+  * (SURVEY §7.4 risk #1: null-vs-sentinel rank semantics must not be
+  * re-derived ad hoc at each call site).
+  *
+  * All of these are plain Catalyst expressions — fully codegen'd, no UDFs
+  * (SURVEY §2.7: zero UDFs required for reference parity).
+  */
+object EventOps {
+
+  /** `selected_candidate_rank` — Go `*int` ≘ nullable int column. */
+  val rank: Column = col("selected_candidate_rank")
+
+  /** Commit events only (`cli.py:277`, fused in `analyzer.go:77-79`). */
+  val isCommit: Column = col("event_type") === LogEvent.TextCommitted
+
+  /** Real candidate selections (`cli.py:285`, `analyzer.go:116-118`).
+    * Null-rejecting `>=` matches both pandas (NaN >= 0 is False) and Go
+    * (nil ranks skipped at `analyzer.go:109-112`) for free. */
+  val isSelection: Column = rank >= 0
+
+  /** Direct commits without menu selection (`cli.py:305`,
+    * `analyzer.go:119-122`). */
+  val isDirectCommit: Column = rank === -1
+
+  /** First-choice hit (`cli.py:291`, `analyzer.go:147-150`). */
+  val isFirstChoice: Column = rank === 0
+
+  /** Top-3 hit — evaluated on the selection subset (`cli.py:292`,
+    * `analyzer.go:152-155`). */
+  val isTop3: Column = isSelection && rank < 3
+
+  /** Mispredictions exported by export-misses (`cli.py:327`,
+    * `analyzer.go:220-222`). */
+  val isMiss: Column = rank > 0
+
+  /** Reciprocal-rank accuracy score `1 / (rank + 1)` (`cli.py:293`,
+    * `analyzer.go:157-158`). Null rank ⇒ null score. */
+  val accuracyScore: Column = lit(1.0) / (rank + 1)
+
+  /** Selection-method classification (`input_habit_logger.lua:254-263`):
+    * a `when` chain over rank + triggering key. `keyIsDigit` tells space
+    * commits from number-key commits when re-deriving from raw streams. */
+  def selectionMethod(rankCol: Column, keyIsDigit: Column): Column =
+    when(rankCol === 0, LogEvent.FirstChoiceSpace)
+      .when(rankCol > 0 && keyIsDigit,
+        concat(lit("nth_choice_number_"), rankCol + 1))
+      .when(rankCol > 0, LogEvent.NthChoiceSpace)
+      .when(rankCol === -1, LogEvent.DirectCommitNoMenu)
+      .otherwise(LogEvent.Unknown)
+
+  /** Event-subtype classification of keypress events
+    * (`input_habit_logger.lua:325-339`): menu_navigation /
+    * input_rejected / manual_segmentation / buffer_edit / other_key. */
+  def eventSubtype(keyRepr: Column, hasMenu: Column): Column =
+    when(keyRepr.isin("Page_Down", "Page_Up", "Next", "Prior", "Up", "Down"),
+      "menu_navigation")
+      .when(keyRepr === "Escape", "input_rejected")
+      .when(keyRepr === "quotedbl", "manual_segmentation")
+      .when(keyRepr.isin("BackSpace", "Delete"), "buffer_edit")
+      .otherwise("other_key")
+
+  /** Rank derivation from a commit snapshot (`input_habit_logger.lua:222-252`):
+    * space commit → position of the committed text in the last visible
+    * candidate list, offset by the page; digit key N → page*6 + (N-1);
+    * anything else → -1 (direct commit). `array_position` is 1-based and
+    * 0 when absent, so subtract 1 and treat 0 as "not found". */
+  def deriveRank(committed: Column, candidates: Column, pageIndex: Column,
+                 keyRepr: Column): Column = {
+    val local = array_position(candidates, committed)
+    val pageBase = pageIndex * LogEvent.PageSize
+    when(keyRepr.rlike("^[1-9]$"),
+      pageBase + keyRepr.cast("int") - 1)
+      .when(local > 0, pageBase + local.cast("int") - 1)
+      .when(candidates.isNotNull && size(candidates) > 0, pageBase)
+      .otherwise(-1)
+  }
+}
