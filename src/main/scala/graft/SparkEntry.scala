@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.{EventOps => E, SyntheticEvents => SE}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
 import graft.queries.{AnalyzeQuery, ExportMissesQuery}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -433,7 +434,170 @@ object SparkEntry {
              |FROM supplier
              |JOIN nation ON s_nationkey = n_nationkey
              |JOIN region ON n_regionkey = r_regionkey
-             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)))
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // ---- LLM-data-pipeline: dedup (driver-mandated, SURVEY §7.2 M4) ---
+    "d1_exact_dedup" -> Q(
+      (s, dir) => Dedup
+        .exactDedupSummary(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keep_id"),
+      Some("""SELECT sha256(text) AS content_hash,
+             |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY sha256(text)
+             |ORDER BY keep_id""".stripMargin)),
+
+    "d4_jaccard_pairs" -> Q(
+      (s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"),
+          "doc_id", "text", blockCols = Seq("lang", "source"),
+          threshold = 0.5)
+        .orderBy("id_a", "id_b").limit(2000),
+      Some("""WITH tok AS (SELECT doc_id, lang, source,
+             |    unnest(list_distinct(str_split(text, ' '))) AS t
+             |  FROM documents),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS i
+             |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang
+             |    AND a.source = b.source AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+             |FROM inter JOIN sz sa ON sa.doc_id = id_a
+             |JOIN sz sb ON sb.doc_id = id_b
+             |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+             |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
+    // MinHash/LSH + SimHash use xxhash64 (no DuckDB equivalent) →
+    // rows-only driver check; semantics covered by unit/property tests.
+    "d6_minhash_pairs" -> Q(
+      (s, dir) => Dedup
+        .minhashCandidatePairs(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(2000),
+      None),
+
+    "d7_simhash" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash64Expr("split(text, ' ')").as("simhash"))
+        .orderBy("doc_id").limit(500),
+      None),
+
+    // ---- LLM-data-pipeline: text analysis ------------------------------
+    "d2_text_stats" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_computed"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.distinctTokenCount(col("text")).as("n_distinct"))
+        .orderBy("doc_id").limit(500),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+             |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+             |    AS n_distinct
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    "d3_quality_score" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          round(TextStats.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TextStats.typeTokenRatio(col("text")), 6).as("ttr"),
+          TextStats.langId(col("text")).as("lang_pred"),
+          TextStats.isQuality(col("text")).as("is_quality"))
+        .orderBy("doc_id").limit(500),
+      Some("""WITH t AS (SELECT doc_id, text, str_split(text, ' ') AS toks,
+             |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+             |      AS cjk
+             |  FROM documents),
+             |s AS (SELECT doc_id, cjk, length(text) AS lc, len(toks) AS n,
+             |    len(list_distinct(toks)) AS nd,
+             |    len(list_filter(toks, x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) AS en,
+             |    len(list_filter(toks, x -> x IN
+             |      ('el','la','los','de','y','en','es','un'))) AS es,
+             |    len(list_filter(toks, x -> x IN
+             |      ('le','la','les','et','de','un','une','est'))) AS fr,
+             |    len(list_filter(toks, x -> x IN
+             |      ('der','die','das','und','ein','ist','zu','von'))) AS de
+             |  FROM t)
+             |SELECT doc_id,
+             |  ROUND(en / CAST(n AS DOUBLE), 6) AS stop_ratio,
+             |  ROUND(nd / CAST(n AS DOUBLE), 6) AS ttr,
+             |  CASE WHEN cjk * 3 > lc THEN 'zh'
+             |       WHEN en >= es AND en >= fr AND en >= de AND en > 0
+             |         THEN 'en'
+             |       WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+             |       WHEN fr >= de AND fr > 0 THEN 'fr'
+             |       WHEN de > 0 THEN 'de'
+             |       ELSE 'und' END AS lang_pred,
+             |  (n >= 10 AND n <= 100000 AND nd / CAST(n AS DOUBLE) > 0.1
+             |    AND en / CAST(n AS DOUBLE) < 0.5) AS is_quality
+             |FROM s ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    "d5_fingerprint" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          TextStats.docFingerprint(col("text")).as("doc_md5"),
+          TextStats.minTokenFingerprint(col("text")).as("min_token_md5"))
+        .orderBy("doc_id").limit(500),
+      Some("""SELECT doc_id, md5(text) AS doc_md5,
+             |  list_aggregate(list_transform(
+             |    list_distinct(str_split(text, ' ')), x -> md5(x)), 'min')
+             |    AS min_token_md5
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // ---- LLM-data-pipeline: embedding similarity search ---------------
+    "e1_cosine_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        // parameter fetch: the single query vector (bounded, not a
+        // distributed-data collect)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val scored = emb.select(col("vec_id"),
+          Similarity.cosine(Similarity.toDouble(col("embedding")),
+            typedlit(q)).as("cosine"))
+        scored.select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc).limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |s AS (SELECT vec_id, list_dot_product(v, qv)
+             |    / (sqrt(list_dot_product(v, v))
+             |       * sqrt(list_dot_product(qv, qv))) AS cosine
+             |  FROM e, q)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM s
+             |ORDER BY ROUND(cosine, 6) DESC, vec_id LIMIT 20""".stripMargin)),
+
+    "e2_ann_lsh_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20)
+      },
+      None),
+
+    // ---- LLM-data-pipeline: multimodal columns -------------------------
+    "m1_binary_meta" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long")
+            .as("n_bytes"),
+          substring(sha2(col("text").cast("binary"), 256), 1, 8)
+            .as("content_key"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"))
+        .orderBy("doc_id").limit(500),
+      Some("""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             |  substr(sha256(text), 1, 8) AS content_key,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS media_type
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    "m2_multimodal_stub" -> Q(
+      (s, dir) => Multimodal.metaSummary(s, table(s, dir, "documents")),
+      None))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, designed for 100 TB:
+  *
+  *   - exact dedup is a hash-keyed aggregation — shuffles one row per
+  *     distinct content hash after map-side partial aggregation, never
+  *     materializes row groups;
+  *   - near-dup (MinHash/LSH, SimHash) generates candidate pairs ONLY
+  *     within LSH buckets — a band-keyed equi-join, never an all-pairs
+  *     `crossJoin`;
+  *   - n-gram Jaccard verification joins on shared tokens within
+  *     blocking keys.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per distinct content.
+    * `groupBy(hash)` + min is the scale shape (map-side combine, no
+    * window over skewed partitions, no driver collect). */
+  def exactDedupSummary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup returning the surviving rows themselves. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol).cast("binary"), 256))
+      .orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word n-gram shingles of size n. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** k-permutation MinHash signature over shingles: sig[j] =
+    * min over shingles of xxhash64(j, shingle). Pure column
+    * expressions; per-row cost O(k·|shingles|), no shuffle. */
+  def minhashSignature(shingleArr: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleArr, s => xxhash64(j, s))))
+
+  /** LSH banding: split a k-length signature into `bands` bands of
+    * k/bands rows each and hash each band. Emits (band_id, band_hash)
+    * pairs — the bucketing keys. */
+  def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_id"),
+        xxhash64(b, concat_ws(",", slice(sig, b * rows + 1, lit(rows))))
+          .as("band_hash")))
+  }
+
+  /** Candidate near-dup pairs via MinHash + LSH banding: docs sharing
+    * any band bucket. The self-join is keyed on (band_id, band_hash) —
+    * bucket-local, never all-pairs. */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, k: Int = 32,
+                            bands: Int = 8): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
+    val bandRows = sig.select(col("id"),
+        explode(lshBands(col("sig"), k, bands)).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
+    * bit position, the sign of each vote sum becomes the output bit.
+    * Per-row map work only — no shuffle. `tokensExpr` must be a SQL
+    * expression yielding array<string>. */
+  def simhash64Expr(tokensExpr: String): Column = expr(
+    s"""aggregate(
+       |  sequence(0, 63),
+       |  cast(0 as bigint),
+       |  (acc, b) -> acc + if(
+       |    aggregate($tokensExpr, cast(0 as bigint),
+       |      (s, t) -> s + if(((xxhash64(t) >> b) & 1) = 1, 1, -1)) > 0,
+       |    shiftleft(cast(1 as bigint), b), cast(0 as bigint))
+       |)""".stripMargin)
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Token-set Jaccard similarity pairs within blocking keys:
+    * explode distinct tokens, equi-join on (token, blocking keys),
+    * count intersections, derive |union| from per-doc set sizes.
+    * Blocking bounds the candidate space (LSH-style); the join never
+    * goes all-pairs. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], threshold: Double): DataFrame = {
+    val tok = docs.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        explode(array_distinct(split(col(textCol), " "))).as("t"): _*)
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
+    val joinCond = col("a.t") === col("b.t") &&
+      blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .foldLeft(col("a.id") < col("b.id"))(_ && _)
+    val inter = tok.as("a").join(tok.as("b"), joinCond)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb")), "id_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Two paths:
+  *   - brute-force cosine top-k: exact baseline; the top-k is a
+  *     `TakeOrderedAndProject` (per-partition heap + driver merge of k
+  *     rows), so even brute force scales to arbitrarily many rows —
+  *     the cost is the full scan, not a global sort;
+  *   - LSH-bucketed ANN: deterministic random-hyperplane signatures
+  *     prune the scan to one bucket (plus optionally neighboring
+  *     buckets), the 100 TB path. At cluster scale the bucket id is
+  *     also the natural partition/bucketing key so a query touches a
+  *     bounded slice of data.
+  *
+  * All math is done in double after an explicit cast — float math
+  * would accumulate platform-dependent error and break differential
+  * verification.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two array<double> columns (sequential
+    * left fold → deterministic summation order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k against one query vector. */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Double], k: Int): DataFrame = {
+    val q = typedlit(query)
+    embeddings
+      .select(col(idCol), cosine(toDouble(col(vecCol)), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` rows of `dim`
+    * values in [-0.5, 0.5], seeded — identical on every executor and
+    * across runs (no RNG at execution time). */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+  }
+
+  /** Sign-bucket id of a vector under the hyperplane set: bit p set iff
+    * dot(v, plane_p) > 0. With P planes this is an int in [0, 2^P). */
+  def lshBucket(vec: Column, planesLit: Seq[Seq[Double]]): Column =
+    planesLit.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: restrict the scan to the query's LSH bucket, then rank
+    * by exact cosine within it. Recall < 1 by construction; `planes`
+    * trades bucket size (cost) against recall. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, planes: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, query.length, seed)
+    val qBucket = hp.zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+    }.sum
+    val v = toDouble(col(vecCol))
+    embeddings
+      .withColumn("bucket", lshBucket(v, hp))
+      .filter(col("bucket") === qBucket)
+      .select(col(idCol), cosine(v, typedlit(query)).as("cosine"),
+        col("bucket"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

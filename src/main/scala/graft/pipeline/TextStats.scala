@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language identification,
+  * fingerprinting. All pure column expressions (no UDFs): fully
+  * parallel per-row map work — no shuffle, no state — so the operators
+  * scale linearly with input splits at 100 TB.
+  */
+object TextStats {
+
+  /** Whitespace tokenizer (the BPE-ish regex variant splits on
+    * non-word boundaries as well). */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensRegex(text: Column): Column = split(text, "\\W+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Total characters in tokens (excludes separators). */
+  def tokenChars(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)),
+      lit(0), (acc, x) => acc + x).cast("long")
+
+  /** Type-token ratio — crude lexical-diversity / repetition signal. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
+
+  /** Small per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+  val StopwordsEs: Seq[String] = Seq("el", "la", "los", "de", "y", "en", "es", "un")
+  val StopwordsFr: Seq[String] = Seq("le", "la", "les", "et", "de", "un", "une", "est")
+  val StopwordsDe: Seq[String] = Seq("der", "die", "das", "und", "ein", "ist", "zu", "von")
+
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Stopword ratio against the English profile — a standard quality
+    * signal (too high ⇒ boilerplate, too low ⇒ non-text). */
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text, StopwordsEn).cast("double") / size(tokens(text))
+
+  /** Language-ID heuristic: CJK character fraction first, then argmax
+    * of per-language stopword hits with deterministic tie order
+    * en > es > fr > de; no hits ⇒ "und". */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val en = stopwordCount(text, StopwordsEn)
+    val es = stopwordCount(text, StopwordsEs)
+    val fr = stopwordCount(text, StopwordsFr)
+    val de = stopwordCount(text, StopwordsDe)
+    when(cjk * 3 > length(text), "zh")
+      .when(en >= es && en >= fr && en >= de && en > 0, "en")
+      .when(es >= fr && es >= de && es > 0, "es")
+      .when(fr >= de && fr > 0, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Aggregate quality gate in the C4/Gopher style: length bounds,
+    * repetition bound, boilerplate bound. */
+  def isQuality(text: Column): Column = {
+    val n = size(tokens(text))
+    n >= 10 && n <= 100000 &&
+      typeTokenRatio(text) > lit(0.1) &&
+      stopwordRatio(text) < lit(0.5)
+  }
+
+  /** Content fingerprints:
+    *   - `docFingerprint`: md5 of the full text (exact-dup key);
+    *   - `minTokenFingerprint`: minimum token md5 — a 1-permutation
+    *     MinHash usable as a cheap near-dup prefilter. Both expressible
+    *     in ANSI SQL for oracle checking; the scale path uses the
+    *     k-permutation xxhash64 MinHash in [[Dedup]]. */
+  def docFingerprint(text: Column): Column = md5(text.cast("binary"))
+  def minTokenFingerprint(text: Column): Column =
+    array_min(transform(array_distinct(tokens(text)),
+      t => md5(t.cast("binary"))))
+}

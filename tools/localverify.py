@@ -89,6 +89,22 @@ def main(sf_dir, out_dir):
         else:
             print(f"ok   {name} ({len(want)} rows)")
             n_ok += 1
+    # rows-only check for entries without an oracle (mirrors the
+    # driver's weaker gate)
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path) or name in oracle:
+            continue
+        try:
+            n = len(con.sql(f"SELECT * FROM '{path}/*.parquet'").df())
+            status = "ok  " if n > 0 else "FAIL"
+            if n == 0:
+                n_bad += 1
+            print(f"{status} {name} (rows-only: {n} rows)")
+        except Exception as e:
+            print(f"FAIL {name}: rows-only unreadable: {e}")
+            n_bad += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
     return 1 if n_bad else 0
 
