@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.ops.EventOps
 import graft.ops.EventOps._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Typed result of the flagship `analyze` query — field-for-field the
@@ -48,13 +48,18 @@ object AnalyzeQuery {
       avg(when(isSelection, EventOps.rank)).as("average_rank"), // cli.py:299
       avg(when(isSelection, accuracyScore))
         .as("overall_accuracy_score"))                          // cli.py:294
+    // Rates are undefined on empty subsets (the reference early-returns:
+    // cli.py:279-288); under ANSI mode that must be an explicit
+    // null-on-zero division, not an error.
+    def rate(num: Column, den: Column): Column =
+      when(den === 0, lit(null)).otherwise(num / den)
     agg
       .withColumn("first_choice_hit_rate",                      // cli.py:297
-        col("first_choice_count") / col("total_selections"))
+        rate(col("first_choice_count"), col("total_selections")))
       .withColumn("top3_hit_rate",                              // cli.py:298
-        col("top3_count") / col("total_selections"))
+        rate(col("top3_count"), col("total_selections")))
       .withColumn("direct_input_rate",                          // cli.py:309
-        col("raw_input_commits") * lit(100.0) / col("total_commits"))
+        rate(col("raw_input_commits") * lit(100.0), col("total_commits")))
   }
 
   /** Collect the single metrics row into the typed result (the only

@@ -64,9 +64,13 @@ object ExportMissesQuery {
         Seq(col(ColActual).asc, col(ColRank).asc) ++
         tieBreak.map(col(_).asc)): _*)
 
-  /** Full pipeline on a commit-filtered DataFrame. */
+  /** Full pipeline on a commit-filtered DataFrame. Output columns in the
+    * canonical report order (`analyzer.go:202` + pandas' appended
+    * frequency column) regardless of join strategy. */
   def run(commits: DataFrame, window: Boolean = false,
           extraCols: Seq[String] = Nil): DataFrame =
     sorted(withFrequency(misses(commits, extraCols), window),
       tieBreak = extraCols)
+      .select((extraCols ++
+        Seq(ColInput, ColActual, ColPredicted, ColRank, ColFreq)).map(col): _*)
 }

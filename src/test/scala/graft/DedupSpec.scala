@@ -1,0 +1,89 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps the lowest id per distinct content") {
+    val df = docsDf(Seq(
+      (1L, "aa bb cc"), (2L, "dd ee"), (3L, "aa bb cc"),
+      (4L, "ff"), (5L, "aa bb cc"), (6L, "dd ee")))
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 4L))
+    val summary = Dedup.exactDedupSummary(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count"))).toSeq
+    assert(summary === Seq((1L, 3L), (2L, 2L), (4L, 1L)))
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val df = docsDf(Seq((1L, "a b c d")))
+    val got = df.select(Dedup.shingles(col("text"), 2).as("s"))
+      .head().getSeq[String](0).toSet
+    assert(got === Set("a b", "b c", "c d"))
+  }
+
+  test("minhash LSH pairs identical and near-identical docs, not disjoint ones") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "changed")
+    val disjoint = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq((1L, base), (2L, base), (3L, nearDup), (4L, disjoint)))
+    val pairs = Dedup.minhashCandidatePairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))       // identical: all bands collide
+    assert(pairs.exists(p => p._1 == 3L || p._2 == 3L)) // near-dup found
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint not paired
+  }
+
+  test("simhash: identical texts hash equal; near-dups closer than disjoint") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok20", "changed")
+    val disjoint = (1 to 40).map(i => s"zz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, nearDup), (4L, disjoint))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash64Expr("split(text, ' ')").as("h"))
+    val h = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+    assert(ham(h(1L), h(3L)) <= 8)
+  }
+
+  test("jaccard pairs match a scala brute-force reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 12).map(i => s"w$i")
+    val rows = (1L to 12L).map { id =>
+      val words = rnd.shuffle(vocab).take(6 + rnd.nextInt(5))
+      (id, words.mkString(" "), "b")
+    }
+    val s = spark
+    import s.implicits._
+    val df = rows.toDF("doc_id", "text", "blk")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", Seq("blk"), 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = rows.map { case (id, t, _) => id -> t.split(" ").toSet }.toMap
+    val expected = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1) if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-5, s"pair $k")
+    }
+  }
+}

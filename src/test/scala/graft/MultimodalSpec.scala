@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.{MediaRecord, Multimodal}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq((0L, "hello world"), (1L, "audio payload"), (2L, "video bytes"),
+      (3L, "another image")).toDF("doc_id", "text")
+  }
+
+  test("binary attach: payload bytes and media_type assignment") {
+    val rows = Multimodal.attachBinary(docs).orderBy("doc_id").collect()
+    assert(rows.map(_.getAs[String]("media_type")).toSeq ===
+      Seq("image", "audio", "video", "image"))
+    assert(rows.head.getAs[Array[Byte]]("media") ===
+      "hello world".getBytes("UTF-8"))
+  }
+
+  test("stub decode is deterministic and metadata-complete") {
+    val s = spark
+    import s.implicits._
+    val recs = Multimodal.attachBinary(docs).as[MediaRecord]
+    val a = Multimodal.decodeMeta(recs).orderBy("doc_id").collect()
+    val b = Multimodal.decodeMeta(recs).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq)
+    a.foreach { m =>
+      assert(m.n_bytes > 0)
+      assert(m.width >= 16 && m.height >= 16)
+      assert(m.features.nonEmpty)
+    }
+    assert(a.head.n_bytes === "hello world".getBytes("UTF-8").length)
+  }
+
+  test("chunk sampling yields k windows of the binary column") {
+    val out = Multimodal.attachBinary(docs)
+      .select(Multimodal.sampleChunks(col("media"), 3, 4).as("chunks"))
+      .head().getSeq[Array[Byte]](0)
+    assert(out.length === 3)
+    assert(out.forall(_.length <= 4))
+  }
+
+  test("meta summary aggregates per media_type/format without collect") {
+    val out = Multimodal.metaSummary(spark, docs).collect()
+    assert(out.map(_.getAs[String]("media_type")).toSet ===
+      Set("image", "audio", "video"))
+    assert(out.map(_.getAs[Long]("n")).sum === 4)
+  }
+}

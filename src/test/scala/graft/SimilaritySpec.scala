@@ -1,0 +1,54 @@
+package graft
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def emb(rows: Seq[(Long, Seq[Float])]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine top-k golden on known vectors") {
+    val df = emb(Seq(
+      (0L, Seq(1f, 0f)),        // query: cosine 1
+      (1L, Seq(2f, 0f)),        // same direction: 1
+      (2L, Seq(0f, 3f)),        // orthogonal: 0
+      (3L, Seq(-1f, 0f)),       // opposite: -1
+      (4L, Seq(1f, 1f))))       // 45°: √2/2
+    val got = Similarity.cosineTopK(df, "vec_id", "embedding",
+      Seq(1.0, 0.0), 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 4L, 2L, 3L))
+    assert(math.abs(got(2)._2 - math.sqrt(2) / 2) < 1e-9)
+    assert(math.abs(got(4)._2 - (-1.0)) < 1e-9)
+  }
+
+  test("ann lsh: query's own vector ranks first inside its bucket; " +
+    "bucket assignment is deterministic") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0L to 60L).map(id =>
+      id -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = emb(rows)
+    val q = rows.head._2.map(_.toDouble)
+    val got = Similarity.annTopK(df, "vec_id", "embedding", q, k = 10)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(0) === 0L)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-9)
+    // all results share one bucket id
+    assert(got.map(_.getLong(2)).toSet.size === 1)
+    // recall sanity: bucket restriction only ever drops rows
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", q, 61)
+    assert(got.length <= brute.count())
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
+  }
+}
