@@ -302,21 +302,39 @@ object SparkEntry {
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
 
     "t5_selection_method" -> Q(
-      (s, dir) => commits(s, dir)
-        .select(col("event_id"),
-          E.selectionMethod(rk, col("k") < 50).as("selection_method"))
-        .orderBy("event_id").limit(500),
-      Some(s"""$commitsCte
+      (s, dir) => {
+        // synthesize the pending key action / buffer the way the producer
+        // state machine would have them, then apply the faithful chain
+        val keyAction = when(rk.isNull || rk === -1, lit(null))
+          .when(col("k") < 50, lit("space"))
+          .otherwise((rk % 9 + 1).cast("string"))
+        val inputBuffer = when(rk === -1 && col("k") % 2 === 0, lit(null))
+          .otherwise(col("source_input_buffer"))
+        commits(s, dir)
+          .select(col("event_id"),
+            E.selectionMethod(rk, keyAction, inputBuffer)
+              .as("selection_method"))
+          .orderBy("event_id").limit(500)
+      },
+      Some(s"""$commitsCte,
+              |k2 AS (SELECT event_id, selected_candidate_rank AS r,
+              |  CASE WHEN selected_candidate_rank IS NULL
+              |         OR selected_candidate_rank = -1 THEN NULL
+              |       WHEN k < 50 THEN 'space'
+              |       ELSE CAST(selected_candidate_rank % 9 + 1 AS VARCHAR)
+              |  END AS ka,
+              |  CASE WHEN selected_candidate_rank = -1 AND k % 2 = 0
+              |    THEN NULL ELSE source_input_buffer END AS ib
+              |FROM c)
               |SELECT event_id,
-              |  CASE WHEN selected_candidate_rank = 0 THEN 'first_choice_space'
-              |       WHEN selected_candidate_rank > 0 AND k < 50
-              |         THEN 'nth_choice_number_'
-              |           || CAST(selected_candidate_rank + 1 AS VARCHAR)
-              |       WHEN selected_candidate_rank > 0 THEN 'nth_choice_space'
-              |       WHEN selected_candidate_rank = -1
+              |  CASE WHEN ka = 'space' AND r = 0 THEN 'first_choice_space'
+              |       WHEN ka = 'space' THEN 'nth_choice_space'
+              |       WHEN ka IS NOT NULL AND regexp_matches(ka, '^[1-9]$$')
+              |         THEN 'nth_choice_number_' || ka
+              |       WHEN ka IS NULL AND ib IS NULL
               |         THEN 'direct_commit_no_menu'
               |       ELSE 'unknown' END AS selection_method
-              |FROM c ORDER BY event_id LIMIT 500""".stripMargin)),
+              |FROM k2 ORDER BY event_id LIMIT 500""".stripMargin)),
 
     "t6_subtype_classify" -> Q(
       (s, dir) => rawEvents(s, dir)
@@ -356,6 +374,35 @@ object SparkEntry {
              |  CAST(hour(ts) AS BIGINT) AS h,
              |  CAST(minute(ts) AS BIGINT) AS mi
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // ---- O2: candidate-list truncation (input_habit_logger.lua:202-212)
+    "o2_slice_topk" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("top5"))
+        .orderBy("doc_id").limit(500),
+      Some("""SELECT doc_id,
+             |  array_to_string((str_split(text, ' '))[1:5], ' ') AS top5
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // ---- T4: rank derivation via array_position + page arithmetic
+    // (input_habit_logger.lua:222-252; page_size=6 at :223)
+    "t4_rank_derive" -> Q(
+      (s, dir) => {
+        val pos = array_position(split(col("text"), " "), "spark")
+        table(s, dir, "documents").select(col("doc_id"),
+            pos.as("pos"),
+            when(pos > 0, (col("doc_id") % 3) * 6 + pos - 1)
+              .otherwise(lit(-1L)).cast("long").as("derived_rank"))
+          .orderBy("doc_id").limit(500)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(list_position(str_split(text, ' '), 'spark') AS BIGINT)
+             |    AS pos,
+             |  CAST(CASE WHEN list_position(str_split(text, ' '), 'spark') > 0
+             |    THEN (doc_id % 3) * 6
+             |      + list_position(str_split(text, ' '), 'spark') - 1
+             |    ELSE -1 END AS BIGINT) AS derived_rank
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     // ---- relational coverage over the star schema ---------------------
     "q1_lineitem_agg" -> Q(

@@ -44,40 +44,48 @@ object EventOps {
   val accuracyScore: Column = lit(1.0) / (rank + 1)
 
   /** Selection-method classification (`input_habit_logger.lua:254-263`):
-    * a `when` chain over rank + triggering key. `keyIsDigit` tells space
-    * commits from number-key commits when re-deriving from raw streams. */
-  def selectionMethod(rankCol: Column, keyIsDigit: Column): Column =
-    when(rankCol === 0, LogEvent.FirstChoiceSpace)
-      .when(rankCol > 0 && keyIsDigit,
-        concat(lit("nth_choice_number_"), rankCol + 1))
-      .when(rankCol > 0, LogEvent.NthChoiceSpace)
-      .when(rankCol === -1, LogEvent.DirectCommitNoMenu)
+    * space commit → first/nth by rank; digit key → the key name itself
+    * (`"nth_choice_number_" .. key_action`); no pending key and no input
+    * buffer → direct commit; anything else → unknown. */
+  def selectionMethod(rankCol: Column, keyAction: Column,
+                      inputBuffer: Column): Column =
+    when(keyAction === "space" && rankCol === 0, LogEvent.FirstChoiceSpace)
+      .when(keyAction === "space", LogEvent.NthChoiceSpace)
+      .when(keyAction.rlike("^[1-9]$"),
+        concat(lit("nth_choice_number_"), keyAction))
+      .when(keyAction.isNull && inputBuffer.isNull,
+        LogEvent.DirectCommitNoMenu)
       .otherwise(LogEvent.Unknown)
 
   /** Event-subtype classification of keypress events
-    * (`input_habit_logger.lua:325-339`): menu_navigation /
-    * input_rejected / manual_segmentation / buffer_edit / other_key. */
-  def eventSubtype(keyRepr: Column, hasMenu: Column): Column =
-    when(keyRepr.isin("Page_Down", "Page_Up", "Next", "Prior", "Up", "Down"),
+    * (`input_habit_logger.lua:325-341`): Up/Down/Page_Up/Page_Down/Next →
+    * menu_navigation; Escape → input_rejected; Control_Left/Right with
+    * the control modifier → manual_segmentation; single-char key or
+    * BackSpace → buffer_edit; else other_key. */
+  def eventSubtype(keyRepr: Column, hasCtrlModifier: Column): Column =
+    when(keyRepr.isin("Up", "Down", "Page_Up", "Page_Down", "Next"),
       "menu_navigation")
       .when(keyRepr === "Escape", "input_rejected")
-      .when(keyRepr === "quotedbl", "manual_segmentation")
-      .when(keyRepr.isin("BackSpace", "Delete"), "buffer_edit")
+      .when(keyRepr.isin("Control_Left", "Control_Right") && hasCtrlModifier,
+        "manual_segmentation")
+      .when(length(keyRepr) === 1 || keyRepr === "BackSpace", "buffer_edit")
       .otherwise("other_key")
 
-  /** Rank derivation from a commit snapshot (`input_habit_logger.lua:222-252`):
-    * space commit → position of the committed text in the last visible
-    * candidate list, offset by the page; digit key N → page*6 + (N-1);
-    * anything else → -1 (direct commit). `array_position` is 1-based and
-    * 0 when absent, so subtract 1 and treat 0 as "not found". */
+  /** Rank derivation from a commit snapshot (`input_habit_logger.lua:226-252`):
+    * pending key "space" → 0-based position of the committed text in the
+    * last visible candidate list + page*6, falling back to page*6 when
+    * not found; pending digit N → page*6 + (N-1); no pending key → -1
+    * (direct commit). `array_position` is 1-based and 0/null when
+    * absent, matching the fallback branch. */
   def deriveRank(committed: Column, candidates: Column, pageIndex: Column,
-                 keyRepr: Column): Column = {
+                 keyAction: Column): Column = {
     val local = array_position(candidates, committed)
     val pageBase = pageIndex * LogEvent.PageSize
-    when(keyRepr.rlike("^[1-9]$"),
-      pageBase + keyRepr.cast("int") - 1)
-      .when(local > 0, pageBase + local.cast("int") - 1)
-      .when(candidates.isNotNull && size(candidates) > 0, pageBase)
+    when(keyAction.rlike("^[1-9]$"),
+      pageBase + keyAction.cast("int") - 1)
+      .when(keyAction === "space",
+        when(local > 0, pageBase + local.cast("int") - 1)
+          .otherwise(pageBase))
       .otherwise(-1)
   }
 }

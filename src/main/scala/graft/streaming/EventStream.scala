@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.model.LogEvent
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StringType
+
+/** Structured Streaming views of the append-only event log
+  * (SURVEY §2.1 S4, §2.6 T7/T8, §2.8 K3).
+  *
+  * The producer appends JSONL to a directory the engine watches; the
+  * same explicit schema and corrupt-line tolerance as the batch reader
+  * apply. Event time derives from the ISO-8601 `timestamp` string
+  * (`input_habit_logger.lua:166-167`).
+  */
+object EventStream {
+
+  private val CorruptCol = graft.io.EventLogReader.CorruptCol
+
+  /** Live tolerant scan over a growing JSONL directory. */
+  def readJsonlStream(spark: SparkSession, dir: String): DataFrame = {
+    val withCorrupt = LogEvent.schema.add(CorruptCol, StringType)
+    spark.readStream
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(dir)
+      .filter(col(CorruptCol).isNull && col("event_type").isNotNull)
+      .drop(CorruptCol)
+  }
+
+  /** Typed event-time column from the logged ISO-8601 string (T7). */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time",
+      to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+
+  /** Session metrics via the built-in session window (T1): per gap-based
+    * session, commit/selection counts. Watermark bounds state size — at
+    * scale the state store holds only open sessions. */
+  def sessionMetrics(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame = {
+    import graft.ops.EventOps._
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .filter(isCommit)
+      .groupBy(session_window(col("event_time"), gap))
+      .agg(
+        count(lit(1)).as("commits"),
+        count(when(isSelection, 1)).as("selections"),
+        count(when(isMiss, 1)).as("misses"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("commits"), col("selections"), col("misses"))
+  }
+
+  /** JSONL append sink (T8/K3): the producer's own on-disk format. */
+  def writeJsonlStream(df: DataFrame, outDir: String,
+                       checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .format("json")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.model.LogEvent
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A raw producer-side event, before the producer's derivations: one row
+  * per keypress (`input_state_changed`-shaped) or commit notification.
+  * `seq` is the per-session arrival order (the producer is a single
+  * ordered writer per session — SURVEY §3.4). */
+final case class RawKeyEvent(
+    session_id: String,
+    seq: Long,
+    kind: String,                    // "key" | "commit"
+    key_repr: Option[String],        // for kind=key
+    input_buffer: Option[String],
+    candidates: Option[Seq[String]], // visible menu (≤5), None = no menu
+    committed_text: Option[String])  // for kind=commit
+
+/** A re-derived commit, matching what the producer would have logged. */
+final case class DerivedCommit(
+    session_id: String,
+    seq: Long,
+    committed_text: String,
+    input_sequence_at_commit: String,
+    selected_candidate_rank: Int,
+    selection_method: String,
+    source_input_buffer: Option[String],
+    source_first_candidate: Option[String])
+
+/** Mutable-per-key state: the producer's `last_input_state_for_commit`
+  * snapshot + page tracker (`input_habit_logger.lua:184-186`,
+  * `:309-317`, `:356-381`). */
+final case class SnapshotState(
+    lastSeenBuffer: Option[String],
+    pageIndex: Int,
+    snapBuffer: Option[String],
+    snapCandidates: Option[Seq[String]],
+    pendingKey: Option[String])
+
+/** SURVEY §2.6 T2-T4: re-derive `selected_candidate_rank` and
+  * `selection_method` from the raw keypress stream, as a keyed state
+  * machine over `flatMapGroupsWithState` — the Spark-native form of the
+  * producer's two shared-state callbacks.
+  *
+  * Scale posture: state is one tiny snapshot per live session key;
+  * sessions are independent, so the stream partitions by session_id and
+  * parallelizes across executors. Works identically over a bounded
+  * Dataset (tests, backfill) via the same function.
+  */
+object RankRederivation {
+
+  private val NavKeys = Map("Page_Down" -> 1, "Next" -> 1,
+    "Page_Up" -> -1, "Prev" -> -1)
+
+  val initialState: SnapshotState = SnapshotState(None, 0, None, None, None)
+
+  /** One event through the producer state machine
+    * (`input_habit_logger.lua:283-395` keypress path, `:215-278` commit
+    * path). Returns the updated state and an optional derived commit. */
+  def step(state: SnapshotState, e: RawKeyEvent)
+      : (SnapshotState, Option[DerivedCommit]) = e.kind match {
+    case "key" =>
+      // page tracking (lua:309-317): reset on buffer change, then nav keys
+      val pageAfterReset =
+        if (e.input_buffer != state.lastSeenBuffer) 0 else state.pageIndex
+      val page = e.key_repr.flatMap(NavKeys.get) match {
+        case Some(delta) => math.max(0, pageAfterReset + delta)
+        case None        => pageAfterReset
+      }
+      val hasMenu = e.candidates.exists(_.nonEmpty)
+      // snapshot update (lua:356-381)
+      val snap =
+        if (hasMenu)
+          state.copy(lastSeenBuffer = e.input_buffer, pageIndex = page,
+            snapBuffer = e.input_buffer, snapCandidates = e.candidates,
+            pendingKey = e.key_repr.filter(k =>
+              k == "space" || k.matches("^[1-9]$")))
+        else
+          state.copy(lastSeenBuffer = e.input_buffer, pageIndex = 0,
+            snapBuffer = e.input_buffer, snapCandidates = None,
+            pendingKey = None)
+      (snap, None)
+
+    case "commit" =>
+      val committed = e.committed_text.getOrElse("N/A")
+      val page = state.pageIndex
+      // rank derivation (lua:226-252)
+      val rank = state.pendingKey match {
+        case Some("space") =>
+          val local = state.snapCandidates.getOrElse(Nil).indexOf(committed)
+          if (local >= 0) page * LogEvent.PageSize + local
+          else page * LogEvent.PageSize
+        case Some(d) if d.matches("^[1-9]$") =>
+          page * LogEvent.PageSize + (d.toInt - 1)
+        case _ => -1
+      }
+      // selection method (lua:254-263)
+      val method = state.pendingKey match {
+        case Some("space") =>
+          if (rank == 0) LogEvent.FirstChoiceSpace else LogEvent.NthChoiceSpace
+        case Some(d) if d.matches("^[1-9]$") => s"nth_choice_number_$d"
+        case _ =>
+          if (state.snapBuffer.isEmpty) LogEvent.DirectCommitNoMenu
+          else LogEvent.Unknown
+      }
+      val out = DerivedCommit(e.session_id, e.seq, committed,
+        state.snapBuffer.getOrElse("N/A"), rank, method,
+        state.snapBuffer, state.snapCandidates.flatMap(_.headOption))
+      // pending key cleared after commit (lua:277)
+      (state.copy(pendingKey = None), Some(out))
+
+    case _ => (state, None)
+  }
+
+  private def processGroup(sessionId: String, events: Iterator[RawKeyEvent],
+                           groupState: GroupState[SnapshotState])
+      : Iterator[DerivedCommit] = {
+    var st = groupState.getOption.getOrElse(initialState)
+    // the producer is an ordered single writer per session; restore that
+    // order within the micro-batch
+    val out = events.toSeq.sortBy(_.seq).flatMap { e =>
+      val (next, commit) = step(st, e)
+      st = next
+      commit
+    }
+    groupState.update(st)
+    out.iterator
+  }
+
+  /** Streaming (or batch) re-derivation keyed by session. */
+  def deriveCommits(events: Dataset[RawKeyEvent]): Dataset[DerivedCommit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.session_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(processGroup)
+  }
+}
