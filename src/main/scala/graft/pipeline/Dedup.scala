@@ -33,20 +33,31 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** Word n-gram shingles of size n. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles of size n. The token array is let-bound so the
+    * split runs once per row, not once per shingle (see ExprUtils.let). */
+  def shingles(text: Column, n: Int): Column =
+    ExprUtils.let(split(text, " ")) { toks =>
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
 
   /** k-permutation MinHash signature over shingles: sig[j] =
     * min over shingles of xxhash64(j, shingle). Pure column
-    * expressions; per-row cost O(k·|shingles|), no shuffle. */
+    * expressions; per-row cost O(k·|shingles|), no shuffle.
+    *
+    * Shaped as ONE fold over the shingle array that maintains all k
+    * running minima. The naive `transform(0..k-1, j -> array_min(...))`
+    * form re-evaluates the (expensive, non-codegen) shingle expression k
+    * times because Catalyst inlines non-cheap lambdas — measured 30×
+    * slower at sf0.1. */
   def minhashSignature(shingleArr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleArr, s => xxhash64(j, s))))
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), j => xxhash64(j, s)),
+        (a, h) => least(a, h)))
 
   /** LSH banding: split a k-length signature into `bands` bands of
     * k/bands rows each and hash each band. Emits (band_id, band_hash)
@@ -65,10 +76,12 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, k: Int = 32,
                             bands: Int = 8): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), k).as("sig"))
-    val bandRows = sig.select(col("id"),
-        explode(lshBands(col("sig"), k, bands)).as("band"))
+    // let-bind the signature: lshBands slices it once per band, which
+    // would otherwise re-run the whole shingle+hash chain `bands` times
+    val bandRows = docs.select(col(idCol).as("id"),
+        explode(ExprUtils.let(
+          minhashSignature(shingles(col(textCol), shingleSize), k))(
+          sig => lshBands(sig, k, bands))).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_hash"))
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") &&

@@ -31,7 +31,13 @@ object Similarity {
 
   def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine with both operands let-bound: `a` is referenced by the dot
+    * product and its own norm — without the binding the (non-codegen)
+    * element-wise cast/fold chain would be evaluated per reference. */
+  def cosine(a: Column, b: Column): Column =
+    ExprUtils.let(a) { av =>
+      ExprUtils.let(b) { bv => dot(av, bv) / (norm(av) * norm(bv)) }
+    }
 
   /** Exact cosine top-k against one query vector. */
   def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
