@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** Registration of the engine's native expressions.
+  *
+  * Builder path: `.config("spark.sql.extensions",
+  * "graft.functions.GraftExtensions")`. Existing-session path:
+  * `GraftFunctions.register(spark)`. Either way,
+  * `expr("minhash_sig(split(text, ' '), 32, 3)")` then works in SQL and
+  * DataFrame code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.minhashSig)
+}
+
+object GraftFunctions {
+
+  val minhashSig: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(tokens, Literal(k: Int, IntegerType),
+          Literal(n: Int, IntegerType)) =>
+        MinHashSig(tokens, k, n)
+      case _ => throw new IllegalArgumentException(
+        "usage: minhash_sig(tokens array<string>, k int, shingleSize int)")
+    })
+
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunction(spark,
+      minhashSig._1, minhashSig._2, minhashSig._3)
+}

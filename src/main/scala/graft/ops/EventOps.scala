@@ -71,6 +71,16 @@ object EventOps {
       .when(length(keyRepr) === 1 || keyRepr === "BackSpace", "buffer_edit")
       .otherwise("other_key")
 
+  /** P6: defensive column intersection (`cli.py:341`) — select only the
+    * desired columns that actually exist, in order. With the fixed read
+    * schema absent fields are null, but ad-hoc frames (e.g. re-loaded
+    * reports) may genuinely lack columns. */
+  def selectExisting(df: org.apache.spark.sql.DataFrame,
+                     desired: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val have = df.columns.toSet
+    df.select(desired.filter(have).map(col): _*)
+  }
+
   /** Rank derivation from a commit snapshot (`input_habit_logger.lua:226-252`):
     * pending key "space" → 0-based position of the committed text in the
     * last visible candidate list + page*6, falling back to page*6 when

@@ -70,17 +70,29 @@ object Dedup {
           .as("band_hash")))
   }
 
+  /** Native-expression signature (graft.functions.MinHashSig): the same
+    * bits as `minhashSignature(shingles(…))`, computed by a codegen'd
+    * kernel instead of interpreted collection lambdas. */
+  def minhashSignatureNative(text: Column, k: Int, shingleSize: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(
+          split(text, " ")), k, shingleSize))
+
   /** Candidate near-dup pairs via MinHash + LSH banding: docs sharing
     * any band bucket. The self-join is keyed on (band_id, band_hash) —
-    * bucket-local, never all-pairs. */
+    * bucket-local, never all-pairs. `native = false` switches to the
+    * pure-DataFrame signature (differential-tested equal). */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, k: Int = 32,
-                            bands: Int = 8): DataFrame = {
+                            bands: Int = 8, native: Boolean = true): DataFrame = {
+    val sigExpr =
+      if (native) minhashSignatureNative(col(textCol), k, shingleSize)
+      else minhashSignature(shingles(col(textCol), shingleSize), k)
     // let-bind the signature: lshBands slices it once per band, which
     // would otherwise re-run the whole shingle+hash chain `bands` times
     val bandRows = docs.select(col(idCol).as("id"),
-        explode(ExprUtils.let(
-          minhashSignature(shingles(col(textCol), shingleSize), k))(
+        explode(ExprUtils.let(sigExpr)(
           sig => lshBands(sig, k, bands))).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_hash"))
     bandRows.as("a").join(bandRows.as("b"),
