@@ -615,6 +615,14 @@ object SparkEntry {
              |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM s
              |ORDER BY ROUND(cosine, 6) DESC, vec_id LIMIT 20""".stripMargin)),
 
+    "e3_embedding_neardup" -> Q(
+      (s, dir) => Dedup
+        .embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id",
+          "embedding", dim = 64)
+        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+        .limit(100),
+      None),
+
     "e2_ann_lsh_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")

