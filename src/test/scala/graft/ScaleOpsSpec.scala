@@ -1,0 +1,50 @@
+package graft
+
+import graft.io.TableLayout
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("salted count equals plain groupBy count on skewed data") {
+    val s = spark
+    import s.implicits._
+    // Zipf-ish: one hot key with 5k rows, long tail
+    val rows = Seq.fill(5000)("hot") ++
+      (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(s"k$i"))
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("key", "id")
+    val plain = df.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, col("key"), col("id"), buckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+    assert(salted("hot") === 5000L)
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    val s = spark
+    import s.implicits._
+    val facts = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "v")
+    val dims = (0L to 99L).map(i => (i, s"d$i")).toDF("k", "name")
+    TableLayout.writeBucketed(facts, "facts_b", "k", 8)
+    TableLayout.writeBucketed(dims, "dims_b", "k", 8)
+    // disable broadcast so the join would normally shuffle both sides
+    val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = TableLayout.readTable(s, "facts_b")
+        .join(TableLayout.readTable(s, "dims_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      s.sql("DROP TABLE IF EXISTS facts_b")
+      s.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+}
