@@ -615,6 +615,27 @@ object SparkEntry {
              |SELECT vec_id, ROUND(cosine, 6) AS cosine FROM s
              |ORDER BY ROUND(cosine, 6) DESC, vec_id LIMIT 20""".stripMargin)),
 
+    "d8_token_regex" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), "\\W+")).cast("long")
+            .as("n_regex_tokens"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"))
+        .orderBy("doc_id").limit(500),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_split_to_array(text, '\W+')) AS BIGINT)
+             |    AS n_regex_tokens,
+             |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    "e4_ivf_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20)
+      },
+      None),
+
     "e3_embedding_neardup" -> Q(
       (s, dir) => Dedup
         .embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id",

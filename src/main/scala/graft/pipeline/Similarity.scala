@@ -64,6 +64,45 @@ object Similarity {
       when(dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Deterministic IVF centroids (no trained k-means in this offline
+    * build — fixed pseudo-random directions; the plumbing is what
+    * matters and a trained codebook drops in unchanged). */
+  def ivfCentroids(nCentroids: Int, dim: Int,
+                   seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nCentroids)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** IVF cell assignment: index of the centroid with max dot product. */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ExprUtils.let(array(centroids.map(c => dot(vec, typedlit(c))): _*)) {
+      dots => array_position(dots, array_max(dots)) - 1
+    }
+
+  /** IVF ANN top-k: rank centroids by the query's dot product, scan
+    * only rows assigned to the `nProbes` nearest cells, exact cosine
+    * within. With `nProbes = nCentroids` this degrades gracefully to
+    * exact brute force (spec-verified). At cluster scale the cell id is
+    * the storage partition key → a query reads nProbes partitions. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, nCentroids: Int = 16,
+              nProbes: Int = 2, seed: Long = 7L): DataFrame = {
+    val cents = ivfCentroids(nCentroids, query.length, seed)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) =>
+        (i.toLong, c.zip(query).map { case (a, b) => a * b }.sum)
+      }
+      .sortBy(-_._2).take(nProbes).map(_._1)
+    val v = toDouble(col(vecCol))
+    embeddings
+      .withColumn("cell", ivfAssign(v, cents))
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine(v, typedlit(query)).as("cosine"),
+        col("cell"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** ANN top-k: restrict the scan to the query's LSH bucket, then rank
     * by exact cosine within it. Recall < 1 by construction; `planes`
     * trades bucket size (cost) against recall. */

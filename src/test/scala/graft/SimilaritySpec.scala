@@ -51,4 +51,26 @@ class SimilaritySpec extends AnyFunSuite {
   test("hyperplanes are deterministic across invocations") {
     assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
   }
+
+  test("ivf: full-probe equals brute force; few-probe is a subset with query first") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val rows = (0L to 80L).map(id =>
+      id -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = emb(rows)
+    val q = rows.head._2.map(_.toDouble)
+    val brute = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+        nCentroids = 8, nProbes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute) // all cells probed → exact
+    val few = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+        nCentroids = 8, nProbes = 2).collect()
+    assert(few.nonEmpty)
+    assert(few.head.getLong(0) === 0L) // query's own cell always probed
+    val bruteIds = Similarity.cosineTopK(df, "vec_id", "embedding", q, 81)
+      .collect().map(_.getLong(0)).toSet
+    assert(few.map(_.getLong(0)).forall(bruteIds)) // subset of the data
+  }
 }
