@@ -130,13 +130,19 @@ object Dedup {
                             dim: Int, planes: Int = 4,
                             seed: Long = 42L): DataFrame = {
     val hp = Similarity.hyperplanes(planes, dim, seed)
+    // normalize BEFORE the pair join: cosine of unit vectors is a single
+    // dot product, so the per-pair cost drops from 3 array folds to 1
     val withBucket = emb.select(col(idCol).as("id"),
-        Similarity.toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), hp))
+        ExprUtils.let(Similarity.toDouble(col(vecCol))) { v =>
+          ExprUtils.let(Similarity.norm(v)) { n =>
+            transform(v, x => x / n)
+          }
+        }.as("nv"))
+      .withColumn("bucket", Similarity.lshBucket(col("nv"), hp))
     withBucket.as("a").join(withBucket.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cosine"))
+        round(Similarity.dot(col("a.nv"), col("b.nv")), 6).as("cosine"))
   }
 
   /** Token-set Jaccard similarity pairs within blocking keys:
