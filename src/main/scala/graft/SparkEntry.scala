@@ -470,6 +470,48 @@ object SparkEntry {
              |ORDER BY revenue DESC, o_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
+    "q5_distinct_agg" -> Q(
+      (s, dir) => rawEvents(s, dir)
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    "q6_grouping_rollup" -> Q(
+      (s, dir) => lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("qty"))
+        // NULLS FIRST explicitly: Spark's ASC default, spelled out so
+        // the oracle can match it
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             |    AS qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    "q7_percentiles" -> Q(
+      (s, dir) => lineitem(s, dir)
+        .groupBy("l_returnflag").agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6)
+            .as("p50_qty"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 6)
+            .as("p90_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+             |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     "q4_dim_rollup" -> Q(
       (s, dir) => table(s, dir, "supplier")
         .join(broadcast(table(s, dir, "nation")),
