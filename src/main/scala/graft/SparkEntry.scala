@@ -470,6 +470,17 @@ object SparkEntry {
              |ORDER BY revenue DESC, o_orderkey ASC
              |LIMIT 10""".stripMargin)),
 
+    // HLL sketch (no oracle — HLL implementations differ across
+    // engines; accuracy vs exact is spec-verified in ScaleOpsSpec)
+    "q8_approx_distinct" -> Q(
+      (s, dir) => rawEvents(s, dir)
+        .groupBy("event_type").agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02)
+            .as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      None),
+
     "q5_distinct_agg" -> Q(
       (s, dir) => rawEvents(s, dir)
         .groupBy("event_type").agg(

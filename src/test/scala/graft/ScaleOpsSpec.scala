@@ -24,6 +24,21 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted("hot") === 5000L)
   }
 
+  test("approx_count_distinct within rsd of exact on many keys") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20000L).map(i => (i % 4, i % 3000)).toDF("g", "u")
+    val rows = df.groupBy("g").agg(
+        approx_count_distinct(col("u"), rsd = 0.02).as("approx"),
+        countDistinct(col("u")).as("exact"))
+      .collect()
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble,
+        r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e < 0.1, s"group ${r.get(0)}: $a vs $e")
+    }
+  }
+
   test("bucketed tables join without an exchange on either side") {
     val s = spark
     import s.implicits._
