@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.IntegerType
   * `expr("minhash_sig(split(text, ' '), 32, 3)")` then works in SQL and
   * DataFrame code. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minhashSig)
+    ext.injectFunction(GraftFunctions.vectorDot)
+  }
 }
 
 object GraftFunctions {
@@ -31,7 +33,19 @@ object GraftFunctions {
         "usage: minhash_sig(tokens array<string>, k int, shingleSize int)")
     })
 
+  val vectorDot: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => VectorDot(a, b)
+      case _ => throw new IllegalArgumentException(
+        "usage: vector_dot(a array<double>, b array<double>)")
+    })
+
   def register(spark: SparkSession): Unit =
-    org.apache.spark.sql.GraftBridge.registerFunction(spark,
-      minhashSig._1, minhashSig._2, minhashSig._3)
+    Seq(minhashSig, vectorDot).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, id, info,
+        builder)
+    }
 }

@@ -22,9 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two array<double> columns (sequential
-    * left fold → deterministic summation order). */
+  /** Elementwise dot product of two array<double> columns — native
+    * codegen kernel ([[graft.functions.VectorDot]]); deterministic
+    * left-to-right summation order. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.VectorDot(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Pure-DataFrame fold form (differential reference for the native
+    * kernel). */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

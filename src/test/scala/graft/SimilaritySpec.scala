@@ -52,6 +52,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
   }
 
+  test("native vector_dot is bit-identical to the declarative fold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 200).map(_ => Tuple2(
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        Similarity.dot(col("a"), col("b")).as("native"),
+        Similarity.dotDeclarative(col("a"), col("b")).as("decl"))
+      .filter(col("native") =!= col("decl")).count()
+    assert(bad === 0)
+  }
+
   test("ivf: full-probe equals brute force; few-probe is a subset with query first") {
     val rnd = new scala.util.Random(13)
     val dim = 16
