@@ -37,19 +37,28 @@ object EventStream {
 
   /** Session metrics via the built-in session window (T1): per gap-based
     * session, commit/selection counts. Watermark bounds state size — at
-    * scale the state store holds only open sessions. */
+    * scale the state store holds only open sessions. `key` identifies
+    * the producer stream (device/user) and becomes the shuffle/state
+    * key. Streaming session windows require a DATA-DERIVED grouping key
+    * (a literal constant-folds away and Spark rejects the resulting
+    * global session aggregation) — pass e.g. a device-id column; the
+    * constant default only serves batch use. */
   def sessionMetrics(events: DataFrame, gap: String = "30 minutes",
-                     watermark: String = "1 hour"): DataFrame = {
+                     watermark: String = "1 hour",
+                     key: org.apache.spark.sql.Column = lit("all"))
+      : DataFrame = {
     import graft.ops.EventOps._
     withEventTime(events)
       .withWatermark("event_time", watermark)
       .filter(isCommit)
-      .groupBy(session_window(col("event_time"), gap))
+      .groupBy(key.as("session_key"),
+        session_window(col("event_time"), gap))
       .agg(
         count(lit(1)).as("commits"),
         count(when(isSelection, 1)).as("selections"),
         count(when(isMiss, 1)).as("misses"))
-      .select(col("session_window.start").as("session_start"),
+      .select(col("session_key"),
+        col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("commits"), col("selections"), col("misses"))
   }

