@@ -650,6 +650,56 @@ object SparkEntry {
              |    AS min_token_md5
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // End-to-end training-data cleaning: quality gate → exact dedup →
+    // bucketed near-dup removal (anti-join on candidate pairs). The
+    // composition a 100 TB corpus pipeline actually runs; every stage
+    // is partition-parallel and the pair set is bucket-local.
+    "llm_clean_pipeline" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val quality = docs.filter(TextStats.isQuality(col("text")))
+        val exact = Dedup.exactDedup(quality, "doc_id", "text")
+        val dupIds = Dedup
+          .jaccardPairs(exact, "doc_id", "text", Seq("lang", "source"), 0.6)
+          .select(col("id_b").as("doc_id")).distinct()
+        exact.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some("""WITH q AS (
+             |  SELECT doc_id, text, lang, source,
+             |    str_split(text, ' ') AS toks
+             |  FROM documents),
+             |qs AS (
+             |  SELECT doc_id, text, lang, source, len(toks) AS n,
+             |    len(list_distinct(toks)) AS nd,
+             |    len(list_filter(toks, x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) AS en
+             |  FROM q),
+             |quality AS (
+             |  SELECT doc_id, text, lang, source FROM qs
+             |  WHERE n >= 10 AND n <= 100000 AND nd / CAST(n AS DOUBLE) > 0.1
+             |    AND en / CAST(n AS DOUBLE) < 0.5),
+             |exact AS (
+             |  SELECT * FROM quality
+             |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
+             |tok AS (SELECT doc_id, lang, source,
+             |    unnest(list_distinct(str_split(text, ' '))) AS t
+             |  FROM exact),
+             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    count(*) AS i
+             |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang
+             |    AND a.source = b.source AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |dup AS (SELECT DISTINCT id_b FROM inter
+             |  JOIN sz sa ON sa.doc_id = id_a
+             |  JOIN sz sb ON sb.doc_id = id_b
+             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6)
+             |SELECT doc_id, lang, source FROM exact
+             |WHERE doc_id NOT IN (SELECT id_b FROM dup)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // ---- LLM-data-pipeline: embedding similarity search ---------------
     "e1_cosine_topk" -> Q(
       (s, dir) => {
