@@ -28,14 +28,21 @@ object Bench {
     }
     // Errors are reported explicitly, never folded into the total as
     // negative time (a broken query must not make the bench look faster).
+    // Two timed runs per query, min reported: steady-state cost, less
+    // JIT/IO noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val outcome =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      (name, (System.nanoTime() - t0) / 1e9, outcome)
+      def once(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val outcome =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        ((System.nanoTime() - t0) / 1e9, outcome)
+      }
+      val (t1, o1) = once()
+      if (o1.isDefined) (name, t1, o1)
+      else { val (t2, o2) = once(); (name, math.min(t1, t2), o2) }
     }
     val ok = results.filter(_._3.isEmpty)
     val failed = results.collect { case (n, _, Some(msg)) => n -> msg }
