@@ -66,6 +66,28 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: scale media metadata (and, in a real build, the
+    * payload) to fit a bounding box, preserving aspect ratio. Batched
+    * per partition like decode; the deterministic fake rescales the
+    * stub dimensions and truncates the payload proportionally, so tests
+    * can assert exact outputs. */
+  def resizeMeta(metas: Dataset[MediaMeta], maxSide: Int)
+      : Dataset[MediaMeta] = {
+    import metas.sparkSession.implicits._
+    metas.mapPartitions { it =>
+      it.map { m =>
+        // --- STUB: a real build calls the codec's scaler here
+        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width,
+          m.height))
+        m.copy(
+          width = math.max(1, (m.width * scale).toInt),
+          height = math.max(1, (m.height * scale).toInt),
+          n_bytes = math.max(1L, (m.n_bytes * scale * scale).toLong))
+        // --- end STUB
+      }
+    }
+  }
+
   /** Frame/chunk sampling on the binary column itself — pure column
     * expressions, no decode: k evenly spaced fixed-size byte windows
     * (the shape of video frame-sampling before decode). */

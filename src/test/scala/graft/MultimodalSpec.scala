@@ -45,6 +45,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.forall(_.length <= 4))
   }
 
+  test("resize stub: bounded dimensions, aspect ratio and determinism") {
+    val s = spark
+    import s.implicits._
+    val recs = Multimodal.attachBinary(docs).as[MediaRecord]
+    val metas = Multimodal.decodeMeta(recs)
+    val resized = Multimodal.resizeMeta(metas, maxSide = 64)
+      .orderBy("doc_id").collect()
+    val original = metas.orderBy("doc_id").collect()
+    resized.zip(original).foreach { case (r, o) =>
+      assert(r.width <= 64 && r.height <= 64)
+      if (math.max(o.width, o.height) <= 64)
+        assert(r.width === o.width && r.height === o.height)
+      else {
+        val ratioO = o.width.toDouble / o.height
+        val ratioR = r.width.toDouble / r.height
+        assert(math.abs(ratioO - ratioR) / ratioO < 0.1) // int rounding
+      }
+    }
+  }
+
   test("meta summary aggregates per media_type/format without collect") {
     val out = Multimodal.metaSummary(spark, docs).collect()
     assert(out.map(_.getAs[String]("media_type")).toSet ===
