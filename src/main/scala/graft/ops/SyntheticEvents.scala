@@ -51,8 +51,15 @@ object SyntheticEvents {
   def load(spark: SparkSession, sfDir: String): DataFrame =
     rimeShaped(readEventsTable(spark, sfDir))
 
+  /** Commit subset. Filters the RAW event_type before the rename: the
+    * post-rename predicate would sit inside a CASE expression that
+    * parquet cannot push (`PushedFilters: []` — a full scan at scale);
+    * pre-rename it pushes as `EqualTo(event_type, 'click')`. Equivalent
+    * because only 'click' maps to 'text_committed'. Guarded by
+    * PlanDisciplineSpec. */
   def commits(spark: SparkSession, sfDir: String): DataFrame =
-    load(spark, sfDir).filter(col("event_type") === "text_committed")
+    rimeShaped(readEventsTable(spark, sfDir)
+      .filter(col("event_type") === "click"))
 
   /** DuckDB CTE computing the exact same view — prepended to every
     * events-based oracle query. */

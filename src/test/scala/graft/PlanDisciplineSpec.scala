@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical-plan shapes PLANS.md documents: a regression
+  * that un-pushes a filter, drops a broadcast, or turns a top-k into a
+  * global sort fails here, not at 100 TB. Runs against the sf0.001
+  * fixtures (plan shapes are SF-independent pre-AQE). */
+class PlanDisciplineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("scan queries prune columns and push filters") {
+    val p = plan("s2_scan_fused_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"commit filter not pushed:\n$p")
+    assert(!p.contains("l_comment") && !p.contains("value#"),
+      "unreferenced columns must not be read")
+  }
+
+  test("flagship analyze is scan -> partial agg -> single-partition final agg") {
+    val p = plan("q_analyze_metrics")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("SinglePartition") || p.contains("Exchange"))
+    assert(!p.contains("SortAggregate"), s"hash agg expected:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("export-misses uses broadcast frequency join and top-k, not window+sort") {
+    val p = plan("o1_sort_misses")
+    assert(p.contains("BroadcastHashJoin"), s"freq join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"report sort must be top-k capped:\n$p")
+    assert(!p.contains("WindowExec"))
+  }
+
+  test("row-returning verification queries end in TakeOrderedAndProject") {
+    Seq("s1_scan_project", "p4_filter_misses", "t7_time_derive",
+      "d2_text_stats", "e1_cosine_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("no query plans a cartesian product or nested-loop join") {
+    SparkEntry.queries.keys.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cross join")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join")
+    }
+  }
+
+  test("star joins broadcast their dimension sides") {
+    assert(plan("q2_broadcast_join_agg").contains("BroadcastHashJoin"))
+    assert(plan("q4_dim_rollup").contains("BroadcastHashJoin"))
+  }
+}
