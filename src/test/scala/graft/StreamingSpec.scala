@@ -173,6 +173,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() === 14)
   }
 
+  test("T8 exactly-once: restart from checkpoint neither drops nor duplicates") {
+    val inDir = Files.createTempDirectory("graft-ck-in")
+    val outDir = Files.createTempDirectory("graft-ck-out")
+    val ckDir = Files.createTempDirectory("graft-ck-ck")
+    def startQuery() = EventStream.writeJsonlStream(
+      EventStream.readJsonlStream(spark, inDir.toString)
+        .filter(col("event_type") === "text_committed"),
+      outDir.toString, ckDir.toString)
+    Files.write(inDir.resolve("a.jsonl"),
+      Fixtures.commitLines.take(7).mkString("\n").getBytes("UTF-8"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // new data arrives while the query is down
+    Files.write(inDir.resolve("b.jsonl"),
+      Fixtures.commitLines.drop(7).mkString("\n").getBytes("UTF-8"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val back = graft.io.EventLogReader.readJsonl(spark, outDir.toString)
+    assert(back.count() === 14) // all commits, no duplicates
+    assert(back.select("timestamp").distinct().count() === 14)
+  }
+
   test("T1: session-window metrics over event time") {
     val sessions = EventStream.sessionMetrics(
       graft.io.EventLogReader.readJsonl(spark,
