@@ -523,6 +523,47 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    "q9_window_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"),
+            rank().over(w).cast("long").as("qty_rank"),
+            dense_rank().over(w).cast("long").as("qty_dense_rank"))
+          .filter(col("qty_rank") <= 20)
+          .orderBy("l_returnflag", "qty_rank", "l_orderkey", "l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  CAST(rank() OVER w AS BIGINT) AS qty_rank,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS qty_dense_rank
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
+             |QUALIFY qty_rank <= 20
+             |ORDER BY l_returnflag, qty_rank, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    "q10_running_sum" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rawEvents(s, dir)
+          .select(col("event_id"), col("user_id"),
+            round(sum(col("value")).over(w), 6).as("running_value"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""SELECT event_id, user_id,
+             |  ROUND(SUM(value) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             |    AS running_value
+             |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
     "q4_dim_rollup" -> Q(
       (s, dir) => table(s, dir, "supplier")
         .join(broadcast(table(s, dir, "nation")),

@@ -38,4 +38,17 @@ object ReportWriter {
   /** JSONL append sink (K3 / T8): the producer's own format. */
   def writeJsonl(df: DataFrame, outDir: String): Unit =
     df.write.mode("append").json(outDir)
+
+  /** Re-ingest a CSV report written by [[writeCsvReport]]. Spark's CSV
+    * reader does not strip the utf-8-sig BOM, which would otherwise
+    * corrupt the first header name (`﻿用户输入`); normalize it. */
+  def readCsvReport(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val df = spark.read.option("header", "true").csv(path)
+    df.columns.headOption match {
+      case Some(first) if first.startsWith("﻿") =>
+        df.withColumnRenamed(first, first.substring(1))
+      case _ => df
+    }
+  }
 }

@@ -48,6 +48,16 @@ class ExportMissesQuerySpec extends AnyFunSuite {
       commitsDf.filter(EventOps.isMiss).count())
   }
 
+  test("csv report round-trips through readCsvReport (BOM stripped)") {
+    val tmp = Files.createTempDirectory("graft-csv-rt")
+    val outFile = tmp.resolve("report.csv").toString
+    ReportWriter.writeCsvReport(ExportMissesQuery.run(commitsDf), outFile)
+    val back = ReportWriter.readCsvReport(spark, outFile)
+    assert(back.columns.toSeq === Seq("用户输入", "实际选择", "程序预测",
+      "选择排名", "错误频率"))
+    assert(back.count() === 5)
+  }
+
   test("csv report has utf-8 BOM, Chinese header, sorted body") {
     val tmp: Path = Files.createTempDirectory("graft-csv")
     val outFile = tmp.resolve("report.csv").toString
