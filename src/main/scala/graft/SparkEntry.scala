@@ -404,6 +404,31 @@ object SparkEntry {
              |    ELSE -1 END AS BIGINT) AS derived_rank
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // ---- T9: as-of join (time-series state attachment) ----------------
+    "t9_asof_join" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.ops.AsOfJoin.asofJoin(purchases, clicks, Seq("user_id"),
+            "ts", Seq("click_id"), tieBreak = Some("click_id"),
+            strict = true)
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").cast("long").as("prev_click_id"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""WITH w AS (SELECT event_id, user_id, event_type,
+             |  MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev_click_id
+             |  FROM events)
+             |SELECT event_id, user_id,
+             |  CAST(prev_click_id AS BIGINT) AS prev_click_id
+             |FROM w WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
     // ---- relational coverage over the star schema ---------------------
     "q1_lineitem_agg" -> Q(
       (s, dir) => lineitem(s, dir)
