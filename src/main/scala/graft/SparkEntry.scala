@@ -429,6 +429,28 @@ object SparkEntry {
              |FROM w WHERE event_type = 'purchase'
              |ORDER BY event_id LIMIT 1000""".stripMargin)),
 
+    // ---- T10: bucketed range join ( clicks within 30 min before a
+    // purchase, same user) ------------------------------------------------
+    "t10_range_join" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("c_ts"))
+        graft.ops.RangeJoin.withinRange(purchases, clicks, Seq("user_id"),
+            "p_ts", "c_ts", width = 1800L * 1000000000L) // 30 min in ns
+          .select(col("purchase_id"), col("click_id"))
+          .orderBy("purchase_id", "click_id").limit(2000)
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+             |FROM events p JOIN events c ON p.user_id = c.user_id
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+             |ORDER BY purchase_id, click_id LIMIT 2000""".stripMargin)),
+
     // ---- relational coverage over the star schema ---------------------
     "q1_lineitem_agg" -> Q(
       (s, dir) => lineitem(s, dir)
