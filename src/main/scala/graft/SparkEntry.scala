@@ -677,6 +677,20 @@ object SparkEntry {
         .orderBy("doc_id").limit(500),
       None),
 
+    // Corpus-level mergeable sketch: per-language MinHash profile via
+    // the typed Aggregator (partial+final combine of k-long arrays —
+    // no row data crosses the exchange). Rows-only check.
+    "d9_corpus_sketch" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("lang"),
+          Dedup.minhashSignatureNative(col("text"), 32, 3).as("sig"))
+        .groupBy("lang").agg(
+          graft.functions.MinHashUnion.agg(32)(col("sig"))
+            .as("corpus_sig"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      None),
+
     // ---- LLM-data-pipeline: text analysis ------------------------------
     "d2_text_stats" -> Q(
       (s, dir) => table(s, dir, "documents").select(col("doc_id"),
