@@ -63,6 +63,16 @@ object EventStream {
         col("commits"), col("selections"), col("misses"))
   }
 
+  /** Live flagship metrics: the analyze aggregation over a commit
+    * stream, updating each micro-batch (complete output mode — the
+    * result is one row, so "complete" is O(1) state: the running
+    * partial aggregates). Pair with a console/memory sink for a live
+    * dashboard of the reference's §3.1 metrics. */
+  def streamingAnalyzeMetrics(events: DataFrame): DataFrame = {
+    import graft.ops.EventOps._
+    graft.queries.AnalyzeQuery.metricsFrame(events.filter(isCommit))
+  }
+
   /** JSONL append sink (T8/K3): the producer's own on-disk format. */
   def writeJsonlStream(df: DataFrame, outDir: String,
                        checkpointDir: String): StreamingQuery =

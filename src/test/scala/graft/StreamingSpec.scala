@@ -173,6 +173,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() === 14)
   }
 
+  test("live analyze metrics update across micro-batches (complete mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.model.LogEvent
+    val mem = MemoryStream[LogEvent]
+    val q = EventStream.streamingAnalyzeMetrics(mem.toDF())
+      .writeStream.format("memory").queryName("live_metrics")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = Fixtures.commitEvents.splitAt(6)
+      mem.addData(b1: _*); q.processAllAvailable()
+      val mid = s.table("live_metrics").collect()(0)
+      assert(mid.getAs[Long]("total_commits") === 6)
+      mem.addData(b2: _*); q.processAllAvailable()
+      val fin = s.table("live_metrics").collect()(0)
+      // converges to the batch goldens
+      assert(fin.getAs[Long]("total_commits") === 14)
+      assert(fin.getAs[Long]("total_selections") === 9)
+      assert(math.abs(fin.getAs[Double]("average_rank") - 14.0 / 9) < 1e-9)
+    } finally q.stop()
+  }
+
   test("T8 exactly-once: restart from checkpoint neither drops nor duplicates") {
     val inDir = Files.createTempDirectory("graft-ck-in")
     val outDir = Files.createTempDirectory("graft-ck-out")
