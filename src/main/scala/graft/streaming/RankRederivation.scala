@@ -30,12 +30,18 @@ final case class DerivedCommit(
 
 /** Mutable-per-key state: the producer's `last_input_state_for_commit`
   * snapshot + page tracker (`input_habit_logger.lua:184-186`,
-  * `:309-317`, `:356-381`). */
+  * `:309-317`, `:356-381`).
+  *
+  * `trackerPage` mirrors the lua's `current_page_index`, which is NOT
+  * reset when the menu closes — only the snapshot's page
+  * (`snapPage`) zeroes then (`lua:370`). Re-opening the menu on the
+  * same buffer resumes at the tracked page. */
 final case class SnapshotState(
     lastSeenBuffer: Option[String],
-    pageIndex: Int,
+    trackerPage: Int,
     snapBuffer: Option[String],
     snapCandidates: Option[Seq[String]],
+    snapPage: Int,
     pendingKey: Option[String])
 
 /** SURVEY §2.6 T2-T4: re-derive `selected_candidate_rank` and
@@ -53,7 +59,8 @@ object RankRederivation {
   private val NavKeys = Map("Page_Down" -> 1, "Next" -> 1,
     "Page_Up" -> -1, "Prev" -> -1)
 
-  val initialState: SnapshotState = SnapshotState(None, 0, None, None, None)
+  val initialState: SnapshotState =
+    SnapshotState(None, 0, None, None, 0, None)
 
   /** One event through the producer state machine
     * (`input_habit_logger.lua:283-395` keypress path, `:215-278` commit
@@ -63,28 +70,31 @@ object RankRederivation {
     case "key" =>
       // page tracking (lua:309-317): reset on buffer change, then nav keys
       val pageAfterReset =
-        if (e.input_buffer != state.lastSeenBuffer) 0 else state.pageIndex
+        if (e.input_buffer != state.lastSeenBuffer) 0 else state.trackerPage
       val page = e.key_repr.flatMap(NavKeys.get) match {
         case Some(delta) => math.max(0, pageAfterReset + delta)
         case None        => pageAfterReset
       }
       val hasMenu = e.candidates.exists(_.nonEmpty)
-      // snapshot update (lua:356-381)
+      // snapshot update (lua:356-381); the tracker keeps its page on
+      // menu close, only the snapshot page zeroes (lua:370)
       val snap =
         if (hasMenu)
-          state.copy(lastSeenBuffer = e.input_buffer, pageIndex = page,
+          state.copy(lastSeenBuffer = e.input_buffer, trackerPage = page,
             snapBuffer = e.input_buffer, snapCandidates = e.candidates,
+            snapPage = page,
             pendingKey = e.key_repr.filter(k =>
               k == "space" || k.matches("^[1-9]$")))
         else
-          state.copy(lastSeenBuffer = e.input_buffer, pageIndex = 0,
+          state.copy(lastSeenBuffer = e.input_buffer, trackerPage = page,
             snapBuffer = e.input_buffer, snapCandidates = None,
+            snapPage = 0,
             pendingKey = None)
       (snap, None)
 
     case "commit" =>
       val committed = e.committed_text.getOrElse("N/A")
-      val page = state.pageIndex
+      val page = state.snapPage
       // rank derivation (lua:226-252)
       val rank = state.pendingKey match {
         case Some("space") =>

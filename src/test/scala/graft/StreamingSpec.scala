@@ -73,6 +73,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("page tracker survives menu close (lua:370 zeroes only the snapshot)") {
+    val s = spark
+    import s.implicits._
+    val script = Seq(
+      // type, page to 2nd page, menu momentarily closes, reopens on the
+      // SAME buffer → tracker page must still be 1
+      RawKeyEvent("C", 1, "key", Some("s"), Some("s"), Some(Seq("是", "事")), None),
+      RawKeyEvent("C", 2, "key", Some("Page_Down"), Some("s"), Some(Seq("士", "世")), None),
+      RawKeyEvent("C", 3, "key", Some("x"), Some("s"), None, None), // menu closes
+      RawKeyEvent("C", 4, "key", Some("2"), Some("s"), Some(Seq("士", "世")), None),
+      RawKeyEvent("C", 5, "commit", None, None, None, Some("世")))
+    val out = RankRederivation.deriveCommits(script.toDS()).collect()
+    assert(out.length === 1)
+    // digit 2 on tracked page 1 → rank 1*6 + (2-1) = 7, not 1
+    assert(out.head.selected_candidate_rank === 7)
+  }
+
   test("random scripts: streamed output equals a direct fold, any batch split") {
     val s = spark
     import s.implicits._
