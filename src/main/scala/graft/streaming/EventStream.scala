@@ -73,6 +73,21 @@ object EventStream {
     graft.queries.AnalyzeQuery.metricsFrame(events.filter(isCommit))
   }
 
+  /** Idempotent micro-batch parquet sink via foreachBatch: each batch
+    * overwrites its own `batch_id=<n>` directory, so a replayed batch
+    * (failure between write and checkpoint commit) lands on the same
+    * path instead of duplicating — exactly-once at directory
+    * granularity, the standard pattern for non-transactional stores. */
+  def writeBatchedParquet(df: DataFrame, outDir: String,
+                          checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** JSONL append sink (T8/K3): the producer's own on-disk format. */
   def writeJsonlStream(df: DataFrame, outDir: String,
                        checkpointDir: String): StreamingQuery =

@@ -235,6 +235,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.select("timestamp").distinct().count() === 14)
   }
 
+  test("foreachBatch parquet sink: batch-id directories, complete readback") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val outDir = Files.createTempDirectory("graft-fb-out")
+    val ckDir = Files.createTempDirectory("graft-fb-ck")
+    val mem = MemoryStream[graft.model.LogEvent]
+    val q = EventStream.writeBatchedParquet(mem.toDF(), outDir.toString,
+      ckDir.toString)
+    try {
+      val (b1, b2) = Fixtures.commitEvents.splitAt(6)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(outDir.toString)
+    assert(back.count() === 14)
+    assert(back.select("batch_id").distinct().count() === 2)
+  }
+
   test("T1: session-window metrics over event time") {
     val sessions = EventStream.sessionMetrics(
       graft.io.EventLogReader.readJsonl(spark,
