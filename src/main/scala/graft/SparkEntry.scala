@@ -570,6 +570,25 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    "q11_set_except" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val t = timestamp_micros(expr("ts div 1000"))
+        def userDays(ty: String) = ev.filter(col("event_type") === ty)
+          .select(col("user_id"), month(t).cast("long").as("m"),
+            dayofmonth(t).cast("long").as("d")).distinct()
+        userDays("click").except(userDays("purchase"))
+          .orderBy("user_id", "m", "d").limit(2000)
+      },
+      Some("""SELECT DISTINCT user_id, CAST(month(ts) AS BIGINT) AS m,
+             |  CAST(day(ts) AS BIGINT) AS d
+             |FROM events WHERE event_type = 'click'
+             |EXCEPT
+             |SELECT DISTINCT user_id, CAST(month(ts) AS BIGINT),
+             |  CAST(day(ts) AS BIGINT)
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY user_id, m, d LIMIT 2000""".stripMargin)),
+
     "q9_window_rank" -> Q(
       (s, dir) => {
         val w = Window.partitionBy("l_returnflag")
