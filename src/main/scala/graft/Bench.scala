@@ -21,10 +21,17 @@ object Bench {
         case c => c.toString
       } + "\""
     // warm-up: JIT + codegen + parquet footer caches on the smallest SF,
-    // so the timed run measures the queries, not JVM warm-up.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // so the timed run measures the queries, not JVM warm-up. Warm-up
+    // failures are logged (not fatal): a silently-skipped warm-up would
+    // make the first timed run re-absorb JIT cost.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed for $name on " +
+          s"$warmDir: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
+      }
     }
     // Errors are reported explicitly, never folded into the total as
     // negative time (a broken query must not make the bench look faster).

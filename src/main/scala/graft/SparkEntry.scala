@@ -418,12 +418,19 @@ object SparkEntry {
             col("asof_click_id").cast("long").as("prev_click_id"))
           .orderBy("event_id").limit(1000)
       },
-      Some("""WITH w AS (SELECT event_id, user_id, event_type,
-             |  MAX(CASE WHEN event_type = 'click' THEN event_id END) OVER (
-             |    PARTITION BY user_id ORDER BY ts, event_id
+      // semantics-exact oracle: latest click by (ts, event_id) with
+      // ts STRICTLY before the purchase — clicks at the purchase's own
+      // ts sort after it (side flag), so the 1-PRECEDING frame excludes
+      // them, exactly like strict asofJoin. Not fixture-dependent.
+      Some("""WITH w AS (SELECT event_id, user_id, event_type, ts,
+             |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+             |    IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts,
+             |      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+             |      event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |    AS prev_click_id
-             |  FROM events)
+             |  FROM events WHERE event_type IN ('click', 'purchase'))
              |SELECT event_id, user_id,
              |  CAST(prev_click_id AS BIGINT) AS prev_click_id
              |FROM w WHERE event_type = 'purchase'
@@ -452,26 +459,30 @@ object SparkEntry {
              |ORDER BY purchase_id, click_id LIMIT 2000""".stripMargin)),
 
     // ---- relational coverage over the star schema ---------------------
+    // money sums accumulate in exact DECIMAL (order-independent), then the
+    // FINAL value is cast to DOUBLE for output: the driver's value compare
+    // renders engine-native decimals differently (Decimal vs float64), so
+    // decimal columns hash-mismatch even when equal — doubles don't.
     "q1_lineitem_agg" -> Q(
       (s, dir) => lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus").agg(
           count(lit(1)).as("count_order"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_qty"),
+            .cast("double").as("sum_qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("sum_base_price"),
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           round(avg(col("l_discount")), 6).as("avg_disc"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some("""SELECT l_returnflag, l_linestatus,
              |  count(*) AS count_order,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |    AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-             |    AS DECIMAL(38,2)) AS sum_base_price,
+             |    AS DOUBLE) AS sum_base_price,
              |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-             |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              |  ROUND(avg(l_discount), 6) AS avg_disc
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
@@ -483,10 +494,10 @@ object SparkEntry {
         .groupBy("p_brand").agg(
           count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total_qty"))
+            .cast("double").as("total_qty"))
         .orderBy("p_brand"),
       Some("""SELECT p_brand, count(*) AS n_items,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |    AS total_qty
              |FROM lineitem JOIN part ON l_partkey = p_partkey
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
@@ -499,7 +510,7 @@ object SparkEntry {
         // than join-then-aggregate and the right shape at 100 TB
         val rev = lineitem(s, dir).groupBy("l_orderkey").agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
         rev.join(table(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(table(s, dir, "customer")),
@@ -509,7 +520,7 @@ object SparkEntry {
       },
       Some("""SELECT o_orderkey, c_mktsegment,
              |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-             |    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+             |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
@@ -544,13 +555,13 @@ object SparkEntry {
         .rollup("l_returnflag", "l_linestatus").agg(
           count(lit(1)).as("n"),
           sum(col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("qty"))
+            .cast("double").as("qty"))
         // NULLS FIRST explicitly: Spark's ASC default, spelled out so
         // the oracle can match it
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |    AS qty
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST,
@@ -639,10 +650,10 @@ object SparkEntry {
         .groupBy("r_name", "n_name").agg(
           count(lit(1)).as("n_suppliers"),
           sum(col("s_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").as("total_bal"))
+            .cast("double").as("total_bal"))
         .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name, count(*) AS n_suppliers,
-             |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
              |    AS total_bal
              |FROM supplier
              |JOIN nation ON s_nationkey = n_nationkey
@@ -698,7 +709,9 @@ object SparkEntry {
 
     // Corpus-level mergeable sketch: per-language MinHash profile via
     // the typed Aggregator (partial+final combine of k-long arrays —
-    // no row data crosses the exchange). Rows-only check.
+    // no row data crosses the exchange). Rows-only check; the output
+    // carries only scalar digests of the signature (the driver's compare
+    // sorts rows, which an array column would break).
     "d9_corpus_sketch" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("lang"),
@@ -707,6 +720,10 @@ object SparkEntry {
           graft.functions.MinHashUnion.agg(32)(col("sig"))
             .as("corpus_sig"),
           count(lit(1)).as("n_docs"))
+        .select(col("lang"), col("n_docs"),
+          array_min(col("corpus_sig")).as("sig_min"),
+          array_max(col("corpus_sig")).as("sig_max"),
+          xxhash64(col("corpus_sig")).as("sig_digest"))
         .orderBy("lang"),
       None),
 
@@ -783,7 +800,9 @@ object SparkEntry {
         val dupIds = Dedup
           .jaccardPairs(exact, "doc_id", "text", Seq("lang", "source"), 0.6)
           .select(col("id_b").as("doc_id")).distinct()
-        exact.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+        // no broadcast hint: dupIds is O(near-dup count), unbounded at
+        // 100 TB — AQE broadcasts when it fits
+        exact.join(dupIds, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy("doc_id").limit(2000)
       },

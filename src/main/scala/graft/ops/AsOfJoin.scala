@@ -21,7 +21,13 @@ object AsOfJoin {
   /** `rightCols` are carried onto left rows as `asof_<name>`.
     * Within equal timestamps the right row sorts first (non-strict
     * semantics: a right row AT the left row's ts is visible); ties
-    * among right rows resolve by `tieBreak` ascending, latest wins. */
+    * among right rows resolve by `tieBreak` ascending, latest wins.
+    *
+    * Null-timestamp contract: right rows with a null `tsCol` are
+    * dropped (a row with no timestamp can never be an as-of match);
+    * left rows with a null `tsCol` are kept and get null `asof_*`
+    * (under ASC nulls-first they sort before every right row, so the
+    * carry-forward window sees nothing). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, rightCols: Seq[String],
                tieBreak: Option[String] = None,
@@ -31,7 +37,8 @@ object AsOfJoin {
       .withColumn("_tb", lit(null).cast("long"))
     val lAligned = rightCols.foldLeft(l)((df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null)))
-    val r = right.withColumn("_side", sideOrder)
+    val r = right.filter(col(tsCol).isNotNull)
+      .withColumn("_side", sideOrder)
       .withColumn("_tb",
         tieBreak.map(col(_).cast("long")).getOrElse(lit(0L)))
     val rAligned = lAligned.columns.foldLeft(r)((df, c) =>

@@ -166,11 +166,15 @@ object Dedup {
     val inter = tok.as("a").join(tok.as("b"), joinCond)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    // no broadcast hint on the sizes table: it is O(corpus rows), which
+    // at 100 TB would blow past driver/broadcast limits — AQE picks
+    // broadcast when it actually fits, shuffle-join on id otherwise
+    // (cheap next to the pair join either way)
     inter
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n", "na")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n", "nb")), "id_b")
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)

@@ -15,7 +15,13 @@ final case class RawKeyEvent(
     key_repr: Option[String],        // for kind=key
     input_buffer: Option[String],
     candidates: Option[Seq[String]], // visible menu (≤5), None = no menu
-    committed_text: Option[String])  // for kind=commit
+    committed_text: Option[String],  // for kind=commit
+    // explicit menu-visibility flag mirroring the lua's `has_menu`
+    // (`input_habit_logger.lua:356`): the producer keys the snapshot
+    // branch off this flag alone, so a has_menu event with an empty
+    // candidate list must still take the menu branch. None (legacy
+    // rows) falls back to candidate-list non-emptiness.
+    has_menu: Option[Boolean] = None)
 
 /** A re-derived commit, matching what the producer would have logged. */
 final case class DerivedCommit(
@@ -75,7 +81,7 @@ object RankRederivation {
         case Some(delta) => math.max(0, pageAfterReset + delta)
         case None        => pageAfterReset
       }
-      val hasMenu = e.candidates.exists(_.nonEmpty)
+      val hasMenu = e.has_menu.getOrElse(e.candidates.exists(_.nonEmpty))
       // snapshot update (lua:356-381); the tracker keeps its page on
       // menu close, only the snapshot page zeroes (lua:370)
       val snap =
@@ -123,13 +129,26 @@ object RankRederivation {
     case _ => (state, None)
   }
 
+  /** Hard cap on events per session per micro-batch: the in-batch seq
+    * sort materializes the group in executor memory, so the batch size
+    * MUST be bounded upstream (`maxFilesPerTrigger` / rate limiting —
+    * one IME session emits a few keys per second, so any sane trigger
+    * interval sits orders of magnitude below this). Failing fast beats
+    * an executor OOM mid-batch. */
+  val MaxBatchEventsPerSession: Int = 1 << 20
+
   private def processGroup(sessionId: String, events: Iterator[RawKeyEvent],
                            groupState: GroupState[SnapshotState])
       : Iterator[DerivedCommit] = {
     var st = groupState.getOption.getOrElse(initialState)
     // the producer is an ordered single writer per session; restore that
-    // order within the micro-batch
-    val out = events.toSeq.sortBy(_.seq).flatMap { e =>
+    // order within the micro-batch (bounded — see MaxBatchEventsPerSession)
+    val buf = events.take(MaxBatchEventsPerSession + 1).toSeq
+    require(buf.size <= MaxBatchEventsPerSession,
+      s"session $sessionId exceeded $MaxBatchEventsPerSession events in " +
+        "one micro-batch; bound the trigger (maxFilesPerTrigger / rate " +
+        "limit) so per-session batches fit in executor memory")
+    val out = buf.sortBy(_.seq).flatMap { e =>
       val (next, commit) = step(st, e)
       st = next
       commit
