@@ -505,13 +505,19 @@ object SparkEntry {
     "q3_join_topk" -> Q(
       (s, dir) => {
         // aggregate the fact table FIRST (map-side combine shrinks it
-        // ~4x before any join; c_mktsegment is functionally dependent on
-        // the order so the result is identical) — measured 30% faster
-        // than join-then-aggregate and the right shape at 100 TB
-        val rev = lineitem(s, dir).groupBy("l_orderkey").agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,4)")).cast("double").as("revenue"))
-        rev.join(table(s, dir, "orders"),
+        // ~4x before any join), then take the top-10 BEFORE joining:
+        // revenue and the (revenue, orderkey) order are fully determined
+        // by the aggregate, and every l_orderkey has its order row
+        // (fixture referential integrity), so joining 10 rows instead of
+        // the whole aggregate is identical output. The plan becomes
+        // TakeOrderedAndProject (per-partition heap, k rows to the
+        // driver) + two broadcast joins of a 10-row side — no shuffle
+        // join at any scale.
+        val top = lineitem(s, dir).groupBy("l_orderkey").agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+        broadcast(top).join(table(s, dir, "orders"),
             col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(table(s, dir, "customer")),
             col("o_custkey") === col("c_custkey"))
@@ -611,6 +617,45 @@ object SparkEntry {
             rank().over(w).cast("long").as("qty_rank"),
             dense_rank().over(w).cast("long").as("qty_dense_rank"))
           .filter(col("qty_rank") <= 20)
+          .orderBy("l_returnflag", "qty_rank", "l_orderkey", "l_linenumber")
+          .limit(100)
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  CAST(rank() OVER w AS BIGINT) AS qty_rank,
+             |  CAST(dense_rank() OVER w AS BIGINT) AS qty_dense_rank
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |  ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC)
+             |QUALIFY qty_rank <= 20
+             |ORDER BY l_returnflag, qty_rank, l_orderkey, l_linenumber
+             |LIMIT 100""".stripMargin)),
+
+    // The scale path for q9's semantics: bounded TopK aggregator
+    // (partial top-k per map task, k-row buffers through the exchange)
+    // instead of a full per-partition window sort — the window form
+    // sorts 1/3 of the table per task at any scale because
+    // l_returnflag has 3 values. Same oracle as q9: the window
+    // ordering is total (PK suffix), so rank == dense_rank ==
+    // position in the top-k buffer.
+    "q12_group_topk" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        implicit val ord: Ordering[(Double, Long, Long)] =
+          Ordering.by[(Double, Long, Long), (Double, Long, Long)](
+            { case (q, o, l) => (-q, o, l) })(
+            Ordering.Tuple3(Ordering.Double.TotalOrdering, Ordering.Long,
+              Ordering.Long))
+        val top = lineitem(s, dir).groupBy("l_returnflag")
+          .agg(graft.functions.TopK.agg[(Double, Long, Long)](20,
+            col("l_quantity").cast("double"), col("l_orderkey"),
+            col("l_linenumber").cast("long")).as("top"))
+        top.select(col("l_returnflag"),
+            posexplode(col("top")).as(Seq("pos", "row")))
+          .select(col("l_returnflag"),
+            col("row._2").as("l_orderkey"),
+            col("row._3").cast("int").as("l_linenumber"),
+            (col("pos") + 1).cast("long").as("qty_rank"),
+            (col("pos") + 1).cast("long").as("qty_dense_rank"))
           .orderBy("l_returnflag", "qty_rank", "l_orderkey", "l_linenumber")
           .limit(100)
       },

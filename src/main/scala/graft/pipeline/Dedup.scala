@@ -159,7 +159,11 @@ object Dedup {
         (col(idCol).as("id") +: blockCols.map(col)) :+
           explode(array_distinct(split(col(textCol), " "))).as("t"): _*)
       .withColumn("t", xxhash64(col("t")))
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("n"))
+    // per-doc distinct-token counts straight off the docs table — a
+    // narrow per-row expression instead of re-exploding tok and
+    // re-aggregating it (one less shuffle over the exploded relation)
+    val sizes = docs.select(col(idCol).as("id"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
     val joinCond = col("a.t") === col("b.t") &&
       blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
         .foldLeft(col("a.id") < col("b.id"))(_ && _)
