@@ -62,6 +62,13 @@ object SparkEntry {
   private case class Q(fn: (SparkSession, String) => DataFrame,
                        sql: Option[String])
 
+  /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
+    * integer of the leading 15 md5 hex chars, via digit polynomial. */
+  private def duckHash60(e: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1, 15), i ->
+       |    CAST(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1
+       |      AS BIGINT) << (4 * (15 - i)))) AS BIGINT)""".stripMargin
+
   private lazy val registry: Map[String, Q] = Map(
 
     // ---- S: sources / scans (SURVEY §2.1) -----------------------------
@@ -737,40 +744,103 @@ object SparkEntry {
              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
-    // MinHash/LSH + SimHash use xxhash64 (no DuckDB equivalent) →
-    // rows-only driver check; semantics covered by unit/property tests.
+    // xxhash64-based MinHash/LSH (the fast pipeline path — one codegen
+    // hash per probe) has no DuckDB equivalent → rows-only driver
+    // check; semantics covered by unit/property tests plus the
+    // oracle-exact portable twin d10 below.
     "d6_minhash_pairs" -> Q(
       (s, dir) => Dedup
         .minhashCandidatePairs(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("id_a", "id_b").limit(2000),
       None),
 
+    // Portable MinHash+LSH: md5-based signatures and band hashes, every
+    // stage (shingling → k minima → banding → bucket join) recomputed
+    // by the oracle bit for bit.
+    "d10_minhash_portable" -> Q(
+      (s, dir) => Dedup.minhashCandidatePairsPortable(
+          table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b").limit(2000),
+      Some(s"""WITH doc AS (SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |hs AS (SELECT doc_id, g.j,
+              |    min(${duckHash60("CAST(g.j AS VARCHAR) || ':' || u.s")})
+              |      AS sig
+              |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
+              |  GROUP BY doc_id, g.j),
+              |band AS (SELECT doc_id, j // 3 AS b,
+              |    md5(CAST(j // 3 AS VARCHAR) || '|' ||
+              |      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j)) AS h
+              |  FROM hs GROUP BY doc_id, j // 3)
+              |SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |FROM band a JOIN band b2
+              |  ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
     "d7_simhash" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),
-          Dedup.simhash64Expr("split(text, ' ')").as("simhash"))
+          Dedup.simhash60Portable(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id").limit(500),
-      None),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+              |  FROM documents),
+              |h AS (SELECT doc_id, ${duckHash60("t")} AS hv FROM tok),
+              |bits AS (SELECT doc_id, g.b,
+              |    SUM(CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END)
+              |      AS vote
+              |  FROM h, generate_series(0, 59) AS g(b)
+              |  GROUP BY doc_id, g.b)
+              |SELECT doc_id,
+              |  CAST(SUM(CASE WHEN vote > 0
+              |    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT)
+              |    AS simhash
+              |FROM bits GROUP BY doc_id
+              |ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     // Corpus-level mergeable sketch: per-language MinHash profile via
     // the typed Aggregator (partial+final combine of k-long arrays —
-    // no row data crosses the exchange). Rows-only check; the output
-    // carries only scalar digests of the signature (the driver's compare
-    // sorts rows, which an array column would break).
+    // no row data crosses the exchange). Portable signatures make the
+    // whole sketch oracle-exact; the output carries scalar digests of
+    // the union signature (the driver's compare sorts rows, which an
+    // array column would break).
     "d9_corpus_sketch" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("lang"),
-          Dedup.minhashSignatureNative(col("text"), 32, 3).as("sig"))
+          Dedup.minhashSignaturePortable(
+            Dedup.shingles(col("text"), 3), 12).as("sig"))
         .groupBy("lang").agg(
-          graft.functions.MinHashUnion.agg(32)(col("sig"))
+          graft.functions.MinHashUnion.agg(12)(col("sig"))
             .as("corpus_sig"),
           count(lit(1)).as("n_docs"))
         .select(col("lang"), col("n_docs"),
           array_min(col("corpus_sig")).as("sig_min"),
           array_max(col("corpus_sig")).as("sig_max"),
-          xxhash64(col("corpus_sig")).as("sig_digest"))
+          element_at(col("corpus_sig"), 1).as("sig_first"))
         .orderBy("lang"),
-      None),
+      Some(s"""WITH doc AS (SELECT doc_id, lang,
+              |    list_distinct(list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+              |  FROM (SELECT doc_id, lang, str_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |hs AS (SELECT doc_id, lang, g.j,
+              |    min(${duckHash60("CAST(g.j AS VARCHAR) || ':' || u.s")})
+              |      AS sig
+              |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
+              |  GROUP BY doc_id, lang, g.j),
+              |un AS (SELECT lang, j, min(sig) AS m FROM hs GROUP BY lang, j),
+              |su AS (SELECT lang, min(m) AS sig_min, max(m) AS sig_max,
+              |    min(CASE WHEN j = 0 THEN m END) AS sig_first
+              |  FROM un GROUP BY lang),
+              |nd AS (SELECT lang, count(*) AS n_docs FROM documents
+              |  GROUP BY lang)
+              |SELECT nd.lang, nd.n_docs, sig_min, sig_max, sig_first
+              |FROM nd JOIN su USING (lang)
+              |ORDER BY lang""".stripMargin)),
 
     // ---- LLM-data-pipeline: text analysis ------------------------------
     "d2_text_stats" -> Q(

@@ -103,6 +103,76 @@ object Dedup {
       .distinct()
   }
 
+  // ---- portable (cross-engine reproducible) hashing ------------------
+  // xxhash64 is Spark-specific; these variants hash through md5, which
+  // every ANSI engine computes identically, so their outputs are
+  // DuckDB-oracle-checkable bit for bit. The xxhash64 forms above stay
+  // the fast path for pipelines (one codegen'd hash vs an md5 per
+  // probe); the portable forms are the differential-verification path.
+
+  /** 60-bit hash = leading 15 hex chars of md5 as a big-endian integer.
+    * Always positive, fits BIGINT/long in any engine. DuckDB oracle
+    * side: digit-polynomial over the same hex prefix. */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over tokens using [[md5Long60]]: same vote-per-bit
+    * construction as [[simhash64Expr]], reproducible cross-engine. The
+    * hashed-token array is let-bound so each token is hashed once, not
+    * once per bit. */
+  def simhash60Portable(tokens: Column): Column =
+    ExprUtils.let(transform(tokens, t => md5Long60(t))) { hs =>
+      ExprUtils.let(
+        aggregate(hs, array_repeat(lit(0L), 60),
+          (acc, h) => zip_with(acc,
+            transform(sequence(lit(0), lit(59)),
+              b => when(call_function("shiftrightunsigned", h, b)
+                .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+            (a, v) => a + v))) { votes =>
+        aggregate(
+          zip_with(votes, sequence(lit(0), lit(59)),
+            (v, b) => when(v > 0,
+              call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x)
+      }
+    }
+
+  /** Portable MinHash signature: sig[j] = min over shingles of
+    * md5Long60(j || ':' || shingle). Same fold shape as
+    * [[minhashSignature]] (k running minima in one pass). */
+  def minhashSignaturePortable(shingleArr: Column, k: Int): Column =
+    aggregate(shingleArr, array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)),
+          j => md5Long60(concat(j.cast("string"), lit(":"), s))),
+        (a, h) => least(a, h)))
+
+  /** Portable MinHash+LSH candidate pairs: [[minhashCandidatePairs]]
+    * with md5-based signatures and md5 band hashes — every stage
+    * reproducible in the DuckDB oracle. Same bucket-local join shape. */
+  def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,
+                                    textCol: String, shingleSize: Int = 3,
+                                    k: Int = 12, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val bandRows = docs.select(col(idCol).as("id"),
+        explode(ExprUtils.let(
+          minhashSignaturePortable(shingles(col(textCol), shingleSize), k)) {
+          sig =>
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => struct(b.as("band_id"),
+                md5(concat(b.cast("string"), lit("|"),
+                  concat_ws(",", transform(slice(sig, b * rows + 1, lit(rows)),
+                    x => x.cast("string")))).cast("binary")).as("band_hash")))
+        }).as("band"))
+      .select(col("id"), col("band.band_id"), col("band.band_hash"))
+    bandRows.as("a").join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
     * bit position, the sign of each vote sum becomes the output bit.
     * Per-row map work only — no shuffle. `tokensExpr` must be a SQL
