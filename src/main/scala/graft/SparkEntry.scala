@@ -991,31 +991,103 @@ object SparkEntry {
              |  CAST(len(str_split(text, ' ')) AS BIGINT) AS n_ws_tokens
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // ANN variants with data-derived parameters (centroids/planes are
+    // embedding rows fetched by id — deterministic, so the DuckDB
+    // oracle recomputes cell assignment, probing, and rerank exactly).
+    // The seeded-RNG variants stay available in Similarity for
+    // production use; SimilaritySpec covers both.
     "e4_ivf_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble)
-        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20)
+        Similarity.ivfTopKData(emb, "vec_id", "embedding", q, k = 20,
+          centroidIds = (1L to 16L))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 16),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |probe AS (SELECT cid FROM c, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT 2),
+             |asg AS (SELECT vec_id, cid, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY dt DESC, cid ASC) AS rn
+             |  FROM (SELECT e.vec_id, c.cid,
+             |          list_dot_product(e.v, c.cv) AS dt FROM e, c)),
+             |cand AS (SELECT vec_id, cid AS cell FROM asg
+             |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+             |s AS (SELECT cand.vec_id, cand.cell,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+             |  FROM cand JOIN e USING (vec_id), q)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine,
+             |  CAST(cell AS BIGINT) AS cell
+             |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
+             |LIMIT 20""".stripMargin)),
 
     "e3_embedding_neardup" -> Q(
-      (s, dir) => Dedup
-        .embeddingNearDupPairs(table(s, dir, "embeddings"), "vec_id",
-          "embedding", dim = 64)
-        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
-        .limit(100),
-      None),
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        Dedup.embeddingNearDupPairsWith(emb, "vec_id", "embedding", hp)
+          .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+          .limit(100)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id,
+             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |      AS nv
+             |  FROM e),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT nrm.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(nrm.nv, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM nrm, p GROUP BY nrm.vec_id)
+             |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             |  ROUND(list_dot_product(na.nv, nc.nv), 6) AS cosine
+             |FROM b a JOIN b c ON a.bucket = c.bucket
+             |  AND a.vec_id < c.vec_id
+             |JOIN nrm na ON na.vec_id = a.vec_id
+             |JOIN nrm nc ON nc.vec_id = c.vec_id
+             |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin)),
 
     "e2_ann_lsh_topk" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
           .head().getSeq[Float](0).map(_.toDouble)
-        Similarity.annTopK(emb, "vec_id", "embedding", q, k = 20)
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        Similarity.annTopKWith(emb, "vec_id", "embedding", q, k = 20, hp)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT e.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM e, p GROUP BY e.vec_id),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+             |s AS (SELECT e.vec_id,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+             |    b.bucket
+             |  FROM e JOIN b USING (vec_id), q, qb
+             |  WHERE b.bucket = qb.qbucket)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine, bucket
+             |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
+             |LIMIT 20""".stripMargin)),
 
     // ---- LLM-data-pipeline: multimodal columns -------------------------
     "m1_binary_meta" -> Q(
@@ -1035,9 +1107,30 @@ object SparkEntry {
              |       ELSE 'video' END AS media_type
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // The mapPartitions decode path (real plumbing, stub codec); the
+    // stub's outputs are length-derived, so the oracle recomputes the
+    // whole summary from strlen.
     "m2_multimodal_stub" -> Q(
       (s, dir) => Multimodal.metaSummary(s, table(s, dir, "documents")),
-      None))
+      Some("""WITH m AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |         WHEN doc_id % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS media_type,
+             |    strlen(text) AS nb FROM documents),
+             |d AS (SELECT media_type, nb, 16 + nb % 1024 AS width,
+             |    CASE media_type
+             |      WHEN 'image' THEN
+             |        CASE WHEN nb % 2 = 0 THEN 'png' ELSE 'jpeg' END
+             |      WHEN 'audio' THEN
+             |        CASE WHEN nb % 2 = 0 THEN 'wav' ELSE 'flac' END
+             |      ELSE CASE WHEN nb % 2 = 0 THEN 'mp4' ELSE 'webm' END
+             |    END AS format
+             |  FROM m)
+             |SELECT media_type, format, count(*) AS n,
+             |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+             |  ROUND(avg(width), 6) AS avg_width
+             |FROM d GROUP BY media_type, format
+             |ORDER BY media_type, format""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -198,8 +198,15 @@ object Dedup {
     * n². Recall can be raised by unioning several plane seeds. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             dim: Int, planes: Int = 4,
-                            seed: Long = 42L): DataFrame = {
-    val hp = Similarity.hyperplanes(planes, dim, seed)
+                            seed: Long = 42L): DataFrame =
+    embeddingNearDupPairsWith(emb, idCol, vecCol,
+      Similarity.hyperplanes(planes, dim, seed))
+
+  /** [[embeddingNearDupPairs]] with an explicit hyperplane set (e.g.
+    * data-derived planes a SQL oracle can recompute). */
+  def embeddingNearDupPairsWith(emb: DataFrame, idCol: String,
+                                vecCol: String,
+                                hp: Seq[Seq[Double]]): DataFrame = {
     // normalize BEFORE the pair join: cosine of unit vectors is a single
     // dot product, so the per-pair cost drops from 3 array folds to 1
     val withBucket = emb.select(col(idCol).as("id"),

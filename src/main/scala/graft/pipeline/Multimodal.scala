@@ -48,11 +48,12 @@ object Multimodal {
       it.map { r =>
         // --- STUB: deterministic fake decode (no codecs in container).
         // Derives stable pseudo-dimensions/features from the payload
-        // bytes so tests are reproducible.
+        // length so tests are reproducible AND the summary is
+        // DuckDB-oracle-checkable (a real codec would read the bytes;
+        // the Spark-side plumbing is identical either way).
         val n = r.media.length
-        val h = java.util.Arrays.hashCode(r.media)
-        val width = 16 + math.floorMod(h, 1024)
-        val height = 16 + math.floorMod(h / 1024, 1024)
+        val width = 16 + math.floorMod(n, 1024)
+        val height = 16 + math.floorMod(31 * n, 1024)
         val format = r.media_type match {
           case "image" => if (n % 2 == 0) "png" else "jpeg"
           case "audio" => if (n % 2 == 0) "wav" else "flac"
@@ -107,7 +108,7 @@ object Multimodal {
     decodeMeta(recs).groupBy("media_type", "format")
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("width")), 2).as("avg_width"))
+        round(avg(col("width")), 6).as("avg_width"))
       .orderBy("media_type", "format")
   }
 }

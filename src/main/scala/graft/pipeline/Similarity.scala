@@ -116,8 +116,17 @@ object Similarity {
     * trades bucket size (cost) against recall. */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, planes: Int = 4,
-              seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(planes, query.length, seed)
+              seed: Long = 42L): DataFrame =
+    annTopKWith(embeddings, idCol, vecCol, query, k,
+      hyperplanes(planes, query.length, seed))
+
+  /** [[annTopK]] with an explicit hyperplane set — e.g. data-derived
+    * planes (vectors fetched by id), which a SQL oracle can recompute.
+    * Cosine is rounded to 6 digits BEFORE the ordering so the top-k
+    * boundary is reproducible cross-engine. */
+  def annTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Double], k: Int,
+                  hp: Seq[Seq[Double]]): DataFrame = {
     val qBucket = hp.zipWithIndex.map { case (p, i) =>
       if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
     }.sum
@@ -125,8 +134,46 @@ object Similarity {
     embeddings
       .withColumn("bucket", lshBucket(v, hp))
       .filter(col("bucket") === qBucket)
-      .select(col(idCol), cosine(v, typedlit(query)).as("cosine"),
-        col("bucket"))
+      .select(col(idCol),
+        round(cosine(v, typedlit(query)), 6).as("cosine"), col("bucket"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Parameter fetch: embedding vectors by id, ordered by id. Bounded
+    * (|ids| rows) — a codebook/plane fetch, not a data collect. */
+  def vectorsByIds(emb: DataFrame, idCol: String, vecCol: String,
+                   ids: Seq[Long]): Seq[Seq[Double]] =
+    emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol), toDouble(col(vecCol)))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** IVF top-k with a data-derived codebook: centroid i is the
+    * embedding row with id `centroidIds(i)` (a deterministic "sample"
+    * in lieu of trained k-means — SQL-oracle-reproducible; a trained
+    * codebook drops in unchanged). Output `cell` is the assigned
+    * centroid's id; cosine rounded before ordering as in
+    * [[annTopKWith]]. `centroidIds` must be ascending (ties in the
+    * argmax assignment resolve to the first = smallest id). */
+  def ivfTopKData(embeddings: DataFrame, idCol: String, vecCol: String,
+                  query: Seq[Double], k: Int, centroidIds: Seq[Long],
+                  nProbes: Int = 2): DataFrame = {
+    require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
+    val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
+    val probeCells = centroidIds.zip(cents)
+      .map { case (id, c) =>
+        (id, c.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(nProbes).map(_._1)
+    val v = toDouble(col(vecCol))
+    val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
+      element_at(typedlit(centroidIds), (idx + 1).cast("int")) }
+    embeddings
+      .withColumn("cell", cellId)
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol),
+        round(cosine(v, typedlit(query)), 6).as("cosine"), col("cell"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }

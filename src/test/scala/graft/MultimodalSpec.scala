@@ -58,9 +58,11 @@ class MultimodalSpec extends AnyFunSuite {
       if (math.max(o.width, o.height) <= 64)
         assert(r.width === o.width && r.height === o.height)
       else {
-        val ratioO = o.width.toDouble / o.height
-        val ratioR = r.width.toDouble / r.height
-        assert(math.abs(ratioO - ratioR) / ratioO < 0.1) // int rounding
+        // each side lands within 1 px of the ideal scaled size (int
+        // floor + the 1-px floor guard)
+        val scale = 64.0 / math.max(o.width, o.height)
+        assert(math.abs(r.width - o.width * scale) <= 1.0)
+        assert(math.abs(r.height - o.height * scale) <= 1.0)
       }
     }
   }
