@@ -62,6 +62,19 @@ object SparkEntry {
   private case class Q(fn: (SparkSession, String) => DataFrame,
                        sql: Option[String])
 
+  /** Verification preset for the P8/P9 write-cascade queries: enables
+    * commits (non-first-choice only) and views, keeps a 2-3 field mask
+    * each; purchase/signup disabled at step 1, error dropped at step 3
+    * (no field rules) — every cascade branch exercised. */
+  private val verifyPreset = graft.config.LoggerPreset(
+    name = "verify", enabled = true, logOnlyNonFirstChoice = true,
+    logEvents = Map("text_committed" -> true, "view" -> true,
+      "purchase" -> false, "signup" -> false, "error" -> true),
+    logFields = Map(
+      "text_committed" -> graft.config.EventFieldRules(Set(
+        "event_id", "committed_text", "selected_candidate_rank")),
+      "view" -> graft.config.EventFieldRules(Set("event_id", "value"))))
+
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
   private def duckHash60(e: String): String =
@@ -139,6 +152,41 @@ object SparkEntry {
               |    AS accuracy_score
               |FROM c WHERE selected_candidate_rank >= 0
               |ORDER BY event_id LIMIT 500""".stripMargin)),
+
+    // ---- P8/P9: the producer's write-time cascade (SURVEY §2.2),
+    // driven through WritePipeline.applyPreset with a verification
+    // preset — the oracle restates the cascade as WHERE + CASE masks.
+    "p8_write_mask" -> Q(
+      (s, dir) => graft.ops.WritePipeline
+        .applyPreset(events(s, dir), verifyPreset)
+        .select(col("event_type"), col("event_id"), col("committed_text"),
+          col("selected_candidate_rank"), col("value"))
+        .orderBy("event_id").limit(1000),
+      Some(s"""$cte
+              |SELECT event_type, event_id,
+              |  CASE WHEN event_type = 'text_committed'
+              |    THEN committed_text END AS committed_text,
+              |  CASE WHEN event_type = 'text_committed'
+              |    THEN selected_candidate_rank END
+              |    AS selected_candidate_rank,
+              |  CASE WHEN event_type = 'view' THEN value END AS value
+              |FROM rime
+              |WHERE (event_type = 'text_committed'
+              |    AND selected_candidate_rank >= 1)
+              |  OR event_type = 'view'
+              |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    "p9_write_cascade" -> Q(
+      (s, dir) => graft.ops.WritePipeline
+        .applyPreset(events(s, dir), verifyPreset)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some(s"""$cte
+              |SELECT event_type, count(*) AS n FROM rime
+              |WHERE (event_type = 'text_committed'
+              |    AND selected_candidate_rank >= 1)
+              |  OR event_type = 'view'
+              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- A: aggregations (SURVEY §2.3) --------------------------------
     "a1_counts" -> Q(
@@ -307,6 +355,58 @@ object SparkEntry {
              |  lag(event_type) OVER (PARTITION BY user_id
              |    ORDER BY ts, event_id) AS prev_event_type
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // ---- T3: page-index tracking, batch form (SURVEY §2.6;
+    // input_habit_logger.lua:309-317). The lua state machine is
+    // page = max(page + d, 0), reset to 0 on buffer change. The
+    // clamped running sum is windowable via the reflection identity
+    // x_t = S_t - min(0, min_{u<=t} S_u) within each reset run, so the
+    // batch form is two stacked windows — no stateful API needed.
+    "t3_page_track" -> Q(
+      (s, dir) => {
+        val ev = events(s, dir)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val delta =
+          when(col("event_type") === "view" && col("k") % 3 === 0, 1)
+            .when(col("event_type") === "view" && col("k") % 3 === 1, -1)
+            .otherwise(0)
+        val base = ev.select(col("event_id"), col("user_id"), col("ts"),
+            delta.as("d"),
+            when(col("event_type") === "signup", 1).otherwise(0).as("rst"))
+          .withColumn("run", sum(col("rst")).over(w))
+        val w2 = Window.partitionBy("user_id", "run")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base.withColumn("s", sum(col("d")).over(w2))
+          .withColumn("m", min(col("s")).over(w2))
+          .select(col("event_id"), col("user_id"),
+            (col("s") - least(col("m"), lit(0))).cast("long").as("page"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some(s"""$cte,
+              |b AS (SELECT event_id, user_id, ts,
+              |    CASE WHEN event_type = 'view' AND k % 3 = 0 THEN 1
+              |         WHEN event_type = 'view' AND k % 3 = 1 THEN -1
+              |         ELSE 0 END AS d,
+              |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS rst
+              |  FROM rime),
+              |r AS (SELECT *, SUM(rst) OVER (PARTITION BY user_id
+              |    ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+              |  FROM b),
+              |s1 AS (SELECT *, SUM(d) OVER (PARTITION BY user_id, run
+              |    ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+              |  FROM r),
+              |s2 AS (SELECT *, MIN(s) OVER (PARTITION BY user_id, run
+              |    ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+              |  FROM s1)
+              |SELECT event_id, user_id,
+              |  CAST(s - LEAST(m, 0) AS BIGINT) AS page
+              |FROM s2 ORDER BY event_id LIMIT 1000""".stripMargin)),
 
     "t5_selection_method" -> Q(
       (s, dir) => {
@@ -693,6 +793,128 @@ object SparkEntry {
              |    AS running_value
              |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
 
+    // ---- broader relational surface: semi/anti joins, cube,
+    // lead/lag, ntile, correlated subquery, union ----------------------
+    "q13_semi_join" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .join(lineitem(s, dir).filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(1000),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    "q14_anti_join" -> Q(
+      (s, dir) => table(s, dir, "orders")
+        .join(lineitem(s, dir).filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey").limit(1000),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    "q15_cube" -> Q(
+      (s, dir) => lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST,
+             |  l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    "q16_lead_lag" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        // gap in µs: DuckDB reads the nanos timestamps truncated to
+        // micros, so the ns-exact gap would differ below the µs digit
+        val us = expr("ts div 1000")
+        rawEvents(s, dir).select(col("event_id"), col("user_id"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            (us - lag(us, 1).over(w)).as("gap_us"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""SELECT event_id, user_id,
+             |  lead(event_type) OVER w AS next_type,
+             |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    "q17_ntile" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        lineitem(s, dir)
+          .select(col("l_returnflag"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            col("l_extendedprice"))
+          .groupBy("l_returnflag", "quartile").agg(
+            count(lit(1)).as("n"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"))
+          .orderBy("l_returnflag", "quartile")
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+             |    CAST(ntile(4) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |      AS BIGINT) AS quartile,
+             |    l_extendedprice
+             |  FROM lineitem)
+             |SELECT l_returnflag, quartile, count(*) AS n,
+             |  ROUND(avg(l_extendedprice), 6) AS avg_price
+             |FROM t GROUP BY l_returnflag, quartile
+             |ORDER BY l_returnflag, quartile""".stripMargin)),
+
+    // Correlated scalar subquery through spark.sql — Catalyst
+    // decorrelates it into the aggregate+join plan a 100 TB run needs
+    // (audited in PLANS.md; no per-row subquery execution exists in
+    // Spark's physical space).
+    "q18_corr_subquery" -> Q(
+      (s, dir) => {
+        table(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql("""SELECT p_partkey, p_brand,
+                |  CAST(p_retailprice AS DOUBLE) AS p_retailprice
+                |FROM part_v p
+                |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+                |  FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+                |ORDER BY p_partkey LIMIT 1000""".stripMargin)
+      },
+      Some("""SELECT p_partkey, p_brand,
+             |  CAST(p_retailprice AS DOUBLE) AS p_retailprice
+             |FROM part p
+             |WHERE p_retailprice > (SELECT avg(p2.p_retailprice)
+             |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+             |ORDER BY p_partkey LIMIT 1000""".stripMargin)),
+
+    "q19_union_agg" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val t = timestamp_micros(expr("ts div 1000"))
+        def side(ty: String) = ev.filter(col("event_type") === ty)
+          .select(lit(ty).as("src"), month(t).cast("long").as("m"))
+        side("click").unionByName(side("purchase"))
+          .groupBy("src", "m").agg(count(lit(1)).as("n"))
+          .orderBy("src", "m")
+      },
+      Some("""SELECT src, m, count(*) AS n FROM (
+             |  SELECT 'click' AS src, CAST(month(ts) AS BIGINT) AS m
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT 'purchase', CAST(month(ts) AS BIGINT)
+             |  FROM events WHERE event_type = 'purchase') u
+             |GROUP BY src, m ORDER BY src, m""".stripMargin)),
+
     "q4_dim_rollup" -> Q(
       (s, dir) => table(s, dir, "supplier")
         .join(broadcast(table(s, dir, "nation")),
@@ -768,7 +990,8 @@ object SparkEntry {
               |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
               |        FROM documents) t),
               |hs AS (SELECT doc_id, g.j,
-              |    min(${duckHash60("CAST(g.j AS VARCHAR) || ':' || u.s")})
+              |    min(((${duckHash60("u.s")} % 2147483647)
+              |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
               |      AS sig
               |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
               |  GROUP BY doc_id, g.j),
@@ -828,7 +1051,8 @@ object SparkEntry {
               |  FROM (SELECT doc_id, lang, str_split(text, ' ') AS toks
               |        FROM documents) t),
               |hs AS (SELECT doc_id, lang, g.j,
-              |    min(${duckHash60("CAST(g.j AS VARCHAR) || ':' || u.s")})
+              |    min(((${duckHash60("u.s")} % 2147483647)
+              |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
               |      AS sig
               |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
               |  GROUP BY doc_id, lang, g.j),

@@ -137,15 +137,26 @@ object Dedup {
       }
     }
 
-  /** Portable MinHash signature: sig[j] = min over shingles of
-    * md5Long60(j || ':' || shingle). Same fold shape as
-    * [[minhashSignature]] (k running minima in one pass). */
+  /** Modulus of the portable affine rehash family: the Mersenne prime
+    * 2^31-1. (h % M) * (2j+1) ≤ ~2^36, so the arithmetic never
+    * overflows a 64-bit long in any engine. */
+  val PortableMod: Long = 2147483647L
+
+  /** Portable MinHash signature: one md5 per shingle, then k affine
+    * rehashes sig[j] = min over shingles of
+    * ((md5Long60(s) % M) * (2j+1) + j²) % M — the classic
+    * one-base-hash + affine-permutation construction, k× cheaper than
+    * hashing per (j, shingle) and still reproducible in ANSI SQL.
+    * Same fold shape as [[minhashSignature]] (k running minima in one
+    * pass over the shingles). */
   def minhashSignaturePortable(shingleArr: Column, k: Int): Column =
     aggregate(shingleArr, array_repeat(lit(Long.MaxValue), k),
-      (acc, s) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)),
-          j => md5Long60(concat(j.cast("string"), lit(":"), s))),
-        (a, h) => least(a, h)))
+      (acc, s) => ExprUtils.let(md5Long60(s) % PortableMod) { h =>
+        zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)),
+            j => (h * (j * 2 + 1) + j * j) % PortableMod),
+          (a, hh) => least(a, hh))
+      })
 
   /** Portable MinHash+LSH candidate pairs: [[minhashCandidatePairs]]
     * with md5-based signatures and md5 band hashes — every stage
