@@ -314,6 +314,41 @@ object SparkEntry {
               |  m.选择排名 ASC, m.event_id ASC
               |LIMIT 1000""".stripMargin)),
 
+    // ---- K1: the CSV report sink itself (BOM + Chinese headers), on
+    // the driver-verified path: write the miss report with
+    // ReportWriter, re-ingest it, and prove the round trip preserves
+    // every row against the same oracle as o1. ------------------------
+    "k1_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val report = ExportMissesQuery
+          .run(commits(s, dir), window = false, extraCols = Seq("event_id"))
+          .limit(1000)
+        val outDir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_k1")
+        outDir.mkdirs()
+        val out = new java.io.File(outDir, "report.csv").getPath
+        graft.io.ReportWriter.writeCsvReport(report, out)
+        graft.io.ReportWriter.readCsvReport(s, out)
+          .select(col("event_id").cast("long").as("event_id"),
+            col("用户输入"), col("实际选择"), col("程序预测"),
+            col("选择排名").cast("int").as("选择排名"),
+            col("错误频率").cast("long").as("错误频率"))
+          .orderBy(col("错误频率").desc, col("用户输入").asc,
+            col("实际选择").asc, col("选择排名").asc, col("event_id").asc)
+      },
+      Some(s"""$commitsCte,
+              |m AS (SELECT event_id,
+              |        source_input_buffer AS 用户输入,
+              |        committed_text AS 实际选择,
+              |        source_first_candidate AS 程序预测,
+              |        selected_candidate_rank AS 选择排名
+              |      FROM c WHERE selected_candidate_rank > 0),
+              |f AS (SELECT 实际选择, count(*) AS 错误频率 FROM m GROUP BY 实际选择)
+              |SELECT m.*, f.错误频率 FROM m JOIN f USING (实际选择)
+              |ORDER BY f.错误频率 DESC, m.用户输入 ASC, m.实际选择 ASC,
+              |  m.选择排名 ASC, m.event_id ASC
+              |LIMIT 1000""".stripMargin)),
+
     // ---- T: time / derivation operators (SURVEY §2.6, batch forms) ----
     "t1_sessionize" -> Q(
       (s, dir) => {

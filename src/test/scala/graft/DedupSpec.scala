@@ -104,4 +104,63 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(got(k) - j) < 1e-5, s"pair $k")
     }
   }
+
+  test("md5Long60 matches a scala-computed md5 hex prefix") {
+    val s2 = spark
+    import s2.implicits._
+    val texts = Seq("hello", "world", "", "\u4f60\u597d")
+    val got = texts.toDF("t")
+      .select(Dedup.md5Long60(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = texts.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    assert(got === want)
+  }
+
+  test("portable simhash: equal texts equal; hamming orders near vs far") {
+    val df = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "entirely different words about completely other topics")))
+    val m = df.select(col("doc_id"),
+        Dedup.simhash60Portable(split(col("text"), " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(2L))
+    assert(m.values.forall(h => h >= 0L && h < (1L << 60)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("portable minhash signature: bounded values, near-dups collide more") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")))
+    val sigs = df.select(col("doc_id"),
+        Dedup.minhashSignaturePortable(
+          Dedup.shingles(col("text"), 3), 12).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs.values.foreach { sg =>
+      assert(sg.length === 12)
+      assert(sg.forall(v => v >= 0L && v < Dedup.PortableMod))
+    }
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(1L), sigs(2L)) > agree(sigs(1L), sigs(3L)))
+  }
+
+  test("portable LSH pairs near-identical docs, not disjoint ones") {
+    val df = docsDf(Seq(
+      (1L, "shared prefix tokens one two three four five six seven"),
+      (2L, "shared prefix tokens one two three four five six eight"),
+      (3L, "totally unrelated content nine ten eleven twelve thirteen")))
+    val pairs = Dedup.minhashCandidatePairsPortable(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
 }

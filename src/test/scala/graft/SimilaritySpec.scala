@@ -88,4 +88,34 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(few.map(_.getLong(0)).forall(bruteIds)) // subset of the data
   }
+
+  test("data-derived IVF/ANN: full probe equals brute force (rounded)") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11)
+    val emb = (0L to 60L)
+      .map(i => (i, Seq.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    // probing every cell degrades IVF to exact brute force
+    val ivfAll = Similarity.ivfTopKData(emb, "vec_id", "embedding", q,
+        k = 10, centroidIds = (1L to 4L), nProbes = 4)
+      .select("vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll === brute)
+
+    // data-derived LSH: the query's own bucket contains the query
+    val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+      Seq(1L, 2L, 3L))
+    val ann = Similarity.annTopKWith(emb, "vec_id", "embedding", q,
+        k = 10, hp)
+      .collect().map(_.getLong(0))
+    assert(ann.head === 0L) // cosine(q, q) = 1 ranks first
+  }
 }
