@@ -349,6 +349,26 @@ object SparkEntry {
               |  m.选择排名 ASC, m.event_id ASC
               |LIMIT 1000""".stripMargin)),
 
+    // ---- T8/K3: the JSONL sink on the verified path: write the
+    // commit projection as JSON lines, re-ingest through the explicit
+    // schema, and prove the round trip against the plain projection
+    // oracle (null rank → key omitted → null again). ------------------
+    "t8_jsonl_roundtrip" -> Q(
+      (s, dir) => {
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_t8").getPath
+        commits(s, dir)
+          .select(col("event_id"), col("committed_text"), rk)
+          .write.mode("overwrite").json(out)
+        s.read.schema(
+            "event_id long, committed_text string, selected_candidate_rank int")
+          .json(out)
+          .orderBy("event_id").limit(500)
+      },
+      Some(s"""$commitsCte
+              |SELECT event_id, committed_text, selected_candidate_rank
+              |FROM c ORDER BY event_id LIMIT 500""".stripMargin)),
+
     // ---- T: time / derivation operators (SURVEY §2.6, batch forms) ----
     "t1_sessionize" -> Q(
       (s, dir) => {

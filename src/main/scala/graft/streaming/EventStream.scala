@@ -88,6 +88,22 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming exact dedup for an ingest pipeline (the streaming
+    * analogue of the batch d1 operator): drop rows whose content hash
+    * was already seen, with state bounded by the event-time watermark —
+    * `dropDuplicatesWithinWatermark` evicts hash keys older than the
+    * watermark, so state is O(distinct keys per watermark window), not
+    * O(stream history). Duplicates arriving later than the watermark
+    * re-admit (the batch dedup downstream catches them — the standard
+    * streaming-dedup + batch-compaction split at 100 TB ingest).
+    * `eventTimeCol` must already be a timestamp column. */
+  def dedupStream(df: DataFrame, contentCol: String, eventTimeCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    df.withColumn("content_hash",
+        sha2(col(contentCol).cast("binary"), 256))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** JSONL append sink (T8/K3): the producer's own on-disk format. */
   def writeJsonlStream(df: DataFrame, outDir: String,
                        checkpointDir: String): StreamingQuery =

@@ -266,4 +266,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("selections") === 9)
     assert(rows.head.getAs[Long]("misses") === 5)
   }
+
+  test("streaming exact dedup: in-watermark duplicates dropped, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val q = EventStream.dedupStream(
+        mem.toDF().toDF("text", "event_time"), "text", "event_time",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(("alpha", t(0)), ("beta", t(1)), ("alpha", t(2)))
+      q.processAllAvailable()
+      // duplicate within the watermark window, later micro-batch
+      mem.addData(("alpha", t(3)), ("gamma", t(4)))
+      q.processAllAvailable()
+      val texts = s.table("dedup_stream").collect()
+        .map(_.getAs[String]("text")).toSeq
+      assert(texts.sorted === Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
 }
