@@ -1088,8 +1088,8 @@ object SparkEntry {
     "d9_corpus_sketch" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("lang"),
-          Dedup.minhashSignaturePortable(
-            Dedup.shingles(col("text"), 3), 12).as("sig"))
+          Dedup.minhashSignaturePortableNative(col("text"), 12, 3)
+            .as("sig"))
         .groupBy("lang").agg(
           graft.functions.MinHashUnion.agg(12)(col("sig"))
             .as("corpus_sig"),

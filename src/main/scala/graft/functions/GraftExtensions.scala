@@ -15,6 +15,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.minhashSig)
+    ext.injectFunction(GraftFunctions.md5MinhashSig)
     ext.injectFunction(GraftFunctions.vectorDot)
   }
 }
@@ -33,6 +34,18 @@ object GraftFunctions {
         "usage: minhash_sig(tokens array<string>, k int, shingleSize int)")
     })
 
+  val md5MinhashSig: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("md5_minhash_sig"),
+    new ExpressionInfo(classOf[Md5MinHashSig].getName, "md5_minhash_sig"),
+    (children: Seq[Expression]) => children match {
+      case Seq(tokens, Literal(k: Int, IntegerType),
+          Literal(n: Int, IntegerType)) =>
+        Md5MinHashSig(tokens, k, n)
+      case _ => throw new IllegalArgumentException(
+        "usage: md5_minhash_sig(tokens array<string>, k int, shingleSize int)")
+    })
+
   val vectorDot: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) = (
     new FunctionIdentifier("vector_dot"),
@@ -44,7 +57,7 @@ object GraftFunctions {
     })
 
   def register(spark: SparkSession): Unit =
-    Seq(minhashSig, vectorDot).foreach { case (id, info, builder) =>
+    Seq(minhashSig, md5MinhashSig, vectorDot).foreach { case (id, info, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, id, info,
         builder)
     }

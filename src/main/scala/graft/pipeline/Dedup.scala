@@ -158,16 +158,32 @@ object Dedup {
           (a, hh) => least(a, hh))
       })
 
+  /** Native-kernel form of [[minhashSignaturePortable]]
+    * ([[graft.functions.Md5MinHashSig]]): same bits, one codegen'd JVM
+    * loop with a reused digest instead of interpreted lambdas + a
+    * hex-string round trip per shingle (differential-tested equal). */
+  def minhashSignaturePortableNative(text: Column, k: Int,
+                                     shingleSize: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Md5MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(
+          split(text, " ")), k, shingleSize))
+
   /** Portable MinHash+LSH candidate pairs: [[minhashCandidatePairs]]
     * with md5-based signatures and md5 band hashes — every stage
-    * reproducible in the DuckDB oracle. Same bucket-local join shape. */
+    * reproducible in the DuckDB oracle. Same bucket-local join shape.
+    * `native = false` switches to the declarative signature
+    * (differential-tested equal). */
   def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,
                                     textCol: String, shingleSize: Int = 3,
-                                    k: Int = 12, bands: Int = 4): DataFrame = {
+                                    k: Int = 12, bands: Int = 4,
+                                    native: Boolean = true): DataFrame = {
     val rows = k / bands
+    val sigExpr =
+      if (native) minhashSignaturePortableNative(col(textCol), k, shingleSize)
+      else minhashSignaturePortable(shingles(col(textCol), shingleSize), k)
     val bandRows = docs.select(col(idCol).as("id"),
-        explode(ExprUtils.let(
-          minhashSignaturePortable(shingles(col(textCol), shingleSize), k)) {
+        explode(ExprUtils.let(sigExpr) {
           sig =>
             transform(sequence(lit(0), lit(bands - 1)),
               b => struct(b.as("band_id"),

@@ -163,4 +163,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
+
+  test("native md5_minhash_sig is bit-identical to the declarative portable form") {
+    val df = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two"),
+      (3L, ""),
+      (4L, "\u4f60\u597d \u4e16\u754c repeated repeated repeated")))
+    val both = df.select(
+        Dedup.minhashSignaturePortableNative(col("text"), 12, 3).as("n"),
+        Dedup.minhashSignaturePortable(
+          Dedup.shingles(col("text"), 3), 12).as("d"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }
