@@ -59,4 +59,31 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(plan("q2_broadcast_join_agg").contains("BroadcastHashJoin"))
     assert(plan("q4_dim_rollup").contains("BroadcastHashJoin"))
   }
+
+  test("q3 takes the top-k before any join: no shuffle join in the plan") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"q3 must be top-k:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q3 must join the 10-row top-k by broadcast only:\n$p")
+  }
+
+  test("q12 group top-k runs as partial+final aggregation, not a window sort") {
+    val p = plan("q12_group_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"TopK aggregator expected:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      s"q12 must not fall back to a window:\n$p")
+  }
+
+  test("semi/anti joins stay joins (no subquery re-execution shapes)") {
+    assert(plan("q13_semi_join").contains("LeftSemi"))
+    assert(plan("q14_anti_join").contains("LeftAnti"))
+  }
+
+  test("correlated subquery decorrelates to aggregate + join") {
+    val p = plan("q18_corr_subquery")
+    assert(p.contains("HashAggregate"), s"decorrelated agg expected:\n$p")
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
+      s"decorrelated join expected:\n$p")
+  }
 }
