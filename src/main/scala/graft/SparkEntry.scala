@@ -1182,6 +1182,54 @@ object SparkEntry {
              |    AS min_token_md5
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // PII scrubbing (emails / URLs / long digit runs → typed tags).
+    // The fixtures carry no PII, so the query plants a deterministic
+    // synthetic suffix per doc, scrubs it, and the oracle replays both
+    // steps (regexes are RE2-compatible so Java and DuckDB agree).
+    "d11_pii_scrub" -> Q(
+      (s, dir) => {
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com via "),
+          lit("https://site.example/p/"), col("doc_id"),
+          lit(" or call 555"), col("doc_id") * 10000 + 1234567)
+        table(s, dir, "documents").select(col("doc_id"),
+            TextStats.scrubPii(planted).as("clean"))
+          .orderBy("doc_id").limit(500)
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(
+             |      regexp_replace(
+             |        text || ' contact user' || doc_id ||
+             |          '@example.com via https://site.example/p/' ||
+             |          doc_id || ' or call 555' ||
+             |          (doc_id * 10000 + 1234567),
+             |        'https?://[^ ]+', '<URL>', 'g'),
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'),
+             |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // Context-window chunking (window 12 tokens, overlap 4): the
+    // tokenizer-stage input shape. One explode per doc, no shuffle.
+    "d12_chunk_windows" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextStats.chunkWindows(col("text"), 12, 4)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"))
+        .orderBy("doc_id", "chunk_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks
+             |  FROM documents),
+             |u AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(0, greatest(len(toks) - 4 - 1, 0) // 8),
+             |    i -> struct_pack(chunk_id := CAST(i AS BIGINT),
+             |      chunk_text := array_to_string(
+             |        toks[i*8 + 1 : i*8 + 12], ' ')))) AS c
+             |  FROM t)
+             |SELECT doc_id, c['chunk_id'] AS chunk_id,
+             |  c['chunk_text'] AS chunk_text
+             |FROM u ORDER BY doc_id, chunk_id LIMIT 2000""".stripMargin)),
+
     // End-to-end training-data cleaning: quality gate → exact dedup →
     // bucketed near-dup removal (anti-join on candidate pairs). The
     // composition a 100 TB corpus pipeline actually runs; every stage

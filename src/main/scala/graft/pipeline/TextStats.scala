@@ -70,6 +70,46 @@ object TextStats {
       stopwordRatio(text) < lit(0.5)
   }
 
+  /** PII scrubbing for training corpora: replace email addresses,
+    * URLs, and long digit runs (phone/account numbers) with typed
+    * placeholder tags. Patterns are deliberately RE2-compatible (no
+    * backreferences/lookaround) so the same regexes run identically in
+    * Java and RE2-based engines — oracle-checkable. Per-row map work
+    * only; at 100 TB this is a pure scan stage. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiUrlRe = "https?://[^ ]+"
+  val PiiDigitsRe = "[0-9]{7,}"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiUrlRe, "<URL>"),
+        PiiEmailRe, "<EMAIL>"),
+      PiiDigitsRe, "<NUM>")
+
+  /** Context-window chunking for training: split a document's tokens
+    * into fixed-size windows with `overlap` tokens of lookback —
+    * `(doc_id, chunk_id, chunk_text)` rows, the shape an LLM tokenizer
+    * stage consumes. Pure per-row expressions feeding one `explode`;
+    * no shuffle, parallel by input partition at any scale. Stride =
+    * windowTokens - overlap; the last window keeps any remainder. */
+  def chunkWindows(text: Column, windowTokens: Int,
+                   overlap: Int): Column = {
+    require(overlap >= 0 && overlap < windowTokens,
+      "0 <= overlap < windowTokens")
+    val stride = windowTokens - overlap
+    ExprUtils.let(tokens(text)) { toks =>
+      transform(
+        sequence(lit(0),
+          (greatest(size(toks) - lit(overlap) - 1, lit(0))
+            / stride).cast("int")),
+        i => struct(
+          i.cast("long").as("chunk_id"),
+          concat_ws(" ",
+            slice(toks, i * stride + 1, lit(windowTokens)))
+            .as("chunk_text")))
+    }
+  }
+
   /** Content fingerprints:
     *   - `docFingerprint`: md5 of the full text (exact-dup key);
     *   - `minTokenFingerprint`: minimum token md5 — a 1-permutation

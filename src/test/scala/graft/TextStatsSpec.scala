@@ -64,4 +64,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r.getAs[String]("m") ===
       Seq("a", "b", "c").map(md5hex).min)
   }
+
+  test("pii scrub replaces emails, urls, and digit runs with typed tags") {
+    val s2 = spark
+    import s2.implicits._
+    val out = Seq(
+        "mail me at bob.smith+x@corp.example.co or visit " +
+          "https://a.example/path?q=1 call 12345678 ok 123456")
+      .toDF("text")
+      .select(TextStats.scrubPii(col("text")).as("clean"))
+      .head().getString(0)
+    assert(out === "mail me at <EMAIL> or visit <URL> call <NUM> ok 123456")
+  }
+
+  test("chunk windows: stride, overlap, and remainder semantics") {
+    val s2 = spark
+    import s2.implicits._
+    val toks = ('a' to 't').map(_.toString) // 20 tokens
+    val rows = Seq(toks.mkString(" ")).toDF("text")
+      .select(explode(TextStats.chunkWindows(col("text"), 12, 4)).as("c"))
+      .select(col("c.chunk_id"), col("c.chunk_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // ceil((20-4)/8) = 2 chunks at offsets 0 and 8, window 12
+    assert(rows.toSeq === Seq(
+      0L -> toks.slice(0, 12).mkString(" "),
+      1L -> toks.slice(8, 20).mkString(" ")))
+    // short doc: one chunk with everything
+    val short = Seq("x y z").toDF("text")
+      .select(explode(TextStats.chunkWindows(col("text"), 12, 4)).as("c"))
+      .select(col("c.chunk_text")).collect().map(_.getString(0))
+    assert(short.toSeq === Seq("x y z"))
+  }
 }
