@@ -88,6 +88,23 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Stream-stream interval join (the streaming analogue of
+    * `ops/RangeJoin`): attach each purchase to the clicks of the same
+    * user within `window` before it. Both sides carry watermarks and
+    * the join condition bounds event time on both ends, so Spark can
+    * evict click state older than watermark + window — state is
+    * O(in-flight window), not stream history. Inputs need columns
+    * (user_id, p_time, purchase_id) and (c_user_id, c_time, click_id). */
+  def purchaseAttributionStream(purchases: DataFrame, clicks: DataFrame,
+                                window: String = "30 minutes",
+                                watermark: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_time", watermark)
+      .join(clicks.withWatermark("c_time", watermark),
+        expr(s"""user_id = c_user_id AND
+                |c_time BETWEEN p_time - INTERVAL $window AND p_time"""
+          .stripMargin))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+
   /** Streaming exact dedup for an ingest pipeline (the streaming
     * analogue of the batch d1 operator): drop rows whose content hash
     * was already seen, with state bounded by the event-time watermark —

@@ -289,4 +289,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(texts.sorted === Seq("alpha", "beta", "gamma"))
     } finally q.stop()
   }
+
+  test("stream-stream interval join attributes purchases to in-window clicks") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.purchaseAttributionStream(
+      purchases.toDF().toDF("user_id", "p_time", "purchase_id"),
+      clicks.toDF().toDF("c_user_id", "c_time", "click_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, t(0), 100L), (1L, t(10), 101L), (2L, t(5), 102L))
+      q.processAllAvailable()
+      // purchase at :20 → click 101 (:10) in window, click 100 (:0)
+      // outside the 30-min window? 0:00 is within 30 min of 0:20 → both.
+      // user 2's click must not attach to user 1's purchase.
+      purchases.addData((1L, t(20), 500L))
+      q.processAllAvailable()
+      val rows = s.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((500L, 100L), (500L, 101L)))
+    } finally q.stop()
+  }
 }
