@@ -141,6 +141,27 @@ object SparkEntry {
               |FROM c WHERE selected_candidate_rank > 0
               |ORDER BY event_id LIMIT 500""".stripMargin)),
 
+    // ---- P6: defensive column intersection over a preset-sparse
+    // table (cli.py:341): write a commit subset WITHOUT two of the
+    // report columns (the "normal"-preset shape), re-read, and select
+    // the desired report columns defensively — the absent ones drop
+    // out instead of failing analysis. -------------------------------
+    "p6_sparse_columns" -> Q(
+      (s, dir) => {
+        val sparseDir = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_p6").getPath
+        commits(s, dir)
+          .select("event_id", "committed_text", "selected_candidate_rank")
+          .write.mode("overwrite").parquet(sparseDir)
+        E.selectExisting(s.read.parquet(sparseDir),
+            Seq("event_id", "source_input_buffer", "committed_text",
+              "source_first_candidate", "selected_candidate_rank"))
+          .orderBy("event_id").limit(500)
+      },
+      Some(s"""$commitsCte
+              |SELECT event_id, committed_text, selected_candidate_rank
+              |FROM c ORDER BY event_id LIMIT 500""".stripMargin)),
+
     "p7_accuracy_score" -> Q(
       (s, dir) => commits(s, dir).filter(E.isSelection)
         .select(col("event_id"), rk.as("rank"),
