@@ -991,6 +991,20 @@ object SparkEntry {
              |  FROM events WHERE event_type = 'purchase') u
              |GROUP BY src, m ORDER BY src, m""".stripMargin)),
 
+    // Skew-salted two-level aggregation on the driver-verified path:
+    // identical result to a plain groupBy count (the salt only spreads
+    // the hot keys over `buckets` reduce tasks before the final
+    // combine). committed_text is the Zipf-skewed key at 100 TB.
+    "q20_salted_agg" -> Q(
+      (s, dir) => graft.ops.Skew.saltedCount(commits(s, dir),
+          col("committed_text"), col("event_id"), buckets = 16)
+        .withColumnRenamed("key", "committed_text")
+        .orderBy("committed_text"),
+      Some(s"""$commitsCte
+              |SELECT committed_text, count(*) AS count FROM c
+              |GROUP BY committed_text
+              |ORDER BY committed_text""".stripMargin)),
+
     "q4_dim_rollup" -> Q(
       (s, dir) => table(s, dir, "supplier")
         .join(broadcast(table(s, dir, "nation")),

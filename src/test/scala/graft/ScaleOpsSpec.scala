@@ -62,4 +62,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS dims_b")
     }
   }
+
+  test("partitioned layout prunes partitions at scan time") {
+    val s2 = spark
+    import s2.implicits._
+    val df = (1L to 300L)
+      .map(i => (i, Seq("click", "view", "purchase")((i % 3).toInt)))
+      .toDF("id", "event_type")
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_events_part").getPath
+    TableLayout.writePartitioned(df, path, Seq("event_type"))
+    val scan = s2.read.parquet(path)
+      .filter(col("event_type") === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"partition filter not pushed:\n$plan")
+    assert(scan.count() === 100)
+  }
 }
