@@ -1217,6 +1217,45 @@ object SparkEntry {
              |    AS min_token_md5
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // Corpus vocabulary top-k (tokenizer vocab building): explode →
+    // partial+final count → TakeOrdered. The shuffle carries one row
+    // per distinct token per task after map-side combine.
+    "d13_vocab_topk" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token").asc).limit(200),
+      Some("""SELECT t AS token, count(*) AS tf
+             |FROM (SELECT unnest(str_split(text, ' ')) AS t
+             |      FROM documents) u
+             |GROUP BY t ORDER BY tf DESC, token ASC
+             |LIMIT 200""".stripMargin)),
+
+    // Dedup cluster lineage: every clustered doc mapped to its
+    // cluster's canonical (lowest-id) survivor — the provenance table
+    // a dedup stage emits alongside the survivors. Clustered on the
+    // 1-permutation MinHash fingerprint (min token md5, the cheap
+    // near-dup prefilter key — the fixtures carry no EXACT dups, and
+    // a sha2 key would make this vacuous). Window min over the
+    // fingerprint partition; the fingerprint is the shuffle key.
+    "d14_dup_clusters" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(
+          TextStats.minTokenFingerprint(col("text")))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            min(col("doc_id")).over(w).as("keep_id"))
+          .filter(col("doc_id") =!= col("keep_id"))
+          .orderBy("doc_id").limit(1000)
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    min(doc_id) OVER (PARTITION BY list_aggregate(
+             |      list_transform(list_distinct(str_split(text, ' ')),
+             |        x -> md5(x)), 'min')) AS keep_id
+             |  FROM documents)
+             |SELECT doc_id, keep_id FROM m WHERE doc_id <> keep_id
+             |ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
     // PII scrubbing (emails / URLs / long digit runs → typed tags).
     // The fixtures carry no PII, so the query plants a deterministic
     // synthetic suffix per doc, scrubs it, and the oracle replays both
