@@ -995,6 +995,43 @@ object SparkEntry {
     // identical result to a plain groupBy count (the salt only spreads
     // the hot keys over `buckets` reduce tasks before the final
     // combine). committed_text is the Zipf-skewed key at 100 TB.
+    // RANGE-frame window: events per user in the trailing hour — the
+    // telemetry rolling count. The frame is value-based (µs offsets),
+    // so peers at equal ts aggregate together in both engines.
+    "q21_range_frame" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us"))
+          .rangeBetween(-3600000000L, 0)
+        rawEvents(s, dir)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select(col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("events_last_hour"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""SELECT event_id, user_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |    AS events_last_hour
+             |FROM events ORDER BY event_id LIMIT 1000""".stripMargin)),
+
+    // Pivot: per-user event-type counts as columns (fixed value list →
+    // a single pass of conditional aggregates, no extra shuffle).
+    "q22_pivot" -> Q(
+      (s, dir) => rawEvents(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy("user_id").limit(1000),
+      Some("""SELECT user_id,
+             |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+             |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+             |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             |    AS purchase
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id LIMIT 1000""".stripMargin)),
+
     "q20_salted_agg" -> Q(
       (s, dir) => graft.ops.Skew.saltedCount(commits(s, dir),
           col("committed_text"), col("event_id"), buckets = 16)
