@@ -1293,6 +1293,51 @@ object SparkEntry {
              |SELECT doc_id, keep_id FROM m WHERE doc_id <> keep_id
              |ORDER BY doc_id LIMIT 1000""".stripMargin)),
 
+    // The production near-dup composition, oracle-exact end to end:
+    // portable LSH candidates → exact Jaccard verify on candidates
+    // only (vs d4, which intersects every token-sharing pair).
+    "d15_lsh_verified_jaccard" -> Q(
+      (s, dir) => Dedup.lshVerifiedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+        .orderBy("id_a", "id_b").limit(2000),
+      Some(s"""WITH doc AS (SELECT doc_id,
+              |    list_distinct(list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |hs AS (SELECT doc_id, g.j,
+              |    min(((${duckHash60("u.s")} % 2147483647)
+              |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
+              |      AS sig
+              |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
+              |  GROUP BY doc_id, g.j),
+              |band AS (SELECT doc_id, j // 3 AS b,
+              |    md5(CAST(j // 3 AS VARCHAR) || '|' ||
+              |      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j)) AS h
+              |  FROM hs GROUP BY doc_id, j // 3),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |  FROM band a JOIN band b2
+              |    ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id),
+              |tok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM documents),
+              |sz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM documents),
+              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM cand c
+              |  JOIN tok ta ON ta.id = c.id_a
+              |  JOIN tok tb ON tb.id = c.id_b AND tb.t = ta.t
+              |  GROUP BY c.id_a, c.id_b)
+              |SELECT id_a, id_b,
+              |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+              |FROM inter
+              |JOIN sz sa ON sa.id = id_a
+              |JOIN sz sb ON sb.id = id_b
+              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
     // PII scrubbing (emails / URLs / long digit runs → typed tags).
     // The fixtures carry no PII, so the query plants a deterministic
     // synthetic suffix per doc, scrubs it, and the oracle replays both

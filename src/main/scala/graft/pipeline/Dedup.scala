@@ -200,6 +200,39 @@ object Dedup {
       .distinct()
   }
 
+  /** The production near-dup shape at 100 TB: LSH candidate pairs
+    * first (bucket-local, near-linear), exact token-Jaccard computed
+    * ONLY for candidates — versus [[jaccardPairs]], which intersects
+    * every token-sharing pair inside a block. Portable signatures keep
+    * the whole composition SQL-oracle-exact. Output: (id_a, id_b,
+    * jaccard) for candidates with jaccard >= threshold. */
+  def lshVerifiedJaccardPairs(docs: DataFrame, idCol: String,
+                              textCol: String, threshold: Double,
+                              shingleSize: Int = 3, k: Int = 12,
+                              bands: Int = 4): DataFrame = {
+    val cand = minhashCandidatePairsPortable(docs, idCol, textCol,
+      shingleSize, k, bands)
+    val tok = docs.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+    val sizes = docs.select(col(idCol).as("id"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
+    val inter = cand
+      .join(tok.as("ta"), col("id_a") === col("ta.id"))
+      .join(tok.as("tb"),
+        col("id_b") === col("tb.id") && col("ta.t") === col("tb.t"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
     * bit position, the sign of each vote sum becomes the output bit.
     * Per-row map work only — no shuffle. `tokensExpr` must be a SQL
