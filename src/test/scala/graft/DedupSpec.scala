@@ -179,4 +179,20 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getSeq[Long](0) === r.getSeq[Long](1))
     }
   }
+
+  test("LSH-verified jaccard finds planted near-dups with exact scores") {
+    val df = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text with no overlap whatsoever here")))
+    val pairs = Dedup.lshVerifiedJaccardPairs(df, "doc_id", "text",
+        threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    // 9 distinct tokens each ("the" repeats), 8 shared, union 10:
+    // jaccard = 8/10
+    assert(pairs.contains((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 0.8) < 1e-6)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
