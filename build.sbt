@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // -Xmx is a cap, not a commit: the box has 128 GiB and local[32]
+  // keeps 32 partitions of shuffle/agg state in one JVM — an 8g cap
+  // showed 3x run-to-run bench variance from GC churn at sf0.1.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
