@@ -79,4 +79,37 @@ class ScaleOpsSpec extends AnyFunSuite {
       plan.contains("event_type"), s"partition filter not pushed:\n$plan")
     assert(scan.count() === 100)
   }
+
+  test("AQE splits skewed join partitions at runtime") {
+    val s2 = spark
+    import s2.implicits._
+    // one hyper-hot key (100k rows) + long tail, joined to a dim table
+    val facts = ((1 to 100000).map(_ => 0L) ++ (1L to 2000L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val dims = (0L to 2000L).map(i => (i, s"d$i")).toDF("k", "name")
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // enough partitions that the size MEDIAN is a tail partition
+      // (skew detection is size > max(threshold, factor * median))
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val old = conf.map { case (k, _) => k -> s2.conf.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => s2.conf.set(k, v) }
+      val joined = facts.join(dims, "k")
+      // execute THIS QueryExecution so AQE materializes its final plan
+      // (count() would build and execute a separate tree)
+      assert(joined.collect().length === 102000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE should have split the skewed partition:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => s2.conf.set(k, v)
+      case (k, None) => s2.conf.unset(k)
+    }
+  }
 }
