@@ -100,6 +100,35 @@ object SparkEntry {
               |SELECT event_id, user_id, k FROM c
               |ORDER BY event_id LIMIT 500""".stripMargin)),
 
+    // ---- S5: the custom DataSource V2 connector on the verified
+    // path: write the commit projection as JSONL (the reference's own
+    // on-disk format), read it back through graft.sources
+    // .EventLogSource with 4 KiB byte-range splits (dozens of
+    // boundary-straddling lines) and a source-pushed event_type
+    // filter; oracle = the plain projection. ---------------------------
+    "s5_dsv2_scan" -> Q(
+      (s, dir) => {
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), "graft_s5").getPath
+        commits(s, dir)
+          .select(col("event_id").cast("string").as("timestamp"),
+            lit("text_committed").as("event_type"),
+            col("committed_text"), rk)
+          .coalesce(1).write.mode("overwrite").json(out)
+        val part = new java.io.File(out).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".json")).get.getPath
+        s.read.format("graft.sources.EventLogSource")
+          .option("splitBytes", "4096").load(part)
+          .filter(col("event_type") === "text_committed")
+          .select(col("timestamp").cast("long").as("event_id"),
+            col("committed_text"), col("selected_candidate_rank"))
+          .orderBy("event_id").limit(500)
+      },
+      Some(s"""$commitsCte
+              |SELECT event_id, committed_text, selected_candidate_rank
+              |FROM c ORDER BY event_id LIMIT 500""".stripMargin)),
+
     // ---- P: filters / projections (SURVEY §2.2) -----------------------
     "p2_filter_selections" -> Q(
       (s, dir) => commits(s, dir).filter(E.isSelection)

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventLogSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val Fmt = "graft.sources.EventLogSource"
+
+  private def writeLog(lines: Seq[String]): String = {
+    val f = Files.createTempFile("eventlog", ".jsonl")
+    Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  private def commitLine(i: Int, rank: Any): String =
+    s"""{"event_type": "text_committed", "timestamp": "T$i", """ +
+      s""""committed_text": "w$i", "selected_candidate_rank": $rank, """ +
+      s""""source_candidates_list": ["a", "b$i"]}"""
+
+  private def fixture: Seq[String] =
+    (1 to 50).map(i => commitLine(i, i % 7)) ++
+      Seq("", "   ", "not json at all", """{"event_type": 5}""") ++
+      (1 to 10).map(i =>
+        s"""{"event_type": "input_state_changed", "timestamp": "S$i"}""")
+
+  test("reads the log identically to the built-in reader, at any split size") {
+    val path = writeLog(fixture)
+    val builtin = graft.io.EventLogReader.readJsonl(spark, path)
+      .orderBy("timestamp")
+      .collect().map(_.toSeq).toSeq
+    // 64-byte splits force dozens of boundary lines; 1 MB = one split
+    Seq("64", "1048576").foreach { split =>
+      val v2 = spark.read.format(Fmt).option("splitBytes", split)
+        .load(path).orderBy("timestamp")
+        .collect().map(_.toSeq).toSeq
+      assert(v2 === builtin, s"splitBytes=$split")
+    }
+  }
+
+  test("corrupt, blank, and non-string-typed lines are skipped") {
+    val path = writeLog(fixture)
+    val df = spark.read.format(Fmt).load(path)
+    assert(df.count() === 61) // 50 commits + 10 state + the {"event_type":5}
+    // the {"event_type": 5} row survives as a JSON-rendered string
+    assert(df.filter(col("event_type") === "5").count() === 1)
+  }
+
+  test("event_type equality is pushed into the scan and applied exactly") {
+    val path = writeLog(fixture)
+    val scan = spark.read.format(Fmt).load(path)
+      .filter(col("event_type") === "text_committed")
+    val planned = scan.queryExecution.executedPlan.toString
+    assert(planned.contains("pushed=[") &&
+      planned.contains("EqualTo(event_type,text_committed)"),
+      s"filter not pushed into the v2 scan:\n$planned")
+    assert(scan.count() === 50)
+  }
+
+  test("column pruning reaches the source read schema") {
+    val path = writeLog(fixture)
+    val scan = spark.read.format(Fmt).load(path)
+      .select("timestamp", "selected_candidate_rank")
+    val planned = scan.queryExecution.executedPlan.toString
+    assert(!planned.contains("committed_text"),
+      s"unrequested column in the scan:\n$planned")
+    val rows = scan.orderBy("timestamp").limit(3).collect()
+    assert(rows.forall(_.length === 2))
+  }
+
+  test("array column and null rank round-trip") {
+    val path = writeLog(Seq(
+      commitLine(1, 0),
+      """{"event_type": "text_committed", "timestamp": "T2"}"""))
+    val rows = spark.read.format(Fmt).load(path)
+      .orderBy("timestamp")
+      .select("source_candidates_list", "selected_candidate_rank")
+      .collect()
+    assert(rows(0).getSeq[String](0) === Seq("a", "b1"))
+    assert(rows(0).getInt(1) === 0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+}
