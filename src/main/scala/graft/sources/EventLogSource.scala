@@ -50,17 +50,23 @@ class EventLogSource extends TableProvider {
 }
 
 private[sources] class EventLogTable(path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "path option is required")
   override def name(): String = s"eventlog($path)"
   override def schema(): StructType = LogEvent.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new EventLogScanBuilder(path,
       Option(options.get("splitBytes")).map(_.toLong)
         .getOrElse(EventLogSource.DefaultSplitBytes))
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EventLogWriteBuilder(path)
 }
 
 object EventLogSource {
@@ -112,11 +118,24 @@ private[sources] class EventLogScan(path: String, required: StructType,
     s"EventLogScan($path, pushed=[${pushed.mkString(",")}])"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val len = new java.io.File(path).length()
-    if (len == 0) return Array(EventLogPartition(path, 0L, 0L))
-    (0L until len by splitBytes).map { start =>
-      EventLogPartition(path, start, math.min(start + splitBytes, len))
-    }.toArray
+    // a file reads as itself; a directory reads its visible files
+    // (dot/underscore-prefixed temp and marker files skipped — the
+    // write path's uncommitted parts are never visible to readers)
+    val root = new java.io.File(path)
+    val files =
+      if (root.isDirectory)
+        root.listFiles().filter(f => f.isFile &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+          .sortBy(_.getName).toSeq
+      else Seq(root)
+    val parts = files.flatMap { f =>
+      val len = f.length()
+      if (len == 0) Seq.empty
+      else (0L until len by splitBytes).map { start =>
+        EventLogPartition(f.getPath, start, math.min(start + splitBytes, len))
+      }
+    }
+    parts.toArray // empty file/dir → zero partitions → empty scan
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -82,4 +82,35 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(rows(0).getInt(1) === 0)
     assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
   }
+
+  test("v2 write path: rename-on-commit round trip, append and truncate") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.model.LogEvent
+    val dir = Files.createTempDirectory("eventlog_w").toString
+    def events(n: Int, tag: String) = (1 to n).map(i =>
+      LogEvent("text_committed", s"$tag$i", Some(s"w$i"), None, None,
+        Some(i % 5), None, Some(Seq("a", "b")), None)).toDF()
+
+    events(20, "A").repartition(3)
+      .write.format(Fmt).mode("append").save(dir)
+    val afterAppend = spark.read.format(Fmt).load(dir)
+    assert(afterAppend.count() === 20)
+    // only committed .jsonl parts are visible, no temp leftovers
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.forall(_.endsWith(".jsonl")), files.mkString(","))
+
+    events(5, "B").write.format(Fmt).mode("append").save(dir)
+    assert(spark.read.format(Fmt).load(dir).count() === 25)
+
+    events(7, "C").write.format(Fmt).mode("overwrite").save(dir)
+    val finalRead = spark.read.format(Fmt).load(dir)
+    assert(finalRead.count() === 7)
+    // null fields were omitted on write and come back null (omitempty)
+    val row = finalRead.orderBy("timestamp").head()
+    assert(row.getAs[String]("timestamp") === "C1")
+    assert(row.isNullAt(row.fieldIndex("source_input_buffer")))
+    assert(row.getAs[Seq[String]]("source_candidates_list") ===
+      Seq("a", "b"))
+  }
 }
