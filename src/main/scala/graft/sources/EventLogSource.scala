@@ -57,6 +57,7 @@ private[sources] class EventLogTable(path: String)
   override def schema(): StructType = LogEvent.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
@@ -114,6 +115,9 @@ private[sources] class EventLogScan(path: String, required: StructType,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventLogMicroBatchStream(path, required, pushed, splitBytes)
   override def description(): String =
     s"EventLogScan($path, pushed=[${pushed.mkString(",")}])"
 

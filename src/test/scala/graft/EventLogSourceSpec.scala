@@ -113,4 +113,26 @@ class EventLogSourceSpec extends AnyFunSuite {
     assert(row.getAs[Seq[String]]("source_candidates_list") ===
       Seq("a", "b"))
   }
+
+  test("v2 micro-batch stream: incremental byte offsets, no duplicates") {
+    val f = Files.createTempFile("eventlog_stream", ".jsonl")
+    def append(lines: Seq[String]): Unit =
+      Files.write(f, (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+
+    Files.write(f, "".getBytes)
+    append((1 to 5).map(i => commitLine(i, 0)))
+    val q = spark.readStream.format(Fmt).load(f.toString)
+      .writeStream.format("memory").queryName("v2stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2stream").count() === 5)
+      append((6 to 9).map(i => commitLine(i, 1)))
+      q.processAllAvailable()
+      val ts = spark.table("v2stream").collect()
+        .map(_.getAs[String]("timestamp")).sorted.toSeq
+      assert(ts === (1 to 9).map(i => s"T$i").sorted)
+    } finally q.stop()
+  }
 }
