@@ -108,8 +108,8 @@ object SparkEntry {
     // filter; oracle = the plain projection. ---------------------------
     "s5_dsv2_scan" -> Q(
       (s, dir) => {
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_s5").getPath
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s5").toString
         commits(s, dir)
           .select(col("event_id").cast("string").as("timestamp"),
             lit("text_committed").as("event_type"),
@@ -177,8 +177,8 @@ object SparkEntry {
     // out instead of failing analysis. -------------------------------
     "p6_sparse_columns" -> Q(
       (s, dir) => {
-        val sparseDir = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_p6").getPath
+        val sparseDir = java.nio.file.Files
+          .createTempDirectory("graft_p6").toString
         commits(s, dir)
           .select("event_id", "committed_text", "selected_candidate_rank")
           .write.mode("overwrite").parquet(sparseDir)
@@ -373,9 +373,8 @@ object SparkEntry {
         val report = ExportMissesQuery
           .run(commits(s, dir), window = false, extraCols = Seq("event_id"))
           .limit(1000)
-        val outDir = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_k1")
-        outDir.mkdirs()
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_k1").toFile
         val out = new java.io.File(outDir, "report.csv").getPath
         graft.io.ReportWriter.writeCsvReport(report, out)
         graft.io.ReportWriter.readCsvReport(s, out)
@@ -405,8 +404,8 @@ object SparkEntry {
     // oracle (null rank → key omitted → null again). ------------------
     "t8_jsonl_roundtrip" -> Q(
       (s, dir) => {
-        val out = new java.io.File(
-          sys.props("java.io.tmpdir"), "graft_t8").getPath
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_t8").toString
         commits(s, dir)
           .select(col("event_id"), col("committed_text"), rk)
           .write.mode("overwrite").json(out)
@@ -1020,10 +1019,6 @@ object SparkEntry {
              |  FROM events WHERE event_type = 'purchase') u
              |GROUP BY src, m ORDER BY src, m""".stripMargin)),
 
-    // Skew-salted two-level aggregation on the driver-verified path:
-    // identical result to a plain groupBy count (the salt only spreads
-    // the hot keys over `buckets` reduce tasks before the final
-    // combine). committed_text is the Zipf-skewed key at 100 TB.
     // RANGE-frame window: events per user in the trailing hour — the
     // telemetry rolling count. The frame is value-based (µs offsets),
     // so peers at equal ts aggregate together in both engines.
@@ -1061,6 +1056,10 @@ object SparkEntry {
              |FROM events GROUP BY user_id
              |ORDER BY user_id LIMIT 1000""".stripMargin)),
 
+    // Skew-salted two-level aggregation on the driver-verified path:
+    // identical result to a plain groupBy count (the salt only spreads
+    // the hot keys over `buckets` reduce tasks before the final
+    // combine). committed_text is the Zipf-skewed key at 100 TB.
     "q20_salted_agg" -> Q(
       (s, dir) => graft.ops.Skew.saltedCount(commits(s, dir),
           col("committed_text"), col("event_id"), buckets = 16)

@@ -96,16 +96,34 @@ object Similarity {
               query: Seq[Double], k: Int, nCentroids: Int = 16,
               nProbes: Int = 2, seed: Long = 7L): DataFrame = {
     val cents = ivfCentroids(nCentroids, query.length, seed)
-    val probeCells = cents.zipWithIndex
-      .map { case (c, i) =>
-        (i.toLong, c.zip(query).map { case (a, b) => a * b }.sum)
-      }
-      .sortBy(-_._2).take(nProbes).map(_._1)
+    ivfCore(embeddings, idCol, vecCol, query, k, cents,
+      cellIds = (0L until nCentroids.toLong), nProbes = nProbes,
+      roundCosine = false)
+  }
+
+  /** Shared IVF body: assign every vector to its argmax-dot centroid,
+    * keep the `nProbes` cells nearest the query, exact-cosine rerank.
+    * `cellIds(i)` names centroid i in the output `cell` column.
+    * `roundCosine` = true rounds to 6 digits BEFORE the top-k ordering
+    * (cross-engine-reproducible cut for the oracle-checked variants);
+    * the seeded production entry points keep full precision. */
+  private def ivfCore(embeddings: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, cents: Seq[Seq[Double]],
+                      cellIds: Seq[Long], nProbes: Int,
+                      roundCosine: Boolean): DataFrame = {
+    val probeCells = cellIds.zip(cents)
+      .map { case (id, c) =>
+        (id, c.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(nProbes).map(_._1)
     val v = toDouble(col(vecCol))
+    val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
+      element_at(typedlit(cellIds), (idx + 1).cast("int")) }
+    val cos = cosine(v, typedlit(query))
     embeddings
-      .withColumn("cell", ivfAssign(v, cents))
+      .withColumn("cell", cellId)
       .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol), cosine(v, typedlit(query)).as("cosine"),
+      .select(col(idCol),
+        (if (roundCosine) round(cos, 6) else cos).as("cosine"),
         col("cell"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
@@ -118,24 +136,28 @@ object Similarity {
               query: Seq[Double], k: Int, planes: Int = 4,
               seed: Long = 42L): DataFrame =
     annTopKWith(embeddings, idCol, vecCol, query, k,
-      hyperplanes(planes, query.length, seed))
+      hyperplanes(planes, query.length, seed), roundCosine = false)
 
   /** [[annTopK]] with an explicit hyperplane set — e.g. data-derived
     * planes (vectors fetched by id), which a SQL oracle can recompute.
-    * Cosine is rounded to 6 digits BEFORE the ordering so the top-k
-    * boundary is reproducible cross-engine. */
+    * `roundCosine` (default true, the oracle-checked path) rounds to
+    * 6 digits BEFORE the ordering so the top-k boundary is
+    * reproducible cross-engine; the seeded production entry point
+    * keeps full precision, matching [[ivfTopK]]. */
   def annTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
-                  query: Seq[Double], k: Int,
-                  hp: Seq[Seq[Double]]): DataFrame = {
+                  query: Seq[Double], k: Int, hp: Seq[Seq[Double]],
+                  roundCosine: Boolean = true): DataFrame = {
     val qBucket = hp.zipWithIndex.map { case (p, i) =>
       if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
     }.sum
     val v = toDouble(col(vecCol))
+    val cos = cosine(v, typedlit(query))
     embeddings
       .withColumn("bucket", lshBucket(v, hp))
       .filter(col("bucket") === qBucket)
       .select(col(idCol),
-        round(cosine(v, typedlit(query)), 6).as("cosine"), col("bucket"))
+        (if (roundCosine) round(cos, 6) else cos).as("cosine"),
+        col("bucket"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -162,19 +184,7 @@ object Similarity {
                   nProbes: Int = 2): DataFrame = {
     require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
     val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
-    val probeCells = centroidIds.zip(cents)
-      .map { case (id, c) =>
-        (id, c.zip(query).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (id, d) => (-d, id) }.take(nProbes).map(_._1)
-    val v = toDouble(col(vecCol))
-    val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
-      element_at(typedlit(centroidIds), (idx + 1).cast("int")) }
-    embeddings
-      .withColumn("cell", cellId)
-      .filter(col("cell").isin(probeCells: _*))
-      .select(col(idCol),
-        round(cosine(v, typedlit(query)), 6).as("cosine"), col("cell"))
-      .orderBy(col("cosine").desc, col(idCol).asc)
-      .limit(k)
+    ivfCore(embeddings, idCol, vecCol, query, k, cents,
+      cellIds = centroidIds, nProbes = nProbes, roundCosine = true)
   }
 }

@@ -34,6 +34,14 @@ private[sources] class EventLogMicroBatchStream(path: String,
                                                 splitBytes: Long)
     extends MicroBatchStream {
 
+  // the streaming offset model is a byte position in ONE append-only
+  // file (the reference's actual log shape); a directory of parts has
+  // no single growing offset — fail fast instead of reading the
+  // directory inode as if it were data
+  require(!new java.io.File(path).isDirectory,
+    s"streaming read needs a single append-only file, got directory $path")
+  require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+
   private val mapper = new ObjectMapper()
 
   override def initialOffset(): Offset = EventLogOffset(0L)

@@ -86,6 +86,7 @@ object EventLogSource {
 private[sources] class EventLogScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
+  require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
 
   private var required: StructType = LogEvent.schema
   private var pushed: Array[Filter] = Array.empty
@@ -215,19 +216,33 @@ private[sources] class EventLogPartitionReader(p: EventLogPartition,
     }
   }
 
+  /** A present, non-null JSON value of the wrong shape for its field
+    * type. Like the built-in PERMISSIVE reader (and Go's
+    * `json.Unmarshal`, `analyzer.go:70-74`), a type mismatch rejects
+    * the whole LINE, never silently nulls one field. */
+  private object CorruptLine extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   private def field(node: JsonNode, name: String,
                     dt: DataType): Any = {
     val v = node.get(name)
     if (v == null || v.isNull) null
     else dt match {
+      // StringType accepts any value as its JSON text — the built-in
+      // reader's behavior for string fields
       case StringType => UTF8String.fromString(
         if (v.isTextual) v.asText() else v.toString)
-      case IntegerType => if (v.canConvertToInt) Int.box(v.asInt()) else null
+      case IntegerType =>
+        if (v.isIntegralNumber && v.canConvertToInt) Int.box(v.asInt())
+        else throw CorruptLine
       case ArrayType(StringType, _) =>
-        if (!v.isArray) null
-        else new GenericArrayData(v.elements().asScala.map(e =>
-          UTF8String.fromString(
-            if (e.isTextual) e.asText() else e.toString)).toArray[Any])
+        if (!v.isArray) throw CorruptLine
+        else new GenericArrayData(v.elements().asScala.map { e =>
+          if (e.isNull) null // null ELEMENTS stay null, as built-in
+          else UTF8String.fromString(
+            if (e.isTextual) e.asText() else e.toString)
+        }.toArray[Any])
       case _ => null
     }
   }
@@ -248,17 +263,26 @@ private[sources] class EventLogPartitionReader(p: EventLogPartition,
       val rendered = if (et.isTextual) et.asText() else et.toString
       if (!allowed.contains(rendered)) return None
     }
-    if (notNullCols.exists { c =>
-      val v = node.get(c); v == null || v.isNull
-    }) return None
     val row = new org.apache.spark.sql.catalyst.expressions
       .GenericInternalRow(required.length)
-    var i = 0
-    while (i < required.length) {
-      row.update(i, field(node, required(i).name, required(i).dataType))
-      i += 1
-    }
-    Some(row)
+    try {
+      var i = 0
+      while (i < required.length) {
+        row.update(i, field(node, required(i).name, required(i).dataType))
+        i += 1
+      }
+      // pushed IsNotNull is checked against the MATERIALIZED value
+      // (not raw JSON nullity) so a coercion can never smuggle a null
+      // through a consumed filter; filter columns may be pruned from
+      // `required`, so fall back to materializing them on demand
+      if (notNullCols.exists { c =>
+        if (required.fieldNames.contains(c))
+          row.isNullAt(required.fieldIndex(c))
+        else // filter column pruned from the output: coerce on demand
+          field(node, c, LogEvent.schema(c).dataType) == null
+      }) return None
+      Some(row)
+    } catch { case CorruptLine => None }
   }
 
   override def next(): Boolean = {

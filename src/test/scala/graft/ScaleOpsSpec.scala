@@ -69,8 +69,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     val df = (1L to 300L)
       .map(i => (i, Seq("click", "view", "purchase")((i % 3).toInt)))
       .toDF("id", "event_type")
-    val path = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_events_part").getPath
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_events_part").toString
     TableLayout.writePartitioned(df, path, Seq("event_type"))
     val scan = s2.read.parquet(path)
       .filter(col("event_type") === "click")
