@@ -263,24 +263,25 @@ private[sources] class EventLogPartitionReader(p: EventLogPartition,
       val rendered = if (et.isTextual) et.asText() else et.toString
       if (!allowed.contains(rendered)) return None
     }
-    val row = new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(required.length)
     try {
+      // validate + materialize the FULL record regardless of the
+      // projection (Go unmarshals the whole struct, analyzer.go:70-74;
+      // corrupt-line detection must not depend on which columns a
+      // query happens to read — count(*) sees the same row set)
+      val full = LogEvent.schema.fields.map(f =>
+        field(node, f.name, f.dataType))
+      // pushed IsNotNull is checked against the MATERIALIZED value,
+      // so a coercion can never smuggle a null through a consumed
+      // filter, whether or not the filter column is projected
+      if (notNullCols.exists(c =>
+        full(LogEvent.schema.fieldIndex(c)) == null)) return None
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(required.length)
       var i = 0
       while (i < required.length) {
-        row.update(i, field(node, required(i).name, required(i).dataType))
+        row.update(i, full(LogEvent.schema.fieldIndex(required(i).name)))
         i += 1
       }
-      // pushed IsNotNull is checked against the MATERIALIZED value
-      // (not raw JSON nullity) so a coercion can never smuggle a null
-      // through a consumed filter; filter columns may be pruned from
-      // `required`, so fall back to materializing them on demand
-      if (notNullCols.exists { c =>
-        if (required.fieldNames.contains(c))
-          row.isNullAt(required.fieldIndex(c))
-        else // filter column pruned from the output: coerce on demand
-          field(node, c, LogEvent.schema(c).dataType) == null
-      }) return None
       Some(row)
     } catch { case CorruptLine => None }
   }

@@ -135,4 +135,34 @@ class EventLogSourceSpec extends AnyFunSuite {
       assert(ts === (1 to 9).map(i => s"T$i").sorted)
     } finally q.stop()
   }
+
+  test("pushed IsNotNull agrees with materialization; bad types drop the line") {
+    val path = writeLog(Seq(
+      commitLine(1, 0),
+      // non-integral rank: whole line rejected (Go json.Unmarshal / PERMISSIVE)
+      commitLine(2, "3.7").replace("\"3.7\"", "3.7"),
+      // string rank: same
+      commitLine(3, "\"oops\""),
+      // candidates not an array: same
+      """{"event_type": "text_committed", "timestamp": "T4", """ +
+        """"source_candidates_list": "not-an-array"}""",
+      // null array element stays a null element
+      """{"event_type": "text_committed", "timestamp": "T5", """ +
+        """"selected_candidate_rank": 2, """ +
+        """"source_candidates_list": ["a", null]}"""))
+    val all = spark.read.format(Fmt).load(path)
+    assert(all.count() === 2) // lines 2-4 rejected whole, T1+T5 survive
+    // IsNotNull pushed into the scan must not leak nulls through
+    val notNull = spark.read.format(Fmt).load(path)
+      .filter(col("selected_candidate_rank").isNotNull)
+    assert(notNull.collect().forall(
+      !_.isNullAt(LogEvent_rankIndex)), "null leaked through IsNotNull")
+    assert(notNull.count() === 2) // T1 and T5
+    val t5 = all.filter(col("timestamp") === "T5")
+      .select("source_candidates_list").head().getSeq[String](0)
+    assert(t5 === Seq("a", null))
+  }
+
+  private val LogEvent_rankIndex =
+    graft.model.LogEvent.schema.fieldIndex("selected_candidate_rank")
 }
