@@ -54,4 +54,23 @@ class TopKSpec extends AnyFunSuite {
     assert(merged.length === 3)
     assert(merged === Seq((3.0, 3L, 3L), (2.5, 5L, 5L), (2.0, 2L, 2L)))
   }
+
+  test("property: reduce+merge over any partitioning equals sorted take(k)") {
+    val rnd = new scala.util.Random(7)
+    val tk = new graft.functions.TopK[(Double, Long, Long)](4, ord,
+      null, null)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(30)
+      val data = Seq.fill(n)((rnd.nextInt(5).toDouble,
+        rnd.nextInt(10).toLong, rnd.nextLong()))
+      val expected = data.sorted(ord).take(4)
+      // arbitrary partitioning: reduce each chunk, merge the buffers
+      val chunks = if (data.isEmpty) Seq(Seq.empty) else
+        data.grouped(rnd.nextInt(data.length) + 1).toSeq
+      val merged = chunks
+        .map(_.foldLeft(tk.zero)(tk.reduce))
+        .reduce(tk.merge)
+      assert(merged === expected, s"data=$data chunks=$chunks")
+    }
+  }
 }
