@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // 77 queries in one JVM: without periodic cleanup the shuffle
+      // files and broadcast blocks of earlier queries pile up and a
+      // random later query pays their GC bill as a multi-second spike
+      // (observed moving between unrelated queries run-to-run).
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -26,7 +31,14 @@ object Bench {
     // make the first timed run re-absorb JIT cost.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q3,q9 restricts the run (dev iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up failed for $name on " +
@@ -37,7 +49,7 @@ object Bench {
     // negative time (a broken query must not make the bench look faster).
     // Two timed runs per query, min reported: steady-state cost, less
     // JIT/IO noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val outcome =
@@ -47,6 +59,10 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, outcome)
       }
+      // Collect the previous queries' garbage OUTSIDE the timed region
+      // so this query's min-of-2 measures its own cost, not a
+      // stop-the-world pause inherited from the suite.
+      System.gc()
       val (t1, o1) = once()
       if (o1.isDefined) (name, t1, o1)
       else { val (t2, o2) = once(); (name, math.min(t1, t2), o2) }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{EventOps => E, SyntheticEvents => SE}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
 import graft.queries.{AnalyzeQuery, ExportMissesQuery}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1365,6 +1365,119 @@ object SparkEntry {
               |JOIN sz sb ON sb.id = id_b
               |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
+    // ---- D16-D20: dataset curation (pipeline/Curation) ----------------
+    // Deterministic train/val/test split: md5-hash bucket of doc_id →
+    // 90/5/5; per-split doc + token counts. Map-only assignment (a
+    // doc's split never depends on the corpus), one aggregation.
+    "d16_split_assign" -> Q(
+      (s, dir) => Curation.assignSplits(table(s, dir, "documents"))
+        .groupBy("split").agg(
+          count(lit(1)).as("docs"),
+          sum(TextStats.tokenCount(col("text"))).as("tokens"))
+        .orderBy("split"),
+      Some(s"""WITH s AS (SELECT doc_id,
+              |    len(str_split(text,' ')) AS ntok,
+              |    (${duckHash60("CAST(doc_id AS VARCHAR)")}) % 100 AS b
+              |  FROM documents)
+              |SELECT CASE WHEN b < 90 THEN 'train'
+              |            WHEN b < 95 THEN 'val'
+              |            ELSE 'test' END AS split,
+              |  CAST(count(*) AS BIGINT) AS docs,
+              |  CAST(sum(ntok) AS BIGINT) AS tokens
+              |FROM s GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Deterministic stratified sample: 20 docs per language, selected
+    // by portable-hash order (uniform, reproducible run-to-run and
+    // engine-to-engine). One shuffle keyed on the stratum.
+    "d17_stratified_sample" -> Q(
+      (s, dir) => Curation.stratifiedSample(
+          table(s, dir, "documents"), col("lang"), col("doc_id"), n = 20)
+        .select(col("lang"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank").limit(500),
+      Some(s"""WITH r AS (SELECT lang, doc_id,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY ${duckHash60("CAST(doc_id AS VARCHAR)")},
+              |        doc_id) AS sample_rank
+              |  FROM documents)
+              |SELECT lang, doc_id,
+              |  CAST(sample_rank AS BIGINT) AS sample_rank
+              |FROM r WHERE sample_rank <= 20
+              |ORDER BY lang, sample_rank LIMIT 500""".stripMargin)),
+
+    // Benchmark-contamination scan: docs sharing any distinct word
+    // 8-gram with the benchmark subset (doc_id % 20 = 0 stands in for
+    // an eval set). Long n-grams are near-unique → no join skew; the
+    // benchmark side is eval-sized → broadcast.
+    "d18_contamination" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Curation.contamination(
+            corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            n = 8)
+          .orderBy("doc_id").limit(1000)
+      },
+      Some("""WITH toks AS (SELECT doc_id, str_split(text,' ') AS t
+             |  FROM documents),
+             |g AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(t)-7, 0)),
+             |    i -> array_to_string(t[i:i+7], ' '))) AS gs FROM toks),
+             |cg AS (SELECT doc_id, unnest(gs) AS gram FROM g
+             |  WHERE doc_id % 20 <> 0),
+             |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+             |  WHERE doc_id % 20 = 0)
+             |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS shared_ngrams
+             |FROM cg JOIN bg USING (gram)
+             |GROUP BY cg.doc_id ORDER BY doc_id LIMIT 1000""".stripMargin)),
+
+    // TF-IDF top-3 terms per doc. Ranking happens on the ROUNDED score
+    // (6 digits, term asc tie-break) so the order is identical across
+    // engines despite last-ulp ln() differences.
+    "d19_tfidf_topk" -> Q(
+      (s, dir) => Curation.tfidfTopTerms(
+          table(s, dir, "documents"), k = 3)
+        .withColumn("term_rank", col("term_rank").cast("long"))
+        .orderBy("doc_id", "term_rank").limit(2000),
+      Some("""WITH pairs AS (SELECT doc_id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS t
+             |        FROM documents) u
+             |  GROUP BY doc_id, t),
+             |wl AS (SELECT *, sum(tf) OVER (PARTITION BY doc_id)
+             |    AS doc_len FROM pairs),
+             |dfreq AS (SELECT term, count(*) AS df FROM pairs
+             |  GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (SELECT doc_id, term,
+             |    round(CAST(tf AS DOUBLE)/doc_len *
+             |      (ln((n_docs+1)/CAST(df+1 AS DOUBLE)) + 1), 6) AS tfidf
+             |  FROM wl JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tfidf DESC, term ASC) AS term_rank
+             |  FROM scored)
+             |SELECT doc_id, term, CAST(term_rank AS BIGINT) AS term_rank,
+             |  tfidf
+             |FROM r WHERE term_rank <= 3
+             |ORDER BY doc_id, term_rank LIMIT 2000""".stripMargin)),
+
+    // Corpus-mixture report: per (source, lang) docs, tokens, and
+    // token share — the composition table a data-mixing stage balances
+    // against. The global-share window runs over the post-agg frame
+    // (mixture cardinality, not corpus rows).
+    "d20_mixture" -> Q(
+      (s, dir) => Curation.mixtureReport(table(s, dir, "documents"))
+        .orderBy("source", "lang").limit(500),
+      Some("""WITH agg AS (SELECT source, lang,
+             |    CAST(count(*) AS BIGINT) AS docs,
+             |    CAST(sum(len(str_split(text,' '))) AS BIGINT) AS tokens
+             |  FROM documents GROUP BY source, lang)
+             |SELECT source, lang, docs, tokens,
+             |  round(CAST(tokens AS DOUBLE)/sum(tokens) OVER (), 6)
+             |    AS token_share
+             |FROM agg ORDER BY source, lang LIMIT 500""".stripMargin)),
 
     // PII scrubbing (emails / URLs / long digit runs → typed tags).
     // The fixtures carry no PII, so the query plants a deterministic

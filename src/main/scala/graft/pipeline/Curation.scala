@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators for a large-scale training-data pipeline:
+  * deterministic train/val/test splits, stratified sampling, benchmark
+  * contamination scans, TF-IDF term weighting, and corpus-mixture
+  * reporting.
+  *
+  * Every assignment that must be reproducible across engines (splits,
+  * sample selection, training order) derives from the portable
+  * md5-based 60-bit hash of [[Dedup.md5Long60]], never from
+  * partition-dependent randomness — re-running on different cluster
+  * shapes, or in the DuckDB oracle, yields bit-identical decisions.
+  */
+object Curation {
+
+  /** Uniform bucket in [0, buckets): md5-derived 60-bit integer of the
+    * key's canonical string form, mod buckets. Pure per-row expression
+    * — a map-only stage at any scale. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(Dedup.md5Long60(key.cast("string")), lit(buckets.toLong))
+      .cast("int")
+
+  /** Deterministic split assignment: hash-bucket the stable id into
+    * percent space; [0,trainPct) → train, [trainPct,trainPct+valPct) →
+    * val, rest → test. A doc's split never depends on the rest of the
+    * corpus, so incremental ingestion keeps prior assignments stable. */
+  def splitName(key: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must partition [0,100]")
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Split column attached to a docs frame keyed by `doc_id`. */
+  def assignSplits(docs: DataFrame, trainPct: Int = 90,
+                   valPct: Int = 5): DataFrame =
+    docs.withColumn("split", splitName(col("doc_id"), trainPct, valPct))
+
+  /** Deterministic stratified sample: the n docs per stratum with the
+    * smallest portable hash (uniform in expectation, reproducible).
+    * Window form: one shuffle keyed on the stratum. With few strata at
+    * 100 TB the full-sort window is the bottleneck — pre-thin each
+    * stratum with a hash threshold (`hashBucket(id, B) < cap`) sized to
+    * oversample n, or use the bounded `functions.TopK` aggregator
+    * (k-row buffers through the exchange), before the exact window. */
+  def stratifiedSample(docs: DataFrame, stratum: Column, id: Column,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(Dedup.md5Long60(id.cast("string")), id)
+    docs.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
+  /** Word-level n-grams of the whitespace tokenization, as the joined
+    * token string; empty array when the doc has fewer than n tokens
+    * (sequence(1,0) would otherwise count DOWN in Spark). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n >= 1")
+    ExprUtils.let(TextStats.tokens(text)) { toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** Benchmark-contamination scan: for each corpus doc, the number of
+    * distinct word n-grams it shares with the benchmark set — the
+    * standard eval-leakage check run before training. Corpus side:
+    * explode distinct n-grams (map-only). Benchmark side: global
+    * distinct of its n-grams. The join is keyed on the n-gram; long
+    * n-grams (n >= 8) are near-unique, so no skew. `broadcastBench`
+    * (default true) is sound because benchmark sets are eval-sized by
+    * construction — pass false for a corpus-scale right side and let
+    * AQE pick the strategy. */
+  def contamination(corpus: DataFrame, bench: DataFrame, n: Int,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val cg = corpus.select(col("doc_id"),
+      explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
+    val bg0 = bench
+      .select(explode(array_distinct(wordNgrams(col("text"), n)))
+        .as("gram"))
+      .distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    cg.join(bg, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** TF-IDF top-k terms per document. tf is the raw in-doc term count
+    * normalized by doc length; idf is the smoothed ln((N+1)/(df+1))+1.
+    * One explode feeds both aggregations: per-(doc,term) counts, and
+    * the document-frequency table derived FROM those counts (so each
+    * doc contributes once per distinct term). Doc length comes from a
+    * window sum over the (doc,term) partial — no second scan of the
+    * corpus. The df table is vocabulary-sized; no broadcast hint — at
+    * 100 TB a vocabulary can be billions of terms, so AQE chooses. N
+    * rides along as a 1-row aggregate cross join, not a driver-side
+    * count(). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"),
+        explode(TextStats.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val withLen = pairs.withColumn("doc_len",
+      sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    // N rides along on a constant-key broadcast equi-join against the
+    // vocabulary-sized df table (NOT the corpus-sized pairs table, and
+    // NOT a nested-loop cross join — a 1-row hash build side). The key
+    // is attribute-DEPENDENT (x % 1, always 0) so constant folding
+    // cannot collapse the condition to `true` and re-plan a
+    // BroadcastNestedLoopJoin.
+    val df_ = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("join_one", pmod(col("n_docs"), lit(1L)).cast("int"))
+    val idf = df_.withColumn("join_one", pmod(col("df"), lit(1L)).cast("int"))
+      .join(broadcast(nDocs), "join_one")
+      .select(col("term"),
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1)
+          .as("idf"))
+    // Rank on the ROUNDED score (term asc tie-break): cross-engine
+    // reproducible despite last-ulp ln() differences between libm
+    // implementations.
+    val scored = withLen
+      .join(idf, "term")
+      .withColumn("tfidf",
+        round(col("tf").cast("double") / col("doc_len") * col("idf"),
+          6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("doc_id"), col("term"), col("term_rank"),
+        col("tfidf"))
+  }
+
+  /** Corpus-mixture report: per (source, lang) document and token
+    * counts plus each cell's share of all tokens — the composition
+    * table a data-mixing stage balances against. The global-window
+    * share is computed over the POST-aggregation frame (|sources| ×
+    * |langs| rows), so the single-partition window is bounded by the
+    * mixture cardinality, not the corpus. */
+  def mixtureReport(docs: DataFrame): DataFrame = {
+    val agg = docs.groupBy("source", "lang").agg(
+      count(lit(1)).as("docs"),
+      sum(TextStats.tokenCount(col("text"))).as("tokens"))
+    agg.withColumn("token_share",
+      round(col("tokens").cast("double") /
+        sum(col("tokens")).over(Window.partitionBy()), 6))
+  }
+
+  /** Deterministic global training order: the portable hash is the sort
+    * key, so the "shuffled" order is reproducible run-to-run and
+    * engine-to-engine. For a full-corpus write, range-partition on the
+    * hash then sort within partitions — a total order across output
+    * files without a single-reducer global sort. */
+  def trainOrder(docs: DataFrame, id: Column,
+                 partitions: Int = 200): DataFrame = {
+    val keyed = docs.withColumn("order_key",
+      Dedup.md5Long60(id.cast("string")))
+    keyed.repartitionByRange(partitions, col("order_key"), id)
+      .sortWithinPartitions(col("order_key"), id)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import graft.pipeline.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("split assignment is deterministic and corpus-independent") {
+    val s = spark
+    import s.implicits._
+    val full = (0L until 1000L).toDF("doc_id")
+      .withColumn("split", Curation.splitName(col("doc_id")))
+    val counts = full.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 1000L)
+    // hash-uniform: 90/5/5 within generous tolerance at n=1000
+    assert(counts("train") > 850 && counts("train") < 950)
+    assert(counts("val") > 20 && counts("val") < 90)
+    assert(counts("test") > 20 && counts("test") < 90)
+    // a doc's split does not depend on what else is in the corpus
+    val subset = (0L until 100L).toDF("doc_id")
+      .withColumn("split", Curation.splitName(col("doc_id")))
+    val fullMap = full.filter(col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.collect().foreach { r =>
+      assert(fullMap(r.getLong(0)) === r.getString(1))
+    }
+  }
+
+  test("stratified sample takes exactly n per stratum, stable under repartition") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val sampled = Curation.stratifiedSample(df, col("lang"), col("doc_id"), 7)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang === Map("a" -> 7L, "b" -> 7L))
+    val again = Curation.stratifiedSample(
+      df.repartition(7), col("lang"), col("doc_id"), 7)
+    assert(sampled.select("lang", "doc_id").collect().toSet ===
+      again.select("lang", "doc_id").collect().toSet)
+  }
+
+  test("wordNgrams: sliding windows; shorter-than-n docs yield empty") {
+    val r = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), Curation.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(r(1L) === Seq("a b c", "b c d"))
+    assert(r(2L) === Seq.empty)
+  }
+
+  test("contamination finds planted n-gram overlap and nothing else") {
+    val shared = "one two three four five six seven eight"
+    val corpus = docs(
+      (10L, s"prefix $shared suffix tokens here"),
+      (11L, "totally different words with no overlap at all whatsoever"))
+    val bench = docs((99L, s"benchmark leading text $shared trailing"))
+    val hits = Curation.contamination(corpus, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(10L) && !hits.contains(11L))
+    assert(hits(10L) === 1L) // exactly the planted 8-gram
+  }
+
+  test("tfidf ranks in-doc-frequent, corpus-rare terms first") {
+    val corpus = docs(
+      (1L, "apple apple apple banana"),
+      (2L, "banana cherry banana dates"),
+      (3L, "banana cherry cherry cherry"))
+    val top = Curation.tfidfTopTerms(corpus, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: apple tf 3/4 beats everything; doc 2: banana's tf edge
+    // (2/4 × idf 1.0 = 0.5) outweighs rarer dates (1/4 × 1.693);
+    // doc 3: cherry tf 3/4 × idf 1.288 dominates
+    assert(top === Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+    // ranking is on the rounded score with term-asc tie-break:
+    // equal-tf equal-df terms order alphabetically
+    val tie = Curation.tfidfTopTerms(docs((7L, "zebra yak")), k = 2)
+      .orderBy("term_rank")
+      .collect().map(_.getString(1)).toSeq
+    assert(tie === Seq("yak", "zebra"))
+  }
+
+  test("mixture report shares sum to 1") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("s1", "en", "a b c"), ("s1", "fr", "d e"), ("s2", "en", "f"))
+      .toDF("source", "lang", "text")
+    val rep = Curation.mixtureReport(df).collect()
+    assert(rep.map(_.getAs[Long]("tokens")).sum === 6L)
+    assert(math.abs(rep.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-6)
+  }
+
+  test("trainOrder is the reproducible global hash order") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).toDF("doc_id")
+    val ordered = Curation.trainOrder(df, col("doc_id"), partitions = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = df
+      .withColumn("k", graft.pipeline.Dedup.md5Long60(
+        col("doc_id").cast("string")))
+      .orderBy("k", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ordered === expected)
+    assert(ordered !== (0L until 100L).toSeq) // actually shuffled
+  }
+}
