@@ -78,7 +78,10 @@ object Curation {
     * n-grams (n >= 8) are near-unique, so no skew. `broadcastBench`
     * (default true) is sound because benchmark sets are eval-sized by
     * construction — pass false for a corpus-scale right side and let
-    * AQE pick the strategy. */
+    * AQE pick the strategy. Composes with Structured Streaming
+    * unchanged: a streaming corpus joins the static benchmark set
+    * (stream-static inner join) and aggregates in update mode
+    * (proved in CurationSpec). */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int,
                     broadcastBench: Boolean = true): DataFrame = {
     val cg = corpus.select(col("doc_id"),

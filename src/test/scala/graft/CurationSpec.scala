@@ -100,6 +100,28 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(rep.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-6)
   }
 
+  test("contamination runs streaming: stream-static join + update-mode agg") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val shared = "one two three four five six seven eight"
+    val bench = docs((99L, s"bench context $shared more context"))
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = Curation.contamination(stream, bench, n = 8)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, s"clean document with nothing shared here at all"))
+      mem.addData((2L, s"copied $shared verbatim"))
+      out.processAllAvailable()
+      val rows = s.sql("SELECT * FROM contam_stream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === Map(2L -> 1L))
+    } finally out.stop()
+  }
+
   test("trainOrder is the reproducible global hash order") {
     val s = spark
     import s.implicits._

@@ -75,6 +75,31 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"q12 must not fall back to a window:\n$p")
   }
 
+  test("split assignment is map-only into one aggregation (no join)") {
+    val p = plan("d16_split_assign")
+    assert(p.contains("HashAggregate"), s"d16:\n$p")
+    assert(!p.contains("Join"), s"d16 must not join:\n$p")
+  }
+
+  test("stratified sample bounds per-stratum state via WindowGroupLimit") {
+    val p = plan("d17_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=n must push a group limit below the window sort:\n$p")
+  }
+
+  test("contamination broadcasts the benchmark n-gram side only") {
+    val p = plan("d18_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"d18:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must stream past a broadcast bench side:\n$p")
+  }
+
+  test("tfidf joins hash-build the vocabulary side and bound the per-doc rank") {
+    val p = plan("d19_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"d19:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"d19 top-k per doc:\n$p")
+  }
+
   test("semi/anti joins stay joins (no subquery re-execution shapes)") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))
