@@ -11,7 +11,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // 77 queries in one JVM: without periodic cleanup the shuffle
+      // ~80 queries in one JVM: without periodic cleanup the shuffle
       // files and broadcast blocks of earlier queries pile up and a
       // random later query pays their GC bill as a multi-second spike
       // (observed moving between unrelated queries run-to-run).

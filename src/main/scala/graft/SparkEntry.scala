@@ -82,6 +82,51 @@ object SparkEntry {
        |    CAST(strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1
        |      AS BIGINT) << (4 * (15 - i)))) AS BIGINT)""".stripMargin
 
+  /** DuckDB CTE chain replaying [[graft.pipeline.Dedup
+    * .lshVerifiedJaccardPairs]] (portable md5 MinHash, k=12 / 4 bands /
+    * 3-shingles) over relation `rel` (exposing doc_id, text). Emits
+    * CTEs `ldoc/lhs/lband/lcand/vtok/vsz/vinter/vpairs`; `vpairs` has
+    * (id_a, id_b, jaccard) for exact Jaccard >= threshold on LSH
+    * candidates only. Splice after a WITH list. */
+  private def duckLshVerifiedCtes(rel: String, threshold: Double): String =
+    s"""ldoc AS (SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      generate_series(0, greatest(len(toks) - 3, 0)),
+       |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+       |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+       |        FROM $rel) t),
+       |lhs AS (SELECT doc_id, g.j,
+       |    min(((${duckHash60("u.s")} % 2147483647)
+       |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
+       |      AS sig
+       |  FROM ldoc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
+       |  GROUP BY doc_id, g.j),
+       |lband AS (SELECT doc_id, j // 3 AS b,
+       |    md5(CAST(j // 3 AS VARCHAR) || '|' ||
+       |      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j)) AS h
+       |  FROM lhs GROUP BY doc_id, j // 3),
+       |lcand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM lband a JOIN lband b2
+       |    ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id),
+       |vtok AS (SELECT doc_id AS id,
+       |    unnest(list_distinct(str_split(text, ' '))) AS t
+       |  FROM $rel),
+       |vsz AS (SELECT doc_id AS id,
+       |    len(list_distinct(str_split(text, ' '))) AS n
+       |  FROM $rel),
+       |vinter AS (SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM lcand c
+       |  JOIN vtok ta ON ta.id = c.id_a
+       |  JOIN vtok tb ON tb.id = c.id_b AND tb.t = ta.t
+       |  GROUP BY c.id_a, c.id_b),
+       |vpairs AS (SELECT id_a, id_b,
+       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM vinter
+       |  JOIN vsz sa ON sa.id = id_a
+       |  JOIN vsz sb ON sb.id = id_b
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold)"""
+      .stripMargin
+
   private lazy val registry: Map[String, Q] = Map(
 
     // ---- S: sources / scans (SURVEY §2.1) -----------------------------
@@ -1328,42 +1373,9 @@ object SparkEntry {
       (s, dir) => Dedup.lshVerifiedJaccardPairs(
           table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
         .orderBy("id_a", "id_b").limit(2000),
-      Some(s"""WITH doc AS (SELECT doc_id,
-              |    list_distinct(list_transform(
-              |      generate_series(0, greatest(len(toks) - 3, 0)),
-              |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
-              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
-              |        FROM documents) t),
-              |hs AS (SELECT doc_id, g.j,
-              |    min(((${duckHash60("u.s")} % 2147483647)
-              |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
-              |      AS sig
-              |  FROM doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
-              |  GROUP BY doc_id, g.j),
-              |band AS (SELECT doc_id, j // 3 AS b,
-              |    md5(CAST(j // 3 AS VARCHAR) || '|' ||
-              |      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j)) AS h
-              |  FROM hs GROUP BY doc_id, j // 3),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-              |  FROM band a JOIN band b2
-              |    ON a.b = b2.b AND a.h = b2.h AND a.doc_id < b2.doc_id),
-              |tok AS (SELECT doc_id AS id,
-              |    unnest(list_distinct(str_split(text, ' '))) AS t
-              |  FROM documents),
-              |sz AS (SELECT doc_id AS id,
-              |    len(list_distinct(str_split(text, ' '))) AS n
-              |  FROM documents),
-              |inter AS (SELECT c.id_a, c.id_b, count(*) AS i
-              |  FROM cand c
-              |  JOIN tok ta ON ta.id = c.id_a
-              |  JOIN tok tb ON tb.id = c.id_b AND tb.t = ta.t
-              |  GROUP BY c.id_a, c.id_b)
-              |SELECT id_a, id_b,
-              |  ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-              |FROM inter
-              |JOIN sz sa ON sa.id = id_a
-              |JOIN sz sb ON sb.id = id_b
-              |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)}
+              |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+              |FROM vpairs
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
     // ---- D16-D20: dataset curation (pipeline/Curation) ----------------
@@ -1531,13 +1543,19 @@ object SparkEntry {
     // bucketed near-dup removal (anti-join on candidate pairs). The
     // composition a 100 TB corpus pipeline actually runs; every stage
     // is partition-parallel and the pair set is bucket-local.
+    // The production cleaning composition: quality gate (map-only) →
+    // exact dedup (hash groupBy) → LSH-verified near-dup (candidates
+    // from portable MinHash bands, exact Jaccard on candidates ONLY —
+    // the d15 path, which scales with the candidate count rather than
+    // Σ token-df² like the exhaustive d4 all-pairs form) → anti-join
+    // dropping each pair's higher id.
     "llm_clean_pipeline" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
         val quality = docs.filter(TextStats.isQuality(col("text")))
         val exact = Dedup.exactDedup(quality, "doc_id", "text")
         val dupIds = Dedup
-          .jaccardPairs(exact, "doc_id", "text", Seq("lang", "source"), 0.6)
+          .lshVerifiedJaccardPairs(exact, "doc_id", "text", threshold = 0.6)
           .select(col("id_b").as("doc_id")).distinct()
         // no broadcast hint: dupIds is O(near-dup count), unbounded at
         // 100 TB — AQE broadcasts when it fits
@@ -1545,7 +1563,7 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"), col("source"))
           .orderBy("doc_id").limit(2000)
       },
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
              |  SELECT doc_id, text, lang, source,
              |    str_split(text, ' ') AS toks
              |  FROM documents),
@@ -1562,19 +1580,8 @@ object SparkEntry {
              |exact AS (
              |  SELECT * FROM quality
              |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
-             |tok AS (SELECT doc_id, lang, source,
-             |    unnest(list_distinct(str_split(text, ' '))) AS t
-             |  FROM exact),
-             |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    count(*) AS i
-             |  FROM tok a JOIN tok b ON a.t = b.t AND a.lang = b.lang
-             |    AND a.source = b.source AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2),
-             |dup AS (SELECT DISTINCT id_b FROM inter
-             |  JOIN sz sa ON sa.doc_id = id_a
-             |  JOIN sz sb ON sb.doc_id = id_b
-             |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6)
+             |${duckLshVerifiedCtes("exact", 0.6)},
+             |dup AS (SELECT DISTINCT id_b FROM vpairs)
              |SELECT doc_id, lang, source FROM exact
              |WHERE doc_id NOT IN (SELECT id_b FROM dup)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
