@@ -1659,6 +1659,46 @@ object SparkEntry {
              |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
              |LIMIT 20""".stripMargin)),
 
+    // ---- E5: the on-disk IVF index. Same semantics as e4 (identical
+    // oracle — the LAYOUT must not change the answer), but the probe
+    // reads only the probed cells' directories: the cell predicate is
+    // a PartitionFilter, unprobed partitions are never opened. -------
+    "e5_ivf_indexed" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val idxPath = java.nio.file.Files
+          .createTempDirectory("graft_e5_ivf").toString
+        Similarity.writeIvfIndex(emb, "vec_id", "embedding", idxPath,
+          centroidIds = (1L to 16L))
+        Similarity.ivfTopKIndexed(s, idxPath, "vec_id", "embedding", q,
+          k = 20, centroidIds = (1L to 16L))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |c AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 16),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |probe AS (SELECT cid FROM c, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT 2),
+             |asg AS (SELECT vec_id, cid, row_number() OVER (
+             |      PARTITION BY vec_id
+             |      ORDER BY dt DESC, cid ASC) AS rn
+             |  FROM (SELECT e.vec_id, c.cid,
+             |          list_dot_product(e.v, c.cv) AS dt FROM e, c)),
+             |cand AS (SELECT vec_id, cid AS cell FROM asg
+             |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+             |s AS (SELECT cand.vec_id, cand.cell,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+             |  FROM cand JOIN e USING (vec_id), q)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine,
+             |  CAST(cell AS BIGINT) AS cell
+             |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
+             |LIMIT 20""".stripMargin)),
+
     "e3_embedding_neardup" -> Q(
       (s, dir) => {
         val emb = table(s, dir, "embeddings")

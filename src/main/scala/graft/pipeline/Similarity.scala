@@ -101,6 +101,16 @@ object Similarity {
       roundCosine = false)
   }
 
+  /** The `nProbes` cells nearest the query by centroid dot product
+    * (ids ascending on ties) — shared by the inline and on-disk IVF
+    * paths. */
+  private def probeCells(cents: Seq[Seq[Double]], cellIds: Seq[Long],
+                         query: Seq[Double], nProbes: Int): Seq[Long] =
+    cellIds.zip(cents)
+      .map { case (id, c) =>
+        (id, c.zip(query).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (id, d) => (-d, id) }.take(nProbes).map(_._1)
+
   /** Shared IVF body: assign every vector to its argmax-dot centroid,
     * keep the `nProbes` cells nearest the query, exact-cosine rerank.
     * `cellIds(i)` names centroid i in the output `cell` column.
@@ -111,17 +121,14 @@ object Similarity {
                       query: Seq[Double], k: Int, cents: Seq[Seq[Double]],
                       cellIds: Seq[Long], nProbes: Int,
                       roundCosine: Boolean): DataFrame = {
-    val probeCells = cellIds.zip(cents)
-      .map { case (id, c) =>
-        (id, c.zip(query).map { case (a, b) => a * b }.sum) }
-      .sortBy { case (id, d) => (-d, id) }.take(nProbes).map(_._1)
+    val probes = probeCells(cents, cellIds, query, nProbes)
     val v = toDouble(col(vecCol))
     val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
       element_at(typedlit(cellIds), (idx + 1).cast("int")) }
     val cos = cosine(v, typedlit(query))
     embeddings
       .withColumn("cell", cellId)
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probes: _*))
       .select(col(idCol),
         (if (roundCosine) round(cos, 6) else cos).as("cosine"),
         col("cell"))
@@ -186,5 +193,45 @@ object Similarity {
     val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
     ivfCore(embeddings, idCol, vecCol, query, k, cents,
       cellIds = centroidIds, nProbes = nProbes, roundCosine = true)
+  }
+
+  /** Persist an IVF index: the embeddings written once, directory-
+    * partitioned by assigned cell (`cell=<id>/`). The LAYOUT is the
+    * index — a probe reads only the probed cells' directories
+    * (partition pruning: the cell predicate lands in the scan's
+    * `PartitionFilters`, and unprobed partitions are skipped by the
+    * file listing, never opened). At 100 TB query cost becomes
+    * nProbes/nCells of the corpus. Cell assignment is the same
+    * data-derived argmax-dot as [[ivfTopKData]], so index results are
+    * bit-identical to the inline form (spec-differential). */
+  def writeIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                    path: String, centroidIds: Seq[Long]): Unit = {
+    require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
+    val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
+    val v = toDouble(col(vecCol))
+    val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
+      element_at(typedlit(centroidIds), (idx + 1).cast("int")) }
+    embeddings.withColumn("cell", cellId)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe an on-disk IVF index written by [[writeIvfIndex]]. The
+    * codebook vectors are re-fetched from the index by id (bounded
+    * parameter fetch; a production deployment would store the codebook
+    * beside the index to avoid touching data partitions for it). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, vecCol: String, query: Seq[Double],
+                     k: Int, centroidIds: Seq[Long],
+                     nProbes: Int = 2): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val cents = vectorsByIds(idx, idCol, vecCol, centroidIds)
+    val probes = probeCells(cents, centroidIds, query, nProbes)
+    val v = toDouble(col(vecCol))
+    val cos = cosine(v, typedlit(query))
+    idx.filter(col("cell").isin(probes: _*))
+      .select(col(idCol), round(cos, 6).as("cosine"),
+        col("cell").cast("long").as("cell"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
   }
 }

@@ -89,6 +89,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(few.map(_.getLong(0)).forall(bruteIds)) // subset of the data
   }
 
+  test("on-disk IVF index: identical results, only probed partitions read") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0L to 60L)
+      .map(i => (i, Seq.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val cids = (1L to 4L)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_idx_spec").toString
+    Similarity.writeIvfIndex(df, "vec_id", "embedding", path, cids)
+    // layout: one directory per cell
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+      cids.map(c => s"cell=$c").toSet))
+
+    val indexed = Similarity.ivfTopKIndexed(s2, path, "vec_id",
+      "embedding", q, k = 10, centroidIds = cids, nProbes = 2)
+    val inline = Similarity.ivfTopKData(df, "vec_id", "embedding", q,
+      k = 10, centroidIds = cids, nProbes = 2)
+    assert(indexed.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq ===
+      inline.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+
+    // pruning: the cell predicate is a PARTITION filter (file-skipping),
+    // not a row filter — the executed scan reports fewer files read
+    // than the index holds
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cell"),
+      s"cell predicate must be a partition filter:\n$planStr")
+    val scan = scans(indexed.queryExecution.executedPlan)
+      .find(_.toString.contains("cell")).get
+    val totalFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path))
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(scan.metrics.contains("numFiles"))
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read < totalFiles,
+      s"probe must skip unprobed partitions: read $read of $totalFiles")
+  }
+
   test("data-derived IVF/ANN: full probe equals brute force (rounded)") {
     val s2 = spark
     import s2.implicits._
