@@ -692,6 +692,37 @@ object SparkEntry {
              |FROM w WHERE event_type = 'purchase'
              |ORDER BY event_id LIMIT 1000""".stripMargin)),
 
+    // ---- T11: the same as-of join through the NATIVE operator
+    // (plans/NativeAsOfJoin: custom LogicalPlan + strategy + sort-merge
+    // SparkPlan). Identical oracle to t9 — the operator implementation
+    // must not change the answer. --------------------------------------
+    "t11_asof_native" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+        graft.plans.NativeAsOfJoin.asofJoin(purchases, clicks,
+            Seq("user_id"), "ts", Seq("click_id"),
+            tieBreak = Some("click_id"), strict = true)
+          .select(col("event_id"), col("user_id"),
+            col("asof_click_id").cast("long").as("prev_click_id"))
+          .orderBy("event_id").limit(1000)
+      },
+      Some("""WITH w AS (SELECT event_id, user_id, event_type, ts,
+             |  last_value(CASE WHEN event_type = 'click' THEN event_id END
+             |    IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts,
+             |      CASE WHEN event_type = 'click' THEN 1 ELSE 0 END,
+             |      event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prev_click_id
+             |  FROM events WHERE event_type IN ('click', 'purchase'))
+             |SELECT event_id, user_id,
+             |  CAST(prev_click_id AS BIGINT) AS prev_click_id
+             |FROM w WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 1000""".stripMargin)),
+
     // ---- T10: bucketed range join ( clicks within 30 min before a
     // purchase, same user) ------------------------------------------------
     "t10_range_join" -> Q(

@@ -11,6 +11,27 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a (resolved) logical plan — the classic
+    * `Dataset.ofRows`, `private[sql]` in Spark 4. */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** Idempotently append a planner strategy to an existing session
+    * (the builder-config path is `spark.sql.extensions`). */
+  def addStrategy(spark: SparkSession,
+                  s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+
   /** Runtime function registration into an existing session (the
     * builder-config path is `spark.sql.extensions` →
     * [[graft.functions.GraftExtensions]]). */

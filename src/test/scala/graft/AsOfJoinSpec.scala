@@ -33,6 +33,64 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("native operator is differential-equal to the union-window form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // collisions on ts AND keys; some left rows with no match at all
+    val lefts = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(6).toLong))
+    val rights = (1 to 90).map(i =>
+      (1000L + i, rnd.nextInt(25).toLong, rnd.nextInt(8).toLong))
+    val l = lefts.toDF("id", "ts", "k")
+    val r = rights.toDF("rid", "ts", "k")
+      .select(col("k"), col("ts"), col("rid"))
+    for (strict <- Seq(false, true)) {
+      val window = graft.ops.AsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+          Seq("rid"), tieBreak = Some("rid"), strict = strict)
+        .select("id", "asof_rid").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      val native = graft.plans.NativeAsOfJoin.asofJoin(l, r, Seq("k"),
+          "ts", Seq("rid"), tieBreak = Some("rid"), strict = strict)
+        .select("id", "asof_rid").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(native === window, s"strict=$strict")
+    }
+  }
+
+  test("native operator plans one exchange+sort per side, no union/window") {
+    val s = spark
+    import s.implicits._
+    val l = (1 to 50).map(i => (i.toLong, i.toLong, (i % 3).toLong))
+      .toDF("id", "ts", "k")
+    val r = (1 to 30).map(i => (100L + i, i.toLong, (i % 3).toLong))
+      .toDF("rid", "ts", "k").select(col("k"), col("ts"), col("rid"))
+    val df = graft.plans.NativeAsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+      Seq("rid"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec expected:\n$plan")
+    assert(!plan.contains("Window"), s"no window state:\n$plan")
+    assert(!plan.contains("Union"), s"no union widening:\n$plan")
+    df.collect() // and it runs
+  }
+
+  test("native self-as-of (shared lineage) resolves without ambiguity") {
+    val s = spark
+    import s.implicits._
+    val events = (1 to 40).map(i =>
+      (i.toLong, i.toLong, (i % 2).toLong, if (i % 3 == 0) "b" else "a"))
+      .toDF("id", "ts", "k", "side")
+    val l = events.filter(col("side") === "a")
+    val r = events.filter(col("side") === "b")
+      .select(col("k"), col("ts"), col("id").as("rid"))
+    val got = graft.plans.NativeAsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+        Seq("rid"), tieBreak = Some("rid"))
+      .select("id", "asof_rid").collect()
+    assert(got.length === l.count())
+  }
+
   test("strict mode excludes same-timestamp right rows") {
     val s = spark
     import s.implicits._
