@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSig)
     ext.injectFunction(GraftFunctions.md5MinhashSig)
     ext.injectFunction(GraftFunctions.vectorDot)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

@@ -32,6 +32,14 @@ object GraftBridge {
       exp.extraStrategies = exp.extraStrategies :+ s
   }
 
+  /** The planner strategies an extensions class would inject — for
+    * asserting the `spark.sql.extensions` wiring without tearing down
+    * the shared test session (`buildPlannerStrategies` is
+    * `private[sql]`). */
+  def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
   /** Runtime function registration into an existing session (the
     * builder-config path is `spark.sql.extensions` →
     * [[graft.functions.GraftExtensions]]). */

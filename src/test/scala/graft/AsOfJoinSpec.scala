@@ -91,6 +91,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.length === l.count())
   }
 
+  test("GraftExtensions injects the as-of planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    val strategies =
+      org.apache.spark.sql.GraftBridge.plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsOfJoinStrategy))
+  }
+
   test("strict mode excludes same-timestamp right rows") {
     val s = spark
     import s.implicits._
