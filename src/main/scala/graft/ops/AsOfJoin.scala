@@ -57,4 +57,43 @@ object AsOfJoin {
       .drop("_side", "_tb")
       .drop(rightCols.filterNot(left.columns.contains): _*)
   }
+
+  /** As-of join against a STATIC, dimension-sized right side — the
+    * form a stream needs: the right table is collapsed to one sorted
+    * (ts, tieBreak, values) history array per key and broadcast; each
+    * left row then picks the last history entry at-or-before its
+    * timestamp with a per-row array probe. Completely stateless on
+    * the left side — no state store, no watermark — so the SAME code
+    * runs over a batch DataFrame or a streaming one in append mode
+    * (proved in StreamingSpec). Right side must be bounded per key
+    * (it lives in a broadcast row); use [[asofJoin]] or the native
+    * operator for corpus-sized right sides.
+    *
+    * Same contract as [[asofJoin]]: carried columns arrive as
+    * `asof_<name>`, null-ts right rows never match, null-ts left rows
+    * get null matches, ties on ts resolve by tieBreak, latest wins. */
+  def asofStaticRight(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      tsCol: String, rightCols: Seq[String],
+                      tieBreak: Option[String] = None,
+                      strict: Boolean = false): DataFrame = {
+    val tb = tieBreak.map(col(_).cast("long")).getOrElse(lit(0L))
+    val hist = right.filter(col(tsCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("_ts"), tb.as("_tb"),
+        struct(rightCols.map(col): _*).as("_v")))).as("_hist"))
+    val joined = left.join(broadcast(hist), keys, "left")
+    // try_element_at: an empty qualifying set is a legitimate no-match
+    // (ANSI element_at throws on the empty array)
+    val lastMatch = try_element_at(
+      filter(col("_hist"), h =>
+        if (strict) h("_ts") < col(tsCol) else h("_ts") <= col(tsCol)),
+      lit(-1))
+    val annotated = graft.pipeline.ExprUtils.let(lastMatch) { m =>
+      struct(rightCols.map(c => m("_v")(c).as(s"asof_$c")): _*)
+    }
+    joined.withColumn("_m", annotated)
+      .select(left.columns.map(col) ++
+        rightCols.map(c => col(s"_m.asof_$c")): _*)
+  }
 }

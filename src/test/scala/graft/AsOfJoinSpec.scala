@@ -91,6 +91,54 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.length === l.count())
   }
 
+  test("static-right as-of is differential-equal to the union-window form") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val lefts = (1 to 150).map(i =>
+      (i.toLong, rnd.nextInt(25).toLong, rnd.nextInt(6).toLong))
+    val rights = (1 to 60).map(i =>
+      (1000L + i, rnd.nextInt(25).toLong, rnd.nextInt(8).toLong))
+    val l = lefts.toDF("id", "ts", "k")
+    val r = rights.toDF("rid", "ts", "k")
+      .select(col("k"), col("ts"), col("rid"))
+    for (strict <- Seq(false, true)) {
+      def norm(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      val window = norm(AsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+          Seq("rid"), tieBreak = Some("rid"), strict = strict)
+        .select("id", "asof_rid").collect())
+      val static = norm(AsOfJoin.asofStaticRight(l, r, Seq("k"), "ts",
+          Seq("rid"), tieBreak = Some("rid"), strict = strict)
+        .select("id", "asof_rid").collect())
+      assert(static === window, s"strict=$strict")
+    }
+  }
+
+  test("static-right as-of runs over a stream in append mode, stateless") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val static = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 200L))
+      .toDF("k", "ts", "rid")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("id", "ts", "k")
+    val out = AsOfJoin.asofStaticRight(stream, static, Seq("k"), "ts",
+        Seq("rid"))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 15L, 1L), (2L, 25L, 1L), (3L, 4L, 2L), (4L, 9L, 9L))
+      out.processAllAvailable()
+      val got = s.sql("SELECT id, asof_rid FROM asof_stream").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(got === Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L))
+    } finally out.stop()
+  }
+
   test("GraftExtensions injects the as-of planner strategy") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftExtensions()(ext)
