@@ -1132,6 +1132,44 @@ object SparkEntry {
              |FROM events GROUP BY user_id
              |ORDER BY user_id LIMIT 1000""".stripMargin)),
 
+    // UNPIVOT (stack): wide aggregate row → (metric, value) long form.
+    // Generate runs inside the same stage as the aggregate output —
+    // no extra shuffle beyond the groupBy's.
+    "q23_unpivot" -> Q(
+      (s, dir) => lineitem(s, dir)
+        .groupBy("l_linestatus").agg(
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("price"))
+        .selectExpr("l_linestatus",
+          "stack(2, 'qty', qty, 'price', price) AS (metric, value)")
+        .orderBy("l_linestatus", "metric"),
+      Some("""WITH a AS (SELECT l_linestatus,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |      AS qty,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS DOUBLE) AS price
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_linestatus, 'qty' AS metric, qty AS value FROM a
+             |UNION ALL
+             |SELECT l_linestatus, 'price', price FROM a
+             |ORDER BY l_linestatus, metric""".stripMargin)),
+
+    // INTERSECT: set semantics via the built-in left-semi + distinct
+    // rewrite (no manual dedup).
+    "q24_intersect" -> Q(
+      (s, dir) => table(s, dir, "customer")
+        .select(col("c_nationkey").cast("long").as("nationkey"))
+        .intersect(table(s, dir, "supplier")
+          .select(col("s_nationkey").cast("long").as("nationkey")))
+        .orderBy("nationkey").limit(100),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+             |FROM customer
+             |INTERSECT
+             |SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+             |ORDER BY nationkey LIMIT 100""".stripMargin)),
+
     // Skew-salted two-level aggregation on the driver-verified path:
     // identical result to a plain groupBy count (the salt only spreads
     // the hot keys over `buckets` reduce tasks before the final
