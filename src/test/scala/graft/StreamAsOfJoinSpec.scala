@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{AsOfSideEvent, StreamAsOfJoin, StreamAsOfState}
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamAsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000)
+  private def ev(side: String, sec: Long, id: Long, user: Long = 1L) =
+    AsOfSideEvent(user, ts(sec), side, id)
+  private def state(st: Option[StreamAsOfState], watermarkSec: Long) =
+    TestGroupState.create[StreamAsOfState](
+      st.map(Optional.of[StreamAsOfState]).getOrElse(
+        Optional.empty[StreamAsOfState]),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of[Long](watermarkSec * 1000),
+      false)
+
+  test("eviction keeps only the latest mature right plus future rights") {
+    val gs = state(None, watermarkSec = 20)
+    val out = StreamAsOfJoin.process(3600000L)(1L, Iterator(
+      ev("R", 10, 100), ev("R", 15, 101), ev("R", 30, 102)), gs)
+    assert(out.isEmpty)
+    // rights at 10s dominated by 15s (both <= W=20); 30s is the future
+    assert(gs.get.rights === Seq((15000L, 101L), (30000L, 102L)))
+  }
+
+  test("a left waits for the watermark, then matches the latest earlier right") {
+    val gs1 = state(None, watermarkSec = 5)
+    val none = StreamAsOfJoin.process(3600000L)(1L, Iterator(
+      ev("R", 10, 100), ev("L", 20, 900)), gs1)
+    assert(none.isEmpty) // left ts 20 > W 5: buffered
+    assert(gs1.get.pendingLefts === Seq((20000L, 900L)))
+    // out-of-order right (ts 15 < buffered left's 20) arrives later;
+    // then the watermark passes the left
+    val gs2 = state(Some(gs1.get), watermarkSec = 25)
+    val out = StreamAsOfJoin.process(3600000L)(1L,
+      Iterator(ev("R", 15, 101)), gs2).toSeq
+    assert(out.map(a => a.left_id -> a.asof_id) === Seq(900L -> Some(101L)))
+    assert(gs2.get.pendingLefts.isEmpty)
+  }
+
+  test("a left with no earlier right emits None; empty state is removed") {
+    val gs = state(None, watermarkSec = 50)
+    val out = StreamAsOfJoin.process(3600000L)(1L,
+      Iterator(ev("L", 20, 900)), gs).toSeq
+    assert(out.map(a => a.left_id -> a.asof_id) === Seq(900L -> None))
+    assert(gs.isRemoved) // nothing pending, nothing to keep
+  }
+
+  test("idle TTL wake clears lingering right history") {
+    val gs = state(Some(StreamAsOfState(Seq((10000L, 100L)), Nil)),
+      watermarkSec = 20)
+    StreamAsOfJoin.process(1000L)(1L, Iterator.empty, gs)
+    // no pending lefts: state kept (one mature right) with a TTL wake
+    assert(gs.get.rights === Seq((10000L, 100L)))
+    assert(gs.getTimeoutTimestampMs.get === 21000L)
+  }
+
+  test("end-to-end: out-of-order right is matched, eager join would miss it") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val lefts = MemoryStream[(Long, Timestamp, Long)]
+    val rights = MemoryStream[(Long, Timestamp, Long)]
+    def frame(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id")
+    val q = StreamAsOfJoin.asofStream(frame(lefts), frame(rights),
+        delay = "5 seconds")
+      .writeStream.format("memory").queryName("asof_ss")
+      .outputMode("append").start()
+    try {
+      // batch 1: the left arrives BEFORE the right it must match
+      lefts.addData((1L, ts(20), 900L)); rights.addData((1L, ts(10), 100L))
+      q.processAllAvailable()
+      // batch 2: out-of-order right at 15s (< left's 20s), plus both-side
+      // dummies that advance the min-of-sources watermark past the left
+      rights.addData((1L, ts(15), 101L), (99L, ts(40), 555L))
+      lefts.addData((99L, ts(40), 556L))
+      q.processAllAvailable()
+      // batch 3: any data so the new watermark (35s) is applied
+      lefts.addData((98L, ts(50), 557L)); rights.addData((98L, ts(50), 558L))
+      q.processAllAvailable()
+      val got = s.sql(
+          "SELECT left_id, asof_id FROM asof_ss WHERE user_id = 1")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // matched to the 15s right, which arrived a batch after the left
+      assert(got === Map(900L -> Some(101L)))
+    } finally q.stop()
+  }
+}
