@@ -174,15 +174,17 @@ object Dedup {
     * reproducible in the DuckDB oracle. Same bucket-local join shape.
     * `native = false` switches to the declarative signature
     * (differential-tested equal). */
-  def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,
-                                    textCol: String, shingleSize: Int = 3,
-                                    k: Int = 12, bands: Int = 4,
-                                    native: Boolean = true): DataFrame = {
+  /** The (id, band_id, band_hash) relation of the portable LSH: one
+    * row per (doc, band). Shared by the self-join candidate pairs and
+    * the two-sided batch-vs-corpus gate. */
+  def portableBandRows(docs: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3, k: Int = 12, bands: Int = 4,
+                       native: Boolean = true): DataFrame = {
     val rows = k / bands
     val sigExpr =
       if (native) minhashSignaturePortableNative(col(textCol), k, shingleSize)
       else minhashSignaturePortable(shingles(col(textCol), shingleSize), k)
-    val bandRows = docs.select(col(idCol).as("id"),
+    docs.select(col(idCol).as("id"),
         explode(ExprUtils.let(sigExpr) {
           sig =>
             transform(sequence(lit(0), lit(bands - 1)),
@@ -192,6 +194,14 @@ object Dedup {
                     x => x.cast("string")))).cast("binary")).as("band_hash")))
         }).as("band"))
       .select(col("id"), col("band.band_id"), col("band.band_hash"))
+  }
+
+  def minhashCandidatePairsPortable(docs: DataFrame, idCol: String,
+                                    textCol: String, shingleSize: Int = 3,
+                                    k: Int = 12, bands: Int = 4,
+                                    native: Boolean = true): DataFrame = {
+    val bandRows = portableBandRows(docs, idCol, textCol, shingleSize,
+      k, bands, native)
     bandRows.as("a").join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -232,6 +242,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Incremental near-dup GATE: which of the NEW docs (a micro-batch,
+    * or any small delta) near-duplicate something already in the
+    * CORPUS. LSH candidates between the two sides — the new side's
+    * band rows are broadcast (a batch is small by construction; the
+    * corpus streams past them, so corpus size never enters a shuffle)
+    * — then exact token-Jaccard on candidates only. Output:
+    * (id_new, id_corpus, jaccard) with jaccard >= threshold. */
+  def lshVerifiedPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double, shingleSize: Int = 3,
+                              k: Int = 12, bands: Int = 4): DataFrame = {
+    val nb = portableBandRows(newDocs, idCol, textCol, shingleSize, k, bands)
+    val cb = portableBandRows(corpus, idCol, textCol, shingleSize, k, bands)
+    val cand = broadcast(nb).as("a").join(cb.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
+      .distinct()
+    def tok(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(array_distinct(split(col(textCol), " "))).as("t"))
+    def sizes(df: DataFrame) = df.select(col(idCol).as("id"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
+    val inter = cand
+      .join(tok(newDocs).as("ta"), col("id_new") === col("ta.id"))
+      .join(tok(corpus).as("tb"),
+        col("id_corpus") === col("tb.id") && col("ta.t") === col("tb.t"))
+      .groupBy("id_new", "id_corpus").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes(newDocs).withColumnRenamed("id", "id_new")
+        .withColumnRenamed("n", "na"), "id_new")
+      .join(sizes(corpus).withColumnRenamed("id", "id_corpus")
+        .withColumnRenamed("n", "nb"), "id_corpus")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_corpus"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Streaming form of the gate: each micro-batch of incoming docs is
+    * checked against the static corpus with [[lshVerifiedPairsAgainst]]
+    * and handed to `sink` — the foreachBatch production pattern for
+    * incremental corpus admission. */
+  def nearDupGateStream(docs: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String, threshold: Double)
+                       (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(lshVerifiedPairsAgainst(batch, corpus, idCol, textCol,
+          threshold))
+      }
+      .start()
 
   /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
     * bit position, the sign of each vote sum becomes the output bit.

@@ -195,4 +195,40 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 2L)) - 0.8) < 1e-6)
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("batch-vs-corpus gate flags only docs near-duplicating the corpus") {
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")))
+    val incoming = docsDf(Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // = corpus 1
+      (101L, "totally fresh content sharing nothing with anyone")))
+    val got = Dedup.lshVerifiedPairsAgainst(incoming, corpus,
+        "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((100L, 1L, 1.0)))
+  }
+
+  test("near-dup gate runs per micro-batch against the static corpus") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val mem = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Dedup.nearDupGateStream(
+        mem.toDF().toDF("doc_id", "text"), corpus,
+        "doc_id", "text", threshold = 0.6) { pairs =>
+      flagged ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      mem.addData((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      mem.addData((101L, "unrelated words only in this one right here"))
+      q.processAllAvailable()
+      assert(flagged.toSeq === Seq(100L -> 1L))
+    } finally q.stop()
+  }
 }

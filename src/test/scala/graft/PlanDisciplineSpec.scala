@@ -100,6 +100,18 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"d19 top-k per doc:\n$p")
   }
 
+  test("native as-of plans the custom exec, no union or window") {
+    val p = plan("t11_asof_native")
+    assert(p.contains("AsOfJoin"), s"custom operator expected:\n$p")
+    assert(!p.contains("Union") && !p.contains("Window"),
+      s"t11 must not fall back to the union-window encoding:\n$p")
+  }
+
+  test("intersect plans as a semi join, not a nested loop") {
+    val p = plan("q24_intersect")
+    assert(p.contains("LeftSemi"), s"q24:\n$p")
+  }
+
   test("semi/anti joins stay joins (no subquery re-execution shapes)") {
     assert(plan("q13_semi_join").contains("LeftSemi"))
     assert(plan("q14_anti_join").contains("LeftAnti"))

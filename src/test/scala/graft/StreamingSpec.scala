@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import graft.model.LogEvent
 import graft.streaming.{EventStream, RankRederivation, RawKeyEvent}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -172,6 +173,40 @@ class StreamingSpec extends AnyFunSuite {
         .toInstant.toString.startsWith("2024-01-01T00:00"))
       assert(first.length === 1)
       assert(first.head.getAs[Long]("commits") === 2) // late event excluded
+    } finally q.stop()
+  }
+
+  test("flagship analyze runs incrementally over a stream (complete mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ev(rank: Option[Int]) = LogEvent("text_committed",
+      "2024-01-01T00:00:00.000Z", Some("x"), None, None, rank,
+      Some("x"), None, None)
+    val mem = MemoryStream[LogEvent]
+    val q = graft.queries.AnalyzeQuery.metricsFrame(mem.toDF())
+      .writeStream.format("memory").queryName("analyze_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(ev(Some(0)), ev(Some(2)), ev(Some(-1)))
+      q.processAllAvailable()
+      val r1 = s.table("analyze_stream").head()
+      assert(r1.getAs[Long]("total_commits") === 3)
+      assert(r1.getAs[Long]("first_choice_count") === 1)
+      // the SAME query keeps updating: metrics reflect all input so far
+      mem.addData(ev(Some(0)), ev(None))
+      q.processAllAvailable()
+      val r2 = s.table("analyze_stream").head()
+      assert(r2.getAs[Long]("total_commits") === 5)
+      assert(r2.getAs[Long]("first_choice_count") === 2)
+      // equals the batch computation over the union of both batches
+      val batch = graft.queries.AnalyzeQuery.metricsFrame(
+        Seq(ev(Some(0)), ev(Some(2)), ev(Some(-1)), ev(Some(0)), ev(None))
+          .toDF()).head()
+      assert(r2.getAs[Long]("total_selections") ===
+        batch.getAs[Long]("total_selections"))
+      assert(r2.getAs[Double]("top3_hit_rate") ===
+        batch.getAs[Double]("top3_hit_rate"))
     } finally q.stop()
   }
 
