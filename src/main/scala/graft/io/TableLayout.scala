@@ -28,4 +28,36 @@ object TableLayout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * size-targeted files. Long-running ingestion (micro-batch sinks,
+    * the JSONL connector's per-task parts) accretes small files whose
+    * per-file open/footer cost eventually dominates scans at 100 TB;
+    * periodic compaction is the standard operational answer. The
+    * rewrite goes through a temp directory + atomic-ish swap so a
+    * failed compaction never leaves the table truncated. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+              targetBytesPerFile: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val parts = math.max(1, math.ceil(
+      totalBytes.toDouble / targetBytesPerFile).toInt)
+    val tmp = new Path(p.getParent, s".${p.getName}_compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(parts)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val bak = new Path(p.getParent, s".${p.getName}_compact_old")
+    fs.delete(bak, true)
+    require(fs.rename(p, bak), s"could not move $p aside")
+    require(fs.rename(tmp, p), s"could not install compacted $tmp")
+    fs.delete(bak, true)
+    (before.size, dataFiles(p).size)
+  }
 }

@@ -205,14 +205,25 @@ object Similarity {
     * data-derived argmax-dot as [[ivfTopKData]], so index results are
     * bit-identical to the inline form (spec-differential). */
   def writeIvfIndex(embeddings: DataFrame, idCol: String, vecCol: String,
-                    path: String, centroidIds: Seq[Long]): Unit = {
+                    path: String, centroidIds: Seq[Long]): Unit =
+    writeIvfIndexWith(embeddings, idCol, vecCol, path, centroidIds,
+      vectorsByIds(embeddings, idCol, vecCol, centroidIds), "overwrite")
+
+  /** Index write with an explicit codebook and save mode. `append`
+    * is the incremental-maintenance path: new embeddings assigned with
+    * the SAME codebook land in their cells' directories alongside the
+    * existing files — no rewrite of standing partitions, and probes
+    * see old and new rows uniformly (spec-verified). */
+  def writeIvfIndexWith(embeddings: DataFrame, idCol: String,
+                        vecCol: String, path: String,
+                        centroidIds: Seq[Long], cents: Seq[Seq[Double]],
+                        mode: String): Unit = {
     require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
-    val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
     val v = toDouble(col(vecCol))
     val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
       element_at(typedlit(centroidIds), (idx + 1).cast("int")) }
     embeddings.withColumn("cell", cellId)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode(mode).partitionBy("cell").parquet(path)
   }
 
   /** Probe an on-disk IVF index written by [[writeIvfIndex]]. The

@@ -8,6 +8,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("compaction shrinks the file count and preserves every row") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").resolve("t").toString
+    val df = (1L to 2000L).toDF("id")
+    df.repartition(24).write.parquet(dir) // 24 deliberately-small files
+    val (before, after) = TableLayout.compact(s, dir,
+      targetBytesPerFile = 1L << 20)
+    assert(before === 24 && after < before)
+    val back = s.read.parquet(dir)
+    assert(back.count() === 2000L)
+    assert(back.agg(sum("id")).head().getLong(0) === 2001000L)
+  }
+
   test("salted count equals plain groupBy count on skewed data") {
     val s = spark
     import s.implicits._

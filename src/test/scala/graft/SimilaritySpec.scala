@@ -145,6 +145,36 @@ class SimilaritySpec extends AnyFunSuite {
       s"probe must skip unprobed partitions: read $read of $totalFiles")
   }
 
+  test("IVF index append: new vectors join their cells, probes see both") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(29)
+    def vecs(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val base = vecs(0 to 40)
+    val cids = (1L to 4L)
+    val path = java.nio.file.Files
+      .createTempDirectory("ivf_idx_append").toString
+    Similarity.writeIvfIndex(base, "vec_id", "embedding", path, cids)
+    // incremental maintenance: same codebook, append-only
+    val cents = Similarity.vectorsByIds(base, "vec_id", "embedding", cids)
+    val delta = vecs(41 to 60)
+    Similarity.writeIvfIndexWith(delta, "vec_id", "embedding", path,
+      cids, cents, "append")
+    val all = base.union(delta)
+    val q = all.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val indexed = Similarity.ivfTopKIndexed(s2, path, "vec_id",
+        "embedding", q, k = 15, centroidIds = cids, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inline = Similarity.ivfTopKData(all, "vec_id", "embedding", q,
+        k = 15, centroidIds = cids, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed === inline)
+    assert(indexed.map(_._1).exists(_ > 40L)) // appended rows reachable
+  }
+
   test("data-derived IVF/ANN: full probe equals brute force (rounded)") {
     val s2 = spark
     import s2.implicits._
