@@ -31,13 +31,7 @@ object Bench {
     // make the first timed run re-absorb JIT cost.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
-    // SPARK_GRAFT_ONLY=q3,q9 restricts the run (dev iteration aid).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectedQueries
     selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>

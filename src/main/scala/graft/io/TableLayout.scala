@@ -42,6 +42,16 @@ object TableLayout {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Flat directories only: rewriting a partitioned layout through
+    // spark.read.parquet would flatten it (the partition column becomes
+    // data; pruning dies silently). Compact each partition directory
+    // individually instead.
+    val subDirs = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+    require(subDirs.isEmpty,
+      s"$path contains partition subdirectories " +
+        s"(${subDirs.map(_.getPath.getName).take(3).mkString(", ")}…); " +
+        "compact each partition directory individually")
     def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.filter(f =>
         f.isFile && !f.getPath.getName.startsWith("_"))

@@ -222,24 +222,36 @@ object Dedup {
                               bands: Int = 4): DataFrame = {
     val cand = minhashCandidatePairsPortable(docs, idCol, textCol,
       shingleSize, k, bands)
-    val tok = docs.select(col(idCol).as("id"),
+    verifyJaccard(cand, "id_a", "id_b", docs, docs, idCol, textCol,
+      threshold)
+  }
+
+  /** Exact token-Jaccard verification of candidate pairs — the ONE
+    * implementation behind both the self-join near-dup path and the
+    * batch-vs-corpus gate, so their semantics (tokenization, rounding,
+    * threshold) cannot drift apart. */
+  private def verifyJaccard(cand: DataFrame, idACol: String, idBCol: String,
+                            docsA: DataFrame, docsB: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double): DataFrame = {
+    def tok(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
-    val sizes = docs.select(col(idCol).as("id"),
+    def sizes(df: DataFrame) = df.select(col(idCol).as("id"),
       size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
     val inter = cand
-      .join(tok.as("ta"), col("id_a") === col("ta.id"))
-      .join(tok.as("tb"),
-        col("id_b") === col("tb.id") && col("ta.t") === col("tb.t"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      .join(tok(docsA).as("ta"), col(idACol) === col("ta.id"))
+      .join(tok(docsB).as("tb"),
+        col(idBCol) === col("tb.id") && col("ta.t") === col("tb.t"))
+      .groupBy(idACol, idBCol).agg(count(lit(1)).as("i"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n", "nb"), "id_b")
+      .join(sizes(docsA).withColumnRenamed("id", idACol)
+        .withColumnRenamed("n", "na"), idACol)
+      .join(sizes(docsB).withColumnRenamed("id", idBCol)
+        .withColumnRenamed("n", "nb"), idBCol)
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"),
+      .select(col(idACol), col(idBCol),
         round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -261,25 +273,8 @@ object Dedup {
           col("a.band_hash") === col("b.band_hash"))
       .select(col("a.id").as("id_new"), col("b.id").as("id_corpus"))
       .distinct()
-    def tok(df: DataFrame) = df.select(col(idCol).as("id"),
-      explode(array_distinct(split(col(textCol), " "))).as("t"))
-    def sizes(df: DataFrame) = df.select(col(idCol).as("id"),
-      size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
-    val inter = cand
-      .join(tok(newDocs).as("ta"), col("id_new") === col("ta.id"))
-      .join(tok(corpus).as("tb"),
-        col("id_corpus") === col("tb.id") && col("ta.t") === col("tb.t"))
-      .groupBy("id_new", "id_corpus").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes(newDocs).withColumnRenamed("id", "id_new")
-        .withColumnRenamed("n", "na"), "id_new")
-      .join(sizes(corpus).withColumnRenamed("id", "id_corpus")
-        .withColumnRenamed("n", "nb"), "id_corpus")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_new"), col("id_corpus"),
-        round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(cand, "id_new", "id_corpus", newDocs, corpus,
+      idCol, textCol, threshold)
   }
 
   /** Streaming form of the gate: each micro-batch of incoming docs is

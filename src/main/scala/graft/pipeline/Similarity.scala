@@ -234,6 +234,9 @@ object Similarity {
                      idCol: String, vecCol: String, query: Seq[Double],
                      k: Int, centroidIds: Seq[Long],
                      nProbes: Int = 2): DataFrame = {
+    // vectorsByIds returns ascending-by-id; an unsorted caller list
+    // would silently mislabel cells and probe the wrong partitions
+    require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
     val idx = spark.read.parquet(path)
     val cents = vectorsByIds(idx, idCol, vecCol, centroidIds)
     val probes = probeCells(cents, centroidIds, query, nProbes)

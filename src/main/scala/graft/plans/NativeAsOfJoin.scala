@@ -208,6 +208,15 @@ object NativeAsOfJoin {
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"missing column $name"))
+    // The exec's orderings are built from the LEFT side's types and
+    // compare rows projected from BOTH sides — a type mismatch would
+    // read garbage bytes and mis-join silently, so fail fast here.
+    (keys :+ tsCol).foreach { c =>
+      val (lt, rt) = (attr(lPlan, c).dataType, attr(rPlan, c).dataType)
+      require(lt == rt,
+        s"as-of column '$c' must have the same type on both sides " +
+          s"(left: $lt, right: $rt); cast before joining")
+    }
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
       attr(lPlan, tsCol), attr(rPlan, tsCol), attr(rPlan, "_tb"), strict)

@@ -60,6 +60,13 @@ object StreamAsOfJoin {
     val w = scala.util.Try(gs.getCurrentWatermarkMs())
       .getOrElse(Long.MaxValue)
     val evs = it.toSeq
+    // pure TTL wake (timed out, no new events, nothing pending): the
+    // key has been idle for idleTtl since its last left matured — drop
+    // the lingering right history and the state entry entirely
+    if (gs.hasTimedOut && evs.isEmpty && st.pendingLefts.isEmpty) {
+      gs.remove()
+      return Iterator.empty
+    }
     val rights = (st.rights ++
       evs.collect { case e if e.side == "R" => (e.ts.getTime, e.id) })
       .sorted

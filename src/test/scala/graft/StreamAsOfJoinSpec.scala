@@ -13,13 +13,14 @@ class StreamAsOfJoinSpec extends AnyFunSuite {
   private def ts(sec: Long) = new Timestamp(sec * 1000)
   private def ev(side: String, sec: Long, id: Long, user: Long = 1L) =
     AsOfSideEvent(user, ts(sec), side, id)
-  private def state(st: Option[StreamAsOfState], watermarkSec: Long) =
+  private def state(st: Option[StreamAsOfState], watermarkSec: Long,
+                    timedOut: Boolean = false) =
     TestGroupState.create[StreamAsOfState](
       st.map(Optional.of[StreamAsOfState]).getOrElse(
         Optional.empty[StreamAsOfState]),
       GroupStateTimeout.EventTimeTimeout, 0L,
       Optional.of[Long](watermarkSec * 1000),
-      false)
+      timedOut)
 
   test("eviction keeps only the latest mature right plus future rights") {
     val gs = state(None, watermarkSec = 20)
@@ -60,6 +61,12 @@ class StreamAsOfJoinSpec extends AnyFunSuite {
     // no pending lefts: state kept (one mature right) with a TTL wake
     assert(gs.get.rights === Seq((10000L, 100L)))
     assert(gs.getTimeoutTimestampMs.get === 21000L)
+    // the wake itself (timed out, no new data, nothing pending)
+    // removes the state entirely — idle keys do not leak
+    val woke = state(Some(gs.get), watermarkSec = 22, timedOut = true)
+    val out = StreamAsOfJoin.process(1000L)(1L, Iterator.empty, woke)
+    assert(out.isEmpty)
+    assert(woke.isRemoved)
   }
 
   test("end-to-end: out-of-order right is matched, eager join would miss it") {
