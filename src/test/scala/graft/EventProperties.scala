@@ -97,4 +97,22 @@ object EventProperties extends Properties("graft.events") {
         spark, Fixtures.writeJsonl(withCorrupt).toString))
       a == b
     }
+
+  property("split assignment: total, deterministic, corpus-independent") =
+    Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 1000000L))) { ids =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions.col
+      def assign(xs: List[Long]): Map[Long, String] =
+        xs.toDF("doc_id")
+          .withColumn("split", graft.pipeline.Curation.splitName(
+            col("doc_id")))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val full = assign(ids)
+      val half = assign(ids.take(ids.length / 2))
+      // every id gets exactly one of the three splits, and removing
+      // half the corpus never changes any remaining assignment
+      full.values.forall(Set("train", "val", "test")) &&
+        half.forall { case (id, sp) => full(id) == sp }
+    }
 }
