@@ -8,6 +8,42 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString
+    // fact large relative to dim, dim selective: the injected bloom
+    // filter on the fact scan is how Spark cuts shuffle input at scale
+    // without any manual pre-filter
+    (1L to 50000L).map(i => (i, i % 1000)).toDF("id", "k")
+      .write.parquet(s"$dir/fact")
+    (1L to 1000L).map(i => (i, i % 97)).toDF("k", "attr")
+      .write.parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // production default is 10GB — the whole point of the rule is
+      // big fact sides; shrink it so the test-sized fact qualifies
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (c, _) => c -> s.conf.getOption(c) }
+    confs.foreach { case (c, v) => s.conf.set(c, v) }
+    try {
+      val joined = s.read.parquet(s"$dir/fact")
+        .join(s.read.parquet(s"$dir/dim").filter(col("attr") === 7), "k")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") ||
+        plan.contains("BloomFilter"),
+        s"runtime bloom filter expected in the optimized plan:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (c, Some(v)) => s.conf.set(c, v)
+      case (c, None) => s.conf.unset(c)
+    }
+  }
+
   test("compaction shrinks the file count and preserves every row") {
     val s = spark
     import s.implicits._
