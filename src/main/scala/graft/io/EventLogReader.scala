@@ -25,21 +25,30 @@ object EventLogReader {
 
   val CorruptCol = "_corrupt_record"
 
-  /** Full tolerant scan: all event types, corrupt lines dropped. */
-  def readJsonl(spark: SparkSession, path: String): DataFrame = {
-    val withCorrupt = LogEvent.schema.add(CorruptCol, StringType)
-    spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      // corrupt line ⇒ corrupt col non-null and all schema cols null;
-      // requiring a non-null event_type also drops `{}`-style empties
-      // (the producer never writes an event without its type:
-      // input_habit_logger.lua:128).
-      .filter(col(CorruptCol).isNull && col("event_type").isNotNull)
+  /** The ONE tolerant-read recipe, shared by the batch and streaming
+    * paths so their corrupt-line semantics cannot drift: explicit
+    * schema + PERMISSIVE corrupt column on the reader, then
+    * [[tolerantFilter]] on the result. */
+  val TolerantSchema: org.apache.spark.sql.types.StructType =
+    LogEvent.schema.add(CorruptCol, StringType)
+  val TolerantOptions: Map[String, String] = Map(
+    "mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> CorruptCol)
+
+  /** Corrupt line ⇒ corrupt col non-null and all schema cols null;
+    * requiring a non-null event_type also drops `{}`-style empties
+    * (the producer never writes an event without its type:
+    * input_habit_logger.lua:128). */
+  def tolerantFilter(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull && col("event_type").isNotNull)
       .drop(CorruptCol)
-  }
+
+  /** Full tolerant scan: all event types, corrupt lines dropped. */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    tolerantFilter(spark.read
+      .schema(TolerantSchema)
+      .options(TolerantOptions)
+      .json(path))
 
   /** Scan fused with the commit filter — the shape `analyzer.go:77-79`
     * hand-fuses; in Spark the predicate lands in the scan stage via

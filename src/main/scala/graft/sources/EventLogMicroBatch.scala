@@ -2,7 +2,8 @@ package graft.sources
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream,
+  Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 
@@ -24,15 +25,17 @@ import org.apache.spark.sql.types.StructType
   * State is the offset alone (stored in the checkpoint by the
   * engine); the source itself is stateless across restarts.
   */
-private[sources] case class EventLogOffset(pos: Long) extends Offset {
+private[graft] case class EventLogOffset(pos: Long) extends Offset {
   override def json(): String = s"""{"pos":$pos}"""
 }
 
-private[sources] class EventLogMicroBatchStream(path: String,
-                                                required: StructType,
-                                                pushed: Array[Filter],
-                                                splitBytes: Long)
-    extends MicroBatchStream {
+private[graft] class EventLogMicroBatchStream(
+    path: String,
+    required: StructType,
+    pushed: Array[Filter],
+    splitBytes: Long,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   // the streaming offset model is a byte position in ONE append-only
   // file (the reference's actual log shape); a directory of parts has
@@ -48,6 +51,23 @@ private[sources] class EventLogMicroBatchStream(path: String,
 
   override def latestOffset(): Offset =
     EventLogOffset(new java.io.File(path).length())
+
+  /** Admission control: without a cap, a stream started against an
+    * existing large log makes the whole backlog ONE micro-batch —
+    * hours of work before the first checkpoint, full reprocessing on
+    * any failure, and one giant batch hitting downstream stateful
+    * operators' per-batch bounds. `maxBytesPerTrigger` caps each
+    * batch's byte range; the engine keeps scheduling batches until the
+    * backlog drains. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventLogOffset].pos
+    val len = new java.io.File(path).length()
+    val capped = maxBytesPerTrigger
+      .map(m => math.min(len, s + m)).getOrElse(len)
+    EventLogOffset(math.max(capped, s))
+  }
 
   override def deserializeOffset(json: String): Offset =
     EventLogOffset(mapper.readTree(json).get("pos").asLong())

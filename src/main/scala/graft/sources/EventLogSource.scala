@@ -63,7 +63,8 @@ private[sources] class EventLogTable(path: String)
       : ScanBuilder =
     new EventLogScanBuilder(path,
       Option(options.get("splitBytes")).map(_.toLong)
-        .getOrElse(EventLogSource.DefaultSplitBytes))
+        .getOrElse(EventLogSource.DefaultSplitBytes),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -83,10 +84,13 @@ object EventLogSource {
   }
 }
 
-private[sources] class EventLogScanBuilder(path: String, splitBytes: Long)
+private[sources] class EventLogScanBuilder(path: String, splitBytes: Long,
+                                           maxBytesPerTrigger: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
+  require(maxBytesPerTrigger.forall(_ > 0),
+    "maxBytesPerTrigger must be positive")
 
   private var required: StructType = LogEvent.schema
   private var pushed: Array[Filter] = Array.empty
@@ -107,18 +111,20 @@ private[sources] class EventLogScanBuilder(path: String, splitBytes: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan = new EventLogScan(path, required, pushed,
-    splitBytes)
+    splitBytes, maxBytesPerTrigger)
 }
 
 private[sources] class EventLogScan(path: String, required: StructType,
                                     pushed: Array[Filter],
-                                    splitBytes: Long)
+                                    splitBytes: Long,
+                                    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new EventLogMicroBatchStream(path, required, pushed, splitBytes)
+    new EventLogMicroBatchStream(path, required, pushed, splitBytes,
+      maxBytesPerTrigger)
   override def description(): String =
     s"EventLogScan($path, pushed=[${pushed.mkString(",")}])"
 
@@ -202,6 +208,12 @@ private[sources] class EventLogPartitionReader(p: EventLogPartition,
   }
   private val notNullCols: Array[String] =
     pushed.collect { case IsNotNull(c) => c }
+  // fixed for the reader's lifetime: int index arrays so the per-line
+  // hot loop never does string-keyed fieldIndex lookups
+  private val notNullIdx: Array[Int] =
+    notNullCols.map(LogEvent.schema.fieldIndex)
+  private val projIdx: Array[Int] =
+    required.fields.map(f => LogEvent.schema.fieldIndex(f.name))
 
   private def readLine(): Option[String] = {
     if (pos >= p.end) return None // next line starts in another split
@@ -273,13 +285,16 @@ private[sources] class EventLogPartitionReader(p: EventLogPartition,
       // pushed IsNotNull is checked against the MATERIALIZED value,
       // so a coercion can never smuggle a null through a consumed
       // filter, whether or not the filter column is projected
-      if (notNullCols.exists(c =>
-        full(LogEvent.schema.fieldIndex(c)) == null)) return None
+      var j = 0
+      while (j < notNullIdx.length) {
+        if (full(notNullIdx(j)) == null) return None
+        j += 1
+      }
       val row = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(required.length)
       var i = 0
       while (i < required.length) {
-        row.update(i, full(LogEvent.schema.fieldIndex(required(i).name)))
+        row.update(i, full(projIdx(i)))
         i += 1
       }
       Some(row)

@@ -58,14 +58,29 @@ private[sources] class EventLogBatchWrite(path: String, truncate: Boolean)
           StandardCopyOption.ATOMIC_MOVE)
       case _ =>
     }
+    sweepOrphans()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case EventLogCommit(tmpName, _) =>
         Files.deleteIfExists(Paths.get(path, tmpName))
       case _ =>
     }
+    sweepOrphans()
+  }
+
+  /** A task killed before producing a commit message (executor death,
+    * zapped speculative attempt) leaves a `.part-*.tmp` nobody ever
+    * names again; without a sweep they accumulate forever. Safe under
+    * the single-writer-per-directory contract of this sink: at job
+    * commit/abort, every committed temp has already been renamed or
+    * deleted, so any remaining `.tmp` is an orphan of THIS job. */
+  private def sweepOrphans(): Unit =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".part-") &&
+        f.getName.endsWith(".tmp"))
+      .foreach(_.delete())
 }
 
 private[sources] case class EventLogCommit(tmpName: String,

@@ -16,19 +16,15 @@ import org.apache.spark.sql.types.StringType
   */
 object EventStream {
 
-  private val CorruptCol = graft.io.EventLogReader.CorruptCol
-
-  /** Live tolerant scan over a growing JSONL directory. */
-  def readJsonlStream(spark: SparkSession, dir: String): DataFrame = {
-    val withCorrupt = LogEvent.schema.add(CorruptCol, StringType)
-    spark.readStream
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(dir)
-      .filter(col(CorruptCol).isNull && col("event_type").isNotNull)
-      .drop(CorruptCol)
-  }
+  /** Live tolerant scan over a growing JSONL directory — the same
+    * recipe as the batch [[graft.io.EventLogReader.readJsonl]] (shared
+    * schema/options/filter, so batch and streaming corrupt-line
+    * semantics cannot drift). */
+  def readJsonlStream(spark: SparkSession, dir: String): DataFrame =
+    graft.io.EventLogReader.tolerantFilter(spark.readStream
+      .schema(graft.io.EventLogReader.TolerantSchema)
+      .options(graft.io.EventLogReader.TolerantOptions)
+      .json(dir))
 
   /** Typed event-time column from the logged ISO-8601 string (T7). */
   def withEventTime(events: DataFrame): DataFrame =

@@ -48,7 +48,11 @@ final case class SnapshotState(
     snapBuffer: Option[String],
     snapCandidates: Option[Seq[String]],
     snapPage: Int,
-    pendingKey: Option[String])
+    pendingKey: Option[String],
+    // highest seq already applied — guards the single-ordered-writer
+    // precondition across micro-batches (a file discovered late would
+    // otherwise replay older events on top of newer state, silently)
+    lastSeq: Long = -1L)
 
 /** SURVEY §2.6 T2-T4: re-derive `selected_candidate_rank` and
   * `selection_method` from the raw keypress stream, as a keyed state
@@ -66,7 +70,7 @@ object RankRederivation {
     "Page_Up" -> -1, "Prev" -> -1)
 
   val initialState: SnapshotState =
-    SnapshotState(None, 0, None, None, 0, None)
+    SnapshotState(None, 0, None, None, 0, None, -1L)
 
   /** One event through the producer state machine
     * (`input_habit_logger.lua:283-395` keypress path, `:215-278` commit
@@ -84,16 +88,22 @@ object RankRederivation {
       val hasMenu = e.has_menu.getOrElse(e.candidates.exists(_.nonEmpty))
       // snapshot update (lua:356-381); the tracker keeps its page on
       // menu close, only the snapshot page zeroes (lua:370)
+      // the lua derives current_input_buffer with an "N/A" fallback
+      // (lua:294-306) and stores it UNCONDITIONALLY on every keypress,
+      // so after the first keypress the snapshot buffer is never nil —
+      // `direct_commit_no_menu` (lua:261-263) means "no keypress ever",
+      // not "keypress without a buffer field"
+      val snapBuf = Some(e.input_buffer.getOrElse("N/A"))
       val snap =
         if (hasMenu)
           state.copy(lastSeenBuffer = e.input_buffer, trackerPage = page,
-            snapBuffer = e.input_buffer, snapCandidates = e.candidates,
+            snapBuffer = snapBuf, snapCandidates = e.candidates,
             snapPage = page,
             pendingKey = e.key_repr.filter(k =>
               k == "space" || k.matches("^[1-9]$")))
         else
           state.copy(lastSeenBuffer = e.input_buffer, trackerPage = page,
-            snapBuffer = e.input_buffer, snapCandidates = None,
+            snapBuffer = snapBuf, snapCandidates = None,
             snapPage = 0,
             pendingKey = None)
       (snap, None)
@@ -137,9 +147,17 @@ object RankRederivation {
     * an executor OOM mid-batch. */
   val MaxBatchEventsPerSession: Int = 1 << 20
 
-  private def processGroup(sessionId: String, events: Iterator[RawKeyEvent],
-                           groupState: GroupState[SnapshotState])
-      : Iterator[DerivedCommit] = {
+  private[graft] def processGroup(idleTimeout: Option[String])(
+      sessionId: String, events: Iterator[RawKeyEvent],
+      groupState: GroupState[SnapshotState]): Iterator[DerivedCommit] = {
+    // idle-session eviction: sessions end (or die) without a marker the
+    // consumer can rely on, so state for a session with no events for
+    // `idleTimeout` is dropped — without this the store grows with
+    // every session_id ever seen
+    if (groupState.hasTimedOut) {
+      groupState.remove()
+      return Iterator.empty
+    }
     var st = groupState.getOption.getOrElse(initialState)
     // the producer is an ordered single writer per session; restore that
     // order within the micro-batch (bounded — see MaxBatchEventsPerSession)
@@ -148,20 +166,48 @@ object RankRederivation {
       s"session $sessionId exceeded $MaxBatchEventsPerSession events in " +
         "one micro-batch; bound the trigger (maxFilesPerTrigger / rate " +
         "limit) so per-session batches fit in executor memory")
-    val out = buf.sortBy(_.seq).flatMap { e =>
+    val sorted = buf.sortBy(_.seq)
+    // cross-batch ordering is a PRECONDITION, not an assumption: an
+    // ingest file discovered late would replay older seqs on top of
+    // newer state and silently corrupt every derivation after it
+    sorted.headOption.foreach { first =>
+      require(first.seq > st.lastSeq,
+        s"session $sessionId: seq ${first.seq} arrived after state " +
+          s"already applied seq ${st.lastSeq} — out-of-order ingest " +
+          "across micro-batches (late-discovered file?)")
+    }
+    val out = sorted.flatMap { e =>
       val (next, commit) = step(st, e)
       st = next
       commit
     }
-    groupState.update(st)
+    groupState.update(
+      sorted.lastOption.fold(st)(last => st.copy(lastSeq = last.seq)))
+    // re-arm the idle clock on every batch with data for this session;
+    // Try: batch execution accepts-or-ignores the call, never fails the job
+    idleTimeout.foreach(d =>
+      scala.util.Try(groupState.setTimeoutDuration(d)))
     out.iterator
   }
 
-  /** Streaming (or batch) re-derivation keyed by session. */
-  def deriveCommits(events: Dataset[RawKeyEvent]): Dataset[DerivedCommit] = {
+  /** Streaming (or batch) re-derivation keyed by session.
+    *
+    * `sessionIdleTimeout = Some("1 hour")` evicts the state of
+    * sessions idle that long (processing time) — REQUIRED for
+    * long-running deployments, or the store grows with every
+    * session_id ever seen. It stays opt-in because a
+    * processing-time-timeout query schedules its own wake-up batches,
+    * which breaks `processAllAvailable`-style deterministic tests and
+    * is pointless for bounded backfills. */
+  def deriveCommits(events: Dataset[RawKeyEvent],
+                    sessionIdleTimeout: Option[String] = None)
+      : Dataset[DerivedCommit] = {
     import events.sparkSession.implicits._
+    val conf = sessionIdleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout())
     events.groupByKey(_.session_id)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(processGroup)
+      .flatMapGroupsWithState(OutputMode.Append(), conf)(
+        processGroup(sessionIdleTimeout))
   }
 }

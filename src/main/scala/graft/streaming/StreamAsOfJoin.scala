@@ -61,10 +61,18 @@ object StreamAsOfJoin {
       .getOrElse(Long.MaxValue)
     val evs = it.toSeq
     // pure TTL wake (timed out, no new events, nothing pending): the
-    // key has been idle for idleTtl since its last left matured — drop
-    // the lingering right history and the state entry entirely
+    // key has been idle for idleTtl since its last left matured. Drop
+    // the PRE-GAP history (rights at or below the watermark) — but an
+    // in-flight right ABOVE the watermark has not matured and must
+    // survive the wake, or an on-time left arriving next would
+    // silently mis-join to None.
     if (gs.hasTimedOut && evs.isEmpty && st.pendingLefts.isEmpty) {
-      gs.remove()
+      val future = st.rights.filter(_._1 > w)
+      if (future.isEmpty) gs.remove()
+      else {
+        gs.update(StreamAsOfState(future, Nil))
+        gs.setTimeoutTimestamp(math.max(w + idleTtlMs, w + 1))
+      }
       return Iterator.empty
     }
     val rights = (st.rights ++
@@ -112,9 +120,15 @@ object StreamAsOfJoin {
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .safeStringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(idleTtl)) match {
-      case null => 3600L * 1000
-      case iv => iv.days * 86400000L + iv.microseconds / 1000
+      case null =>
+        throw new IllegalArgumentException(
+          s"cannot parse idleTtl interval: '$idleTtl'")
+      case iv =>
+        require(iv.months == 0,
+          "idleTtl must be day-or-smaller denominated (months vary)")
+        iv.days * 86400000L + iv.microseconds / 1000
     }
+    require(ttlMs > 0, s"idleTtl must be positive, got '$idleTtl'")
     side(left, "L").union(side(right, "R"))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -136,6 +136,42 @@ class EventLogSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger caps each micro-batch; backlog still drains fully") {
+    val f = Files.createTempFile("eventlog_admission", ".jsonl")
+    val lines = (1 to 20).map(i => commitLine(i, 0))
+    Files.write(f, (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    val totalBytes = f.toFile.length()
+    // offset-level admission control, checked directly: each
+    // latestOffset(start, limit) advances at most maxBytes
+    val stream = new graft.sources.EventLogMicroBatchStream(
+      f.toString, graft.model.LogEvent.schema, Array.empty,
+      splitBytes = 4096, maxBytesPerTrigger = Some(64L))
+    var pos = 0L
+    var batches = 0
+    while (pos < totalBytes && batches < 10000) {
+      val next = stream.latestOffset(
+        graft.sources.EventLogOffset(pos),
+        org.apache.spark.sql.connector.read.streaming.ReadLimit
+          .allAvailable())
+        .asInstanceOf[graft.sources.EventLogOffset].pos
+      assert(next - pos <= 64L, "batch exceeded the byte cap")
+      assert(next > pos, "admission control must make progress")
+      pos = next
+      batches += 1
+    }
+    assert(pos === totalBytes) // the backlog drains completely
+    assert(batches > 1)        // ...across multiple capped batches
+    // end-to-end: the capped stream still delivers every line once
+    val q = spark.readStream.format(Fmt)
+      .option("maxBytesPerTrigger", "64").load(f.toString)
+      .writeStream.format("memory").queryName("v2capped")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("v2capped").count() === 20)
+    } finally q.stop()
+  }
+
   test("pushed IsNotNull agrees with materialization; bad types drop the line") {
     val path = writeLog(Seq(
       commitLine(1, 0),

@@ -67,6 +67,13 @@ class StreamAsOfJoinSpec extends AnyFunSuite {
     val out = StreamAsOfJoin.process(1000L)(1L, Iterator.empty, woke)
     assert(out.isEmpty)
     assert(woke.isRemoved)
+    // ...but an in-flight right ABOVE the watermark survives the wake
+    // (it has not matured; dropping it would mis-join the next left)
+    val woke2 = state(Some(StreamAsOfState(
+      Seq((10000L, 100L), (30000L, 101L)), Nil)),
+      watermarkSec = 20, timedOut = true)
+    StreamAsOfJoin.process(1000L)(1L, Iterator.empty, woke2)
+    assert(woke2.get.rights === Seq((30000L, 101L)))
   }
 
   test("end-to-end: out-of-order right is matched, eager join would miss it") {

@@ -43,7 +43,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(a8.selection_method === "nth_choice_number_2")
     val a10 = byKey(("A", 10L))
     assert(a10.selected_candidate_rank === -1)
-    assert(a10.selection_method === "direct_commit_no_menu")
+    // the Return keypress at seq 9 set the snapshot buffer (lua keeps
+    // an "N/A" fallback on EVERY keypress), so this is not
+    // direct_commit_no_menu — that label means "no keypress ever"
+    assert(a10.selection_method === "unknown")
     val b3 = byKey(("B", 3L))
     assert(b3.selected_candidate_rank === 1) // 2nd candidate, page 0
     assert(b3.selection_method === "nth_choice_space")
@@ -174,6 +177,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(first.length === 1)
       assert(first.head.getAs[Long]("commits") === 2) // late event excluded
     } finally q.stop()
+  }
+
+  test("rank re-derivation: idle timeout evicts state; stale seq fails fast") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.SnapshotState
+    def gs(st: Option[SnapshotState], timedOut: Boolean) =
+      TestGroupState.create[SnapshotState](
+        st.map(Optional.of[SnapshotState]).getOrElse(
+          Optional.empty[SnapshotState]),
+        GroupStateTimeout.ProcessingTimeTimeout, 100L,
+        Optional.empty[Long], timedOut)
+    // idle wake removes the session's state entirely
+    val idle = gs(Some(RankRederivation.initialState), timedOut = true)
+    val out = RankRederivation.processGroup(Some("1 hour"))(
+      "S", Iterator.empty, idle)
+    assert(out.isEmpty && idle.isRemoved)
+    // a seq at or below the already-applied high-water mark fails fast
+    // (late-discovered ingest file) instead of silently corrupting state
+    val stale = gs(Some(RankRederivation.initialState.copy(lastSeq = 10L)),
+      timedOut = false)
+    val ex = intercept[IllegalArgumentException] {
+      RankRederivation.processGroup(Some("1 hour"))("S",
+        Iterator(RawKeyEvent("S", 5L, "key", Some("a"), Some("a"),
+          Some(Seq("x")), None)), stale).toSeq
+    }
+    assert(ex.getMessage.contains("out-of-order ingest"))
   }
 
   test("flagship analyze runs incrementally over a stream (complete mode)") {
