@@ -49,12 +49,19 @@ object AsOfJoin {
       .orderBy(col(tsCol).asc, col("_side").asc, col("_tb").asc)
       .rowsBetween(Window.unboundedPreceding,
         if (strict) -1 else Window.currentRow)
-    val annotated = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_side") =!= 0, col(c)), ignoreNulls = true).over(w))
+    // carry the WHOLE latest right row as ONE struct: independent
+    // per-column last(...) carries would mix values from different
+    // right rows whenever the latest row holds a null in one carried
+    // column (a torn row that never existed)
+    val packed = last(
+      when(col("_side") =!= 0, struct(rightCols.map(col): _*)),
+      ignoreNulls = true).over(w)
+    val withMatch = unioned.withColumn("_m", packed)
+    val annotated = rightCols.foldLeft(withMatch) { (df, c) =>
+      df.withColumn(s"asof_$c", col("_m").getField(c))
     }
     annotated.filter(col("_side") === 0)
-      .drop("_side", "_tb")
+      .drop("_side", "_tb", "_m")
       .drop(rightCols.filterNot(left.columns.contains): _*)
   }
 
@@ -82,7 +89,14 @@ object AsOfJoin {
       .agg(sort_array(collect_list(struct(
         col(tsCol).as("_ts"), tb.as("_tb"),
         struct(rightCols.map(col): _*).as("_v")))).as("_hist"))
-    val joined = left.join(broadcast(hist), keys, "left")
+    // null-SAFE key equality: the union-window form partitions by key,
+    // which groups null keys together — a plain equi-join would
+    // silently diverge on them
+    val histR = keys.foldLeft(hist)((df, k) =>
+      df.withColumnRenamed(k, s"_rk_$k"))
+    val joined = left.join(broadcast(histR),
+        keys.map(k => col(k) <=> col(s"_rk_$k")).reduce(_ && _), "left")
+      .drop(keys.map(k => s"_rk_$k"): _*)
     // try_element_at: an empty qualifying set is a legitimate no-match
     // (ANSI element_at throws on the empty array)
     val lastMatch = try_element_at(

@@ -40,8 +40,12 @@ object EventOps {
   val isMiss: Column = rank > 0
 
   /** Reciprocal-rank accuracy score `1 / (rank + 1)` (`cli.py:293`,
-    * `analyzer.go:157-158`). Null rank ⇒ null score. */
-  val accuracyScore: Column = lit(1.0) / (rank + 1)
+    * `analyzer.go:157-158`), defined ONLY for real selections: null
+    * rank AND the -1 direct-commit sentinel both yield null — both
+    * references compute the score strictly over the rank>=0 subset,
+    * and the guard keeps ANSI mode from aborting on 1/(−1+1). */
+  val accuracyScore: Column =
+    when(rank >= 0, lit(1.0) / (rank + 1))
 
   /** Selection-method classification (`input_habit_logger.lua:254-263`):
     * space commit → first/nth by rank; digit key → the key name itself

@@ -42,16 +42,21 @@ object WritePipeline {
     // when no field rules exist, and so do we.
     val step3 = step2.filter(et.isin(typesWithRules: _*))
 
-    val step4 =
-      if (!step3.columns.contains("event_subtype")) step3
-      else {
-        val allowed = preset.logFields
-          .getOrElse("input_state_changed", graft.config.EventFieldRules(Set.empty))
-          .subtypeAllowList.toSeq
-        step3.filter(et =!= "input_state_changed" ||
-          (if (allowed.isEmpty) lit(false)
-           else col("event_subtype").isin(allowed: _*)))
-      }
+    val step4 = {
+      // an ABSENT column is a nil subtype, not an exemption: the lua
+      // drops a nil subtype that is not in the allow list
+      // (lua:143-148), so a re-loaded frame without the column must
+      // filter exactly like one with all-null values
+      val subtype =
+        if (step3.columns.contains("event_subtype")) col("event_subtype")
+        else lit(null).cast("string")
+      val allowed = preset.logFields
+        .getOrElse("input_state_changed", graft.config.EventFieldRules(Set.empty))
+        .subtypeAllowList.toSeq
+      step3.filter(et =!= "input_state_changed" ||
+        (if (allowed.isEmpty) lit(false)
+         else subtype.isin(allowed: _*)))
+    }
 
     val dataCols = step4.columns.filterNot(c =>
       c == "event_type" || c == "timestamp")

@@ -63,6 +63,7 @@ object Dedup {
     * k/bands rows each and hash each band. Emits (band_id, band_hash)
     * pairs — the bucketing keys. */
   def lshBands(sig: Column, k: Int, bands: Int): Column = {
+    requireBands(k, bands)
     val rows = k / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band_id"),
@@ -174,12 +175,22 @@ object Dedup {
     * reproducible in the DuckDB oracle. Same bucket-local join shape.
     * `native = false` switches to the declarative signature
     * (differential-tested equal). */
+  /** `bands` must divide `k` exactly: a remainder silently DROPS the
+    * trailing signature entries (reduced recall), and bands > k makes
+    * every band the hash of an empty slice — identical for all docs —
+    * degrading the bucketed join to the O(n²) cross product the module
+    * exists to avoid. */
+  private def requireBands(k: Int, bands: Int): Unit =
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
+
   /** The (id, band_id, band_hash) relation of the portable LSH: one
     * row per (doc, band). Shared by the self-join candidate pairs and
     * the two-sided batch-vs-corpus gate. */
   def portableBandRows(docs: DataFrame, idCol: String, textCol: String,
                        shingleSize: Int = 3, k: Int = 12, bands: Int = 4,
                        native: Boolean = true): DataFrame = {
+    requireBands(k, bands)
     val rows = k / bands
     val sigExpr =
       if (native) minhashSignaturePortableNative(col(textCol), k, shingleSize)
@@ -243,17 +254,28 @@ object Dedup {
       .join(tok(docsB).as("tb"),
         col(idBCol) === col("tb.id") && col("ta.t") === col("tb.t"))
       .groupBy(idACol, idBCol).agg(count(lit(1)).as("i"))
+    finalizeJaccard(inter, idACol, idBCol, sizes(docsA), sizes(docsB),
+      threshold)
+  }
+
+  /** Shared finalization — |union| from per-doc set sizes, the jaccard
+    * formula, threshold inclusivity, and the 6-digit rounding — so no
+    * near-dup path can drift from the others. `inter` must expose
+    * (idACol, idBCol, i); sizes frames expose (id, n). */
+  private def finalizeJaccard(inter: DataFrame, idACol: String,
+                              idBCol: String, sizesA: DataFrame,
+                              sizesB: DataFrame,
+                              threshold: Double): DataFrame =
     inter
-      .join(sizes(docsA).withColumnRenamed("id", idACol)
+      .join(sizesA.withColumnRenamed("id", idACol)
         .withColumnRenamed("n", "na"), idACol)
-      .join(sizes(docsB).withColumnRenamed("id", idBCol)
+      .join(sizesB.withColumnRenamed("id", idBCol)
         .withColumnRenamed("n", "nb"), idBCol)
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col(idACol), col(idBCol),
         round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** Incremental near-dup GATE: which of the NEW docs (a micro-batch,
     * or any small delta) near-duplicate something already in the
@@ -371,14 +393,6 @@ object Dedup {
     // at 100 TB would blow past driver/broadcast limits — AQE picks
     // broadcast when it actually fits, shuffle-join on id otherwise
     // (cheap next to the pair join either way)
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("n", "nb"), "id_b")
-      .withColumn("jaccard",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    finalizeJaccard(inter, "id_a", "id_b", sizes, sizes, threshold)
   }
 }

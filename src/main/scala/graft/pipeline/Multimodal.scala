@@ -91,14 +91,22 @@ object Multimodal {
 
   /** Frame/chunk sampling on the binary column itself — pure column
     * expressions, no decode: k evenly spaced fixed-size byte windows
-    * (the shape of video frame-sampling before decode). */
+    * (the shape of video frame-sampling before decode). The stride is
+    * span/(k-1), so the FIRST window starts at byte 1 and the LAST
+    * ends exactly at the payload's end — a /k stride would never
+    * sample the final chunkBytes. Payloads of at most chunkBytes
+    * yield k copies of the whole payload. */
   def sampleChunks(media: org.apache.spark.sql.Column, k: Int,
-                   chunkBytes: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => substring(media,
-        (i * greatest(octet_length(media) - chunkBytes, lit(1)) / k + 1)
-          .cast("int"),
-        lit(chunkBytes)))
+                   chunkBytes: Int): org.apache.spark.sql.Column = {
+    require(k >= 1 && chunkBytes >= 1, "k and chunkBytes must be >= 1")
+    if (k == 1) array(substring(media, 1, chunkBytes))
+    else ExprUtils.let(
+      greatest(octet_length(media) - chunkBytes, lit(0))) { span =>
+      transform(sequence(lit(0), lit(k - 1)),
+        i => substring(media, (i * span / (k - 1) + 1).cast("int"),
+          lit(chunkBytes)))
+    }
+  }
 
   /** End-to-end stub pipeline over the documents fixture: attach binary,
     * decode per partition, aggregate per (media_type, format). */

@@ -172,12 +172,18 @@ object Similarity {
   /** Parameter fetch: embedding vectors by id, ordered by id. Bounded
     * (|ids| rows) — a codebook/plane fetch, not a data collect. */
   def vectorsByIds(emb: DataFrame, idCol: String, vecCol: String,
-                   ids: Seq[Long]): Seq[Seq[Double]] =
-    emb.filter(col(idCol).isin(ids: _*))
-      .select(col(idCol), toDouble(col(vecCol)))
+                   ids: Seq[Long]): Seq[Seq[Double]] = {
+    val rows = emb.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    // a missing id would silently index-shift every centroid after it
+    // when the caller zips the result against its id list
+    val found = rows.map(_.getLong(0)).toSet
+    val missing = ids.filterNot(found)
+    require(missing.isEmpty,
+      s"ids not present in $idCol: ${missing.mkString(", ")}")
+    rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+  }
 
   /** IVF top-k with a data-derived codebook: centroid i is the
     * embedding row with id `centroidIds(i)` (a deterministic "sample"

@@ -33,6 +33,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the latest right row is carried WHOLE, not per-column (no torn rows)") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 3L, 1L)).toDF("id", "ts", "k")
+    val r = Seq(
+      (1L, 1L, Some(10L), Some(20L)),  // older: both fields set
+      (1L, 2L, None, Some(30L)))       // latest: a is null
+      .toDF("k", "ts", "a", "b")
+    for (frame <- Seq(
+      AsOfJoin.asofJoin(l, r, Seq("k"), "ts", Seq("a", "b"),
+        tieBreak = Some("b")),
+      AsOfJoin.asofStaticRight(l, r, Seq("k"), "ts", Seq("a", "b"),
+        tieBreak = Some("b")),
+      graft.plans.NativeAsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+        Seq("a", "b"), tieBreak = Some("b")))) {
+      val row = frame.select("asof_a", "asof_b").head()
+      // the latest row (ts=2) is taken as-is: a stays null, never
+      // back-filled from the older row into a composite that never
+      // existed
+      assert(row.isNullAt(0) && row.getLong(1) === 30L)
+    }
+  }
+
+  test("null join keys group and match identically across all three forms") {
+    val s = spark
+    import s.implicits._
+    val l = Seq((1L, 5L, Option.empty[Long]),
+                (2L, 5L, Some(1L))).toDF("id", "ts", "k")
+    val r = Seq((Option.empty[Long], 1L, 7L),
+                (Some(1L), 1L, 8L)).toDF("k", "ts", "rid")
+    for (frame <- Seq(
+      AsOfJoin.asofJoin(l, r, Seq("k"), "ts", Seq("rid")),
+      AsOfJoin.asofStaticRight(l, r, Seq("k"), "ts", Seq("rid")),
+      graft.plans.NativeAsOfJoin.asofJoin(l, r, Seq("k"), "ts",
+        Seq("rid")))) {
+      val got = frame.select("id", "asof_rid").collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(got === Map(1L -> 7L, 2L -> 8L))
+    }
+  }
+
   test("native operator is differential-equal to the union-window form") {
     val s = spark
     import s.implicits._
