@@ -63,12 +63,22 @@ object Bench {
     }
     val ok = results.filter(_._3.isEmpty)
     val failed = results.collect { case (n, _, Some(msg)) => n -> msg }
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }
+    // Full-precision per-query timings go to stderr (one line each) for
+    // log readers; the stdout contract line stays `{"metric":...}`-first
+    // (the harness greps that prefix) but carries 3-significant-figure
+    // timings: round-4's artifact capture kept only the tail of the
+    // line, truncating the alphabetically-first ~25 query timings, and
+    // shortening the map is what makes the whole line fit the capture.
+    results.foreach { case (n, t, _) =>
+      System.err.println(f"[bench] $n%s $t%.4f s")
+    }
+    def sec(v: Double): String = f"$v%.3g"
+    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

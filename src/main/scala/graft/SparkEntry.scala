@@ -1076,6 +1076,36 @@ object SparkEntry {
              |FROM t GROUP BY l_returnflag, quartile
              |ORDER BY l_returnflag, quartile""".stripMargin)),
 
+    // Scale-safe twin of q17 (same oracle): ntile(4) recomputed by
+    // graft.ops.DistributedRank — range-bucketed exact ranks, so the
+    // only row-level window partitions by (l_returnflag, cell) instead
+    // of sorting ⅓ of the table per task. Mirrors the q9→q12 move.
+    "q17b_ntile_bucketed" -> Q(
+      (s, dir) => {
+        val tiled = graft.ops.DistributedRank.bucketedNtile(
+          lineitem(s, dir).select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          "l_returnflag", "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"), nTiles = 4)
+        tiled
+          .select(col("l_returnflag"), col("ntile").as("quartile"),
+            col("l_extendedprice"))
+          .groupBy("l_returnflag", "quartile").agg(
+            count(lit(1)).as("n"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"))
+          .orderBy("l_returnflag", "quartile")
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+             |    CAST(ntile(4) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |      AS BIGINT) AS quartile,
+             |    l_extendedprice
+             |  FROM lineitem)
+             |SELECT l_returnflag, quartile, count(*) AS n,
+             |  ROUND(avg(l_extendedprice), 6) AS avg_price
+             |FROM t GROUP BY l_returnflag, quartile
+             |ORDER BY l_returnflag, quartile""".stripMargin)),
+
     // Correlated scalar subquery through spark.sql — Catalyst
     // decorrelates it into the aggregate+join plan a 100 TB run needs
     // (audited in PLANS.md; no per-row subquery execution exists in

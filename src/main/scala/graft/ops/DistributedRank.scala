@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group ranking and ntile WITHOUT a full-partition window
+  * sort (SURVEY §7.4 / VERDICT r4: `ntile(4) over partitionBy(flag)`
+  * with 3 distinct flags sorts ~⅓ of the table in one task at any
+  * scale — the classic low-cardinality-partition scale-killer).
+  *
+  * Scheme (the textbook distributed selection/ranking shape):
+  *
+  *   1. per-group min/max/count — one tiny aggregate, broadcast back;
+  *   2. range-bucket each row by value into `buckets` equi-width cells
+  *      (monotone in the value, ties share a cell, so cross-cell order
+  *      agrees with the full (value, tieCols) order);
+  *   3. per-(group, cell) counts → cumulative cell offsets. Computed
+  *      windowlessly (explode over the 0..B-1 cell ids + filter + sum)
+  *      on the B-rows-per-group counts frame, so NO plan node windows
+  *      over a bare low-cardinality group key;
+  *   4. `row_number` windowed over (group, cell) — groups×B parallel
+  *      sort tasks of ~n/B rows each, not one task of n rows;
+  *   5. global rank = cell offset + local rank; ntile derives from
+  *      (rank, group count) by the SQL-standard formula (first n%k
+  *      tiles get the extra row), so the output is bit-identical to
+  *      `ntile(k) over (partition by group order by value, tieCols)`.
+  *
+  * At 100 TB, `buckets` scales with the data (it bounds the per-task
+  * sort at n_group/buckets rows); the offsets frame stays at
+  * groups×buckets rows regardless of n. Equi-width cells can be
+  * unbalanced under extreme value skew — balance only affects task
+  * sizing, never correctness, and a percentile-based bucketizer drops
+  * in by replacing step 2.
+  */
+object DistributedRank {
+
+  /** `df` plus an `out` column holding the exact rank (1-based
+    * `row_number` order) of each row within `groupCol`, ordered by
+    * (`valueCol`, `tieCols`*). Also appends `_grp_n` = group size
+    * (callers that don't need it drop it; [[bucketedNtile]] does). */
+  def bucketedRank(df: DataFrame, groupCol: String, valueCol: String,
+                   tieCols: Seq[String], buckets: Int = 32,
+                   out: String = "rank"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val B = buckets.toLong
+    val v = col(valueCol).cast("double")
+
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(v).as("_pmin"), max(v).as("_pmax"),
+        count(lit(1)).as("_grp_n"))
+
+    // Monotone equi-width cell id in [0, B): ties in valueCol always
+    // share a cell (same double), so cell order respects value order.
+    val cell = when(col("_pmax") === col("_pmin"), lit(0L))
+      .otherwise(least(lit(B - 1L), greatest(lit(0L),
+        floor((v - col("_pmin")) /
+          ((col("_pmax") - col("_pmin")) / lit(B.toDouble)))
+          .cast("long"))))
+    val bucketed = df.join(broadcast(stats), groupCol)
+      .withColumn("_bkt", cell)
+
+    val counts = bucketed.groupBy(col(groupCol), col("_bkt"))
+      .agg(count(lit(1)).as("_c"))
+    // Cumulative offsets without a window: each cell's count
+    // contributes to every LATER cell id. B× amplification of a
+    // groups×B frame — bounded by B², independent of row count.
+    val offsets = counts
+      .select(col(groupCol), col("_bkt"), col("_c"),
+        explode(sequence(lit(0L), lit(B - 1L))).as("_bkt2"))
+      .filter(col("_bkt2") > col("_bkt"))
+      .groupBy(col(groupCol), col("_bkt2").as("_bkt"))
+      .agg(sum(col("_c")).as("_off"))
+
+    val w = Window.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+    bucketed
+      .join(broadcast(offsets), Seq(groupCol, "_bkt"), "left")
+      .withColumn(out,
+        coalesce(col("_off"), lit(0L)) + row_number().over(w))
+      .drop("_bkt", "_off", "_pmin", "_pmax")
+  }
+
+  /** `df` plus an `out` column bit-identical to
+    * `ntile(nTiles) over (partition by groupCol order by valueCol,
+    * tieCols*)`, computed from [[bucketedRank]]'s exact rank and the
+    * group size: with n = group rows, the first n % k tiles have
+    * ⌈n/k⌉ rows and the rest ⌊n/k⌋ (the SQL-standard split). */
+  def bucketedNtile(df: DataFrame, groupCol: String, valueCol: String,
+                    tieCols: Seq[String], nTiles: Int, buckets: Int = 32,
+                    out: String = "ntile"): DataFrame = {
+    require(nTiles >= 1, "nTiles must be >= 1")
+    val ranked = bucketedRank(df, groupCol, valueCol, tieCols, buckets,
+      out = "_rank")
+    val small = floor(col("_grp_n") / lit(nTiles)).cast("long")
+    val nbig = col("_grp_n") % lit(nTiles.toLong)
+    val tile = {
+      val big = small + lit(1L)
+      val cut = nbig * big // rows covered by the ⌈n/k⌉-sized tiles
+      when(col("_rank") <= cut,
+        floor((col("_rank") - 1) / big).cast("long") + 1L)
+        .otherwise(nbig +
+          floor((col("_rank") - cut - 1) / greatest(small, lit(1L)))
+            .cast("long") + 1L)
+    }
+    ranked.withColumn(out, tile).drop("_rank", "_grp_n")
+  }
+}

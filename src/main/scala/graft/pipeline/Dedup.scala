@@ -25,8 +25,33 @@ object Dedup {
     docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact dedup returning the surviving rows themselves. */
+  /** Exact dedup returning the surviving rows themselves, derived from
+    * the summary shape by a semi-join on `(content_hash, keep_id)`.
+    *
+    * Skew-safe where a `row_number()` window is not: the most-duplicated
+    * document in a web corpus (boilerplate, empty page) can have 10⁸
+    * copies, and a window over `partitionBy(hash)` funnels all of them
+    * into ONE task's sort. Here the duplicates are collapsed by
+    * map-side partial aggregation (each task emits one (hash, min id)
+    * per distinct hash it sees), and the semi-join's shuffle key is the
+    * (hash, id) PAIR — unique per row, so no key carries more than one
+    * row regardless of content skew. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.withColumn("_ch",
+      sha2(col(textCol).cast("binary"), 256))
+    val keep = hashed.groupBy(col("_ch").as("_keep_hash"))
+      .agg(min(col(idCol)).as("_keep_id"))
+    hashed.join(keep,
+        col("_ch") === col("_keep_hash") && col(idCol) === col("_keep_id"),
+        "left_semi")
+      .drop("_ch")
+  }
+
+  /** The windowed form of [[exactDedup]] — kept ONLY as a differential
+    * reference for the spec. Do not route data through it: one window
+    * partition absorbs every copy of the most-duplicated document. */
+  private[graft] def exactDedupWindowed(docs: DataFrame, idCol: String,
+                                        textCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol).cast("binary"), 256))
       .orderBy(col(idCol))
     docs.withColumn("_rn", row_number().over(w))

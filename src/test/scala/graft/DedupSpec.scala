@@ -26,6 +26,27 @@ class DedupSpec extends AnyFunSuite {
     assert(summary === Seq((1L, 3L), (2L, 2L), (4L, 1L)))
   }
 
+  test("join-form exactDedup matches the windowed reference on random corpora") {
+    // Property check over seeded random corpora with heavy duplication
+    // (including one hash carrying ~half the rows — the skew shape the
+    // join form exists for): both forms must keep exactly the same rows.
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val texts = Seq("dup dup dup", "other text", s"unique $seed", "x")
+      val rows = (1L to 200L).map { id =>
+        val t = if (rnd.nextBoolean()) texts.head
+                else texts(rnd.nextInt(texts.length))
+        (id, t)
+      }
+      val df = docsDf(rnd.shuffle(rows))
+      val viaJoin = Dedup.exactDedup(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      val viaWindow = Dedup.exactDedupWindowed(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(viaJoin === viaWindow, s"seed $seed")
+    }
+  }
+
   test("shingles produce distinct word n-grams") {
     val df = docsDf(Seq((1L, "a b c d")))
     val got = df.select(Dedup.shingles(col("text"), 2).as("s"))

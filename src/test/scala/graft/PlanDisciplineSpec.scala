@@ -123,4 +123,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("Join") || p.contains("BroadcastHashJoin"),
       s"decorrelated join expected:\n$p")
   }
+
+  test("q17b windows only over (flag, cell), never the bare 3-value flag") {
+    val p = plan("q17b_ntile_bucketed")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, s"q17b should rank via one bucketed window:\n$p")
+    windows.foreach { line =>
+      assert(line.contains("_bkt"),
+        s"window must partition by the range cell, got:\n$line\n$p")
+    }
+    assert(p.contains("BroadcastHashJoin"),
+      s"stats/offsets must broadcast back, not shuffle the fact side:\n$p")
+  }
 }
