@@ -1897,9 +1897,12 @@ object SparkEntry {
              |       ELSE 'video' END AS media_type
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
-    // The mapPartitions decode path (real plumbing, stub codec); the
-    // stub's outputs are length-derived, so the oracle recomputes the
-    // whole summary from strlen.
+    // The mapPartitions decode path. Audio/video go through the labeled
+    // stub (length-derived outputs the oracle recomputes from strlen);
+    // the image payloads here are TEXT bytes — not valid images — so
+    // the real javax.imageio branch rejects every one of them, and the
+    // oracle checks the corrupt-payload degradation itself: one `error`
+    // group with width -1, never a task failure.
     "m2_multimodal_stub" -> Q(
       (s, dir) => Multimodal.metaSummary(s, table(s, dir, "documents")),
       Some("""WITH m AS (SELECT doc_id,
@@ -1907,10 +1910,11 @@ object SparkEntry {
              |         WHEN doc_id % 3 = 1 THEN 'audio'
              |         ELSE 'video' END AS media_type,
              |    strlen(text) AS nb FROM documents),
-             |d AS (SELECT media_type, nb, 16 + nb % 1024 AS width,
+             |d AS (SELECT media_type, nb,
+             |    CASE WHEN media_type = 'image' THEN -1
+             |         ELSE 16 + nb % 1024 END AS width,
              |    CASE media_type
-             |      WHEN 'image' THEN
-             |        CASE WHEN nb % 2 = 0 THEN 'png' ELSE 'jpeg' END
+             |      WHEN 'image' THEN 'error'
              |      WHEN 'audio' THEN
              |        CASE WHEN nb % 2 = 0 THEN 'wav' ELSE 'flac' END
              |      ELSE CASE WHEN nb % 2 = 0 THEN 'mp4' ELSE 'webm' END
@@ -1920,7 +1924,21 @@ object SparkEntry {
              |  CAST(sum(nb) AS BIGINT) AS total_bytes,
              |  ROUND(avg(width), 6) AS avg_width
              |FROM d GROUP BY media_type, format
-             |ORDER BY media_type, format""".stripMargin)))
+             |ORDER BY media_type, format""".stripMargin)),
+
+    // REAL image decode round-trip: a synthesized PNG per image-typed
+    // doc (BufferedImage → PNG bytes, dims/fill pure functions of the
+    // id) decoded back by javax.imageio on executors. The oracle
+    // recomputes the expected width/height/format from the synthesis
+    // formulas — the codec must reproduce them row by row.
+    "m3_image_decode" -> Q(
+      (s, dir) => Multimodal.imageDecodeTable(s, table(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CAST(4 + doc_id % 32 AS BIGINT) AS width,
+             |  CAST(4 + (doc_id // 32) % 32 AS BIGINT) AS height,
+             |  'png' AS format
+             |FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY doc_id LIMIT 500""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
 final case class MediaRecord(doc_id: Long, media_type: String,
                              media: Array[Byte])
 
-/** Decoded/extracted features for one media payload. */
+/** Decoded/extracted features for one media payload. A payload the
+  * decoder cannot read degrades to an ERROR ROW — `format = "error"`,
+  * width/height = -1, empty features — never a task failure: at 100 TB
+  * some fraction of any crawl's payloads is corrupt, and one bad blob
+  * must not kill a 10-million-row partition. */
 final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                            width: Int, height: Int, format: String,
                            features: Seq[Float])
@@ -18,18 +22,23 @@ final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition workers.
   *
-  * The decode step itself is a STUB — the real image/audio codecs are
-  * not available in this container — but everything Spark-side is real
-  * and tested: the schema, the binary column handling, the
-  * `mapPartitions` batch shape (one worker per partition processing an
-  * iterator, the JVM analogue of `mapInPandas` batches), and the
-  * partition-parallel, no-driver-collect dataflow.
+  * The IMAGE path is real: payloads are decoded with `javax.imageio`
+  * (PNG/JPEG/GIF/BMP readers ship in the JDK, fully offline), so
+  * width/height/format/features come from actual pixel data and
+  * unreadable payloads degrade to error rows. Audio/video decode
+  * remains an honestly-labeled deterministic STUB — no audio/video
+  * codecs exist in this container — but its Spark-side plumbing
+  * (schema, binary handling, `mapPartitions` batch shape) is identical
+  * to the image path's and equally tested.
   */
 object Multimodal {
 
   /** Synthesize a binary media column from the documents fixture (the
     * fixtures carry no real media): payload = utf-8 bytes of the text,
-    * media_type assigned deterministically. */
+    * media_type assigned deterministically. NOTE these payloads are NOT
+    * valid images — rows typed `image` exercise the corrupt-payload
+    * path of [[decodeMeta]] (error rows), which is exactly what the m2
+    * oracle checks. [[attachImages]] builds the valid-image fixtures. */
   def attachBinary(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -38,33 +47,128 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       encode(col("text"), "UTF-8").as("media"))
 
-  /** STUB decoder: deterministic fake in place of a real codec.
-    * A production build would replace the body marked below with e.g.
-    * `javax.imageio.ImageIO.read` / an audio frame parser; the
-    * signature, batching, and output schema would not change. */
+  /** Deterministic synthesis parameters for [[attachImages]], shared
+    * with the m3 oracle: a doc's PNG is `width(id) × height(id)` filled
+    * with `rgb(id)`. Pure functions of the id so DuckDB can recompute
+    * the expected decode output without any image library. */
+  def imageWidth(docId: Long): Int = 4 + (docId % 32).toInt
+  def imageHeight(docId: Long): Int = 4 + ((docId / 32) % 32).toInt
+  def imageRgb(docId: Long): Int =
+    (((docId * 3) % 256) << 16 | ((docId * 5) % 256) << 8 |
+      ((docId * 7) % 256)).toInt
+
+  /** Real-PNG fixture attach: for every `doc_id % 3 == 0` document,
+    * synthesize an actual PNG (`BufferedImage` → PNG bytes, JDK-only)
+    * with dimensions/fill derived from the id. Runs per partition on
+    * executors — no driver-side image work, no collect. */
+  def attachImages(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRecord(id, "image",
+          synthesizePng(imageWidth(id), imageHeight(id), imageRgb(id)))
+      })
+  }
+
+  /** A `width × height` solid-`rgb` PNG, encoded in memory. */
+  def synthesizePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // ImageIO's default read path spills to a temp-file cache per decode;
+  // at millions of decodes per executor that is pure IO overhead.
+  // Memory-backed streams only, set once per JVM.
+  private lazy val imageIoInit: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def errorMeta(r: MediaRecord): MediaMeta =
+    MediaMeta(r.doc_id, r.media_type, r.media.length.toLong, -1, -1,
+      "error", Seq.empty)
+
+  /** Real image decode: format from the reader that claims the byte
+    * stream, dimensions and a mean-pixel feature from the decoded
+    * raster. Any unreadable payload — wrong magic, truncated stream,
+    * decoder exception — becomes an error row. */
+  private def decodeImage(r: MediaRecord): MediaMeta = {
+    imageIoInit
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) errorMeta(r)
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          // mean RGB over the raster — a real pixel statistic (solid
+          // fixtures make it also the fill color, which the spec pins)
+          var rSum = 0L; var gSum = 0L; var bSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val px = img.getRGB(x, y)
+              rSum += (px >> 16) & 0xff; gSum += (px >> 8) & 0xff
+              bSum += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = img.getWidth.toLong * img.getHeight
+          MediaMeta(r.doc_id, r.media_type, r.media.length.toLong,
+            img.getWidth, img.getHeight,
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+            Seq(rSum.toFloat / (255f * n), gSum.toFloat / (255f * n),
+              bSum.toFloat / (255f * n)))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => errorMeta(r) }
+  }
+
+  /** STUB decoder for audio/video (no codecs in this container): a
+    * deterministic fake derived from the payload length, so tests are
+    * reproducible AND the summary is DuckDB-oracle-checkable. A
+    * production build replaces only this body with an audio frame
+    * parser; signature, batching and output schema stay put. */
+  private def decodeStub(r: MediaRecord): MediaMeta = {
+    val n = r.media.length
+    val width = 16 + math.floorMod(n, 1024)
+    val height = 16 + math.floorMod(31 * n, 1024)
+    val format = r.media_type match {
+      case "audio" => if (n % 2 == 0) "wav" else "flac"
+      case _       => if (n % 2 == 0) "mp4" else "webm"
+    }
+    val features = r.media.take(8).map(b => (b & 0xff) / 255.0f).toSeq
+    MediaMeta(r.doc_id, r.media_type, n.toLong, width, height, format,
+      features)
+  }
+
+  /** Per-partition batched decode: real `javax.imageio` for images,
+    * the labeled stub for audio/video. One worker per partition
+    * processing an iterator (the JVM analogue of `mapInPandas`
+    * batches); corrupt payloads degrade per-row, never per-task. */
   def decodeMeta(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
     import records.sparkSession.implicits._
-    records.mapPartitions { it =>
-      it.map { r =>
-        // --- STUB: deterministic fake decode (no codecs in container).
-        // Derives stable pseudo-dimensions/features from the payload
-        // length so tests are reproducible AND the summary is
-        // DuckDB-oracle-checkable (a real codec would read the bytes;
-        // the Spark-side plumbing is identical either way).
-        val n = r.media.length
-        val width = 16 + math.floorMod(n, 1024)
-        val height = 16 + math.floorMod(31 * n, 1024)
-        val format = r.media_type match {
-          case "image" => if (n % 2 == 0) "png" else "jpeg"
-          case "audio" => if (n % 2 == 0) "wav" else "flac"
-          case _       => if (n % 2 == 0) "mp4" else "webm"
-        }
-        val features = r.media.take(8).map(b => (b & 0xff) / 255.0f).toSeq
-        // --- end STUB
-        MediaMeta(r.doc_id, r.media_type, n.toLong, width, height, format,
-          features)
+    records.mapPartitions(_.map { r =>
+      r.media_type match {
+        case "image" => decodeImage(r)
+        case _       => decodeStub(r)
       }
-    }
+    })
   }
 
   /** STUB resize: scale media metadata (and, in a real build, the
@@ -77,14 +181,18 @@ object Multimodal {
     import metas.sparkSession.implicits._
     metas.mapPartitions { it =>
       it.map { m =>
-        // --- STUB: a real build calls the codec's scaler here
-        val scale = math.min(1.0, maxSide.toDouble / math.max(m.width,
-          m.height))
-        m.copy(
-          width = math.max(1, (m.width * scale).toInt),
-          height = math.max(1, (m.height * scale).toInt),
-          n_bytes = math.max(1L, (m.n_bytes * scale * scale).toLong))
-        // --- end STUB
+        // error rows (width/height = -1) pass through untouched
+        if (m.width < 0 || m.height < 0) m
+        else {
+          // --- STUB: a real build calls the codec's scaler here
+          val scale = math.min(1.0, maxSide.toDouble / math.max(m.width,
+            m.height))
+          m.copy(
+            width = math.max(1, (m.width * scale).toInt),
+            height = math.max(1, (m.height * scale).toInt),
+            n_bytes = math.max(1L, (m.n_bytes * scale * scale).toLong))
+          // --- end STUB
+        }
       }
     }
   }
@@ -108,8 +216,11 @@ object Multimodal {
     }
   }
 
-  /** End-to-end stub pipeline over the documents fixture: attach binary,
-    * decode per partition, aggregate per (media_type, format). */
+  /** End-to-end pipeline over the documents fixture: attach binary,
+    * decode per partition, aggregate per (media_type, format). The
+    * `image` payloads here are text bytes — NOT valid images — so the
+    * image group surfaces as `error` rows: the corrupt-payload
+    * degradation is itself oracle-checked (m2). */
   def metaSummary(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val recs = attachBinary(docs).as[MediaRecord]
@@ -118,5 +229,16 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         round(avg(col("width")), 6).as("avg_width"))
       .orderBy("media_type", "format")
+  }
+
+  /** Real-decode pipeline: synthesized PNG per image-typed doc →
+    * `javax.imageio` decode → per-doc dimensions/format. Every value is
+    * recomputable from the synthesis formulas, so a SQL oracle checks
+    * the real codec round-trip row by row (m3). */
+  def imageDecodeTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    decodeMeta(attachImages(docs)).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
+      .orderBy("doc_id").limit(500)
   }
 }

@@ -22,19 +22,70 @@ class MultimodalSpec extends AnyFunSuite {
       "hello world".getBytes("UTF-8"))
   }
 
-  test("stub decode is deterministic and metadata-complete") {
+  test("decode is deterministic; audio/video stub rows are metadata-complete") {
     val s = spark
     import s.implicits._
     val recs = Multimodal.attachBinary(docs).as[MediaRecord]
     val a = Multimodal.decodeMeta(recs).orderBy("doc_id").collect()
     val b = Multimodal.decodeMeta(recs).orderBy("doc_id").collect()
     assert(a.toSeq === b.toSeq)
-    a.foreach { m =>
+    a.filter(m => m.media_type != "image").foreach { m =>
       assert(m.n_bytes > 0)
       assert(m.width >= 16 && m.height >= 16)
       assert(m.features.nonEmpty)
     }
+    // image-typed rows carry TEXT payloads here -> real decoder rejects
+    // them as error rows (and keeps the task alive)
+    a.filter(_.media_type == "image").foreach { m =>
+      assert(m.format === "error")
+      assert(m.width === -1 && m.height === -1)
+    }
     assert(a.head.n_bytes === "hello world".getBytes("UTF-8").length)
+  }
+
+  test("real PNG round-trip: imageio reproduces synthesized dims and color") {
+    val s = spark
+    import s.implicits._
+    val metas = Multimodal.decodeMeta(Multimodal.attachImages(docs))
+      .orderBy("doc_id").collect()
+    assert(metas.map(_.doc_id).toSeq === Seq(0L, 3L)) // doc_id % 3 == 0
+    metas.foreach { m =>
+      assert(m.format === "png")
+      assert(m.width === Multimodal.imageWidth(m.doc_id))
+      assert(m.height === Multimodal.imageHeight(m.doc_id))
+      // decoded mean pixel == the solid fill color, channel by channel
+      val rgb = Multimodal.imageRgb(m.doc_id)
+      val expected = Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        .map(_ / 255.0f)
+      assert(m.features.length === 3)
+      m.features.zip(expected).foreach { case (got, want) =>
+        assert(math.abs(got - want) < 1e-6f)
+      }
+      // a real PNG payload, not the text stub: magic bytes present
+      assert(m.n_bytes > 8)
+    }
+  }
+
+  test("corrupt payloads degrade to error rows, not task failures") {
+    val s = spark
+    import s.implicits._
+    val goodPng = Multimodal.synthesizePng(5, 4, 0x336699)
+    val recs = Seq(
+      MediaRecord(1L, "image", goodPng),
+      MediaRecord(2L, "image", "not an image at all".getBytes("UTF-8")),
+      // valid PNG magic, truncated body: the reader claims it, then
+      // throws mid-decode — the per-row guard must catch that too
+      MediaRecord(3L, "image", goodPng.take(16)),
+      MediaRecord(4L, "image", Array.empty[Byte])).toDS()
+    val out = Multimodal.decodeMeta(recs).orderBy("doc_id").collect()
+    assert(out.length === 4)
+    assert(out(0).format === "png" && out(0).width === 5 &&
+      out(0).height === 4)
+    out.drop(1).foreach { m =>
+      assert(m.format === "error")
+      assert(m.width === -1 && m.height === -1)
+      assert(m.features.isEmpty)
+    }
   }
 
   test("chunk sampling yields k windows of the binary column") {
