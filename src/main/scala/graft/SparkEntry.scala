@@ -1879,6 +1879,115 @@ object SparkEntry {
              |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
              |LIMIT 20""".stripMargin)),
 
+    // Multi-probe ANN: same data-derived planes as e2, but the scan
+    // covers every bucket within Hamming distance 1 of the query's —
+    // the recall-recovery path for borderline sign flips. The oracle
+    // widens its bucket predicate identically (bit_count(xor) <= 1).
+    "e7_ann_multiprobe" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        Similarity.annTopKWith(emb, "vec_id", "embedding", q, k = 20, hp,
+          probeHamming = 1)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT e.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM e, p GROUP BY e.vec_id),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+             |s AS (SELECT e.vec_id,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+             |    b.bucket
+             |  FROM e JOIN b USING (vec_id), q, qb
+             |  WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 1)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine, bucket
+             |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
+             |LIMIT 20""".stripMargin)),
+
+    // TRAINED IVF: two spherical-Lloyd iterations from a data-derived
+    // init, then probe-and-rerank. The oracle re-derives the ENTIRE
+    // training loop in SQL — assignment (argmax dot, cell-asc ties),
+    // per-cell elementwise means via unnest, unit-normalize, round to
+    // 6 decimals, twice — so the trained codebook itself is
+    // cross-engine verified, not just the final top-k.
+    "e6_ivf_trained" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.ivfTopKTrained(emb, "vec_id", "embedding", q, k = 20,
+          initIds = (1L to 8L), iters = 2, nProbes = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |c0 AS (SELECT vec_id - 1 AS cell, v AS cv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 8),
+             |a0 AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c0.cell, row_number() OVER (
+             |        PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c0.cv) DESC,
+             |          c0.cell ASC) AS rn
+             |    FROM e, c0) t WHERE rn = 1),
+             |m1 AS (SELECT cell, dim, avg(val) AS m FROM (
+             |    SELECT a0.cell, generate_subscripts(e.v, 1) AS dim,
+             |      unnest(e.v) AS val
+             |    FROM a0 JOIN e USING (vec_id)) u GROUP BY cell, dim),
+             |n1 AS (SELECT cell, list(ROUND(m / nrm, 6) ORDER BY dim)
+             |    AS cv FROM (
+             |    SELECT cell, dim, m,
+             |      sqrt(sum(m * m) OVER (PARTITION BY cell)) AS nrm
+             |    FROM m1) t GROUP BY cell),
+             |c1 AS (SELECT c0.cell, coalesce(n1.cv, c0.cv) AS cv
+             |  FROM c0 LEFT JOIN n1 USING (cell)),
+             |a1 AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c1.cell, row_number() OVER (
+             |        PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c1.cv) DESC,
+             |          c1.cell ASC) AS rn
+             |    FROM e, c1) t WHERE rn = 1),
+             |m2 AS (SELECT cell, dim, avg(val) AS m FROM (
+             |    SELECT a1.cell, generate_subscripts(e.v, 1) AS dim,
+             |      unnest(e.v) AS val
+             |    FROM a1 JOIN e USING (vec_id)) u GROUP BY cell, dim),
+             |n2 AS (SELECT cell, list(ROUND(m / nrm, 6) ORDER BY dim)
+             |    AS cv FROM (
+             |    SELECT cell, dim, m,
+             |      sqrt(sum(m * m) OVER (PARTITION BY cell)) AS nrm
+             |    FROM m2) t GROUP BY cell),
+             |c2 AS (SELECT c1.cell, coalesce(n2.cv, c1.cv) AS cv
+             |  FROM c1 LEFT JOIN n2 USING (cell)),
+             |probe AS (SELECT cell FROM c2, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cell LIMIT 2),
+             |asg AS (SELECT vec_id, cell FROM (
+             |    SELECT e.vec_id, c2.cell, row_number() OVER (
+             |        PARTITION BY e.vec_id
+             |        ORDER BY list_dot_product(e.v, c2.cv) DESC,
+             |          c2.cell ASC) AS rn
+             |    FROM e, c2) t WHERE rn = 1),
+             |cand AS (SELECT vec_id, cell FROM asg
+             |  WHERE cell IN (SELECT cell FROM probe)),
+             |s AS (SELECT cand.vec_id, cand.cell,
+             |    list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+             |  FROM cand JOIN e USING (vec_id), q)
+             |SELECT vec_id, ROUND(cosine, 6) AS cosine,
+             |  CAST(cell AS BIGINT) AS cell
+             |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
+             |LIMIT 20""".stripMargin)),
+
     // ---- LLM-data-pipeline: multimodal columns -------------------------
     "m1_binary_meta" -> Q(
       (s, dir) => table(s, dir, "documents").select(col("doc_id"),

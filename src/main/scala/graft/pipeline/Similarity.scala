@@ -145,23 +145,40 @@ object Similarity {
     annTopKWith(embeddings, idCol, vecCol, query, k,
       hyperplanes(planes, query.length, seed), roundCosine = false)
 
+  /** All bucket ids within Hamming distance `h` of `b` over `planes`
+    * sign bits — the multi-probe set. Enumerated by flipping ≤h bit
+    * combinations (size Σ C(planes, i)), never by scanning 2^planes. */
+  def hammingProbes(b: Long, planes: Int, h: Int): Seq[Long] =
+    (0 to h).flatMap(r =>
+      (0 until planes).combinations(r).map(
+        _.foldLeft(b)((acc, i) => acc ^ (1L << i)))).distinct
+
   /** [[annTopK]] with an explicit hyperplane set — e.g. data-derived
     * planes (vectors fetched by id), which a SQL oracle can recompute.
     * `roundCosine` (default true, the oracle-checked path) rounds to
     * 6 digits BEFORE the ordering so the top-k boundary is
     * reproducible cross-engine; the seeded production entry point
-    * keeps full precision, matching [[ivfTopK]]. */
+    * keeps full precision, matching [[ivfTopK]].
+    *
+    * `probeHamming` > 0 turns on multi-probe: the scan covers every
+    * bucket within that Hamming distance of the query's bucket
+    * (distance 1 ≈ the buckets reachable by one borderline sign flip —
+    * where LSH loses most of its recall). Cost grows with the probed
+    * bucket count, recall with it; the spec pins the measured
+    * recall/cost curve. */
   def annTopKWith(embeddings: DataFrame, idCol: String, vecCol: String,
                   query: Seq[Double], k: Int, hp: Seq[Seq[Double]],
-                  roundCosine: Boolean = true): DataFrame = {
+                  roundCosine: Boolean = true,
+                  probeHamming: Int = 0): DataFrame = {
     val qBucket = hp.zipWithIndex.map { case (p, i) =>
       if (p.zip(query).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
     }.sum
+    val probes = hammingProbes(qBucket, hp.length, probeHamming)
     val v = toDouble(col(vecCol))
     val cos = cosine(v, typedlit(query))
     embeddings
       .withColumn("bucket", lshBucket(v, hp))
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(probes: _*))
       .select(col(idCol),
         (if (roundCosine) round(cos, 6) else cos).as("cosine"),
         col("bucket"))
@@ -183,6 +200,64 @@ object Similarity {
     require(missing.isEmpty,
       s"ids not present in $idCol: ${missing.mkString(", ")}")
     rows.sortBy(_.getLong(0)).map(_.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** Spherical k-means (Lloyd) refinement of an IVF codebook, expressed
+    * as DataFrame ops: assign every vector to its argmax-dot centroid,
+    * recompute each centroid as its cell's elementwise mean, normalize
+    * to unit length, round to 6 decimals, repeat. Per iteration the
+    * cluster pays ONE aggregation over the data; only the k-row
+    * codebook is ever collected. Empty cells keep their previous
+    * centroid. The 6-decimal rounding makes the trained codebook
+    * cross-engine reproducible — a SQL oracle re-derives the whole
+    * training loop bit-for-bit (e6) — and costs nothing at 1e-6
+    * relative precision on unit vectors. */
+  def trainIvfCentroids(embeddings: DataFrame, vecCol: String,
+                        init: Seq[Seq[Double]],
+                        iters: Int): Seq[Seq[Double]] = {
+    require(init.nonEmpty && iters >= 0, "need >=1 centroid, >=0 iters")
+    val dim = init.head.length
+    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    var cents = init
+    for (_ <- 1 to iters) {
+      val v = toDouble(col(vecCol))
+      val assigned = embeddings
+        .select(ivfAssign(v, cents).as("_cell"), v.as("_v"))
+      val dimAggs = (0 until dim).map(i =>
+        avg(element_at(col("_v"), i + 1)).as(s"_m$i"))
+      val rows = assigned.groupBy(col("_cell"))
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .collect() // k rows — the codebook, not data
+      val byCell = rows.map(r => r.getLong(0) ->
+        (0 until dim).map(i => r.getDouble(i + 1))).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        byCell.get(i.toLong) match {
+          case Some(m) =>
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0.0) old else m.map(x => round6(x / n))
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k over a TRAINED codebook: start from the embedding rows
+    * named by `initIds`, run `iters` Lloyd iterations
+    * ([[trainIvfCentroids]]), then probe-and-rerank as usual. Output
+    * `cell` is the centroid's 0-based index. Training balances the
+    * cells to the data's actual density — the property that makes
+    * nProbes/nCells of the corpus a fair cost estimate at 100 TB,
+    * which a random codebook does not give (spec-measured). */
+  def ivfTopKTrained(embeddings: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int, initIds: Seq[Long],
+                     iters: Int = 2, nProbes: Int = 2): DataFrame = {
+    require(initIds == initIds.sorted, "initIds must be ascending")
+    val init = vectorsByIds(embeddings, idCol, vecCol, initIds)
+    val cents = trainIvfCentroids(embeddings, vecCol, init, iters)
+    ivfCore(embeddings, idCol, vecCol, query, k, cents,
+      cellIds = 0L until cents.length.toLong, nProbes = nProbes,
+      roundCosine = true)
   }
 
   /** IVF top-k with a data-derived codebook: centroid i is the
