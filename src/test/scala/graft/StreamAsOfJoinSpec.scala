@@ -76,6 +76,43 @@ class StreamAsOfJoinSpec extends AnyFunSuite {
     assert(woke2.get.rights === Seq((30000L, 101L)))
   }
 
+  test("state stays bounded under a sustained out-of-order feed") {
+    // 200 micro-batches, 6 events each, every event up to 8 s out of
+    // order, watermark lagging 10 s behind the feed head. The eviction
+    // invariant must hold the per-key state at the in-flight horizon
+    // (≤ ~5 batch-steps of each stream + one dominated right) — a
+    // CONSTANT, measured, not a function of the 1200 events streamed.
+    val rnd = new scala.util.Random(17)
+    var st: Option[StreamAsOfState] = None
+    var emitted = 0
+    var maxRows = 0
+    val batches = 200
+    for (b <- 1 to batches) {
+      val baseSec = 20L + b * 2L
+      val wSec = baseSec - 10
+      val evs = (1 to 6).map { i =>
+        val side = if (i % 2 == 0) "L" else "R"
+        // jitter ≤ 7 s back: late, but inside the lateness tolerance
+        ev(side, baseSec - rnd.nextInt(8), b * 100L + i)
+      }
+      val gs = state(st, watermarkSec = wSec)
+      emitted += StreamAsOfJoin.process(3600000L)(1L, evs.iterator, gs).size
+      st = if (gs.isRemoved) None else Some(gs.get)
+      val rows = st.map(s => s.rights.size + s.pendingLefts.size)
+        .getOrElse(0)
+      maxRows = math.max(maxRows, rows)
+    }
+    assert(maxRows <= 48,
+      s"per-key state must track the horizon, not the stream: $maxRows")
+    // drain: advance the watermark past everything — every left sent
+    // (3 per batch) must have been emitted exactly once, and the
+    // fully-drained key's state must be removed
+    val fin = state(st, watermarkSec = 1000000L)
+    emitted += StreamAsOfJoin.process(3600000L)(1L, Iterator.empty, fin).size
+    assert(emitted === batches * 3, s"every left exactly once: $emitted")
+    assert(fin.isRemoved || fin.get.pendingLefts.isEmpty)
+  }
+
   test("end-to-end: out-of-order right is matched, eager join would miss it") {
     val s = spark
     import s.implicits._
