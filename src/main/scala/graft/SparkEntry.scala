@@ -1610,6 +1610,32 @@ object SparkEntry {
              |    AS token_share
              |FROM agg ORDER BY source, lang LIMIT 500""".stripMargin)),
 
+    // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
+    // fraction): the quality signal corpus-level dedup can't see.
+    // Exact small-int ratio in double — bit-identical cross-engine,
+    // no rounding needed.
+    "d21_repetition" -> Q(
+      (s, dir) => table(s, dir, "documents").select(col("doc_id"),
+          TextStats.repeatedNgramFraction(col("text"), 3).as("rep3"),
+          TextStats.repeatedNgramFraction(col("text"), 5).as("rep5"))
+        .orderBy("doc_id").limit(500),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc_id,
+             |    [array_to_string(toks[i:i+2], ' ')
+             |      FOR i IN generate_series(1, greatest(len(toks)-2, 1))]
+             |      AS g3,
+             |    [array_to_string(toks[i:i+4], ' ')
+             |      FOR i IN generate_series(1, greatest(len(toks)-4, 1))]
+             |      AS g5
+             |  FROM t)
+             |SELECT doc_id,
+             |  1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+             |    AS rep3,
+             |  1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+             |    AS rep5
+             |FROM g ORDER BY doc_id LIMIT 500""".stripMargin)),
+
     // PII scrubbing (emails / URLs / long digit runs → typed tags).
     // The fixtures carry no PII, so the query plants a deterministic
     // synthetic suffix per doc, scrubs it, and the oracle replays both

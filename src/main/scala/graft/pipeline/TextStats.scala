@@ -110,6 +110,27 @@ object TextStats {
     }
   }
 
+  /** RefinedWeb/Gopher-style intra-document repetition signal: the
+    * fraction of n-gram OCCURRENCES that repeat an earlier occurrence
+    * in the same document (1 − distinct/total). High values flag
+    * boilerplate and lorem-style spam that per-corpus dedup never
+    * sees. Pure per-row collection expressions — no shuffle, cost
+    * O(tokens·n) per row. Docs shorter than n tokens yield one
+    * (partial) gram → fraction 0. The value is a ratio of small ints
+    * computed in double, so it is bit-identical cross-engine without
+    * rounding. */
+  def repeatedNgramFraction(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    ExprUtils.let(tokens(text)) { toks =>
+      ExprUtils.let(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))) { grams =>
+        lit(1.0) - size(array_distinct(grams)).cast("double") /
+          size(grams)
+      }
+    }
+  }
+
   /** Content fingerprints:
     *   - `docFingerprint`: md5 of the full text (exact-dup key);
     *   - `minTokenFingerprint`: minimum token md5 — a 1-permutation

@@ -95,4 +95,22 @@ class TextStatsSpec extends AnyFunSuite {
       .select(col("c.chunk_text")).collect().map(_.getString(0))
     assert(short.toSeq === Seq("x y z"))
   }
+
+  test("repeated n-gram fraction: golden values and edge cases") {
+    val s2 = spark
+    import s2.implicits._
+    def rep(text: String, n: Int): Double =
+      Seq(text).toDF("text")
+        .select(TextStats.repeatedNgramFraction(col("text"), n).as("r"))
+        .head().getDouble(0)
+    // "aa bb aa bb aa": 2-grams = [aa bb, bb aa, aa bb, bb aa]
+    // → 2 distinct of 4 occurrences → half are repeats
+    assert(rep("aa bb aa bb aa", 2) === 0.5)
+    // fully unique text repeats nothing
+    assert(rep("a b c d e", 2) === 0.0)
+    // pure spam: "x x x x" 1-grams → 1 distinct of 4 → 0.75
+    assert(rep("x x x x", 1) === 0.75)
+    // shorter than n: single partial gram, fraction 0
+    assert(rep("a b", 5) === 0.0)
+  }
 }
