@@ -1941,6 +1941,47 @@ object SparkEntry {
              |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
              |LIMIT 20""".stripMargin)),
 
+    // Batch kNN join: top-5 neighbors for five query vectors in ONE
+    // bucket-keyed equi-join over Hamming-1 probe buckets, per-query
+    // top-k via a rank-filtered window (WindowGroupLimit). The oracle
+    // expresses the same candidate set with a bit_count(xor) predicate.
+    "e8_knn_join" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        val queries = emb.filter(col("vec_id").between(10, 14))
+        Similarity.knnJoin(queries, emb, "vec_id", "embedding", k = 5,
+            hp, probeHamming = 1)
+          .orderBy("query_id", "rnk").limit(100)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT e.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM e, p GROUP BY e.vec_id),
+             |q AS (SELECT e.vec_id AS query_id, e.v AS qv,
+             |    b.bucket AS qb
+             |  FROM e JOIN b USING (vec_id)
+             |  WHERE e.vec_id BETWEEN 10 AND 14),
+             |s AS (SELECT q.query_id, cb.vec_id AS neighbor_id,
+             |    ROUND(list_dot_product(e.v, q.qv)
+             |      / (sqrt(list_dot_product(e.v, e.v))
+             |         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+             |  FROM q JOIN b cb ON bit_count(xor(cb.bucket, q.qb)) <= 1
+             |  JOIN e ON e.vec_id = cb.vec_id),
+             |r AS (SELECT query_id, neighbor_id, cosine,
+             |    CAST(row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+             |  FROM s)
+             |SELECT query_id, neighbor_id, cosine, rnk FROM r
+             |WHERE rnk <= 5 ORDER BY query_id, rnk LIMIT 100"""
+        .stripMargin)),
+
     // TRAINED IVF: two spherical-Lloyd iterations from a data-derived
     // init, then probe-and-rerank. The oracle re-derives the ENTIRE
     // training loop in SQL — assignment (argmax dot, cell-asc ties),

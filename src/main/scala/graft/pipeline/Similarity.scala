@@ -186,6 +186,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch kNN JOIN: top-k neighbors for EVERY query row in one
+    * bucket-pruned equi-join — the production retrieval shape (corpus
+    * self-dedup, training-pair mining), where per-query scans would
+    * mean |queries| passes over the corpus. Both sides are bucketed by
+    * the same hyperplanes; each query row explodes to its own bucket
+    * plus (with `probeHamming = 1`) the `planes` Hamming-1 neighbor
+    * buckets — all probe masks are distinct, so no candidate pair is
+    * produced twice. The join shuffles on the bucket id, candidates
+    * are scored with exact cosine, and the per-query top-k runs as a
+    * rank-filtered window — Spark plans `WindowGroupLimit`, bounding
+    * per-task state at k rows per query; at scale the partition key
+    * (query id) is high-cardinality, so the window parallelizes.
+    * Multi-probe deeper than Hamming-1 needs per-query driver
+    * enumeration — use [[annTopKWith]] for single queries there. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, hp: Seq[Seq[Double]],
+              probeHamming: Int = 1): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "declarative multi-probe supports Hamming distance 0 or 1")
+    val qv = toDouble(col(vecCol))
+    val qb = lshBucket(qv, hp)
+    val probeCols = Seq(qb) ++ (if (probeHamming >= 1)
+      hp.indices.map(i => qb.bitwiseXOR(lit(1L << i))) else Nil)
+    val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
+      explode(array(probeCols: _*)).as("_qbucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("_cv"),
+      lshBucket(toDouble(col(vecCol)), hp).as("_cbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, col("_qbucket") === col("_cbucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("_cv"), col("_qv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Parameter fetch: embedding vectors by id, ordered by id. Bounded
     * (|ids| rows) — a codebook/plane fetch, not a data collect. */
   def vectorsByIds(emb: DataFrame, idCol: String, vecCol: String,

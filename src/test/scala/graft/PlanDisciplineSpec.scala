@@ -124,6 +124,12 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"decorrelated join expected:\n$p")
   }
 
+  test("knn join bounds per-query top-k below the window sort") {
+    val p = plan("e8_knn_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"rnk <= k must push a group limit below the window:\n$p")
+  }
+
   test("q17b windows only over (flag, cell), never the bare 3-value flag") {
     val p = plan("q17b_ntile_bucketed")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq

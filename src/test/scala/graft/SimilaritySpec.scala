@@ -277,6 +277,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(initShare > 0.0) // silence unused warning, document baseline
   }
 
+  test("knn join equals per-query multi-probe ANN, query by query") {
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 12
+    val df = (0L to 80L)
+      .map(i => (i, Seq.fill(dim)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val hp = Similarity.hyperplanes(4, dim)
+    val queryIds = Seq(3L, 17L, 42L)
+    val joined = Similarity.knnJoin(
+        df.filter(col("vec_id").isin(queryIds: _*)), df,
+        "vec_id", "embedding", k = 7, hp, probeHamming = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    val qVecs = Similarity.vectorsByIds(df, "vec_id", "embedding", queryIds)
+    queryIds.zip(qVecs).foreach { case (qid, qv) =>
+      val single = Similarity.annTopKWith(df, "vec_id", "embedding", qv,
+          k = 7, hp, probeHamming = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = joined(qid).sortBy(t => (-t._3, t._2))
+        .map(t => (t._2, t._3)).toSeq
+      assert(batch === single, s"query $qid")
+    }
+  }
+
   test("data-derived IVF/ANN: full probe equals brute force (rounded)") {
     val s2 = spark
     import s2.implicits._
