@@ -69,10 +69,14 @@ object Bench {
     // timings: round-4's artifact capture kept only the tail of the
     // line, truncating the alphabetically-first ~25 query timings, and
     // shortening the map is what makes the whole line fit the capture.
+    // Locale.ROOT throughout: f-interpolators use the default locale,
+    // and a comma-decimal locale would corrupt the JSON contract line.
+    def fmt(pattern: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     results.foreach { case (n, t, _) =>
-      System.err.println(f"[bench] $n%s $t%.4f s")
+      System.err.println(s"[bench] $n ${fmt("%.4f", t)} s")
     }
-    def sec(v: Double): String = f"$v%.3g"
+    def sec(v: Double): String = fmt("%.3g", v)
     val qs = ok.map { case (k, v, _) => s"${jstr(k)}:${sec(v)}" }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, m) => s"${jstr(k)}:${jstr(m)}" }

@@ -46,18 +46,28 @@ object DistributedRank {
     val B = buckets.toLong
     val v = col(valueCol).cast("double")
 
-    val stats = df.groupBy(col(groupCol))
+    // Null-safe joins (<=>) throughout: a null group key is a
+    // partition like any other to ntile()/row_number(), so it must
+    // survive the stats/offsets round-trips, not fall out of an
+    // equi-join.
+    val stats = df.groupBy(col(groupCol).as("_grp_key"))
       .agg(min(v).as("_pmin"), max(v).as("_pmax"),
         count(lit(1)).as("_grp_n"))
 
-    // Monotone equi-width cell id in [0, B): ties in valueCol always
-    // share a cell (same double), so cell order respects value order.
-    val cell = when(col("_pmax") === col("_pmin"), lit(0L))
+    // Monotone equi-width cell id: null values get cell -1 — they sort
+    // FIRST under Spark's asc (nulls-first) window ordering, so the
+    // dedicated leading cell keeps cross-cell order consistent. Ties
+    // always share a cell (same double), so cell order respects value
+    // order.
+    val cell = when(v.isNull, lit(-1L))
+      .when(col("_pmax") <=> col("_pmin"), lit(0L))
       .otherwise(least(lit(B - 1L), greatest(lit(0L),
         floor((v - col("_pmin")) /
           ((col("_pmax") - col("_pmin")) / lit(B.toDouble)))
           .cast("long"))))
-    val bucketed = df.join(broadcast(stats), groupCol)
+    val bucketed = df.join(broadcast(stats),
+        col(groupCol) <=> col("_grp_key"))
+      .drop("_grp_key")
       .withColumn("_bkt", cell)
 
     val counts = bucketed.groupBy(col(groupCol), col("_bkt"))
@@ -66,16 +76,19 @@ object DistributedRank {
     // contributes to every LATER cell id. B× amplification of a
     // groups×B frame — bounded by B², independent of row count.
     val offsets = counts
-      .select(col(groupCol), col("_bkt"), col("_c"),
-        explode(sequence(lit(0L), lit(B - 1L))).as("_bkt2"))
-      .filter(col("_bkt2") > col("_bkt"))
-      .groupBy(col(groupCol), col("_bkt2").as("_bkt"))
+      .select(col(groupCol).as("_ogrp"), col("_bkt"), col("_c"),
+        explode(sequence(lit(-1L), lit(B - 1L))).as("_obkt"))
+      .filter(col("_obkt") > col("_bkt"))
+      .groupBy(col("_ogrp"), col("_obkt"))
       .agg(sum(col("_c")).as("_off"))
 
     val w = Window.partitionBy(col(groupCol), col("_bkt"))
       .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
     bucketed
-      .join(broadcast(offsets), Seq(groupCol, "_bkt"), "left")
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("_ogrp") && col("_bkt") === col("_obkt"),
+        "left")
+      .drop("_ogrp", "_obkt")
       .withColumn(out,
         coalesce(col("_off"), lit(0L)) + row_number().over(w))
       .drop("_bkt", "_off", "_pmin", "_pmax")

@@ -35,14 +35,19 @@ object Dedup {
     * map-side partial aggregation (each task emits one (hash, min id)
     * per distinct hash it sees), and the semi-join's shuffle key is the
     * (hash, id) PAIR — unique per row, so no key carries more than one
-    * row regardless of content skew. */
+    * row regardless of content skew.
+    *
+    * Null-safe on both keys: null-text rows hash to null and form
+    * their own dedup group (kept, min id) exactly as the windowed
+    * reference partitions them. `idCol` is expected unique non-null
+    * (the usual surrogate-key contract). */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs.withColumn("_ch",
       sha2(col(textCol).cast("binary"), 256))
     val keep = hashed.groupBy(col("_ch").as("_keep_hash"))
       .agg(min(col(idCol)).as("_keep_id"))
     hashed.join(keep,
-        col("_ch") === col("_keep_hash") && col(idCol) === col("_keep_id"),
+        col("_ch") <=> col("_keep_hash") && col(idCol) <=> col("_keep_id"),
         "left_semi")
       .drop("_ch")
   }

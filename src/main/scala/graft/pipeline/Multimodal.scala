@@ -98,45 +98,62 @@ object Multimodal {
     MediaMeta(r.doc_id, r.media_type, r.media.length.toLong, -1, -1,
       "error", Seq.empty)
 
+  /** A corrupt header can DECLARE absurd dimensions (BMP carries them
+    * as arbitrary 32-bit ints); `reader.read` would then allocate a
+    * raster of that size and OOM the task — an Error, not an exception,
+    * so it must be prevented, not caught. Bound checked BEFORE decode. */
+  private val MaxDecodePixels = 64L * 1000 * 1000
+
   /** Real image decode: format from the reader that claims the byte
     * stream, dimensions and a mean-pixel feature from the decoded
     * raster. Any unreadable payload — wrong magic, truncated stream,
-    * decoder exception — becomes an error row. */
+    * absurd declared dimensions, decoder exception — becomes an error
+    * row. */
   private def decodeImage(r: MediaRecord): MediaMeta = {
     imageIoInit
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(r.media))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) errorMeta(r)
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          val img = reader.read(0)
-          // mean RGB over the raster — a real pixel statistic (solid
-          // fixtures make it also the fill color, which the spec pins)
-          var rSum = 0L; var gSum = 0L; var bSum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val px = img.getRGB(x, y)
-              rSum += (px >> 16) & 0xff; gSum += (px >> 8) & 0xff
-              bSum += px & 0xff
-              x += 1
-            }
-            y += 1
-          }
-          val n = img.getWidth.toLong * img.getHeight
-          MediaMeta(r.doc_id, r.media_type, r.media.length.toLong,
-            img.getWidth, img.getHeight,
-            reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
-            Seq(rSum.toFloat / (255f * n), gSum.toFloat / (255f * n),
-              bSum.toFloat / (255f * n)))
-        } finally reader.dispose()
-      }
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) errorMeta(r)
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+            if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels)
+              errorMeta(r)
+            else decodeWith(reader, r)
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => errorMeta(r) }
+  }
+
+  private def decodeWith(reader: javax.imageio.ImageReader,
+                         r: MediaRecord): MediaMeta = {
+    val img = reader.read(0)
+    // mean RGB over the raster — a real pixel statistic (solid
+    // fixtures make it also the fill color, which the spec pins)
+    var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val px = img.getRGB(x, y)
+        rSum += (px >> 16) & 0xff; gSum += (px >> 8) & 0xff
+        bSum += px & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val n = img.getWidth.toLong * img.getHeight
+    MediaMeta(r.doc_id, r.media_type, r.media.length.toLong,
+      img.getWidth, img.getHeight,
+      reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+      Seq(rSum.toFloat / (255f * n), gSum.toFloat / (255f * n),
+        bSum.toFloat / (255f * n)))
   }
 
   /** STUB decoder for audio/video (no codecs in this container): a

@@ -255,7 +255,13 @@ object Similarity {
                         iters: Int): Seq[Seq[Double]] = {
     require(init.nonEmpty && iters >= 0, "need >=1 centroid, >=0 iters")
     val dim = init.head.length
-    def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+    // HALF_UP on the exact binary value — the same tie behavior as
+    // Spark's round() and DuckDB's ROUND (half away from zero);
+    // math.rint would round half-even and could diverge from the e6
+    // oracle on an exact .5e-6 tie.
+    def round6(x: Double): Double =
+      new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     var cents = init
     for (_ <- 1 to iters) {
       val v = toDouble(col(vecCol))

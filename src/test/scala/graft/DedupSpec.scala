@@ -32,7 +32,10 @@ class DedupSpec extends AnyFunSuite {
     // join form exists for): both forms must keep exactly the same rows.
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
-      val texts = Seq("dup dup dup", "other text", s"unique $seed", "x")
+      // null texts included: they must form their own dedup group
+      // (null-safe join), exactly as the window partitions them
+      val texts = Seq("dup dup dup", "other text", s"unique $seed", "x",
+        null)
       val rows = (1L to 200L).map { id =>
         val t = if (rnd.nextBoolean()) texts.head
                 else texts(rnd.nextInt(texts.length))
@@ -40,10 +43,13 @@ class DedupSpec extends AnyFunSuite {
       }
       val df = docsDf(rnd.shuffle(rows))
       val viaJoin = Dedup.exactDedup(df, "doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
       val viaWindow = Dedup.exactDedupWindowed(df, "doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).toSeq
       assert(viaJoin === viaWindow, s"seed $seed")
+      assert(viaJoin.exists(_._2 == null), "null group must survive")
     }
   }
 

@@ -65,6 +65,32 @@ class DistributedRankSpec extends AnyFunSuite {
     }
   }
 
+  test("null group keys and null values rank exactly like the window") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[(String, Option[Double], Long)] =
+      (1L to 120L).map { id =>
+        val g = if (id % 5 == 0) null else s"g${id % 3}"
+        val v = if (id % 7 == 0) None else Some(rnd.nextInt(5).toDouble)
+        (g, v, id)
+      }
+    val d = rows.toDF("grp", "value", "id")
+    val got = DistributedRank
+      .bucketedNtile(d, "grp", "value", Seq("id"), nTiles = 4, buckets = 4)
+      .select("grp", "id", "ntile").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val w = Window.partitionBy("grp").orderBy(col("value"), col("id"))
+    val want = d.select(col("grp"), col("id"),
+        ntile(4).over(w).cast("long").as("ntile"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.size === 120) // no row dropped by the joins
+    assert(got === want)
+  }
+
   test("degenerate buckets=1 still agrees (single-cell fallback)") {
     val d = df(corpus(1))
     val got = DistributedRank
