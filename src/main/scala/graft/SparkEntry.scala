@@ -2055,6 +2055,48 @@ object SparkEntry {
              |FROM s ORDER BY ROUND(cosine, 6) DESC, vec_id
              |LIMIT 20""".stripMargin)),
 
+    // KMV distinct-count sketch: bounded mergeable state like q8's HLL,
+    // but a pure function of the input set under the portable md5 hash
+    // — so the approximate-distinct path is HASH-EXACT against the
+    // oracle (DuckDB recomputes the k smallest distinct hashes and the
+    // same estimator), not a rows-only check.
+    "q25_kmv_distinct" -> Q(
+      (s, dir) => {
+        val k = 64
+        val hashed = table(s, dir, "orders").select(
+          col("o_orderpriority"),
+          col("o_custkey"),
+          Dedup.md5Long60(col("o_custkey").cast("string")).as("h"))
+        hashed.groupBy("o_orderpriority")
+          .agg(graft.functions.KMinValues.agg(k, col("h")).as("sketch"),
+            countDistinct(col("o_custkey")).as("_exact"))
+          .select(col("o_orderpriority"),
+            round(graft.functions.KMinValues.estimate(col("sketch"), k), 6)
+              .as("est_distinct"),
+            col("_exact").cast("long").as("exact_distinct"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT o_orderpriority,
+             |    ${duckHash60("CAST(o_custkey AS VARCHAR)")} AS h
+             |  FROM orders),
+             |r AS (SELECT o_orderpriority, h,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY h) AS rn,
+             |    count(*) OVER (PARTITION BY o_orderpriority) AS nd
+             |  FROM h),
+             |x AS (SELECT o_orderpriority,
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+             |  FROM orders GROUP BY o_orderpriority)
+             |SELECT r.o_orderpriority,
+             |  ROUND(CASE WHEN r.nd < 64 THEN CAST(r.nd AS DOUBLE)
+             |    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(r.h AS DOUBLE) END, 6) AS est_distinct,
+             |  x.exact_distinct
+             |FROM r JOIN x USING (o_orderpriority)
+             |WHERE (r.nd >= 64 AND r.rn = 64)
+             |   OR (r.nd < 64 AND r.rn = 1)
+             |ORDER BY r.o_orderpriority""".stripMargin)),
+
     // ---- LLM-data-pipeline: multimodal columns -------------------------
     "m1_binary_meta" -> Q(
       (s, dir) => table(s, dir, "documents").select(col("doc_id"),
