@@ -1610,6 +1610,24 @@ object SparkEntry {
              |    AS token_share
              |FROM agg ORDER BY source, lang LIMIT 500""".stripMargin)),
 
+    // Sequence packing: docs → fixed-token-budget training sequences,
+    // sharded so packing parallelizes; the oracle replays the running
+    // token count per shard.
+    "d22_pack_sequences" -> Q(
+      (s, dir) => Curation.packSequences(
+          table(s, dir, "documents"), "doc_id", "text",
+          seqTokens = 512, shards = 8)
+        .orderBy("doc_id").limit(500),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, shard, n,
+             |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n
+             |      AS start FROM t)
+             |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+             |  CAST(start // 512 AS BIGINT) AS seq_id,
+             |  CAST(start % 512 AS BIGINT) AS seq_offset
+             |FROM c ORDER BY doc_id LIMIT 500""".stripMargin)),
+
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.
     // Exact small-int ratio in double — bit-identical cross-engine,

@@ -158,6 +158,35 @@ object Curation {
         sum(col("tokens")).over(Window.partitionBy()), 6))
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences — the step between chunking (d12) and training order.
+    * A doc's sequence id is the bin its STARTING token offset falls in
+    * under a running token count, so a document spanning a boundary
+    * begins in the sequence owning its first token (greedy
+    * document-boundary packing, the standard pretraining layout).
+    *
+    * Packing is inherently sequential, so it is sharded: each of
+    * `shards` independent streams packs in parallel (shard =
+    * id % shards — deterministic, SQL-reproducible), and the only
+    * window runs per shard ordered by id — per-task work is
+    * n/shards, parameterized to the cluster exactly like
+    * [[trainOrder]]'s range partitions. Output: (id, shard, seq_id,
+    * seq_offset) with seq_offset = the doc's first token's position
+    * within its sequence. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqTokens: Int, shards: Int): DataFrame = {
+    require(seqTokens >= 1 && shards >= 1, "seqTokens, shards >= 1")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    docs.select(col(idCol), pmod(col(idCol), lit(shards.toLong))
+          .cast("long").as("shard"),
+        TextStats.tokenCount(col(textCol)).as("_n"))
+      .withColumn("_start", sum(col("_n")).over(w) - col("_n"))
+      .select(col(idCol), col("shard"),
+        floor(col("_start") / lit(seqTokens.toDouble)).cast("long")
+          .as("seq_id"),
+        (col("_start") % seqTokens).cast("long").as("seq_offset"))
+  }
+
   /** Deterministic global training order: the portable hash is the sort
     * key, so the "shuffled" order is reproducible run-to-run and
     * engine-to-engine. For a full-corpus write, range-partition on the

@@ -136,4 +136,25 @@ class CurationSpec extends AnyFunSuite {
     assert(ordered === expected)
     assert(ordered !== (0L until 100L).toSeq) // actually shuffled
   }
+
+  test("sequence packing: greedy boundary bins per shard, golden values") {
+    val s = spark
+    import s.implicits._
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // one shard (ids all ≡ 1 mod 8): token counts 300, 300, 100
+    // starts 0, 300, 600 under seqTokens=512 → seqs 0, 0, 1
+    val df = Seq(
+      (1L, words(300)), (9L, words(300)), (17L, words(100)),
+      (2L, words(600))) // second shard: starts at 0, spans seq 0→1
+      .toDF("doc_id", "text")
+    val got = graft.pipeline.Curation
+      .packSequences(df, "doc_id", "text", seqTokens = 512, shards = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) === ((1L, 0L, 0L)))
+    assert(got(9L) === ((1L, 0L, 300L)))
+    assert(got(17L) === ((1L, 1L, 88L))) // 600 = 512 + 88
+    assert(got(2L) === ((2L, 0L, 0L)))  // own shard, fresh count
+  }
 }
