@@ -1469,12 +1469,20 @@ object SparkEntry {
     // fingerprint partition; the fingerprint is the shuffle key.
     "d14_dup_clusters" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy(
-          TextStats.minTokenFingerprint(col("text")))
-        table(s, dir, "documents")
-          .select(col("doc_id"),
-            min(col("doc_id")).over(w).as("keep_id"))
+        // summary + join, not a window over the fingerprint: a
+        // hyper-common fingerprint (one ubiquitous minimal-hash token)
+        // would funnel its whole cluster into a single window task,
+        // while the aggregate collapses map-side and the hot-key JOIN
+        // is splittable by AQE skew handling (same de-skew move as
+        // Dedup.exactDedup; <=> keeps the null-fingerprint group —
+        // empty docs — clustered like the window did).
+        val keyed = table(s, dir, "documents").select(col("doc_id"),
+          TextStats.minTokenFingerprint(col("text")).as("_fp"))
+        val keep = keyed.groupBy(col("_fp").as("_kfp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        keyed.join(keep, col("_fp") <=> col("_kfp"))
           .filter(col("doc_id") =!= col("keep_id"))
+          .select(col("doc_id"), col("keep_id"))
           .orderBy("doc_id").limit(1000)
       },
       Some("""WITH m AS (SELECT doc_id,
