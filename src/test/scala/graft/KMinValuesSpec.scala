@@ -46,6 +46,31 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(math.abs(big - 2000) / 2000.0 < 0.15)
   }
 
+  test("sketch aggregates incrementally over a stream, equal to batch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("v")
+      .select(Dedup.md5Long60(col("v")).as("h"))
+      .agg(KMinValues.agg(16, col("h")).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    try {
+      mem.addData("a", "b", "c")
+      q.processAllAvailable()
+      mem.addData("a", "d", "e") // "a" repeats across batches
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT sk FROM kmv_stream")
+        .head().getSeq[Long](0).toSeq
+      val batch = Seq("a", "b", "c", "d", "e").toDF("v")
+        .select(Dedup.md5Long60(col("v")).as("h"))
+        .agg(KMinValues.agg(16, col("h"))).head().getSeq[Long](0).toSeq
+      assert(streamed === batch) // state merge == single-pass set union
+    } finally q.stop()
+  }
+
   test("merge is order-independent: partitioned agg equals single-pass") {
     val s = spark
     import s.implicits._
