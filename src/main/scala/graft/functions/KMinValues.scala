@@ -22,7 +22,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * estimator biases low). k is small by construction.
   */
 class KMinValues(k: Int)
-    extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
   require(k >= 2, "k must be >= 2")
 
   override def zero: Seq[Long] = Seq.empty
@@ -39,7 +39,11 @@ class KMinValues(k: Int)
       }
     }
 
-  override def reduce(buf: Seq[Long], h: Long): Seq[Long] = insert(buf, h)
+  // boxed input so a null hash (e.g. md5Long60 of a null text) is
+  // SKIPPED like every SQL aggregate skips nulls — a primitive encoder
+  // would either kill the task or smuggle a phantom 0L into slot 1
+  override def reduce(buf: Seq[Long], h: java.lang.Long): Seq[Long] =
+    if (h == null) buf else insert(buf, h.longValue)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
     b.foldLeft(a)(insert)
   override def finish(buf: Seq[Long]): Seq[Long] = buf
@@ -54,10 +58,10 @@ object KMinValues {
 
   /** Column form over an already-hashed long column (callers hash with
     * the portable [[graft.pipeline.Dedup.md5Long60]] so the sketch is
-    * cross-engine reproducible). */
+    * cross-engine reproducible). Null hashes are ignored. */
   def agg(k: Int, hash: Column): Column =
     org.apache.spark.sql.functions.udaf(new KMinValues(k),
-      org.apache.spark.sql.Encoders.scalaLong).apply(hash)
+      org.apache.spark.sql.Encoders.LONG).apply(hash)
 
   /** The KMV estimate as a column over a finished sketch: exact size
     * below k, else `(k-1) · 2^60 / h_(k)`. 2^60 and (k-1)·2^60 are

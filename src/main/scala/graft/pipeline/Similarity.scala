@@ -206,11 +206,17 @@ object Similarity {
     require(probeHamming >= 0 && probeHamming <= 1,
       "declarative multi-probe supports Hamming distance 0 or 1")
     val qv = toDouble(col(vecCol))
-    val qb = lshBucket(qv, hp)
-    val probeCols = Seq(qb) ++ (if (probeHamming >= 1)
-      hp.indices.map(i => qb.bitwiseXOR(lit(1L << i))) else Nil)
+    // let-bind the bucket id: without it every probe-array element
+    // re-evaluates the full planes-dot-products bucket expression
+    // (planes+1 × planes dots per query row) — the exact hazard
+    // ExprUtils.let documents
+    val probes = ExprUtils.let(lshBucket(qv, hp)) { qb =>
+      array((Seq(qb) ++ (if (probeHamming >= 1)
+        hp.indices.map(i => qb.bitwiseXOR(lit(1L << i)))
+      else Nil)): _*)
+    }
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
-      explode(array(probeCols: _*)).as("_qbucket"))
+      explode(probes).as("_qbucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("_cv"),
       lshBucket(toDouble(col(vecCol)), hp).as("_cbucket"))

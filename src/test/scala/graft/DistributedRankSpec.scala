@@ -76,9 +76,11 @@ class DistributedRankSpec extends AnyFunSuite {
         (g, v, id)
       }
     val d = rows.toDF("grp", "value", "id")
-    val got = DistributedRank
+    val raw = DistributedRank
       .bucketedNtile(d, "grp", "value", Seq("id"), nTiles = 4, buckets = 4)
       .select("grp", "id", "ntile").collect()
+    assert(raw.length === 120) // neither dropped NOR duplicated rows
+    val got = raw
       .map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getLong(2))
       .toMap
     val w = Window.partitionBy("grp").orderBy(col("value"), col("id"))

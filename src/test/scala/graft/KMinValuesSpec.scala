@@ -46,6 +46,20 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(math.abs(big - 2000) / 2000.0 < 0.15)
   }
 
+  test("null hashes are skipped like any SQL aggregate, not sketched as 0") {
+    val s = spark
+    import s.implicits._
+    // md5Long60(null text) = null — an 'empty doc' row in a real corpus
+    val sk = Seq(Some("a"), None, Some("b"), None).toDF("v")
+      .select(Dedup.md5Long60(col("v")).as("h"))
+      .agg(KMinValues.agg(16, col("h"))).head().getSeq[Long](0).toSeq
+    val want = Seq("a", "b").toDF("v")
+      .select(Dedup.md5Long60(col("v")).as("h"))
+      .agg(KMinValues.agg(16, col("h"))).head().getSeq[Long](0).toSeq
+    assert(sk === want)
+    assert(!sk.contains(0L)) // no phantom minimum from a decoded null
+  }
+
   test("sketch aggregates incrementally over a stream, equal to batch") {
     val s = spark
     import s.implicits._
