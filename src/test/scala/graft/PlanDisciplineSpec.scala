@@ -124,6 +124,27 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"decorrelated join expected:\n$p")
   }
 
+  test("kmv sketch runs as partial+final aggregation, no window, no join") {
+    val p = plan("q25_kmv_distinct")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"),
+      s"typed aggregator expected:\n$p")
+    assert(!p.contains("WindowExec"), s"q25 must not sort partitions:\n$p")
+    assert(!p.contains("Join"), s"q25 is a single aggregation:\n$p")
+  }
+
+  test("sequence packing is one sharded window, no join") {
+    val p = plan("d22_pack_sequences")
+    assert(p.contains("Window"), s"per-shard running sum expected:\n$p")
+    assert(!p.contains("Join"), s"d22 must not join:\n$p")
+  }
+
+  test("trained IVF final probe is a filtered scan + top-k, no join") {
+    val p = plan("e6_ivf_trained")
+    assert(p.contains("TakeOrderedAndProject"), s"e6 must be top-k:\n$p")
+    assert(!p.contains("Join"),
+      s"trained centroids are literals — no join in the probe:\n$p")
+  }
+
   test("knn join bounds per-query top-k below the window sort") {
     val p = plan("e8_knn_join")
     assert(p.contains("WindowGroupLimit"),
