@@ -1505,6 +1505,32 @@ object SparkEntry {
               |FROM vpairs
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // Pairs → CLUSTERS: connected components of the verified near-dup
+    // graph (Dedup.connectedComponents, alternating large-star /
+    // small-star contraction — O(log²) rounds regardless of chain
+    // length, edge count never above the input's). component = the
+    // minimum doc_id transitively reachable; the oracle recomputes it
+    // as a recursive transitive closure over the same verified pairs.
+    "d23_dup_components" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.lshVerifiedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |cedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |reach(s, d) AS (
+              |  SELECT a, b FROM cedges
+              |  UNION
+              |  SELECT r.s, e.b FROM reach r JOIN cedges e ON e.a = r.d),
+              |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+              |  FROM reach GROUP BY s)
+              |SELECT doc_id, component FROM comp
+              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // ---- D16-D20: dataset curation (pipeline/Curation) ----------------
     // Deterministic train/val/test split: md5-hash bucket of doc_id →
     // 90/5/5; per-split doc + token counts. Map-only assignment (a

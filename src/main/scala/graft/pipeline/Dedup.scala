@@ -394,6 +394,93 @@ object Dedup {
         round(Similarity.dot(col("a.nv"), col("b.nv")), 6).as("cosine"))
   }
 
+  // ---- near-dup clusters: connected components ----------------------
+
+  /** One large-star round: hang every neighbor LARGER than u off the
+    * minimum of u's closed neighborhood. Input/output are canonical
+    * undirected pairs (u < v), distinct, no self-loops. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = d.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("lu"), least(col("u"), col("mv")).as("m"))
+    // for v > u: m <= u < v, so (m, v) is already canonical
+    d.join(m, col("u") === col("lu"))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient each edge toward its larger
+    * endpoint, then hang u and all its smaller neighbors off the
+    * minimum among them. Canonical pairs in, canonical pairs out. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("v").as("u"), col("u").as("v")) // v < u now
+    val m = d.groupBy("u").agg(min("v").as("mv")) // mv < u always
+      .select(col("u").as("su"), col("mv").as("m"))
+    val withM = d.join(m, col("u") === col("su"))
+    // smaller neighbors v != m hang under m (m <= v, v != m => m < v)
+    val hung = withM.filter(col("v") =!= col("m"))
+      .select(col("m").as("u"), col("v").as("v"))
+    // u itself hangs under m (m < u by construction)
+    val self = m.select(col("m").as("u"), col("su").as("v"))
+    hung.union(self).distinct()
+  }
+
+  /** Connected components of an undirected pair list — the
+    * pairs→CLUSTERS stage of dedup. Near-dup pairs are not clusters:
+    * dropping the higher id of each pair still keeps both `b` and `c`
+    * of the chain a−b, b−c; the component id is the transitive answer,
+    * and at 100 TB it cannot be a driver-side union-find.
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", ACM SoCC 2014):
+    * each round re-hangs nodes under the minimum of a neighborhood, so
+    * components contract toward their minimum id in O(log² n) rounds
+    * REGARDLESS of diameter — plain min-label propagation needs
+    * O(diameter) rounds, and a 10⁶-doc boilerplate chain would run 10⁶
+    * of them — while the edge count never exceeds the input's (the
+    * paper's size invariant), so no round shuffles more than the
+    * original pair set. Each round is two aggregation+join passes over
+    * the shrinking edge set; lineage is truncated per round with an
+    * eager `localCheckpoint` (an iterative DataFrame plan otherwise
+    * grows a round deeper every iteration until the optimizer chokes).
+    * Convergence is an exact set-equality check (equal counts + empty
+    * one-sided EXCEPT — both sides are distinct); a fleet deployment
+    * that wants fewer driver round-trips can run the paper's bound of
+    * rounds unconditionally instead.
+    *
+    * At convergence the edges form stars rooted at each component's
+    * minimum id. Output: (id, component) for every node of `pairs`,
+    * component = the minimum id reachable. Nodes appearing in no pair
+    * are singletons by definition and are not emitted — left-join +
+    * `coalesce(component, id)` rebuilds the total corpus mapping
+    * without shuffling the corpus through the iteration. */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(least(col(idACol), col(idBCol)).as("u"),
+        greatest(col(idACol), col(idBCol)).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge within $maxRounds rounds")
+    val d = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    d.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
+  }
+
   /** Token-set Jaccard similarity pairs within blocking keys:
     * explode distinct tokens, equi-join on (token, blocking keys),
     * count intersections, derive |union| from per-doc set sizes.

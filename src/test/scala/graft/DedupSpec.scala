@@ -258,4 +258,73 @@ class DedupSpec extends AnyFunSuite {
       assert(flagged.toSeq === Seq(100L -> 1L))
     } finally q.stop()
   }
+
+  /** Scala union-find reference for connectedComponents: component =
+    * minimum id transitively reachable. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  private def pairsDf(edges: Seq[(Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("id_a", "id_b")
+  }
+
+  private def ccMap(edges: Seq[(Long, Long)], maxRounds: Int = 50) =
+    Dedup.connectedComponents(pairsDf(edges), "id_a", "id_b", maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components match a union-find reference on random graphs") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = Seq.fill(30)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = ccMap(edges)
+      val want = unionFind(edges)
+      assert(got === want, s"seed $seed")
+      // every endpoint mapped exactly once, nothing extra
+      assert(got.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    }
+  }
+
+  test("connected components: chain collapses transitively, not pairwise") {
+    // a-b, b-c, c-d: pairwise keep-lowest would leave both c and d;
+    // the transitive component is one cluster rooted at 1
+    val got = ccMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: a 256-node path resolves in few rounds") {
+    // star contraction is O(log² n) rounds regardless of diameter;
+    // min-label propagation would need ~255 rounds here. The bound
+    // below fails loudly if the algorithm ever degrades to O(diameter).
+    val path = (0L until 255L).map(i => (i, i + 1))
+    val got = ccMap(path, maxRounds = 10)
+    assert(got === (0L to 255L).map(_ -> 0L).toMap)
+  }
+
+  test("connected components: empty, self-loop, and null pairs") {
+    assert(ccMap(Nil) === Map.empty)
+    // self-loops and nulls are dropped, not components
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 1L), (2L, 3L), (null, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 2L, 3L -> 2L))
+  }
 }
