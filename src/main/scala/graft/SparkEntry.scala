@@ -1531,6 +1531,38 @@ object SparkEntry {
               |SELECT doc_id, component FROM comp
               |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // Substring-level dedup signal (Lee et al., ACL 2022): per doc,
+    // the fraction of its distinct word 13-grams that occur in at
+    // least one OTHER document — duplication doc-level Jaccard can't
+    // see (a quoted paragraph in an otherwise-unique page).
+    "d24_dup_spans" -> Q(
+      (s, dir) => Dedup.crossDocNgramStats(
+          table(s, dir, "documents"), "doc_id", "text", n = 13)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_dup_grams"), col("dup_frac"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |ga AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(toks)-12, 0)),
+             |    i -> array_to_string(toks[i:i+12], ' '))) AS gs FROM t),
+             |g AS (SELECT doc_id, unnest(gs) AS gram FROM ga),
+             |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+             |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+             |    AS n_dup_grams
+             |  FROM g JOIN dfr USING (gram) WHERE df > 1
+             |  GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+             |  FROM ga)
+             |SELECT tot.doc_id, n_grams,
+             |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+             |  CASE WHEN n_grams > 0 THEN
+             |    ROUND(CAST(COALESCE(n_dup_grams, 0) AS DOUBLE)
+             |      / n_grams, 6)
+             |  ELSE 0.0 END AS dup_frac
+             |FROM tot LEFT JOIN dup USING (doc_id)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // ---- D16-D20: dataset curation (pipeline/Curation) ----------------
     // Deterministic train/val/test split: md5-hash bucket of doc_id →
     // 90/5/5; per-split doc + token counts. Map-only assignment (a

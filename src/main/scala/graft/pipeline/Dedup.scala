@@ -394,6 +394,43 @@ object Dedup {
         round(Similarity.dot(col("a.nv"), col("b.nv")), 6).as("cosine"))
   }
 
+  /** Cross-document duplicated n-gram statistics — the substring-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022): a span repeated across
+    * documents is training-set duplication even when the documents'
+    * overall Jaccard is low (a quoted paragraph inside an
+    * otherwise-unique page), so doc-level near-dup cannot see it.
+    * Per doc: distinct word n-grams, how many also occur in at least
+    * one OTHER document, and the duplicated fraction.
+    *
+    * One corpus scan: distinct n-grams per doc (map-only;
+    * `explode_outer` keeps zero-gram short docs in the frame) →
+    * document frequency per gram (map-side combine — each doc
+    * contributes a gram once) → join the gram stream back on the gram
+    * key → per-doc count. No broadcast: the gram table is
+    * corpus-sized. Long n-grams are near-unique so the gram key is
+    * skew-free (the d18 contamination argument); a pathological
+    * boilerplate span makes one hot build row, which AQE skew-split
+    * handles. */
+  def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      array_distinct(Curation.wordNgrams(col(textCol), n)).as("ga"))
+    val g = base.select(col("id"),
+      size(col("ga")).cast("long").as("n_grams"),
+      explode_outer(col("ga")).as("gram"))
+    val dfreq = g.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    g.join(dfreq, Seq("gram"), "left")
+      .groupBy("id").agg(
+        max(col("n_grams")).as("n_grams"),
+        count(when(col("df") > 1, lit(1))).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        when(col("n_grams") > 0,
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   // ---- near-dup clusters: connected components ----------------------
 
   /** One large-star round: hang every neighbor LARGER than u off the

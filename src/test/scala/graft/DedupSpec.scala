@@ -259,6 +259,42 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-doc n-gram stats match a brute-force reference") {
+    def ngrams(text: String, n: Int): Set[String] = {
+      val toks = text.split(" ", -1).toSeq
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val shared = (1 to 6).map(i => s"w$i").mkString(" ") // a 6-token span
+    val rows = Seq(
+      (1L, s"alpha beta $shared gamma delta"),  // shares span with 2
+      (2L, s"$shared epsilon zeta eta theta"),  // shares span with 1
+      (3L, "iota kappa lambda mu nu xi omicron pi rho"), // unique
+      (4L, "tiny doc"),                          // shorter than n
+      (5L, s"alpha beta $shared gamma delta"))   // exact dup of 1
+    val n = 4
+    val all = rows.map { case (id, t) => id -> ngrams(t, n) }.toMap
+    val expected = rows.map { case (id, _) =>
+      val mine = all(id)
+      val dup = mine.count(gm =>
+        all.exists { case (oid, og) => oid != id && og.contains(gm) })
+      (id, mine.size.toLong, dup.toLong,
+        if (mine.nonEmpty)
+          BigDecimal(dup.toDouble / mine.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else 0.0)
+    }.sortBy(_._1)
+    val got = Dedup.crossDocNgramStats(docsDf(rows), "doc_id", "text", n)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+    // the planted span really is flagged, and only where planted
+    assert(got.find(_._1 == 2L).get._3 > 0)
+    assert(got.find(_._1 == 3L).get._3 === 0L)
+    assert(got.find(_._1 == 4L).get._2 === 0L) // short doc: zero grams
+  }
+
   /** Scala union-find reference for connectedComponents: component =
     * minimum id transitively reachable. */
   private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
