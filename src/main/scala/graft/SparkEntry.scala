@@ -1694,6 +1694,40 @@ object SparkEntry {
              |  CAST(start % 512 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // Temperature-reweighted mixture sampling (the mC4/XLM-R
+    // rebalancing recipe): per-source keep rate p^(1/T-1), normalized
+    // downsample-only, selection by portable-hash threshold. T = 2
+    // flattens toward rare sources; the oracle replays shares → rates
+    // → the per-doc hash decision.
+    "d25_temperature_sample" -> Q(
+      (s, dir) => Curation.temperatureSample(
+          table(s, dir, "documents"), "source", "doc_id", "text",
+          temperature = 2.0)
+        .groupBy("source").agg(
+          count(lit(1)).as("kept_docs"),
+          sum(TextStats.tokenCount(col("text"))).as("kept_tokens"),
+          max(col("rate")).as("rate"))
+        .orderBy("source"),
+      Some(s"""WITH st AS (SELECT source,
+              |    sum(len(str_split(text, ' '))) AS toks
+              |  FROM documents GROUP BY source),
+              |p AS (SELECT source, toks /
+              |    CAST((SELECT sum(toks) FROM st) AS DOUBLE) AS p
+              |  FROM st),
+              |q AS (SELECT source, CASE WHEN p > 0
+              |    THEN pow(p, 1.0/2.0 - 1.0) ELSE 0.0 END AS qp FROM p),
+              |r AS (SELECT source,
+              |    ROUND(qp / (SELECT max(qp) FROM q), 6) AS rate FROM q),
+              |kept AS (SELECT d.source, d.doc_id,
+              |    len(str_split(d.text, ' ')) AS ntok, r.rate
+              |  FROM documents d JOIN r USING (source)
+              |  WHERE (${duckHash60("CAST(doc_id AS VARCHAR)")}) % 1000000
+              |    < CAST(round(rate * 1000000) AS BIGINT))
+              |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+              |  CAST(sum(ntok) AS BIGINT) AS kept_tokens, rate
+              |FROM kept GROUP BY source, rate
+              |ORDER BY source""".stripMargin)),
+
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.
     // Exact small-int ratio in double — bit-identical cross-engine,

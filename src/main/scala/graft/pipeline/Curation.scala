@@ -158,6 +158,44 @@ object Curation {
         sum(col("tokens")).over(Window.partitionBy()), 6))
   }
 
+  /** Temperature-reweighted mixture sampling — the standard rebalancing
+    * step of multilingual/multi-source pretraining (the mC4 / XLM-R
+    * recipe): target shares q_s ∝ p_s^(1/T), where p_s is group s's
+    * token share and T > 1 flattens the mixture toward rare groups.
+    * Realized downsample-only: per-group keep rate
+    * r_s = (q_s/p_s) / max(q_s/p_s) = p_s^(1/T−1) normalized so the
+    * rarest group keeps everything and over-represented groups are
+    * thinned. Selection is the deterministic portable-hash threshold
+    * (`md5Long60(id) mod 1e6 < r_s·1e6`) — reproducible across runs,
+    * cluster shapes, and engines; a doc's fate never depends on
+    * partitioning. Rates are rounded to 6 digits BEFORE the threshold
+    * so the kept set is cross-engine identical despite last-ulp pow()
+    * differences (the d19/e6 rounding discipline).
+    *
+    * Shape at scale: one aggregation for the group token shares (a
+    * |groups|-row frame; its share/max windows are bounded by mixture
+    * cardinality, as in [[mixtureReport]]), broadcast-joined back, then
+    * a pure per-row filter — the corpus is scanned twice and never
+    * shuffled. Zero-token groups get rate 0 (nothing to keep). */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+                        textCol: String, temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be > 0")
+    val shares = docs.groupBy(groupCol)
+      .agg(sum(TextStats.tokenCount(col(textCol))).as("_toks"))
+      .withColumn("_p", col("_toks").cast("double") /
+        sum(col("_toks")).over(Window.partitionBy()))
+    val rates = shares
+      .withColumn("_qp", when(col("_p") > 0,
+        pow(col("_p"), lit(1.0 / temperature - 1.0))).otherwise(lit(0.0)))
+      .withColumn("rate",
+        round(col("_qp") / max(col("_qp")).over(Window.partitionBy()), 6))
+      .select(col(groupCol), col("rate"))
+    docs.join(broadcast(rates), groupCol)
+      .filter(pmod(Dedup.md5Long60(col(idCol).cast("string")),
+          lit(1000000L)) <
+        round(col("rate") * 1000000).cast("long"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

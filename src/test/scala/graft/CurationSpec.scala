@@ -157,4 +157,46 @@ class CurationSpec extends AnyFunSuite {
     assert(got(17L) === ((1L, 1L, 88L))) // 600 = 512 + 88
     assert(got(2L) === ((2L, 0L, 0L)))  // own shard, fresh count
   }
+
+  private def srcDocs(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  /** Scala replay of Dedup.md5Long60 for the sampling decision. */
+  private def md5Long60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("temperature sampling: T=1 keeps everything, T>1 thins the dominant source") {
+    val rows = (1L to 80L).map(i => (i, "big", "w1 w2 w3 w4 w5")) ++
+      (81L to 90L).map(i => (i, "rare", "w1 w2 w3 w4 w5"))
+    val df = srcDocs(rows: _*)
+    val t1 = Curation.temperatureSample(df, "source", "doc_id", "text", 1.0)
+    assert(t1.count() === 90L) // pow(p, 0) = 1 for every group
+    val t2 = Curation.temperatureSample(df, "source", "doc_id", "text", 2.0)
+      .select("doc_id", "source", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val rateBySrc = t2.map(r => r._2 -> r._3).toMap
+    assert(rateBySrc("rare") === 1.0) // rarest group keeps everything
+    assert(rateBySrc.getOrElse("big", 1.0) < 1.0 || !rateBySrc.contains("big"))
+    assert(t2.count(_._2 == "rare") === 10)
+    // the kept set is exactly the portable-hash threshold decision:
+    // rate = round((p_big)^(-1/2) / (p_rare)^(-1/2), 6) = round(sqrt(1/8), 6)
+    val expectedRate = BigDecimal(math.sqrt(10.0 / 80.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bigKept = t2.filter(_._2 == "big").map(_._1).toSet
+    val expectKept = (1L to 80L).filter(i =>
+      md5Long60(i.toString) % 1000000L <
+        math.round(expectedRate * 1000000)).toSet
+    assert(bigKept === expectKept)
+    // deterministic: a second run yields the identical kept set
+    val again = Curation.temperatureSample(df, "source", "doc_id", "text",
+        2.0).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === t2.map(_._1).toSet)
+  }
 }
