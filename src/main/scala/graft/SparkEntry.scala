@@ -1849,6 +1849,60 @@ object SparkEntry {
              |WHERE doc_id NOT IN (SELECT id_b FROM dup)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // The transitive-cluster twin of llm_clean_pipeline: near-dup
+    // removal keeps each CONNECTED COMPONENT's minimum id instead of
+    // dropping the higher id of every pair. Pairwise removal is
+    // non-transitive — with pairs (b,c) and (a,c) it keeps both a and
+    // b even though all three are one near-dup cluster; components
+    // keep exactly one representative per cluster, the semantics a
+    // production dedup stage wants. The oracle replays the whole
+    // pipeline INCLUDING the cluster closure (recursive CTE).
+    "llm_clean_cc" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val quality = docs.filter(TextStats.isQuality(col("text")))
+        val exact = Dedup.exactDedup(quality, "doc_id", "text")
+        val pairs = Dedup.lshVerifiedJaccardPairs(exact, "doc_id", "text",
+          threshold = 0.6)
+        val nonRep = Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        // no broadcast hint: the non-representative set is O(near-dup
+        // count), unbounded at 100 TB — AQE broadcasts when it fits
+        exact.join(nonRep, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH RECURSIVE q AS (
+             |  SELECT doc_id, text, lang, source,
+             |    str_split(text, ' ') AS toks
+             |  FROM documents),
+             |qs AS (
+             |  SELECT doc_id, text, lang, source, len(toks) AS n,
+             |    len(list_distinct(toks)) AS nd,
+             |    len(list_filter(toks, x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) AS en
+             |  FROM q),
+             |quality AS (
+             |  SELECT doc_id, text, lang, source FROM qs
+             |  WHERE n >= 10 AND n <= 100000 AND nd / CAST(n AS DOUBLE) > 0.1
+             |    AND en / CAST(n AS DOUBLE) < 0.5),
+             |exact AS (
+             |  SELECT * FROM quality
+             |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
+             |${duckLshVerifiedCtes("exact", 0.6)},
+             |cedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+             |  UNION SELECT id_b, id_a FROM vpairs),
+             |reach(s, d) AS (
+             |  SELECT a, b FROM cedges
+             |  UNION
+             |  SELECT r.s, e.b FROM reach r JOIN cedges e ON e.a = r.d),
+             |comp AS (SELECT s AS id, least(s, min(d)) AS component
+             |  FROM reach GROUP BY s)
+             |SELECT doc_id, lang, source FROM exact
+             |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // ---- LLM-data-pipeline: embedding similarity search ---------------
     "e1_cosine_topk" -> Q(
       (s, dir) => {
