@@ -2328,7 +2328,28 @@ object SparkEntry {
              |  CAST(4 + (doc_id // 32) % 32 AS BIGINT) AS height,
              |  'png' AS format
              |FROM documents WHERE doc_id % 3 = 0
-             |ORDER BY doc_id LIMIT 500""".stripMargin)))
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // REAL image resize round-trip: synthesized PNG → bilinear scale
+    // into a 16-px box → PNG re-encode → RE-DECODE. The reported dims
+    // come from the resized payload's pixels; the oracle recomputes
+    // the integer target-dimension arithmetic from the synthesis
+    // formulas, so the whole scale→encode→decode loop is checked.
+    "m4_image_resize" -> Q(
+      (s, dir) => Multimodal.imageResizeTable(s,
+        table(s, dir, "documents"), maxSide = 16),
+      Some("""WITH i AS (SELECT doc_id,
+             |    CAST(4 + doc_id % 32 AS BIGINT) AS w0,
+             |    CAST(4 + (doc_id // 32) % 32 AS BIGINT) AS h0
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |m AS (SELECT doc_id, w0, h0, greatest(w0, h0) AS ms FROM i)
+             |SELECT doc_id,
+             |  CASE WHEN ms <= 16 THEN w0
+             |       ELSE greatest(1, w0 * 16 // ms) END AS width,
+             |  CASE WHEN ms <= 16 THEN h0
+             |       ELSE greatest(1, h0 * 16 // ms) END AS height,
+             |  'png' AS format
+             |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

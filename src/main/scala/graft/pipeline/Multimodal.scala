@@ -104,6 +104,29 @@ object Multimodal {
     * so it must be prevented, not caught. Bound checked BEFORE decode. */
   private val MaxDecodePixels = 64L * 1000 * 1000
 
+  /** Guarded image read shared by decode and resize: None for any
+    * unreadable payload — wrong magic, truncated stream, absurd
+    * declared dimensions (checked BEFORE the raster allocation). */
+  private def readGuarded(bytes: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels) None
+          else Some((reader.read(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Real image decode: format from the reader that claims the byte
     * stream, dimensions and a mean-pixel feature from the decoded
     * raster. Any unreadable payload — wrong magic, truncated stream,
@@ -112,28 +135,15 @@ object Multimodal {
   private def decodeImage(r: MediaRecord): MediaMeta = {
     imageIoInit
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(r.media))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) errorMeta(r)
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
-            if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > MaxDecodePixels)
-              errorMeta(r)
-            else decodeWith(reader, r)
-          } finally reader.dispose()
-        }
-      } finally iis.close()
+      readGuarded(r.media) match {
+        case None             => errorMeta(r)
+        case Some((img, fmt)) => decodeWith(img, fmt, r)
+      }
     } catch { case scala.util.control.NonFatal(_) => errorMeta(r) }
   }
 
-  private def decodeWith(reader: javax.imageio.ImageReader,
+  private def decodeWith(img: java.awt.image.BufferedImage, fmt: String,
                          r: MediaRecord): MediaMeta = {
-    val img = reader.read(0)
     // mean RGB over the raster — a real pixel statistic (solid
     // fixtures make it also the fill color, which the spec pins)
     var rSum = 0L; var gSum = 0L; var bSum = 0L
@@ -150,10 +160,58 @@ object Multimodal {
     }
     val n = img.getWidth.toLong * img.getHeight
     MediaMeta(r.doc_id, r.media_type, r.media.length.toLong,
-      img.getWidth, img.getHeight,
-      reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+      img.getWidth, img.getHeight, fmt,
       Seq(rSum.toFloat / (255f * n), gSum.toFloat / (255f * n),
         bSum.toFloat / (255f * n)))
+  }
+
+  /** REAL image resize: decode with the shared guarded reader, scale
+    * into a `maxSide` bounding box with bilinear `Graphics2D` drawing
+    * (JDK-only, offline), re-encode PNG. Per-partition on executors.
+    * Target dimensions are pure INTEGER arithmetic —
+    * `max(1, side·maxSide/longSide)` — so an engine-independent oracle
+    * recomputes them exactly, with no float-rounding ambiguity.
+    * Images already inside the box pass through byte-identical (no
+    * decode/re-encode drift); payloads the decoder rejects pass
+    * through unchanged — a resize stage must neither drop rows nor
+    * kill tasks, and the downstream decode flags the bad ones.
+    * Non-image rows are untouched. */
+  def resizeImages(records: Dataset[MediaRecord], maxSide: Int)
+      : Dataset[MediaRecord] = {
+    require(maxSide >= 1, "maxSide must be >= 1")
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map { r =>
+      if (r.media_type != "image") r else resizeOne(r, maxSide)
+    })
+  }
+
+  private def resizeOne(r: MediaRecord, maxSide: Int): MediaRecord = {
+    imageIoInit
+    try {
+      readGuarded(r.media) match {
+        case None => r
+        case Some((img, _)) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val m = math.max(w, h)
+          if (m <= maxSide) r
+          else {
+            val tw = math.max(1, w * maxSide / m)
+            val th = math.max(1, h * maxSide / m)
+            val out = new java.awt.image.BufferedImage(tw, th,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            MediaRecord(r.doc_id, r.media_type, bos.toByteArray)
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => r }
   }
 
   /** STUB decoder for audio/video (no codecs in this container): a
@@ -254,6 +312,19 @@ object Multimodal {
     * the real codec round-trip row by row (m3). */
   def imageDecodeTable(spark: SparkSession, docs: DataFrame): DataFrame = {
     decodeMeta(attachImages(docs)).toDF()
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
+      .orderBy("doc_id").limit(500)
+  }
+
+  /** Real scale→encode→decode loop: synthesized PNGs resized into a
+    * `maxSide` box ([[resizeImages]]), then RE-DECODED — the reported
+    * dimensions come from the resized payload's actual pixels, so the
+    * oracle's integer-arithmetic expectation checks the whole codec
+    * round trip (m4). */
+  def imageResizeTable(spark: SparkSession, docs: DataFrame,
+                       maxSide: Int): DataFrame = {
+    decodeMeta(resizeImages(attachImages(docs), maxSide)).toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("format"))
       .orderBy("doc_id").limit(500)

@@ -118,6 +118,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real image resize: scaled dims, preserved color, pass-throughs") {
+    val s = spark
+    import s.implicits._
+    val goodBig = Multimodal.synthesizePng(40, 20, 0x204060)  // outside box
+    val goodSmall = Multimodal.synthesizePng(10, 8, 0x010203) // inside box
+    val recs = Seq(
+      MediaRecord(1L, "image", goodBig),
+      MediaRecord(2L, "image", goodSmall),
+      MediaRecord(3L, "image", "corrupt payload".getBytes("UTF-8")),
+      MediaRecord(4L, "audio", goodBig)).toDS()
+    val out = Multimodal.resizeImages(recs, maxSide = 16)
+      .orderBy("doc_id").collect()
+    // 40x20 -> integer box arithmetic: (16, 20*16/40 = 8)
+    val m1 = Multimodal.decodeMeta(Seq(out(0)).toDS()).head()
+    assert(m1.width === 16 && m1.height === 8 && m1.format === "png")
+    // bilinear scale of a solid image stays the solid fill color
+    assert(math.abs(m1.features(0) - 0x20 / 255.0f) < 1e-6f)
+    assert(math.abs(m1.features(1) - 0x40 / 255.0f) < 1e-6f)
+    assert(math.abs(m1.features(2) - 0x60 / 255.0f) < 1e-6f)
+    // inside the box: byte-identical pass-through, no re-encode drift
+    assert(out(1).media === goodSmall)
+    // corrupt image and non-image rows pass through untouched
+    assert(out(2).media === "corrupt payload".getBytes("UTF-8"))
+    assert(out(3).media === goodBig && out(3).media_type === "audio")
+  }
+
   test("meta summary aggregates per media_type/format without collect") {
     val out = Multimodal.metaSummary(spark, docs).collect()
     assert(out.map(_.getAs[String]("media_type")).toSet ===
