@@ -2154,6 +2154,36 @@ object SparkEntry {
              |WHERE rnk <= 5 ORDER BY query_id, rnk LIMIT 100"""
         .stripMargin)),
 
+    // Int8 scalar quantization fidelity probe: quantize every
+    // embedding (per-vector scale = max|x|/127, tinyint codes),
+    // reconstruct, exact-cosine top-k over the reconstructions — the
+    // 4-bytes→1-byte storage path for vector corpora. The oracle
+    // replays quantize+dequantize in SQL, so the fixed-point round
+    // trip is value-exact cross-engine.
+    "e9_quantized_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.quantizedTopK(emb, "vec_id", "embedding", q, k = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |sc AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+             |  FROM e),
+             |dq AS (SELECT vec_id,
+             |    list_transform(v, x -> CASE WHEN s > 0
+             |      THEN round(x / s) * s ELSE 0.0 END) AS vq
+             |  FROM sc),
+             |c AS (SELECT vec_id, ROUND(list_dot_product(vq, qv)
+             |    / (sqrt(list_dot_product(vq, vq))
+             |       * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+             |  FROM dq, q)
+             |SELECT vec_id, cosine FROM c
+             |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
     // TRAINED IVF: two spherical-Lloyd iterations from a data-derived
     // init, then probe-and-rerank. The oracle re-derives the ENTIRE
     // training loop in SQL — assignment (argmax dot, cell-asc ties),

@@ -230,6 +230,49 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the storage/IO
+    * lever for vector corpora at 100 TB: 4 bytes → 1 byte per
+    * dimension, which is the difference between an embedding table
+    * that fits executor page cache and one that doesn't. scale =
+    * max|x|/127, q_i = round(x_i/scale) ∈ [−127, 127] (tinyint),
+    * reconstruction x̂_i = q_i·scale with ‖x−x̂‖∞ ≤ scale/2
+    * (spec-pinned). The zero vector quantizes to scale 0 + zero codes.
+    * Output: struct(scale double, q array<tinyint>). Pure per-row
+    * expressions — quantization is a map stage, no shuffle. */
+  def quantizeInt8(vec: Column): Column =
+    ExprUtils.let(vec) { v =>
+      ExprUtils.let(array_max(transform(v, x => abs(x))) / 127.0) { s =>
+        struct(
+          s.as("scale"),
+          transform(v, x =>
+            when(s > 0, round(x / s)).otherwise(lit(0.0))
+              .cast("tinyint")).as("q"))
+      }
+    }
+
+  /** Reconstruction of [[quantizeInt8]] output: q_i·scale as
+    * array<double>. */
+  def dequantizeInt8(qs: Column): Column =
+    ExprUtils.let(qs) { s =>
+      transform(s.getField("q"),
+        x => x.cast("double") * s.getField("scale"))
+    }
+
+  /** Cosine top-k over QUANTIZED vectors: quantize → reconstruct →
+    * exact cosine — the fidelity probe for the int8 storage path (at
+    * scale the tinyint codes are what's persisted and scanned; the
+    * float originals need never be read). Rounded before ordering for
+    * the cross-engine-reproducible cut, as in [[annTopKWith]]. */
+  def quantizedTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                    query: Seq[Double], k: Int): DataFrame = {
+    val xhat = dequantizeInt8(quantizeInt8(toDouble(col(vecCol))))
+    embeddings
+      .select(col(idCol),
+        round(cosine(xhat, typedlit(query)), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Parameter fetch: embedding vectors by id, ordered by id. Bounded
     * (|ids| rows) — a codebook/plane fetch, not a data collect. */
   def vectorsByIds(emb: DataFrame, idCol: String, vecCol: String,

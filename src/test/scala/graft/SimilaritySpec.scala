@@ -333,4 +333,46 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(ann.head === 0L) // cosine(q, q) = 1 ranks first
   }
+
+  test("int8 quantization: code range, error bound, faithful top-k") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0L until 200L).map(i =>
+      i -> Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    // one zero vector: must quantize to scale 0 + zero codes, not NaN
+    // (kept out of the cosine top-k below — cosine of the zero vector
+    // is 0/0 in any engine)
+    val dfz = emb(rows :+ (200L -> Seq.fill(dim)(0f)))
+    val df = emb(rows)
+    val qd = dfz.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"),
+      Similarity.quantizeInt8(Similarity.toDouble(col("embedding")))
+        .as("qs"))
+    val decoded = qd.select(col("vec_id"), col("v"),
+        col("qs.scale").as("scale"), col("qs.q").as("q"),
+        Similarity.dequantizeInt8(col("qs")).as("vq"))
+      .collect()
+    assert(decoded.length === 201)
+    decoded.foreach { r =>
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Byte](3)
+      val orig = r.getSeq[Double](1)
+      val rec = r.getSeq[Double](4)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      // reconstruction error bounded by half a quantization step
+      orig.zip(rec).foreach { case (x, xh) =>
+        assert(math.abs(x - xh) <= scale / 2 + 1e-12)
+      }
+      if (r.getLong(0) == 200L)
+        assert(scale === 0.0 && rec.forall(_ == 0.0))
+    }
+    // the quantized top-k stays close to the exact one
+    val q = rows.head._2.map(_.toDouble)
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(df, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect quant).size >= 18,
+      s"overlap ${(exact intersect quant).size}/20")
+  }
 }
