@@ -40,10 +40,22 @@ class PlanDisciplineSpec extends AnyFunSuite {
 
   test("row-returning verification queries end in TakeOrderedAndProject") {
     Seq("s1_scan_project", "p4_filter_misses", "t7_time_derive",
-      "d2_text_stats", "e1_cosine_topk").foreach { q =>
+      "d2_text_stats", "e1_cosine_topk", "d24_dup_spans",
+      "e9_quantized_topk", "m4_image_resize").foreach { q =>
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
     }
+  }
+
+  test("d24 gram-frequency join never broadcasts the corpus-sized side") {
+    // the document-frequency table is O(distinct grams); a broadcast
+    // hint there would OOM the driver at corpus scale. AQE may still
+    // CHOOSE broadcast at this toy SF — the guard is that the LOGICAL
+    // plan carries no hint (ResolvedHint), so at 100 TB the planner is
+    // free to shuffle.
+    val lp = SparkEntry.queries("d24_dup_spans")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), s"unexpected broadcast hint:\n$lp")
   }
 
   test("no query plans a cartesian product or nested-loop join") {
