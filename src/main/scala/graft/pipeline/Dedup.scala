@@ -518,6 +518,33 @@ object Dedup {
       .select(col("u").as("id"), least(col("u"), col("mv")).as("component"))
   }
 
+  /** The star-edge form of a computed clustering: (component, id) for
+    * every non-root node — exactly the shape [[connectedComponents]]
+    * converges to, reusable as the standing state for incremental
+    * maintenance. */
+  def componentStarEdges(assign: DataFrame): DataFrame =
+    assign.filter(col("id") =!= col("component"))
+      .select(col("component").as("u"), col("id").as("v"))
+
+  /** Incremental cluster maintenance: fold a NEW batch of near-dup
+    * pairs (e.g. from [[lshVerifiedPairsAgainst]] on arriving docs)
+    * into an existing clustering without recomputing it from raw
+    * pairs. The standing state is the star-edge set of the previous
+    * assignment — already the algorithm's fixed point — so the union
+    * with a batch of new pairs re-converges in one or two contraction
+    * rounds (new edges either hang new nodes onto existing stars or
+    * splice two stars, both resolved by a single large-star +
+    * small-star pass); cost per batch is proportional to cluster
+    * state touched by the batch, not corpus history. Returns the full
+    * updated (id, component) assignment. */
+  def mergeComponents(assign: DataFrame, newPairs: DataFrame,
+                      idACol: String, idBCol: String,
+                      maxRounds: Int = 50): DataFrame = {
+    val stars = componentStarEdges(assign)
+      .union(newPairs.select(col(idACol).as("u"), col(idBCol).as("v")))
+    connectedComponents(stars, "u", "v", maxRounds)
+  }
+
   /** Token-set Jaccard similarity pairs within blocking keys:
     * explode distinct tokens, equi-join on (token, blocking keys),
     * count intersections, derive |union| from per-doc set sizes.

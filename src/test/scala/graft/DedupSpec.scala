@@ -352,6 +352,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got === (0L to 255L).map(_ -> 0L).toMap)
   }
 
+  test("incremental merge equals recomputing components from all pairs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 30
+      def randomPairs(k: Int) = Seq.fill(k)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val batch1 = randomPairs(15)
+      val batch2 = randomPairs(10) // splices clusters, adds new nodes
+      val assign1 = Dedup.connectedComponents(
+        pairsDf(batch1), "id_a", "id_b")
+      val merged = Dedup.mergeComponents(assign1, pairsDf(batch2),
+          "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = ccMap(batch1 ++ batch2)
+      assert(merged === full, s"seed $seed")
+    }
+  }
+
   test("connected components: empty, self-loop, and null pairs") {
     assert(ccMap(Nil) === Map.empty)
     // self-loops and nulls are dropped, not components
