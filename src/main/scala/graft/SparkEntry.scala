@@ -2299,6 +2299,30 @@ object SparkEntry {
              |   OR (r.nd < 64 AND r.rn = 1)
              |ORDER BY r.o_orderpriority""".stripMargin)),
 
+    // Relative-rank windows (percent_rank / cume_dist) over a
+    // HIGH-cardinality partition key (customer) — the scale-safe
+    // window shape: each task sorts only its own small groups, unlike
+    // the 3-value l_returnflag partitions q9/q17 document as weak.
+    // Rounded before the hash compare (rank ratios are small-int
+    // divisions, deterministic in both engines).
+    "q26_relative_rank" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        table(s, dir, "orders").select(
+            col("o_custkey"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderkey").limit(1000)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROUND(percent_rank() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+             |  ROUND(cume_dist() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice, o_orderkey), 6) AS cume
+             |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
     // ---- LLM-data-pipeline: multimodal columns -------------------------
     "m1_binary_meta" -> Q(
       (s, dir) => table(s, dir, "documents").select(col("doc_id"),

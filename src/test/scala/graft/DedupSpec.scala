@@ -371,6 +371,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming gate + merge maintains clusters across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words here entirely unrelated")))
+    // standing state: the (empty) assignment; each micro-batch's gate
+    // pairs fold in via mergeComponents — the foreachBatch production
+    // shape for incremental corpus clustering
+    var assign = Dedup.connectedComponents(pairsDf(Nil), "id_a", "id_b")
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupGateStream(
+        mem.toDF().toDF("doc_id", "text"), corpus,
+        "doc_id", "text", threshold = 0.6) { pairs =>
+      assign = Dedup.mergeComponents(assign, pairs,
+        "id_new", "id_corpus").localCheckpoint()
+    }
+    def state = assign.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      mem.addData((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      q.processAllAvailable()
+      assert(state === Map(1L -> 1L, 100L -> 1L))
+      // a second batch near-dups the same corpus doc: transitively it
+      // joins doc 100's cluster even though the gate never compared
+      // the two stream docs to each other
+      mem.addData(
+        (101L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      q.processAllAvailable()
+      assert(state === Map(1L -> 1L, 100L -> 1L, 101L -> 1L))
+      // an unrelated doc leaves the state untouched
+      mem.addData((102L, "nothing shared with anything at all whatsoever"))
+      q.processAllAvailable()
+      assert(state === Map(1L -> 1L, 100L -> 1L, 101L -> 1L))
+    } finally q.stop()
+  }
+
   test("connected components: empty, self-loop, and null pairs") {
     assert(ccMap(Nil) === Map.empty)
     // self-loops and nulls are dropped, not components
