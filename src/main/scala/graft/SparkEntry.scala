@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.{EventOps => E, SyntheticEvents => SE}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Curation, Dedup, Multimodal, Retrieval, Similarity, TextStats}
 import graft.queries.{AnalyzeQuery, ExportMissesQuery}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2183,6 +2183,105 @@ object SparkEntry {
              |  FROM dq, q)
              |SELECT vec_id, cosine FROM c
              |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // BM25 corpus search (Robertson k1=1.2/b=0.75, Lucene idf): the
+    // lexical-retrieval shape of a curation pipeline. Postings are
+    // filtered to the query vocabulary BEFORE any shuffle; idf/stats
+    // broadcast; score rounded before the top-k cut.
+    "r1_bm25_topk" -> Q(
+      (s, dir) => Retrieval.bm25TopK(table(s, dir, "documents"),
+          "doc_id", "text", Seq("vector", "hash", "merge"), k = 20)
+        .select(col("id").as("doc_id"), col("bm25")),
+      Some("""WITH p AS (SELECT doc_id AS id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             |        FROM documents) u
+             |  WHERE t IN ('vector', 'hash', 'merge')
+             |  GROUP BY id, t),
+             |l AS (SELECT doc_id AS id, len(str_split(text, ' ')) AS dl
+             |  FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(len(str_split(text, ' '))) AS DOUBLE)
+             |      / count(*) AS avgdl
+             |  FROM documents),
+             |i AS (SELECT term, ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             |    AS idf, avgdl
+             |  FROM (SELECT term, count(*) AS df FROM p GROUP BY term)
+             |  CROSS JOIN st),
+             |sc AS (SELECT p.id,
+             |    sum(i.idf * p.tf * 2.2
+             |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / i.avgdl)))
+             |      AS s
+             |  FROM p JOIN i USING (term) JOIN l ON l.id = p.id
+             |  GROUP BY p.id)
+             |SELECT id AS doc_id, ROUND(s, 6) AS bm25 FROM sc
+             |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // Hybrid retrieval: BM25 top-50 fused with embedding-cosine
+    // top-50 (documents and embeddings are id-aligned) by reciprocal
+    // rank — rank-only fusion, robust to incomparable score scales.
+    // Both input lists are top-n bounded, so the fusion is list-sized.
+    "r2_hybrid_rrf" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val lex = Retrieval.asRanking(
+          Retrieval.bm25TopK(docs, "doc_id", "text",
+            Seq("vector", "hash", "merge"), k = 50), "id", "bm25")
+        val sem = Retrieval.asRanking(
+          emb.select(col("vec_id"),
+              round(Similarity.cosine(
+                Similarity.toDouble(col("embedding")), typedlit(q)), 6)
+                .as("cosine"))
+            .orderBy(col("cosine").desc, col("vec_id").asc).limit(50),
+          "vec_id", "cosine")
+        Retrieval.rrfFuse(Seq(lex, sem), k = 20)
+          .select(col("id").as("doc_id"), col("rrf"), col("n_lists"))
+      },
+      Some("""WITH p AS (SELECT doc_id AS id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             |        FROM documents) u
+             |  WHERE t IN ('vector', 'hash', 'merge')
+             |  GROUP BY id, t),
+             |l AS (SELECT doc_id AS id, len(str_split(text, ' ')) AS dl
+             |  FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(len(str_split(text, ' '))) AS DOUBLE)
+             |      / count(*) AS avgdl
+             |  FROM documents),
+             |i AS (SELECT term, ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             |    AS idf, avgdl
+             |  FROM (SELECT term, count(*) AS df FROM p GROUP BY term)
+             |  CROSS JOIN st),
+             |sc AS (SELECT p.id,
+             |    ROUND(sum(i.idf * p.tf * 2.2
+             |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / i.avgdl))),
+             |      6) AS s
+             |  FROM p JOIN i USING (term) JOIN l ON l.id = p.id
+             |  GROUP BY p.id),
+             |lex AS (SELECT id, CAST(row_number() OVER
+             |    (ORDER BY s DESC, id ASC) AS BIGINT) AS rank
+             |  FROM (SELECT * FROM sc ORDER BY s DESC, id ASC LIMIT 50)),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS id, ROUND(list_dot_product(v, q)
+             |    / (sqrt(list_dot_product(v, v))
+             |       * sqrt(list_dot_product(q, q))), 6) AS c
+             |  FROM e, qv),
+             |sem AS (SELECT id, CAST(row_number() OVER
+             |    (ORDER BY c DESC, id ASC) AS BIGINT) AS rank
+             |  FROM (SELECT * FROM cs ORDER BY c DESC, id ASC LIMIT 50)),
+             |fused AS (SELECT id,
+             |    ROUND(sum(1.0 / (rank + 60)), 6) AS rrf,
+             |    CAST(count(*) AS BIGINT) AS n_lists
+             |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+             |  GROUP BY id)
+             |SELECT id AS doc_id, rrf, n_lists FROM fused
+             |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin)),
 
     // TRAINED IVF: two spherical-Lloyd iterations from a data-derived
     // init, then probe-and-rerank. The oracle re-derives the ENTIRE

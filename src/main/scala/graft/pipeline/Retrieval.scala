@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the documents table: BM25
+  * scoring (Robertson k1/b form with the always-positive Lucene idf)
+  * and reciprocal-rank fusion of heterogeneous rankings — the shapes
+  * a training-data pipeline uses for targeted corpus search and for
+  * fusing lexical hits with embedding neighbors.
+  */
+object Retrieval {
+
+  /** BM25 top-k for a bag-of-words query. One corpus aggregation for
+    * (N, avgdl); document frequency counted over the QUERY TERMS'
+    * postings only; per-doc scoring touches only docs holding ≥1
+    * query term — the explode is filtered to the query vocabulary
+    * BEFORE any shuffle (the inverted-index probe shape; at corpus
+    * scale the (term, doc, tf) postings frame is materialized once,
+    * partitioned by term, exactly as d19 builds it for TF-IDF, and
+    * this probe reads |query| term partitions). The tiny per-term idf
+    * table and the 1-row stats broadcast; scores round to 6 digits
+    * before ranking (the d19 ln() discipline), and the top-k is a
+    * TakeOrderedAndProject. idf = ln(1 + (N − df + ½)/(df + ½)) > 0
+    * always, so a term in every document still contributes.
+    *
+    * Output: (id, bm25). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    val postings = docs
+      .select(col(idCol).as("id"),
+        explode(TextStats.tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val lens = docs.select(col(idCol).as("id"),
+      TextStats.tokenCount(col(textCol)).as("dl"))
+    // avgdl as an explicit sum/count division: both engines compute
+    // the same two integers and one divide (a streaming AVG could
+    // accumulate differently engine-to-engine)
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col(textCol))).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+      .withColumn("join_one", pmod(col("n_docs"), lit(1L)).cast("int"))
+    val idf = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("join_one", pmod(col("df"), lit(1L)).cast("int"))
+      .join(broadcast(stats), "join_one")
+      .select(col("term"),
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"),
+        col("avgdl"))
+    postings
+      .join(broadcast(idf), "term")
+      .join(lens, "id")
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id").agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion: score(id) = Σ over rankings of
+    * 1/(k0 + rank). Robust to incomparable score scales (BM25 vs
+    * cosine) because only ranks enter; ids absent from a ranking
+    * simply contribute nothing. Each input is an (id, rank) frame —
+    * already top-n bounded by construction — so the union and the
+    * fused aggregation are list-sized, not corpus-sized. Output:
+    * (id, rrf, n_lists), ranked (rrf desc, id asc), rrf rounded to 6
+    * digits before the cut. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(round(sum(lit(1.0) / (col("rank") + k0)), 6).as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Attach a dense 1-based rank to an ALREADY top-n-bounded scored
+    * frame: row_number over (score desc, id asc). The single-partition
+    * window is bounded by the list length (n rows post-limit), the
+    * same post-aggregation-sized-window argument as d20's mixture
+    * share. */
+  def asRanking(scored: DataFrame, idCol: String,
+                scoreCol: String): DataFrame =
+    scored.select(col(idCol).as("id"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col(scoreCol).desc, col(idCol).asc)).as("rank"))
+}
