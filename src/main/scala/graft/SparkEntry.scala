@@ -2184,6 +2184,53 @@ object SparkEntry {
              |SELECT vec_id, cosine FROM c
              |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
 
+    // Product quantization + asymmetric distance (Jégou et al. 2011):
+    // 64 dims → 4 subspaces × data-derived subcodebooks; codes from
+    // argmin L2² (rounded, ties to lowest centroid), ranking by the
+    // per-query ADC table folded into the scan as literals. The
+    // oracle replays encode AND ADC, with the 4-term total summed in
+    // fixed subspace order to match the engine's fold.
+    "e10_pq_adc_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 20,
+          centroidIds = Seq(1L, 2L, 3L, 4L), m = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |cb AS (SELECT vec_id AS cid, v AS cv FROM e
+             |  WHERE vec_id IN (1, 2, 3, 4)),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |js AS (SELECT j FROM generate_series(0, 3) AS g(j)),
+             |enc AS (SELECT e.vec_id, js.j, cb.cid,
+             |    ROUND(list_dot_product(sv, sv)
+             |      - 2 * list_dot_product(sv, cs)
+             |      + list_dot_product(cs, cs), 6) AS d2
+             |  FROM e CROSS JOIN js CROSS JOIN cb,
+             |  LATERAL (SELECT e.v[js.j*16+1 : js.j*16+16] AS sv,
+             |           cb.cv[js.j*16+1 : js.j*16+16] AS cs) t),
+             |codes AS (SELECT vec_id, j, cid FROM (
+             |    SELECT vec_id, j, cid, row_number() OVER (
+             |      PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+             |    FROM enc) r WHERE rn = 1),
+             |pj AS (SELECT c.vec_id, c.j,
+             |    list_dot_product(qs, qs) - 2 * list_dot_product(qs, cs)
+             |      + list_dot_product(cs, cs) AS t
+             |  FROM codes c JOIN cb ON cb.cid = c.cid CROSS JOIN q,
+             |  LATERAL (SELECT q.qv[c.j*16+1 : c.j*16+16] AS qs,
+             |           cb.cv[c.j*16+1 : c.j*16+16] AS cs) l),
+             |adc AS (SELECT vec_id,
+             |    ROUND(sum(CASE WHEN j = 0 THEN t ELSE 0 END)
+             |        + sum(CASE WHEN j = 1 THEN t ELSE 0 END)
+             |        + sum(CASE WHEN j = 2 THEN t ELSE 0 END)
+             |        + sum(CASE WHEN j = 3 THEN t ELSE 0 END), 6)
+             |      AS adc_dist2
+             |  FROM pj GROUP BY vec_id)
+             |SELECT vec_id, adc_dist2 FROM adc
+             |ORDER BY adc_dist2 ASC, vec_id ASC LIMIT 20""".stripMargin)),
+
     // BM25 corpus search (Robertson k1=1.2/b=0.75, Lucene idf): the
     // lexical-retrieval shape of a curation pipeline. Postings are
     // filtered to the query vocabulary BEFORE any shuffle; idf/stats

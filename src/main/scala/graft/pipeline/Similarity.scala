@@ -353,6 +353,68 @@ object Similarity {
       roundCosine = true)
   }
 
+  /** Product-quantization top-k with asymmetric distance (Jégou,
+    * Douze, Schmid — "Product Quantization for Nearest Neighbor
+    * Search", IEEE TPAMI 2011): split each vector into `m` subvectors,
+    * encode each against a per-subspace codebook (argmin L2², ties to
+    * the lowest centroid index), and rank by the ADC approximation
+    * dist²(q, x) ≈ Σ_j ‖q_j − c_{j,code_j}‖² — the QUERY stays
+    * unquantized, so accuracy beats symmetric reconstruction at the
+    * same code budget. At scale this is the memory-bound ANN
+    * workhorse: a 64-dim float vector becomes m codes (here 4 bytes),
+    * the scan touches codes only, and the m×k' ADC lookup table is
+    * computed ONCE per query on the driver (a parameter, not data)
+    * and folded into the scan as literals — no join, no shuffle,
+    * TakeOrderedAndProject on top.
+    *
+    * The codebook here is data-derived (embedding rows by id, sliced
+    * per subspace — the [[ivfTopKData]] convention) so a SQL oracle
+    * replays encode AND ADC bit-for-bit; a trained (per-subspace
+    * k-means) codebook drops in unchanged. Encoding distances round
+    * to 6 digits before the argmin, and the ADC total before the
+    * ranking — the cross-engine ordering discipline used across this
+    * module. */
+  def pqTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], k: Int, centroidIds: Seq[Long],
+             m: Int): DataFrame = {
+    require(centroidIds == centroidIds.sorted, "centroidIds must be ascending")
+    val dim = query.length
+    require(m >= 1 && dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
+    require(cents.forall(_.length == dim), "codebook dim mismatch")
+    val subCents: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => cents.map(_.slice(j * sub, (j + 1) * sub)))
+    // sequential-fold dot, matching both the VectorDot kernel and the
+    // oracle's list_dot_product, so driver-side ADC entries agree
+    // bit-for-bit with engine-side arithmetic
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val adcTables: Seq[Seq[Double]] = (0 until m).map { j =>
+      val qj = query.slice(j * sub, (j + 1) * sub)
+      subCents(j).map(c => dotS(qj, qj) - 2 * dotS(qj, c) + dotS(c, c))
+    }
+    val score = ExprUtils.let(toDouble(col(vecCol))) { vv =>
+      (0 until m).map { j =>
+        val codeJ = ExprUtils.let(slice(vv, j * sub + 1, sub)) { sv =>
+          ExprUtils.let(dot(sv, sv)) { svv =>
+            ExprUtils.let(array(subCents(j).map { c =>
+              round(svv - lit(2.0) * dot(sv, typedlit(c)) +
+                lit(dotS(c, c)), 6)
+            }: _*)) { ds =>
+              array_position(ds, array_min(ds)).cast("int")
+            }
+          }
+        }
+        element_at(typedlit(adcTables(j)), codeJ)
+      }.reduce(_ + _)
+    }
+    embeddings
+      .select(col(idCol), round(score, 6).as("adc_dist2"))
+      .orderBy(col("adc_dist2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF top-k with a data-derived codebook: centroid i is the
     * embedding row with id `centroidIds(i)` (a deterministic "sample"
     * in lieu of trained k-means — SQL-oracle-reproducible; a trained

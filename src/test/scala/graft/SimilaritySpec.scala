@@ -334,6 +334,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ann.head === 0L) // cosine(q, q) = 1 ranks first
   }
 
+  test("pq adc: codebook rows are exact; clustered recall holds") {
+    val rnd = new scala.util.Random(5)
+    val dim = 8
+    val centers = (0 until 4).map(_ =>
+      Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    val points = (10L until 50L).map { i =>
+      val c = centers((i % 4).toInt)
+      i -> c.map(x => x + rnd.nextGaussian().toFloat * 0.05f)
+    }
+    val df = emb((1L to 4L).map(i => i -> centers((i - 1).toInt)) ++ points)
+    val query = centers(0).map(_.toDouble + 0.01)
+    val got = Similarity.pqTopK(df, "vec_id", "embedding", query,
+        k = 44, centroidIds = Seq(1L, 2L, 3L, 4L), m = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got.length === 44)
+    // a row that IS a centroid encodes to itself in every subspace, so
+    // its ADC distance is the EXACT L2² to the query
+    def dotS(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val c0 = centers(0).map(_.toDouble)
+    val exactD2 = dotS(query, query) - 2 * dotS(query, c0) + dotS(c0, c0)
+    val gotC0 = got.find(_._1 == 1L).get._2
+    assert(math.abs(gotC0 - exactD2) < 1e-5, s"$gotC0 vs $exactD2")
+    // clustered recall: the true 10 nearest are cluster-0 points; PQ
+    // collapses every cluster-0 member onto centroid 0's code, so all
+    // of them (and the centroid row) must precede other clusters
+    val all = ((1L to 4L).map(i => i -> centers((i - 1).toInt)) ++ points)
+      .map { case (id, v) =>
+        val vd = v.map(_.toDouble)
+        id -> (dotS(query, query) - 2 * dotS(query, vd) + dotS(vd, vd))
+      }.sortBy(_._2).take(10).map(_._1).toSet
+    val pqTop = got.take(11).map(_._1).toSet // cluster 0 = 10 pts + centroid
+    assert((all intersect pqTop).size >= 8,
+      s"overlap ${(all intersect pqTop).size}/10")
+  }
+
   test("int8 quantization: code range, error bound, faithful top-k") {
     val rnd = new scala.util.Random(11)
     val dim = 16
