@@ -894,6 +894,35 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // Quantiles over a DETERMINISTIC 10% hash sample — the scalable
+    // estimation path (exact order statistics need a per-group sort;
+    // the sample shrinks it 10× with a reproducible, nested,
+    // engine-independent row selection). The oracle replays the exact
+    // hash decision, so even the sample membership is verified.
+    "q27_sampled_quantiles" -> Q(
+      (s, dir) => Curation.hashSample(lineitem(s, dir),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")),
+          rate = 0.1)
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("sample_rows"),
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6)
+            .as("p50_price"),
+          round(expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"), 6)
+            .as("p95_price"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |  CAST(count(*) AS BIGINT) AS sample_rows,
+              |  ROUND(quantile_cont(l_extendedprice, 0.5), 6)
+              |    AS p50_price,
+              |  ROUND(quantile_cont(l_extendedprice, 0.95), 6)
+              |    AS p95_price
+              |FROM lineitem
+              |WHERE (${duckHash60(
+                 "CAST(l_orderkey AS VARCHAR) || '|' || " +
+                   "CAST(l_linenumber AS VARCHAR)")}) % 1000000 < 100000
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
     "q11_set_except" -> Q(
       (s, dir) => {
         val ev = rawEvents(s, dir)

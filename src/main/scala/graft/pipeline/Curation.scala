@@ -158,6 +158,21 @@ object Curation {
         sum(col("tokens")).over(Window.partitionBy()), 6))
   }
 
+  /** Deterministic hash-threshold row sample: keep rows whose portable
+    * hash of `key` lands in the lowest `rate` fraction of the hash
+    * space. The reproducible substitute for random sampling in any
+    * pipeline that must be replayable: the decision is per-row,
+    * independent of partitioning, cluster shape, and engine — and
+    * samples are NESTED (rate 0.05 ⊆ rate 0.1), so refining an
+    * estimate never resamples disjoint rows. This is the scalable
+    * quantile/statistics path at 100 TB: exact order statistics over a
+    * deterministic sample with a known rate, instead of a full sort. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate must be in [0, 1]")
+    df.filter(pmod(Dedup.md5Long60(key.cast("string")), lit(1000000L)) <
+      math.round(rate * 1000000))
+  }
+
   /** Temperature-reweighted mixture sampling — the standard rebalancing
     * step of multilingual/multi-source pretraining (the mC4 / XLM-R
     * recipe): target shares q_s ∝ p_s^(1/T), where p_s is group s's

@@ -172,6 +172,20 @@ class CurationSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  test("hash sample: deterministic, rate-proportional, nested thresholds") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    def ids(rate: Double) = Curation.hashSample(df, col("doc_id"), rate)
+      .collect().map(_.getLong(0)).toSet
+    val at10 = ids(0.1)
+    assert(ids(0.1) === at10) // deterministic run-to-run
+    assert(at10.size > 140 && at10.size < 260) // ~10% of 2000
+    // nested: a finer sample is a subset of a coarser one
+    assert(ids(0.05).subsetOf(at10))
+    assert(ids(0.0) === Set.empty && ids(1.0).size === 2000)
+  }
+
   test("temperature sampling: T=1 keeps everything, T>1 thins the dominant source") {
     val rows = (1L to 80L).map(i => (i, "big", "w1 w2 w3 w4 w5")) ++
       (81L to 90L).map(i => (i, "rare", "w1 w2 w3 w4 w5"))
