@@ -923,6 +923,56 @@ object SparkEntry {
               |GROUP BY l_returnflag
               |ORDER BY l_returnflag""".stripMargin)),
 
+    // Z-order (Morton) values for a 2-dim clustering of lineitem —
+    // the multi-dim data-skipping layout (ScaleOpsSpec proves the
+    // file-skipping); here the z computation itself is oracle-exact:
+    // equi-width 8-bit bins from the data's min/max, bit interleave
+    // as pure divide/modulo arithmetic.
+    "q28_zorder_values" -> Q(
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        val r = li.agg(
+          min(col("l_quantity").cast("double")),
+          max(col("l_quantity").cast("double")),
+          min(col("l_extendedprice").cast("double")),
+          max(col("l_extendedprice").cast("double"))).head()
+        val z = graft.io.TableLayout.zValue(Seq(
+          graft.io.TableLayout.binColumn(col("l_quantity"),
+            r.getDouble(0), r.getDouble(1), 8),
+          graft.io.TableLayout.binColumn(col("l_extendedprice"),
+            r.getDouble(2), r.getDouble(3), 8)), 8)
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // zval joins the sort key to make the cut deterministic
+        li.select(col("l_orderkey"),
+            col("l_linenumber").cast("long").as("l_linenumber"),
+            z.as("zval"))
+          .orderBy("l_orderkey", "l_linenumber", "zval").limit(1000)
+      },
+      Some {
+        val zTerms = (0 until 8).flatMap(b => Seq(
+          s"((bq // ${1L << b}) % 2) * ${1L << (2 * b)}",
+          s"((bp // ${1L << b}) % 2) * ${1L << (2 * b + 1)}"))
+          .mkString(" + ")
+        s"""WITH r AS (SELECT
+           |    CAST(min(l_quantity) AS DOUBLE) AS q0,
+           |    CAST(max(l_quantity) AS DOUBLE) AS q1,
+           |    CAST(min(l_extendedprice) AS DOUBLE) AS p0,
+           |    CAST(max(l_extendedprice) AS DOUBLE) AS p1
+           |  FROM lineitem),
+           |b AS (SELECT l_orderkey, l_linenumber,
+           |    greatest(0, least(255, CAST(floor(
+           |      (CAST(l_quantity AS DOUBLE) - q0) / (q1 - q0) * 255)
+           |      AS BIGINT))) AS bq,
+           |    greatest(0, least(255, CAST(floor(
+           |      (CAST(l_extendedprice AS DOUBLE) - p0) / (p1 - p0) * 255)
+           |      AS BIGINT))) AS bp
+           |  FROM lineitem, r)
+           |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |  CAST($zTerms AS BIGINT) AS zval
+           |FROM b ORDER BY l_orderkey, l_linenumber, zval
+           |LIMIT 1000""".stripMargin
+      }),
+
     "q11_set_except" -> Q(
       (s, dir) => {
         val ev = rawEvents(s, dir)

@@ -1,6 +1,7 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the 100 TB posture: partitioned and
   * bucketed persistence so repeated joins/aggregations on the same key
@@ -28,6 +29,57 @@ object TableLayout {
 
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Equi-width bin of `c` into [0, 2^bits) given the column's
+    * [mn, mx] range (a 1-row parameter fetch at the caller). Pure
+    * arithmetic — floor/clamp, no shifts — so an ANSI oracle
+    * recomputes it exactly. A degenerate range bins to 0. */
+  def binColumn(c: Column, mn: Double, mx: Double, bits: Int): Column = {
+    require(bits >= 1 && bits <= 20, "bits in [1, 20]")
+    val n = (1L << bits) - 1
+    val scaled =
+      if (mx > mn) floor((c.cast("double") - mn) / (mx - mn) * n)
+      else lit(0.0)
+    greatest(lit(0L), least(lit(n), scaled.cast("long")))
+  }
+
+  /** Morton (Z-order) interleave of d pre-binned dimensions, each in
+    * [0, 2^bits): bit b of dimension i lands at position b·d + i.
+    * Expressed as Σ ((bin ÷ 2^b) mod 2) · 2^(b·d+i) — divisions and
+    * moduli only, reproducible in any engine. Points close in EVERY
+    * dimension get close z-values, so sorting by z clusters the
+    * multi-dimensional neighborhood into the same files — the
+    * data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) for scans
+    * that filter on several columns at once, where single-column
+    * sorting only helps the leading column. */
+  def zValue(bins: Seq[Column], bits: Int): Column = {
+    require(bins.nonEmpty && bits * bins.length <= 60,
+      "z-value must fit a long")
+    val d = bins.length
+    (for {
+      b <- 0 until bits
+      (c, i) <- bins.zipWithIndex
+    } yield {
+      val bit = pmod(floor(c / lit(math.pow(2.0, b))).cast("long"),
+        lit(2L))
+      bit * lit(1L << (b * d + i))
+    }).reduce(_ + _)
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the z-value
+    * (so each output file owns a contiguous z-range = a compact
+    * multi-dim tile) and sort within partitions (so parquet row-group
+    * min/max stats are tight inside each file). Readers filtering on
+    * any combination of the z-dimensions then skip most files/row
+    * groups on stats alone — proven file-level in ScaleOpsSpec. The
+    * `_z` column is persisted alongside the data (it doubles as the
+    * cluster id for debugging; drop it at read time if unwanted). */
+  def writeZOrdered(df: DataFrame, path: String, zCol: Column,
+                    files: Int): Unit =
+    df.withColumn("_z", zCol)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .write.mode("overwrite").parquet(path)
 
   /** Small-files compaction: rewrite a parquet directory into
     * size-targeted files. Long-running ingestion (micro-batch sinks,

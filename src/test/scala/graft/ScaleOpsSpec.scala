@@ -131,6 +131,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(scan.count() === 100)
   }
 
+  test("z-order layout: a two-dim filter skips most files on stats alone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 20000).map(_ =>
+      (rnd.nextInt(1000).toDouble, rnd.nextInt(1000).toDouble))
+    val df = rows.toDF("x", "y")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zorder").toString
+    val z = TableLayout.zValue(Seq(
+      TableLayout.binColumn(col("x"), 0, 999, 8),
+      TableLayout.binColumn(col("y"), 0, 999, 8)), 8)
+    TableLayout.writeZOrdered(df, s"$dir/z", z, files = 16)
+    df.repartition(16).write.parquet(s"$dir/plain")
+    // a file must be read for the query box x<100 AND y<100 iff its
+    // column-stats bounding box intersects it — the decision parquet
+    // row-group pruning (and a manifest-based lakehouse) makes from
+    // min/max stats alone
+    def touched(path: String): Int = {
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 14, s"expected ~16 files at $path")
+      files.count { f =>
+        val st = s.read.parquet(f.getAbsolutePath)
+          .agg(min("x"), min("y")).head()
+        st.getDouble(0) < 100 && st.getDouble(1) < 100
+      }
+    }
+    // random layout: every file samples the whole square, so every
+    // file's box intersects the corner
+    assert(touched(s"$dir/plain") >= 14)
+    // z-order: the corner tile is a contiguous z-range -> few files
+    assert(touched(s"$dir/z") <= 4)
+    // clustering changed layout, never data
+    assert(s.read.parquet(s"$dir/z").count() === 20000)
+  }
+
   test("AQE splits skewed join partitions at runtime") {
     val s2 = spark
     import s2.implicits._
