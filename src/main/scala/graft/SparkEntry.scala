@@ -960,12 +960,12 @@ object SparkEntry {
            |    CAST(max(l_extendedprice) AS DOUBLE) AS p1
            |  FROM lineitem),
            |b AS (SELECT l_orderkey, l_linenumber,
-           |    greatest(0, least(255, CAST(floor(
+           |    CASE WHEN q1 > q0 THEN greatest(0, least(255, CAST(floor(
            |      (CAST(l_quantity AS DOUBLE) - q0) / (q1 - q0) * 255)
-           |      AS BIGINT))) AS bq,
-           |    greatest(0, least(255, CAST(floor(
+           |      AS BIGINT))) ELSE 0 END AS bq,
+           |    CASE WHEN p1 > p0 THEN greatest(0, least(255, CAST(floor(
            |      (CAST(l_extendedprice AS DOUBLE) - p0) / (p1 - p0) * 255)
-           |      AS BIGINT))) AS bp
+           |      AS BIGINT))) ELSE 0 END AS bp
            |  FROM lineitem, r)
            |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            |  CAST($zTerms AS BIGINT) AS zval
@@ -2601,7 +2601,7 @@ object SparkEntry {
     // recomputes the expected width/height/format from the synthesis
     // formulas — the codec must reproduce them row by row.
     "m3_image_decode" -> Q(
-      (s, dir) => Multimodal.imageDecodeTable(s, table(s, dir, "documents")),
+      (s, dir) => Multimodal.imageDecodeTable(table(s, dir, "documents")),
       Some("""SELECT doc_id,
              |  CAST(4 + doc_id % 32 AS BIGINT) AS width,
              |  CAST(4 + (doc_id // 32) % 32 AS BIGINT) AS height,
@@ -2615,7 +2615,7 @@ object SparkEntry {
     // the integer target-dimension arithmetic from the synthesis
     // formulas, so the whole scale→encode→decode loop is checked.
     "m4_image_resize" -> Q(
-      (s, dir) => Multimodal.imageResizeTable(s,
+      (s, dir) => Multimodal.imageResizeTable(
         table(s, dir, "documents"), maxSide = 16),
       Some("""WITH i AS (SELECT doc_id,
              |    CAST(4 + doc_id % 32 AS BIGINT) AS w0,

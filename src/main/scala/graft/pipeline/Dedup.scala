@@ -403,28 +403,29 @@ object Dedup {
     * Per doc: distinct word n-grams, how many also occur in at least
     * one OTHER document, and the duplicated fraction.
     *
-    * One corpus scan: distinct n-grams per doc (map-only;
-    * `explode_outer` keeps zero-gram short docs in the frame) →
-    * document frequency per gram (map-side combine — each doc
-    * contributes a gram once) → join the gram stream back on the gram
-    * key → per-doc count. No broadcast: the gram table is
-    * corpus-sized. Long n-grams are near-unique so the gram key is
-    * skew-free (the d18 contamination argument); a pathological
-    * boilerplate span makes one hot build row, which AQE skew-split
-    * handles. */
+    * Distinct n-grams per doc (map-only explode) → document frequency
+    * per gram (map-side combine — each doc contributes a gram once) →
+    * join the gram stream back on the gram key → per-doc count,
+    * left-joined to the per-doc totals so zero-gram (short) docs
+    * surface with dup count 0 WITHOUT ever entering the gram shuffle —
+    * at web scale a large fraction of docs is under n tokens, and an
+    * `explode_outer` null-gram row per short doc would all hash to one
+    * null-key partition. No broadcast: the gram table is corpus-sized.
+    * Long n-grams are near-unique so the gram key is skew-free (the
+    * d18 contamination argument); a pathological boilerplate span
+    * makes one hot build row, which AQE skew-split handles. */
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_distinct(Curation.wordNgrams(col(textCol), n)).as("ga"))
-    val g = base.select(col("id"),
-      size(col("ga")).cast("long").as("n_grams"),
-      explode_outer(col("ga")).as("gram"))
-    val dfreq = g.filter(col("gram").isNotNull)
-      .groupBy("gram").agg(count(lit(1)).as("df"))
-    g.join(dfreq, Seq("gram"), "left")
-      .groupBy("id").agg(
-        max(col("n_grams")).as("n_grams"),
-        count(when(col("df") > 1, lit(1))).as("n_dup_grams"))
+    val g = base.select(col("id"), explode(col("ga")).as("gram"))
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val dup = g.join(dfreq.filter(col("df") > 1), "gram")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"), size(col("ga")).cast("long").as("n_grams"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"))
       .withColumn("dup_frac",
         when(col("n_grams") > 0,
           round(col("n_dup_grams").cast("double") / col("n_grams"), 6))

@@ -310,7 +310,7 @@ object Multimodal {
     * `javax.imageio` decode → per-doc dimensions/format. Every value is
     * recomputable from the synthesis formulas, so a SQL oracle checks
     * the real codec round-trip row by row (m3). */
-  def imageDecodeTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def imageDecodeTable(docs: DataFrame): DataFrame = {
     decodeMeta(attachImages(docs)).toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("format"))
@@ -322,8 +322,7 @@ object Multimodal {
     * dimensions come from the resized payload's actual pixels, so the
     * oracle's integer-arithmetic expectation checks the whole codec
     * round trip (m4). */
-  def imageResizeTable(spark: SparkSession, docs: DataFrame,
-                       maxSide: Int): DataFrame = {
+  def imageResizeTable(docs: DataFrame, maxSide: Int): DataFrame = {
     decodeMeta(resizeImages(attachImages(docs), maxSide)).toDF()
       .select(col("doc_id"), col("width").cast("long").as("width"),
         col("height").cast("long").as("height"), col("format"))
