@@ -973,6 +973,49 @@ object SparkEntry {
            |LIMIT 1000""".stripMargin
       }),
 
+    // Data-quality profile (the Deequ/Great-Expectations stage): per
+    // column, null count / exact distinct / min / max — ONE
+    // aggregation pass over the frame (Spark expands the multi-
+    // distinct internally; at 100 TB swap countDistinct for the q8
+    // HLL sketch to keep it a single non-expanded pass), unpivoted to
+    // long form via stack.
+    "d26_profile" -> Q(
+      (s, dir) => {
+        val cols = Seq("event_id", "user_id", "selected_candidate_rank")
+        val c = commits(s, dir).select(cols.map(col): _*)
+        val aggs = cols.flatMap(cn => Seq(
+          sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"${cn}_nulls"),
+          countDistinct(col(cn)).as(s"${cn}_nd"),
+          min(col(cn)).cast("double").as(s"${cn}_min"),
+          max(col(cn)).cast("double").as(s"${cn}_max")))
+        c.agg(aggs.head, aggs.tail: _*)
+          .select(expr("stack(3, " + cols.map(cn =>
+              s"'$cn', ${cn}_nulls, ${cn}_nd, ${cn}_min, ${cn}_max")
+            .mkString(", ") +
+            ") AS (column_name, n_nulls, n_distinct, min_val, max_val)"))
+          .orderBy("column_name")
+      },
+      Some(s"""$commitsCte
+              |SELECT * FROM (
+              |  SELECT 'event_id' AS column_name,
+              |    CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+              |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+              |    CAST(min(event_id) AS DOUBLE) AS min_val,
+              |    CAST(max(event_id) AS DOUBLE) AS max_val FROM c
+              |  UNION ALL
+              |  SELECT 'user_id',
+              |    CAST(count(*) - count(user_id) AS BIGINT),
+              |    CAST(count(DISTINCT user_id) AS BIGINT),
+              |    CAST(min(user_id) AS DOUBLE),
+              |    CAST(max(user_id) AS DOUBLE) FROM c
+              |  UNION ALL
+              |  SELECT 'selected_candidate_rank',
+              |    CAST(count(*) - count(selected_candidate_rank) AS BIGINT),
+              |    CAST(count(DISTINCT selected_candidate_rank) AS BIGINT),
+              |    CAST(min(selected_candidate_rank) AS DOUBLE),
+              |    CAST(max(selected_candidate_rank) AS DOUBLE) FROM c) u
+              |ORDER BY column_name""".stripMargin)),
+
     "q11_set_except" -> Q(
       (s, dir) => {
         val ev = rawEvents(s, dir)
