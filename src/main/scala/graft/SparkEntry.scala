@@ -973,6 +973,35 @@ object SparkEntry {
            |LIMIT 1000""".stripMargin
       }),
 
+    // Retention cohorts — the standard event-log product analytics:
+    // users bucketed by first-seen day, distinct actives per
+    // (cohort, day offset). Day index via exact integer ns division
+    // (a double division of epoch-ns would round across midnight).
+    // Shape: map-side (user, day) dedupe → per-user min → user-keyed
+    // join (reuses the same shuffle key) → small final aggregate.
+    "q29_retention_cohorts" -> Q(
+      (s, dir) => {
+        val userDay = rawEvents(s, dir).select(col("user_id"),
+            expr("ts div 86400000000000").as("day")).distinct()
+        val first = userDay.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        userDay.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy("cohort_day", "day_offset").limit(2000)
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id,
+             |    CAST(epoch_ns(ts) // 86400000000000 AS BIGINT) AS day
+             |  FROM events),
+             |f AS (SELECT user_id, min(day) AS cohort_day FROM ud
+             |  GROUP BY user_id)
+             |SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+             |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS active_users
+             |FROM ud JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+             |LIMIT 2000""".stripMargin)),
+
     // Data-quality profile (the Deequ/Great-Expectations stage): per
     // column, null count / exact distinct / min / max — ONE
     // aggregation pass over the frame (Spark expands the multi-
