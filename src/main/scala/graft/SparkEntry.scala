@@ -973,6 +973,51 @@ object SparkEntry {
            |LIMIT 1000""".stripMargin
       }),
 
+    // Sequential funnel (view → click within an hour → purchase
+    // within an hour, first-qualifying step semantics) — the other
+    // canonical event-log product analytic next to retention. Each
+    // stage is a type-filtered scan aggregated and joined on user_id;
+    // every shuffle in the cascade reuses the same key. ts compares as
+    // exact integer nanoseconds (1 h = 3.6e12 ns).
+    "q30_funnel" -> Q(
+      (s, dir) => {
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val ev = rawEvents(s, dir).select("user_id", "event_type", "ts")
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = ev.filter(col("event_type") === "click")
+          .join(t1, "user_id")
+          .filter(col("ts") > col("t1") && col("ts") < col("t1") + hourNs)
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val t3 = ev.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("ts") > col("t2") && col("ts") < col("t2") + hourNs)
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        Seq("1_view" -> t1, "2_click" -> t2, "3_purchase" -> t3)
+          .map { case (nm, df) => df.agg(count(lit(1)).as("users"))
+            .select(lit(nm).as("stage"), col("users")) }
+          .reduce(_ unionAll _)
+          .orderBy("stage")
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             |  JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+             |    AND e.ts < t1.t1 + INTERVAL 1 HOUR
+             |  GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             |  JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+             |    AND e.ts < t2.t2 + INTERVAL 1 HOUR
+             |  GROUP BY e.user_id)
+             |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users
+             |FROM t1
+             |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM t2
+             |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT)
+             |FROM t3
+             |ORDER BY stage""".stripMargin)),
+
     // Retention cohorts — the standard event-log product analytics:
     // users bucketed by first-seen day, distinct actives per
     // (cohort, day offset). Day index via exact integer ns division
