@@ -1030,10 +1030,15 @@ object SparkEntry {
             expr("ts div 86400000000000").as("day")).distinct()
         val first = userDay.groupBy("user_id")
           .agg(min(col("day")).as("cohort_day"))
+        // count, not countDistinct: the input is the DISTINCT
+        // (user, day) frame joined to one row per user, so a user
+        // appears at most once per (cohort, offset) group — the
+        // distinct-aggregate would add a second expansion shuffle
+        // over the largest intermediate for zero semantic gain
         userDay.join(first, "user_id")
           .groupBy(col("cohort_day"),
             (col("day") - col("cohort_day")).as("day_offset"))
-          .agg(countDistinct(col("user_id")).as("active_users"))
+          .agg(count(lit(1)).as("active_users"))
           .orderBy("cohort_day", "day_offset").limit(2000)
       },
       Some("""WITH ud AS (SELECT DISTINCT user_id,
@@ -1057,8 +1062,11 @@ object SparkEntry {
       (s, dir) => {
         val cols = Seq("event_id", "user_id", "selected_candidate_rank")
         val c = commits(s, dir).select(cols.map(col): _*)
+        // null count as count(*) − count(col) — the oracle's own
+        // formula, and null-safe on an empty frame (sum(when...) over
+        // zero rows would yield NULL, not 0)
         val aggs = cols.flatMap(cn => Seq(
-          sum(when(col(cn).isNull, 1L).otherwise(0L)).as(s"${cn}_nulls"),
+          (count(lit(1)) - count(col(cn))).as(s"${cn}_nulls"),
           countDistinct(col(cn)).as(s"${cn}_nd"),
           min(col(cn)).cast("double").as(s"${cn}_min"),
           max(col(cn)).cast("double").as(s"${cn}_max")))
