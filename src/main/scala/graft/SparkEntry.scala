@@ -973,6 +973,33 @@ object SparkEntry {
            |LIMIT 1000""".stripMargin
       }),
 
+    // Event-type transition matrix (the Markov bigram of per-user
+    // event streams): lead over the user partition — HIGH-cardinality
+    // key, so each task sorts only its own users' events — then a
+    // 25-cell aggregate. (user_id, ts) is unique in the fixtures;
+    // event_id joins the order key as a defensive tie-break.
+    "q31_transitions" -> Q(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        rawEvents(s, dir)
+          .select("user_id", "ts", "event_id", "event_type")
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH o AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events)
+             |SELECT event_type AS from_type, next_type AS to_type,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM o WHERE next_type IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
+
     // Sequential funnel (view → click within an hour → purchase
     // within an hour, first-qualifying step semantics) — the other
     // canonical event-log product analytic next to retention. Each
