@@ -47,6 +47,21 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("e10 PQ search plans no join at all: codes + literal ADC tables") {
+    val p = plan("e10_pq_adc_topk")
+    assert(!p.contains("Join"), s"PQ must fold the ADC table into the scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
+  }
+
+  test("q30 funnel never shuffle-joins the event log") {
+    // each stage's per-user frame is dimension-sized and broadcasts;
+    // a SortMergeJoin/ShuffledHashJoin here would mean the big scan
+    // started shuffling for the join
+    val p = plan("q30_funnel")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"funnel stages must broadcast the per-user side:\n$p")
+  }
+
   test("d24 gram-frequency join never broadcasts the corpus-sized side") {
     // the document-frequency table is O(distinct grams); a broadcast
     // hint there would OOM the driver at corpus scale. AQE may still
