@@ -1004,11 +1004,12 @@ object SparkEntry {
     // within an hour, first-qualifying step semantics) — the other
     // canonical event-log product analytic next to retention. Each
     // stage is a type-filtered scan aggregated and joined on user_id;
-    // every shuffle in the cascade reuses the same key. ts compares as
-    // exact integer nanoseconds (1 h = 3.6e12 ns).
+    // ts compares as exact integer nanoseconds. The deadline constant
+    // is SHARED with the streaming form (FunnelStream) so the two
+    // implementations cannot silently diverge.
     "q30_funnel" -> Q(
       (s, dir) => {
-        val hourNs = 3600L * 1000 * 1000 * 1000
+        val hourNs = graft.streaming.FunnelStream.HourNs
         val ev = rawEvents(s, dir).select("user_id", "event_type", "ts")
         val t1 = ev.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1"))

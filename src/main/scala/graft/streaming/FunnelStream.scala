@@ -20,9 +20,9 @@ final case class StageHit(user_id: Long, stage: String, ts: Long)
   * [[StageHit]] the moment a user completes a stage — the live-funnel
   * dashboard shape, where the batch query is the daily report.
   *
-  * State per user is three optional longs — O(1), no eviction needed
-  * for bounded user populations; add a TTL timeout for unbounded ones
-  * (the RankRederivation precedent). Events are processed in
+  * State per user is three optional longs — O(1); for unbounded user
+  * populations pass `idleTimeout` to evict idle users (the
+  * RankRederivation eviction pattern). Events are processed in
   * event-time order WITHIN each micro-batch (per-group sort, same as
   * RankRederivation); cross-batch disorder needs watermark buffering
   * upstream (StreamAsOfJoin's approach) — with in-order delivery the
@@ -33,10 +33,17 @@ object FunnelStream {
   val HourNs: Long = 3600L * 1000 * 1000 * 1000
 
   /** The per-user step function — pure, unit-testable through
-    * `TestGroupState`, shared by the streaming wiring. */
+    * `TestGroupState`, shared by the streaming wiring. With an
+    * `idleTimeout`, a user idle past it is evicted on the timeout
+    * wake (the RankRederivation eviction pattern — state for an
+    * unbounded user population must not grow forever). */
   def processUser(user: Long, events: Iterator[FunnelEvent],
-                  state: GroupState[FunnelState],
-                  deadlineNs: Long): Iterator[StageHit] = {
+                  state: GroupState[FunnelState], deadlineNs: Long,
+                  idleTimeout: Option[String] = None): Iterator[StageHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(FunnelState(None, None, None))
     val hits = scala.collection.mutable.Buffer[StageHit]()
     events.toSeq.sortBy(_.ts).foreach { e =>
@@ -56,18 +63,29 @@ object FunnelStream {
       }
     }
     state.update(st)
+    // a TestGroupState without a configured timeout rejects the call;
+    // the streaming wiring always configures one when idleTimeout is
+    // set, so the Try only guards the unit-test harness
+    idleTimeout.foreach(d =>
+      scala.util.Try(state.setTimeoutDuration(d)))
     hits.iterator
   }
 
-  /** Wire the step function over a (possibly streaming) event set. */
+  /** Wire the step function over a (possibly streaming) event set.
+    * `idleTimeout` (e.g. `Some("1 hour")`) turns on per-user state
+    * eviction for unbounded user populations. */
   def stageHits(events: Dataset[FunnelEvent],
-                deadlineNs: Long = HourNs): Dataset[StageHit] = {
+                deadlineNs: Long = HourNs,
+                idleTimeout: Option[String] = None): Dataset[StageHit] = {
     implicit val stateEnc = Encoders.product[FunnelState]
     implicit val outEnc = Encoders.product[StageHit]
+    val conf = idleTimeout
+      .map(_ => GroupStateTimeout.ProcessingTimeTimeout())
+      .getOrElse(GroupStateTimeout.NoTimeout)
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, conf)(
         (u: Long, it: Iterator[FunnelEvent],
-         s: GroupState[FunnelState]) => processUser(u, it, s, deadlineNs))
+         s: GroupState[FunnelState]) =>
+          processUser(u, it, s, deadlineNs, idleTimeout))
   }
 }

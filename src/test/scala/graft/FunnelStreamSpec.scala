@@ -42,6 +42,17 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(afterView.get.t2 === Some(150L))
   }
 
+  test("idle users are evicted when an idleTimeout is configured") {
+    val timedOut = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(Some(1L), None, None)),
+      GroupStateTimeout.ProcessingTimeTimeout, 100L,
+      Optional.empty[Long], hasTimedOut = true)
+    val out = FunnelStream.processUser(7L, Iterator.empty, timedOut,
+      FunnelStream.HourNs, idleTimeout = Some("1 hour")).toSeq
+    assert(out.isEmpty)
+    assert(timedOut.isRemoved)
+  }
+
   test("streaming funnel matches the batch q30 stage sets on fixtures") {
     val s = spark
     import s.implicits._

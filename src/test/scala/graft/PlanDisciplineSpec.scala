@@ -53,13 +53,16 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
   }
 
-  test("q30 funnel never shuffle-joins the event log") {
-    // each stage's per-user frame is dimension-sized and broadcasts;
-    // a SortMergeJoin/ShuffledHashJoin here would mean the big scan
-    // started shuffling for the join
+  test("q30 funnel broadcasts the per-user stage sides at fixture scale") {
+    // NOT a scale-invariant shape: the per-user frames grow with user
+    // count, and past the broadcast threshold the planner legitimately
+    // switches to a user-keyed shuffle join (fine — both sides are
+    // already keyed on user_id). This pin guards the small-side
+    // broadcast decision the optimizer should make HERE, where the
+    // stage frames are a few rows.
     val p = plan("q30_funnel")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"funnel stages must broadcast the per-user side:\n$p")
+      s"fixture-scale funnel stages should broadcast:\n$p")
   }
 
   test("d24 gram-frequency join never broadcasts the corpus-sized side") {
