@@ -117,18 +117,7 @@ object StreamAsOfJoin {
         .select(col("user_id"), col("ts"), lit(tag).as("side"),
           col("event_id").as("id"))
         .as[AsOfSideEvent]
-    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .safeStringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(idleTtl)) match {
-      case null =>
-        throw new IllegalArgumentException(
-          s"cannot parse idleTtl interval: '$idleTtl'")
-      case iv =>
-        require(iv.months == 0,
-          "idleTtl must be day-or-smaller denominated (months vary)")
-        iv.days * 86400000L + iv.microseconds / 1000
-    }
-    require(ttlMs > 0, s"idleTtl must be positive, got '$idleTtl'")
+    val ttlMs = Durations.toMillis(idleTtl)
     side(left, "L").union(side(right, "R"))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
