@@ -537,13 +537,25 @@ object Dedup {
     * splice two stars, both resolved by a single large-star +
     * small-star pass); cost per batch is proportional to cluster
     * state touched by the batch, not corpus history. Returns the full
-    * updated (id, component) assignment. */
+    * updated (id, component) assignment over EVERY id of the input
+    * assignment plus every id in the new pairs: `assign` may be a
+    * corpus-total mapping carrying (id, id) singleton rows — the
+    * contraction only sees ids on some edge, so singletons untouched
+    * by the batch are re-attached afterwards with their identity
+    * component. */
   def mergeComponents(assign: DataFrame, newPairs: DataFrame,
                       idACol: String, idBCol: String,
                       maxRounds: Int = 50): DataFrame = {
     val stars = componentStarEdges(assign)
       .union(newPairs.select(col(idACol).as("u"), col(idBCol).as("v")))
-    connectedComponents(stars, "u", "v", maxRounds)
+    val merged = connectedComponents(stars, "u", "v", maxRounds)
+    // full-outer on id: merged-only ids are new docs from the batch,
+    // assign-only ids are untouched singletons (roots and non-roots of
+    // touched clusters all sit on a star edge, so they are in merged)
+    assign.select(col("id"))
+      .join(merged, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
   }
 
   /** Token-set Jaccard similarity pairs within blocking keys:

@@ -207,8 +207,13 @@ object Multimodal {
               g.drawImage(img, 0, 0, tw, th, null)
             } finally g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            MediaRecord(r.doc_id, r.media_type, bos.toByteArray)
+            // write returns false when no PNG writer is registered —
+            // then (or on an empty payload) keep the ORIGINAL record,
+            // per the pass-through contract above; an empty byte[]
+            // would poison every downstream decode of this row
+            val wrote = javax.imageio.ImageIO.write(out, "png", bos)
+            if (!wrote || bos.size() == 0) r
+            else MediaRecord(r.doc_id, r.media_type, bos.toByteArray)
           }
       }
     } catch { case scala.util.control.NonFatal(_) => r }

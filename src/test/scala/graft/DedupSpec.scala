@@ -371,6 +371,22 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental merge preserves untouched singletons of a total assignment") {
+    val s = spark
+    import s.implicits._
+    // a corpus-TOTAL assignment: cluster {1,2} plus singletons 3 and 4
+    // carried as (id, id) rows — the shape a left-join+coalesce rebuild
+    // produces. The batch touches 4 (pairs it with new doc 5); 3 stays
+    // untouched and MUST survive the merge with its identity component.
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L))
+      .toDF("id", "component")
+    val merged = Dedup.mergeComponents(assign, pairsDf(Seq((4L, 5L))),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      5L -> 4L))
+  }
+
   test("streaming gate + merge maintains clusters across micro-batches") {
     val s = spark
     import s.implicits._

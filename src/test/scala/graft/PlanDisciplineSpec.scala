@@ -53,16 +53,60 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
   }
 
-  test("q30 funnel broadcasts the per-user stage sides at fixture scale") {
-    // NOT a scale-invariant shape: the per-user frames grow with user
-    // count, and past the broadcast threshold the planner legitimately
-    // switches to a user-keyed shuffle join (fine — both sides are
-    // already keyed on user_id). This pin guards the small-side
-    // broadcast decision the optimizer should make HERE, where the
-    // stage frames are a few rows.
-    val p = plan("q30_funnel")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"fixture-scale funnel stages should broadcast:\n$p")
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q30 funnel: broadcast under the threshold, user-keyed shuffle past it") {
+    // NOT a scale-invariant shape: the per-user stage frames grow with
+    // user count. Both planner regimes are pinned, each self-contained
+    // under an explicit threshold so neither depends on session
+    // defaults. Small side fits -> the stage frames broadcast:
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "10485760") {
+      val p = plan("q30_funnel")
+      assert(p.contains("BroadcastHashJoin"),
+        s"fixture-scale funnel stages should broadcast:\n$p")
+    }
+    // Past the threshold (forced with -1, the 100 TB regime) the
+    // planner must fall back to shuffle joins KEYED ON user_id — the
+    // stage frames and the event scan then co-partition, and no
+    // corpus-sized side ever lands on the driver.
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q30_funnel")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"threshold -1 must disable broadcast:\n$p")
+      val joins = p.linesIterator
+        .filter(l => l.contains("SortMergeJoin") ||
+          l.contains("ShuffledHashJoin")).toSeq
+      assert(joins.nonEmpty, s"shuffle joins expected at -1:\n$p")
+      joins.foreach(l => assert(l.contains("user_id"),
+        s"funnel shuffle join must key on user_id, got:\n$l\n$p"))
+    }
+  }
+
+  test("q29 retention: user-keyed shuffle join past the broadcast threshold") {
+    // same two-regime contract as q30: the first-seen frame is
+    // O(users), so at scale it must shuffle on the user key it
+    // already carries, reusing the (user, day) dedupe's partitioning
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan("q29_retention_cohorts")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"threshold -1 must disable broadcast:\n$p")
+      val joins = p.linesIterator
+        .filter(l => l.contains("SortMergeJoin") ||
+          l.contains("ShuffledHashJoin")).toSeq
+      assert(joins.nonEmpty, s"shuffle join expected at -1:\n$p")
+      joins.foreach(l => assert(l.contains("user_id"),
+        s"retention join must key on user_id, got:\n$l\n$p"))
+    }
   }
 
   test("d24 gram-frequency join never broadcasts the corpus-sized side") {
