@@ -2781,7 +2781,26 @@ object SparkEntry {
              |  CASE WHEN ms <= 16 THEN h0
              |       ELSE greatest(1, h0 * 16 // ms) END AS height,
              |  'png' AS format
-             |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)))
+             |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // REAL audio decode round-trip (the m3 playbook applied to audio):
+    // a synthesized RIFF/WAVE payload per audio-typed doc (16-bit PCM,
+    // rate/channels/frames pure functions of the id) header-decoded
+    // back by javax.sound.sampled.AudioSystem on executors. The oracle
+    // recomputes rate/channels/frames and the integer duration
+    // arithmetic from the synthesis formulas — the codec must
+    // reproduce them row by row.
+    "m5_audio_meta" -> Q(
+      (s, dir) => Multimodal.audioDecodeTable(table(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+             |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+             |  CAST(400 + doc_id % 600 AS BIGINT) AS frames,
+             |  CAST((400 + doc_id % 600) * 1000 //
+             |       (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
+             |  'wave' AS format
+             |FROM documents WHERE doc_id % 3 = 1
+             |ORDER BY doc_id LIMIT 500""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

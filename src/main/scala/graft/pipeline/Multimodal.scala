@@ -18,6 +18,14 @@ final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                            width: Int, height: Int, format: String,
                            features: Seq[Float])
 
+/** Decoded audio-payload metadata: everything a WAV/AIFF header plus
+  * frame accounting yields JDK-only. An unreadable payload degrades to
+  * an error row (-1 numerics, `format = "error"`) exactly like the
+  * image path — never a task failure. */
+final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
+                           channels: Long, frames: Long, duration_ms: Long,
+                           format: String)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition workers.
@@ -25,11 +33,14 @@ final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
   * The IMAGE path is real: payloads are decoded with `javax.imageio`
   * (PNG/JPEG/GIF/BMP readers ship in the JDK, fully offline), so
   * width/height/format/features come from actual pixel data and
-  * unreadable payloads degrade to error rows. Audio/video decode
-  * remains an honestly-labeled deterministic STUB — no audio/video
-  * codecs exist in this container — but its Spark-side plumbing
-  * (schema, binary handling, `mapPartitions` batch shape) is identical
-  * to the image path's and equally tested.
+  * unreadable payloads degrade to error rows. The AUDIO path is real
+  * for the container formats the JDK ships codecs for:
+  * `javax.sound.sampled.AudioSystem` parses WAV/AIFF/AU headers and
+  * PCM frame accounting offline ([[decodeAudioMeta]]). Compressed
+  * audio (mp3/flac) and all VIDEO decode remain honestly-labeled
+  * deterministic STUBs — no such codecs exist in the JDK — but their
+  * Spark-side plumbing (schema, binary handling, `mapPartitions`
+  * batch shape) is identical to the real paths' and equally tested.
   */
 object Multimodal {
 
@@ -87,6 +98,93 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
+
+  /** Deterministic synthesis parameters for [[attachAudio]], shared
+    * with the m5 oracle: a doc's WAV is `frames(id)` 16-bit PCM frames
+    * at `sampleRate(id)` Hz over `channels(id)` channels. Pure
+    * functions of the id so DuckDB can recompute the expected decode
+    * output without any audio library. */
+  def audioSampleRate(docId: Long): Int = 8000 + (docId % 8).toInt * 1000
+  def audioChannels(docId: Long): Int = 1 + (docId % 2).toInt
+  def audioFrames(docId: Long): Int = 400 + (docId % 600).toInt
+
+  /** Real-WAV fixture attach: for every `doc_id % 3 == 1` document,
+    * synthesize an actual RIFF/WAVE payload (`AudioSystem.write`,
+    * JDK-only) with rate/channels/frames derived from the id. Runs per
+    * partition on executors — no driver-side audio work, no collect. */
+  def attachAudio(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .filter(col("doc_id") % 3 === 1)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRecord(id, "audio", synthesizeWav(audioSampleRate(id),
+          audioChannels(id), audioFrames(id)))
+      })
+  }
+
+  /** `frames` frames of 16-bit little-endian PCM at `rate` Hz ×
+    * `channels`, written as a WAV container in memory. The sample
+    * bytes are a deterministic ramp — the meta decode never reads
+    * them, but a byte-identical payload per id keeps every downstream
+    * hash stable. */
+  def synthesizeWav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16,
+      channels, true, false)
+    val data = new Array[Byte](frames * channels * 2)
+    var i = 0
+    while (i < data.length) { data(i) = ((i * 31) & 0xff).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio metadata decode, JDK-only: `AudioSystem` parses the
+    * container header (WAV/AIFF/AU) for rate/channels/frame count —
+    * header-and-accounting work, no full-payload buffering, so a
+    * header declaring absurd frame counts costs nothing to reject
+    * downstream. Unreadable payloads degrade per row. `duration_ms`
+    * is integer arithmetic (`frames * 1000 / rate`) so the oracle
+    * recomputes it exactly. */
+  def decodeAudio(r: MediaRecord): AudioMeta =
+    try {
+      val in = new java.io.ByteArrayInputStream(r.media)
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+      val f = ff.getFormat
+      val rate = f.getSampleRate.toLong
+      val frames = ff.getFrameLength.toLong
+      if (rate <= 0 || frames < 0 || f.getChannels <= 0)
+        AudioMeta(r.doc_id, r.media.length.toLong, -1, -1, -1, -1, "error")
+      else
+        AudioMeta(r.doc_id, r.media.length.toLong, rate,
+          f.getChannels.toLong, frames, frames * 1000L / rate,
+          ff.getType.toString.toLowerCase(java.util.Locale.ROOT))
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioMeta(r.doc_id, r.media.length.toLong, -1, -1, -1, -1, "error")
+    }
+
+  /** Per-partition batched audio decode — the audio analogue of
+    * [[decodeMeta]]'s image branch. */
+  def decodeAudioMeta(records: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions(_.map(decodeAudio))
+  }
+
+  /** Real-decode pipeline: synthesized WAV per audio-typed doc →
+    * `AudioSystem` header decode → per-doc rate/channels/frames/
+    * duration. Every value is recomputable from the synthesis
+    * formulas, so a SQL oracle checks the real codec round-trip row
+    * by row (m5 — the m3 playbook applied to audio). */
+  def audioDecodeTable(docs: DataFrame): DataFrame =
+    decodeAudioMeta(attachAudio(docs)).toDF()
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("frames"), col("duration_ms"), col("format"))
+      .orderBy("doc_id").limit(500)
 
   // ImageIO's default read path spills to a temp-file cache per decode;
   // at millions of decodes per executor that is pure IO overhead.

@@ -88,6 +88,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real WAV round-trip: AudioSystem reproduces synthesized params") {
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.decodeAudioMeta(
+        Seq(11L, 22L, 37L).map(id => MediaRecord(id, "audio",
+          Multimodal.synthesizeWav(Multimodal.audioSampleRate(id),
+            Multimodal.audioChannels(id), Multimodal.audioFrames(id))))
+          .toDS())
+      .orderBy("doc_id").collect()
+    out.foreach { m =>
+      assert(m.format === "wave")
+      assert(m.sample_rate === Multimodal.audioSampleRate(m.doc_id))
+      assert(m.channels === Multimodal.audioChannels(m.doc_id))
+      assert(m.frames === Multimodal.audioFrames(m.doc_id))
+      assert(m.duration_ms === m.frames * 1000 / m.sample_rate)
+      // a real RIFF container: header + 2 bytes/sample payload
+      assert(m.n_bytes > m.frames * m.channels * 2)
+    }
+  }
+
+  test("corrupt audio payloads degrade to error rows, not task failures") {
+    val s = spark
+    import s.implicits._
+    val good = Multimodal.synthesizeWav(8000, 1, 100)
+    val recs = Seq(
+      MediaRecord(1L, "audio", good),
+      MediaRecord(2L, "audio", "not audio".getBytes("UTF-8")),
+      // RIFF magic, truncated header: claimed then rejected mid-parse
+      MediaRecord(3L, "audio", good.take(10)),
+      MediaRecord(4L, "audio", Array.empty[Byte])).toDS()
+    val out = Multimodal.decodeAudioMeta(recs).orderBy("doc_id").collect()
+    assert(out.length === 4)
+    assert(out(0).format === "wave" && out(0).frames === 100)
+    out.drop(1).foreach { m =>
+      assert(m.format === "error")
+      assert(m.sample_rate === -1 && m.frames === -1 &&
+        m.duration_ms === -1)
+    }
+  }
+
   test("chunk sampling yields k windows of the binary column") {
     val out = Multimodal.attachBinary(docs)
       .select(Multimodal.sampleChunks(col("media"), 3, 4).as("chunks"))
