@@ -2090,21 +2090,15 @@ object SparkEntry {
     // production dedup stage wants. The oracle replays the whole
     // pipeline INCLUDING the cluster closure (recursive CTE).
     "llm_clean_cc" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val quality = docs.filter(TextStats.isQuality(col("text")))
-        val exact = Dedup.exactDedup(quality, "doc_id", "text")
-        val pairs = Dedup.lshVerifiedJaccardPairs(exact, "doc_id", "text",
-          threshold = 0.6)
-        val nonRep = Dedup.connectedComponents(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"))
-        // no broadcast hint: the non-representative set is O(near-dup
-        // count), unbounded at 100 TB — AQE broadcasts when it fits
-        exact.join(nonRep, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("lang"), col("source"))
-          .orderBy("doc_id").limit(2000)
-      },
+      (s, dir) =>
+        // the instrumented builder: identical result, plus per-stage
+        // kept/dropped Observation counters riding the run's own
+        // actions (ObservationSpec pins the counter semantics) and
+        // fork-point checkpoints that stop the scan→gate→dedup prefix
+        // re-executing once per consumer
+        graft.pipeline.CleanPipeline
+          .ccWithCounters(table(s, dir, "documents"), threshold = 0.6)
+          .cleaned.orderBy("doc_id").limit(2000),
       Some(s"""WITH RECURSIVE q AS (
              |  SELECT doc_id, text, lang, source,
              |    str_split(text, ' ') AS toks

@@ -41,4 +41,52 @@ class ObservationSpec extends AnyFunSuite {
     // docs 1/2 collapse to one survivor
     assert(dedupObs.get("rows") === 2L)
   }
+
+  test("llm_clean_cc pipeline reports exact per-stage counters, no count jobs") {
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "en", "web"),                    // near-dup cluster rep
+      (2L, base + " lambda", "en", "web"),        // near-dups doc 1
+      (3L, base, "en", "web"),                    // exact dup of doc 1
+      (4L, "one two three four five six seven eight nine ten", "en",
+        "book"),                                  // unique survivor
+      (5L, "the the the the the the the the the the the the", "en",
+        "web"))                                   // fails the gate
+      .toDF("doc_id", "text", "lang", "source")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val run = graft.pipeline.CleanPipeline
+        .ccWithCounters(docs, threshold = 0.6)
+      val out = run.cleaned.collect() // the one real action
+      assert(out.map(_.getLong(0)).sorted === Array(1L, 4L))
+      Thread.sleep(500) // let the async listener bus drain
+      val jobsBeforeGets = jobs.get()
+      // counters were accumulated by the run's own actions — reading
+      // them must launch NOTHING
+      assert(run.input.get("rows") === 5L)
+      assert(run.quality.get("rows") === 4L)  // doc 5 gated out
+      assert(run.exact.get("rows") === 3L)    // doc 3 collapsed
+      assert(run.unique.get("rows") === 2L)   // doc 2 clustered away
+      // stage counts difference to the dropped rows, summing to input
+      val kept = out.length.toLong
+      val droppedGate = run.input.get("rows").asInstanceOf[Long] -
+        run.quality.get("rows").asInstanceOf[Long]
+      val droppedExact = run.quality.get("rows").asInstanceOf[Long] -
+        run.exact.get("rows").asInstanceOf[Long]
+      val droppedNear = run.exact.get("rows").asInstanceOf[Long] - kept
+      assert(droppedGate + droppedExact + droppedNear + kept === 5L)
+      Thread.sleep(500)
+      assert(jobs.get() === jobsBeforeGets,
+        "Observation.get must not trigger jobs")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
 }
