@@ -1000,6 +1000,50 @@ object SparkEntry {
              |FROM o WHERE next_type IS NOT NULL
              |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)),
 
+    // Session-level aggregation via Spark's NATIVE session_window
+    // operator (t1_sessionize is the lag+sum twin producing per-EVENT
+    // session ids; this produces per-SESSION rows through the merging
+    // session-window physical operator — one shuffle on user_id, no
+    // window-function sort-per-row). Event-time ns is floored to µs
+    // for the timestamp type; a 24h gap suits the synthetic cadence
+    // (median inter-event gap ≈ 7 h → ~10 events/session). Spark
+    // MERGES touching windows: an event exactly gap-after its
+    // predecessor still JOINS the session, so the oracle breaks on
+    // `gap_us > gap` — same convention as t1 — proven by
+    // SessionWindowSpec's exact-boundary case.
+    "q32_session_window" -> Q(
+      (s, dir) => {
+        rawEvents(s, dir)
+          .select(col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as("t"))
+          .groupBy(col("user_id"), session_window(col("t"), "24 hours"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+             |  FROM events),
+             |b AS (SELECT user_id, us, event_id,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |      OR us - lag(us) OVER w > 86400000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY us, event_id)),
+             |s AS (SELECT user_id, us,
+             |    SUM(brk) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM b)
+             |SELECT user_id, MIN(us) AS start_us,
+             |  MAX(us) + 86400000000 AS end_us,
+             |  CAST(count(*) AS BIGINT) AS n_events
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin)),
+
     // Sequential funnel (view → click within an hour → purchase
     // within an hour, first-qualifying step semantics) — the other
     // canonical event-log product analytic next to retention. Each
@@ -1795,6 +1839,65 @@ object SparkEntry {
              |FROM tot LEFT JOIN dup USING (doc_id)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // Document-level filter on the d24 signal (RefinedWeb's dedup rule
+    // applied cross-document): keep docs whose duplicated-13-gram
+    // fraction is <= 0.2. Threshold compares the ROUNDED fraction so
+    // the keep set replays exactly in the oracle. 45/500 docs drop at
+    // sf0.01 (the near-dup cluster members).
+    "d27_dup_ngram_filter" -> Q(
+      (s, dir) => Dedup.dupNgramFilter(
+          table(s, dir, "documents"), "doc_id", "text", n = 13,
+          maxDupFrac = 0.2)
+        .select(col("id").as("doc_id"), col("n_grams"), col("dup_frac"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |ga AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(toks)-12, 0)),
+             |    i -> array_to_string(toks[i:i+12], ' '))) AS gs FROM t),
+             |g AS (SELECT doc_id, unnest(gs) AS gram FROM ga),
+             |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+             |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+             |    AS n_dup_grams
+             |  FROM g JOIN dfr USING (gram) WHERE df > 1
+             |  GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+             |  FROM ga),
+             |st AS (SELECT tot.doc_id, n_grams,
+             |  CASE WHEN n_grams > 0 THEN
+             |    ROUND(CAST(COALESCE(n_dup_grams, 0) AS DOUBLE)
+             |      / n_grams, 6)
+             |  ELSE 0.0 END AS dup_frac
+             |FROM tot LEFT JOIN dup USING (doc_id))
+             |SELECT doc_id, n_grams, dup_frac FROM st
+             |WHERE dup_frac <= 0.2
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // Corpus-unigram LM quality score (CCNet's perplexity filter with
+    // the corpus itself as the model). All aggregated quantities are
+    // integer-quantized BEFORE summation (1e-6 units of log10 p), so
+    // the result is summation-order-independent and hash-exact against
+    // the oracle — see TextStats.unigramLogProb.
+    "d28_unigram_logprob" -> Q(
+      (s, dir) => TextStats.unigramLogProb(
+          table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("ntok"),
+          col("sum_ll_micro"), col("score_micro"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, unnest(str_split(text, ' '))
+             |    AS tok FROM documents),
+             |f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+             |n AS (SELECT CAST(ROUND(log10(SUM(cnt)) * 1e6) AS BIGINT)
+             |    AS ll_n_micro FROM f),
+             |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+             |    CAST(SUM(CAST(ROUND(log10(cnt) * 1e6) AS BIGINT))
+             |      AS BIGINT) AS sum_ll_micro
+             |  FROM t JOIN f USING (tok) GROUP BY doc_id)
+             |SELECT doc_id, ntok, sum_ll_micro,
+             |  CAST(TRUNC(CAST(sum_ll_micro - ntok * ll_n_micro
+             |    AS DOUBLE) / ntok) AS BIGINT) AS score_micro
+             |FROM d, n ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // ---- D16-D20: dataset curation (pipeline/Curation) ----------------
     // Deterministic train/val/test split: md5-hash bucket of doc_id →
     // 90/5/5; per-split doc + token counts. Map-only assignment (a
@@ -2271,6 +2374,44 @@ object SparkEntry {
              |JOIN nrm na ON na.vec_id = a.vec_id
              |JOIN nrm nc ON nc.vec_id = c.vec_id
              |ORDER BY cosine DESC, id_a, id_b LIMIT 100""".stripMargin)),
+
+    // SemDeDup (Abbas et al. 2023): the kept corpus after semantic
+    // dedup — bucket by sign-bit LSH, drop every vector with a
+    // smaller-id same-bucket neighbor above the cosine threshold.
+    // 0.4 is data-scaled (the synthetic embeddings are near-orthogonal;
+    // max bucket-local cosine at sf0.01 is 0.49) — 12 vectors drop.
+    "e11_semdedup" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        Dedup.semanticDedupKeep(emb, "vec_id", "embedding", hp,
+            minCosine = 0.4)
+          .select(col("vec_id"), col("label"))
+          .orderBy("vec_id").limit(5000)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id,
+             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |      AS nv
+             |  FROM e),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT nrm.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(nrm.nv, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM nrm, p GROUP BY nrm.vec_id),
+             |dr AS (SELECT DISTINCT c.vec_id AS did
+             |  FROM b a JOIN b c ON a.bucket = c.bucket
+             |    AND a.vec_id < c.vec_id
+             |  JOIN nrm na ON na.vec_id = a.vec_id
+             |  JOIN nrm nc ON nc.vec_id = c.vec_id
+             |  WHERE ROUND(list_dot_product(na.nv, nc.nv), 6) > 0.4)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT did FROM dr)
+             |ORDER BY vec_id LIMIT 5000""".stripMargin)),
 
     "e2_ann_lsh_topk" -> Q(
       (s, dir) => {

@@ -432,6 +432,47 @@ object Dedup {
           .otherwise(lit(0.0)))
   }
 
+  /** Document-level filter on the [[crossDocNgramStats]] signal — the
+    * RefinedWeb/Gopher repetition-removal rule applied ACROSS documents
+    * instead of within one (d21 is the within-doc form): a document
+    * whose duplicated-n-gram fraction exceeds `maxDupFrac` is mostly
+    * boilerplate or syndicated copy and is dropped from the training
+    * set. The comparison runs on the ROUNDED `dup_frac` (6 dp), so the
+    * keep/drop decision is reproducible bit-for-bit in any engine —
+    * a threshold on the raw double could flip on summation order.
+    * Cost is exactly crossDocNgramStats (the filter is free); scale
+    * posture inherits its skew-free long-n-gram key. */
+  def dupNgramFilter(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, maxDupFrac: Double): DataFrame =
+    crossDocNgramStats(docs, idCol, textCol, n)
+      .filter(col("dup_frac") <= maxDupFrac)
+      .select(col("id"), col("n_grams"), col("dup_frac"))
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    * embedding column — cluster the corpus cheaply, then drop all but
+    * one member of every within-cluster group of near-identical
+    * vectors. Clustering here is the deterministic sign-bit LSH bucket
+    * of [[embeddingNearDupPairsWith]] (at 100 TB the bucket key doubles
+    * as the storage partition, so the pair join is co-located); the
+    * keep rule is "drop any id that has a SMALLER id in the same
+    * bucket with cosine > minCosine". Because candidate pairs are
+    * canonical (id_a < id_b), the drop set is exactly `distinct(id_b)`
+    * of the thresholded pairs — one semi-structured pass, no
+    * transitive closure (that heavier machinery is [[dupComponents]];
+    * SemDeDup deliberately prunes greedily within clusters).
+    * The threshold compares the ROUNDED cosine (6 dp) so the decision
+    * replays exactly in a SQL oracle. The final anti-join shuffles on
+    * the id key with NO broadcast hint: the drop side is a corpus
+    * fraction, unbounded at scale (the d1/llm_clean_cc argument). */
+  def semanticDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+                        hp: Seq[Seq[Double]],
+                        minCosine: Double): DataFrame = {
+    val drop = embeddingNearDupPairsWith(emb, idCol, vecCol, hp)
+      .filter(col("cosine") > minCosine)
+      .select(col("id_b").as("drop_id")).distinct()
+    emb.join(drop, emb(idCol) === drop("drop_id"), "left_anti")
+  }
+
   // ---- near-dup clusters: connected components ----------------------
 
   /** One large-star round: hang every neighbor LARGER than u off the

@@ -141,4 +141,56 @@ object TextStats {
   def minTokenFingerprint(text: Column): Column =
     array_min(transform(array_distinct(tokens(text)),
       t => md5(t.cast("binary"))))
+
+  /** Corpus-unigram language-model quality score — the CCNet-style
+    * perplexity filter with the corpus itself as the LM (no external
+    * KenLM model exists in a hermetic pipeline; the corpus unigram
+    * distribution is the standard bootstrap). Per document:
+    * mean log10 p(token) where p(w) = count(w) / N over the whole
+    * corpus. Low (very negative) scores flag gibberish / rare-token
+    * spam; high scores flag stopword soup — both tails get cut by a
+    * downstream band filter.
+    *
+    * Determinism across engines is engineered, not hoped for: every
+    * floating-point quantity is quantized to an integer BEFORE any
+    * aggregation, so no result depends on summation order.
+    *   - per-token: ll_micro = round(1e6 · log10 count(w)) as LONG;
+    *   - per-doc:   sum_ll_micro = Σ ll_micro (exact integer sum);
+    *   - score_micro = trunc((sum_ll_micro − ntok·ll_n_micro)/ntok)
+    *     — 1e-6-units of mean log10 p(w), derived from exact integers
+    *     by one IEEE division both engines evaluate identically.
+    *
+    * Shape at 100 TB: explode is map-only; the token-frequency
+    * aggregation combines map-side (vocab ≪ corpus); the join back is
+    * a shuffle co-partitioned on the token key (NO broadcast — a web
+    * vocab is tens of GB; stopword keys are hot, which AQE skew-split
+    * absorbs); the 1-row corpus total rides a broadcast join on a
+    * constant key. Two shuffles total, both on keys the plan already
+    * needs. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val perDoc = toks.join(dfreq, "tok")
+      .groupBy("id").agg(
+        count(lit(1)).as("ntok"),
+        sum(round(log10(col("cnt")) * lit(1e6)).cast("long"))
+          .as("sum_ll_micro"))
+    // 1-row corpus total N = Σ size(tokens) straight off the docs
+    // scan — identical to Σ cnt over the vocab, but needs no explode,
+    // no vocab shuffle, no replicated subtree: one projected scan
+    // (text column only) and a 1-row reduce. Broadcast-joined on a
+    // constant key (an equi-join, not crossJoin, so the plan is a
+    // BroadcastHashJoin).
+    val totals = docs.agg(
+        sum(size(tokens(col(textCol))).cast("long")).as("n_total"))
+      .select(round(log10(col("n_total")) * lit(1e6)).cast("long")
+        .as("ll_n_micro"), lit(1).as("k"))
+    perDoc.withColumn("k", lit(1))
+      .join(broadcast(totals), Seq("k"))
+      .select(col("id"), col("ntok"), col("sum_ll_micro"),
+        ((col("sum_ll_micro") - col("ntok") * col("ll_n_micro"))
+          .cast("double") / col("ntok")).cast("long").as("score_micro"))
+  }
 }

@@ -426,6 +426,45 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dupNgramFilter drops docs above the duplicated-gram threshold") {
+    // 2-grams: doc1 {a b, b c}, doc2 {a b, b x} share "a b" → both
+    // dup_frac 0.5; doc3 is unique → 0.0; doc4 duplicates doc1 wholly
+    // → 1.0 (and drags doc1 to 1.0 as well).
+    val df = docsDf(Seq(
+      (1L, "a b c"), (2L, "a b x"), (3L, "z y w"), (4L, "a b c")))
+    def kept(maxFrac: Double): Seq[Long] =
+      Dedup.dupNgramFilter(df, "doc_id", "text", n = 2, maxFrac)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept(0.4) === Seq(3L))
+    // threshold is inclusive on the rounded fraction
+    assert(kept(0.5) === Seq(2L, 3L))
+    assert(kept(1.0) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("semanticDedupKeep keeps the smallest id of a near-dup group") {
+    val s = spark
+    import s.implicits._
+    // sign-bit buckets over the axis planes: all-positive vectors land
+    // in bucket 3; (-1, 0.5) lands alone in bucket 2.
+    val hp = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (1L, Array(1.0, 0.01), 7),    // kept: smallest of the dup group
+      (2L, Array(0.999, 0.02), 7),  // cos≈1 vs id 1 → dropped
+      (3L, Array(0.01, 1.0), 8),    // same bucket, near-orthogonal → kept
+      (4L, Array(-1.0, 0.5), 9),    // own bucket → kept
+      (5L, Array(0.998, 0.015), 7)) // cos≈1 vs id 1 → dropped
+      .toDF("vec_id", "embedding", "label")
+    val kept = Dedup.semanticDedupKeep(emb, "vec_id", "embedding", hp,
+        minCosine = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 3L, 4L))
+    // a permissive threshold keeps everyone
+    val all = Dedup.semanticDedupKeep(emb, "vec_id", "embedding", hp,
+        minCosine = 1.1)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("connected components: empty, self-loop, and null pairs") {
     assert(ccMap(Nil) === Map.empty)
     // self-loops and nulls are dropped, not components

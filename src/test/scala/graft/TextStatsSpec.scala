@@ -113,4 +113,25 @@ class TextStatsSpec extends AnyFunSuite {
     // shorter than n: single partial gram, fraction 0
     assert(rep("a b", 5) === 0.0)
   }
+
+  test("unigramLogProb is exact integer-quantized corpus-LM scoring") {
+    val s = spark
+    import s.implicits._
+    // corpus: a→2, b→2, c→1; N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("ntok"),
+        x.getAs[Long]("sum_ll_micro"), x.getAs[Long]("score_micro")))
+      .toSeq
+    val ll2 = math.round(1e6 * math.log10(2.0)) // 301030
+    val llN = math.round(1e6 * math.log10(5.0)) // 698970
+    assert(ll2 === 301030L && llN === 698970L)
+    // doc1: three tokens of count 2; doc2: one count-2 + one count-1
+    val d1 = (3 * ll2, ((3 * ll2 - 3 * llN).toDouble / 3).toLong)
+    val d2 = (ll2, ((ll2 - 2 * llN).toDouble / 2).toLong)
+    assert(r === Seq((1L, 3L, d1._1, d1._2), (2L, 2L, d2._1, d2._2)))
+    // rare tokens score strictly lower than common ones
+    assert(r(1)._4 < r(0)._4)
+  }
 }
