@@ -463,6 +463,31 @@ object SparkEntry {
               |  m.选择排名 ASC, m.event_id ASC
               |LIMIT 1000""".stripMargin)),
 
+    // ORC as the second columnar format (Spark ships the native
+    // reader/writer; vectorization + predicate pushdown work the same
+    // as parquet): write documents to ORC, read back, aggregate — the
+    // roundtrip must be value-lossless, so the oracle runs the same
+    // aggregate on the original parquet. Footer/stripe layout mirrors
+    // parquet row groups, so the 100 TB posture (partition pruning,
+    // size-targeted files via TableLayout.compact) transfers as-is.
+    "k4_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_k4").toFile.getPath
+        table(s, dir, "documents").write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy("lang", "source").agg(
+            count(lit(1)).as("docs"),
+            sum("n_chars").as("chars"),
+            sum(TextStats.tokenCount(col("text"))).as("tokens"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, count(*) AS docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars,
+             |  CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
+
     // ---- T8/K3: the JSONL sink on the verified path: write the
     // commit projection as JSON lines, re-ingest through the explicit
     // schema, and prove the round trip against the plain projection
@@ -1736,6 +1761,25 @@ object SparkEntry {
              |GROUP BY t ORDER BY tf DESC, token ASC
              |LIMIT 200""".stripMargin)),
 
+    // d13's 100 TB twin: exact top-k tokens via Misra-Gries sketch →
+    // broadcast-gated exact recount (pipeline/HeavyHitters). The
+    // shuffle carries only candidate keys instead of the whole token
+    // stream; the result is still EXACT (same oracle family as d13),
+    // because the sketch guarantees every item with freq > N/(m+1)
+    // survives into the recount and only the candidate SET (never the
+    // order-dependent sketch weights) reaches the output.
+    "d29_heavy_hitters" -> Q(
+      (s, dir) => graft.pipeline.HeavyHitters.exactTopK(
+        table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token")),
+        col("token"), k = 100, sketchSize = 256)
+        .withColumnRenamed("item", "token"),
+      Some("""SELECT t AS token, count(*) AS tf
+             |FROM (SELECT unnest(str_split(text, ' ')) AS t
+             |      FROM documents) u
+             |GROUP BY t ORDER BY tf DESC, token ASC
+             |LIMIT 100""".stripMargin)),
+
     // Dedup cluster lineage: every clustered doc mapped to its
     // cluster's canonical (lowest-id) survivor — the provenance table
     // a dedup stage emits alongside the survivors. Clustered on the
@@ -2412,6 +2456,38 @@ object SparkEntry {
              |SELECT vec_id, label FROM embeddings
              |WHERE vec_id NOT IN (SELECT did FROM dr)
              |ORDER BY vec_id LIMIT 5000""".stripMargin)),
+
+    // Hard-negative mining (contrastive-training data prep): per
+    // anchor, the top-8 highest-cosine DIFFERENT-label candidates from
+    // a portable-hash-sampled pool (1/8 of the corpus per anchor).
+    // One corpus scan; bounded TopK aggregation instead of a window.
+    "e12_hard_negatives" -> Q(
+      (s, dir) => Similarity.hardNegatives(
+          table(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          anchorIds = Seq(0L, 1L, 2L, 3L, 4L), samplePeriod = 8, k = 8)
+        .orderBy(col("anchor_id"), col("cosine").desc, col("cand_id")),
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |nrm AS (SELECT vec_id, label,
+              |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+              |      AS nv
+              |  FROM e),
+              |q AS (SELECT vec_id AS qid, label AS qlabel, nv AS qv
+              |  FROM nrm WHERE vec_id IN (0, 1, 2, 3, 4)),
+              |cand AS (SELECT qid,
+              |    c.vec_id AS cand_id,
+              |    ROUND(list_dot_product(qv, c.nv), 6) AS cosine
+              |  FROM q JOIN nrm c ON c.label <> qlabel
+              |    AND c.vec_id NOT IN (0, 1, 2, 3, 4)
+              |    AND (${duckHash60(
+                     "CAST(qid AS VARCHAR) || ':' || " +
+                       "CAST(c.vec_id AS VARCHAR)")}) % 8 = 0),
+              |r AS (SELECT qid AS anchor_id, cand_id, cosine,
+              |    row_number() OVER (PARTITION BY qid
+              |      ORDER BY cosine DESC, cand_id) AS rn
+              |  FROM cand)
+              |SELECT anchor_id, cand_id, cosine FROM r WHERE rn <= 8
+              |ORDER BY anchor_id, cosine DESC, cand_id""".stripMargin)),
 
     "e2_ann_lsh_topk" -> Q(
       (s, dir) => {

@@ -484,4 +484,71 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Hard-negative mining for contrastive training (the data-prep
+    * step behind every embedding-model fine-tune: for each anchor,
+    * find DIFFERENT-label candidates the model currently scores most
+    * similar — those are the negatives worth training on).
+    *
+    * Per anchor id: (1) hash-sample the corpus to a 1/samplePeriod
+    * candidate pool with the PORTABLE md5 hash keyed on (anchor,
+    * candidate) — so pools differ per anchor, replay exactly in SQL,
+    * and never depend on partitioning; (2) keep true negatives only
+    * (label ≠ anchor's, candidate not an anchor); (3) rank by rounded
+    * cosine and keep the top k via the bounded [[graft.functions
+    * .TopK]] aggregator — O(k) state per anchor, partial-aggregated
+    * map-side, NO per-anchor window sort.
+    *
+    * Scale shape: one scan of the corpus; the anchor descriptors ride
+    * along as an exploded literal array (a q-row driver fetch, the e2
+    * pattern); rows surviving the 1/samplePeriod hash gate are the
+    * only ones that pay the O(dim) cosine; the shuffle carries ≤ k
+    * rows per (map task, anchor). At 100 TB the sample period is the
+    * recall/cost dial — raise it and the scan cost stays, the cosine
+    * and shuffle cost fall linearly. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorIds: Seq[Long],
+                    samplePeriod: Int, k: Int): DataFrame = {
+    require(samplePeriod >= 1 && k >= 1, "need samplePeriod, k >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // q-row parameter fetch: anchor (id, label, normalized vector)
+    val rows = emb.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol).cast("long"), col(labelCol).cast("int"),
+        toDouble(col(vecCol)))
+      .collect()
+    val found = rows.map(_.getLong(0)).toSet
+    val missing = anchorIds.filterNot(found)
+    require(missing.isEmpty, s"anchor ids not found: $missing")
+    val anchors = rows.map { r =>
+      val v = r.getSeq[Double](2)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (r.getLong(0), r.getInt(1), v.map(_ / n))
+    }.toSeq
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)](
+        { case (c, id) => (-c, id) })(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    emb.select(col(idCol).cast("long").as("cand_id"),
+        col(labelCol).cast("int").as("cand_label"),
+        ExprUtils.let(toDouble(col(vecCol))) { v =>
+          ExprUtils.let(norm(v))(n => transform(v, x => x / n))
+        }.as("nv"))
+      .filter(!col("cand_id").isin(anchorIds: _*))
+      .withColumn("q", explode(typedlit(anchors)))
+      .filter(col("q._2") =!= col("cand_label"))
+      .filter(pmod(graft.pipeline.Dedup.md5Long60(
+          concat(col("q._1").cast("string"), lit(":"),
+            col("cand_id").cast("string"))),
+        lit(samplePeriod.toLong)) === 0L)
+      .select(col("q._1").as("anchor_id"),
+        round(dot(col("nv"), col("q._3")), 6).as("cosine"),
+        col("cand_id"))
+      .groupBy("anchor_id")
+      .agg(graft.functions.TopK.agg[(Double, Long)](k,
+        col("cosine"), col("cand_id")).as("top"))
+      .select(col("anchor_id"), explode(col("top")).as("row"))
+      .select(col("anchor_id"), col("row._2").as("cand_id"),
+        col("row._1").as("cosine"))
+  }
 }

@@ -178,19 +178,20 @@ object TextStats {
         sum(round(log10(col("cnt")) * lit(1e6)).cast("long"))
           .as("sum_ll_micro"))
     // 1-row corpus total N = Σ size(tokens) straight off the docs
-    // scan — identical to Σ cnt over the vocab, but needs no explode,
-    // no vocab shuffle, no replicated subtree: one projected scan
-    // (text column only) and a 1-row reduce. Broadcast-joined on a
-    // constant key (an equi-join, not crossJoin, so the plan is a
-    // BroadcastHashJoin).
-    val totals = docs.agg(
+    // scan — identical to Σ cnt over the vocab, but needs no explode
+    // and no vocab shuffle: one projected scan (text column only) and
+    // a 1-row reduce, fetched driver-side (the repo's 1-row parameter
+    // precedent, AnalyzeQuery's metrics frame) and folded in as a
+    // literal. A constant-key join here folds to `true` and Catalyst
+    // plans a BroadcastNestedLoopJoin — banned by PlanDisciplineSpec —
+    // so the literal keeps the final plan aggregate + project only.
+    val nTotal = docs.agg(
         sum(size(tokens(col(textCol))).cast("long")).as("n_total"))
-      .select(round(log10(col("n_total")) * lit(1e6)).cast("long")
-        .as("ll_n_micro"), lit(1).as("k"))
-    perDoc.withColumn("k", lit(1))
-      .join(broadcast(totals), Seq("k"))
-      .select(col("id"), col("ntok"), col("sum_ll_micro"),
-        ((col("sum_ll_micro") - col("ntok") * col("ll_n_micro"))
-          .cast("double") / col("ntok")).cast("long").as("score_micro"))
+      .head().getLong(0)
+    require(nTotal > 0, "empty corpus: no tokens to model")
+    val llNMicro = math.round(1e6 * math.log10(nTotal.toDouble))
+    perDoc.select(col("id"), col("ntok"), col("sum_ll_micro"),
+      ((col("sum_ll_micro") - col("ntok") * lit(llNMicro))
+        .cast("double") / col("ntok")).cast("long").as("score_micro"))
   }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.MisraGries
+import graft.pipeline.HeavyHitters
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MisraGriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def itemsDf(xs: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    xs.toDF("item")
+  }
+
+  private def sketch(xs: Seq[String], m: Int,
+                     parts: Int): Map[String, Long] =
+    itemsDf(xs).repartition(parts)
+      .agg(MisraGries.agg(m, col("item")).as("mg"))
+      .head().getAs[Map[String, Long]]("mg")
+
+  test("classic decrement example and the local error bound") {
+    // single partition: the textbook m=2 cancellation walk
+    val xs = Seq("a", "b", "c", "a", "a", "b", "a")
+    val mg = sketch(xs, m = 2, parts = 1)
+    // a(4) must survive: 4 > N/(m+1) = 7/3
+    assert(mg.contains("a"))
+    // weights never overcount and undercount by at most N/(m+1)
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+    for ((k, w) <- mg) {
+      assert(w <= exact(k))
+      assert(w >= exact(k) - xs.size / 3)
+    }
+  }
+
+  test("merged sketches keep the inclusion guarantee adversarially") {
+    // Zipf-ish corpus shuffled across awkward partition counts: every
+    // item with freq > N/(m+1) must be present in the merged sketch,
+    // with the merged-summary error bound on its weight.
+    for (seed <- 1 to 3; parts <- Seq(2, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabHead = Seq.fill(2000)(s"hot${rnd.nextInt(5)}")
+      val vocabTail = Seq.fill(3000)(s"cold${rnd.nextInt(1500)}")
+      val xs = rnd.shuffle(vocabHead ++ vocabTail)
+      val m = 24
+      val n = xs.size
+      val mg = sketch(xs, m, parts)
+      assert(mg.size <= m)
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustHave = exact.filter(_._2 > n / (m + 1)).keySet
+      assert(mustHave.subsetOf(mg.keySet),
+        s"missing ${mustHave -- mg.keySet} (seed=$seed parts=$parts)")
+      for ((k, w) <- mg) {
+        assert(w <= exact(k), s"overcount of $k")
+        assert(w >= exact(k) - n / (m + 1), s"undercount of $k")
+      }
+    }
+  }
+
+  test("null items are skipped like SQL aggregates") {
+    val s = spark
+    import s.implicits._
+    val mg = Seq("a", null, "a", null, "b").toDF("item")
+      .agg(MisraGries.agg(4, col("item")).as("mg"))
+      .head().getAs[Map[String, Long]]("mg")
+    assert(mg === Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("exactTopK equals the brute-force top-k when the bound holds") {
+    for (seed <- 4 to 6) {
+      val rnd = new scala.util.Random(seed)
+      // heads well above N/(m+1): 10 hot items dominate a long tail
+      val xs = rnd.shuffle(
+        (0 until 10).flatMap(i => Seq.fill(300 - 10 * i)(s"h$i")) ++
+          Seq.fill(1000)(s"t${rnd.nextInt(400)}"))
+      val df = itemsDf(xs).repartition(5)
+      val got = HeavyHitters.exactTopK(df, col("item"), k = 10,
+          sketchSize = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val want = xs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("exactTopK validates its parameters") {
+    val df = itemsDf(Seq("a"))
+    intercept[IllegalArgumentException] {
+      HeavyHitters.exactTopK(df, col("item"), k = 5, sketchSize = 4)
+    }
+  }
+}

@@ -411,4 +411,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact intersect quant).size >= 18,
       s"overlap ${(exact intersect quant).size}/20")
   }
+
+  test("hard negatives: brute-force differential, label and anchor " +
+    "exclusion") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 60L).map { id =>
+      (id, Seq.fill(8)(rnd.nextFloat() * 2 - 1), (id % 3).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // samplePeriod = 1: no sampling, so the result must equal the
+    // exact brute-force top-k over different-label non-anchors
+    val anchors = Seq(0L, 1L)
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding",
+        "label", anchors, samplePeriod = 1, k = 5)
+      .orderBy(col("anchor_id"), col("cosine").desc, col("cand_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    def nrm(v: Seq[Float]): Seq[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum)
+      d.map(_ / n)
+    }
+    val want = anchors.flatMap { aid =>
+      val (_, av, al) = rows(aid.toInt)
+      val an = nrm(av)
+      rows.filter { case (id, _, l) => !anchors.contains(id) && l != al }
+        .map { case (id, v, _) =>
+          val c = BigDecimal(nrm(v).zip(an).map { case (x, y) => x * y }
+            .sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (aid, id, c)
+        }
+        .sortBy { case (_, id, c) => (-c, id) }.take(5)
+    }
+    assert(got === want)
+    // every emitted negative has a different label from its anchor
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    got.foreach { case (aid, cid, _) =>
+      assert(labelOf(cid) !== labelOf(aid))
+      assert(!anchors.contains(cid))
+    }
+    // a missing anchor id fails fast instead of mining a partial set
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        Seq(0L, 999L), 1, 5).collect()
+    }
+  }
 }
