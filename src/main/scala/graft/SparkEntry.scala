@@ -1069,6 +1069,63 @@ object SparkEntry {
              |FROM s GROUP BY user_id, sid
              |ORDER BY user_id, start_us""".stripMargin)),
 
+    // Tumbling-window aggregation via the native `window()` operator
+    // (epoch-aligned 1 h buckets; the batch twin of the streaming
+    // watermark+window aggregate). The value sum goes through integer
+    // micro-units BEFORE aggregation (the d28 discipline) so it is
+    // summation-order independent and hash-exact cross-engine. Plan:
+    // scan → partial agg → one exchange on (type, window) — window()
+    // is a row-local projection, never a shuffle by itself.
+    "q33_tumbling_window" -> Q(
+      (s, dir) => rawEvents(s, dir)
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("t"),
+          col("value"))
+        .groupBy(col("event_type"), window(col("t"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * lit(1e6)).cast("long"))
+            .as("value_micro"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("start_us"),
+          col("n"), col("value_micro"))
+        .orderBy("event_type", "start_us").limit(5000),
+      Some("""SELECT event_type,
+             |  (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(ROUND(value * 1e6) AS BIGINT)) AS BIGINT)
+             |    AS value_micro
+             |FROM events GROUP BY 1, 2
+             |ORDER BY event_type, start_us LIMIT 5000""".stripMargin)),
+
+    // Sliding-window aggregation (1 h window, 30 min slide): every
+    // event lands in exactly window/slide = 2 buckets — window() does
+    // the 2-way replication as a row-local generate, so the aggregate
+    // input doubles but the shuffle key stays (type, window-start).
+    // The oracle replays the replication with unnest over the two
+    // epoch-aligned covering starts.
+    "q34_sliding_window" -> Q(
+      (s, dir) => rawEvents(s, dir)
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .groupBy(col("event_type"),
+          window(col("t"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_micros(col("window.start")).as("start_us"),
+          col("n"))
+        .orderBy("event_type", "start_us").limit(8000),
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS us
+             |  FROM events),
+             |w AS (SELECT event_type, us, unnest(ARRAY[
+             |    (us // 1800000000) * 1800000000 - 1800000000,
+             |    (us // 1800000000) * 1800000000]) AS start_us
+             |  FROM e)
+             |SELECT event_type, start_us, CAST(count(*) AS BIGINT) AS n
+             |FROM w
+             |WHERE us >= start_us AND us < start_us + 3600000000
+             |GROUP BY 1, 2
+             |ORDER BY event_type, start_us LIMIT 8000""".stripMargin)),
+
     // Sequential funnel (view → click within an hour → purchase
     // within an hour, first-qualifying step semantics) — the other
     // canonical event-log product analytic next to retention. Each
@@ -2488,6 +2545,41 @@ object SparkEntry {
               |  FROM cand)
               |SELECT anchor_id, cand_id, cosine FROM r WHERE rn <= 8
               |ORDER BY anchor_id, cosine DESC, cand_id""".stripMargin)),
+
+    // Embedding-outlier pruning: the 50 vectors least similar to their
+    // own source's centroid (documents ⋈ embeddings on id). Centroid
+    // components are micro-unit integer sums — order-independent —
+    // so the whole pass replays exactly in SQL. The oracle's
+    // generate_series(1, 64) pins the fixture dim (DuckDB lacks
+    // lateral len(v) there); Spark derives it from the array itself.
+    "e13_centroid_outliers" -> Q(
+      (s, dir) => {
+        val joined = table(s, dir, "embeddings")
+          .join(table(s, dir, "documents"),
+            col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("source"), col("embedding"))
+        Similarity.centroidOutliers(joined, "vec_id", "embedding",
+          "source", k = 50)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |j AS (SELECT vec_id, source, v
+             |  FROM e JOIN documents ON doc_id = vec_id),
+             |dx AS (SELECT source, g.i - 1 AS dim,
+             |    CAST(ROUND(v[g.i] * 1e6) AS BIGINT) AS mx
+             |  FROM j, generate_series(1, 64) AS g(i)),
+             |c AS (SELECT source, dim,
+             |    CAST(SUM(mx) AS DOUBLE) / (1e6 * COUNT(*)) AS c
+             |  FROM dx GROUP BY 1, 2),
+             |cent AS (SELECT source, list(c ORDER BY dim) AS centroid
+             |  FROM c GROUP BY source)
+             |SELECT j.vec_id, j.source,
+             |  ROUND(list_dot_product(j.v, centroid) /
+             |    (sqrt(list_dot_product(j.v, j.v)) *
+             |     sqrt(list_dot_product(centroid, centroid))), 6)
+             |    AS cosine
+             |FROM j JOIN cent USING (source)
+             |ORDER BY cosine, vec_id LIMIT 50""".stripMargin)),
 
     "e2_ann_lsh_topk" -> Q(
       (s, dir) => {

@@ -485,6 +485,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group embedding centroids with ENGINEERED determinism: each
+    * component is quantized to integer micro-units BEFORE the group
+    * sum (the d28 discipline), so the centroid never depends on
+    * summation order — then one IEEE division back to double. Shape:
+    * posexplode to (group, dim, micro) — a row-local generate, ×dim
+    * rows but no shuffle by itself — one aggregation keyed (group,
+    * dim), and a per-group reassembly via sorted collect_list of
+    * exactly `dim` entries (bounded state: dim values per group).
+    * Returns (g, centroid). */
+  def groupCentroids(df: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(groupCol).as("g"),
+        posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("g", "dim")
+      .agg(sum(round(col("x") * lit(1e6)).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("dim"),
+        (col("sx").cast("double") / (col("n") * lit(1e6))).as("c"))
+      .groupBy("g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** Embedding-outlier pruning (the CLIP-score-style curation cut,
+    * with the corpus itself as the scorer): score every vector by
+    * cosine to its own group's centroid and surface the k LEAST
+    * typical — the tail a curation pipeline drops or routes to review.
+    * Mirrors SemDeDup's companion filter in Abbas et al. (prototypes
+    * vs outliers): near-centroid duplicates are e11's job; far-from-
+    * centroid junk is this one's.
+    *
+    * Scale shape: centroids are a |groups|-row frame (broadcast);
+    * scoring is one scan with an O(dim) dot per row; the k-row result
+    * comes from TakeOrdered, never a global sort. The centroid pass
+    * is [[groupCentroids]] — deterministic micro-unit sums, so the
+    * whole operator replays exactly in a SQL oracle. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       groupCol: String, k: Int): DataFrame = {
+    val cents = groupCentroids(df, groupCol, vecCol)
+    df.join(broadcast(cents), col(groupCol) === col("g"))
+      .select(col(idCol), col(groupCol),
+        round(cosine(toDouble(col(vecCol)), col("centroid")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Hard-negative mining for contrastive training (the data-prep
     * step behind every embedding-model fine-tune: for each anchor,
     * find DIFFERENT-label candidates the model currently scores most

@@ -458,4 +458,31 @@ class SimilaritySpec extends AnyFunSuite {
         Seq(0L, 999L), 1, 5).collect()
     }
   }
+
+  test("centroid outliers: golden centroid and ranking") {
+    val s = spark
+    import s.implicits._
+    // group A centroid = mean of (1,0),(0,1),(3,3) = (4/3, 4/3);
+    // (3,3) points along the centroid (cosine 1), the axis vectors sit
+    // at 45° (cos √2/2 ≈ 0.7071), and (-1,-1) is the planted outlier
+    // (cosine −1). group B is a singleton: its centroid IS the vector,
+    // cosine exactly 1 — singleton groups must not crash or skew.
+    val df = Seq(
+      (1L, "A", Seq(1f, 0f)), (2L, "A", Seq(0f, 1f)),
+      (3L, "A", Seq(3f, 3f)), (4L, "A", Seq(-1f, -1f)),
+      (5L, "B", Seq(2f, 0f)))
+      .toDF("vec_id", "source", "embedding")
+    val cent = Similarity.groupCentroids(df, "source", "embedding")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(cent("B") === Seq(2.0, 0.0))
+    // micro-unit exact: (1+0+3−1)/4 = 0.75 per component
+    assert(cent("A") === Seq(0.75, 0.75))
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+        "source", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(out.head === ((4L, -1.0)))               // planted outlier first
+    assert(out.map(_._1) === Seq(4L, 1L, 2L, 3L, 5L))
+    assert(math.abs(out(1)._2 - math.sqrt(2) / 2) < 1e-6)
+    assert(out(3)._2 === 1.0 && out(4)._2 === 1.0)  // aligned + singleton
+  }
 }
