@@ -225,6 +225,50 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"rnk <= k must push a group limit below the window:\n$p")
   }
 
+  test("d29 sketch pass shuffles no data rows; recount joins broadcast") {
+    val p = plan("d29_heavy_hitters")
+    // the Misra-Gries global aggregate moves O(m) partials through a
+    // single-partition exchange; the only JOIN is the broadcast
+    // semi-join gating the recount — a shuffle join here would mean
+    // the candidate set stopped broadcasting
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), s"recount must broadcast-semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join belongs in the heavy-hitter path:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
+  }
+
+  test("window-family queries aggregate without window functions") {
+    // q32/q33/q34 must plan as (partial) aggregates over the native
+    // session/tumbling/sliding operators — a WindowExec here means the
+    // per-row window form snuck back in
+    Seq("q32_session_window", "q33_tumbling_window",
+      "q34_sliding_window").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("WindowExec"), s"$q must not window-sort:\n$p")
+      assert(p.contains("HashAggregate") || p.contains("Aggregate"),
+        s"$q should aggregate:\n$p")
+    }
+  }
+
+  test("e12 mines negatives in one scan with no join") {
+    val p = plan("e12_hard_negatives")
+    // anchors are literals riding an explode; candidates come from the
+    // single embeddings scan — any Join means the anchor fetch leaked
+    // into the distributed plan
+    assert(!p.contains("Join"), s"e12 must be scan+explode+agg:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Scan parquet")) <= 1,
+      s"e12 should scan embeddings once:\n$p")
+  }
+
+  test("e13 broadcasts the centroid side") {
+    val p = plan("e13_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids are a groups-row frame and must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"outlier tail is top-k, not a global sort:\n$p")
+  }
+
   test("q17b windows only over (flag, cell), never the bare 3-value flag") {
     val p = plan("q17b_ntile_bucketed")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
