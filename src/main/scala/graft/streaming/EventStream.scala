@@ -31,6 +31,34 @@ object EventStream {
     events.withColumn("event_time",
       to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
 
+  /** Tumbling-window commit metrics: the fixed-bucket twin of
+    * [[sessionMetrics]] (q33 is the batch form). Epoch-aligned
+    * `window(event_time, size)` buckets per key; the watermark both
+    * bounds state (only buckets newer than watermark−size stay open)
+    * and drives append-mode emission (a bucket is final — and emitted
+    * — once the watermark passes its end). Late events older than the
+    * watermark are dropped, never resurrect a closed bucket
+    * (spec-proven). */
+  def tumblingMetrics(events: DataFrame, size: String = "1 hour",
+                      watermark: String = "1 hour",
+                      key: org.apache.spark.sql.Column = lit("all"))
+      : DataFrame = {
+    import graft.ops.EventOps._
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .filter(isCommit)
+      .groupBy(key.as("window_key"),
+        window(col("event_time"), size))
+      .agg(
+        count(lit(1)).as("commits"),
+        count(when(isSelection, 1)).as("selections"),
+        count(when(isMiss, 1)).as("misses"))
+      .select(col("window_key"),
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("commits"), col("selections"), col("misses"))
+  }
+
   /** Session metrics via the built-in session window (T1): per gap-based
     * session, commit/selection counts. Watermark bounds state size — at
     * scale the state store holds only open sessions. `key` identifies

@@ -179,6 +179,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumbling windows: watermark finalizes buckets; late events drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.model.LogEvent
+    def ev(ts: String) = LogEvent("text_committed", ts, Some("x"), None,
+      None, Some(0), Some("x"), None, None)
+    val mem = MemoryStream[LogEvent]
+    val q = EventStream.tumblingMetrics(mem.toDF(), size = "10 minutes",
+        watermark = "5 minutes", key = col("committed_text"))
+      .writeStream.format("memory").queryName("tumbling_wm")
+      .outputMode("append").start()
+    try {
+      // two commits in the [00:00, 00:10) bucket
+      mem.addData(ev("2024-01-01T00:01:00.000Z"),
+        ev("2024-01-01T00:04:00.000Z"))
+      q.processAllAvailable()
+      // nothing final yet: watermark still inside the bucket
+      assert(s.table("tumbling_wm").count() === 0)
+      // event far ahead pushes the watermark past 00:10 → bucket emits
+      mem.addData(ev("2024-01-01T01:00:00.000Z"))
+      q.processAllAvailable()
+      // a late commit for the CLOSED bucket must not resurrect it
+      mem.addData(ev("2024-01-01T00:05:00.000Z"))
+      q.processAllAvailable()
+      mem.addData(ev("2024-01-01T02:00:00.000Z"))
+      q.processAllAvailable()
+      val rows = s.table("tumbling_wm").collect()
+      val first = rows.filter(_.getAs[java.sql.Timestamp]("window_start")
+        .toInstant.toString.startsWith("2024-01-01T00:00"))
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("commits") === 2) // late one dropped
+      // bucket bounds are epoch-aligned to the window size
+      assert(first.head.getAs[java.sql.Timestamp]("window_end")
+        .toInstant.toString.startsWith("2024-01-01T00:10"))
+    } finally q.stop()
+  }
+
   test("rank re-derivation: idle timeout evicts state; stale seq fails fast") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
