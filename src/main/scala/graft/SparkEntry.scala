@@ -3103,6 +3103,28 @@ object SparkEntry {
              |       (8000 + (doc_id % 8) * 1000) AS BIGINT) AS duration_ms,
              |  'wave' AS format
              |FROM documents WHERE doc_id % 3 = 1
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // REAL RIFF/AVI container metadata decode (the m5 playbook applied
+    // to video): synthesized AVI per video-typed doc, hand-assembled
+    // RIFF walker reads dims/frames/timing from the main header. The
+    // container size is closed-form (224 + 24·frames), so even n_bytes
+    // is oracle-checked. Frame pixels stay undecoded (no MJPEG codec
+    // in the JDK) — the stub boundary is pixel access only.
+    "m6_video_meta" -> Q(
+      (s, dir) => Multimodal.videoDecodeTable(table(s, dir, "documents")),
+      Some("""SELECT doc_id,
+             |  CAST(224 + (10 + doc_id % 20) * 24 AS BIGINT) AS n_bytes,
+             |  CAST(160 + (doc_id % 8) * 16 AS INTEGER) AS width,
+             |  CAST(120 + (doc_id % 5) * 24 AS INTEGER) AS height,
+             |  CAST(10 + doc_id % 20 AS BIGINT) AS frames,
+             |  CAST(20000 + (doc_id % 5) * 5000 AS BIGINT)
+             |    AS us_per_frame,
+             |  CAST((10 + doc_id % 20) *
+             |       (20000 + (doc_id % 5) * 5000) // 1000 AS BIGINT)
+             |    AS duration_ms,
+             |  'avi' AS format
+             |FROM documents WHERE doc_id % 3 = 2
              |ORDER BY doc_id LIMIT 500""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */

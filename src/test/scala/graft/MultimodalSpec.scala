@@ -184,6 +184,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).media === goodBig && out(3).media_type === "audio")
   }
 
+  test("AVI container roundtrip: synthesis formulas survive the " +
+    "RIFF walker") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(5L, 14L, 23L).map(id => MediaRecord(id, "video",
+      Multimodal.synthesizeAvi(Multimodal.videoWidth(id),
+        Multimodal.videoHeight(id), Multimodal.videoFrames(id),
+        Multimodal.videoUsPerFrame(id))))
+    recs.foreach { r =>
+      // closed-form container size the m6 oracle relies on
+      assert(r.media.length ===
+        224 + 24 * Multimodal.videoFrames(r.doc_id))
+    }
+    val out = Multimodal.decodeVideoMeta(recs.toDS())
+      .collect().sortBy(_.doc_id)
+    out.foreach { m =>
+      assert(m.format === "avi")
+      assert(m.width === Multimodal.videoWidth(m.doc_id))
+      assert(m.height === Multimodal.videoHeight(m.doc_id))
+      assert(m.frames === Multimodal.videoFrames(m.doc_id))
+      assert(m.us_per_frame === Multimodal.videoUsPerFrame(m.doc_id))
+      assert(m.duration_ms === m.frames * m.us_per_frame / 1000)
+    }
+  }
+
+  test("corrupt video payloads degrade to error rows, not failures") {
+    val s = spark
+    import s.implicits._
+    val good = Multimodal.synthesizeAvi(160, 120, 5, 40000)
+    val recs = Seq(
+      MediaRecord(1L, "video", "not a riff file at all".getBytes("UTF-8")),
+      MediaRecord(2L, "video", good.take(30)),          // truncated header
+      MediaRecord(3L, "video", {                        // absurd declared dims
+        val b = good.clone()
+        // avih payload starts at offset 32; width at +32 within it
+        val bb = java.nio.ByteBuffer.wrap(b)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(32 + 32, Int.MaxValue)
+        b
+      }),
+      MediaRecord(4L, "video", good))
+    val out = Multimodal.decodeVideoMeta(recs.toDS())
+      .collect().sortBy(_.doc_id)
+    assert(out.take(3).forall(m => m.format === "error" &&
+      m.width === -1 && m.frames === -1L))
+    assert(out(3).format === "avi" && out(3).width === 160 &&
+      out(3).frames === 5L)
+  }
+
   test("meta summary aggregates per media_type/format without collect") {
     val out = Multimodal.metaSummary(spark, docs).collect()
     assert(out.map(_.getAs[String]("media_type")).toSet ===
