@@ -2285,6 +2285,99 @@ object SparkEntry {
              |WHERE doc_id NOT IN (SELECT id_b FROM dup)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // The round-6 curation showpiece: every new signal composed into
+    // one pipeline. Corpus-wide signals first (they must be computed
+    // against the FULL corpus — a quality LM or dup-fraction that
+    // shifts as you filter is not reproducible): d27's cross-doc
+    // dup-n-gram filter, d28's unigram-LM band (keep score_micro >
+    // −1.5M ≡ mean log10 p > −1.5 — cuts the rare-token tail), e11's
+    // semantic-dup drop set (embeddings ⋈ docs on id). Exact dedup
+    // runs LAST over the survivors (keep-min-id among what remains).
+    // Each stage is a left-semi/anti join on doc_id — co-partitioned,
+    // no broadcast hints (drop sets are corpus fractions, the
+    // llm_clean_pipeline argument).
+    "llm_curate_full" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val keepNgram = Dedup.dupNgramFilter(docs, "doc_id", "text",
+            n = 13, maxDupFrac = 0.2)
+          .select(col("id").as("doc_id"))
+        val band = TextStats.unigramLogProb(docs, "doc_id", "text")
+          .filter(col("score_micro") > lit(-1500000L))
+          .select(col("id").as("doc_id"))
+        val emb = table(s, dir, "embeddings")
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        // anti-join on the DROP set, not semi-join on the kept
+        // embeddings: docs without an embedding row (the corpus is
+        // only partially embedded) must survive this stage untouched
+        val semDrop = Dedup.semanticDupIds(emb, "vec_id", "embedding",
+            hp, minCosine = 0.4)
+          .select(col("drop_id").as("doc_id"))
+        val filtered = docs
+          .join(keepNgram, Seq("doc_id"), "left_semi")
+          .join(band, Seq("doc_id"), "left_semi")
+          .join(semDrop, Seq("doc_id"), "left_anti")
+        Dedup.exactDedup(filtered, "doc_id", "text")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |ga AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, greatest(len(toks)-12, 0)),
+             |    i -> array_to_string(toks[i:i+12], ' '))) AS gs FROM t),
+             |g AS (SELECT doc_id, unnest(gs) AS gram FROM ga),
+             |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+             |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+             |  FROM g JOIN dfr USING (gram) WHERE df > 1
+             |  GROUP BY doc_id),
+             |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng
+             |  FROM ga),
+             |ngkeep AS (SELECT tot.doc_id
+             |  FROM tot LEFT JOIN dup USING (doc_id)
+             |  WHERE (CASE WHEN ng > 0 THEN
+             |      ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / ng, 6)
+             |    ELSE 0.0 END) <= 0.2),
+             |t2 AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f2 AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+             |n2 AS (SELECT CAST(ROUND(log10(SUM(cnt)) * 1e6) AS BIGINT)
+             |    AS lln FROM f2),
+             |d2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+             |    CAST(SUM(CAST(ROUND(log10(cnt) * 1e6) AS BIGINT))
+             |      AS BIGINT) AS sll
+             |  FROM t2 JOIN f2 USING (tok) GROUP BY doc_id),
+             |band AS (SELECT doc_id FROM d2, n2
+             |  WHERE CAST(TRUNC(CAST(sll - ntok * lln AS DOUBLE) / ntok)
+             |    AS BIGINT) > -1500000),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |nrm AS (SELECT vec_id,
+             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+             |      AS nv
+             |  FROM e),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT nrm.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(nrm.nv, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM nrm, p GROUP BY nrm.vec_id),
+             |dr AS (SELECT DISTINCT c.vec_id AS did
+             |  FROM b a JOIN b c ON a.bucket = c.bucket
+             |    AND a.vec_id < c.vec_id
+             |  JOIN nrm na ON na.vec_id = a.vec_id
+             |  JOIN nrm nc ON nc.vec_id = c.vec_id
+             |  WHERE ROUND(list_dot_product(na.nv, nc.nv), 6) > 0.4),
+             |flt AS (SELECT doc_id, text, lang, n_chars FROM documents
+             |  WHERE doc_id IN (SELECT doc_id FROM ngkeep)
+             |    AND doc_id IN (SELECT doc_id FROM band)
+             |    AND doc_id NOT IN (SELECT did FROM dr))
+             |SELECT doc_id, lang, n_chars FROM flt
+             |WHERE doc_id IN (SELECT min(doc_id) FROM flt GROUP BY text)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // The transitive-cluster twin of llm_clean_pipeline: near-dup
     // removal keeps each CONNECTED COMPONENT's minimum id instead of
     // dropping the higher id of every pair. Pairwise removal is

@@ -467,11 +467,21 @@ object Dedup {
   def semanticDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
                         hp: Seq[Seq[Double]],
                         minCosine: Double): DataFrame = {
-    val drop = embeddingNearDupPairsWith(emb, idCol, vecCol, hp)
-      .filter(col("cosine") > minCosine)
-      .select(col("id_b").as("drop_id")).distinct()
+    val drop = semanticDupIds(emb, idCol, vecCol, hp, minCosine)
     emb.join(drop, emb(idCol) === drop("drop_id"), "left_anti")
   }
+
+  /** The DROP side of [[semanticDedupKeep]]: ids with a smaller-id
+    * same-bucket neighbor above the threshold. Use THIS (via anti-join)
+    * when filtering a table that may have rows WITHOUT an embedding —
+    * a semi-join on the kept embeddings would silently drop every
+    * uncovered row, which is wrong for a partial-coverage corpus
+    * (embeddings typically exist for a subset of documents). */
+  def semanticDupIds(emb: DataFrame, idCol: String, vecCol: String,
+                     hp: Seq[Seq[Double]], minCosine: Double): DataFrame =
+    embeddingNearDupPairsWith(emb, idCol, vecCol, hp)
+      .filter(col("cosine") > minCosine)
+      .select(col("id_b").as("drop_id")).distinct()
 
   // ---- near-dup clusters: connected components ----------------------
 

@@ -465,6 +465,31 @@ class DedupSpec extends AnyFunSuite {
     assert(all === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("semanticDupIds anti-join preserves docs without an embedding row") {
+    // Regression for the llm_curate_full composition: the corpus is only
+    // PARTIALLY embedded, so the semantic stage must be an anti-join on
+    // the DROP set — a semi-join on the kept embeddings would silently
+    // drop every uncovered doc (here ids 10 and 11).
+    val s = spark
+    import s.implicits._
+    val hp = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val emb = Seq(
+      (1L, Array(1.0, 0.01)),   // keep root of the dup group
+      (2L, Array(0.999, 0.02)), // near-dup of 1 → in the drop set
+      (3L, Array(0.01, 1.0)))   // same bucket, near-orthogonal → kept
+      .toDF("vec_id", "embedding")
+    val drop = Dedup.semanticDupIds(emb, "vec_id", "embedding", hp,
+      minCosine = 0.9)
+    assert(drop.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val docs = docsDf(Seq(
+      (1L, "a"), (2L, "b"), (3L, "c"), (10L, "no emb"), (11L, "no emb 2")))
+    val survivors = docs
+      .join(drop.select(col("drop_id").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors === Seq(1L, 3L, 10L, 11L))
+  }
+
   test("connected components: empty, self-loop, and null pairs") {
     assert(ccMap(Nil) === Map.empty)
     // self-loops and nulls are dropped, not components
