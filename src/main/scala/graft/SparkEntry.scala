@@ -1837,6 +1837,26 @@ object SparkEntry {
              |GROUP BY t ORDER BY tf DESC, token ASC
              |LIMIT 100""".stripMargin)),
 
+    // Weighted reservoir sampling without replacement (Efraimidis-
+    // Spirakis A-ES) with weight = document length: priority
+    // u^(1/w) from the portable-hash uniform, quantized to integer
+    // micro-units, k largest win. Inclusion probability proportional
+    // to n_chars — the quality/length-weighted subsample step. The
+    // top-k is a TakeOrdered (k-bounded per partition), never a full
+    // sort; the draw is per-row and engine-reproducible.
+    "d30_weighted_reservoir" -> Q(
+      (s, dir) => Curation.weightedReservoir(
+        table(s, dir, "documents").select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), k = 100),
+      Some(s"""SELECT doc_id, n_chars,
+              |  CAST(ROUND(pow(
+              |    (CAST((${duckHash60("CAST(doc_id AS VARCHAR)")})
+              |       % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+              |    1.0 / n_chars) * 1e6) AS BIGINT) AS priority_micro
+              |FROM documents WHERE n_chars > 0
+              |ORDER BY priority_micro DESC, doc_id ASC
+              |LIMIT 100""".stripMargin)),
+
     // Dedup cluster lineage: every clustered doc mapped to its
     // cluster's canonical (lowest-id) survivor — the provenance table
     // a dedup stage emits alongside the survivors. Clustered on the
@@ -1881,6 +1901,46 @@ object SparkEntry {
               |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
               |FROM vpairs
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
+    // PageRank centrality over the verified near-dup graph (d15's
+    // pairs): the cluster-canonical-survivor policy that picks the most
+    // connected document instead of the smallest id. Integer
+    // micro-unit ranks end to end — exact integral division per edge,
+    // one IEEE damping multiply per node per iteration — so 3
+    // iterations replay bit-exactly as 3 chained SQL CTEs. Only the
+    // pair graph shuffles; the corpus is touched once (by d15's own
+    // candidate generation).
+    "g1_pagerank" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.pageRankMicro(
+          Dedup.lshVerifiedJaccardPairs(
+            table(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.3),
+          "id_a", "id_b", iterations = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(desc("rank_micro"), asc("doc_id")).limit(500),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |ge AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+              |       UNION ALL
+              |       SELECT id_b AS src, id_a AS dst FROM vpairs),
+              |gd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |       FROM ge GROUP BY src),
+              |gr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r
+              |        FROM gd),
+              |gr1 AS (SELECT ge.dst AS id, CAST(150000 +
+              |      ROUND(0.85 * SUM(gr0.r // gd.deg)) AS BIGINT) AS r
+              |    FROM ge JOIN gr0 ON gr0.id = ge.src
+              |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst),
+              |gr2 AS (SELECT ge.dst AS id, CAST(150000 +
+              |      ROUND(0.85 * SUM(gr1.r // gd.deg)) AS BIGINT) AS r
+              |    FROM ge JOIN gr1 ON gr1.id = ge.src
+              |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst),
+              |gr3 AS (SELECT ge.dst AS id, CAST(150000 +
+              |      ROUND(0.85 * SUM(gr2.r // gd.deg)) AS BIGINT) AS r
+              |    FROM ge JOIN gr2 ON gr2.id = ge.src
+              |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst)
+              |SELECT id AS doc_id, r AS rank_micro FROM gr3
+              |ORDER BY rank_micro DESC, doc_id ASC
+              |LIMIT 500""".stripMargin)),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /

@@ -240,6 +240,38 @@ object Curation {
         (col("_start") % seqTokens).cast("long").as("seq_offset"))
   }
 
+  /** Weighted reservoir sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws priority u^(1/w) for a uniform u
+    * and weight w, and the k largest priorities are the sample —
+    * inclusion probability proportional to weight at every prefix, the
+    * standard quality- or length-weighted document subsampling step.
+    *
+    * Reproducibility (the [[hashSample]] discipline): u is not random
+    * but the portable md5 hash of the id mapped to the open unit
+    * interval, (h mod 1e6 + 0.5)/1e6 — a row's draw depends only on
+    * its id, never on partitioning, cluster shape, or engine. The
+    * priority is quantized to integer micro-units BEFORE the top-k
+    * (round(u^(1/w)·1e6), the d28/e13 pattern) with the id as total
+    * tie-break, so cross-engine pow() last-ulp drift cannot flip
+    * sample membership.
+    *
+    * Shape at scale: priority is a pure per-row expression; the top-k
+    * is a k-bounded TakeOrdered (partial top-k per partition → k-row
+    * merge on the driver reducer), never a full sort. Weights <= 0
+    * are excluded (their inclusion probability is 0). */
+  def weightedReservoir(df: DataFrame, id: Column, weight: Column,
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (pmod(Dedup.md5Long60(id.cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    df.filter(weight > 0)
+      .withColumn("priority_micro",
+        round(pow(u, lit(1.0) / weight.cast("double")) * 1e6)
+          .cast("long"))
+      .orderBy(col("priority_micro").desc, id.asc)
+      .limit(k)
+  }
+
   /** Deterministic global training order: the portable hash is the sort
     * key, so the "shuffled" order is reproducible run-to-run and
     * engine-to-engine. For a full-corpus write, range-partition on the

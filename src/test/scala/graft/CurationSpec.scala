@@ -213,4 +213,38 @@ class CurationSpec extends AnyFunSuite {
         2.0).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again === t2.map(_._1).toSet)
   }
+
+  test("weighted reservoir: exact A-ES replay, weight bias, zero-weight exclusion") {
+    val s = spark
+    import s.implicits._
+    val n = 2000
+    // weights 1..5 cycling; a handful of zero/negative weights must
+    // never be sampled regardless of their hash draw
+    val df = (0 until n).map(i =>
+        (i.toLong, if (i % 400 == 0) 0L else (i % 5 + 1).toLong))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedReservoir(df, col("doc_id"), col("w"), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 200)
+    // exact replay: priority = round(u^(1/w) * 1e6) with
+    // u = (md5Long60(id) mod 1e6 + 0.5)/1e6, top-k by (priority desc,
+    // id asc)
+    val replay = (0 until n).map { i =>
+      val w = if (i % 400 == 0) 0L else (i % 5 + 1).toLong
+      val u = (md5Long60(i.toString) % 1000000L + 0.5) / 1000000.0
+      (i.toLong, w, math.round(math.pow(u, 1.0 / w) * 1e6))
+    }.filter(_._2 > 0)
+      .sortBy { case (id, _, p) => (-p, id) }.take(200)
+    assert(got.toSeq === replay)
+    assert(got.forall(_._2 > 0))
+    // weight bias: mean weight in the sample exceeds the population's
+    // (uniform over 1..5 => 3.0); A-ES with these weights should pull
+    // the sample mean well above it
+    val meanW = got.map(_._2).sum.toDouble / got.length
+    assert(meanW > 3.3, s"sample mean weight $meanW not biased upward")
+    // the k-bounded plan: TakeOrdered, not a global Sort+Limit
+    val plan = Curation.weightedReservoir(df, col("doc_id"), col("w"), 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }

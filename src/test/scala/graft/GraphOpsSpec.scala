@@ -1,0 +1,50 @@
+package graft
+
+import graft.pipeline.GraphOps
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def pairs(rows: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id_a", "id_b")
+  }
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: star center outranks leaves; symmetric pair ranks equal") {
+    // star 1-{2,3,4} plus an isolated pair 10-11
+    val got = ranks(GraphOps.pageRankMicro(
+      pairs((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)), "id_a", "id_b"))
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(got(1L) > got(2L), s"center must outrank a leaf: $got")
+    assert(got(2L) === got(3L) && got(3L) === got(4L))
+    // a symmetric 2-node component: both ends identical, and every
+    // contribution is the full rank (deg 1), so rank stays 1e6 exactly
+    // at every iteration: 150000 + round(0.85 * 1000000) = 1000000
+    assert(got(10L) === 1000000L && got(11L) === got(10L))
+  }
+
+  test("pageRank: exact 1-iteration micro arithmetic on a path graph") {
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2, all r0 = 1e6.
+    // r1(1) = r1(3) = 150000 + round(0.85 * (1e6 div 2)) = 575000
+    // r1(2) = 150000 + round(0.85 * (1e6 + 1e6)) = 1850000
+    val got = ranks(GraphOps.pageRankMicro(
+      pairs((1L, 2L), (2L, 3L)), "id_a", "id_b", iterations = 1))
+    assert(got === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+  }
+
+  test("pageRank: deterministic under repartition; total mass conserved-ish") {
+    val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val a = ranks(GraphOps.pageRankMicro(p, "id_a", "id_b"))
+    val b = ranks(GraphOps.pageRankMicro(p.repartition(7), "id_a", "id_b"))
+    assert(a === b)
+    // unnormalized ranks: mass stays near n * 1e6 (integral-division
+    // truncation only ever loses sub-unit dust per edge per round)
+    val total = a.values.sum
+    assert(total > 3990000L && total <= 4000000L, s"total $total")
+  }
+}
