@@ -3239,6 +3239,24 @@ object SparkEntry {
              |  'png' AS format
              |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // Image NEAR-DUP clusters by perceptual hash — the multimodal
+    // dedup crossover: real two-level pattern PNGs (pattern class a
+    // pure function of the id), REAL decode, 8x8 center-sampled
+    // 64-bit average hash, cluster-minimum lineage by hash (the d14
+    // aggregate+join de-skew shape). Same-pattern images at DIFFERENT
+    // dimensions must collide and distinct patterns must not, so the
+    // oracle predicts the clusters from the synthesis formulas alone —
+    // the whole encode->decode->sample->hash loop has to land them.
+    "m7_image_phash" -> Q(
+      (s, dir) => Multimodal.imagePHashTable(table(s, dir, "documents")),
+      Some("""WITH i AS (SELECT doc_id, (doc_id // 3) % 3 AS pat
+             |  FROM documents
+             |  WHERE doc_id % 3 = 0 AND doc_id % 32 >= 5
+             |    AND (doc_id // 32) % 32 >= 5)
+             |SELECT doc_id, min(doc_id) OVER (PARTITION BY pat)
+             |    AS keep_id
+             |FROM i ORDER BY doc_id LIMIT 500""".stripMargin)),
+
     // REAL audio decode round-trip (the m3 playbook applied to audio):
     // a synthesized RIFF/WAVE payload per audio-typed doc (16-bit PCM,
     // rate/channels/frames pure functions of the id) header-decoded

@@ -582,4 +582,128 @@ object Multimodal {
         col("height").cast("long").as("height"), col("format"))
       .orderBy("doc_id").limit(500)
   }
+
+  // ---- perceptual hashing: image near-dup detection (m7) ------------
+
+  /** Pattern class for [[attachPatternImages]], shared with the m7
+    * oracle: 0 = left-bright/right-dark vertical split, 1 = top-bright
+    * horizontal split, 2 = quadrant checker (TL+BR bright). Derived
+    * from the id INDEPENDENTLY of the media-type assignment (doc_id%3
+    * picks image-typed docs; the pattern uses the next radix). */
+  def imagePattern(docId: Long): Int = ((docId / 3) % 3).toInt
+
+  /** Whether a pixel of a `pat`-patterned `w × h` image is bright —
+    * two-level 0/255 content with boundaries at the half-lines, so the
+    * 8×8 center-sampled average hash is a pure function of the pattern
+    * for any dims >= [[MinPHashSide]] (the sampling-robustness bound
+    * proven in MultimodalSpec). */
+  def patternBright(pat: Int, x: Int, y: Int, w: Int, h: Int): Boolean =
+    pat match {
+      case 0 => 2 * x < w
+      case 1 => 2 * y < h
+      case _ => (2 * x < w) == (2 * y < h)
+    }
+
+  /** Below this side length an 8×8 center sample can straddle the
+    * half-line boundary (floor(0.5625·w) < w/2 for some w <= 8), making
+    * the hash dimension-dependent; >= 9 it is pattern-pure. */
+  val MinPHashSide = 9
+
+  /** A `width × height` two-level pattern PNG, encoded in memory. */
+  def synthesizePatternPng(width: Int, height: Int, pat: Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y,
+          if (patternBright(pat, x, y, width, height)) 0xffffff else 0)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Patterned-PNG fixture attach for the perceptual-hash path: every
+    * image-typed doc whose synthesis dims are >= [[MinPHashSide]] gets
+    * a real two-level pattern PNG (dims from the m3 formulas, pattern
+    * from [[imagePattern]]). Executor-side synthesis like
+    * [[attachImages]]. */
+  def attachPatternImages(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"))
+      .filter(col("doc_id") % 3 === 0)
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (w, h) = (imageWidth(id), imageHeight(id))
+        if (w < MinPHashSide || h < MinPHashSide) Iterator.empty
+        else Iterator.single(MediaRecord(id, "image",
+          synthesizePatternPng(w, h, imagePattern(id))))
+      })
+  }
+
+  /** 64-bit average hash (aHash) of a decoded image: gray levels
+    * sampled on an 8×8 grid of cell centers (NEAREST pixel — no
+    * interpolation, so two-level content yields two-level samples),
+    * bit b = 8·row + col set iff its sample exceeds the 64-sample
+    * mean. Near-duplicate images — same content at different sizes,
+    * re-encodes, small crops — collide; distinct content does not. */
+  def averageHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val x = ((i % 8) * 2 + 1) * w / 16   // floor((col+0.5)·w/8)
+      val y = ((i / 8) * 2 + 1) * h / 16
+      val rgb = img.getRGB(math.min(x, w - 1), math.min(y, h - 1))
+      gray(i) = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+        (rgb & 0xff)) / 3.0
+      i += 1
+    }
+    val mean = gray.sum / 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (gray(i) > mean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Image near-dup clusters by perceptual hash: decode every payload,
+    * aHash it, and map each image to its hash-cluster's canonical
+    * (lowest-id) survivor — the d14 lineage table for IMAGES, with the
+    * hash doing the work token fingerprints do for text. Unreadable
+    * payloads are dropped (an error row has no meaningful hash).
+    *
+    * Shape at scale: decode+hash is one mapPartitions scan; the
+    * cluster minimum is an aggregate+join on the 64-bit hash (the d14
+    * de-skew move — a hyper-common hash, e.g. a boilerplate logo,
+    * collapses map-side and AQE splits the hot join key, where a
+    * window over the hash partition would funnel the cluster into one
+    * task). */
+  def imagePHashTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hashed = attachPatternImages(docs)
+      .mapPartitions { it =>
+        imageIoInit
+        it.flatMap { r =>
+          try readGuarded(r.media).map { case (img, _) =>
+            (r.doc_id, averageHash64(img))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }.toDF("doc_id", "phash")
+    val keep = hashed.groupBy(col("phash").as("_kh"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    hashed.join(keep, col("phash") === col("_kh"))
+      .select(col("doc_id"), col("keep_id"))
+      .orderBy("doc_id").limit(500)
+  }
 }

@@ -239,4 +239,52 @@ class MultimodalSpec extends AnyFunSuite {
       Set("image", "audio", "video"))
     assert(out.map(_.getAs[Long]("n")).sum === 4)
   }
+
+  private def decodedPatternHash(w: Int, h: Int, pat: Int): Long = {
+    val png = Multimodal.synthesizePatternPng(w, h, pat)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    Multimodal.averageHash64(img)
+  }
+
+  test("average hash: exact bits per pattern, dimension-invariant, distinct") {
+    // expected bitsets from the sampling math: pattern 0 (left bright)
+    // sets columns 0-3 of every row, pattern 1 (top bright) rows 0-3,
+    // pattern 2 (quadrant checker) TL+BR quadrants
+    val expect0 = (0 until 64).filter(i => i % 8 < 4)
+      .map(1L << _).foldLeft(0L)(_ | _)
+    val expect1 = (0 until 64).filter(i => i / 8 < 4)
+      .map(1L << _).foldLeft(0L)(_ | _)
+    val expect2 = (0 until 64).filter(i => (i % 8 < 4) == (i / 8 < 4))
+      .map(1L << _).foldLeft(0L)(_ | _)
+    // every dimension >= MinPHashSide yields the SAME hash per pattern
+    // (near-dup collision across sizes is the whole point) — including
+    // the boundary-tightest odd sizes
+    for ((w, h) <- Seq((9, 9), (9, 35), (13, 10), (16, 16), (35, 9))) {
+      assert(decodedPatternHash(w, h, 0) === expect0, s"pat0 at ${w}x$h")
+      assert(decodedPatternHash(w, h, 1) === expect1, s"pat1 at ${w}x$h")
+      assert(decodedPatternHash(w, h, 2) === expect2, s"pat2 at ${w}x$h")
+    }
+    assert(Set(expect0, expect1, expect2).size === 3)
+  }
+
+  test("imagePHashTable clusters by pattern with min-id canonicals") {
+    val s = spark
+    import s.implicits._
+    // image-typed ids (doc_id % 3 == 0) with dims >= 9 on both axes:
+    // doc_id % 32 >= 5 and (doc_id/32) % 32 >= 5. 165..168? pick ids
+    // meeting all three congruences; pattern = (id/3) % 3.
+    val ids = (0L until 2000L).filter(id => id % 3 == 0 &&
+      id % 32 >= 5 && (id / 32) % 32 >= 5).take(12)
+    val docs12 = ids.toDF("doc_id")
+    val got = Multimodal.imagePHashTable(docs12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === ids.toSet)
+    val byPat = ids.groupBy(id => (id / 3) % 3)
+    byPat.foreach { case (_, members) =>
+      val keep = members.min
+      members.foreach(id => assert(got(id) === keep,
+        s"doc $id should map to $keep, got ${got(id)}"))
+    }
+  }
 }
