@@ -819,6 +819,33 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // The 100 TB shuffle-join shape with RUNTIME ROW-LEVEL FILTERING:
+    // a selective dimension predicate (top ~10% of orders) whose key
+    // set Spark's InjectRuntimeFilter turns into a bloom filter
+    // applied to the fact scan BEFORE the join shuffle — at scale the
+    // probe side ships ~10% of itself instead of all of it. The query
+    // is planner-agnostic (same rows either way; at fixture scale the
+    // dimension simply broadcasts); PlanDisciplineSpec pins the bloom
+    // injection under the scale regime (shuffle join forced, runtime
+    // bloom thresholds opened) and PLANS.md carries the argument.
+    "q35_bloom_pruned_join" -> Q(
+      (s, dir) => lineitem(s, dir)
+        .join(table(s, dir, "orders")
+            .filter(col("o_totalprice") > 450000.0),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_totalprice > 450000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     "q2_broadcast_join_agg" -> Q(
       (s, dir) => lineitem(s, dir)
         .join(broadcast(table(s, dir, "part")),

@@ -91,6 +91,34 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("q35 injects a runtime bloom filter on the fact scan at shuffle scale") {
+    // Fixture scale broadcasts the filtered dimension (fine); the 100 TB
+    // regime is shuffle join + runtime row-level filtering: the
+    // selective orders predicate becomes a bloom filter applied to the
+    // lineitem side BEFORE its shuffle. Thresholds opened explicitly so
+    // the pin is self-contained (the application side is far below the
+    // default 10 GB scan-size gate at fixture scale).
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "10485760",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0") {
+      val p = plan("q35_bloom_pruned_join")
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"threshold -1 must force the shuffle-join regime:\n$p")
+    }
+    // and in the default regime the query still plans sanely (broadcast
+    // of the filtered dimension, no nested loop)
+    val p = plan("q35_bloom_pruned_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q29 retention: user-keyed shuffle join past the broadcast threshold") {
     // same two-regime contract as q30: the first-seen frame is
     // O(users), so at scale it must shuffle on the user key it
