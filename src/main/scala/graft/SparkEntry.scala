@@ -3266,6 +3266,35 @@ object SparkEntry {
              |  'png' AS format
              |FROM m ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // Real audio FEATURE EXTRACTION (m8): decode the full PCM stream
+    // of every synthesized WAV and fold it to integer features —
+    // energy = sum of squared 16-bit samples, peak = max |sample|.
+    // The synthesis ramp makes sample k a pure function of k, so the
+    // oracle regenerates the byte stream arithmetically and the whole
+    // container-parse -> frame-decode -> fold loop must land the
+    // exact integers.
+    "m8_audio_energy" -> Q(
+      (s, dir) => Multimodal.audioFeatureTable(table(s, dir, "documents")),
+      Some("""WITH a AS (SELECT doc_id,
+             |    CAST((400 + doc_id % 600) * (1 + doc_id % 2)
+             |      AS BIGINT) AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |v AS (SELECT doc_id, n,
+             |    list_transform(generate_series(0, n - 1), k ->
+             |      CASE WHEN ((62*k) % 256) + (((62*k+31) % 256) * 256)
+             |             >= 32768
+             |           THEN ((62*k) % 256) + (((62*k+31) % 256) * 256)
+             |                - 65536
+             |           ELSE ((62*k) % 256) + (((62*k+31) % 256) * 256)
+             |      END) AS vals
+             |  FROM a)
+             |SELECT doc_id, n AS n_samples,
+             |  CAST(list_sum(list_transform(vals, x -> x*x)) AS BIGINT)
+             |    AS energy_sum,
+             |  CAST(list_max(list_transform(vals, x -> abs(x)))
+             |    AS BIGINT) AS peak_abs
+             |FROM v ORDER BY doc_id LIMIT 500""".stripMargin)),
+
     // Image NEAR-DUP clusters by perceptual hash — the multimodal
     // dedup crossover: real two-level pattern PNGs (pattern class a
     // pure function of the id), REAL decode, 8x8 center-sampled

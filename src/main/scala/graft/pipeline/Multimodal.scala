@@ -26,6 +26,13 @@ final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Long,
                            channels: Long, frames: Long, duration_ms: Long,
                            format: String)
 
+/** Integer PCM features of one audio payload: sample count, signal
+  * energy (Σ s²), peak |s| — exact integers, so order-independent and
+  * SQL-replayable. Error rows carry -1s. */
+final case class AudioFeatures(doc_id: Long, n_samples: Long,
+                               energy_sum: Long, peak_abs: Long,
+                               format: String)
+
 /** Decoded video-CONTAINER metadata: what a RIFF/AVI main header
   * declares (dimensions, frame count, frame timing) — parsed JDK-only
   * by walking the public RIFF chunk layout. Unreadable payloads
@@ -197,6 +204,56 @@ object Multimodal {
       .select(col("doc_id"), col("sample_rate"), col("channels"),
         col("frames"), col("duration_ms"), col("format"))
       .orderBy("doc_id").limit(500)
+
+  /** Real audio FEATURE EXTRACTION — past the header, into the PCM
+    * frames: signal energy (sum of squared samples) and peak
+    * amplitude over the decoded 16-bit stream. Both are INTEGER
+    * features by construction, so they are order-independent,
+    * mergeable, and bit-exactly replayable by a SQL oracle from the
+    * synthesis ramp — the audio analogue of m7's "the whole
+    * decode loop must land the predicted value" check. Unreadable or
+    * non-16-bit-PCM payloads degrade to an error row (-1 features),
+    * never a task failure. The PCM read is inherently bounded by the
+    * payload length (`ByteArrayInputStream` cannot produce more bytes
+    * than it holds, whatever frame count the header declares). */
+  def audioFeatures(r: MediaRecord): AudioFeatures =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      try {
+        val f = in.getFormat
+        if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          AudioFeatures(r.doc_id, -1L, -1L, -1L, "error")
+        else {
+          val bytes = in.readAllBytes()
+          var i = 0; var energy = 0L; var peak = 0L; var n = 0L
+          while (i + 1 < bytes.length) {
+            val s = (((bytes(i + 1) & 0xff) << 8) |
+              (bytes(i) & 0xff)).toShort.toLong
+            energy += s * s
+            if (math.abs(s) > peak) peak = math.abs(s)
+            n += 1; i += 2
+          }
+          AudioFeatures(r.doc_id, n, energy, peak, "wave")
+        }
+      } finally in.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        AudioFeatures(r.doc_id, -1L, -1L, -1L, "error")
+    }
+
+  /** Real PCM feature pipeline: synthesized WAV → full frame decode →
+    * integer energy/peak per doc (m8). */
+  def audioFeatureTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    attachAudio(docs).mapPartitions(_.map(audioFeatures)).toDF()
+      .select(col("doc_id"), col("n_samples"), col("energy_sum"),
+        col("peak_abs"))
+      .orderBy("doc_id").limit(500)
+  }
 
   /** Deterministic synthesis parameters for [[attachVideos]], shared
     * with the m6 oracle: a doc's AVI declares `videoFrames(id)` MJPEG

@@ -240,6 +240,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n")).sum === 4)
   }
 
+  test("audio features: exact PCM energy/peak replay; corrupt payload degrades") {
+    // replay the synthesis ramp in plain Scala: sample k is the signed
+    // 16-bit LE of bytes ((62k)&255, (62k+31)&255)
+    def expected(id: Long): (Long, Long, Long) = {
+      val n = (400 + id % 600) * (1 + id % 2)
+      var energy = 0L; var peak = 0L
+      (0L until n).foreach { k =>
+        val v = ((((62 * k + 31) % 256) << 8) | ((62 * k) % 256))
+          .toShort.toLong
+        energy += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+      }
+      (n, energy, peak)
+    }
+    for (id <- Seq(1L, 4L, 7L, 601L)) {
+      val rec = MediaRecord(id, "audio", Multimodal.synthesizeWav(
+        Multimodal.audioSampleRate(id), Multimodal.audioChannels(id),
+        Multimodal.audioFrames(id)))
+      val got = Multimodal.audioFeatures(rec)
+      val (n, e, p) = expected(id)
+      assert((got.n_samples, got.energy_sum, got.peak_abs) === ((n, e, p)),
+        s"id $id")
+      assert(got.format === "wave")
+    }
+    val bad = Multimodal.audioFeatures(
+      MediaRecord(9L, "audio", Array[Byte](1, 2, 3)))
+    assert(bad.format === "error" && bad.energy_sum === -1L)
+  }
+
   private def decodedPatternHash(w: Int, h: Int, pat: Int): Long = {
     val png = Multimodal.synthesizePatternPng(w, h, pat)
     val img = javax.imageio.ImageIO.read(
