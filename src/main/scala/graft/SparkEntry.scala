@@ -819,6 +819,53 @@ object SparkEntry {
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // Single-pass Pearson correlation with EXACT integer co-moments —
+    // the d28 micro-unit discipline applied to second moments. The
+    // built-in corr() accumulates floating co-moments whose value
+    // depends on partial-aggregation order; here inputs quantize to
+    // micro-units and n/Σx/Σy/Σxy/Σx²/Σy² accumulate exactly in
+    // decimal(38,0) (128-bit in the oracle), so every engine derives
+    // the same correlation to the final rounding. One partial+final
+    // aggregation, no window, no join — the scale shape of any
+    // correlation-matrix profile job.
+    "q36_correlation" -> Q(
+      (s, dir) => {
+        val micro = lineitem(s, dir).select(col("l_returnflag"),
+          round(col("l_quantity") * 1e6).cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 1e6).cast("decimal(38,0)")
+            .as("y"))
+        micro.groupBy("l_returnflag").agg(
+            count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6)
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    CAST(ROUND(l_quantity * 1e6) AS HUGEINT) AS x,
+             |    CAST(ROUND(l_extendedprice * 1e6) AS HUGEINT) AS y
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             |    sum(x*x) AS sxx, sum(y*y) AS syy
+             |  FROM m GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+             |         CAST(n*syy - sy*sy AS DOUBLE)), 6)
+             |    AS corr_qty_price
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
     // The 100 TB shuffle-join shape with RUNTIME ROW-LEVEL FILTERING:
     // a selective dimension predicate (top ~10% of orders) whose key
     // set Spark's InjectRuntimeFilter turns into a bloom filter

@@ -200,4 +200,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       case (k, None) => s2.conf.unset(k)
     }
   }
+
+  test("exact-co-moment correlation matches built-in corr, any partitioning") {
+    // q36's construction: micro-quantized inputs, exact decimal
+    // co-moments, one final float divide. Against Spark's built-in
+    // corr() the only differences are the 1e-6 input quantization and
+    // the float accumulation order, so the results must agree to ~1e-5
+    // — while the exact form returns the IDENTICAL bits under any
+    // repartitioning (the property corr() lacks).
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 20000).map { i =>
+      val x = rnd.nextDouble() * 50
+      (i % 3, x, x * 2.5 + rnd.nextDouble() * 40)
+    }.toDF("g", "qty", "price")
+    def exact(d: org.apache.spark.sql.DataFrame): Map[Int, Double] = {
+      val m = d.select(col("g"),
+        round(col("qty") * 1e6).cast("decimal(38,0)").as("x"),
+        round(col("price") * 1e6).cast("decimal(38,0)").as("y"))
+      m.groupBy("g").agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("g"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double"))).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    }
+    val builtin = df.groupBy("g").agg(corr("qty", "price").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val a = exact(df)
+    a.foreach { case (g, c) =>
+      assert(math.abs(c - builtin(g)) < 1e-5, s"group $g: $c vs ${builtin(g)}")
+    }
+    // bit-identical under repartitioning — the determinism claim
+    assert(exact(df.repartition(13)) === a)
+  }
 }
