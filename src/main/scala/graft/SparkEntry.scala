@@ -866,6 +866,56 @@ object SparkEntry {
              |    AS corr_qty_price
              |FROM a ORDER BY l_returnflag""".stripMargin)),
 
+    // Closed-form least-squares fit from the same exact co-moments as
+    // q36 — regression as a single partial+final aggregation, no
+    // iterative solver: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    // intercept = (Σy − slope·Σx)/n, both derived from exactly
+    // accumulated integers and divided once at the end. The per-group
+    // model-fit shape of any feature-calibration job at 100 TB: one
+    // scan, a |groups|-row result, deterministic under any
+    // partitioning.
+    "q37_linear_fit" -> Q(
+      (s, dir) => {
+        val micro = lineitem(s, dir).select(col("l_returnflag"),
+          round(col("l_quantity") * 1e6).cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 1e6).cast("decimal(38,0)")
+            .as("y"))
+        micro.groupBy("l_returnflag").agg(
+            count(lit(1)).cast("decimal(38,0)").as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("l_returnflag"),
+            col("n").cast("long").as("n_rows"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), 6).as("slope"),
+            round((col("sy").cast("double") -
+              ((col("n") * col("sxy") - col("sx") * col("sy"))
+                  .cast("double") /
+                (col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) * col("sx").cast("double")) /
+              col("n").cast("double") / 1e6, 6).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    CAST(ROUND(l_quantity * 1e6) AS HUGEINT) AS x,
+             |    CAST(ROUND(l_extendedprice * 1e6) AS HUGEINT) AS y
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+             |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+             |    sum(x*x) AS sxx
+             |  FROM m GROUP BY l_returnflag)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+             |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+             |  ROUND((CAST(sy AS DOUBLE) -
+             |    (CAST(n*sxy - sx*sy AS DOUBLE) /
+             |     CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+             |FROM a ORDER BY l_returnflag""".stripMargin)),
+
     // The 100 TB shuffle-join shape with RUNTIME ROW-LEVEL FILTERING:
     // a selective dimension predicate (top ~10% of orders) whose key
     // set Spark's InjectRuntimeFilter turns into a bloom filter

@@ -91,6 +91,17 @@ class PlanDisciplineSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_curate_full keeps the semantic stage an anti-join on the drop set") {
+    // The partial-embedding-coverage contract (DedupSpec pins the
+    // semantics; this pins the shape): the semantic-dedup stage must
+    // reach the plan as a LEFT ANTI join — a semi-join on the kept
+    // embeddings would silently drop unembedded docs — and the
+    // composition must stay hash-join-only.
+    val p = plan("llm_curate_full")
+    assert(p.contains("LeftAnti"), s"semantic drop stage not anti:\n$p")
+    assert(p.contains("LeftSemi"), s"signal keeps must be semi joins:\n$p")
+  }
+
   test("q35 injects a runtime bloom filter on the fact scan at shuffle scale") {
     // Fixture scale broadcasts the filtered dimension (fine); the 100 TB
     // regime is shuffle join + runtime row-level filtering: the

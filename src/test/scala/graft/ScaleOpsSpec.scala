@@ -242,4 +242,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     // bit-identical under repartitioning — the determinism claim
     assert(exact(df.repartition(13)) === a)
   }
+
+  test("exact-co-moment OLS recovers a known line") {
+    // q37's arithmetic on noiseless y = 3x + 7: slope/intercept must
+    // come back exact to the quantization (1e-6 inputs, round-6 output)
+    val s = spark
+    import s.implicits._
+    val df = (1 to 5000).map { i =>
+      val x = i / 100.0
+      (x, 3.0 * x + 7.0)
+    }.toDF("qty", "price")
+    val m = df.select(
+      round(col("qty") * 1e6).cast("decimal(38,0)").as("x"),
+      round(col("price") * 1e6).cast("decimal(38,0)").as("y"))
+    val r = m.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double") -
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) /
+          col("n").cast("double") / 1e6).as("intercept"))
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 3.0) < 1e-9, s"slope ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 7.0) < 1e-6,
+      s"intercept ${r.getDouble(1)}")
+  }
 }
