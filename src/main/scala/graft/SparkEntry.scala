@@ -1931,6 +1931,58 @@ object SparkEntry {
     // Corpus vocabulary top-k (tokenizer vocab building): explode →
     // partial+final count → TakeOrdered. The shuffle carries one row
     // per distinct token per task after map-side combine.
+    // Corpus TOKENIZATION with a frequency vocabulary — the encode
+    // step between vocab building (d13) and packing (d22): token ids
+    // by global frequency rank, OOV -> unk(0), every doc folded to
+    // exact integers (count, unk count, position-weighted id checksum
+    // — order-sensitive, so the oracle confirms ids AND positions
+    // without comparing arrays). Shape at scale: the vocabulary is
+    // k rows after a TakeOrdered (its ranking window runs over those
+    // k rows only, the d20 post-agg-size discipline) and broadcasts;
+    // the corpus side is one posexplode scan into a partial+final
+    // aggregation keyed by doc_id.
+    "d31_tokenize_checksum" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val vocab = docs
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc).limit(1000)
+          .select(col("token"), row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("tf").desc, col("token").asc))
+            .cast("long").as("token_id"))
+        val pos = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        pos.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_tokens"),
+            count(when(col("token_id").isNull, 1)).as("n_unk"),
+            sum(coalesce(col("token_id"), lit(0L)) *
+              (col("pos").cast("long") + 1L)).as("checksum"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some("""WITH tf AS (SELECT t AS token, count(*) AS tf
+             |  FROM (SELECT unnest(str_split(text, ' ')) AS t
+             |        FROM documents) u GROUP BY t),
+             |v AS (SELECT token, CAST(row_number() OVER
+             |      (ORDER BY tf DESC, token ASC) AS BIGINT) AS token_id
+             |  FROM tf ORDER BY tf DESC, token ASC LIMIT 1000),
+             |p AS (SELECT doc_id,
+             |    unnest(str_split(text, ' ')) AS token,
+             |    unnest(generate_series(1,
+             |      len(str_split(text, ' ')))) AS pos
+             |  FROM documents),
+             |j AS (SELECT p.doc_id, p.pos, v.token_id
+             |  FROM p LEFT JOIN v USING (token))
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |  CAST(count(CASE WHEN token_id IS NULL THEN 1 END)
+             |    AS BIGINT) AS n_unk,
+             |  CAST(sum(COALESCE(token_id, 0) * pos) AS BIGINT)
+             |    AS checksum
+             |FROM j GROUP BY doc_id ORDER BY doc_id
+             |LIMIT 2000""".stripMargin)),
+
     "d13_vocab_topk" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
