@@ -49,8 +49,12 @@ object GraphOps {
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val a = col(idACol).cast("long")
     val b = col(idBCol).cast("long")
+    // null-id pairs are dropped, not nodes — same contract as
+    // Dedup.connectedComponents (a null would otherwise ride the
+    // groupBy as a phantom node that no equi-join ever feeds)
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val baseMicro = math.round((1.0 - damping) * 1e6)
     var ranks = deg.select(col("src").as("id"),

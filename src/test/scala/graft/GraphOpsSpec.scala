@@ -37,6 +37,16 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
   }
 
+  test("pageRank: null-id pairs are dropped, not phantom nodes") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (null, 3L), (4L, null))
+      .toDF("id_a", "id_b")
+    val got = ranks(GraphOps.pageRankMicro(df, "id_a", "id_b"))
+    assert(got.keySet === Set(1L, 2L))
+  }
+
   test("pageRank: deterministic under repartition; total mass conserved-ish") {
     val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = ranks(GraphOps.pageRankMicro(p, "id_a", "id_b"))
