@@ -2078,6 +2078,39 @@ object SparkEntry {
               |FROM vpairs
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // Triangle/wedge census of the verified near-dup graph: the
+    // cohesion check on dup clusters (a clique-ish cluster is one
+    // document family; a barbell of cliques joined by one spurious
+    // LSH pair is two). Oriented wedge join — each triangle found
+    // once at its lowest node; wedges = sum C(deg,2) in one
+    // aggregation; coefficient in rounded micro-units.
+    "g2_triangles" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.triangleCensus(
+        Dedup.lshVerifiedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.3),
+        "id_a", "id_b"),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT id_a AS lo, id_b AS hi
+              |       FROM vpairs WHERE id_a < id_b),
+              |td AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi AS id FROM te) u
+              |  GROUP BY id),
+              |tw AS (SELECT e1.hi AS v, e2.hi AS w
+              |  FROM te e1 JOIN te e2
+              |    ON e1.lo = e2.lo AND e1.hi < e2.hi),
+              |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |  FROM tw WHERE EXISTS (SELECT 1 FROM te
+              |    WHERE te.lo = tw.v AND te.hi = tw.w)),
+              |ws AS (SELECT CAST(sum((deg * (deg - 1)) // 2)
+              |    AS BIGINT) AS n_wedges FROM td)
+              |SELECT n_triangles, n_wedges,
+              |  CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT)
+              |    ELSE CAST(ROUND(3.0 * n_triangles / n_wedges * 1e6)
+              |      AS BIGINT) END AS clustering_micro
+              |FROM tt, ws""".stripMargin)),
+
     // PageRank centrality over the verified near-dup graph (d15's
     // pairs): the cluster-canonical-survivor policy that picks the most
     // connected document instead of the smallest id. Integer

@@ -47,6 +47,26 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got.keySet === Set(1L, 2L))
   }
 
+  test("triangle census: known graphs, orientation-insensitive input") {
+    def census(p: org.apache.spark.sql.DataFrame) =
+      GraphOps.triangleCensus(p, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .head
+    // K4: 4 triangles, every deg 3 -> wedges 4*3=12, coeff 3*4/12 = 1
+    val k4 = pairs((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    assert(census(k4) === ((4L, 12L, 1000000L)))
+    // path 1-2-3: no triangle, one wedge at node 2
+    assert(census(pairs((1L, 2L), (2L, 3L))) === ((0L, 1L, 0L)))
+    // triangle + pendant: 1 triangle; degs 2,2,3,1 -> wedges 1+1+3 = 5
+    val tp = pairs((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(census(tp) === ((1L, 5L, 600000L)))
+    // reversed/duplicated pairs and self-loops normalize away
+    val messy = pairs((2L, 1L), (1L, 2L), (3L, 1L), (3L, 2L), (4L, 3L),
+      (4L, 4L))
+    assert(census(messy) === ((1L, 5L, 600000L)))
+  }
+
   test("pageRank: deterministic under repartition; total mass conserved-ish") {
     val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = ranks(GraphOps.pageRankMicro(p, "id_a", "id_b"))
