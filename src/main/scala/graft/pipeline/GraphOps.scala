@@ -83,38 +83,37 @@ object GraphOps {
     * (n_triangles, n_wedges, clustering_micro) with the global
     * clustering coefficient 3·triangles/wedges in rounded micro-units.
     *
-    * Enumeration is the oriented wedge join: edges point low id →
-    * high id, a wedge is two oriented edges sharing their low node
-    * (v < w to count each unordered pair once), and a triangle is a
-    * wedge whose (v, w) is itself an edge — so each triangle a<b<c is
-    * found exactly once, at its lowest node. Wedge count for the
-    * denominator is Σ C(deg, 2) over FULL degrees (one aggregation).
-    * Every step is an equi-join or aggregation on node ids; nothing
-    * driver-side. At 100 TB the id orientation should become DEGREE
-    * orientation (point edges toward the higher-degree endpoint) so a
-    * hub's wedge set is bounded — same plan shape, one extra degree
-    * join; the id form keeps the oracle a pure CTE chain.
+    * Enumeration is the oriented wedge join: every edge points up a
+    * total order on the nodes, a wedge is two oriented edges sharing
+    * their source, and a triangle is a wedge whose far pair is itself
+    * an edge — an acyclic orientation gives every triangle exactly one
+    * two-out-edge vertex, so each is found exactly once. Wedge count
+    * for the denominator is Σ C(deg, 2) over FULL degrees (one
+    * aggregation). Every step is an equi-join or aggregation on node
+    * ids; nothing data-sized lands on the driver.
+    *
+    * `byDegree` picks the order: (degree, id) — the MPC-standard
+    * skew-proof orientation (Suri & Vassilvitskii, WWW 2011): every
+    * node's out-degree is O(√m), so a boilerplate hub yields O(m)
+    * wedges instead of C(deg_hub, 2). The plain id order (byDegree =
+    * false) skips the degree joins — fine when the graph is known
+    * hub-free, and both orders produce the identical census
+    * (spec-pinned), which is why the SQL oracle can replay the cheap
+    * id form regardless.
     *
     * Input is normalized, not trusted: pairs orient to (min, max),
     * duplicates collapse, self-loops and null ids drop — so reversed
     * or repeated pair lists census identically. */
-  def triangleCensus(pairs: DataFrame, idACol: String, idBCol: String)
-      : DataFrame = {
-    val a = col(idACol).cast("long")
-    val b = col(idBCol).cast("long")
-    val e = pairs
-      .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
-      .filter(col("lo").isNotNull && col("hi").isNotNull &&
-        col("lo") < col("hi"))
-      .distinct()
+  def triangleCensus(pairs: DataFrame, idACol: String, idBCol: String,
+                     byDegree: Boolean = true): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol)
     val deg = e.select(col("lo").as("id"))
       .union(e.select(col("hi").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val wedges = e.as("e1").join(e.as("e2"),
-        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-      .select(col("e1.hi").as("v"), col("e2.hi").as("w"))
+    val wedges = orientedWedges(e, deg, byDegree)
     val triangles = wedges.join(e,
-        wedges("v") === e("lo") && wedges("w") === e("hi"), "left_semi")
+        least(wedges("v"), wedges("w")) === e("lo") &&
+          greatest(wedges("v"), wedges("w")) === e("hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val wedgeTotal = deg
       .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
@@ -129,5 +128,47 @@ object GraphOps {
     import spark.implicits._
     Seq((t, w, coeff))
       .toDF("n_triangles", "n_wedges", "clustering_micro")
+  }
+
+  /** Normalized undirected edge list: (lo, hi) with lo < hi, distinct,
+    * self-loops and null ids dropped. */
+  def normalizedEdges(pairs: DataFrame, idACol: String,
+                      idBCol: String): DataFrame = {
+    val a = col(idACol).cast("long")
+    val b = col(idBCol).cast("long")
+    pairs.select(least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull &&
+        col("lo") < col("hi"))
+      .distinct()
+  }
+
+  /** The enumeration wedges of [[triangleCensus]]: unordered far pairs
+    * (v, w) of two oriented edges sharing a source. Public so the
+    * skew bound is testable — on a star, the degree order yields ZERO
+    * wedges where the id order yields C(n−1, 2) when the hub happens
+    * to carry the lowest id. */
+  def orientedWedges(e: DataFrame, deg: DataFrame,
+                     byDegree: Boolean): DataFrame = {
+    val od =
+      if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))
+      else {
+        val dl = deg.select(col("id").as("_lid"), col("deg").as("_ldeg"))
+        val dh = deg.select(col("id").as("_hid"), col("deg").as("_hdeg"))
+        // orient up the (degree, id) order; join keys are the node ids
+        // the edge already carries, so at scale this co-partitions with
+        // the degree frame
+        e.join(dl, col("lo") === col("_lid"))
+          .join(dh, col("hi") === col("_hid"))
+          .select(
+            when(col("_ldeg") < col("_hdeg") ||
+              (col("_ldeg") === col("_hdeg")), col("lo"))
+              .otherwise(col("hi")).as("src"),
+            when(col("_ldeg") < col("_hdeg") ||
+              (col("_ldeg") === col("_hdeg")), col("hi"))
+              .otherwise(col("lo")).as("dst"))
+      }
+    od.as("o1").join(od.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.GraphOps
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphOpsSpec extends AnyFunSuite {
@@ -65,6 +66,34 @@ class GraphOpsSpec extends AnyFunSuite {
     val messy = pairs((2L, 1L), (1L, 2L), (3L, 1L), (3L, 2L), (4L, 3L),
       (4L, 4L))
     assert(census(messy) === ((1L, 5L, 600000L)))
+  }
+
+  test("triangle census: degree and id orientations agree; star wedge bound") {
+    val s = spark
+    import s.implicits._
+    // random graphs: both orientations must census identically
+    val rnd = new scala.util.Random(11)
+    val randomPairs = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (x, y) => x != y }
+    val p = randomPairs.toDF("id_a", "id_b")
+    def census(byDeg: Boolean) =
+      GraphOps.triangleCensus(p, "id_a", "id_b", byDegree = byDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .head
+    assert(census(byDeg = true) === census(byDeg = false))
+    // the skew bound itself: a star whose hub carries the LOWEST id.
+    // id orientation hangs every wedge off the hub (C(n-1,2) of them);
+    // degree orientation points every edge INTO the hub -> zero
+    // enumeration wedges.
+    val star = (1L to 200L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val e = GraphOps.normalizedEdges(star, "id_a", "id_b")
+    val deg = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    assert(GraphOps.orientedWedges(e, deg, byDegree = false).count() ===
+      200L * 199L / 2)
+    assert(GraphOps.orientedWedges(e, deg, byDegree = true).count() === 0L)
   }
 
   test("pageRank: deterministic under repartition; total mass conserved-ish") {
