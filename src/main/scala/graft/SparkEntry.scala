@@ -2013,6 +2013,37 @@ object SparkEntry {
              |GROUP BY t ORDER BY tf DESC, token ASC
              |LIMIT 100""".stripMargin)),
 
+    // Poisson-bootstrap confidence interval in ONE pass: every doc
+    // contributes a deterministic hash-Poisson(1) weight to each of
+    // 16 pseudo-resamples, so the 16 weighted means ARE the sampling
+    // distribution of mean(n_chars) — uncertainty quantification
+    // without a second scan or any iteration. Integer CDF thresholds
+    // and exact integer sums make all 16 means hash-exact.
+    "d32_bootstrap_ci" -> Q(
+      (s, dir) => Curation.poissonBootstrapMeans(
+        table(s, dir, "documents"), col("doc_id"), col("n_chars"),
+        replicates = 16),
+      Some(s"""WITH r AS (SELECT doc_id, n_chars, b
+              |  FROM documents, generate_series(0, 15) g(b)),
+              |u AS (SELECT doc_id, n_chars, b,
+              |    (${duckHash60(
+                      "CAST(doc_id AS VARCHAR) || '|' || " +
+                      "CAST(b AS VARCHAR)")}) % 1000000 AS h
+              |  FROM r),
+              |w AS (SELECT b, n_chars,
+              |    (CASE WHEN h >= 367879 THEN 1 ELSE 0 END +
+              |     CASE WHEN h >= 735758 THEN 1 ELSE 0 END +
+              |     CASE WHEN h >= 919698 THEN 1 ELSE 0 END +
+              |     CASE WHEN h >= 981011 THEN 1 ELSE 0 END +
+              |     CASE WHEN h >= 996340 THEN 1 ELSE 0 END +
+              |     CASE WHEN h >= 999405 THEN 1 ELSE 0 END) AS wt
+              |  FROM u)
+              |SELECT b AS replicate,
+              |  CAST(sum(wt) AS BIGINT) AS n_eff,
+              |  ROUND(CAST(sum(wt * n_chars) AS DOUBLE) /
+              |    CAST(sum(wt) AS DOUBLE), 6) AS mean_val
+              |FROM w GROUP BY b ORDER BY replicate""".stripMargin)),
+
     // Weighted reservoir sampling without replacement (Efraimidis-
     // Spirakis A-ES) with weight = document length: priority
     // u^(1/w) from the portable-hash uniform, quantized to integer

@@ -272,6 +272,56 @@ object Curation {
       .limit(k)
   }
 
+  /** Cumulative Poisson(1) CDF thresholds in hash micro-units: a draw
+    * u lands weight w = #(thresholds <= u's bucket). Literal integers
+    * so a SQL oracle carries the identical constants. */
+  val PoissonCdfMicro: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  /** Poisson bootstrap of a per-row metric — the single-pass
+    * uncertainty quantification that works at any scale: true
+    * resampling needs n draws over the whole dataset per replicate,
+    * but Binomial(n, 1/n) → Poisson(1), so each row independently
+    * contributes weight ~ Poisson(1) to each of `replicates`
+    * pseudo-resamples and every replicate mean is one weighted
+    * aggregation of the same scan. The spread of the replicate means
+    * IS the sampling distribution of the mean — a confidence interval
+    * from one pass, no iteration, no second scan.
+    *
+    * Determinism (the [[hashSample]] discipline): the Poisson draw for
+    * (row, replicate) inverts the CDF at the portable-hash uniform of
+    * `id || '|' || replicate` using integer thresholds
+    * ([[PoissonCdfMicro]], weights capped at 6 — P(>6) < 1e-4), so
+    * every engine assigns identical weights. Output: one row per
+    * replicate (replicate, n_eff, mean_val round 6); the exact
+    * integer sums divide once at the end.
+    *
+    * Shape at scale: sequence+explode multiplies the scan by
+    * `replicates` ROWS but not by shuffle — the groupBy reduces to
+    * `replicates` rows with map-side partials. For wide replicate
+    * counts fold the weights into an array aggregation instead. */
+  def poissonBootstrapMeans(df: DataFrame, id: Column, value: Column,
+                            replicates: Int): DataFrame = {
+    require(replicates >= 1, "replicates must be >= 1")
+    val b = explode(sequence(lit(0), lit(replicates - 1)))
+    val keyed = df
+      .select(id.cast("string").as("_id"), value.cast("long").as("_v"),
+        b.as("replicate"))
+      .withColumn("replicate", col("replicate").cast("long"))
+      .withColumn("_u", pmod(Dedup.md5Long60(
+        concat(col("_id"), lit("|"),
+          col("replicate").cast("string"))), lit(1000000L)))
+    val w = PoissonCdfMicro.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("_u") >= t, 1L).otherwise(0L)
+    }
+    keyed.withColumn("_w", w)
+      .groupBy("replicate").agg(
+        sum(col("_w")).as("n_eff"),
+        round(sum(col("_w") * col("_v")).cast("double") /
+          sum(col("_w")).cast("double"), 6).as("mean_val"))
+      .orderBy("replicate")
+  }
+
   /** Deterministic global training order: the portable hash is the sort
     * key, so the "shuffled" order is reproducible run-to-run and
     * engine-to-engine. For a full-corpus write, range-partition on the

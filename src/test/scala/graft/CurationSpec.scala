@@ -214,6 +214,40 @@ class CurationSpec extends AnyFunSuite {
     assert(again === t2.map(_._1).toSet)
   }
 
+  test("poisson bootstrap: exact weight replay; means bracket the truth") {
+    val s = spark
+    import s.implicits._
+    val n = 1000
+    val df = (0 until n).map(i => (i.toLong, (i % 100).toLong))
+      .toDF("doc_id", "v")
+    val got = Curation.poissonBootstrapMeans(df, col("doc_id"), col("v"),
+        replicates = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === (0L until 8L))
+    // exact replay of replicate 0 in plain Scala
+    def weight(id: Long, b: Long): Long = {
+      val u = md5Long60(s"$id|$b") % 1000000L
+      Curation.PoissonCdfMicro.count(u >= _)
+    }
+    val w0 = (0 until n).map(i => weight(i.toLong, 0L))
+    val expMean = w0.zipWithIndex.map { case (w, i) => w.toLong * (i % 100) }
+      .sum.toDouble / w0.sum
+    val r0 = got.find(_._1 == 0L).get
+    assert(r0._2 === w0.sum.toLong)
+    assert(r0._3 === BigDecimal(expMean)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // n_eff ~ Poisson(n): all replicates within 4 sigma of n
+    got.foreach { case (_, ne, _) =>
+      assert(math.abs(ne - n) < 4 * math.sqrt(n.toDouble), s"n_eff $ne")
+    }
+    // the replicate means cluster around the true mean (49.5) with
+    // sd ~ sd(v)/sqrt(n) ~ 0.91 — allow 5 sigma
+    val trueMean = (0 until n).map(_ % 100).sum.toDouble / n
+    got.foreach { case (b, _, m) =>
+      assert(math.abs(m - trueMean) < 5.0, s"replicate $b mean $m")
+    }
+  }
+
   test("weighted reservoir: exact A-ES replay, weight bias, zero-weight exclusion") {
     val s = spark
     import s.implicits._
