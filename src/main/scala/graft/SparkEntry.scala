@@ -2013,6 +2013,48 @@ object SparkEntry {
              |GROUP BY t ORDER BY tf DESC, token ASC
              |LIMIT 100""".stripMargin)),
 
+    // Chi-square test of independence for two categorical columns
+    // (lang x source): observed cell counts from one aggregation,
+    // expected = row_total * col_total / n from two broadcast-sized
+    // marginal frames, and each cell's (o-e)^2/e term QUANTIZED to
+    // integer micro-units before the final sum (the d28 discipline —
+    // a float sum over cells would depend on aggregation order).
+    // Association testing for mixture drift: does source predict
+    // language?
+    "d33_chi_square" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val n = docs.count().toDouble
+        val cells = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy("lang").agg(count(lit(1)).as("rt"))
+        val cols = docs.groupBy("source").agg(count(lit(1)).as("ct"))
+        cells.join(broadcast(rows), "lang")
+          .join(broadcast(cols), "source")
+          .select((col("o").cast("double") -
+              col("rt").cast("double") * col("ct") / lit(n)).as("_d"),
+            (col("rt").cast("double") * col("ct") / lit(n)).as("_e"))
+          .select(round(col("_d") * col("_d") / col("_e") * 1e6)
+            .cast("long").as("term_micro"))
+          .agg(sum(col("term_micro")).as("chi2_micro"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+             |  FROM documents),
+             |c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+             |  FROM documents GROUP BY lang, source),
+             |r AS (SELECT lang, CAST(count(*) AS DOUBLE) AS rt
+             |  FROM documents GROUP BY lang),
+             |k AS (SELECT source, CAST(count(*) AS DOUBLE) AS ct
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(ROUND(
+             |    (o - rt * ct / n) * (o - rt * ct / n)
+             |      / (rt * ct / n) * 1e6) AS BIGINT) AS term_micro
+             |  FROM c JOIN r USING (lang) JOIN k USING (source), n)
+             |SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+             |  CAST(count(*) AS BIGINT) AS n_cells
+             |FROM t""".stripMargin)),
+
     // Poisson-bootstrap confidence interval in ONE pass: every doc
     // contributes a deterministic hash-Poisson(1) weight to each of
     // 16 pseudo-resamples, so the 16 weighted means ARE the sampling

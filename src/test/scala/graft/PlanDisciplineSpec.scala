@@ -41,7 +41,9 @@ class PlanDisciplineSpec extends AnyFunSuite {
   test("row-returning verification queries end in TakeOrderedAndProject") {
     Seq("s1_scan_project", "p4_filter_misses", "t7_time_derive",
       "d2_text_stats", "e1_cosine_topk", "d24_dup_spans",
-      "e9_quantized_topk", "m4_image_resize").foreach { q =>
+      "e9_quantized_topk", "m4_image_resize", "m7_image_phash",
+      "m8_audio_energy", "d31_tokenize_checksum",
+      "d30_weighted_reservoir").foreach { q =>
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
     }
