@@ -2184,6 +2184,26 @@ object SparkEntry {
               |      AS BIGINT) END AS clustering_micro
               |FROM tt, ws""".stripMargin)),
 
+    // Directional containment on the LSH candidates (Broder's
+    // c(A,B) = |A∩B|/|A|) — the asymmetric quote/subset detector a
+    // Jaccard-only dedup stage misses. Same candidates, verification
+    // tokenization, and rounding as d15; both directions emitted,
+    // either reaching the threshold keeps the pair.
+    "d34_containment_pairs" -> Q(
+      (s, dir) => Dedup.lshVerifiedContainmentPairs(
+          table(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("id_a", "id_b").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |cont AS (SELECT id_a, id_b,
+              |    ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS c_ab,
+              |    ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS c_ba
+              |  FROM vinter
+              |  JOIN vsz sa ON sa.id = id_a
+              |  JOIN vsz sb ON sb.id = id_b)
+              |SELECT id_a, id_b, c_ab, c_ba FROM cont
+              |WHERE c_ab >= 0.5 OR c_ba >= 0.5
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
     // PageRank centrality over the verified near-dup graph (d15's
     // pairs): the cluster-canonical-survivor policy that picks the most
     // connected document instead of the smallest id. Integer

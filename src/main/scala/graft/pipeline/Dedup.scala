@@ -274,18 +274,69 @@ object Dedup {
   private def verifyJaccard(cand: DataFrame, idACol: String, idBCol: String,
                             docsA: DataFrame, docsB: DataFrame,
                             idCol: String, textCol: String,
-                            threshold: Double): DataFrame = {
-    def tok(df: DataFrame) = df.select(col(idCol).as("id"),
+                            threshold: Double): DataFrame =
+    finalizeJaccard(
+      candidateIntersections(cand, idACol, idBCol, docsA, docsB,
+        idCol, textCol),
+      idACol, idBCol,
+      distinctTokenSizes(docsA, idCol, textCol),
+      distinctTokenSizes(docsB, idCol, textCol), threshold)
+
+  /** One row per (id, distinct token) — the verification tokenization
+    * shared by the Jaccard and containment paths. */
+  private def distinctTokens(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
-    def sizes(df: DataFrame) = df.select(col(idCol).as("id"),
+
+  private def distinctTokenSizes(df: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       size(array_distinct(split(col(textCol), " "))).cast("long").as("n"))
-    val inter = cand
-      .join(tok(docsA).as("ta"), col(idACol) === col("ta.id"))
-      .join(tok(docsB).as("tb"),
+
+  /** Exact |A∩B| for every candidate pair — the one intersection join
+    * behind both verification metrics. */
+  private def candidateIntersections(cand: DataFrame, idACol: String,
+                                     idBCol: String, docsA: DataFrame,
+                                     docsB: DataFrame, idCol: String,
+                                     textCol: String): DataFrame =
+    cand
+      .join(distinctTokens(docsA, idCol, textCol).as("ta"),
+        col(idACol) === col("ta.id"))
+      .join(distinctTokens(docsB, idCol, textCol).as("tb"),
         col(idBCol) === col("tb.id") && col("ta.t") === col("tb.t"))
       .groupBy(idACol, idBCol).agg(count(lit(1)).as("i"))
-    finalizeJaccard(inter, idACol, idBCol, sizes(docsA), sizes(docsB),
-      threshold)
+
+  /** Directional CONTAINMENT on LSH candidates — Broder's
+    * c(A,B) = |A∩B| / |A|: the asymmetric dup signal Jaccard misses.
+    * A paragraph quoted whole inside a much longer page has low
+    * RESEMBLANCE (small union overlap) but containment 1.0 — the
+    * quote/subset detector of a dedup stage. Candidates, verification
+    * tokenization, and 6-digit rounding reuse the d15 machinery
+    * verbatim; emits both directions and keeps pairs where EITHER
+    * rounded containment reaches `threshold` (inclusive). Caveat
+    * shared with all MinHash systems: LSH recall is driven by
+    * RESEMBLANCE, so a tiny-fragment⊂huge-page pair may never become
+    * a candidate — at scale the candidate stage for pure containment
+    * hunting should band over the smaller side's shingles only. */
+  def lshVerifiedContainmentPairs(docs: DataFrame, idCol: String,
+                                  textCol: String, threshold: Double,
+                                  shingleSize: Int = 3, k: Int = 12,
+                                  bands: Int = 4): DataFrame = {
+    val cand = minhashCandidatePairsPortable(docs, idCol, textCol,
+      shingleSize, k, bands)
+    val inter = candidateIntersections(cand, "id_a", "id_b", docs, docs,
+      idCol, textCol)
+    val sizes = distinctTokenSizes(docs, idCol, textCol)
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / col("na"), 6).as("c_ab"),
+        round(col("i").cast("double") / col("nb"), 6).as("c_ba"))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
   }
 
   /** Shared finalization — |union| from per-doc set sizes, the jaccard

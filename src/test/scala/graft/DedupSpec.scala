@@ -465,6 +465,39 @@ class DedupSpec extends AnyFunSuite {
     assert(all === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("containment pairs: asymmetric quote detection, values match brute force") {
+    // doc 2 embeds doc 1's text whole inside a longer page: low
+    // resemblance, containment(1 in 2) = 1.0 — the pair Jaccard-based
+    // removal misses. doc 3 is unrelated.
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> ("alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau"),
+      3L -> "one two three four five six seven eight nine ten",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta") // = doc 1
+    val df = docsDf(texts.toSeq.map { case (i, t) => (i, t) })
+    val got = Dedup.lshVerifiedContainmentPairs(df, "doc_id", "text",
+        threshold = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // exact duplicates are guaranteed candidates: containment 1 both ways
+    assert(got((1L, 4L)) === ((1.0, 1.0)))
+    // every emitted value equals the brute-force containment of the
+    // distinct token sets
+    def toks(i: Long) = texts(i).split(" ").toSet
+    got.foreach { case ((a, b), (cab, cba)) =>
+      val i = (toks(a) & toks(b)).size.toDouble
+      assert(cab === BigDecimal(i / toks(a).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(cba === BigDecimal(i / toks(b).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(math.max(cab, cba) >= 0.9)
+    }
+    // no unrelated pair sneaks in
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("semanticDupIds anti-join preserves docs without an embedding row") {
     // Regression for the llm_curate_full composition: the corpus is only
     // PARTIALLY embedded, so the semantic stage must be an anti-join on
