@@ -1200,6 +1200,55 @@ object SparkEntry {
     // summation-order independent and hash-exact cross-engine. Plan:
     // scan → partial agg → one exchange on (type, window) — window()
     // is a row-local projection, never a shuffle by itself.
+    // Operational anomaly detection on event-rate buckets: hourly
+    // counts z-scored against the bucket population, with mean/sigma
+    // derived from EXACT integer sums (count/sum/sum-of-squares over
+    // the bucket frame — one extra aggregation over a buckets-sized
+    // input) fetched driver-side as a 1-row parameter and folded in
+    // as literals. The z computation mirrors the oracle expression
+    // for expression, so scores are bit-identical; the anomaly flag
+    // is an integer compare on the micro-score.
+    "q38_anomaly_buckets" -> Q(
+      (s, dir) => {
+        val buckets = rawEvents(s, dir)
+          .select(expr(
+            "((ts div 1000) div 3600000000) * 3600000000")
+            .as("start_us"))
+          .groupBy("start_us").agg(count(lit(1)).as("n"))
+        val st = buckets.agg(count(lit(1)).as("m"),
+          sum(col("n")).as("sn"),
+          sum(col("n") * col("n")).as("snn")).head()
+        val (m, sn, snn) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        val mean = sn.toDouble / m
+        val sd = math.sqrt(
+          (m.toDouble * snn - sn.toDouble * sn) / (m.toDouble * m))
+        buckets.select(col("start_us"), col("n"),
+            round((col("n").cast("double") - lit(mean)) / lit(sd)
+              * lit(1e6)).cast("long").as("z_micro"))
+          .withColumn("is_anomaly", abs(col("z_micro")) >= lit(2000000L))
+          .orderBy("start_us").limit(2000)
+      },
+      Some("""WITH b AS (SELECT
+             |    (epoch_us(ts) // 3600000000) * 3600000000 AS start_us,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(n) AS BIGINT) AS sn,
+             |    CAST(sum(n*n) AS BIGINT) AS snn FROM b)
+             |SELECT start_us, n,
+             |  CAST(ROUND((CAST(n AS DOUBLE) - CAST(sn AS DOUBLE) / m)
+             |    / sqrt((CAST(m AS DOUBLE) * snn
+             |            - CAST(sn AS DOUBLE) * sn)
+             |           / (CAST(m AS DOUBLE) * m)) * 1e6)
+             |    AS BIGINT) AS z_micro,
+             |  (abs(CAST(ROUND((CAST(n AS DOUBLE)
+             |      - CAST(sn AS DOUBLE) / m)
+             |    / sqrt((CAST(m AS DOUBLE) * snn
+             |            - CAST(sn AS DOUBLE) * sn)
+             |           / (CAST(m AS DOUBLE) * m)) * 1e6) AS BIGINT))
+             |    >= 2000000) AS is_anomaly
+             |FROM b, s ORDER BY start_us LIMIT 2000""".stripMargin)),
+
     "q33_tumbling_window" -> Q(
       (s, dir) => rawEvents(s, dir)
         .select(col("event_type"),
