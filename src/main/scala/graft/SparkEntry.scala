@@ -1207,7 +1207,10 @@ object SparkEntry {
     // input) fetched driver-side as a 1-row parameter and folded in
     // as literals. The z computation mirrors the oracle expression
     // for expression, so scores are bit-identical; the anomaly flag
-    // is an integer compare on the micro-score.
+    // is an integer compare on the micro-score. The bucket frame
+    // (one row per hour — tiny at any corpus size) is persisted
+    // before the stats fetch so the z-score projection reads the
+    // cache: one scan of the events fact table total, not two.
     "q38_anomaly_buckets" -> Q(
       (s, dir) => {
         val buckets = rawEvents(s, dir)
@@ -1215,6 +1218,8 @@ object SparkEntry {
             "((ts div 1000) div 3600000000) * 3600000000")
             .as("start_us"))
           .groupBy("start_us").agg(count(lit(1)).as("n"))
+          .persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val st = buckets.agg(count(lit(1)).as("m"),
           sum(col("n")).as("sn"),
           sum(col("n") * col("n")).as("snn")).head()

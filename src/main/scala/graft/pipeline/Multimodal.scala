@@ -744,19 +744,35 @@ object Multimodal {
     * de-skew move — a hyper-common hash, e.g. a boilerplate logo,
     * collapses map-side and AQE splits the hot join key, where a
     * window over the hash partition would funnel the cluster into one
-    * task). */
-  def imagePHashTable(docs: DataFrame): DataFrame = {
+    * task). The hashed frame feeds BOTH the keep-set aggregate and
+    * the join probe, so it is persisted: the decode — the dominant
+    * cost — runs exactly once, and the cached rows are just
+    * (long, long) pairs (~16 B/row; billions of images cache in a few
+    * GB cluster-wide, against re-decoding the raw bytes). The cache
+    * is released by the ContextCleaner once the result frame is
+    * unreferenced. `decodeCounter`, when supplied, counts decode
+    * attempts — the spec asserts it equals the image count, proving
+    * the single pass. */
+  def imagePHashTable(docs: DataFrame): DataFrame =
+    imagePHashTable(docs, None)
+
+  def imagePHashTable(
+      docs: DataFrame,
+      decodeCounter: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = attachPatternImages(docs)
       .mapPartitions { it =>
         imageIoInit
         it.flatMap { r =>
+          decodeCounter.foreach(_.add(1L))
           try readGuarded(r.media).map { case (img, _) =>
             (r.doc_id, averageHash64(img))
           } catch { case scala.util.control.NonFatal(_) => None }
         }
       }.toDF("doc_id", "phash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = hashed.groupBy(col("phash").as("_kh"))
       .agg(min(col("doc_id")).as("keep_id"))
     hashed.join(keep, col("phash") === col("_kh"))

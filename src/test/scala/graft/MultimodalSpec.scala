@@ -316,4 +316,22 @@ class MultimodalSpec extends AnyFunSuite {
         s"doc $id should map to $keep, got ${got(id)}"))
     }
   }
+
+  test("imagePHashTable decodes each image exactly once " +
+    "(persisted hash lineage)") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 2000L).filter(id => id % 3 == 0 &&
+      id % 32 >= 5 && (id / 32) % 32 >= 5).take(12)
+    val docs12 = ids.toDF("doc_id")
+    val decodes = s.sparkContext.longAccumulator("phash-decodes")
+    val out = Multimodal.imagePHashTable(docs12, Some(decodes))
+    // the hashed frame feeds both the keep-set aggregate and the join
+    // probe; without the persist the decode mapPartitions would run
+    // twice and this counter would read 2× the image count
+    assert(out.count() === ids.size.toLong)
+    assert(decodes.value === ids.size.toLong,
+      s"expected one decode per image, got ${decodes.value} " +
+        s"for ${ids.size} images")
+  }
 }

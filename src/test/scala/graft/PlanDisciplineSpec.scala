@@ -310,6 +310,25 @@ class PlanDisciplineSpec extends AnyFunSuite {
       s"outlier tail is top-k, not a global sort:\n$p")
   }
 
+  test("q38 z-score pass reads the cached bucket aggregate, not a " +
+    "second events scan") {
+    // the query function materializes the hourly bucket frame (one
+    // row per hour) into the cache during its 1-row stats fetch; the
+    // returned projection must read that cache — a FileSourceScan at
+    // the top level would mean the fact table is scanned twice
+    val df = SparkEntry.queries("q38_anomaly_buckets")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"q38 projection must read the persisted buckets:\n$p")
+    // the only parquet scan allowed is the one frozen inside the
+    // InMemoryRelation's cached-plan description
+    val topLevelScans = p.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation"))
+      .count(_.contains("Scan parquet"))
+    assert(topLevelScans === 0,
+      s"q38 must not re-scan events outside the cache:\n$p")
+  }
+
   test("q17b windows only over (flag, cell), never the bare 3-value flag") {
     val p = plan("q17b_ntile_bucketed")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
