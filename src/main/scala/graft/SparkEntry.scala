@@ -2136,17 +2136,21 @@ object SparkEntry {
               |  FROM u)
               |SELECT b AS replicate,
               |  CAST(sum(wt) AS BIGINT) AS n_eff,
-              |  ROUND(CAST(sum(wt * n_chars) AS DOUBLE) /
-              |    CAST(sum(wt) AS DOUBLE), 6) AS mean_val
+              |  CASE WHEN sum(wt) > 0 THEN
+              |    ROUND(CAST(sum(wt * n_chars) AS DOUBLE) /
+              |      CAST(sum(wt) AS DOUBLE), 6)
+              |  ELSE NULL END AS mean_val
               |FROM w GROUP BY b ORDER BY replicate""".stripMargin)),
 
     // Weighted reservoir sampling without replacement (Efraimidis-
     // Spirakis A-ES) with weight = document length: priority
     // u^(1/w) from the portable-hash uniform, quantized to integer
-    // micro-units, k largest win. Inclusion probability proportional
-    // to n_chars — the quality/length-weighted subsample step. The
-    // top-k is a TakeOrdered (k-bounded per partition), never a full
-    // sort; the draw is per-row and engine-reproducible.
+    // NANO-units (1e9 — micro would collapse large-weight priorities
+    // into tie groups broken by id; see Curation.weightedReservoir),
+    // k largest win. Inclusion probability proportional to n_chars —
+    // the quality/length-weighted subsample step. The top-k is a
+    // TakeOrdered (k-bounded per partition), never a full sort; the
+    // draw is per-row and engine-reproducible.
     "d30_weighted_reservoir" -> Q(
       (s, dir) => Curation.weightedReservoir(
         table(s, dir, "documents").select("doc_id", "n_chars"),
@@ -2155,9 +2159,9 @@ object SparkEntry {
               |  CAST(ROUND(pow(
               |    (CAST((${duckHash60("CAST(doc_id AS VARCHAR)")})
               |       % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
-              |    1.0 / n_chars) * 1e6) AS BIGINT) AS priority_micro
+              |    1.0 / n_chars) * 1e9) AS BIGINT) AS priority_nano
               |FROM documents WHERE n_chars > 0
-              |ORDER BY priority_micro DESC, doc_id ASC
+              |ORDER BY priority_nano DESC, doc_id ASC
               |LIMIT 100""".stripMargin)),
 
     // Dedup cluster lineage: every clustered doc mapped to its

@@ -39,13 +39,28 @@ object SyntheticEvents {
     col("user_id").cast("string").as("source_input_buffer"),
     concat(lit("w"), (k % 7).cast("string")).as("source_first_candidate"))
 
-  /** The fixtures carry nanosecond parquet timestamps, which Spark only
-    * reads as long (ns since epoch) under this legacy flag; set it at
-    * runtime so the queries work in any session, including the driver's.
-    * All `ts` arithmetic downstream is exact integer ns. */
+  /** Canonical events read: `ts` normalized to LONG NANOSECONDS since
+    * epoch, whatever the fixture's parquet encoding — all downstream
+    * `ts` arithmetic is exact integer ns, and the DuckDB oracles are
+    * unaffected because DuckDB reads either encoding as a TIMESTAMP
+    * and the oracle SQL already speaks epoch_us/INTERVAL.
+    *
+    * The fixtures have shipped two encodings across driver rounds:
+    * int64 nanosecond timestamps (Spark reads them as long under the
+    * legacy nanosAsLong flag) and plain microsecond timestamps (Spark
+    * reads TIMESTAMP/TIMESTAMP_NTZ — converted here via unix_micros
+    * under an explicitly-UTC session, so the numeric value equals the
+    * stored micros regardless of the caller session's timezone). */
   def readEventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   }
 
   def load(spark: SparkSession, sfDir: String): DataFrame =

@@ -250,10 +250,21 @@ object Curation {
     * but the portable md5 hash of the id mapped to the open unit
     * interval, (h mod 1e6 + 0.5)/1e6 — a row's draw depends only on
     * its id, never on partitioning, cluster shape, or engine. The
-    * priority is quantized to integer micro-units BEFORE the top-k
-    * (round(u^(1/w)·1e6), the d28/e13 pattern) with the id as total
-    * tie-break, so cross-engine pow() last-ulp drift cannot flip
-    * sample membership.
+    * priority is quantized to integer NANO-units BEFORE the top-k
+    * (round(u^(1/w)·1e9) — with the id as total tie-break), so
+    * cross-engine pow() last-ulp drift cannot flip sample membership.
+    * Nano, not the usual micro: u^(1/w) compresses into [exp(−14.5/w),
+    * 1) for large weights, so a 1e6 quantum leaves only ~14.5e6/w
+    * distinct values (w in the thousands → a few thousand values,
+    * massive tie groups broken by ascending id — the sample would skew
+    * low-id and lose the inclusion∝weight property). 1e9 buys 1000×
+    * the spread while keeping the ulp-boundary risk negligible: pow's
+    * ~2-ulp error on a value ≤ 1 is ~2e-16 absolute = 2e-7 of the 1e-9
+    * quantum, so a 100-row sample disagrees across engines with
+    * probability ~4e-5. (A log-domain key round(scale·ln(u)/w) orders
+    * identically but has range AND magnitude ~14.5·scale/w, so at equal
+    * spread its boundary risk is strictly worse — the key magnitude
+    * grows with the spread while pow's stays ≤ scale.)
     *
     * Shape at scale: priority is a pure per-row expression; the top-k
     * is a k-bounded TakeOrdered (partial top-k per partition → k-row
@@ -265,10 +276,10 @@ object Curation {
     val u = (pmod(Dedup.md5Long60(id.cast("string")), lit(1000000L))
       .cast("double") + lit(0.5)) / lit(1000000.0)
     df.filter(weight > 0)
-      .withColumn("priority_micro",
-        round(pow(u, lit(1.0) / weight.cast("double")) * 1e6)
+      .withColumn("priority_nano",
+        round(pow(u, lit(1.0) / weight.cast("double")) * 1e9)
           .cast("long"))
-      .orderBy(col("priority_micro").desc, id.asc)
+      .orderBy(col("priority_nano").desc, id.asc)
       .limit(k)
   }
 
@@ -299,7 +310,13 @@ object Curation {
     * Shape at scale: sequence+explode multiplies the scan by
     * `replicates` ROWS but not by shuffle — the groupBy reduces to
     * `replicates` rows with map-side partials. For wide replicate
-    * counts fold the weights into an array aggregation instead. */
+    * counts fold the weights into an array aggregation instead.
+    *
+    * A replicate whose Poisson weights all drew 0 (possible only on
+    * tiny inputs — P ≈ e^(−n) per replicate) has no resample to take
+    * a mean of: its mean_val is explicitly null (n_eff 0), guarded
+    * rather than left to division semantics, and the d32 oracle SQL
+    * carries the same CASE. */
   def poissonBootstrapMeans(df: DataFrame, id: Column, value: Column,
                             replicates: Int): DataFrame = {
     require(replicates >= 1, "replicates must be >= 1")
@@ -317,8 +334,10 @@ object Curation {
     keyed.withColumn("_w", w)
       .groupBy("replicate").agg(
         sum(col("_w")).as("n_eff"),
-        round(sum(col("_w") * col("_v")).cast("double") /
-          sum(col("_w")).cast("double"), 6).as("mean_val"))
+        when(sum(col("_w")) > 0,
+          round(sum(col("_w") * col("_v")).cast("double") /
+            sum(col("_w")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("mean_val"))
       .orderBy("replicate")
   }
 

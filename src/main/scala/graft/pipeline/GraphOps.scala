@@ -115,8 +115,11 @@ object GraphOps {
         least(wedges("v"), wedges("w")) === e("lo") &&
           greatest(wedges("v"), wedges("w")) === e("hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+    // coalesce: sum over an empty deg frame is null, and getLong on a
+    // null primitive NPEs — an empty graph must census as (0, 0, 0)
     val wedgeTotal = deg
-      .agg(sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges"))
+      .agg(coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L))
+        .as("n_wedges"))
     // two 1-row frames: cross of singletons is a constant fold, not a
     // data cartesian (the PlanDiscipline BNLJ ban applies to DATA-sized
     // sides; join both via literals fetched driver-side instead)

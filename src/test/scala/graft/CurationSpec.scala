@@ -248,6 +248,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("poisson bootstrap: all-zero-weight replicate yields explicit null mean") {
+    val s = spark
+    import s.implicits._
+    // hunt a (tiny input, replicate) pair whose hash-Poisson weights
+    // are all zero — guaranteed findable fast since P(w=0) ≈ 0.368 per
+    // row — then check the guarded mean is null, not NaN/divide noise
+    def weight(id: Long, b: Long): Long = {
+      val u = md5Long60(s"$id|$b") % 1000000L
+      Curation.PoissonCdfMicro.count(u >= _)
+    }
+    val ids = Seq(3L, 17L)
+    val deadReplicate = (0 until 64)
+      .find(b => ids.forall(weight(_, b.toLong) == 0L))
+    assert(deadReplicate.isDefined, "no all-zero replicate in 64 draws")
+    val df = ids.map(i => (i, 10L)).toDF("doc_id", "v")
+    val got = Curation.poissonBootstrapMeans(df, col("doc_id"), col("v"),
+        replicates = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    val dead = got.find(_._1 == deadReplicate.get.toLong).get
+    assert(dead._2 === 0L)
+    assert(dead._3.isEmpty, s"expected null mean, got ${dead._3}")
+    // sanity: live replicates still produce finite means
+    assert(got.filter(_._2 > 0).forall(_._3.exists(m => !m.isNaN)))
+  }
+
   test("weighted reservoir: exact A-ES replay, weight bias, zero-weight exclusion") {
     val s = spark
     import s.implicits._
@@ -260,13 +286,13 @@ class CurationSpec extends AnyFunSuite {
     val got = Curation.weightedReservoir(df, col("doc_id"), col("w"), 200)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.length === 200)
-    // exact replay: priority = round(u^(1/w) * 1e6) with
+    // exact replay: priority = round(u^(1/w) * 1e9) with
     // u = (md5Long60(id) mod 1e6 + 0.5)/1e6, top-k by (priority desc,
     // id asc)
     val replay = (0 until n).map { i =>
       val w = if (i % 400 == 0) 0L else (i % 5 + 1).toLong
       val u = (md5Long60(i.toString) % 1000000L + 0.5) / 1000000.0
-      (i.toLong, w, math.round(math.pow(u, 1.0 / w) * 1e6))
+      (i.toLong, w, math.round(math.pow(u, 1.0 / w) * 1e9))
     }.filter(_._2 > 0)
       .sortBy { case (id, _, p) => (-p, id) }.take(200)
     assert(got.toSeq === replay)
@@ -280,5 +306,29 @@ class CurationSpec extends AnyFunSuite {
     val plan = Curation.weightedReservoir(df, col("doc_id"), col("w"), 200)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("weighted reservoir: large weights keep distinct priorities") {
+    val s = spark
+    import s.implicits._
+    // weights in the thousands compress u^(1/w) into [exp(-14.5/w), 1);
+    // at the old 1e6 quantum that left ~2900 distinct values and huge
+    // tie groups broken by ascending id (a low-id-skewed sample); the
+    // 1e9 quantum must keep the sample essentially tie-free and NOT
+    // dominated by low ids
+    val n = 2000
+    val df = (0 until n).map(i => (i.toLong, 5000L + (i % 7)))
+      .toDF("doc_id", "w")
+    val got = Curation.weightedReservoir(df, col("doc_id"), col("w"), 200)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === 200)
+    val distinctPriorities = got.map(_._2).distinct.length
+    assert(distinctPriorities >= 190,
+      s"only $distinctPriorities distinct priorities in a 200-sample")
+    // near-equal weights => the sample should look uniform over ids,
+    // not a low-id prefix: the mean sampled id sits near n/2
+    val meanId = got.map(_._1).sum.toDouble / got.length
+    assert(meanId > n * 0.35 && meanId < n * 0.65,
+      s"sample id mean $meanId skewed — tie-break leakage")
   }
 }

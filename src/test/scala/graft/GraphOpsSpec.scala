@@ -96,6 +96,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(GraphOps.orientedWedges(e, deg, byDegree = true).count() === 0L)
   }
 
+  test("triangle census: empty and all-null edge lists census as zero") {
+    // sum over zero degree rows is null — the census must coalesce it
+    // to (0, 0, 0) instead of NPEing on a null primitive
+    val empty = GraphOps.triangleCensus(
+      pairs(), "id_a", "id_b").collect()
+    assert(empty.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((0L, 0L, 0L)))
+    // self-loops only: normalizedEdges drops them all, same empty path
+    val loops = GraphOps.triangleCensus(
+      pairs((5L, 5L), (7L, 7L)), "id_a", "id_b").collect()
+    assert(loops.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((0L, 0L, 0L)))
+  }
+
   test("pageRank: deterministic under repartition; total mass conserved-ish") {
     val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
     val a = ranks(GraphOps.pageRankMicro(p, "id_a", "id_b"))

@@ -90,4 +90,31 @@ class MisraGriesSpec extends AnyFunSuite {
       HeavyHitters.exactTopK(df, col("item"), k = 5, sketchSize = 4)
     }
   }
+
+  test("exactTopK fails loudly when the frequency bound is violated") {
+    // near-uniform data: 200 distinct items once each, so the k-th
+    // frequency (1) is nowhere near N/(m+1) = 200/17 — the sketch
+    // cannot guarantee exactness and the plan must throw instead of
+    // returning a silently non-exact top-k
+    val df = itemsDf((0 until 200).map(i => f"u$i%03d")).repartition(3)
+    val ex = intercept[Exception] {
+      HeavyHitters.exactTopK(df, col("item"), k = 10, sketchSize = 16)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exactTopK guarantee violated")),
+      s"unexpected failure: $ex")
+  }
+
+  test("exactTopK stays exact when fewer distinct items than k exist") {
+    // 3 distinct items, k=10: the sketch never evicts (distinct <= m)
+    // so the sub-k result is exact and the bound check must not fire
+    val df = itemsDf(Seq("a", "a", "a", "b", "b", "c")).repartition(2)
+    val got = HeavyHitters.exactTopK(df, col("item"), k = 10,
+        sketchSize = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
 }

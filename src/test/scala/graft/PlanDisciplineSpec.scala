@@ -270,10 +270,12 @@ class PlanDisciplineSpec extends AnyFunSuite {
     val p = plan("d29_heavy_hitters")
     // the Misra-Gries global aggregate moves O(m) partials through a
     // single-partition exchange; the only JOIN is the broadcast
-    // semi-join gating the recount — a shuffle join here would mean
-    // the candidate set stopped broadcasting
-    assert(p.contains("BroadcastHashJoin") &&
-      p.contains("LeftSemi"), s"recount must broadcast-semi-join:\n$p")
+    // inner join gating the recount (distinct map keys, so same
+    // multiplicity as a semi-join, but it carries N for the in-plan
+    // guarantee check) — a shuffle join here would mean the candidate
+    // set stopped broadcasting
+    assert(p.contains("BroadcastHashJoin"),
+      s"recount must broadcast-join the candidate set:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"no shuffle join belongs in the heavy-hitter path:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
