@@ -93,11 +93,50 @@ object Bench {
       if (collided(n)) n else leading(n)
     val qs = ok.map { case (k, v, _) => s"${jstr(shortKey(k))}:${sec(v)}" }
       .mkString("{", ",", "}")
-    val errs = failed.map { case (k, m) =>
-      s"${jstr(shortKey(k))}:${jstr(m.take(80))}" }
-      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Truncation-proofing (round-6 postmortem: the harness keeps only
+    // the LAST ~1.9 KB of stdout, so a growing queries map cuts the
+    // LINE HEAD off — metric/value first — and corrupts the artifact).
+    // The full-precision, full-name result JSON always goes to a file
+    // under target/, and the stdout contract line carries its path +
+    // content digest; the inline shortened queries map is included
+    // only while the WHOLE line stays under a hard 1790-byte cap
+    // (capture window ~1.9 KB, measured across rounds 4-6), so
+    // suite growth degrades to "timings in the file" instead of a
+    // corrupt line. Errors are capped at 5 inline (full set in the
+    // file) for the same reason.
+    val fullJson = {
+      val qsFull = ok.map { case (k, v, _) =>
+        s"${jstr(k)}:${fmt("%.4f", v)}" }.mkString("{", ",", "}")
+      val errsFull = failed.map { case (k, m) =>
+        s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"sf":${jstr(sfDir)}}"""
+    }
+    // fixed path (the sf is recorded INSIDE the file; the driver runs
+    // one bench at a time) — every byte of the contract line counts
+    val outPath = java.nio.file.Paths.get("target", "bench_full.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath, fullJson.getBytes("UTF-8"))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(fullJson.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    val errsInline = {
+      val shown = failed.take(5).map { case (k, m) =>
+        s"${jstr(shortKey(k))}:${jstr(m.take(80))}" }
+      val extra =
+        if (failed.size > 5) Seq(s""""_more":${failed.size - 5}""")
+        else Seq.empty
+      (shown ++ extra).mkString("{", ",", "}")
+    }
+    def contract(withQueries: Boolean): String = {
+      val q = if (withQueries) s""","queries":$qs""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec"$q,"errors":$errsInline,"full":${jstr(outPath.toString)},"sha":"$digest","sf":"$sfDir"}"""
+    }
+    val line = {
+      val withQ = contract(withQueries = true)
+      if (withQ.length <= 1790) withQ else contract(withQueries = false)
+    }
+    println(line)
     spark.stop()
   }
 }

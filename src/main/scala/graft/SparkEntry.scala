@@ -2262,6 +2262,81 @@ object SparkEntry {
               |WHERE c_ab >= 0.5 OR c_ba >= 0.5
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // The containment-RECALL variant (VERDICT r6 task 4): d34's LSH
+    // candidates are resemblance-driven, so a short fragment quoted
+    // inside a long page (containment 1.0, resemblance ~0) never
+    // shares a band with its container. The prefix-filter candidate
+    // stage bands over the smaller side's shingles only — each doc
+    // probes with its (200000·nsh) div 1e6 + 3 rarest (df-ordered)
+    // shingles (integer micro-units both engines; a float (1−t)·nsh
+    // floor flips on DECIMAL-vs-IEEE semantics) against the full
+    // shingle inverted index, which by pigeonhole finds every pair
+    // with shingle containment ≥ t.
+    // Fixture: synthetic 12-token fragments sliced out of long docs
+    // (doc_id+1e6), which d34's band join provably misses (DedupSpec
+    // pins that); verification reuses d34's exact token-containment
+    // metric so the two paths stay comparable.
+    "d35_containment_prefix" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val frags = docs
+          .filter(pmod(col("doc_id"), lit(97L)) === 0 &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 9, 12))
+              .as("text"))
+        Dedup.prefixVerifiedContainmentPairs(
+            docs.unionByName(frags), "doc_id", "text", threshold = 0.8)
+          .orderBy("id_a", "id_b").limit(2000)
+      },
+      Some(s"""WITH aug AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |    array_to_string(str_split(text, ' ')[9:20], ' ') AS text
+              |  FROM documents
+              |  WHERE doc_id % 97 = 0
+              |    AND len(str_split(text, ' ')) >= 40),
+              |csh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM aug) t),
+              |cdf AS (SELECT sh, count(*) AS df FROM csh GROUP BY sh),
+              |cnsh AS (SELECT id, count(*) AS nsh FROM csh GROUP BY id),
+              |cpre AS (SELECT id, sh FROM (
+              |    SELECT csh.id, csh.sh,
+              |      row_number() OVER (PARTITION BY csh.id
+              |        ORDER BY cdf.df, csh.sh) AS rk,
+              |      cnsh.nsh
+              |    FROM csh JOIN cdf USING (sh)
+              |    JOIN cnsh ON cnsh.id = csh.id) r
+              |  WHERE rk <= (200000 * nsh) // 1000000 + 3),
+              |ccand AS (SELECT DISTINCT
+              |    least(p.id, x.id) AS id_a, greatest(p.id, x.id) AS id_b
+              |  FROM cpre p JOIN csh x ON x.sh = p.sh AND x.id <> p.id),
+              |wtok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM aug),
+              |wsz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM aug),
+              |winter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM ccand c
+              |  JOIN wtok ta ON ta.id = c.id_a
+              |  JOIN wtok tb ON tb.id = c.id_b AND tb.t = ta.t
+              |  GROUP BY c.id_a, c.id_b),
+              |wc AS (SELECT id_a, id_b,
+              |    ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS c_ab,
+              |    ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS c_ba
+              |  FROM winter
+              |  JOIN wsz sa ON sa.id = id_a
+              |  JOIN wsz sb ON sb.id = id_b)
+              |SELECT id_a, id_b, c_ab, c_ba FROM wc
+              |WHERE c_ab >= 0.8 OR c_ba >= 0.8
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
     // PageRank centrality over the verified near-dup graph (d15's
     // pairs): the cluster-canonical-survivor policy that picks the most
     // connected document instead of the smallest id. Integer

@@ -317,17 +317,27 @@ object Dedup {
     * rounded containment reaches `threshold` (inclusive). Caveat
     * shared with all MinHash systems: LSH recall is driven by
     * RESEMBLANCE, so a tiny-fragment⊂huge-page pair may never become
-    * a candidate — at scale the candidate stage for pure containment
-    * hunting should band over the smaller side's shingles only. */
+    * a candidate — for pure containment hunting use the opt-in
+    * [[prefixVerifiedContainmentPairs]], whose candidate stage bands
+    * over the smaller side's shingles only (prefix filter). */
   def lshVerifiedContainmentPairs(docs: DataFrame, idCol: String,
                                   textCol: String, threshold: Double,
                                   shingleSize: Int = 3, k: Int = 12,
                                   bands: Int = 4): DataFrame = {
     val cand = minhashCandidatePairsPortable(docs, idCol, textCol,
       shingleSize, k, bands)
-    val inter = candidateIntersections(cand, "id_a", "id_b", docs, docs,
-      idCol, textCol)
-    val sizes = distinctTokenSizes(docs, idCol, textCol)
+    finalizeContainment(
+      candidateIntersections(cand, "id_a", "id_b", docs, docs,
+        idCol, textCol),
+      distinctTokenSizes(docs, idCol, textCol), threshold)
+  }
+
+  /** Shared containment finalization — both directions c(A,B)=i/|A| and
+    * c(B,A)=i/|B|, 6-digit rounding, inclusive either-direction
+    * threshold — one implementation behind the LSH-candidate (d34) and
+    * prefix-filter-candidate (d35) paths so the metric cannot drift. */
+  private def finalizeContainment(inter: DataFrame, sizes: DataFrame,
+                                  threshold: Double): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n", "na"), "id_a")
@@ -337,6 +347,91 @@ object Dedup {
         round(col("i").cast("double") / col("na"), 6).as("c_ab"),
         round(col("i").cast("double") / col("nb"), 6).as("c_ba"))
       .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+
+  /** Containment-oriented candidate generation — the opt-in fix for the
+    * recall gap [[lshVerifiedContainmentPairs]] documents: MinHash/LSH
+    * recall is driven by RESEMBLANCE, so a tiny fragment quoted inside
+    * a much larger page (containment 1.0, resemblance ≈ |A|/|B| ≈ 0)
+    * may never share a band with its container. This generator "bands
+    * over the smaller side's shingles only": every doc probes with a
+    * df-ordered PREFIX of its own shingle set, joined against the full
+    * shingle inverted index — the contained side's size, not the
+    * union, drives recall.
+    *
+    * Guarantee (prefix filter, AllPairs/PPJoin family): if the shingle
+    * containment |Sh(A)∩Sh(B)| / |Sh(A)| ≥ threshold, then by
+    * pigeonhole A's prefix of its ⌊(1−t)·|Sh(A)|⌋+1 globally-first
+    * shingles shares at least one shingle with B, so (A,B) is a
+    * candidate. The length is computed in integer MICRO-units —
+    * ((1e6 − round(t·1e6)) · nsh) div 1e6, the d28 discipline — so
+    * Spark and a SQL oracle agree exactly (a float (1.0−t)·nsh
+    * straddles engines: 1.0−0.8 is 0.2 under DECIMAL semantics but
+    * 0.19999…6 under IEEE, flipping the floor whenever nsh ≡ 0 mod
+    * 5), plus 3: one unit for the micro-quantization deficit, one for
+    * pairs the verifier keeps only via its 6-digit ROUNDING of c, one
+    * for the pigeonhole's own +1. A contiguous quote has shingle
+    * containment 1.0
+    * — every shingle of the fragment appears in the container — so
+    * quotes are always candidates, at any length ratio. Scattered
+    * token-level overlap without shared shingles stays out of reach by
+    * design; that regime belongs to the resemblance path.
+    *
+    * Shape at scale: the global order is ASCENDING document frequency
+    * (ties by shingle text) — the classic prefix-filter ordering, so
+    * probes lead with their RAREST shingles and the candidate join
+    * fans out by the small df of rare shingles, not by stopword
+    * posting lists. Everything is shingle-keyed aggregation/join plus
+    * one per-doc window (bounded by a doc's shingle count); no
+    * all-pairs stage exists anywhere. */
+  def prefixContainmentCandidatePairs(docs: DataFrame, idCol: String,
+                                      textCol: String, threshold: Double,
+                                      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    // the shingle relation feeds FOUR consumers (df table, per-doc
+    // sizes, the ranked prefix, and the inverted-index probe).
+    // DELIBERATELY not persisted: re-explosion is a codegen'd
+    // projection over the (columnar, pruned) base scan, and measured
+    // at sf0.1 a MEMORY_AND_DISK cache of the exploded string rows is
+    // 1.65× SLOWER than recomputing (cache reads decompress outside
+    // whole-stage codegen) — the m7 precedent applies to EXPENSIVE
+    // lineages (image decode), not cheap ones. When the upstream scan
+    // itself is the dominant cost (100 TB), materialize this frame
+    // once as a staging TABLE and run the three consumers against it.
+    val shRows = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val df_ = shRows.groupBy("sh").agg(count(lit(1)).as("_df"))
+    val sizes = shRows.groupBy("id").agg(count(lit(1)).as("_nsh"))
+    val slackMicro = 1000000L - math.round(threshold * 1e6)
+    val prefix = shRows.join(df_, "sh")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("_df"), col("sh"))))
+      .join(sizes, "id")
+      .filter(col("_rk") <=
+        expr(s"($slackMicro * _nsh) div 1000000") + lit(3L))
+      .select(col("id").as("_pid"), col("sh"))
+    prefix
+      .join(shRows.select(col("id").as("_xid"), col("sh")), "sh")
+      .filter(col("_pid") =!= col("_xid"))
+      .select(least(col("_pid"), col("_xid")).as("id_a"),
+        greatest(col("_pid"), col("_xid")).as("id_b"))
+      .distinct()
+  }
+
+  /** Prefix-filter containment detection end to end: containment-recall
+    * candidates ([[prefixContainmentCandidatePairs]]) verified with the
+    * exact token-containment metric of d34 — same tokenization, same
+    * rounding, same either-direction threshold, via the shared
+    * [[finalizeContainment]]. Output (id_a, id_b, c_ab, c_ba). */
+  def prefixVerifiedContainmentPairs(docs: DataFrame, idCol: String,
+                                     textCol: String, threshold: Double,
+                                     shingleSize: Int = 3): DataFrame = {
+    val cand = prefixContainmentCandidatePairs(docs, idCol, textCol,
+      threshold, shingleSize)
+    finalizeContainment(
+      candidateIntersections(cand, "id_a", "id_b", docs, docs,
+        idCol, textCol),
+      distinctTokenSizes(docs, idCol, textCol), threshold)
   }
 
   /** Shared finalization — |union| from per-doc set sizes, the jaccard

@@ -498,6 +498,88 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix containment finds the fragment⊂page pair the LSH bands miss") {
+    // a 12-token fragment of a 100-token page: token containment 1.0
+    // but resemblance ~0.1, so the resemblance-banded d34 candidates
+    // (deterministically, for this fixture) never pair them — the
+    // documented recall gap the prefix-filter variant closes
+    val pageToks = (0 until 100).map(i => s"tok$i")
+    val page = pageToks.mkString(" ")
+    val fragment = pageToks.slice(10, 22).mkString(" ")
+    val noise = (0 until 60).map(i => s"other$i").mkString(" ")
+    val df = docsDf(Seq(1L -> page, 2L -> fragment, 3L -> noise))
+    val lsh = Dedup.lshVerifiedContainmentPairs(df, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.contains((1L, 2L)),
+      "fixture invalid: resemblance LSH found the fragment pair")
+    val got = Dedup.prefixVerifiedContainmentPairs(df, "doc_id", "text",
+        threshold = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.contains((1L, 2L)), s"fragment pair missed: $got")
+    // c(page side)=12/100, c(fragment side)=1.0
+    assert(got((1L, 2L)) === ((0.12, 1.0)))
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("prefix containment candidates: exact recall vs brute-force shingle containment") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val base = (1L to 30L).map { i =>
+      val len = 5 + rnd.nextInt(26)
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    // planted contiguous fragments (shingle containment 1.0 in their
+    // source) plus the random corpus, so `must` is non-empty and the
+    // filter also faces arbitrary partial overlaps
+    val frags = (0 until 10).map { j =>
+      val (srcId, srcText) = base(rnd.nextInt(base.size))
+      val toks = srcText.split(" ").toSeq
+      val len = 3 + rnd.nextInt(math.max(toks.size - 3, 1))
+      val off = rnd.nextInt(toks.size - len + 1)
+      (100L + j, toks.slice(off, off + len).mkString(" "))
+    }
+    val texts = base ++ frags
+    val df = docsDf(texts)
+    val t = 0.7
+    val cand = Dedup.prefixContainmentCandidatePairs(df, "doc_id",
+        "text", threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force mirrors Dedup.shingles: 3-gram windows over the
+    // token list (shorter tail window when len < 3), distinct
+    def sh(s: String): Set[String] = {
+      val toks = s.split(" ")
+      (0 to math.max(toks.length - 3, 0))
+        .map(i => toks.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val must = for {
+      a <- texts; b <- texts if a._1 < b._1
+      sa = sh(a._2); sb = sh(b._2)
+      i = (sa & sb).size.toDouble
+      if i / sa.size >= t || i / sb.size >= t
+    } yield (a._1, b._1)
+    assert(must.nonEmpty, "fixture produced no containment pairs")
+    val missed = must.toSet -- cand
+    assert(missed.isEmpty, s"prefix filter missed: $missed")
+    // and the end-to-end verify emits exactly the brute-force token
+    // containment values on its candidates
+    val got = Dedup.prefixVerifiedContainmentPairs(df, "doc_id", "text",
+        threshold = t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    def toks(i: Long) = texts.find(_._1 == i).get._2.split(" ").toSet
+    got.foreach { case ((a, b), (cab, cba)) =>
+      val i = (toks(a) & toks(b)).size.toDouble
+      assert(cab === BigDecimal(i / toks(a).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(cba === BigDecimal(i / toks(b).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(math.max(cab, cba) >= t)
+    }
+  }
+
   test("semanticDupIds anti-join preserves docs without an embedding row") {
     // Regression for the llm_curate_full composition: the corpus is only
     // PARTIALLY embedded, so the semantic stage must be an anti-join on
