@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, GraphOps}
+
+/** Dev/audit tool: the adversarial-skew rehearsal for the graph family
+  * (VERDICT r6 task 3). Builds the REAL verified near-dup pair graph at
+  * the given SF, then welds a power-law hub onto it (one node paired
+  * with `hubDegree` distinct synthetic neighbors — the boilerplate-
+  * document shape that breaks id-oriented triangle enumeration), and
+  * measures:
+  *
+  *   - triangleCensus with the degree orientation vs the id
+  *     orientation (the enumeration-wedge counts AND wall-clock);
+  *   - pageRankMicro (3 iterations, the g1 form) on the hubbed graph;
+  *   - pageRankUntil to the integer fixed point, and whether its
+  *     top-k ORDER agrees with the 3-iteration form on the clean
+  *     near-dup graph (the production claim behind the g1 oracle).
+  *
+  * Usage: sbt "runMain graft.HubRehearsal [sfDir] [hubDegree]"
+  * Results are recorded in PLANS.md ("Hub-skew rehearsal").
+  */
+object HubRehearsal {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val hubDegree = args.lift(1).map(_.toInt).getOrElse(10000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nearDup = Dedup.lshVerifiedJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3).select("id_a", "id_b").localCheckpoint()
+    println(s"[rehearsal] near-dup pairs: ${nearDup.count()}")
+
+    // hub id far outside the doc-id space, neighbors likewise
+    val hub = (1 to hubDegree)
+      .map(i => (90000000L, 90000000L + i)).toDF("id_a", "id_b")
+    val hubbed = nearDup.unionByName(hub).localCheckpoint()
+
+    val e = GraphOps.normalizedEdges(hubbed, "id_a", "id_b")
+      .localCheckpoint()
+    val deg = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val wId = timed("orientedWedges by-id count")(
+      GraphOps.orientedWedges(e, deg, byDegree = false).count())
+    val wDeg = timed("orientedWedges by-degree count")(
+      GraphOps.orientedWedges(e, deg, byDegree = true).count())
+    println(s"[rehearsal] enumeration wedges: id=$wId degree=$wDeg")
+    val cId = timed("triangleCensus by-id")(
+      GraphOps.triangleCensus(hubbed, "id_a", "id_b", byDegree = false)
+        .collect().head)
+    val cDeg = timed("triangleCensus by-degree")(
+      GraphOps.triangleCensus(hubbed, "id_a", "id_b").collect().head)
+    require(cId == cDeg, s"census disagreement: $cId vs $cDeg")
+    println(s"[rehearsal] census: $cDeg")
+
+    val pr3 = timed("pageRankMicro 3 iters (hubbed)")(
+      GraphOps.pageRankMicro(hubbed, "id_a", "id_b").count())
+    println(s"[rehearsal] pageRank nodes: $pr3")
+
+    // production claim: convergence-stopped ranks order the top-k the
+    // same way the 3-iteration oracle form does on the CLEAN graph
+    def topK(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      df.orderBy(desc("rank_micro"), asc("id")).limit(k)
+        .collect().map(_.getLong(0)).toSeq
+    val (fixed, iters, conv) = timed("pageRankUntil fixed point (clean)")(
+      GraphOps.pageRankUntilStats(nearDup, "id_a", "id_b", epsMicro = 4L,
+        maxIterations = 150))
+    println(s"[rehearsal] fixed point: iterations=$iters converged=$conv")
+    val three = GraphOps.pageRankMicro(nearDup, "id_a", "id_b")
+    val (tFixed, tThree) = (topK(fixed, 20), topK(three, 20))
+    println(s"[rehearsal] top-20 order agreement (fixed vs 3-iter): " +
+      s"${tFixed == tThree}; set agreement: " +
+      s"${tFixed.toSet == tThree.toSet}")
+    println(s"[rehearsal] fixed=$tFixed")
+    println(s"[rehearsal] three=$tThree")
+    spark.stop()
+  }
+}

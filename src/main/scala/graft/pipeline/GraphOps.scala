@@ -37,43 +37,138 @@ object GraphOps {
     * source id plus a partial-aggregating groupBy on the destination —
     * the corpus itself is never touched, only the (much smaller) pair
     * graph shuffles, co-partitioned on the node id across iterations.
-    * A fixed iteration count keeps the oracle expressible; runs with
-    * many iterations should truncate lineage per round with
-    * `localCheckpoint` exactly as [[Dedup.connectedComponents]] does
-    * (at the default 3 rounds the plan stays shallow without it).
+    * A fixed iteration count keeps the oracle expressible. Runs with
+    * many iterations should truncate lineage per round exactly as
+    * [[Dedup.connectedComponents]] does: `checkpointEvery = n` cuts
+    * the plan with an eager `localCheckpoint` after every n-th
+    * iteration (0 — the default, right for the oracle-expressible 3
+    * rounds — never checkpoints; the plan grows two joins per
+    * iteration otherwise, which the optimizer re-walks per action).
     */
   def pageRankMicro(pairs: DataFrame, idACol: String, idBCol: String,
                     iterations: Int = 3,
-                    damping: Double = 0.85): DataFrame = {
+                    damping: Double = 0.85,
+                    checkpointEvery: Int = 0): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val a = col(idACol).cast("long")
-    val b = col(idBCol).cast("long")
-    // null-id pairs are dropped, not nodes — same contract as
-    // Dedup.connectedComponents (a null would otherwise ride the
-    // groupBy as a phantom node that no equi-join ever feeds)
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .union(pairs.select(b.as("src"), a.as("dst")))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val baseMicro = math.round((1.0 - damping) * 1e6)
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val (edges, deg) = edgesAndDegrees(pairs, idACol, idBCol)
     var ranks = deg.select(col("src").as("id"),
       lit(1000000L).as("rank_micro"))
-    for (_ <- 1 to iterations) {
-      val contribs = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(deg, "src")
-        .select(col("dst"),
-          expr("rank_micro div deg").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("inflow"))
-      // every node of an undirected graph has in-degree >= 1, so the
-      // inner join loses nobody; isolated nodes never entered `deg`
-      ranks = contribs.select(col("dst").as("id"),
+    for (it <- 1 to iterations) {
+      ranks = pageRankStep(edges, deg, ranks, damping)
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
+        it < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Convergence-stopped PageRank — the production form next to the
+    * oracle-expressible fixed-iteration [[pageRankMicro]]: iterates
+    * until no node's rank moved by more than `epsMicro` micro-units
+    * between rounds (or `maxIterations`), checkpointing every
+    * `checkpointEvery` rounds so the plan depth stays bounded however
+    * long convergence takes. The per-round convergence probe is a
+    * 1-row max-aggregate fetch (two rank vectors joined on id — both
+    * node-sized, co-partitioned); nothing data-sized reaches the
+    * driver. Integer micro-ranks make the stopped vector exact and
+    * engine-reproducible.
+    *
+    * Choosing epsMicro: the residual decays geometrically at rate
+    * `damping` until it hits the integer ROUNDING NOISE FLOOR, where
+    * the per-iteration rounding can sustain a small limit cycle
+    * instead of reaching delta 0 — measured on the sf0.1 near-dup
+    * graph: delta falls 1.1e6 → 4 over ~75 rounds, then cycles at
+    * amplitude 4 forever (HubRehearsal; PLANS.md "Hub-skew
+    * rehearsal"). Production runs should therefore set epsMicro to a
+    * few micro-units (noise-floor scale, ~1e-6 of a unit rank —
+    * far below any ranking decision) rather than 0, and check the
+    * `converged` flag of [[pageRankUntilStats]] instead of trusting
+    * maxIterations. Expected rounds to a target eps:
+    * log(n·1e6/eps)/log(1/damping). */
+  def pageRankUntil(pairs: DataFrame, idACol: String, idBCol: String,
+                    epsMicro: Long = 0L, maxIterations: Int = 50,
+                    damping: Double = 0.85,
+                    checkpointEvery: Int = 5): DataFrame =
+    pageRankUntilStats(pairs, idACol, idBCol, epsMicro, maxIterations,
+      damping, checkpointEvery)._1
+
+  /** [[pageRankUntil]] plus its run stats — (ranks, iterations run,
+    * converged?) — for callers that must DETECT a non-converged run
+    * (the rounding limit cycle under a too-small epsMicro, or
+    * maxIterations hit) instead of silently shipping the last
+    * vector. Per-iteration deltas log to stderr under
+    * GRAFT_PR_DEBUG=1. */
+  def pageRankUntilStats(pairs: DataFrame, idACol: String,
+                         idBCol: String, epsMicro: Long = 0L,
+                         maxIterations: Int = 50,
+                         damping: Double = 0.85,
+                         checkpointEvery: Int = 5)
+      : (DataFrame, Int, Boolean) = {
+    require(epsMicro >= 0, "epsMicro must be >= 0")
+    require(maxIterations >= 1, "maxIterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val (edges0, deg0) = edgesAndDegrees(pairs, idACol, idBCol)
+    // the loop re-reads edges and deg every round — pin them once
+    val edges = edges0.localCheckpoint()
+    val deg = deg0.localCheckpoint()
+    var ranks = deg.select(col("src").as("id"),
+      lit(1000000L).as("rank_micro")).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      it += 1
+      var next = pageRankStep(edges, deg, ranks, damping)
+      if (it % checkpointEvery == 0) next = next.localCheckpoint()
+      val delta = next.as("n")
+        .join(ranks.as("p"), col("n.id") === col("p.id"))
+        .agg(max(abs(col("n.rank_micro") - col("p.rank_micro")))
+          .as("d"))
+        .head()
+      converged = delta.isNullAt(0) || delta.getLong(0) <= epsMicro
+      if (sys.env.contains("GRAFT_PR_DEBUG"))
+        System.err.println(s"[pr] it=$it delta=" +
+          (if (delta.isNullAt(0)) "null" else delta.getLong(0).toString))
+      ranks = next
+    }
+    (ranks, it, converged)
+  }
+
+  /** Shared per-iteration step: contributions along edges (exact
+    * integral division by the source degree), partial-aggregating
+    * groupBy on the destination, one IEEE damping multiply + half-up
+    * round per node. Every node of an undirected graph has in-degree
+    * >= 1, so the inner join loses nobody; isolated nodes never
+    * entered `deg`. */
+  private def pageRankStep(edges: DataFrame, deg: DataFrame,
+                           ranks: DataFrame,
+                           damping: Double): DataFrame = {
+    val baseMicro = math.round((1.0 - damping) * 1e6)
+    edges
+      .join(ranks, edges("src") === ranks("id"))
+      .join(deg, "src")
+      .select(col("dst"), expr("rank_micro div deg").as("contrib"))
+      .groupBy("dst").agg(sum("contrib").as("inflow"))
+      .select(col("dst").as("id"),
         (lit(baseMicro) +
           round(lit(damping) * col("inflow")).cast("long"))
           .as("rank_micro"))
-    }
-    ranks
+  }
+
+  /** Directed edge expansion + degree table of an undirected pair
+    * list. Null-id pairs are dropped, not nodes — same contract as
+    * Dedup.connectedComponents (a null would otherwise ride the
+    * groupBy as a phantom node that no equi-join ever feeds). */
+  private def edgesAndDegrees(pairs: DataFrame, idACol: String,
+                              idBCol: String): (DataFrame, DataFrame) = {
+    val a = col(idACol).cast("long")
+    val b = col(idBCol).cast("long")
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    (edges, edges.groupBy("src").agg(count(lit(1)).as("deg")))
   }
 
   /** Triangle and wedge census of an undirected pair list — the

@@ -120,4 +120,93 @@ class GraphOpsSpec extends AnyFunSuite {
     val total = a.values.sum
     assert(total > 3990000L && total <= 4000000L, s"total $total")
   }
+
+  test("pageRank: checkpointEvery bounds plan depth, identical ranks") {
+    val p = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L),
+      (4L, 5L), (5L, 6L))
+    val plain = GraphOps.pageRankMicro(p, "id_a", "id_b",
+      iterations = 12)
+    val cut = GraphOps.pageRankMicro(p, "id_a", "id_b",
+      iterations = 12, checkpointEvery = 3)
+    assert(ranks(plain) === ranks(cut))
+    // 12 uncheckpointed iterations carry 2 joins each; the last cut
+    // (round 9) leaves at most 3 iterations' worth in the final plan.
+    // Counted RELATIVELY (AQE's toString may print initial+final plan
+    // sections, duplicating nodes a constant factor both sides).
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    val jPlain = joins(plain)
+    val jCut = joins(cut)
+    assert(jPlain >= 20, s"expected ~24 joins uncheckpointed, got $jPlain")
+    assert(jCut * 3 <= jPlain,
+      s"checkpointed plan not bounded: $jCut joins vs $jPlain plain")
+  }
+
+  test("pageRankUntil converges to the integer fixed point; top order matches g1's") {
+    // symmetric barbell: two triangles bridged by one spurious pair —
+    // the near-dup-graph shape where the centrality order is stable
+    // between the 3-iteration oracle form and the fixed point (an
+    // ASYMMETRIC graph can legitimately reorder mid-ranks as mass
+    // keeps flowing; the production claim is checked on the real
+    // near-dup graph in the PLANS.md rehearsal)
+    val p = pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val fixed = GraphOps.pageRankUntil(p, "id_a", "id_b", epsMicro = 0L,
+      maxIterations = 60, checkpointEvery = 4)
+    val got = ranks(fixed)
+    // a true fixed point: one more exact-integer step changes nothing
+    val again = ranks(GraphOps.pageRankUntil(p, "id_a", "id_b",
+      epsMicro = 0L, maxIterations = 61, checkpointEvery = 4))
+    assert(got === again)
+    // the bridge endpoints are the centrality winners, mirror-equal;
+    // ordering agrees with the oracle-expressible 3-iteration g1 form
+    val three = ranks(GraphOps.pageRankMicro(p, "id_a", "id_b"))
+    def order(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    assert(got(3L) === got(4L) && got(3L) > got(1L))
+    assert(order(got) === order(three))
+    // an isolated-pair graph converges instantly (both ends pinned at
+    // exactly 1e6 every round) instead of looping to maxIterations
+    val iso = ranks(GraphOps.pageRankUntil(pairs((10L, 11L)), "id_a",
+      "id_b", epsMicro = 0L, maxIterations = 50))
+    assert(iso === Map(10L -> 1000000L, 11L -> 1000000L))
+  }
+
+  test("hub skew: degree orientation bounds wedge fan-out on a 2k-star + cliques") {
+    val s = spark
+    import s.implicits._
+    // adversarial power-law shape: a 2000-leaf hub (lowest id, the
+    // worst case for the id orientation) riding on top of a normal
+    // near-dup clique population
+    val star = (1L to 2000L).map(i => (0L, i))
+    val cliques = (0 until 50).flatMap { c =>
+      val base = 10000L + c * 10
+      for (i <- 0 until 4; j <- i + 1 until 4)
+        yield (base + i, base + j)
+    }
+    val p = (star ++ cliques).toDF("id_a", "id_b")
+    val e = GraphOps.normalizedEdges(p, "id_a", "id_b")
+    val deg = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // id orientation hangs C(2000,2) wedges off the hub; the degree
+    // orientation points every star edge INTO the hub, leaving only
+    // the clique wedges (+ leaf-vs-clique ties broken by id) —
+    // three orders of magnitude fewer enumeration wedges
+    val wById = GraphOps.orientedWedges(e, deg, byDegree = false).count()
+    val wByDeg = GraphOps.orientedWedges(e, deg, byDegree = true).count()
+    assert(wById >= 2000L * 1999L / 2,
+      s"id orientation should fan out on the hub, got $wById")
+    assert(wByDeg < 2000L, s"degree orientation fanned out: $wByDeg")
+    // and the census itself is exact and orientation-independent:
+    // 50 K4 cliques = 200 triangles; wedges = C(2000,2) for the hub +
+    // 2000 leaves * C(1,2)=0 + 50 cliques * 4 nodes * C(3,2)
+    def census(byDeg: Boolean) =
+      GraphOps.triangleCensus(p, "id_a", "id_b", byDegree = byDeg)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    val wedgeTotal = 2000L * 1999L / 2 + 50L * 4 * 3
+    assert(census(byDeg = true) === ((200L, wedgeTotal)))
+    assert(census(byDeg = false) === ((200L, wedgeTotal)))
+  }
 }
