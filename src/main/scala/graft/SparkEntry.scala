@@ -2337,6 +2337,114 @@ object SparkEntry {
               |WHERE c_ab >= 0.8 OR c_ba >= 0.8
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // The asymmetric containment GATE, two-sided: synthetic 12-token
+    // fragments (the d35 fixture shape) arrive against the documents
+    // corpus, probe with their own df-ordered shingle prefix against
+    // the corpus inverted index (shingles unseen in the corpus rank
+    // rarest via df 0), and verify with exact token containment. The
+    // batch side broadcasts; the corpus never enters a shuffle — the
+    // streaming admission path (Dedup.containmentGateStream) runs
+    // THIS computation per micro-batch against a pinned index.
+    "d37_containment_gate" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val frags = docs
+          .filter(pmod(col("doc_id"), lit(97L)) === 0 &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 9, 12))
+              .as("text"))
+        Dedup.prefixContainmentPairsAgainst(frags, docs,
+            "doc_id", "text", threshold = 0.9)
+          .orderBy("id_a", "id_b").limit(2000)
+      },
+      Some(s"""WITH frag AS (
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |    array_to_string(str_split(text, ' ')[9:20], ' ') AS text
+              |  FROM documents
+              |  WHERE doc_id % 97 = 0
+              |    AND len(str_split(text, ' ')) >= 40),
+              |fsh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM frag) t),
+              |gsh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |gdf AS (SELECT sh, count(*) AS df FROM gsh GROUP BY sh),
+              |fnsh AS (SELECT id, count(*) AS nsh FROM fsh GROUP BY id),
+              |fpre AS (SELECT id, sh FROM (
+              |    SELECT fsh.id, fsh.sh,
+              |      row_number() OVER (PARTITION BY fsh.id
+              |        ORDER BY COALESCE(gdf.df, 0), fsh.sh) AS rk,
+              |      fnsh.nsh
+              |    FROM fsh LEFT JOIN gdf USING (sh)
+              |    JOIN fnsh ON fnsh.id = fsh.id) r
+              |  WHERE rk <= (100000 * nsh) // 1000000 + 3),
+              |gcand AS (SELECT DISTINCT p.id AS id_a, x.id AS id_b
+              |  FROM fpre p JOIN gsh x ON x.sh = p.sh),
+              |ftok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM frag),
+              |fsz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM frag),
+              |gtok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM documents),
+              |gsz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM documents),
+              |ginter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM gcand c
+              |  JOIN ftok ta ON ta.id = c.id_a
+              |  JOIN gtok tb ON tb.id = c.id_b AND tb.t = ta.t
+              |  GROUP BY c.id_a, c.id_b),
+              |gc AS (SELECT id_a, id_b,
+              |    ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS c_ab,
+              |    ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS c_ba
+              |  FROM ginter
+              |  JOIN fsz sa ON sa.id = id_a
+              |  JOIN gsz sb ON sb.id = id_b)
+              |SELECT id_a, id_b, c_ab, c_ba FROM gc
+              |WHERE c_ab >= 0.9 OR c_ba >= 0.9
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
+    // Shannon entropy of each doc's token distribution in integer
+    // micro-nats — the information-theoretic repetition/quality
+    // signal (boilerplate loops score far below natural text; unlike
+    // the type-token ratio it weighs how repetition mass is spread).
+    // Spark side is a pure per-row expression (map-only at scale);
+    // the oracle replays it as the equivalent (doc, token) groupBy.
+    // Per-term integer quantization before the sum keeps both
+    // aggregation orders hash-exact (the d28 discipline).
+    "d36_token_entropy" -> Q(
+      (s, dir) => table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.tokenCount(col("text")).as("n_tokens"),
+          TextStats.tokenEntropyMicro(col("text")).as("entropy_micro"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH tc AS (SELECT doc_id, t, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             |        FROM documents) u
+             |  GROUP BY doc_id, t),
+             |tn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n
+             |  FROM tc GROUP BY doc_id),
+             |terms AS (SELECT tc.doc_id,
+             |    CAST(ROUND(1e6 * (CAST(c AS DOUBLE) / n)
+             |      * ln(CAST(c AS DOUBLE) / n)) AS BIGINT) AS term
+             |  FROM tc JOIN tn USING (doc_id))
+             |SELECT t2.doc_id, tn.n AS n_tokens,
+             |  CAST(-sum(t2.term) AS BIGINT) AS entropy_micro
+             |FROM terms t2 JOIN tn USING (doc_id)
+             |GROUP BY t2.doc_id, tn.n
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // PageRank centrality over the verified near-dup graph (d15's
     // pairs): the cluster-canonical-survivor policy that picks the most
     // connected document instead of the smallest id. Integer

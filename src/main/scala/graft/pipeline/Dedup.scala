@@ -300,10 +300,19 @@ object Dedup {
                                      idBCol: String, docsA: DataFrame,
                                      docsB: DataFrame, idCol: String,
                                      textCol: String): DataFrame =
+    candidateIntersectionsTok(cand, idACol, idBCol,
+      distinctTokens(docsA, idCol, textCol),
+      distinctTokens(docsB, idCol, textCol))
+
+  /** [[candidateIntersections]] over prebuilt (id, t) token frames —
+    * for callers that pin a corpus-side token index once (the
+    * streaming gate) instead of re-deriving it per invocation. */
+  private def candidateIntersectionsTok(cand: DataFrame, idACol: String,
+                                        idBCol: String, toksA: DataFrame,
+                                        toksB: DataFrame): DataFrame =
     cand
-      .join(distinctTokens(docsA, idCol, textCol).as("ta"),
-        col(idACol) === col("ta.id"))
-      .join(distinctTokens(docsB, idCol, textCol).as("tb"),
+      .join(toksA.as("ta"), col(idACol) === col("ta.id"))
+      .join(toksB.as("tb"),
         col(idBCol) === col("tb.id") && col("ta.t") === col("tb.t"))
       .groupBy(idACol, idBCol).agg(count(lit(1)).as("i"))
 
@@ -326,22 +335,26 @@ object Dedup {
                                   bands: Int = 4): DataFrame = {
     val cand = minhashCandidatePairsPortable(docs, idCol, textCol,
       shingleSize, k, bands)
+    val sizes = distinctTokenSizes(docs, idCol, textCol)
     finalizeContainment(
       candidateIntersections(cand, "id_a", "id_b", docs, docs,
         idCol, textCol),
-      distinctTokenSizes(docs, idCol, textCol), threshold)
+      sizes, sizes, threshold)
   }
 
   /** Shared containment finalization — both directions c(A,B)=i/|A| and
     * c(B,A)=i/|B|, 6-digit rounding, inclusive either-direction
-    * threshold — one implementation behind the LSH-candidate (d34) and
-    * prefix-filter-candidate (d35) paths so the metric cannot drift. */
-  private def finalizeContainment(inter: DataFrame, sizes: DataFrame,
+    * threshold — one implementation behind the LSH-candidate (d34),
+    * prefix-filter-candidate (d35), and batch-vs-corpus gate paths so
+    * the metric cannot drift. `inter` must expose (id_a, id_b, i);
+    * the sizes frames expose (id, n) for each side. */
+  private def finalizeContainment(inter: DataFrame, sizesA: DataFrame,
+                                  sizesB: DataFrame,
                                   threshold: Double): DataFrame =
     inter
-      .join(sizes.withColumnRenamed("id", "id_a")
+      .join(sizesA.withColumnRenamed("id", "id_a")
         .withColumnRenamed("n", "na"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b")
+      .join(sizesB.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n", "nb"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / col("na"), 6).as("c_ab"),
@@ -428,10 +441,120 @@ object Dedup {
                                      shingleSize: Int = 3): DataFrame = {
     val cand = prefixContainmentCandidatePairs(docs, idCol, textCol,
       threshold, shingleSize)
+    val sizes = distinctTokenSizes(docs, idCol, textCol)
     finalizeContainment(
       candidateIntersections(cand, "id_a", "id_b", docs, docs,
         idCol, textCol),
-      distinctTokenSizes(docs, idCol, textCol), threshold)
+      sizes, sizes, threshold)
+  }
+
+  /** Asymmetric containment GATE: which of the NEW docs (a micro-batch
+    * or small delta) are largely CONTAINED in something already in the
+    * corpus — the quote/subset admission check that the resemblance
+    * gate ([[lshVerifiedPairsAgainst]]) structurally misses when the
+    * arriving doc is a small fragment of a big corpus page.
+    *
+    * Candidates band over the smaller side's shingles only (the d35
+    * prefix filter, probe = the ARRIVING side): each new doc probes
+    * with its ⌊(1e6−round(t·1e6))·nsh div 1e6⌋+3 first shingles in the
+    * (corpus df asc, shingle) order — shingles unseen in the corpus
+    * rank rarest via df 0 — against the corpus shingle inverted index;
+    * by pigeonhole every new doc with shingle containment ≥ t in some
+    * corpus doc becomes a candidate, at any length ratio. Verification
+    * is the shared exact token-containment metric; output
+    * (id_a = new, id_b = corpus, c_ab, c_ba) where either direction
+    * reaches the threshold.
+    *
+    * Shape at scale: the corpus-side shingle index and df table are
+    * corpus-sized but BATCH-INDEPENDENT — streaming callers should
+    * localCheckpoint/stage them once ([[containmentGateStream]] does);
+    * per batch only the (small) probe prefix shuffles against them. */
+  def prefixContainmentPairsAgainst(newDocs: DataFrame, corpus: DataFrame,
+                                    idCol: String, textCol: String,
+                                    threshold: Double,
+                                    shingleSize: Int = 3): DataFrame =
+    prefixContainmentPairsAgainstIndex(newDocs,
+      ContainmentIndex.build(corpus, idCol, textCol, shingleSize),
+      idCol, textCol, threshold, shingleSize)
+
+  /** The corpus-side state of the containment gate: shingle inverted
+    * index, shingle df table (the prefix-filter global order), token
+    * rows and token sizes (verification). Built once per corpus;
+    * `pinned` localCheckpoints every frame so a streaming caller pays
+    * the corpus scans once, not per micro-batch. */
+  final case class ContainmentIndex(sh: DataFrame, df: DataFrame,
+                                    toks: DataFrame, sizes: DataFrame) {
+    def pinned: ContainmentIndex = ContainmentIndex(
+      sh.localCheckpoint(), df.localCheckpoint(),
+      toks.localCheckpoint(), sizes.localCheckpoint())
+  }
+  object ContainmentIndex {
+    def build(corpus: DataFrame, idCol: String, textCol: String,
+              shingleSize: Int = 3): ContainmentIndex = {
+      val sh = corpus.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("sh"))
+      ContainmentIndex(sh,
+        sh.groupBy("sh").agg(count(lit(1)).as("_df")),
+        distinctTokens(corpus, idCol, textCol),
+        distinctTokenSizes(corpus, idCol, textCol))
+    }
+  }
+
+  /** [[prefixContainmentPairsAgainst]] against a prebuilt (optionally
+    * pinned) corpus [[ContainmentIndex]]. */
+  def prefixContainmentPairsAgainstIndex(newDocs: DataFrame,
+                                         index: ContainmentIndex,
+                                         idCol: String, textCol: String,
+                                         threshold: Double,
+                                         shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val newSh = newDocs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = newSh.groupBy("id").agg(count(lit(1)).as("_nsh"))
+    val slackMicro = 1000000L - math.round(threshold * 1e6)
+    // shingles unseen in the corpus rank rarest (df 0) — any total
+    // order preserves the pigeonhole guarantee; corpus-df keeps the
+    // probe leading with its most selective shingles
+    val prefix = newSh.join(index.df, Seq("sh"), "left")
+      .withColumn("_df", coalesce(col("_df"), lit(0L)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("id").orderBy(col("_df"), col("sh"))))
+      .join(sizes, "id")
+      .filter(col("_rk") <=
+        expr(s"($slackMicro * _nsh) div 1000000") + lit(3L))
+      .select(col("id").as("id_a"), col("sh"))
+    // the batch side broadcasts (small by construction); the corpus
+    // index streams past it, so corpus size never enters a shuffle
+    val cand = broadcast(prefix)
+      .join(index.sh.select(col("id").as("id_b"), col("sh")), "sh")
+      .select("id_a", "id_b").distinct()
+    finalizeContainment(
+      candidateIntersectionsTok(cand, "id_a", "id_b",
+        distinctTokens(newDocs, idCol, textCol), index.toks),
+      distinctTokenSizes(newDocs, idCol, textCol),
+      index.sizes, threshold)
+  }
+
+  /** Streaming form of the containment gate: the corpus
+    * [[ContainmentIndex]] is built and PINNED once, then every
+    * micro-batch of arriving docs probes it and hands the verified
+    * pairs to `sink` — foreachBatch, like [[nearDupGateStream]], but
+    * catching the fragment⊂corpus shape the resemblance gate misses. */
+  def containmentGateStream(docs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double, shingleSize: Int = 3)
+                           (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val index = ContainmentIndex.build(corpus, idCol, textCol,
+      shingleSize).pinned
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink(prefixContainmentPairsAgainstIndex(batch, index, idCol,
+          textCol, threshold, shingleSize))
+      }
+      .start()
   }
 
   /** Shared finalization — |union| from per-doc set sizes, the jaccard

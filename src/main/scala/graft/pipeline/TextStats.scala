@@ -29,6 +29,38 @@ object TextStats {
   def typeTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") / size(tokens(text))
 
+  /** Shannon entropy of the in-document token distribution, in
+    * integer micro-nats: −Σ_t round(1e6 · p_t · ln p_t) over the
+    * distinct tokens t with in-doc probability p_t. The information-
+    * theoretic repetition/quality signal: a looping boilerplate page
+    * scores far below natural text of the same length, and unlike
+    * [[typeTokenRatio]] it weighs HOW the repetition mass is
+    * distributed, not just the distinct count.
+    *
+    * Engine-reproducible by the d28 discipline: each distinct token's
+    * contribution is quantized to an integer BEFORE the sum, so
+    * aggregation order (array fold here, a groupBy in a SQL oracle)
+    * cannot change the result, and ln()'s last-ulp spread (|term| ≤
+    * 0.37e6, abs error ~1e-10) sits far from rounding boundaries.
+    *
+    * Pure per-row expression — map-only at any scale. Per-row cost is
+    * O(distinct·tokens) from the count-within-array filter: fine for
+    * document-shaped rows (tens-to-hundreds of tokens); for very long
+    * documents route through the equivalent (doc, token) groupBy
+    * aggregation instead (the d36 oracle's own shape). */
+  def tokenEntropyMicro(text: Column): Column =
+    ExprUtils.let(tokens(text)) { toks =>
+      ExprUtils.let(size(toks).cast("double")) { n =>
+        -aggregate(
+          transform(array_distinct(toks), t =>
+            ExprUtils.let(
+              size(filter(toks, x => x === t)).cast("double") / n) { p =>
+              round(lit(1e6) * p * log(p)).cast("long")
+            }),
+          lit(0L), (acc, x) => acc + x)
+      }
+    }
+
   /** Small per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")

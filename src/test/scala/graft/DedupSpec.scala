@@ -524,6 +524,53 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containment gate flags arriving fragments the resemblance gate misses") {
+    // corpus holds a 100-token page; an arriving 12-token fragment of
+    // it has containment 1.0 but resemblance ~0.1 — the asymmetric
+    // admission shape
+    val pageToks = (0 until 100).map(i => s"tok$i")
+    val corpus = docsDf(Seq(1L -> pageToks.mkString(" "),
+      2L -> (0 until 60).map(i => s"other$i").mkString(" ")))
+    val arrivals = docsDf(Seq(
+      100L -> pageToks.slice(10, 22).mkString(" "), // fragment of 1
+      101L -> "completely unrelated words here"))
+    val resemblance = Dedup.lshVerifiedPairsAgainst(arrivals, corpus,
+        "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!resemblance.contains((100L, 1L)),
+      "fixture invalid: resemblance gate found the fragment")
+    val got = Dedup.prefixContainmentPairsAgainst(arrivals, corpus,
+        "doc_id", "text", threshold = 0.9)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set((100L, 1L)), s"got $got")
+    assert(got((100L, 1L)) === ((1.0, 0.12)))
+  }
+
+  test("containment gate runs per micro-batch against a pinned corpus index") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val pageToks = (0 until 100).map(i => s"page$i")
+    val corpus = docsDf(Seq(1L -> pageToks.mkString(" ")))
+    val mem = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Dedup.containmentGateStream(
+        mem.toDF().toDF("doc_id", "text"), corpus,
+        "doc_id", "text", threshold = 0.9) { pairs =>
+      flagged ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    try {
+      mem.addData((200L, pageToks.slice(30, 45).mkString(" ")))
+      q.processAllAvailable()
+      mem.addData((201L, "no overlap with the page at all"))
+      q.processAllAvailable()
+      assert(flagged.toSeq === Seq(200L -> 1L))
+    } finally q.stop()
+  }
+
   test("prefix containment candidates: exact recall vs brute-force shingle containment") {
     val rnd = new scala.util.Random(23)
     val vocab = (0 until 30).map(i => s"w$i")

@@ -134,4 +134,34 @@ class TextStatsSpec extends AnyFunSuite {
     // rare tokens score strictly lower than common ones
     assert(r(1)._4 < r(0)._4)
   }
+
+  test("tokenEntropyMicro matches brute force; orders repetition correctly") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      1L -> "a a a a a a",                 // zero entropy: one token type
+      2L -> "a b c d e f",                 // max entropy at 6 tokens
+      3L -> "spam spam spam spam eggs",    // skewed
+      4L -> "the quick brown fox the dog", // mild repetition
+      5L -> "x")                           // single token
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextStats.tokenEntropyMicro(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def brute(t: String): Long = {
+      val toks = t.split(" ").toSeq
+      val n = toks.size.toDouble
+      -toks.groupBy(identity).values
+        .map(g => math.round(1e6 * (g.size / n) * math.log(g.size / n)))
+        .sum
+    }
+    texts.foreach { case (id, t) =>
+      assert(got(id) === brute(t), s"doc $id")
+    }
+    // golden anchors: uniform-6 = ln 6 nats; constant = 0
+    assert(got(1L) === 0L && got(5L) === 0L)
+    assert(math.abs(got(2L) - math.round(1e6 * math.log(6.0))) <= 3)
+    // entropy orders: uniform > mild repetition > skew > constant
+    assert(got(2L) > got(4L) && got(4L) > got(3L) && got(3L) > got(1L))
+  }
 }
