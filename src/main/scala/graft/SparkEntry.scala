@@ -2419,15 +2419,18 @@ object SparkEntry {
     // micro-nats — the information-theoretic repetition/quality
     // signal (boilerplate loops score far below natural text; unlike
     // the type-token ratio it weighs how repetition mass is spread).
-    // Spark side is a pure per-row expression (map-only at scale);
-    // the oracle replays it as the equivalent (doc, token) groupBy.
-    // Per-term integer quantization before the sum keeps both
-    // aggregation orders hash-exact (the d28 discipline).
+    // Spark side is a pure per-row expression (map-only at scale) —
+    // the NATIVE one-pass codegen kernel, whose declarative twin is
+    // differential-tested bit-equal; the oracle replays it as the
+    // equivalent (doc, token) groupBy. Per-term integer quantization
+    // before the sum keeps all aggregation orders hash-exact (the
+    // d28 discipline).
     "d36_token_entropy" -> Q(
       (s, dir) => table(s, dir, "documents")
         .select(col("doc_id"),
           TextStats.tokenCount(col("text")).as("n_tokens"),
-          TextStats.tokenEntropyMicro(col("text")).as("entropy_micro"))
+          TextStats.tokenEntropyMicroNative(col("text"))
+            .as("entropy_micro"))
         .orderBy("doc_id").limit(2000),
       Some("""WITH tc AS (SELECT doc_id, t, count(*) AS c
              |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t

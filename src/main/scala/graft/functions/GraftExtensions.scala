@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.minhashSig)
     ext.injectFunction(GraftFunctions.md5MinhashSig)
     ext.injectFunction(GraftFunctions.vectorDot)
+    ext.injectFunction(GraftFunctions.tokenEntropyMicro)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -57,9 +58,21 @@ object GraftFunctions {
         "usage: vector_dot(a array<double>, b array<double>)")
     })
 
+  val tokenEntropyMicro: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    new FunctionIdentifier("token_entropy_micro"),
+    new ExpressionInfo(classOf[TokenEntropyMicro].getName,
+      "token_entropy_micro"),
+    (children: Seq[Expression]) => children match {
+      case Seq(tokens) => TokenEntropyMicro(tokens)
+      case _ => throw new IllegalArgumentException(
+        "usage: token_entropy_micro(tokens array<string>)")
+    })
+
   def register(spark: SparkSession): Unit =
-    Seq(minhashSig, md5MinhashSig, vectorDot).foreach { case (id, info, builder) =>
-      org.apache.spark.sql.GraftBridge.registerFunction(spark, id, info,
-        builder)
-    }
+    Seq(minhashSig, md5MinhashSig, vectorDot, tokenEntropyMicro)
+      .foreach { case (id, info, builder) =>
+        org.apache.spark.sql.GraftBridge.registerFunction(spark, id, info,
+          builder)
+      }
 }

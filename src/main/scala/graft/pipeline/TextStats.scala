@@ -61,6 +61,17 @@ object TextStats {
       }
     }
 
+  /** Native-expression form of [[tokenEntropyMicro]]
+    * (graft.functions.TokenEntropyMicro): the same bits from a
+    * one-pass codegen'd hash-count kernel — O(tokens) per row instead
+    * of the declarative fold's O(distinct·tokens) — for the hot path;
+    * the declarative twin remains the oracle-portability reference
+    * (differential-tested equal in TextStatsSpec). */
+  def tokenEntropyMicroNative(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TokenEntropyMicro(
+        org.apache.spark.sql.GraftBridge.expression(tokens(text))))
+
   /** Small per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")

@@ -281,6 +281,34 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
   }
 
+  test("d36 entropy is map-only: scan -> project -> top-k, no shuffle") {
+    val p = plan("d36_token_entropy")
+    // the per-row fold form must never regress to the (doc, token)
+    // groupBy the oracle uses — that shape shuffles the whole token
+    // stream; per-row it is a pure projection
+    assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
+    assert(!p.contains("HashAggregate") && !p.contains("Join") &&
+      !p.contains("WindowExec"),
+      s"entropy must stay a per-row projection:\n$p")
+  }
+
+  test("d37 containment gate broadcasts the probe; corpus never shuffles as a build side") {
+    val p = plan("d37_containment_gate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the batch-side prefix must broadcast into the corpus index:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no unconditioned join belongs in the gate:\n$p")
+  }
+
+  test("d35 prefix containment plans only keyed joins and per-doc windows") {
+    val p = plan("d35_containment_prefix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter must stay equi-join-only:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k expected:\n$p")
+  }
+
   test("window-family queries aggregate without window functions") {
     // q32/q33/q34 must plan as (partial) aggregates over the native
     // session/tumbling/sliding operators — a WindowExec here means the

@@ -164,4 +164,36 @@ class TextStatsSpec extends AnyFunSuite {
     // entropy orders: uniform > mild repetition > skew > constant
     assert(got(2L) > got(4L) && got(4L) > got(3L) && got(3L) > got(1L))
   }
+
+  test("native token_entropy_micro is bit-identical to the declarative fold") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val texts = (1L to 300L).map { i =>
+      val len = 1 + rnd.nextInt(120)
+      i -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } :+ (1000L -> "solo")
+    val both = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextStats.tokenEntropyMicro(col("text")).as("decl"),
+        TextStats.tokenEntropyMicroNative(col("text")).as("nat"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: declarative ${r.getLong(1)} != " +
+          s"native ${r.getLong(2)}")
+    }
+    // and the SQL registration path evaluates the same kernel
+    graft.functions.GraftFunctions.register(s)
+    val viaSql = texts.toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        "token_entropy_micro(split(text, ' ')) AS e")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val decl = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextStats.tokenEntropyMicro(col("text")).as("e"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaSql === decl)
+  }
 }
