@@ -2337,6 +2337,73 @@ object SparkEntry {
               |WHERE c_ab >= 0.8 OR c_ba >= 0.8
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // Exact tie-aware ROC-AUC (Mann-Whitney U, midranks) of a score
+    // against a binary label — the "does this quality signal actually
+    // separate the classes" evaluation a curation stage runs before
+    // trusting a filter. Scale shape: the corpus collapses to its
+    // DISTINCT score values first; the running-rank window rides that
+    // bounded frame, never corpus rows; 2U stays pure integer.
+    "q40_roc_auc" -> Q(
+      (s, dir) => graft.pipeline.Eval.rocAuc(
+        table(s, dir, "embeddings"),
+        element_at(col("embedding"), 1), pmod(col("label"), lit(2))),
+      Some("""WITH pts AS (SELECT embedding[1] AS s,
+             |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings),
+             |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+             |  FROM pts GROUP BY s),
+             |w AS (SELECT s, pos, neg,
+             |    COALESCE(CAST(sum(neg) OVER (ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS neg_below
+             |  FROM g),
+             |u AS (SELECT
+             |    CAST(sum(2 * neg_below * pos + neg * pos) AS BIGINT)
+             |      AS u2,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg) AS BIGINT) AS n_neg
+             |  FROM w)
+             |SELECT ROUND(CAST(u2 AS DOUBLE)
+             |    / (2.0 * n_pos * n_neg), 6) AS auc,
+             |  n_pos, n_neg
+             |FROM u""".stripMargin)),
+
+    // Population Stability Index between two corpus segments'
+    // length-bucket distributions, micro-quantized — the drift
+    // monitor between snapshots/sources/slices. Laplace-smoothed
+    // over the observed bucket set so empty cells are defined
+    // identically in both engines; per-bucket terms quantize to
+    // integers before the sum (d28 discipline).
+    "q41_psi_drift" -> Q(
+      (s, dir) => graft.pipeline.Eval.psiMicro(
+        table(s, dir, "documents"),
+        least(expr("n_chars div 100"), lit(9L)), col("lang"),
+        "en", "zh"),
+      Some("""WITH pts AS (SELECT least(n_chars // 100, 9) AS bucket,
+             |    lang
+             |  FROM documents WHERE lang IN ('en', 'zh')),
+             |h AS (SELECT bucket,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM pts GROUP BY bucket),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS b
+             |  FROM h),
+             |terms AS (SELECT CAST(ROUND(1e6
+             |      * ((CAST(ca + 1 AS DOUBLE) / (na + b))
+             |        - (CAST(cb + 1 AS DOUBLE) / (nb + b)))
+             |      * ln((CAST(ca + 1 AS DOUBLE) / (na + b))
+             |        / (CAST(cb + 1 AS DOUBLE) / (nb + b))))
+             |    AS BIGINT) AS term, na, nb, b
+             |  FROM h, t)
+             |SELECT CAST(sum(term) AS BIGINT) AS psi_micro,
+             |  na AS n_a, nb AS n_b, b AS n_buckets
+             |FROM terms GROUP BY na, nb, b""".stripMargin)),
+
     // The asymmetric containment GATE, two-sided: synthetic 12-token
     // fragments (the d35 fixture shape) arrive against the documents
     // corpus, probe with their own df-ordered shingle prefix against

@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.Eval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EvalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("rocAuc: golden cases — perfect, inverted, random, tied") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Double, Int)]): (Double, Long, Long) = {
+      val r = Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y"))
+        .head()
+      (r.getDouble(0), r.getLong(1), r.getLong(2))
+    }
+    // perfect separation
+    assert(auc(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1))) ===
+      ((1.0, 2L, 2L)))
+    // perfectly inverted
+    assert(auc(Seq((0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1)))._1 === 0.0)
+    // all scores tied: midrank AUC is exactly 0.5
+    assert(auc(Seq((0.5, 0), (0.5, 1), (0.5, 0), (0.5, 1)))._1 === 0.5)
+    // one inversion among 2x2 (pos 0.15 < neg 0.2): U = 3 of 4 -> 0.75
+    assert(auc(Seq((0.1, 0), (0.15, 1), (0.2, 0), (0.4, 1)))._1 === 0.75)
+  }
+
+  test("rocAuc matches a brute-force pairwise count on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // discrete scores force tie handling; labels correlate weakly
+    val rows = (0 until 400).map { _ =>
+      val sc = rnd.nextInt(20).toDouble / 10.0
+      val y = if (rnd.nextDouble() < 0.3 + sc / 4) 1 else 0
+      (sc, y)
+    }
+    val got = Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = BigDecimal(wins / (pos.size.toDouble * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(0) === want)
+    assert(got.getLong(1) === pos.size.toLong)
+    assert(got.getLong(2) === neg.size.toLong)
+  }
+
+  test("psiMicro: identical distributions score 0; drift scores positive") {
+    val s = spark
+    import s.implicits._
+    val same = (0 until 100).map(i => (i % 5, if (i % 2 == 0) "a" else "b"))
+      .toDF("bucket", "seg")
+    val r0 = Eval.psiMicro(same, col("bucket"), col("seg"), "a", "b")
+      .head()
+    assert(r0.getLong(0) === 0L)
+    assert(r0.getLong(1) === 50L && r0.getLong(2) === 50L &&
+      r0.getLong(3) === 5L)
+    // drifted: segment b concentrates in bucket 0
+    val drift = ((0 until 50).map(i => (i % 5, "a")) ++
+      (0 until 50).map(_ => (0, "b"))).toDF("bucket", "seg")
+    val r1 = Eval.psiMicro(drift, col("bucket"), col("seg"), "a", "b")
+      .head()
+    assert(r1.getLong(0) > 1000000L, s"expected strong drift: $r1")
+  }
+
+  test("psiMicro matches a brute-force smoothed reference") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 300).map { _ =>
+      val seg = if (rnd.nextBoolean()) "x" else "y"
+      val b = if (seg == "x") rnd.nextInt(6) else rnd.nextInt(8)
+      (b, seg)
+    } :+ ((9, "z")) // foreign segment must be ignored
+    val got = Eval.psiMicro(rows.toDF("bucket", "seg"), col("bucket"),
+      col("seg"), "x", "y").head()
+    val xs = rows.filter(_._2 == "x").map(_._1)
+    val ys = rows.filter(_._2 == "y").map(_._1)
+    val buckets = (xs ++ ys).distinct.sorted
+    val bCnt = buckets.size
+    val want = buckets.map { b =>
+      val p = (xs.count(_ == b) + 1).toDouble / (xs.size + bCnt)
+      val q = (ys.count(_ == b) + 1).toDouble / (ys.size + bCnt)
+      BigDecimal(1e6 * (p - q) * math.log(p / q))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+    assert(got.getLong(0) === want)
+    assert(got.getLong(3) === bCnt.toLong)
+  }
+}
