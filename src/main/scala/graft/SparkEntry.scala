@@ -2337,6 +2337,76 @@ object SparkEntry {
               |WHERE c_ab >= 0.8 OR c_ba >= 0.8
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // Snapshot reconciliation between two corpus versions: the new
+    // snapshot is a deterministic mutation of documents (every 13th
+    // doc dropped, every 17th doc's text amended, every 19th doc
+    // duplicated under a shifted id) and the diff classifies each id
+    // added/removed/changed. Both sides project to (id, sha256)
+    // before the full-outer join, so only 40-byte rows shuffle; the
+    // oracle compares raw text equality — same result.
+    "d38_corpus_diff" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val next = docs
+          .filter(pmod(col("doc_id"), lit(13L)) =!= 0)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(17L)) === 0,
+              concat(col("text"), lit(" amended")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs
+            .filter(pmod(col("doc_id"), lit(19L)) === 0)
+            .select((col("doc_id") + 2000000L).as("doc_id"),
+              col("text")))
+        Curation.corpusDiff(docs, next, "doc_id", "text")
+          .filter(col("status") =!= "unchanged")
+          .orderBy("doc_id").limit(2000)
+      },
+      Some("""WITH next AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 17 = 0 THEN text || ' amended'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000 AS doc_id, text
+             |  FROM documents WHERE doc_id % 19 = 0),
+             |d AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN n.doc_id IS NULL THEN 'removed'
+             |         WHEN o.text <> n.text THEN 'changed'
+             |         ELSE 'unchanged' END AS status
+             |  FROM documents o FULL OUTER JOIN next n
+             |    ON o.doc_id = n.doc_id)
+             |SELECT doc_id, status FROM d
+             |WHERE status <> 'unchanged'
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // Weighted stratified sampling: the d30 A-ES priority taken
+    // per-language — each stratum keeps its own length-weighted
+    // top-20, so low-volume languages are not crowded out by the
+    // corpus-dominant one. One stratum-keyed shuffle.
+    "d39_weighted_stratified" -> Q(
+      (s, dir) => Curation.weightedStratifiedSample(
+          table(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          col("lang"), col("doc_id"), col("n_chars"), n = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("priority_nano"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank"),
+      Some(s"""WITH p AS (SELECT doc_id, lang, n_chars,
+              |    CAST(ROUND(pow(
+              |      (CAST((${duckHash60("CAST(doc_id AS VARCHAR)")})
+              |         % 1000000 AS DOUBLE) + 0.5) / 1000000.0,
+              |      1.0 / n_chars) * 1e9) AS BIGINT) AS priority_nano
+              |  FROM documents WHERE n_chars > 0),
+              |r AS (SELECT doc_id, lang, n_chars, priority_nano,
+              |    CAST(row_number() OVER (PARTITION BY lang
+              |      ORDER BY priority_nano DESC, doc_id)
+              |      AS BIGINT) AS sample_rank
+              |  FROM p)
+              |SELECT doc_id, lang, n_chars, priority_nano, sample_rank
+              |FROM r WHERE sample_rank <= 20
+              |ORDER BY lang, sample_rank""".stripMargin)),
+
     // Exact tie-aware ROC-AUC (Mann-Whitney U, midranks) of a score
     // against a binary label — the "does this quality signal actually
     // separate the classes" evaluation a curation stage runs before

@@ -341,6 +341,50 @@ object Curation {
       .orderBy("replicate")
   }
 
+  /** Snapshot reconciliation: per-doc status between two corpus
+    * versions — added / removed / changed / unchanged — the diff a
+    * pipeline audits before retraining on a refreshed crawl. Both
+    * sides project to (id, content sha-256) FIRST, so the full-outer
+    * join shuffles 40-byte rows instead of document bodies; the join
+    * keys co-partition on the id. (A SQL oracle can compare raw text
+    * equality instead — same result modulo sha-256 collisions.) */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def keyed(df: DataFrame, h: String) = df.select(
+      col(idCol).as("doc_id"),
+      sha2(col(textCol).cast("binary"), 256).as(h))
+    keyed(oldDocs, "_ho")
+      .join(keyed(newDocs, "_hn"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") =!= col("_hn"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Weighted stratified sampling: the [[weightedReservoir]] A-ES draw
+    * (priority_nano = round(u^(1/w)·1e9), portable-hash u) taken
+    * per-STRATUM — the n highest priorities within each stratum, ties
+    * by id — so every stratum keeps its own weight-proportional
+    * sample. One shuffle keyed on the stratum; at 100 TB pre-thin
+    * each stratum exactly as [[stratifiedSample]] documents. Weights
+    * <= 0 are excluded. */
+  def weightedStratifiedSample(docs: DataFrame, stratum: Column,
+                               id: Column, weight: Column,
+                               n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val u = (pmod(Dedup.md5Long60(id.cast("string")), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val w = Window.partitionBy(stratum)
+      .orderBy(col("priority_nano").desc, id)
+    docs.filter(weight > 0)
+      .withColumn("priority_nano",
+        round(pow(u, lit(1.0) / weight.cast("double")) * 1e9)
+          .cast("long"))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= n)
+  }
+
   /** Deterministic global training order: the portable hash is the sort
     * key, so the "shuffled" order is reproducible run-to-run and
     * engine-to-engine. For a full-corpus write, range-partition on the

@@ -308,6 +308,45 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged exactly") {
+    val s = spark
+    import s.implicits._
+    val old_ = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val next = Seq((1L, "a"), (2L, "B"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old_, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("weighted stratified sample: per-stratum A-ES replay") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"s${i % 3}", if (i % 50 == 0) 0L else (i % 7 + 1).toLong)
+    }
+    val df = rows.toDF("doc_id", "stratum", "w")
+    val got = Curation.weightedStratifiedSample(df, col("stratum"),
+        col("doc_id"), col("w"), n = 10)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(4)))
+    // exact replay per stratum
+    val byStratum = rows.filter(_._3 > 0).groupBy(_._2)
+    val want = byStratum.flatMap { case (st, rs) =>
+      rs.map { case (id, _, w) =>
+        val u = (md5Long60(id.toString) % 1000000L + 0.5) / 1000000.0
+        (st, id, math.round(math.pow(u, 1.0 / w) * 1e9))
+      }.sortBy { case (_, id, p) => (-p, id) }.take(10).zipWithIndex
+        .map { case ((st2, id, _), k) => (st2, id, k + 1) }
+    }.toSet
+    assert(got.toSet === want)
+    // every stratum filled to n; zero-weight rows never sampled
+    assert(got.groupBy(_._1).forall(_._2.length == 10))
+    assert(!got.exists { case (_, id, _) => id % 50 == 0 })
+  }
+
   test("weighted reservoir: large weights keep distinct priorities") {
     val s = spark
     import s.implicits._

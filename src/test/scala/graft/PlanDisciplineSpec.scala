@@ -290,6 +290,12 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("Join") &&
       !p.contains("WindowExec"),
       s"entropy must stay a per-row projection:\n$p")
+    // the native kernel keeps the projection INSIDE whole-stage
+    // codegen — the declarative HOF fold breaks the codegen stage
+    // (bare Project), which is exactly why the native form ships
+    assert(p.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("*(")),
+      s"entropy projection fell out of whole-stage codegen:\n$p")
   }
 
   test("d37 containment gate broadcasts the probe; corpus never shuffles as a build side") {
