@@ -2305,7 +2305,7 @@ object SparkEntry {
               |        FROM aug) t),
               |cdf AS (SELECT sh, count(*) AS df FROM csh GROUP BY sh),
               |cnsh AS (SELECT id, count(*) AS nsh FROM csh GROUP BY id),
-              |cpre AS (SELECT id, sh FROM (
+              |cpre AS (SELECT id, sh, nsh AS pnsh FROM (
               |    SELECT csh.id, csh.sh,
               |      row_number() OVER (PARTITION BY csh.id
               |        ORDER BY cdf.df, csh.sh) AS rk,
@@ -2315,7 +2315,9 @@ object SparkEntry {
               |  WHERE rk <= (200000 * nsh) // 1000000 + 3),
               |ccand AS (SELECT DISTINCT
               |    least(p.id, x.id) AS id_a, greatest(p.id, x.id) AS id_b
-              |  FROM cpre p JOIN csh x ON x.sh = p.sh AND x.id <> p.id),
+              |  FROM cpre p JOIN csh x ON x.sh = p.sh AND x.id <> p.id
+              |  JOIN cnsh xn ON xn.id = x.id
+              |    AND xn.nsh * 1000000 >= 800000 * p.pnsh - 1000000),
               |wtok AS (SELECT doc_id AS id,
               |    unnest(list_distinct(str_split(text, ' '))) AS t
               |  FROM aug),
@@ -2515,7 +2517,7 @@ object SparkEntry {
               |        FROM documents) t),
               |gdf AS (SELECT sh, count(*) AS df FROM gsh GROUP BY sh),
               |fnsh AS (SELECT id, count(*) AS nsh FROM fsh GROUP BY id),
-              |fpre AS (SELECT id, sh FROM (
+              |fpre AS (SELECT id, sh, nsh AS pnsh FROM (
               |    SELECT fsh.id, fsh.sh,
               |      row_number() OVER (PARTITION BY fsh.id
               |        ORDER BY COALESCE(gdf.df, 0), fsh.sh) AS rk,
@@ -2523,8 +2525,11 @@ object SparkEntry {
               |    FROM fsh LEFT JOIN gdf USING (sh)
               |    JOIN fnsh ON fnsh.id = fsh.id) r
               |  WHERE rk <= (100000 * nsh) // 1000000 + 3),
+              |gnsh AS (SELECT id, count(*) AS nsh FROM gsh GROUP BY id),
               |gcand AS (SELECT DISTINCT p.id AS id_a, x.id AS id_b
-              |  FROM fpre p JOIN gsh x ON x.sh = p.sh),
+              |  FROM fpre p JOIN gsh x ON x.sh = p.sh
+              |  JOIN gnsh xn ON xn.id = x.id
+              |    AND xn.nsh * 1000000 >= 900000 * p.pnsh - 1000000),
               |ftok AS (SELECT doc_id AS id,
               |    unnest(list_distinct(str_split(text, ' '))) AS t
               |  FROM frag),

@@ -382,7 +382,11 @@ object Dedup {
     * 0.19999…6 under IEEE, flipping the floor whenever nsh ≡ 0 mod
     * 5), plus 3: one unit for the micro-quantization deficit, one for
     * pairs the verifier keeps only via its 6-digit ROUNDING of c, one
-    * for the pigeonhole's own +1. A contiguous quote has shingle
+    * for the pigeonhole's own +1. Candidates additionally pass the
+    * AllPairs SIZE filter — probe direction A-in-B is impossible when
+    * nsh(B)·1e6 < t_micro·nsh(A) − 1e6, and the reverse direction is
+    * covered by B's own probe, so the guarantee below survives the
+    * pruning for EITHER direction. A contiguous quote has shingle
     * containment 1.0
     * — every shingle of the fragment appears in the container — so
     * quotes are always candidates, at any length ratio. Scattered
@@ -415,17 +419,29 @@ object Dedup {
       explode(shingles(col(textCol), shingleSize)).as("sh"))
     val df_ = shRows.groupBy("sh").agg(count(lit(1)).as("_df"))
     val sizes = shRows.groupBy("id").agg(count(lit(1)).as("_nsh"))
-    val slackMicro = 1000000L - math.round(threshold * 1e6)
+    val tMicro = math.round(threshold * 1e6)
+    val slackMicro = 1000000L - tMicro
     val prefix = shRows.join(df_, "sh")
       .withColumn("_rk", row_number().over(
         Window.partitionBy("id").orderBy(col("_df"), col("sh"))))
       .join(sizes, "id")
       .filter(col("_rk") <=
         expr(s"($slackMicro * _nsh) div 1000000") + lit(3L))
-      .select(col("id").as("_pid"), col("sh"))
+      .select(col("id").as("_pid"), col("sh"),
+        col("_nsh").as("_pnsh"))
+    // AllPairs size filter: the probe direction needs |Sh(A)∩Sh(B)| ≥
+    // t·nsh(A), and the intersection is capped by nsh(B) — so a
+    // candidate with nsh(B)·1e6 < t_micro·nsh(A) − 1e6 (one shingle
+    // of quantization slack) cannot satisfy A-contained-in-B, and the
+    // B-contained direction is covered by B's OWN probe. Prunes the
+    // candidate fan-out wherever doc sizes spread.
     prefix
-      .join(shRows.select(col("id").as("_xid"), col("sh")), "sh")
-      .filter(col("_pid") =!= col("_xid"))
+      .join(shRows.join(sizes, "id")
+          .select(col("id").as("_xid"), col("sh"),
+            col("_nsh").as("_xnsh")), "sh")
+      .filter(col("_pid") =!= col("_xid") &&
+        col("_xnsh") * lit(1000000L) >=
+          lit(tMicro) * col("_pnsh") - lit(1000000L))
       .select(least(col("_pid"), col("_xid")).as("id_a"),
         greatest(col("_pid"), col("_xid")).as("id_b"))
       .distinct()
@@ -478,14 +494,17 @@ object Dedup {
       idCol, textCol, threshold, shingleSize)
 
   /** The corpus-side state of the containment gate: shingle inverted
-    * index, shingle df table (the prefix-filter global order), token
-    * rows and token sizes (verification). Built once per corpus;
-    * `pinned` localCheckpoints every frame so a streaming caller pays
-    * the corpus scans once, not per micro-batch. */
+    * index, shingle df table (the prefix-filter global order), per-id
+    * shingle counts (the AllPairs size filter), token rows and token
+    * sizes (verification). Built once per corpus; `pinned`
+    * localCheckpoints every frame so a streaming caller pays the
+    * corpus scans once, not per micro-batch. */
   final case class ContainmentIndex(sh: DataFrame, df: DataFrame,
+                                    shSizes: DataFrame,
                                     toks: DataFrame, sizes: DataFrame) {
     def pinned: ContainmentIndex = ContainmentIndex(
       sh.localCheckpoint(), df.localCheckpoint(),
+      shSizes.localCheckpoint(),
       toks.localCheckpoint(), sizes.localCheckpoint())
   }
   object ContainmentIndex {
@@ -495,6 +514,7 @@ object Dedup {
         explode(shingles(col(textCol), shingleSize)).as("sh"))
       ContainmentIndex(sh,
         sh.groupBy("sh").agg(count(lit(1)).as("_df")),
+        sh.groupBy("id").agg(count(lit(1)).as("_nsh")),
         distinctTokens(corpus, idCol, textCol),
         distinctTokenSizes(corpus, idCol, textCol))
     }
@@ -512,7 +532,8 @@ object Dedup {
     val newSh = newDocs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleSize)).as("sh"))
     val sizes = newSh.groupBy("id").agg(count(lit(1)).as("_nsh"))
-    val slackMicro = 1000000L - math.round(threshold * 1e6)
+    val tMicro = math.round(threshold * 1e6)
+    val slackMicro = 1000000L - tMicro
     // shingles unseen in the corpus rank rarest (df 0) — any total
     // order preserves the pigeonhole guarantee; corpus-df keeps the
     // probe leading with its most selective shingles
@@ -523,11 +544,20 @@ object Dedup {
       .join(sizes, "id")
       .filter(col("_rk") <=
         expr(s"($slackMicro * _nsh) div 1000000") + lit(3L))
-      .select(col("id").as("id_a"), col("sh"))
+      .select(col("id").as("id_a"), col("sh"),
+        col("_nsh").as("_pnsh"))
     // the batch side broadcasts (small by construction); the corpus
-    // index streams past it, so corpus size never enters a shuffle
+    // index streams past it, so corpus size never enters a shuffle.
+    // AllPairs size filter on the guaranteed (arriving-contained)
+    // direction: a corpus doc with nsh·1e6 < t_micro·nsh(probe) − 1e6
+    // cannot contain the probe at shingle level (the reverse direction
+    // — corpus-doc-inside-the-arrival — is not this gate's contract).
     val cand = broadcast(prefix)
-      .join(index.sh.select(col("id").as("id_b"), col("sh")), "sh")
+      .join(index.sh.join(index.shSizes, "id")
+          .select(col("id").as("id_b"), col("sh"),
+            col("_nsh").as("_xnsh")), "sh")
+      .filter(col("_xnsh") * lit(1000000L) >=
+        lit(tMicro) * col("_pnsh") - lit(1000000L))
       .select("id_a", "id_b").distinct()
     finalizeContainment(
       candidateIntersectionsTok(cand, "id_a", "id_b",
