@@ -63,11 +63,16 @@ object Eval {
     * constant folding cannot re-plan a nested-loop join), one final
     * sum. The corpus is scanned once. */
   def psiMicro(df: DataFrame, bucket: Column, segment: Column,
-               segA: String, segB: String): DataFrame = {
-    val h = df.filter(segment.isin(segA, segB))
+               segA: String, segB: String): DataFrame =
+    psiFromCounts(df.filter(segment.isin(segA, segB))
       .groupBy(bucket.as("bucket"))
       .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
-        sum(when(segment === segB, 1L).otherwise(0L)).as("cb"))
+        sum(when(segment === segB, 1L).otherwise(0L)).as("cb")))
+
+  /** The PSI arithmetic over a prebuilt (bucket, ca, cb) histogram
+    * frame — shared by the two-segment batch form and the streaming
+    * drift monitor so the smoothing/quantization cannot drift. */
+  private def psiFromCounts(h: DataFrame): DataFrame = {
     val totals = h.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("nbuckets"))
       .withColumn("_one", pmod(col("nbuckets"), lit(1L)).cast("int"))
@@ -86,5 +91,33 @@ object Eval {
       .agg(sum(col("term")).as("psi_micro"))
       .select(col("psi_micro"), col("na").as("n_a"), col("nb").as("n_b"),
         col("nbuckets").as("n_buckets"))
+  }
+
+  /** Streaming drift monitor: every micro-batch's `bucket`
+    * distribution is PSI-scored against a REFERENCE corpus's
+    * histogram (built and pinned once — the reference is never
+    * re-scanned), and one (batch_id, psi_micro, n_a, n_b, n_buckets)
+    * row goes to `sink` per batch. The alerting-side companion of
+    * [[psiMicro]]: same smoothing, same quantization, via the shared
+    * arithmetic. Buckets observed in EITHER side enter the smoothed
+    * domain, exactly as the batch form. */
+  def psiDriftStream(docs: DataFrame, reference: DataFrame,
+                     bucket: Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refH = reference.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("cb")).localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bh = batch.groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("ca"))
+        val h = bh.join(refH, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+        sink(psiFromCounts(h)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
   }
 }

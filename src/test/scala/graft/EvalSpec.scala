@@ -66,6 +66,37 @@ class EvalSpec extends AnyFunSuite {
     assert(r1.getLong(0) > 1000000L, s"expected strong drift: $r1")
   }
 
+  test("psiDriftStream scores each micro-batch against the pinned reference") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    // reference: uniform over buckets 0..4
+    val reference = (0 until 100).map(i => i % 5).toDF("bucket")
+    val mem = MemoryStream[Int]
+    val scores = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Eval.psiDriftStream(mem.toDF().toDF("bucket"), reference,
+        col("bucket")) { psi =>
+      scores ++= psi.collect().map(r =>
+        (r.getLong(4), r.getLong(0), r.getLong(3)))
+    }
+    try {
+      // batch 0: same uniform shape -> near-zero PSI
+      mem.addData((0 until 50).map(_ % 5): _*)
+      q.processAllAvailable()
+      // batch 1: everything in one bucket -> strong drift
+      mem.addData(Seq.fill(50)(0): _*)
+      q.processAllAvailable()
+      assert(scores.length === 2)
+      val byBatch = scores.map(x => x._1 -> (x._2, x._3)).toMap
+      assert(math.abs(byBatch(0L)._1) < 20000L,
+        s"uniform batch should score ~0: ${byBatch(0L)}")
+      assert(byBatch(1L)._1 > 1000000L,
+        s"concentrated batch should drift hard: ${byBatch(1L)}")
+      assert(byBatch(0L)._2 === 5L && byBatch(1L)._2 === 5L)
+    } finally q.stop()
+  }
+
   test("psiMicro matches a brute-force smoothed reference") {
     val s = spark
     import s.implicits._
