@@ -2339,6 +2339,42 @@ object SparkEntry {
               |WHERE c_ab >= 0.8 OR c_ba >= 0.8
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // The dedup REPORT: cluster-size histogram of the transitive
+    // near-dup clusters — (cluster_size, n_clusters, n_docs), the
+    // one-screen summary a dedup stage emits (how much of the corpus
+    // sits in 2-clusters vs giant components drives the survivor
+    // policy). Two bounded aggregations over d23's component
+    // assignment; the histogram frame is cluster-size-cardinality
+    // sized, nothing corpus-sized past the CC contraction.
+    "d40_cluster_histogram" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.lshVerifiedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |hedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |hreach(s, d) AS (
+              |  SELECT a, b FROM hedges
+              |  UNION
+              |  SELECT r.s, e.b FROM hreach r JOIN hedges e ON e.a = r.d),
+              |hcomp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+              |  FROM hreach GROUP BY s),
+              |hsz AS (SELECT component,
+              |    CAST(count(*) AS BIGINT) AS cluster_size
+              |  FROM hcomp GROUP BY component)
+              |SELECT cluster_size,
+              |  CAST(count(*) AS BIGINT) AS n_clusters,
+              |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+              |FROM hsz GROUP BY cluster_size
+              |ORDER BY cluster_size""".stripMargin)),
+
     // Snapshot reconciliation between two corpus versions: the new
     // snapshot is a deterministic mutation of documents (every 13th
     // doc dropped, every 17th doc's text amended, every 19th doc
