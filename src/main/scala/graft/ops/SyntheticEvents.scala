@@ -49,17 +49,30 @@ object SyntheticEvents {
     * int64 nanosecond timestamps (Spark reads them as long under the
     * legacy nanosAsLong flag) and plain microsecond timestamps (Spark
     * reads TIMESTAMP/TIMESTAMP_NTZ — converted here via unix_micros
-    * under an explicitly-UTC session, so the numeric value equals the
-    * stored micros regardless of the caller session's timezone). */
+    * under a UTC session pin, so the numeric value equals the stored
+    * micros regardless of the caller session's timezone).
+    *
+    * The UTC pin is SCOPED, not a session mutation: Spark resolves a
+    * cast's timezone at analysis time and Dataset construction runs
+    * the analyzer eagerly, so the pin is baked into this one plan and
+    * the caller's `spark.sql.session.timeZone` is restored before
+    * returning — later timestamp/date queries in the same session are
+    * untouched. */
   def readEventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => raw
       case _ =>
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts",
+        val tzKey = "spark.sql.session.timeZone"
+        val prevTz = spark.conf.getOption(tzKey)
+        spark.conf.set(tzKey, "UTC")
+        try raw.withColumn("ts",
           unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+        finally prevTz match {
+          case Some(tz) => spark.conf.set(tzKey, tz)
+          case None     => spark.conf.unset(tzKey)
+        }
     }
   }
 

@@ -25,7 +25,12 @@ object Eval {
     * `round(score·1e6)` micro discipline) so the distinct frame stays
     * bounded; every pipeline score in this repo is already discrete.
     * The U statistic is pure integer arithmetic (2U avoids the tie
-    * half-unit), so the only float is the final division. */
+    * half-unit), so the only float is the final division.
+    *
+    * Degenerate-label contract: with a single-class input (n_pos = 0
+    * or n_neg = 0) ranking quality is undefined — `auc` comes back
+    * NULL (never NaN: NaN orders and JSON-serializes inconsistently
+    * downstream), with n_pos/n_neg still reported for diagnosis. */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val pts = df.select(score.as("s"),
       when(label === 1, 1L).otherwise(0L).as("y"))
@@ -40,8 +45,9 @@ object Eval {
         col("neg") * col("pos")).as("u2"),
         sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
     u2.select(
-      round(col("u2").cast("double") /
-        (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"),
       col("n_pos"), col("n_neg"))
   }
 

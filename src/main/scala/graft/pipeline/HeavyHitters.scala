@@ -29,18 +29,30 @@ import graft.functions.MisraGries
   * and the sketch's partition-order nondeterminism never reaches the
   * output because only the candidate SET (not its weights) is used.
   *
-  * The precondition is VERIFIED AT RUNTIME, inside the plan: if the
-  * returned k-th frequency fails the strict bound tf·(m+1) > N, the
-  * query throws instead of silently returning a non-exact top-k (a
-  * skew shift in production data degrades loudly, never corrupts).
-  * Soundness of the check: any item missing from the candidates has
-  * true frequency ≤ N/(m+1) < kth_tf, so nothing absent could displace
-  * or tie into the returned k — including exact ties, since an equal
-  * count would itself exceed the sketch bound and thus be present.
-  * When fewer than k distinct items come back, the sketch never
-  * evicted (≤ m distinct items total) and the result is exact with no
-  * bound needed. MisraGriesSpec proves the inclusion guarantee
-  * adversarially and the loud failure on uniform data;
+  * The precondition is VERIFIED AT RUNTIME, inside the plan, via two
+  * independently sufficient proofs; if neither holds the query throws
+  * instead of silently returning a non-exact top-k (a skew shift in
+  * production data degrades loudly, never corrupts):
+  *
+  *   - COVERAGE: sum of the recounted candidate frequencies equals N.
+  *     Then no distinct item is absent from the candidate set at all,
+  *     the recount IS the complete histogram, and its top-k (even a
+  *     sub-k result — the stream simply has fewer than k distinct
+  *     items) is exact unconditionally.
+  *   - BOUND (full k rows only): the k-th returned frequency satisfies
+  *     tf·(m+1) > N. Any item missing from the candidates has true
+  *     frequency ≤ N/(m+1) < kth_tf, so nothing absent could displace
+  *     or tie into the returned k — including exact ties, since an
+  *     equal count would itself exceed the sketch bound and thus be
+  *     present.
+  *
+  * A sub-k result WITHOUT coverage is never exact-provable: Misra–
+  * Gries' decrement-all step can evict down to fewer than k surviving
+  * slots while distinct items are missing (stream a,b,c,d with m=2
+  * leaves only {d}), and any missing item — frequency ≥ 1 — would
+  * belong in a top-k that is not full; such a result throws.
+  * MisraGriesSpec proves the inclusion guarantee adversarially, the
+  * loud failure on uniform data, and the sub-k eviction case;
   * d29_heavy_hitters checks the end result hash-exact against the
   * plain SQL top-k.
   */
@@ -48,8 +60,9 @@ object HeavyHitters {
 
   /** Exact top-k of `itemCol` by frequency (ties broken by item
     * ascending). `sketchSize` (= Misra–Gries m) bounds sketch state
-    * and must be ≥ k; exactness requires the k-th item's frequency to
-    * exceed N/(sketchSize+1), and the plan throws if it does not. */
+    * and must be ≥ k; exactness requires the candidates to cover the
+    * whole stream OR the k-th item's frequency to exceed
+    * N/(sketchSize+1), and the plan throws if neither holds. */
   def exactTopK(df: DataFrame, itemCol: Column, k: Int,
                 sketchSize: Int): DataFrame = {
     require(k >= 1 && sketchSize >= k,
@@ -65,25 +78,33 @@ object HeavyHitters {
     // inner join, not semi: map keys are distinct so multiplicity is
     // identical, and it carries _n into the recount rows so the bound
     // check stays inside the plan (no second scan, no driver collect)
-    val top = items
+    val recount = items
       .join(broadcast(candidates), Seq("item"))
       .groupBy("item", "_n").agg(count(lit(1)).as("tf"))
+    // coverage proof computed over the FULL ≤ m-row recount frame,
+    // BEFORE the top-k truncation: sum(tf) == N iff every stream
+    // occurrence hit a candidate, i.e. no distinct item is absent
+    val all = Window.partitionBy(lit(1))
+    val top = recount
+      .withColumn("_covered", sum(col("tf")).over(all))
       .orderBy(col("tf").desc, col("item").asc).limit(k)
-    // the window runs over the ≤ k returned rows only; the guard is
+    // these windows run over the ≤ k returned rows only; the guard is
     // the expression the OUTPUT tf flows through (not a side-channel
     // assert column the optimizer could prune), so a violated bound
     // cannot produce a row
-    val all = Window.partitionBy(lit(1))
     top
       .withColumn("_kth", min(col("tf")).over(all))
       .withColumn("_rows", count(lit(1)).over(all))
       .select(col("item"),
-        when(col("_rows") < k ||
-            col("_kth") * (sketchSize + 1) > col("_n"), col("tf"))
+        when(col("_covered") === col("_n") ||
+            (col("_rows") >= k &&
+             col("_kth") * (sketchSize + 1) > col("_n")), col("tf"))
           .otherwise(raise_error(concat(
-            lit("exactTopK guarantee violated: k-th frequency "),
-            col("_kth"), lit(" <= N/(m+1) with N="), col("_n"),
-            lit(s" m=$sketchSize - raise sketchSize"))))
+            lit("exactTopK guarantee violated: candidates cover "),
+            col("_covered"), lit(" of N="), col("_n"),
+            lit(" occurrences and k-th frequency "),
+            col("_kth"), lit(s" <= N/(m+1) with m=$sketchSize"),
+            lit(" - raise sketchSize"))))
           .as("tf"))
       .orderBy(col("tf").desc, col("item").asc)
   }

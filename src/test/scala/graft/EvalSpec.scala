@@ -26,6 +26,19 @@ class EvalSpec extends AnyFunSuite {
     assert(auc(Seq((0.1, 0), (0.15, 1), (0.2, 0), (0.4, 1)))._1 === 0.75)
   }
 
+  test("rocAuc returns NULL auc (never NaN) on single-class labels") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Double, Int)]) =
+      Eval.rocAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+    val allPos = run(Seq((0.1, 1), (0.4, 1), (0.9, 1)))
+    assert(allPos.isNullAt(0), s"expected null auc: $allPos")
+    assert(allPos.getLong(1) === 3L && allPos.getLong(2) === 0L)
+    val allNeg = run(Seq((0.1, 0), (0.4, 0)))
+    assert(allNeg.isNullAt(0), s"expected null auc: $allNeg")
+    assert(allNeg.getLong(1) === 0L && allNeg.getLong(2) === 2L)
+  }
+
   test("rocAuc matches a brute-force pairwise count on random data") {
     val s = spark
     import s.implicits._

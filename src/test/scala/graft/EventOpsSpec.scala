@@ -7,6 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("readEventsTable restores the caller's session timezone and " +
+      "yields tz-independent ts") {
+    val s = spark
+    val tzKey = "spark.sql.session.timeZone"
+    val dir = "/root/testdata/sf0.001"
+    val before = s.conf.get(tzKey)
+    val baseline = graft.ops.SyntheticEvents.readEventsTable(s, dir)
+      .agg(min(col("ts")), max(col("ts"))).head()
+    try {
+      s.conf.set(tzKey, "America/New_York")
+      val df = graft.ops.SyntheticEvents.readEventsTable(s, dir)
+      // the UTC pin must NOT leak past the call (analysis is eager,
+      // the plan's cast timezone is already baked in)
+      assert(s.conf.get(tzKey) === "America/New_York")
+      // and the normalized epoch-ns values are session-tz-independent
+      val got = df.agg(min(col("ts")), max(col("ts"))).head()
+      assert(got === baseline)
+    } finally s.conf.set(tzKey, before)
+  }
+
   test("T6: keypress subtype classification matches the producer table") {
     val s = spark
     import s.implicits._

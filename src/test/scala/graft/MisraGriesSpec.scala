@@ -108,6 +108,38 @@ class MisraGriesSpec extends AnyFunSuite {
       s"unexpected failure: $ex")
   }
 
+  test("exactTopK throws on a sub-k result that does not cover the stream") {
+    // decrement-all can evict BELOW k surviving slots: stream a,b,c,d
+    // with m=2 leaves a single candidate ({d} or fewer than 2 slots
+    // filled, partition-order dependent), yet the true top-2 is
+    // [(a,1),(b,1)] by the tie order. A sub-k result here is NOT
+    // exact; the coverage proof (sum tf = 1 or 2 < N = 4) must catch
+    // it and throw rather than silently return the surviving slot
+    val df = itemsDf(Seq("a", "b", "c", "d")).coalesce(1)
+    val ex = intercept[Exception] {
+      HeavyHitters.exactTopK(df, col("item"), k = 2, sketchSize = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exactTopK guarantee violated")),
+      s"unexpected failure: $ex")
+  }
+
+  test("exactTopK sub-k via coverage survives evictions elsewhere") {
+    // 2 distinct items but m large enough that after some noise the
+    // candidates still cover every occurrence: coverage == N proves a
+    // sub-k answer even when the bound kth*(m+1) > N would ALSO hold;
+    // here we stress the opposite — a weak kth frequency (1) with
+    // full coverage must pass on the coverage arm alone
+    val df = itemsDf(Seq("a", "a", "b")).repartition(2)
+    val got = HeavyHitters.exactTopK(df, col("item"), k = 5,
+        sketchSize = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("exactTopK stays exact when fewer distinct items than k exist") {
     // 3 distinct items, k=10: the sketch never evicts (distinct <= m)
     // so the sub-k result is exact and the bound check must not fire
