@@ -39,6 +39,9 @@ object Bench {
           s"$warmDir: ${Option(e.getMessage).getOrElse(e.getClass.getName)}")
       }
     }
+    // Drop warm-up leftovers (sf0.001-sized caches must not occupy the
+    // store when the sf0.1 timed runs start).
+    spark.catalog.clearCache()
     // Errors are reported explicitly, never folded into the total as
     // negative time (a broken query must not make the bench look faster).
     // Two timed runs per query, min reported: steady-state cost, less
@@ -53,9 +56,17 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, outcome)
       }
-      // Collect the previous queries' garbage OUTSIDE the timed region
-      // so this query's min-of-2 measures its own cost, not a
-      // stop-the-world pause inherited from the suite.
+      // Clear the previous queries' cached state OUTSIDE the timed
+      // region: several queries persist()/localCheckpoint() internally
+      // (m7's decode lineage, q38's bucket frame, the CleanPipeline
+      // fork points) and those blocks otherwise accumulate across a
+      // 140+-query single-JVM suite as memory pressure that unrelated
+      // later queries pay for (round-7 driver bench drifted +11%
+      // same-set with no plan change). clearCache drops everything the
+      // CacheManager tracks; the System.gc() then enqueues dead
+      // localCheckpoint RDDs for the ContextCleaner so their blocks
+      // free before the next timed region, not during it.
+      spark.catalog.clearCache()
       System.gc()
       val (t1, o1) = once()
       if (o1.isDefined) (name, t1, o1)

@@ -2343,18 +2343,18 @@ object SparkEntry {
     // near-dup clusters — (cluster_size, n_clusters, n_docs), the
     // one-screen summary a dedup stage emits (how much of the corpus
     // sits in 2-clusters vs giant components drives the survivor
-    // policy). Two bounded aggregations over d23's component
-    // assignment; the histogram frame is cluster-size-cardinality
-    // sized, nothing corpus-sized past the CC contraction.
+    // policy). The report itself is Dedup.clusterSizeHistogram over a
+    // PRECOMPUTED (id, component) assignment — two bounded
+    // aggregations, nothing corpus-sized past the CC contraction — so
+    // a composed pipeline that already ran d23 never re-runs
+    // LSH+verify+CC for the report; only this standalone oracle entry
+    // computes the assignment itself.
     "d40_cluster_histogram" -> Q(
       (s, dir) => {
         val pairs = Dedup.lshVerifiedJaccardPairs(
           table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
-        Dedup.connectedComponents(pairs, "id_a", "id_b")
-          .groupBy("component").agg(count(lit(1)).as("cluster_size"))
-          .groupBy("cluster_size").agg(
-            count(lit(1)).as("n_clusters"),
-            sum(col("cluster_size")).as("n_docs"))
+        Dedup.clusterSizeHistogram(
+            Dedup.connectedComponents(pairs, "id_a", "id_b"))
           .orderBy("cluster_size")
       },
       Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},

@@ -908,6 +908,24 @@ object Dedup {
         coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Cluster-size histogram of a computed component assignment —
+    * (cluster_size, n_clusters, n_docs), the one-screen dedup report
+    * (how much of the corpus sits in 2-clusters vs giant components
+    * drives the survivor policy). Takes the (id, component) frame a
+    * pipeline has ALREADY computed ([[connectedComponents]] /
+    * [[mergeComponents]] output) so composed callers never pay a
+    * LSH+verify+CC re-run for a report: it is two bounded groupBys —
+    * component-cardinality in, cluster-size-cardinality out, nothing
+    * corpus-sized past the first partial aggregation. */
+  def clusterSizeHistogram(components: DataFrame,
+                           componentCol: String = "component")
+      : DataFrame =
+    components
+      .groupBy(componentCol).agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+
   /** Token-set Jaccard similarity pairs within blocking keys:
     * explode distinct tokens, equi-join on (token, blocking keys),
     * count intersections, derive |union| from per-doc set sizes.

@@ -387,6 +387,23 @@ class DedupSpec extends AnyFunSuite {
       5L -> 4L))
   }
 
+  test("clusterSizeHistogram reports over a precomputed assignment") {
+    val s = spark
+    import s.implicits._
+    // one 3-cluster, two 2-clusters, two singletons — a corpus-total
+    // assignment as a pipeline would already hold it (no pairs, no
+    // LSH: the report must never need them)
+    val assign = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 6L), (8L, 8L), (9L, 9L)).toDF("id", "component")
+    val got = Dedup.clusterSizeHistogram(assign)
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 2L), (2L, 2L, 4L), (3L, 1L, 3L)))
+    // n_docs totals back to the corpus: the histogram is a partition
+    // of the assignment
+    assert(got.map(_._3).sum === 9L)
+  }
+
   test("streaming gate + merge maintains clusters across micro-batches") {
     val s = spark
     import s.implicits._

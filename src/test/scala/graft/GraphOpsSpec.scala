@@ -173,6 +173,32 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(iso === Map(10L -> 1000000L, 11L -> 1000000L))
   }
 
+  test("pageRankUntilRun batches the convergence probe onto checkpoint rounds") {
+    val p = pairs((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    // checkpointEvery=1 is the per-round-probe form: the reference
+    // for both the fixed point and the probe count
+    val every = GraphOps.pageRankUntilRun(p, "id_a", "id_b",
+      epsMicro = 0L, maxIterations = 60, checkpointEvery = 1)
+    val batched = GraphOps.pageRankUntilRun(p, "id_a", "id_b",
+      epsMicro = 0L, maxIterations = 60, checkpointEvery = 4)
+    // identical fixed point and converged flag (a true fixed point is
+    // idempotent, so the <=3-round overshoot changes no rank)
+    assert(ranks(every.ranks) === ranks(batched.ranks))
+    assert(every.converged && batched.converged)
+    // per-round form probes once per iteration; the batched form one
+    // per checkpoint round — the blocking-driver-job count drops by
+    // ~checkpointEvery
+    assert(every.probes === every.iterations)
+    assert(batched.probes ===
+      (batched.iterations + 3) / 4,
+      s"probes=${batched.probes} iterations=${batched.iterations}")
+    // overshoot is bounded: the batched run stops at the first probe
+    // round at-or-after the per-round stopping point
+    assert(batched.iterations >= every.iterations &&
+      batched.iterations < every.iterations + 4)
+  }
+
   test("hub skew: degree orientation bounds wedge fan-out on a 2k-star + cliques") {
     val s = spark
     import s.implicits._
