@@ -3081,31 +3081,20 @@ object SparkEntry {
     // no broadcast hints (drop sets are corpus fractions, the
     // llm_clean_pipeline argument).
     "llm_curate_full" -> Q(
-      (s, dir) => {
-        val docs = table(s, dir, "documents")
-        val keepNgram = Dedup.dupNgramFilter(docs, "doc_id", "text",
-            n = 13, maxDupFrac = 0.2)
-          .select(col("id").as("doc_id"))
-        val band = TextStats.unigramLogProb(docs, "doc_id", "text")
-          .filter(col("score_micro") > lit(-1500000L))
-          .select(col("id").as("doc_id"))
-        val emb = table(s, dir, "embeddings")
-        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
-          Seq(1L, 2L, 3L, 4L))
-        // anti-join on the DROP set, not semi-join on the kept
-        // embeddings: docs without an embedding row (the corpus is
-        // only partially embedded) must survive this stage untouched
-        val semDrop = Dedup.semanticDupIds(emb, "vec_id", "embedding",
-            hp, minCosine = 0.4)
-          .select(col("drop_id").as("doc_id"))
-        val filtered = docs
-          .join(keepNgram, Seq("doc_id"), "left_semi")
-          .join(band, Seq("doc_id"), "left_semi")
-          .join(semDrop, Seq("doc_id"), "left_anti")
-        Dedup.exactDedup(filtered, "doc_id", "text")
+      (s, dir) =>
+        // the instrumented builder: identical result, plus per-stage
+        // set-size Observation counters (n-gram keep, LM band keep,
+        // semantic drop, survivors) riding the run's own actions, and
+        // a fork-point checkpoint that stops exactDedup's self-join
+        // from executing the whole upstream twice (the round-7
+        // 3.84→6.64 s driver-bench regression was exactly that double
+        // execution growing with the corpus's candidate density)
+        graft.pipeline.CleanPipeline
+          .curateWithCounters(table(s, dir, "documents"),
+            table(s, dir, "embeddings"))
+          .curated
           .select(col("doc_id"), col("lang"), col("n_chars"))
-          .orderBy("doc_id").limit(2000)
-      },
+          .orderBy("doc_id").limit(2000),
       Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
              |  FROM documents),
              |ga AS (SELECT doc_id, list_distinct(list_transform(

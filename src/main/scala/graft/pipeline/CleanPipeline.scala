@@ -11,6 +11,18 @@ final case class CleanRun(cleaned: DataFrame, input: Observation,
                           quality: Observation, exact: Observation,
                           unique: Observation)
 
+/** One instrumented curation run (the llm_curate_full composition):
+  * the curated frame plus the per-stage set sizes that explain ITS
+  * cost — the n-gram keep set, the LM-band keep set, the semantic-dup
+  * DROP set, and the survivor count entering exact dedup. When the
+  * composition's runtime moves between rounds, these counters (riding
+  * the run's own actions) say whether the corpus got denser or the
+  * plan got worse — the difference between a regression and a
+  * data-shape shift. */
+final case class CurateRun(curated: DataFrame, input: Observation,
+                           ngramKeep: Observation, bandKeep: Observation,
+                           semDrop: Observation, survivors: Observation)
+
 /** The production cleaning composition — quality gate → exact dedup →
   * LSH-verified near-dup clusters → anti-join (the llm_clean_cc
   * semantics) — instrumented with per-stage kept/dropped counters via
@@ -62,5 +74,60 @@ object CleanPipeline {
       .select(col("doc_id"), col("lang"), col("source"))
       .observe(un, count(lit(1)).as("rows"))
     CleanRun(cleaned, in, q, ex, un)
+  }
+
+  /** The full-curation composition — corpus-wide signals first (d27's
+    * cross-doc dup-n-gram filter, d28's unigram-LM band, e11's
+    * semantic-dup drop set), exact dedup LAST over the survivors —
+    * instrumented with per-stage set-size counters and checkpointed at
+    * its one fork point.
+    *
+    * The fork point is load-bearing for cost, not just counters:
+    * [[Dedup.exactDedup]] SELF-JOINS its input, so an un-checkpointed
+    * `filtered` would execute the entire upstream — the 13-gram
+    * df-join, the unigram-LM explode+join, the semantic bucket join,
+    * and the three doc_id joins — TWICE per action. Checkpointing the
+    * survivor frame (corpus-fraction rows, three narrow columns)
+    * halves the pipeline and gives every Observation exactly one
+    * firing subtree. The drop/keep-set builders themselves are
+    * single-consumer join sides inside that one materialization, so
+    * their counters need no further isolation. */
+  def curateWithCounters(docs: DataFrame, emb: DataFrame,
+                         hyperplaneIds: Seq[Long] = Seq(1L, 2L, 3L, 4L),
+                         n: Int = 13, maxDupFrac: Double = 0.2,
+                         minScoreMicro: Long = -1500000L,
+                         minCosine: Double = 0.4): CurateRun = {
+    val in = Observation()
+    val ng = Observation()
+    val bd = Observation()
+    val sd = Observation()
+    val sv = Observation()
+    val keepNgram = Dedup.dupNgramFilter(docs, "doc_id", "text",
+        n = n, maxDupFrac = maxDupFrac)
+      .select(col("id").as("doc_id"))
+      .observe(ng, count(lit(1)).as("rows"))
+    val band = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .filter(col("score_micro") > lit(minScoreMicro))
+      .select(col("id").as("doc_id"))
+      .observe(bd, count(lit(1)).as("rows"))
+    val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+      hyperplaneIds)
+    // anti-join on the DROP set, not semi-join on the kept
+    // embeddings: docs without an embedding row (the corpus is only
+    // partially embedded) must survive this stage untouched
+    val semDrop = Dedup.semanticDupIds(emb, "vec_id", "embedding",
+        hp, minCosine = minCosine)
+      .select(col("drop_id").as("doc_id"))
+      .observe(sd, count(lit(1)).as("rows"))
+    // no broadcast hints: every keep/drop set is a corpus fraction,
+    // unbounded at 100 TB — AQE broadcasts when one actually fits
+    val filtered = docs.observe(in, count(lit(1)).as("rows"))
+      .join(keepNgram, Seq("doc_id"), "left_semi")
+      .join(band, Seq("doc_id"), "left_semi")
+      .join(semDrop, Seq("doc_id"), "left_anti")
+      .observe(sv, count(lit(1)).as("rows"))
+      .localCheckpoint()
+    val curated = Dedup.exactDedup(filtered, "doc_id", "text")
+    CurateRun(curated, in, ng, bd, sd, sv)
   }
 }

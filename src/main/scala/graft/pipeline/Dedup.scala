@@ -712,12 +712,22 @@ object Dedup {
     * null-key partition. No broadcast: the gram table is corpus-sized.
     * Long n-grams are near-unique so the gram key is skew-free (the
     * d18 contamination argument); a pathological boilerplate span
-    * makes one hot build row, which AQE skew-split handles. */
+    * makes one hot build row, which AQE skew-split handles.
+    *
+    * The gram stream is keyed by the gram's 64-bit hash, not the gram
+    * string: an n=13 gram is a ~70-byte string and it crosses two
+    * shuffles (the df aggregation, the df join), so hashing right
+    * after the explode cuts the shuffled key bytes ~9× (the
+    * jaccardPairs precedent). Per-doc dup counts are unchanged short
+    * of an xxhash64 collision between two distinct grams of the same
+    * corpus (~n²/2⁶⁴); the SQL oracle keys by the string and agrees
+    * exactly. */
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
     val base = docs.select(col(idCol).as("id"),
       array_distinct(Curation.wordNgrams(col(textCol), n)).as("ga"))
     val g = base.select(col("id"), explode(col("ga")).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gram"))
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
     val dup = g.join(dfreq.filter(col("df") > 1), "gram")
       .groupBy("id").agg(count(lit(1)).as("n_dup"))

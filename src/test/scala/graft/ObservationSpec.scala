@@ -89,4 +89,47 @@ class ObservationSpec extends AnyFunSuite {
         "Observation.get must not trigger jobs")
     } finally s.sparkContext.removeSparkListener(listener)
   }
+
+  test("llm_curate_full pipeline reports per-stage set sizes; result matches the un-instrumented form") {
+    val s = spark
+    val dir = "/root/testdata/sf0.001"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val run = graft.pipeline.CleanPipeline.curateWithCounters(docs, emb)
+    val got = run.curated.select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    // counters were accumulated by the run's own materialization
+    val input = run.input.get("rows").asInstanceOf[Long]
+    val ngram = run.ngramKeep.get("rows").asInstanceOf[Long]
+    val band = run.bandKeep.get("rows").asInstanceOf[Long]
+    val semDrop = run.semDrop.get("rows").asInstanceOf[Long]
+    val survivors = run.survivors.get("rows").asInstanceOf[Long]
+    assert(input === docs.count())
+    // each stage emits a subset of the corpus; the survivor count is
+    // bounded by every keep set and by input − |must-drop ∩ corpus|
+    assert(ngram <= input && band <= input)
+    assert(survivors <= math.min(ngram, band))
+    assert(survivors >= band - (input - ngram) - semDrop)
+    assert(got.length <= survivors)
+    // differential: the instrumented composition computes exactly the
+    // un-instrumented chain of the same operators
+    val keepNgram = Dedup.dupNgramFilter(docs, "doc_id", "text",
+        n = 13, maxDupFrac = 0.2)
+      .select(col("id").as("doc_id"))
+    val bandKeep = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .filter(col("score_micro") > lit(-1500000L))
+      .select(col("id").as("doc_id"))
+    val hp = graft.pipeline.Similarity.vectorsByIds(emb, "vec_id",
+      "embedding", Seq(1L, 2L, 3L, 4L))
+    val semDropIds = Dedup.semanticDupIds(emb, "vec_id", "embedding",
+        hp, minCosine = 0.4)
+      .select(col("drop_id").as("doc_id"))
+    val expected = Dedup.exactDedup(
+        docs.join(keepNgram, Seq("doc_id"), "left_semi")
+          .join(bandKeep, Seq("doc_id"), "left_semi")
+          .join(semDropIds, Seq("doc_id"), "left_anti"),
+        "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got === expected)
+  }
 }
