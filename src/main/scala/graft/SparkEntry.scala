@@ -2593,6 +2593,134 @@ object SparkEntry {
               |WHERE c_ab >= 0.9 OR c_ba >= 0.9
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
+    // Batch REPLAY of the streaming containment gate: the fragment
+    // set splits into two micro-batches (doc_id parity), the corpus
+    // ContainmentIndex is built and PINNED once, and each batch runs
+    // prefixContainmentPairsAgainstIndex — the literal foreachBatch
+    // body of Dedup.containmentGateStream — with the results unioned.
+    // Per-probe prefix ranking depends only on corpus df, so the
+    // union over disjoint batches must equal the one-shot whole-set
+    // run: THAT equivalence (and the sink's exact semantics) is what
+    // the oracle pins, driver-visible rather than spec-only.
+    "d41_containment_gate_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val frags = docs
+          .filter(pmod(col("doc_id"), lit(97L)) === 0 &&
+            size(split(col("text"), " ")) >= 40)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 9, 12))
+              .as("text"))
+        val index = Dedup.ContainmentIndex
+          .build(docs, "doc_id", "text").pinned
+        val batches = Seq(0, 1).map { parity =>
+          Dedup.prefixContainmentPairsAgainstIndex(
+            frags.filter(pmod(col("doc_id"), lit(2L)) === parity),
+            index, "doc_id", "text", threshold = 0.8)
+        }
+        batches.reduce(_ unionByName _)
+          .orderBy("id_a", "id_b").limit(2000)
+      },
+      Some(s"""WITH frag AS (
+              |  SELECT doc_id + 1000000 AS doc_id,
+              |    array_to_string(str_split(text, ' ')[9:20], ' ') AS text
+              |  FROM documents
+              |  WHERE doc_id % 97 = 0
+              |    AND len(str_split(text, ' ')) >= 40),
+              |fsh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM frag) t),
+              |gsh AS (SELECT doc_id AS id, unnest(list_distinct(
+              |    list_transform(
+              |      generate_series(0, greatest(len(toks) - 3, 0)),
+              |      i -> array_to_string(toks[i+1:i+3], ' ')))) AS sh
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM documents) t),
+              |gdf AS (SELECT sh, count(*) AS df FROM gsh GROUP BY sh),
+              |fnsh AS (SELECT id, count(*) AS nsh FROM fsh GROUP BY id),
+              |fpre AS (SELECT id, sh, nsh AS pnsh FROM (
+              |    SELECT fsh.id, fsh.sh,
+              |      row_number() OVER (PARTITION BY fsh.id
+              |        ORDER BY COALESCE(gdf.df, 0), fsh.sh) AS rk,
+              |      fnsh.nsh
+              |    FROM fsh LEFT JOIN gdf USING (sh)
+              |    JOIN fnsh ON fnsh.id = fsh.id) r
+              |  WHERE rk <= (200000 * nsh) // 1000000 + 3),
+              |gnsh AS (SELECT id, count(*) AS nsh FROM gsh GROUP BY id),
+              |gcand AS (SELECT DISTINCT p.id AS id_a, x.id AS id_b
+              |  FROM fpre p JOIN gsh x ON x.sh = p.sh
+              |  JOIN gnsh xn ON xn.id = x.id
+              |    AND xn.nsh * 1000000 >= 800000 * p.pnsh - 1000000),
+              |ftok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM frag),
+              |fsz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM frag),
+              |gtok AS (SELECT doc_id AS id,
+              |    unnest(list_distinct(str_split(text, ' '))) AS t
+              |  FROM documents),
+              |gsz AS (SELECT doc_id AS id,
+              |    len(list_distinct(str_split(text, ' '))) AS n
+              |  FROM documents),
+              |ginter AS (SELECT c.id_a, c.id_b, count(*) AS i
+              |  FROM gcand c
+              |  JOIN ftok ta ON ta.id = c.id_a
+              |  JOIN gtok tb ON tb.id = c.id_b AND tb.t = ta.t
+              |  GROUP BY c.id_a, c.id_b),
+              |gc AS (SELECT id_a, id_b,
+              |    ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS c_ab,
+              |    ROUND(CAST(i AS DOUBLE) / sb.n, 6) AS c_ba
+              |  FROM ginter
+              |  JOIN fsz sa ON sa.id = id_a
+              |  JOIN gsz sb ON sb.id = id_b)
+              |SELECT id_a, id_b, c_ab, c_ba FROM gc
+              |WHERE c_ab >= 0.8 OR c_ba >= 0.8
+              |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
+
+    // Batch REPLAY of the streaming PSI drift monitor: one source's
+    // docs arrive as the micro-batch and are scored against the
+    // pinned histogram of the REST of the corpus — the literal
+    // foreachBatch body of Eval.psiDriftStream (referenceHistogram +
+    // psiAgainstReference, full-outer bucket domain, Laplace
+    // smoothing, micro-quantized terms), driver-oracle-checked
+    // rather than spec-only.
+    "q42_psi_reference" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bucket = least(expr("n_chars div 100"), lit(9L))
+        val refH = graft.pipeline.Eval.referenceHistogram(
+          docs.filter(col("source") =!= "src0"), bucket)
+        graft.pipeline.Eval.psiAgainstReference(
+          docs.filter(col("source") === "src0"), refH, bucket)
+      },
+      Some("""WITH a AS (SELECT least(n_chars // 100, 9) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS ca
+             |  FROM documents WHERE source = 'src0' GROUP BY 1),
+             |b AS (SELECT least(n_chars // 100, 9) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS cb
+             |  FROM documents WHERE source <> 'src0' GROUP BY 1),
+             |h AS (SELECT COALESCE(a.ca, 0) AS ca,
+             |    COALESCE(b.cb, 0) AS cb
+             |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nbuckets
+             |  FROM h),
+             |terms AS (SELECT CAST(ROUND(1e6
+             |      * ((CAST(ca + 1 AS DOUBLE) / (na + nbuckets))
+             |        - (CAST(cb + 1 AS DOUBLE) / (nb + nbuckets)))
+             |      * ln((CAST(ca + 1 AS DOUBLE) / (na + nbuckets))
+             |        / (CAST(cb + 1 AS DOUBLE) / (nb + nbuckets))))
+             |    AS BIGINT) AS term, na, nb, nbuckets
+             |  FROM h, t)
+             |SELECT CAST(sum(term) AS BIGINT) AS psi_micro,
+             |  na AS n_a, nb AS n_b, nbuckets AS n_buckets
+             |FROM terms GROUP BY na, nb, nbuckets""".stripMargin)),
+
     // Shannon entropy of each doc's token distribution in integer
     // micro-nats — the information-theoretic repetition/quality
     // signal (boilerplate loops score far below natural text; unlike

@@ -418,7 +418,17 @@ object Dedup {
     val shRows = docs.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleSize)).as("sh"))
     val df_ = shRows.groupBy("sh").agg(count(lit(1)).as("_df"))
+    // `sizes` has TWO consumers (the prefix rank filter and the
+    // probe-side AllPairs size filter); un-pinned, each re-runs the
+    // full explode+aggregate pass over the corpus — the measured cost
+    // that made the round-7 size filter a net loss on spread-free
+    // fixtures. Pinned it is one row per doc (id, count): tiny
+    // relative to the shingle relation, cheap to materialize, and the
+    // filter's extra join becomes a broadcast against an
+    // already-computed frame. (The shingle relation itself stays
+    // deliberately un-persisted — see the note above.)
     val sizes = shRows.groupBy("id").agg(count(lit(1)).as("_nsh"))
+      .localCheckpoint()
     val tMicro = math.round(threshold * 1e6)
     val slackMicro = 1000000L - tMicro
     val prefix = shRows.join(df_, "sh")

@@ -99,29 +99,48 @@ object Eval {
         col("nbuckets").as("n_buckets"))
   }
 
+  /** The reference side of the drift monitor: the pinned-once
+    * histogram a stream (or a nightly batch job) scores every arrival
+    * against. Exposed so batch and stream share one construction. */
+  def referenceHistogram(reference: DataFrame, bucket: Column): DataFrame =
+    reference.groupBy(bucket.as("bucket")).agg(count(lit(1)).as("cb"))
+
+  /** PSI of one arriving frame against a prebuilt reference histogram
+    * — the EXACT computation [[psiDriftStream]]'s foreachBatch sink
+    * runs per micro-batch, exposed as a batch operator so the gate's
+    * semantics are oracle-checkable outside a streaming harness. The
+    * histogram domain is the FULL OUTER join of the two bucket sets
+    * (buckets seen on either side enter the smoothed PSI, missing
+    * cells count 0), then the shared [[psiFromCounts]] arithmetic. */
+  def psiAgainstReference(batch: DataFrame, refH: DataFrame,
+                          bucket: Column): DataFrame = {
+    val bh = batch.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("ca"))
+    val h = bh.join(refH, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    psiFromCounts(h)
+  }
+
   /** Streaming drift monitor: every micro-batch's `bucket`
     * distribution is PSI-scored against a REFERENCE corpus's
     * histogram (built and pinned once — the reference is never
     * re-scanned), and one (batch_id, psi_micro, n_a, n_b, n_buckets)
     * row goes to `sink` per batch. The alerting-side companion of
     * [[psiMicro]]: same smoothing, same quantization, via the shared
-    * arithmetic. Buckets observed in EITHER side enter the smoothed
-    * domain, exactly as the batch form. */
+    * arithmetic ([[psiAgainstReference]] — the sink body IS the batch
+    * operator, so the two forms cannot drift). Buckets observed in
+    * EITHER side enter the smoothed domain, exactly as the batch
+    * form. */
   def psiDriftStream(docs: DataFrame, reference: DataFrame,
                      bucket: Column)(sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val refH = reference.groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("cb")).localCheckpoint()
+    val refH = referenceHistogram(reference, bucket).localCheckpoint()
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        val bh = batch.groupBy(bucket.as("bucket"))
-          .agg(count(lit(1)).as("ca"))
-        val h = bh.join(refH, Seq("bucket"), "full_outer")
-          .select(col("bucket"),
-            coalesce(col("ca"), lit(0L)).as("ca"),
-            coalesce(col("cb"), lit(0L)).as("cb"))
-        sink(psiFromCounts(h)
+        sink(psiAgainstReference(batch, refH, bucket)
           .withColumn("batch_id", lit(batchId)))
       }
       .start()
