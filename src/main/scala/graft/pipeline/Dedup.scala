@@ -528,6 +528,45 @@ object Dedup {
         distinctTokens(corpus, idCol, textCol),
         distinctTokenSizes(corpus, idCol, textCol))
     }
+
+    /** Persist an index as five bucketed staging tables
+      * (`<prefix>_sh/_df/_shsizes/_toks/_sizes`) so a RECURRING gate
+      * (a daily admission run, a long-lived stream restarting across
+      * sessions) amortizes the corpus scans across runs instead of
+      * re-deriving the index per session — `pinned` only survives one
+      * SparkContext. Bucket keys follow the gate's join keys: `_df`
+      * by shingle; `_sh`/`_shsizes`/`_toks`/`_sizes` by id, so the
+      * gate's one corpus-side id join (`sh ⋈ shSizes`) plans with no
+      * Exchange on either corpus-sized side, and the verification
+      * joins read co-bucketed token/size tables. At 100 TB these ARE
+      * the staging tables the d35 comment promises — corpus-sized on
+      * disk, written once per corpus version. */
+    def save(index: ContainmentIndex, tablePrefix: String,
+             buckets: Int = 32): Unit = {
+      graft.io.TableLayout.writeBucketed(index.sh,
+        s"${tablePrefix}_sh", "id", buckets)
+      graft.io.TableLayout.writeBucketed(index.df,
+        s"${tablePrefix}_df", "sh", buckets)
+      graft.io.TableLayout.writeBucketed(index.shSizes,
+        s"${tablePrefix}_shsizes", "id", buckets)
+      graft.io.TableLayout.writeBucketed(index.toks,
+        s"${tablePrefix}_toks", "id", buckets)
+      graft.io.TableLayout.writeBucketed(index.sizes,
+        s"${tablePrefix}_sizes", "id", buckets)
+    }
+
+    /** Reload a [[save]]d index. The frames come back with the
+      * bucketed layout, so downstream id joins stay exchange-free —
+      * no `pinned` call needed (the tables are already materialized;
+      * a localCheckpoint on top would only copy them into block
+      * storage). */
+    def load(spark: org.apache.spark.sql.SparkSession,
+             tablePrefix: String): ContainmentIndex = ContainmentIndex(
+      graft.io.TableLayout.readTable(spark, s"${tablePrefix}_sh"),
+      graft.io.TableLayout.readTable(spark, s"${tablePrefix}_df"),
+      graft.io.TableLayout.readTable(spark, s"${tablePrefix}_shsizes"),
+      graft.io.TableLayout.readTable(spark, s"${tablePrefix}_toks"),
+      graft.io.TableLayout.readTable(spark, s"${tablePrefix}_sizes"))
   }
 
   /** [[prefixContainmentPairsAgainst]] against a prebuilt (optionally

@@ -404,6 +404,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 9L)
   }
 
+  test("ContainmentIndex save/load roundtrip: same gate results, exchange-free id join") {
+    val s = spark
+    import s.implicits._
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "one two three four five six seven eight nine ten")))
+    val probes = docsDf(Seq(
+      (100L, "gamma delta epsilon zeta eta"),   // fragment of doc 1
+      (101L, "unrelated words entirely here now")))
+    val fresh = Dedup.ContainmentIndex.build(corpus, "doc_id", "text")
+    Dedup.ContainmentIndex.save(fresh, "ci_rt", buckets = 4)
+    try {
+      val loaded = Dedup.ContainmentIndex.load(s, "ci_rt")
+      def gate(ix: Dedup.ContainmentIndex) =
+        Dedup.prefixContainmentPairsAgainstIndex(probes, ix,
+            "doc_id", "text", threshold = 0.8)
+          .orderBy("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val a = gate(fresh)
+      val b = gate(loaded)
+      assert(a === b)
+      assert(a === Seq((100L, 1L)))
+      // the staging layout pays off at read time: the corpus-side
+      // sh ⋈ shSizes id join plans with no Exchange on either
+      // corpus-sized side (both tables bucketed by id)
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = loaded.sh.join(loaded.shSizes, "id")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed index join should not shuffle:\n$plan")
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally Seq("_sh", "_df", "_shsizes", "_toks", "_sizes")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ci_rt$t"))
+  }
+
   test("streaming gate + merge maintains clusters across micro-batches") {
     val s = spark
     import s.implicits._
