@@ -2721,6 +2721,149 @@ object SparkEntry {
              |  na AS n_a, nb AS n_b, nbuckets AS n_buckets
              |FROM terms GROUP BY na, nb, nbuckets""".stripMargin)),
 
+    // Canonical survivor per near-dup cluster by QUALITY (longest
+    // doc, ties by smallest id) instead of min-id — the production
+    // survivor policy for large heterogeneous clusters. The argmax is
+    // a map-side-combining min(struct(-score,id)) aggregation, never
+    // a per-component window (a boilerplate cluster can hold 10⁸
+    // members; one window partition would absorb them all).
+    "d42_canonical_by_quality" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id",
+          "text", threshold = 0.3)
+        Dedup.canonicalByScore(
+            Dedup.connectedComponents(pairs, "id_a", "id_b"),
+            docs.select(col("doc_id").as("id"),
+              col("n_chars").cast("long").as("score")))
+          .orderBy("component").limit(2000)
+      },
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |cedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |creach(s, d) AS (
+              |  SELECT a, b FROM cedges
+              |  UNION
+              |  SELECT r.s, e.b FROM creach r JOIN cedges e ON e.a = r.d),
+              |ccomp AS (SELECT s AS id, least(s, min(d)) AS component
+              |  FROM creach GROUP BY s),
+              |ranked AS (SELECT ccomp.component, ccomp.id,
+              |    row_number() OVER (PARTITION BY ccomp.component
+              |      ORDER BY d.n_chars DESC, ccomp.id ASC) AS rk,
+              |    count(*) OVER (PARTITION BY ccomp.component)
+              |      AS cluster_size
+              |  FROM ccomp JOIN documents d ON d.doc_id = ccomp.id)
+              |SELECT component, id AS canonical_id,
+              |  CAST(cluster_size AS BIGINT) AS cluster_size
+              |FROM ranked WHERE rk = 1
+              |ORDER BY component LIMIT 2000""".stripMargin)),
+
+    // LEAKAGE-SAFE splits: the split hash keys on the near-dup
+    // CLUSTER (singletons on their own id), so no cluster ever spans
+    // train and test — per-doc hashing (d16) leaks near-identical
+    // pairs across the split boundary and the eval set scores
+    // memorization. Reported as per-split doc/token totals like d16,
+    // so the two policies' outputs are directly comparable.
+    "d43_leakage_safe_split" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val pairs = Dedup.lshVerifiedJaccardPairs(docs, "doc_id",
+          "text", threshold = 0.3)
+        Curation.assignSplitsByGroup(docs, "doc_id",
+            Dedup.connectedComponents(pairs, "id_a", "id_b"))
+          .groupBy("split").agg(
+            count(lit(1)).as("docs"),
+            sum(TextStats.tokenCount(col("text"))).as("tokens"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |sedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |sreach(s, d) AS (
+              |  SELECT a, b FROM sedges
+              |  UNION
+              |  SELECT r.s, e.b FROM sreach r JOIN sedges e ON e.a = r.d),
+              |scomp AS (SELECT s AS id, least(s, min(d)) AS component
+              |  FROM sreach GROUP BY s),
+              |keyed AS (SELECT d.doc_id,
+              |    len(str_split(d.text, ' ')) AS ntok,
+              |    (${duckHash60(
+                  "CAST(COALESCE(scomp.component, d.doc_id) AS VARCHAR)")})
+              |      % 100 AS b
+              |  FROM documents d LEFT JOIN scomp ON scomp.id = d.doc_id)
+              |SELECT CASE WHEN b < 90 THEN 'train'
+              |            WHEN b < 95 THEN 'val'
+              |            ELSE 'test' END AS split,
+              |  CAST(count(*) AS BIGINT) AS docs,
+              |  CAST(sum(ntok) AS BIGINT) AS tokens
+              |FROM keyed GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Exact tie-aware average precision (step-wise PR-AUC) of the
+    // q40 score/label pair — the imbalance-robust complement to
+    // ROC-AUC (a quality classifier over a mostly-good corpus looks
+    // fine on ROC while its precision collapses; AP sees it). Same
+    // distinct-score-frame shape and integer micro discipline as q40.
+    "q43_pr_auc" -> Q(
+      (s, dir) => graft.pipeline.Eval.prAuc(
+        table(s, dir, "embeddings"),
+        element_at(col("embedding"), 1), pmod(col("label"), lit(2))),
+      Some("""WITH pts AS (SELECT embedding[1] AS s,
+             |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings),
+             |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+             |  FROM pts GROUP BY s),
+             |w AS (SELECT s, pos, neg,
+             |    CAST(sum(pos) OVER (ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_pos,
+             |    CAST(sum(pos + neg) OVER (ORDER BY s DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_n
+             |  FROM g),
+             |t AS (SELECT
+             |    CAST(sum(CASE WHEN pos > 0 THEN
+             |        CAST(ROUND(1e6 * pos * cum_pos / cum_n) AS BIGINT)
+             |      ELSE 0 END) AS BIGINT) AS tsum,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg) AS BIGINT) AS n_neg
+             |  FROM w)
+             |SELECT CASE WHEN n_pos > 0 THEN
+             |    CAST(ROUND(CAST(tsum AS DOUBLE) / n_pos) AS BIGINT)
+             |  END AS ap_micro, n_pos, n_neg
+             |FROM t""".stripMargin)),
+
+    // Expected Calibration Error of the q40 classifier's affine-mapped
+    // prediction p = (s+1)/2 against the label, 10 equal-width bins —
+    // Σ_b |Σ_b round(1e6·p) − 1e6·pos_b| / N stays integer until the
+    // final division, so the drift-free d28 discipline applies to a
+    // metric usually computed in floats.
+    "q44_calibration_error" -> Q(
+      (s, dir) => graft.pipeline.Eval.calibrationErrorMicro(
+        table(s, dir, "embeddings"),
+        (element_at(col("embedding"), 1) + lit(1.0)) / lit(2.0),
+        pmod(col("label"), lit(2))),
+      Some("""WITH pts AS (SELECT
+             |    (CAST(embedding[1] AS DOUBLE) + 1.0) / 2.0 AS p,
+             |    CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS y
+             |  FROM embeddings),
+             |b AS (SELECT least(9, greatest(0,
+             |      CAST(floor(p / 0.1) AS BIGINT))) AS bin,
+             |    CAST(ROUND(p * 1e6) AS BIGINT) AS pm, y
+             |  FROM pts),
+             |g AS (SELECT bin, CAST(sum(pm) AS BIGINT) AS psum,
+             |    CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM b GROUP BY bin),
+             |t AS (SELECT CAST(sum(abs(psum - 1000000 * pos))
+             |      AS BIGINT) AS num,
+             |    CAST(sum(nb) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_bins_used
+             |  FROM g)
+             |SELECT CAST(ROUND(CAST(num AS DOUBLE) / n) AS BIGINT)
+             |    AS ece_micro, n, n_bins_used
+             |FROM t""".stripMargin)),
+
     // Shannon entropy of each doc's token distribution in integer
     // micro-nats — the information-theoretic repetition/quality
     // signal (boilerplate loops score far below natural text; unlike

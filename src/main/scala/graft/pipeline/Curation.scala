@@ -42,6 +42,30 @@ object Curation {
                    valPct: Int = 5): DataFrame =
     docs.withColumn("split", splitName(col("doc_id"), trainPct, valPct))
 
+  /** LEAKAGE-SAFE splits: hash the near-dup CLUSTER, not the doc, so
+    * every member of a cluster lands in the same split — per-doc
+    * hashing (the [[assignSplits]] form) puts two near-identical docs
+    * in train and test with probability 2·p_test per pair, and the
+    * eval set silently scores memorization. `components` is a
+    * computed (id, component) assignment ([[Dedup.connectedComponents]]
+    * output); docs without a row there are singletons and key by
+    * their own id, so the corpus never shuffles through the
+    * clustering — one left join on the id key, then the same
+    * map-only portable-hash split. Cluster membership decides
+    * TOGETHER, so incremental ingestion keeps assignments stable
+    * only while cluster identity does (a batch that merges two
+    * clusters re-keys the smaller one — the unavoidable cost of the
+    * no-leakage invariant). */
+  def assignSplitsByGroup(docs: DataFrame, idCol: String,
+                          components: DataFrame, trainPct: Int = 90,
+                          valPct: Int = 5): DataFrame =
+    docs.join(components.withColumnRenamed("id", idCol),
+        Seq(idCol), "left")
+      .withColumn("split",
+        splitName(coalesce(col("component"), col(idCol)),
+          trainPct, valPct))
+      .drop("component")
+
   /** Deterministic stratified sample: the n docs per stratum with the
     * smallest portable hash (uniform in expectation, reproducible).
     * Window form: one shuffle keyed on the stratum. With few strata at

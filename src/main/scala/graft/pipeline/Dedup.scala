@@ -985,6 +985,30 @@ object Dedup {
         count(lit(1)).as("n_clusters"),
         sum(col("cluster_size")).as("n_docs"))
 
+  /** Canonical survivor per cluster by QUALITY instead of min-id: for
+    * each component of a computed assignment, the member with the
+    * highest `score` (ties by smallest id) — the production survivor
+    * policy when clusters are large and heterogeneous (keep the
+    * longest / highest-quality copy, not the accidentally-smallest
+    * id). `scores` is any (id, score) frame — n_chars, the d3 quality
+    * score, a model score.
+    *
+    * Skew-safe by construction: the argmax is a map-side-combining
+    * `min(struct(-score, id))` aggregation, never a window — the
+    * most-duplicated boilerplate cluster in a web corpus can hold 10⁸
+    * members, and a `row_number over (partition by component)` would
+    * funnel all of them through one task's sort (the exactDedup
+    * argument). Output: (component, canonical_id, cluster_size). */
+  def canonicalByScore(components: DataFrame,
+                       scores: DataFrame): DataFrame =
+    components.join(scores, "id")
+      .groupBy("component")
+      .agg(min(struct((-col("score")).as("ns"), col("id").as("cid")))
+          .as("_m"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component"), col("_m.cid").as("canonical_id"),
+        col("cluster_size"))
+
   /** Token-set Jaccard similarity pairs within blocking keys:
     * explode distinct tokens, equi-join on (token, blocking keys),
     * count intersections, derive |union| from per-doc set sizes.

@@ -51,6 +51,87 @@ object Eval {
       col("n_pos"), col("n_neg"))
   }
 
+  /** Exact tie-aware average precision (area under the
+    * precision-recall curve, step-wise — the no-interpolation form) of
+    * `score` against binary `label`: one row
+    * (ap_micro, n_pos, n_neg).
+    *
+    * Thresholds descend the DISTINCT score values with ties grouped:
+    * a block of pos_k positives at threshold k contributes
+    * (pos_k/n_pos)·(cum_pos_k/cum_n_k) — recall gain times the
+    * precision at that cut. Same shape discipline as [[rocAuc]]: the
+    * corpus collapses to its distinct-score frame first (map-side
+    * combine), the cumulative window rides THAT bounded frame, and
+    * each block's term quantizes to integer micro-units before the
+    * sum, so the result is order-independent and engine-replayable.
+    * PR-AUC is the complement review metric to ROC-AUC under class
+    * imbalance (a quality classifier over a mostly-good corpus):
+    * ROC-AUC stays optimistic when negatives dominate; AP does not.
+    *
+    * Degenerate-label contract (the rocAuc rule): n_pos = 0 →
+    * ap_micro NULL, counts still reported. */
+  def prAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val pts = df.select(score.as("s"),
+      when(label === 1, 1L).otherwise(0L).as("y"))
+    val g = pts.groupBy("s").agg(
+      sum(col("y")).as("pos"),
+      (count(lit(1)) - sum(col("y"))).as("neg"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = g
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .withColumn("cum_n", sum(col("pos") + col("neg")).over(w))
+      .select(
+        when(col("pos") > 0,
+          round(lit(1e6) * col("pos") * col("cum_pos") / col("cum_n"))
+            .cast("long")).otherwise(0L).as("term"),
+        col("pos"), col("neg"))
+      .agg(sum(col("term")).as("tsum"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    terms.select(
+      when(col("n_pos") > 0,
+        round(col("tsum").cast("double") / col("n_pos")).cast("long"))
+        .as("ap_micro"),
+      col("n_pos"), col("n_neg"))
+  }
+
+  /** Expected Calibration Error of a [0,1] `prediction` against
+    * binary `label`, equal-width `bins`, in integer micro-units: one
+    * row (ece_micro, n, n_bins_used). The post-training sanity check
+    * on any quality/filter classifier the pipeline trains: a model
+    * can rank well (high AUC) yet be badly calibrated, and
+    * temperature-scaled sampling (d25) or threshold picking silently
+    * inherits that.
+    *
+    * The usual ECE — Σ_b (n_b/N)·|avg(p)_b − avg(y)_b| — reduces to
+    * Σ_b |Σ_b round(1e6·p) − 1e6·pos_b| / N, so per-row predictions
+    * quantize to micro FIRST and everything stays integer until the
+    * final division (the d28 discipline: order-independent,
+    * hash-exact in any engine). One groupBy on the bin (map-side
+    * combine), a bin-cardinality frame, one final fold; predictions
+    * outside [lo,hi) clamp to the edge bins. */
+  def calibrationErrorMicro(df: DataFrame, prediction: Column,
+                            label: Column, bins: Int = 10,
+                            lo: Double = 0.0, hi: Double = 1.0)
+      : DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    require(hi > lo, "hi must exceed lo")
+    val p = prediction.cast("double")
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((p - lit(lo)) / lit((hi - lo) / bins)).cast("long")))
+    df.select(bin.as("bin"),
+        round(p * lit(1e6)).cast("long").as("pm"),
+        when(label === 1, 1L).otherwise(0L).as("y"))
+      .groupBy("bin").agg(sum(col("pm")).as("psum"),
+        sum(col("y")).as("pos"), count(lit(1)).as("nb"))
+      .agg(sum(abs(col("psum") - lit(1000000L) * col("pos")))
+          .as("num"),
+        sum(col("nb")).as("n"), count(lit(1)).as("n_bins_used"))
+      .select(round(col("num").cast("double") / col("n")).cast("long")
+          .as("ece_micro"),
+        col("n"), col("n_bins_used"))
+  }
+
   /** Population Stability Index between segment `segA`'s and `segB`'s
     * distributions over `bucket`, in integer micro-units: one row
     * (psi_micro, n_a, n_b, n_buckets). The standard drift monitor

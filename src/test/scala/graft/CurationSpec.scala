@@ -35,6 +35,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("group-aware splits: no cluster spans splits; singletons match per-doc splits") {
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    // clusters {0..4} and {10,11}; everything else singleton
+    val comp = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (10L, 10L), (11L, 10L)).toDF("id", "component")
+    val got = Curation.assignSplitsByGroup(docs, "doc_id", comp)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the no-leakage invariant: cluster members share one split
+    assert(Set(0L, 1L, 2L, 3L, 4L).map(got).size === 1)
+    assert(Set(10L, 11L).map(got).size === 1)
+    // a clustered doc keys on its component, so its split equals the
+    // REPRESENTATIVE's per-id split
+    assert(got(3L) ===
+      docs.filter(col("doc_id") === 0)
+        .withColumn("split", Curation.splitName(col("doc_id")))
+        .head().getString(1))
+    // singletons (no component row) key on their own id — identical
+    // to the per-doc policy, so incremental ingestion stays stable
+    val perDoc = Curation.assignSplits(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (12L until 200L).foreach(i => assert(got(i) === perDoc(i)))
+  }
+
   test("stratified sample takes exactly n per stratum, stable under repartition") {
     val s = spark
     import s.implicits._

@@ -404,6 +404,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.map(_._3).sum === 9L)
   }
 
+  test("canonicalByScore picks the highest-score member, ties by smallest id") {
+    val s = spark
+    import s.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "component")
+    val scores = Seq((1L, 10L), (2L, 40L), (3L, 40L), (5L, 7L),
+      (6L, 3L)).toDF("id", "score")
+    val got = Dedup.canonicalByScore(comp, scores)
+      .orderBy("component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // cluster 1: scores (10,40,40) -> max 40, tie 2 vs 3 -> 2
+    // cluster 5: max score 7 -> id 5
+    assert(got === Seq((1L, 2L, 3L), (5L, 5L, 2L)))
+  }
+
   test("ContainmentIndex save/load roundtrip: same gate results, exchange-free id join") {
     val s = spark
     import s.implicits._

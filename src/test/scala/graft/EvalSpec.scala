@@ -134,4 +134,75 @@ class EvalSpec extends AnyFunSuite {
     assert(got.getLong(0) === want)
     assert(got.getLong(3) === bCnt.toLong)
   }
+
+  test("prAuc: golden cases — perfect, inverted, ties, degenerate") {
+    val s = spark
+    import s.implicits._
+    def ap(rows: Seq[(Double, Int)]): (Option[Long], Long, Long) = {
+      val r = Eval.prAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))
+    }
+    // perfect ranking: every positive above every negative -> AP 1
+    assert(ap(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) ===
+      ((Some(1000000L), 2L, 2L)))
+    // fully inverted 1 pos under 2 neg: the positive is found at
+    // depth 3 -> AP = 1/3
+    assert(ap(Seq((0.9, 0), (0.8, 0), (0.1, 1)))._1 ===
+      Some(333333L))
+    // one tie block holding 1 pos + 1 neg at the top: block term =
+    // (1/1)·(1/2) = 0.5
+    assert(ap(Seq((0.5, 1), (0.5, 0)))._1 === Some(500000L))
+    // degenerate: no positives -> NULL (the rocAuc contract)
+    assert(ap(Seq((0.5, 0), (0.2, 0))) === ((None, 0L, 2L)))
+  }
+
+  test("prAuc matches a brute-force threshold sweep on random tied data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { _ =>
+      val sc = rnd.nextInt(15).toDouble / 10.0
+      (sc, if (rnd.nextDouble() < 0.2 + sc / 3) 1 else 0)
+    }
+    val got = Eval.prAuc(rows.toDF("s", "y"), col("s"), col("y"))
+      .head().getLong(0)
+    val nPos = rows.count(_._2 == 1).toLong
+    val byScore = rows.groupBy(_._1).toSeq.sortBy(-_._1)
+    var cumPos = 0L; var cumN = 0L; var tsum = 0L
+    byScore.foreach { case (_, grp) =>
+      val pos = grp.count(_._2 == 1).toLong
+      cumPos += pos; cumN += grp.size
+      if (pos > 0)
+        tsum += BigDecimal(1e6 * pos * cumPos / cumN.toDouble)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val want = BigDecimal(tsum.toDouble / nPos)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(got === want)
+  }
+
+  test("calibrationErrorMicro: hand-computed bins, clamping, perfect calibration") {
+    val s = spark
+    import s.implicits._
+    // bin 0 ([0,0.1)): two preds 0.05, one positive -> |0.1e6-1e6|...
+    // computed by the reduced integer form below
+    val rows = Seq((0.05, 0), (0.05, 1), (0.95, 1), (1.5, 1), (-0.2, 0))
+    val r = Eval.calibrationErrorMicro(rows.toDF("p", "y"), col("p"),
+      col("y"), bins = 10).head()
+    // clamped rows: 1.5 -> bin 9 (with 0.95), -0.2 -> bin 0
+    // bin 0: pm = 50000+50000+(-200000) = -100000, pos = 1
+    //   -> |−100000 − 1000000| = 1100000
+    // bin 9: pm = 950000+1500000 = 2450000, pos = 2
+    //   -> |2450000 − 2000000| = 450000
+    // ece = round((1100000+450000)/5) = 310000
+    assert(r.getLong(0) === 310000L)
+    assert(r.getLong(1) === 5L && r.getLong(2) === 2L)
+    // perfectly calibrated bins: pred mass equals label mass per bin
+    val cal = Seq((0.25, 0), (0.25, 0), (0.25, 1), (0.25, 0),
+      (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0))
+    val rc = Eval.calibrationErrorMicro(cal.toDF("p", "y"), col("p"),
+      col("y"), bins = 4).head()
+    assert(rc.getLong(0) === 0L)
+  }
 }
