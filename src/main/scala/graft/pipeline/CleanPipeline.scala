@@ -102,32 +102,52 @@ object CleanPipeline {
     val bd = Observation()
     val sd = Observation()
     val sv = Observation()
-    val keepNgram = Dedup.dupNgramFilter(docs, "doc_id", "text",
+    val filtered = curateSurvivors(docs, emb, hyperplaneIds, n,
+      maxDupFrac, minScoreMicro, minCosine,
+      observeWith = Some((in, ng, bd, sd, sv)))
+    val curated = Dedup.exactDedup(filtered.localCheckpoint(),
+      "doc_id", "text")
+    CurateRun(curated, in, ng, bd, sd, sv)
+  }
+
+  /** The survivor frame of the curation composition — signal joins
+    * only, BEFORE the fork-point checkpoint — shared by
+    * [[curateWithCounters]] (instrumented) and by plan-shape audits
+    * (the checkpoint erases the upstream joins from the production
+    * query's executed plan, so PlanDisciplineSpec inspects THIS
+    * lineage; one builder means the audited shape cannot drift from
+    * the shipped one). */
+  private[graft] def curateSurvivors(
+      docs: DataFrame, emb: DataFrame,
+      hyperplaneIds: Seq[Long] = Seq(1L, 2L, 3L, 4L),
+      n: Int = 13, maxDupFrac: Double = 0.2,
+      minScoreMicro: Long = -1500000L, minCosine: Double = 0.4,
+      observeWith: Option[(Observation, Observation, Observation,
+        Observation, Observation)] = None): DataFrame = {
+    def obs(df: DataFrame,
+            pick: ((Observation, Observation, Observation, Observation,
+              Observation)) => Observation): DataFrame =
+      observeWith.fold(df)(o =>
+        df.observe(pick(o), count(lit(1)).as("rows")))
+    val keepNgram = obs(Dedup.dupNgramFilter(docs, "doc_id", "text",
         n = n, maxDupFrac = maxDupFrac)
-      .select(col("id").as("doc_id"))
-      .observe(ng, count(lit(1)).as("rows"))
-    val band = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .select(col("id").as("doc_id")), _._2)
+    val band = obs(TextStats.unigramLogProb(docs, "doc_id", "text")
       .filter(col("score_micro") > lit(minScoreMicro))
-      .select(col("id").as("doc_id"))
-      .observe(bd, count(lit(1)).as("rows"))
+      .select(col("id").as("doc_id")), _._3)
     val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
       hyperplaneIds)
     // anti-join on the DROP set, not semi-join on the kept
     // embeddings: docs without an embedding row (the corpus is only
     // partially embedded) must survive this stage untouched
-    val semDrop = Dedup.semanticDupIds(emb, "vec_id", "embedding",
+    val semDrop = obs(Dedup.semanticDupIds(emb, "vec_id", "embedding",
         hp, minCosine = minCosine)
-      .select(col("drop_id").as("doc_id"))
-      .observe(sd, count(lit(1)).as("rows"))
+      .select(col("drop_id").as("doc_id")), _._4)
     // no broadcast hints: every keep/drop set is a corpus fraction,
     // unbounded at 100 TB — AQE broadcasts when one actually fits
-    val filtered = docs.observe(in, count(lit(1)).as("rows"))
+    obs(obs(docs, _._1)
       .join(keepNgram, Seq("doc_id"), "left_semi")
       .join(band, Seq("doc_id"), "left_semi")
-      .join(semDrop, Seq("doc_id"), "left_anti")
-      .observe(sv, count(lit(1)).as("rows"))
-      .localCheckpoint()
-    val curated = Dedup.exactDedup(filtered, "doc_id", "text")
-    CurateRun(curated, in, ng, bd, sd, sv)
+      .join(semDrop, Seq("doc_id"), "left_anti"), _._5)
   }
 }

@@ -98,10 +98,21 @@ class PlanDisciplineSpec extends AnyFunSuite {
     // semantics; this pins the shape): the semantic-dedup stage must
     // reach the plan as a LEFT ANTI join — a semi-join on the kept
     // embeddings would silently drop unembedded docs — and the
-    // composition must stay hash-join-only.
-    val p = plan("llm_curate_full")
+    // composition must stay hash-join-only. The production query
+    // checkpoints the survivor frame (which erases these joins from
+    // its own executed plan), so the audit runs on the SHARED
+    // survivor builder the query checkpoints — same lineage by
+    // construction (CleanPipeline.curateSurvivors).
+    val s = SparkTestSession.spark
+    val p = graft.pipeline.CleanPipeline.curateSurvivors(
+        s.read.parquet(s"$sf/documents.parquet"),
+        s.read.parquet(s"$sf/embeddings.parquet"))
+      .queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), s"semantic drop stage not anti:\n$p")
     assert(p.contains("LeftSemi"), s"signal keeps must be semi joins:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"curate survivors must stay hash-join-only:\n$p")
   }
 
   test("q35 injects a runtime bloom filter on the fact scan at shuffle scale") {
