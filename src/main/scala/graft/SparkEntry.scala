@@ -1642,6 +1642,40 @@ object SparkEntry {
              |FROM t GROUP BY l_returnflag, quartile
              |ORDER BY l_returnflag, quartile""".stripMargin)),
 
+    // q17b with PERCENTILE-derived cells (bucketedRankBalanced): the
+    // skew-robust bucketizer — equi-width cells collapse under a
+    // heavy-tailed value and the per-task sort degenerates toward the
+    // full-partition window; percentile boundaries keep cells
+    // near-equal for any value distribution. Ranks (and therefore
+    // tiles) are IDENTICAL by construction, so the oracle is q17b's:
+    // the entry pins that boundary placement never moves the answer.
+    "q17c_ntile_balanced" -> Q(
+      (s, dir) => {
+        val tiled = graft.ops.DistributedRank.bucketedNtile(
+          lineitem(s, dir).select(col("l_returnflag"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          "l_returnflag", "l_extendedprice",
+          Seq("l_orderkey", "l_linenumber"), nTiles = 4,
+          balanced = true)
+        tiled
+          .select(col("l_returnflag"), col("ntile").as("quartile"),
+            col("l_extendedprice"))
+          .groupBy("l_returnflag", "quartile").agg(
+            count(lit(1)).as("n"),
+            round(avg(col("l_extendedprice")), 6).as("avg_price"))
+          .orderBy("l_returnflag", "quartile")
+      },
+      Some("""WITH t AS (SELECT l_returnflag,
+             |    CAST(ntile(4) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             |      AS BIGINT) AS quartile,
+             |    l_extendedprice
+             |  FROM lineitem)
+             |SELECT l_returnflag, quartile, count(*) AS n,
+             |  ROUND(avg(l_extendedprice), 6) AS avg_price
+             |FROM t GROUP BY l_returnflag, quartile
+             |ORDER BY l_returnflag, quartile""".stripMargin)),
+
     // Correlated scalar subquery through spark.sql — Catalyst
     // decorrelates it into the aggregate+join plan a 100 TB run needs
     // (audited in PLANS.md; no per-row subquery execution exists in
@@ -2961,6 +2995,43 @@ object SparkEntry {
               |comp AS (SELECT s AS doc_id, least(s, min(d)) AS component
               |  FROM reach GROUP BY s)
               |SELECT doc_id, component FROM comp
+              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // Batch REPLAY of incremental cluster maintenance: the verified
+    // near-dup pairs split into three deterministic batches and fold
+    // into a standing assignment via mergeComponents — the
+    // foreachBatch production shape for a corpus that clusters as it
+    // ingests — and the final assignment must equal the ONE-SHOT
+    // transitive closure over all pairs (d23's oracle, verbatim).
+    // Order-independence of the fold is the semantic being pinned:
+    // star-edge state + new pairs re-converges to the same fixed
+    // point regardless of how history was batched.
+    "d44_merge_components_replay" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.lshVerifiedJaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+          .localCheckpoint()
+        var assign = Dedup.connectedComponents(pairs.limit(0),
+          "id_a", "id_b")
+        (0 until 3).foreach { b =>
+          assign = Dedup.mergeComponents(assign,
+            pairs.filter(pmod(col("id_a") + col("id_b"), lit(3L))
+              === b),
+            "id_a", "id_b").localCheckpoint()
+        }
+        assign.select(col("id").as("doc_id"), col("component"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |medges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |mreach(s, d) AS (
+              |  SELECT a, b FROM medges
+              |  UNION
+              |  SELECT r.s, e.b FROM mreach r JOIN medges e ON e.a = r.d),
+              |mcomp AS (SELECT s AS doc_id, least(s, min(d)) AS component
+              |  FROM mreach GROUP BY s)
+              |SELECT doc_id, component FROM mcomp
               |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
     // Substring-level dedup signal (Lee et al., ACL 2022): per doc,

@@ -69,7 +69,75 @@ object DistributedRank {
         col(groupCol) <=> col("_grp_key"))
       .drop("_grp_key")
       .withColumn("_bkt", cell)
+      .drop("_pmin", "_pmax")
+    rankFromCells(bucketed, groupCol, valueCol, tieCols, B, out)
+  }
 
+  /** [[bucketedRank]] with PERCENTILE-derived cell boundaries instead
+    * of equi-width ones — the drop-in the equi-width scaladoc
+    * promises for value-skewed groups. Equi-width cells under a
+    * heavy-tailed value (a lognormal quality score, token counts)
+    * put most of a group in cell 0 and the per-task sort degenerates
+    * back toward the full-partition window; per-group
+    * `approx_percentile` boundaries keep cells near-equal REGARDLESS
+    * of the value distribution (up to tie mass — identical values
+    * must share a cell in any monotone scheme, so a single value
+    * holding >1/B of a group still bounds balance).
+    *
+    * Cell id = #boundaries ≤ v (monotone in v, ties share a cell),
+    * so the cross-cell order invariant — and therefore the RANK — is
+    * IDENTICAL to the equi-width form; boundary placement only moves
+    * task sizing. The boundaries frame is groups×(B−1) doubles,
+    * broadcast like the equi-width stats. Sketch accuracy only
+    * affects balance, never correctness. */
+  def bucketedRankBalanced(df: DataFrame, groupCol: String,
+                           valueCol: String, tieCols: Seq[String],
+                           buckets: Int = 32,
+                           out: String = "rank"): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    rankFromCells(balancedCells(df, groupCol, valueCol, buckets),
+      groupCol, valueCol, tieCols, buckets.toLong, out)
+  }
+
+  /** The percentile cell assignment of [[bucketedRankBalanced]]:
+    * `df` + `_bkt` + `_grp_n`. Exposed package-private so the balance
+    * property (near-equal cell populations under value skew) is
+    * directly assertable. */
+  private[graft] def balancedCells(df: DataFrame, groupCol: String,
+                                   valueCol: String,
+                                   buckets: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    if (buckets == 1) {
+      // degenerate single cell: no boundaries to estimate
+      val stats = df.groupBy(col(groupCol).as("_grp_key"))
+        .agg(count(lit(1)).as("_grp_n"))
+      return df.join(broadcast(stats),
+          col(groupCol) <=> col("_grp_key"))
+        .drop("_grp_key")
+        .withColumn("_bkt",
+          when(v.isNull, lit(-1L)).otherwise(lit(0L)))
+    }
+    val qs = array((1 until buckets).map(i =>
+      lit(i.toDouble / buckets)): _*)
+    val stats = df.groupBy(col(groupCol).as("_grp_key"))
+      .agg(percentile_approx(v, qs, lit(10000)).as("_bnds"),
+        count(lit(1)).as("_grp_n"))
+    val cell = when(v.isNull, lit(-1L))
+      .otherwise(size(filter(col("_bnds"),
+        b => b <= v)).cast("long"))
+    df.join(broadcast(stats), col(groupCol) <=> col("_grp_key"))
+      .drop("_grp_key")
+      .withColumn("_bkt", cell)
+      .drop("_bnds")
+  }
+
+  /** Shared tail of the two bucketizers: per-(group, cell) counts →
+    * windowless cumulative offsets → per-cell row_number → global
+    * rank. `bucketed` must carry `_bkt` ∈ [-1, B) monotone in the
+    * value (ties sharing a cell) and `_grp_n`. */
+  private def rankFromCells(bucketed: DataFrame, groupCol: String,
+                            valueCol: String, tieCols: Seq[String],
+                            B: Long, out: String): DataFrame = {
     val counts = bucketed.groupBy(col(groupCol), col("_bkt"))
       .agg(count(lit(1)).as("_c"))
     // Cumulative offsets without a window: each cell's count
@@ -91,7 +159,7 @@ object DistributedRank {
       .drop("_ogrp", "_obkt")
       .withColumn(out,
         coalesce(col("_off"), lit(0L)) + row_number().over(w))
-      .drop("_bkt", "_off", "_pmin", "_pmax")
+      .drop("_bkt", "_off")
   }
 
   /** `df` plus an `out` column bit-identical to
@@ -101,10 +169,15 @@ object DistributedRank {
     * ⌈n/k⌉ rows and the rest ⌊n/k⌋ (the SQL-standard split). */
   def bucketedNtile(df: DataFrame, groupCol: String, valueCol: String,
                     tieCols: Seq[String], nTiles: Int, buckets: Int = 32,
-                    out: String = "ntile"): DataFrame = {
+                    out: String = "ntile",
+                    balanced: Boolean = false): DataFrame = {
     require(nTiles >= 1, "nTiles must be >= 1")
-    val ranked = bucketedRank(df, groupCol, valueCol, tieCols, buckets,
-      out = "_rank")
+    val ranked =
+      if (balanced)
+        bucketedRankBalanced(df, groupCol, valueCol, tieCols, buckets,
+          out = "_rank")
+      else bucketedRank(df, groupCol, valueCol, tieCols, buckets,
+        out = "_rank")
     val small = floor(col("_grp_n") / lit(nTiles)).cast("long")
     val nbig = col("_grp_n") % lit(nTiles.toLong)
     val tile = {

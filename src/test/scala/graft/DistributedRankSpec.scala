@@ -106,4 +106,64 @@ class DistributedRankSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got === want)
   }
+
+  test("bucketedRankBalanced ranks identically to the equi-width form and the window") {
+    for (seed <- 1 to 2) {
+      val d = df(corpus(seed))
+      def ranks(r: org.apache.spark.sql.DataFrame) =
+        r.select("grp", "id", "rank").collect()
+          .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2))
+          .toMap
+      val eq = ranks(DistributedRank
+        .bucketedRank(d, "grp", "value", Seq("id"), buckets = 4))
+      val bal = ranks(DistributedRank
+        .bucketedRankBalanced(d, "grp", "value", Seq("id"),
+          buckets = 4))
+      assert(eq === bal)
+      val w = Window.partitionBy("grp").orderBy(col("value"), col("id"))
+      val want = d.select(col("grp"), col("id"),
+          row_number().over(w).cast("long").as("rank"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(bal === want)
+    }
+    // null values and null groups survive the quantile path too
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(("a", Some(2.0), 1L), ("a", None, 2L),
+      (null, Some(1.0), 3L), (null, None, 4L), ("a", Some(1.0), 5L))
+      .toDF("grp", "value", "id")
+    val got = DistributedRank.bucketedRankBalanced(withNulls, "grp",
+        "value", Seq("id"), buckets = 3)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group a: null value first (id 2), then 1.0, then 2.0
+    assert(got(2L) === 1L && got(5L) === 2L && got(1L) === 3L)
+    assert(got(4L) === 1L && got(3L) === 2L)
+  }
+
+  test("percentile cells stay balanced under heavy value skew where equi-width collapses") {
+    val s = spark
+    import s.implicits._
+    // exponential-ish tail: almost all mass near 0, max ~e^9 — the
+    // equi-width bucketizer puts ~everything in cell 0
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 4000L).map(i =>
+      ("g", math.exp(rnd.nextDouble() * 9), i))
+    val d = rows.toDF("grp", "value", "id")
+    val B = 8
+    val cells = DistributedRank.balancedCells(d, "grp", "value", B)
+      .groupBy("_bkt").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxCell = cells.values.max
+    // near-equal: no cell more than 2x the ideal n/B
+    assert(maxCell <= 2L * 4000 / B,
+      s"balanced cells skewed: $cells")
+    // the equi-width assignment on the same data: cell 0 absorbs the
+    // overwhelming majority (the failure mode being fixed)
+    val mx = rows.map(_._2).max
+    val equiCell0 = rows.count(v => (v._2 / (mx / B)).toLong <= 0)
+    assert(equiCell0 > 4000 * 3 / 4,
+      s"fixture not skewed enough: $equiCell0")
+  }
 }
