@@ -2898,6 +2898,231 @@ object SparkEntry {
              |    AS ece_micro, n, n_bins_used
              |FROM t""".stripMargin)),
 
+    // Two-sample Kolmogorov–Smirnov drift between two sources' doc-
+    // length distributions — the bucket-free companion of the PSI
+    // monitor (q41 needs a binning choice; KS takes the max CDF gap
+    // over the observed values). Integer arithmetic end to end: the
+    // corpus collapses to its value-distinct frame, the cumulative
+    // window rides that bounded frame only, and the statistic is a
+    // floor division of longs — hash-exact in any engine.
+    "q45_ks_drift" -> Q(
+      (s, dir) => graft.pipeline.Eval.ksMicro(
+        table(s, dir, "documents"), col("n_chars"), col("source"),
+        "src0", "src1"),
+      Some("""WITH pts AS (SELECT n_chars AS v, source FROM documents
+             |  WHERE source IN ('src0', 'src1')),
+             |g AS (SELECT v,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM pts GROUP BY v),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+             |    sum(cb) OVER (ORDER BY v) AS cum_b
+             |  FROM g),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nvals
+             |  FROM g),
+             |d AS (SELECT CAST(max(abs(cum_a * nb - cum_b * na))
+             |      AS BIGINT) AS dnum, na, nb, nvals
+             |  FROM c, t GROUP BY na, nb, nvals)
+             |SELECT CASE WHEN na > 0 AND nb > 0
+             |    THEN (1000000 * dnum) // (na * nb) END AS ks_micro,
+             |  na AS n_a, nb AS n_b, nvals AS n_values
+             |FROM d""".stripMargin)),
+
+    // Offline retrieval eval: NDCG@10 / MRR@10 / recall@10 of the
+    // SEMANTIC run (embedding-cosine top-20, the r2 sem list) against
+    // graded LEXICAL relevance judgments (query-term occurrence
+    // thresholds over the id-aligned documents) — the cross-modal
+    // sanity check on any ANN retrieval stage: does the vector index
+    // recover what the terms say matters? DCG terms micro-quantize
+    // before summation; NDCG/MRR/recall are integer ratios; the
+    // ideal-DCG ranking is a top-k cut, never a full-qrels window.
+    "q46_ndcg_eval" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val run = Retrieval.asRanking(
+          emb.select(col("vec_id"),
+              round(Similarity.cosine(
+                Similarity.toDouble(col("embedding")), typedlit(q)), 6)
+                .as("cosine"))
+            .orderBy(col("cosine").desc, col("vec_id").asc).limit(20),
+          "vec_id", "cosine")
+        val cnt = size(filter(split(col("text"), " "),
+          t => t === "vector" || t === "hash" || t === "merge"))
+          .cast("long")
+        val qrels = docs.select(col("doc_id").as("id"),
+          when(cnt >= 13, 3L).when(cnt >= 10, 2L)
+            .when(cnt >= 8, 1L).otherwise(0L).as("rel"))
+        graft.pipeline.Eval.ndcgMrrMicro(run, qrels, k = 10)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |qq AS (SELECT v AS q FROM e WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS id, ROUND(list_dot_product(v, q)
+             |    / (sqrt(list_dot_product(v, v))
+             |       * sqrt(list_dot_product(q, q))), 6) AS c
+             |  FROM e, qq),
+             |run AS (SELECT id, CAST(row_number() OVER
+             |    (ORDER BY c DESC, id ASC) AS BIGINT) AS rank
+             |  FROM (SELECT * FROM cs ORDER BY c DESC, id ASC LIMIT 20)),
+             |qr AS (SELECT doc_id AS id,
+             |    CASE WHEN cnt >= 13 THEN 3 WHEN cnt >= 10 THEN 2
+             |      WHEN cnt >= 8 THEN 1 ELSE 0 END AS rel
+             |  FROM (SELECT doc_id,
+             |      CAST(len(list_filter(str_split(text, ' '),
+             |        t -> t IN ('vector', 'hash', 'merge'))) AS BIGINT)
+             |        AS cnt
+             |    FROM documents) x),
+             |j AS (SELECT r.rank, COALESCE(q.rel, 0) AS rel
+             |  FROM run r LEFT JOIN qr q USING (id)),
+             |ra AS (SELECT
+             |    CAST(sum(CASE WHEN rank <= 10 THEN
+             |      CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(rank + 1))
+             |        AS BIGINT) ELSE 0 END) AS BIGINT) AS dcg_micro,
+             |    min(CASE WHEN rank <= 10 AND rel > 0 THEN rank END)
+             |      AS first_rel,
+             |    CAST(sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1
+             |      ELSE 0 END) AS BIGINT) AS hits,
+             |    CAST(count(*) AS BIGINT) AS n_run
+             |  FROM j),
+             |relv AS (SELECT id, rel FROM qr WHERE rel > 0),
+             |ideal AS (SELECT CAST(COALESCE(sum(
+             |      CAST(ROUND(1e6 * (pow(2, rel) - 1) / log2(irank + 1))
+             |        AS BIGINT)), 0) AS BIGINT) AS idcg_micro
+             |  FROM (SELECT rel, row_number() OVER
+             |      (ORDER BY rel DESC, id ASC) AS irank FROM relv) t
+             |  WHERE irank <= 10),
+             |nrel AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant
+             |  FROM relv)
+             |SELECT CASE WHEN idcg_micro > 0
+             |    THEN (1000000 * dcg_micro) // idcg_micro END
+             |    AS ndcg_micro,
+             |  CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT)
+             |    AS mrr_micro,
+             |  CASE WHEN n_relevant > 0
+             |    THEN (1000000 * hits) // n_relevant END AS recall_micro,
+             |  n_relevant, n_run
+             |FROM ra, ideal, nrel""".stripMargin)),
+
+    // Two-stage binary ANN: sign-bit quantization packs each 64-dim
+    // embedding into two 32-bit words (a map-only popcount scan ~256×
+    // smaller than the floats — at scale the words are the persisted
+    // index column), Hamming distance cuts to 100 candidates via
+    // TakeOrderedAndProject, exact cosine reranks the candidates only.
+    // Both stages deterministic → engine-replayable bit-for-bit.
+    "e14_sign_hamming_topk" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Similarity.signHammingTopK(emb, "vec_id", "embedding", q,
+          k = 20, candidates = 100)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |sw AS (SELECT vec_id, v,
+             |    list_transform(generate_series(0, 1), w ->
+             |      CAST(list_sum(list_transform(generate_series(0, 31),
+             |        j -> CASE WHEN v[32*w + j + 1] > 0
+             |          THEN CAST(1 AS BIGINT) << j
+             |          ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS words
+             |  FROM e),
+             |qw AS (SELECT
+             |    list_transform(generate_series(0, 1), w ->
+             |      CAST(list_sum(list_transform(generate_series(0, 31),
+             |        j -> CASE WHEN qv[32*w + j + 1] > 0
+             |          THEN CAST(1 AS BIGINT) << j
+             |          ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS words
+             |  FROM q),
+             |hd AS (SELECT sw.vec_id, sw.v, CAST(
+             |    bit_count(xor(sw.words[1], qw.words[1])) +
+             |    bit_count(xor(sw.words[2], qw.words[2])) AS BIGINT)
+             |      AS hamming
+             |  FROM sw, qw),
+             |cand AS (SELECT * FROM hd
+             |  ORDER BY hamming ASC, vec_id ASC LIMIT 100)
+             |SELECT vec_id, hamming,
+             |  ROUND(list_dot_product(v, qv)
+             |    / (sqrt(list_dot_product(v, v))
+             |       * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+             |FROM cand, q
+             |ORDER BY cosine DESC, vec_id ASC LIMIT 20""".stripMargin)),
+
+    // Per-vertex triangle counts + local clustering coefficient over
+    // the verified near-dup graph — the per-document boilerplate
+    // detector (lcc → 1: inside a template clique; lcc → 0 at high
+    // degree: a hub bridging unrelated families). Same degree-ordered
+    // wedge enumeration as g2 (each triangle materializes once, at its
+    // (deg, id)-minimal apex), then a 3-way vertex fan-out and a
+    // map-side-combining count; lcc = 2·tri/(deg·(deg−1)) by integer
+    // floor division, exact in both engines.
+    "g3_local_clustering" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.localClusteringMicro(
+          Dedup.lshVerifiedJaccardPairs(
+            table(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.3),
+          "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT id_a AS lo, id_b AS hi
+              |       FROM vpairs WHERE id_a < id_b),
+              |td AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi AS id FROM te) u
+              |  GROUP BY id),
+              |tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+              |  FROM te e1 JOIN te e2 ON e2.lo = e1.hi
+              |  WHERE EXISTS (SELECT 1 FROM te e3
+              |    WHERE e3.lo = e1.lo AND e3.hi = e2.hi)),
+              |pv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri
+              |  FROM (SELECT x AS id FROM tri
+              |        UNION ALL SELECT y FROM tri
+              |        UNION ALL SELECT z FROM tri) u
+              |  GROUP BY id)
+              |SELECT td.id AS doc_id, td.deg,
+              |  COALESCE(pv.tri, CAST(0 AS BIGINT)) AS tri,
+              |  CASE WHEN td.deg >= 2 THEN (2000000 *
+              |      COALESCE(pv.tri, 0)) // (td.deg * (td.deg - 1))
+              |    ELSE CAST(0 AS BIGINT) END AS lcc_micro
+              |FROM td LEFT JOIN pv USING (id)
+              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // Weight-balanced serpentine sharding for training-data export:
+    // rank docs by token count (desc, id tiebreak) with the
+    // DISTRIBUTED bucketed rank — range-bucketed parallel sorts, never
+    // one corpus-wide row_number window — then boustrophedon-fold
+    // rank−1 mod 2N so each 2N-block feeds every shard its heaviest
+    // and lightest ends evenly. The report shows per-shard doc counts
+    // and token totals (the balance the schedule guarantees to within
+    // one max-weight row per shard).
+    "d45_serpentine_shards" -> Q(
+      (s, dir) => Curation.serpentineShardReport(
+          Curation.serpentineShards(table(s, dir, "documents"),
+            "doc_id", size(split(col("text"), " ")).cast("long"),
+            nShards = 8))
+        .orderBy("shard"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS wt
+             |  FROM documents),
+             |r AS (SELECT doc_id, wt, CAST(row_number() OVER
+             |    (ORDER BY wt DESC, doc_id ASC) AS BIGINT) AS rn
+             |  FROM w),
+             |a AS (SELECT wt, CASE WHEN (rn - 1) % 16 < 8
+             |    THEN (rn - 1) % 16
+             |    ELSE 15 - ((rn - 1) % 16) END AS shard
+             |  FROM r)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(wt) AS BIGINT) AS total_weight
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Shannon entropy of each doc's token distribution in integer
     // micro-nats — the information-theoretic repetition/quality
     // signal (boilerplate loops score far below natural text; unlike

@@ -421,4 +421,41 @@ object Curation {
     keyed.repartitionByRange(partitions, col("order_key"), id)
       .sortWithinPartitions(col("order_key"), id)
   }
+
+  /** Weight-balanced serpentine sharding for training-data export:
+    * every row gets a `shard` in [0, nShards) such that per-shard
+    * total `weight` (token counts, byte sizes) is near-equal — the
+    * standard boustrophedon schedule: rank rows by (weight desc, id
+    * asc), then fold rank−1 mod 2N so consecutive heavy rows land on
+    * DIFFERENT shards and each N-sized half-cycle reverses direction
+    * (shard s takes the s-th and (2N−1−s)-th of every 2N-block, so
+    * every block contributes its heaviest and lightest ends evenly).
+    * Deterministic — the assignment replays bit-for-bit anywhere.
+    *
+    * Shape at scale: the global rank is [[graft.ops.DistributedRank
+    * .bucketedRank]] — range-bucketed parallel sorts, never one
+    * row_number window over the corpus — and the fold is a map-side
+    * expression. Returns the rows with (shard, weight rank) appended;
+    * [[serpentineShardReport]] folds them to per-shard totals. */
+  def serpentineShards(docs: DataFrame, idCol: String, weight: Column,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val cycle = 2L * nShards
+    val ranked = graft.ops.DistributedRank.bucketedRank(
+      docs.withColumn("_w", weight.cast("long"))
+        .withColumn("_negw", -col("_w"))
+        .withColumn("_g", lit(0)),
+      "_g", "_negw", Seq(idCol), out = "_rn")
+    val s = pmod(col("_rn") - 1, lit(cycle))
+    ranked
+      .withColumn("shard",
+        when(s < nShards, s).otherwise(lit(cycle - 1) - s))
+      .drop("_negw", "_g", "_grp_n")
+  }
+
+  /** Per-shard balance report over a [[serpentineShards]] assignment:
+    * (shard, n_docs, total_weight), one map-side-combining groupBy. */
+  def serpentineShardReport(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("total_weight"))
 }

@@ -180,6 +180,118 @@ object Eval {
         col("nbuckets").as("n_buckets"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between segment `segA`'s
+    * and `segB`'s distributions of `value`, in integer micro-units:
+    * one row (ks_micro, n_a, n_b, n_values). The distribution-shape
+    * complement of [[psiMicro]]: PSI needs a bucketing choice, KS is
+    * bucket-free (max CDF gap over the observed values) — the right
+    * drift alarm when no natural binning exists.
+    *
+    * D = max_v |F_a(v) − F_b(v)| = max_v |cumA(v)·n_b − cumB(v)·n_a| /
+    * (n_a·n_b) — pure integer arithmetic until the FINAL floor
+    * division, so the statistic is order-independent and hash-exact in
+    * any engine. Shape at scale: the corpus collapses to its
+    * value-distinct frame first (map-side combine); the cumulative
+    * window rides THAT bounded frame only (the [[rocAuc]] contract —
+    * quantize continuous values first so the frame stays bounded).
+    * Totals join back on a constant key (attribute-dependent, so
+    * constant folding cannot re-plan a nested-loop join).
+    *
+    * Exactness bound: the scaled numerator 1e6·|…| must fit a long —
+    * exact for n_a·n_b ≤ 9.2e12 (two ~3M-row segments). Beyond that,
+    * pre-aggregate `value` into quantized buckets and pass the bucket:
+    * the same pre-aggregation the distinct-frame contract already
+    * requires. Single-class input (n_a or n_b = 0) → ks_micro NULL,
+    * counts still reported (the rocAuc degenerate contract). */
+  def ksMicro(df: DataFrame, value: Column, segment: Column,
+              segA: String, segB: String): DataFrame = {
+    val g = df.filter(segment.isin(segA, segB))
+      .groupBy(value.as("v"))
+      .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
+        sum(when(segment === segB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = g
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nvals"))
+      .withColumn("_one", pmod(col("nvals"), lit(1L)).cast("int"))
+    c.withColumn("_one",
+        pmod(col("cum_a") + col("cum_b"), lit(1L)).cast("int"))
+      .join(broadcast(totals), "_one")
+      .groupBy("na", "nb", "nvals")
+      .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+        .as("dnum"))
+      .select(
+        when(col("na") > 0 && col("nb") > 0,
+          expr("(1000000 * dnum) div (na * nb)")).as("ks_micro"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("nvals").as("n_values"))
+  }
+
+  /** Graded ranking-quality metrics of a retrieval `run` against a
+    * relevance judgment set `qrels`: one row (ndcg_micro, mrr_micro,
+    * recall_micro, n_relevant, n_run). `run` carries (id, rank)
+    * (1-based, already cut to its list length); `qrels` carries
+    * (id, rel) with graded integer relevance ≥ 0 (0 = not relevant).
+    * The offline eval harness for any retrieval stage the pipeline
+    * ships (BM25 r1, ANN e-family, hybrid r2): NDCG@k grades the
+    * ranking, MRR@k the first hit, recall@k the coverage.
+    *
+    * DCG terms (2^rel − 1)/log2(rank+1) quantize to integer
+    * micro-units BEFORE summation (the d28 discipline: the sum is
+    * order-independent and engine-replayable); NDCG is then the
+    * integer floor-ratio of the micro sums, MRR/recall pure integer
+    * ratios. The ideal-DCG window orders qrels by rel desc — ties in
+    * rel are interchangeable there (equal gain terms), so the
+    * tie-break never changes idcg. Shape: `run` is list-sized
+    * (top-k), so every frame here is bounded; qrels collapses to its
+    * relevant subset before the ideal ranking. Degenerate contracts:
+    * no relevant docs → ndcg/recall NULL; no hit in the top k →
+    * mrr_micro 0. */
+  def ndcgMrrMicro(run: DataFrame, qrels: DataFrame, k: Int)
+      : DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def dcgTerm(rel: Column, rank: Column): Column =
+      round(lit(1e6) * (pow(lit(2.0), rel.cast("double")) - 1.0) /
+        log2(rank.cast("double") + 1.0)).cast("long")
+    val joined = run.join(qrels, Seq("id"), "left")
+      .select(col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val runAgg = joined.agg(
+      sum(when(col("rank") <= k, dcgTerm(col("rel"), col("rank")))
+        .otherwise(0L)).as("dcg_micro"),
+      min(when(col("rank") <= k && col("rel") > 0, col("rank")))
+        .as("first_rel"),
+      sum(when(col("rank") <= k && col("rel") > 0, 1L).otherwise(0L))
+        .as("hits"),
+      count(lit(1)).as("n_run"))
+      .withColumn("_one", pmod(col("n_run"), lit(1L)).cast("int"))
+    val rel = qrels.filter(col("rel") > 0)
+    // ideal DCG needs only the k best judgments: a top-k cut by
+    // (rel desc, id asc) — TakeOrderedAndProject, per-partition heaps —
+    // so the ranking window rides k rows, never the full relevant set
+    val wi = Window.orderBy(col("rel").desc, col("id").asc)
+    val idealAgg = rel.orderBy(col("rel").desc, col("id").asc).limit(k)
+      .withColumn("irank", row_number().over(wi))
+      .agg(coalesce(sum(dcgTerm(col("rel"), col("irank"))), lit(0L))
+        .as("idcg_micro"))
+    val nrelAgg = rel.agg(count(lit(1)).as("n_relevant"))
+    val idealSide = idealAgg
+      .withColumn("_one", pmod(col("idcg_micro"), lit(1L)).cast("int"))
+      .join(nrelAgg
+        .withColumn("_one", pmod(col("n_relevant"), lit(1L)).cast("int")),
+        "_one")
+    runAgg.join(broadcast(idealSide), "_one")
+      .select(
+        when(col("idcg_micro") > 0,
+          expr("(1000000 * dcg_micro) div idcg_micro")).as("ndcg_micro"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_micro"),
+        when(col("n_relevant") > 0,
+          expr("(1000000 * hits) div n_relevant")).as("recall_micro"),
+        col("n_relevant"), col("n_run"))
+  }
+
   /** The reference side of the drift monitor: the pinned-once
     * histogram a stream (or a nightly batch job) scores every arrival
     * against. Exposed so batch and stream share one construction. */

@@ -269,6 +269,49 @@ object GraphOps {
       .toDF("n_triangles", "n_wedges", "clustering_micro")
   }
 
+  /** Per-vertex triangle counts and local clustering coefficient over
+    * the same normalized graph as [[triangleCensus]]: one row per
+    * vertex (id, deg, tri, lcc_micro), lcc = 2·tri / (deg·(deg−1)) in
+    * integer micro-units (floor division — both engines agree exactly,
+    * no float round edge). Vertices with deg < 2 report 0. This is the
+    * per-document boilerplate detector on the near-dup graph: a doc
+    * whose neighbors all interlink (lcc → 1) sits inside a template
+    * clique; a hub with lcc → 0 bridges unrelated near-dup families.
+    *
+    * Shape at scale: identical to the census — degree-ordered wedge
+    * enumeration (each triangle materializes exactly once, at its
+    * (deg, id)-minimal apex; a 10k-degree hub yields wedges bounded by
+    * its ORIENTED out-degree, the HubRehearsal result), then each
+    * closed wedge fans out to its 3 member vertices and a map-side
+    * combining count folds them. No window anywhere; the explode is
+    * 3× the triangle count, not the wedge count. */
+  def localClusteringMicro(pairs: DataFrame, idACol: String,
+                           idBCol: String): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol)
+    val deg = e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val od = orientUp(e, deg, byDegree = true)
+    val wedges = od.as("o1").join(od.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+        col("o2.dst").as("w"))
+    // v < w numerically (the wedge join orders dsts by id), so the
+    // closing edge lookup is a direct (lo, hi) equi-join
+    val closed = wedges.join(e,
+      col("v") === col("lo") && col("w") === col("hi"), "left_semi")
+    val triPerVertex = closed
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerVertex, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc_micro",
+        when(col("deg") >= 2,
+          expr("(2000000 * tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
   /** Normalized undirected edge list: (lo, hi) with lo < hi, distinct,
     * self-loops and null ids dropped. */
   def normalizedEdges(pairs: DataFrame, idACol: String,
@@ -288,26 +331,33 @@ object GraphOps {
     * to carry the lowest id. */
   def orientedWedges(e: DataFrame, deg: DataFrame,
                      byDegree: Boolean): DataFrame = {
-    val od =
-      if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))
-      else {
-        val dl = deg.select(col("id").as("_lid"), col("deg").as("_ldeg"))
-        val dh = deg.select(col("id").as("_hid"), col("deg").as("_hdeg"))
-        // orient up the (degree, id) order; join keys are the node ids
-        // the edge already carries, so at scale this co-partitions with
-        // the degree frame
-        e.join(dl, col("lo") === col("_lid"))
-          .join(dh, col("hi") === col("_hid"))
-          .select(
-            when(col("_ldeg") < col("_hdeg") ||
-              (col("_ldeg") === col("_hdeg")), col("lo"))
-              .otherwise(col("hi")).as("src"),
-            when(col("_ldeg") < col("_hdeg") ||
-              (col("_ldeg") === col("_hdeg")), col("hi"))
-              .otherwise(col("lo")).as("dst"))
-      }
+    val od = orientUp(e, deg, byDegree)
     od.as("o1").join(od.as("o2"),
         col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
       .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
   }
+
+  /** Directed (src, dst) view of the normalized edges, oriented up the
+    * (degree, id) total order when `byDegree` (equal degrees fall back
+    * to id order, so the orientation is a strict total order and every
+    * triangle has exactly one all-out apex). */
+  private def orientUp(e: DataFrame, deg: DataFrame,
+                       byDegree: Boolean): DataFrame =
+    if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))
+    else {
+      val dl = deg.select(col("id").as("_lid"), col("deg").as("_ldeg"))
+      val dh = deg.select(col("id").as("_hid"), col("deg").as("_hdeg"))
+      // orient up the (degree, id) order; join keys are the node ids
+      // the edge already carries, so at scale this co-partitions with
+      // the degree frame
+      e.join(dl, col("lo") === col("_lid"))
+        .join(dh, col("hi") === col("_hid"))
+        .select(
+          when(col("_ldeg") < col("_hdeg") ||
+            (col("_ldeg") === col("_hdeg")), col("lo"))
+            .otherwise(col("hi")).as("src"),
+          when(col("_ldeg") < col("_hdeg") ||
+            (col("_ldeg") === col("_hdeg")), col("hi"))
+            .otherwise(col("lo")).as("dst"))
+    }
 }

@@ -273,6 +273,73 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit binary quantization of a vector column into packed
+    * 32-bit words: word w's bit j (little-endian) is set iff element
+    * 32w+j > 0. 32 bits per long word keeps every intermediate below
+    * 2^32, so both engines' integer arithmetic is overflow-free at any
+    * dimension (a 64-bit pack needs the sign bit and DuckDB's shift
+    * range-checks there). ~256× smaller than a float vector — at scale
+    * the packed words are the PERSISTED index column and the candidate
+    * scan never touches the floats. Pure per-row expression, fully
+    * codegen'd (a static 2·dim-term when/or fold, no UDF). */
+  def signWords(vec: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be >= 1")
+    val nWords = (dim + 31) / 32
+    array((0 until nWords).map { w =>
+      val bits = math.min(32, dim - 32 * w)
+      (0 until bits).map { j =>
+        when(vec.getItem(32 * w + j) > lit(0.0f), lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Driver-side [[signWords]] of a query vector — same packing. */
+  def signWordsOf(q: Seq[Double]): Seq[Long] =
+    q.grouped(32).map { grp =>
+      grp.zipWithIndex.collect { case (x, j) if x > 0 => 1L << j }
+        .foldLeft(0L)(_ | _)
+    }.toSeq
+
+  /** Hamming distance between two packed-word arrays: bit_count of the
+    * per-word XOR, folded. Codegen'd builtins only. */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Two-stage binary ANN (the sign-random-projection / SimHash-for-
+    * embeddings shape): rank the corpus by Hamming distance between
+    * sign words — a map-only popcount scan over the packed longs —
+    * cut to `candidates` by (hamming asc, id asc) via
+    * TakeOrderedAndProject (per-partition heap, never a global sort),
+    * then exact-cosine rerank of the candidate rows only. Returns
+    * (id, hamming, cosine) top-k by (cosine desc, id asc).
+    *
+    * Recall intuition: sign agreement estimates the angle (collision
+    * probability 1 − θ/π per bit), so the Hamming cut keeps the
+    * angular neighborhood; `candidates` ≫ k absorbs the estimate's
+    * variance. Both stages are deterministic, so the result is
+    * engine-replayable bit-for-bit. */
+  def signHammingTopK(embeddings: DataFrame, idCol: String,
+                      vecCol: String, query: Seq[Double], k: Int,
+                      candidates: Int = 100): DataFrame = {
+    require(candidates >= k, "candidates must be >= k")
+    val qw = signWordsOf(query)
+    val cand = embeddings
+      .select(col(idCol), col(vecCol),
+        hammingWords(signWords(col(vecCol), query.length),
+          array(qw.map(lit): _*)).as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(candidates)
+    cand
+      .select(col(idCol), col("hamming"),
+        round(cosine(toDouble(col(vecCol)), typedlit(query)), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Parameter fetch: embedding vectors by id, ordered by id. Bounded
     * (|ids| rows) — a codebook/plane fetch, not a data collect. */
   def vectorsByIds(emb: DataFrame, idCol: String, vecCol: String,

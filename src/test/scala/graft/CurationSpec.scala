@@ -395,4 +395,36 @@ class CurationSpec extends AnyFunSuite {
     assert(meanId > n * 0.35 && meanId < n * 0.65,
       s"sample id mean $meanId skewed — tie-break leakage")
   }
+
+  test("serpentineShards matches the naive window form and balances") {
+    val s = spark
+    import s.implicits._
+    // heavy-tailed weights — the case round-robin gets wrong
+    val rows = (1L to 97L).map(i => (i, (1000.0 / i).toLong + 1))
+    val df = rows.toDF("doc_id", "w")
+    val n = 8
+    val got = Curation.serpentineShards(df, "doc_id", col("w"), n)
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // naive reference: single row_number window + fold
+    val naive = rows.sortBy { case (id, w) => (-w, id) }.zipWithIndex
+      .map { case ((id, _), i) =>
+        val sCell = i % (2 * n)
+        (id, if (sCell < n) sCell.toLong else (2 * n - 1 - sCell).toLong)
+      }.toMap
+    assert(got === naive)
+    // balance: per-shard totals within one max-weight of each other
+    val totals = Curation.serpentineShardReport(
+        Curation.serpentineShards(df, "doc_id", col("w"), n))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(totals.keySet === (0L until n.toLong).toSet)
+    val wMax = rows.map(_._2).max
+    assert(totals.values.max - totals.values.min <= wMax,
+      s"shard totals spread ${totals.values.max - totals.values.min} " +
+        s"exceeds max weight $wMax: $totals")
+    // counts differ by at most one
+    val counts = Curation.serpentineShards(df, "doc_id", col("w"), n)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.max - counts.min <= 1)
+  }
 }

@@ -205,4 +205,74 @@ class EvalSpec extends AnyFunSuite {
       col("y"), bins = 4).head()
     assert(rc.getLong(0) === 0L)
   }
+
+  test("ksMicro: identical, separated, shifted, degenerate") {
+    val s = spark
+    import s.implicits._
+    def ks(rows: Seq[(Long, String)]) =
+      Eval.ksMicro(rows.toDF("v", "g"), col("v"), col("g"), "a", "b")
+        .head()
+    // identical distributions: D = 0
+    val same = ks(Seq((1L, "a"), (2L, "a"), (1L, "b"), (2L, "b")))
+    assert(same.getLong(0) === 0L)
+    assert(same.getLong(1) === 2L && same.getLong(2) === 2L)
+    // fully separated supports: D = 1
+    val sep = ks(Seq((1L, "a"), (2L, "a"), (10L, "b"), (11L, "b")))
+    assert(sep.getLong(0) === 1000000L)
+    // half-shifted: a={1,2}, b={2,3} -> max gap at v=1: |1/2-0| = .5
+    val shift = ks(Seq((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b")))
+    assert(shift.getLong(0) === 500000L)
+    // single-class input: NULL statistic, counts still reported
+    val deg = ks(Seq((1L, "a"), (2L, "a")))
+    assert(deg.isNullAt(0), s"expected null ks: $deg")
+    assert(deg.getLong(1) === 2L && deg.getLong(2) === 0L)
+  }
+
+  test("ndcgMrrMicro: perfect, inverted-grade, miss, no-relevant") {
+    val s = spark
+    import s.implicits._
+    val qrels = Seq((1L, 3L), (2L, 2L), (3L, 1L), (4L, 0L))
+      .toDF("id", "rel")
+    def run(ids: Seq[Long], k: Int = 3) =
+      Eval.ndcgMrrMicro(
+        ids.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+          .toDF("id", "rank"), qrels, k).head()
+    // ideal order: NDCG = 1, MRR = 1, recall = 3/3
+    val perfect = run(Seq(1L, 2L, 3L))
+    assert(perfect.getLong(0) === 1000000L)
+    assert(perfect.getLong(1) === 1000000L)
+    assert(perfect.getLong(2) === 1000000L)
+    assert(perfect.getLong(3) === 3L && perfect.getLong(4) === 3L)
+    // worst relevant-only order (3,2,1 reversed) is still < 1
+    val worse = run(Seq(3L, 2L, 1L))
+    assert(worse.getLong(0) < 1000000L && worse.getLong(0) > 0L)
+    assert(worse.getLong(1) === 1000000L) // first hit still rank 1
+    // first hit at rank 2 -> MRR = 1/2; unjudged id 9 counts rel 0
+    val late = run(Seq(9L, 1L, 2L))
+    assert(late.getLong(1) === 500000L)
+    assert(late.getLong(2) === 666666L) // 2 of 3 relevant found
+    // run touches no relevant docs: ndcg 0, mrr 0, recall 0
+    val miss = run(Seq(9L, 4L, 8L))
+    assert(miss.getLong(0) === 0L && miss.getLong(1) === 0L &&
+      miss.getLong(2) === 0L)
+    // empty qrels: NULL ndcg/recall (undefined), mrr 0
+    val none = Eval.ndcgMrrMicro(
+      Seq((1L, 1L)).toDF("id", "rank"),
+      Seq((1L, 0L)).toDF("id", "rel"), 3).head()
+    assert(none.isNullAt(0) && none.isNullAt(2))
+    assert(none.getLong(1) === 0L && none.getLong(3) === 0L)
+  }
+
+  test("ndcgMrrMicro ideal cut: rel ties beyond k don't change idcg") {
+    val s = spark
+    import s.implicits._
+    // five rel=2 docs, k=2: ideal takes any two of them — idcg must
+    // not depend on WHICH two (equal gains), pinning the top-k-cut
+    // equivalence to the full-window form
+    val qrels = (1L to 5L).map((_, 2L)).toDF("id", "rel")
+    val run = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val r = Eval.ndcgMrrMicro(run, qrels, 2).head()
+    assert(r.getLong(0) === 1000000L) // run hits 2 rel-2 docs: perfect
+    assert(r.getLong(3) === 5L)
+  }
 }

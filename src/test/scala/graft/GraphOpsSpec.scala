@@ -235,4 +235,37 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(census(byDeg = true) === ((200L, wedgeTotal)))
     assert(census(byDeg = false) === ((200L, wedgeTotal)))
   }
+
+  test("localClusteringMicro: per-vertex counts on a known graph") {
+    val s = spark
+    import s.implicits._
+    // K4 minus edge {3,4}, plus pendant 5 on 4:
+    // triangles {1,2,3} and {1,2,4}
+    val p = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val got = GraphOps.localClusteringMicro(p, "id_a", "id_b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array(
+      (1L, 3L, 2L, 666666L),   // 2 tri / C(3,2)=3 pairs -> 2/3
+      (2L, 3L, 2L, 666666L),
+      (3L, 2L, 1L, 1000000L),  // both neighbors linked
+      (4L, 3L, 1L, 333333L),
+      (5L, 1L, 0L, 0L)))       // deg < 2 -> defined as 0
+  }
+
+  test("localClusteringMicro agrees with the census triangle total") {
+    val s = spark
+    import s.implicits._
+    // reversed/duplicated pairs + self-loop: normalization shared with
+    // the census, and sum(tri) over vertices = 3 x census triangles
+    val p = Seq((2L, 1L), (1L, 2L), (3L, 1L), (2L, 3L), (3L, 3L),
+      (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val perVertex = GraphOps.localClusteringMicro(p, "id_a", "id_b")
+    val triSum = perVertex.agg(sum("tri")).head().getLong(0)
+    val census = GraphOps.triangleCensus(p, "id_a", "id_b")
+      .head().getLong(0)
+    assert(triSum === 3 * census)
+    assert(census === 2L) // {1,2,3} and {1,3,4}
+  }
 }

@@ -485,4 +485,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(out(1)._2 - math.sqrt(2) / 2) < 1e-6)
     assert(out(3)._2 === 1.0 && out(4)._2 === 1.0)  // aligned + singleton
   }
+
+  test("signWords: engine packing matches the driver-side packing") {
+    val s = spark
+    import s.implicits._
+    // 40-dim vector (2 words, second partial) with mixed signs; zero
+    // is NOT positive, so its bit stays clear
+    val v: Seq[Float] =
+      (0 until 40).map(i => if (i % 3 == 0) 1.0f
+        else if (i % 3 == 1) -0.5f else 0.0f)
+    val df = Seq((1L, v)).toDF("id", "vec")
+    val got = df.select(Similarity.signWords(col("vec"), 40))
+      .head().getSeq[Long](0)
+    val want = Similarity.signWordsOf(v.map(_.toDouble))
+    assert(got === want)
+    assert(want.length === 2)
+    // brute-force bit check
+    (0 until 40).foreach { i =>
+      val bit = (want(i / 32) >> (i % 32)) & 1L
+      assert(bit === (if (v(i) > 0) 1L else 0L), s"bit $i")
+    }
+  }
+
+  test("signHammingTopK: self-match first, Hamming prunes by angle") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    // deterministic pseudo-embeddings + the query itself as id 0
+    def mk(seed: Int): Seq[Float] =
+      (0 until dim).map(i =>
+        math.sin(seed * 31 + i * 7 + 1).toFloat)
+    val rows = (0L until 50L).map(i => (i, mk(i.toInt)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = mk(0).map(_.toDouble)
+    val top = Similarity.signHammingTopK(df, "vec_id", "embedding", q,
+      k = 5, candidates = 20).collect()
+    assert(top.head.getLong(0) === 0L)       // the query vector itself
+    assert(top.head.getLong(1) === 0L)       // zero Hamming distance
+    assert(top.head.getDouble(2) === 1.0)    // exact cosine 1
+    // candidate stage really prunes: every returned row came through
+    // the Hamming cut, and the rerank orders by exact cosine desc
+    val cosines = top.map(_.getDouble(2)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    intercept[IllegalArgumentException] {
+      Similarity.signHammingTopK(df, "vec_id", "embedding", q,
+        k = 30, candidates = 10)
+    }
+  }
 }
