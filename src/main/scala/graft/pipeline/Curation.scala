@@ -441,10 +441,14 @@ object Curation {
                        nShards: Int): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
     val cycle = 2L * nShards
+    // the single-group key must stay attribute-DEPENDENT (pmod of a
+    // real column, constantly 0): a literal group would constant-fold
+    // the rank's stats equi-join to `true` and plan the banned
+    // BroadcastNestedLoopJoin
     val ranked = graft.ops.DistributedRank.bucketedRank(
       docs.withColumn("_w", weight.cast("long"))
         .withColumn("_negw", -col("_w"))
-        .withColumn("_g", lit(0)),
+        .withColumn("_g", pmod(col("_w"), lit(1L))),
       "_g", "_negw", Seq(idCol), out = "_rn")
     val s = pmod(col("_rn") - 1, lit(cycle))
     ranked
