@@ -3123,6 +3123,137 @@ object SparkEntry {
              |  CAST(sum(wt) AS BIGINT) AS total_weight
              |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // EXACT median without a global sort: iterative range narrowing
+    // (per round: one pushable range-filtered scan + a B-cell count,
+    // never data on the driver), then one bounded TakeOrdered resolve
+    // — log_B(n/threshold) scans reach the exact order statistic of
+    // 10^12 rows where ORDER BY + OFFSET plans an O(n log n) sort.
+    // The answer is a VALUE of the multiset, so tie order and
+    // interpolation conventions don't exist; the oracle's
+    // row_number()-based k-th element must agree bit-for-bit.
+    "q47_exact_median" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.exactQuantile(
+        lineitem(s, dir), "l_extendedprice", q = 0.5,
+        buckets = 64, threshold = 10000),
+      Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM v),
+             |k AS (SELECT greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(0.5 * n) AS BIGINT)) AS k, n FROM n)
+             |SELECT r.v AS value, k.n, k.k
+             |FROM r, k WHERE r.rn = k.k""".stripMargin)),
+
+    // Kendall tau-b agreement between the lexical (BM25) and semantic
+    // (cosine) scorings of the BM25 top-50 candidate list — do the two
+    // rankers ORDER the shared candidates the same way? Tie-aware
+    // (scores round to 6 decimals and tie freely); integer concordant/
+    // discordant/tie counts until the single final division. The pair
+    // enumeration is a single-bucket BroadcastHashJoin over the
+    // LIST-SIZED frame (50 rows → 1225 pairs), never a corpus join.
+    "q48_kendall_tau" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val lex = Retrieval.bm25TopK(docs, "doc_id", "text",
+            Seq("vector", "hash", "merge"), k = 50)
+          .select(col("id"), col("bm25").as("score"))
+        val sem = emb.select(col("vec_id").as("id"),
+          round(Similarity.cosine(
+            Similarity.toDouble(col("embedding")), typedlit(q)), 6)
+            .as("score"))
+        graft.pipeline.Eval.kendallTauBMicro(lex, sem)
+      },
+      Some("""WITH p AS (SELECT doc_id AS id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS t
+             |        FROM documents) u
+             |  WHERE t IN ('vector', 'hash', 'merge')
+             |  GROUP BY id, t),
+             |l AS (SELECT doc_id AS id, len(str_split(text, ' ')) AS dl
+             |  FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(len(str_split(text, ' '))) AS DOUBLE)
+             |      / count(*) AS avgdl
+             |  FROM documents),
+             |i AS (SELECT term, ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             |    AS idf, avgdl
+             |  FROM (SELECT term, count(*) AS df FROM p GROUP BY term)
+             |  CROSS JOIN st),
+             |sc AS (SELECT p.id,
+             |    ROUND(sum(i.idf * p.tf * 2.2
+             |      / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / i.avgdl))),
+             |      6) AS s
+             |  FROM p JOIN i USING (term) JOIN l ON l.id = p.id
+             |  GROUP BY p.id),
+             |lex AS (SELECT id, s FROM sc
+             |  ORDER BY s DESC, id ASC LIMIT 50),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+             |cs AS (SELECT vec_id AS id, ROUND(list_dot_product(v, q)
+             |    / (sqrt(list_dot_product(v, v))
+             |       * sqrt(list_dot_product(q, q))), 6) AS c
+             |  FROM e, qv),
+             |j AS (SELECT lex.id, lex.s AS sa, cs.c AS sb
+             |  FROM lex JOIN cs USING (id)),
+             |pr AS (SELECT a.sa AS a1, a.sb AS b1, b.sa AS a2,
+             |    b.sb AS b2
+             |  FROM j a JOIN j b ON a.id < b.id),
+             |cmp AS (SELECT
+             |    CASE WHEN a1 < a2 THEN -1 WHEN a1 > a2 THEN 1
+             |      ELSE 0 END AS ca,
+             |    CASE WHEN b1 < b2 THEN -1 WHEN b1 > b2 THEN 1
+             |      ELSE 0 END AS cb
+             |  FROM pr),
+             |agg AS (SELECT
+             |    CAST(sum(CASE WHEN ca * cb > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nc,
+             |    CAST(sum(CASE WHEN ca * cb < 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS nd,
+             |    CAST(sum(CASE WHEN ca = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ta,
+             |    CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tb,
+             |    CAST(count(*) AS BIGINT) AS n0
+             |  FROM cmp),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j)
+             |SELECT CASE WHEN n0 > ta AND n0 > tb THEN
+             |    CAST(ROUND(1e6 * (nc - nd)
+             |      / sqrt(CAST(n0 - ta AS DOUBLE)
+             |        * CAST(n0 - tb AS DOUBLE))) AS BIGINT)
+             |  END AS tau_micro, n, nc AS concordant, nd AS discordant
+             |FROM agg, nn""".stripMargin)),
+
+    // Proportional stride-scheduled mixture order: every source
+    // appears in the global training order interleaved in proportion
+    // to its size (source s's r-th doc at virtual time r/w_s), so
+    // EVERY prefix of the schedule is the corpus mixture — the
+    // property d20's mixture report can only measure after the fact.
+    // Within-source order is the portable md5 shuffle (trainOrder);
+    // per-source ranks come from the distributed bucketed rank, and
+    // vt quantizes by integer floor division — no float tie ambiguity.
+    "d46_stride_mixture" -> Q(
+      (s, dir) => Curation.strideMixtureOrder(
+          table(s, dir, "documents"), "doc_id", "source")
+        .select("doc_id", "source", "vt_micro")
+        .orderBy("vt_micro", "source", "doc_id").limit(500),
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |    ${duckHash60("CAST(doc_id AS VARCHAR)")} AS h
+              |  FROM documents),
+              |r AS (SELECT doc_id, source,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY h, doc_id) AS BIGINT) AS rs,
+              |    CAST(count(*) OVER (PARTITION BY source)
+              |      AS BIGINT) AS w
+              |  FROM h)
+              |SELECT doc_id, source, (rs * 1000000) // w AS vt_micro
+              |FROM r ORDER BY vt_micro, source, doc_id
+              |LIMIT 500""".stripMargin)),
+
     // Shannon entropy of each doc's token distribution in integer
     // micro-nats — the information-theoretic repetition/quality
     // signal (boilerplate loops score far below natural text; unlike

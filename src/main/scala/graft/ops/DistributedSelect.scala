@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** EXACT distributed selection (k-th smallest / exact quantiles)
+  * without a global sort — the classic iterative range-narrowing
+  * scheme (Blum-style selection re-expressed for a cluster):
+  *
+  *   1. one aggregation pass counts rows per equi-width cell over the
+  *      current [lo, hi] candidate range (B cells — a B-row result,
+  *      never data on the driver);
+  *   2. the cell containing the running k-th is found driver-side from
+  *      those B counts; [lo, hi] narrows to that cell, k adjusts by
+  *      the mass below it;
+  *   3. repeat until the candidate cell holds ≤ `threshold` rows, then
+  *      ONE bounded top-k (TakeOrderedAndProject — per-partition
+  *      heaps) resolves the exact value.
+  *
+  * Each round is a full scan with a pushable range predicate and a
+  * tiny aggregate — no shuffle of data rows, no window, nothing
+  * data-sized on the driver. Rounds are log_B(n/threshold): 4 scans
+  * reach the exact median of 10^12 rows at B = 128 — versus the
+  * O(n log n) global sort an `ORDER BY ... LIMIT k OFFSET` plans. The
+  * answer is a VALUE of the column (the k-th order statistic of the
+  * multiset), so tie order cannot affect it and both engines agree
+  * bit-for-bit with no interpolation convention.
+  *
+  * Nulls and NaNs are excluded (order statistics over the comparable
+  * values — the quantile convention every SQL engine shares).
+  */
+object DistributedSelect {
+
+  /** The exact k-th smallest (1-based) value of `valueCol` cast to
+    * double, with the per-round narrowing trace: returns
+    * (value, rounds). */
+  def kthSmallest(df: DataFrame, valueCol: String, k: Long,
+                  buckets: Int = 128,
+                  threshold: Long = 100000): (Double, Int) = {
+    require(k >= 1, "k must be >= 1")
+    require(buckets >= 2, "buckets must be >= 2")
+    val v = col(valueCol).cast("double")
+    val vals = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+
+    val head = vals.agg(min(col("_v")), max(col("_v")), count(lit(1)))
+      .head()
+    require(!head.isNullAt(2) && head.getLong(2) >= k,
+      s"k=$k exceeds non-null row count")
+    var lo = head.getDouble(0)
+    var hi = head.getDouble(1)
+    var kk = k
+    var inRange = head.getLong(2)
+    var rounds = 0
+
+    // Narrow while the candidate set is big and the range can split.
+    // Guard: equi-width cells over [lo, hi] use the SAME formula for
+    // counting and for the next round's filter, so a row can never
+    // fall between rounds.
+    while (inRange > threshold && lo < hi && rounds < 64) {
+      rounds += 1
+      val width = (hi - lo) / buckets
+      val cellOf = least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("_v") - lit(lo)) / lit(width)).cast("long")))
+      val counts: Array[Row] = vals
+        .filter(col("_v") >= lo && col("_v") <= hi)
+        .groupBy(cellOf.as("_c")).agg(count(lit(1)).as("_n"))
+        .collect() // B rows max — a stats fetch, not a data collect
+      val byCell = counts.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var c = 0L
+      var below = 0L
+      while (c < buckets && below + byCell.getOrElse(c, 0L) < kk) {
+        below += byCell.getOrElse(c, 0L)
+        c += 1
+      }
+      kk -= below
+      inRange = byCell.getOrElse(c, 0L)
+      val newLo = lo + c * width
+      val newHi = if (c == buckets - 1) hi else lo + (c + 1) * width
+      // all remaining candidates share one double value (or FP width
+      // underflow): the k-th of identical values is that value
+      if (newLo >= newHi || newLo == lo && newHi == hi) {
+        lo = newLo; hi = newLo
+      } else {
+        lo = newLo; hi = newHi
+      }
+    }
+    if (lo == hi) return (lo, rounds)
+    // bounded resolve: top-kk of the surviving range via per-partition
+    // heaps; kk <= inRange <= threshold
+    val kth = vals.filter(col("_v") >= lo && col("_v") <= hi)
+      .orderBy(col("_v").asc).limit(kk.toInt)
+      .agg(max(col("_v"))).head().getDouble(0)
+    (kth, rounds)
+  }
+
+  /** Exact discrete quantile (the value at 1-based position
+    * ⌈q·n⌉ — the lower/"disc" convention, no interpolation): one-row
+    * DataFrame (value, n, k) for the oracle-comparable form. (The
+    * narrowing-round count is available via [[kthSmallest]]; it is a
+    * property of the run, not of the data, so it stays out of the
+    * oracle-compared schema.) */
+  def exactQuantile(df: DataFrame, valueCol: String,
+                    q: Double, buckets: Int = 128,
+                    threshold: Long = 100000): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    val v = col(valueCol).cast("double")
+    val n = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .count()
+    val k = math.max(1L, math.ceil(q * n).toLong)
+    val (value, _) = kthSmallest(df, valueCol, k, buckets, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((value, n, k)).toDF("value", "n", "k")
+  }
+}

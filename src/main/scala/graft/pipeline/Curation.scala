@@ -422,6 +422,38 @@ object Curation {
       .sortWithinPartitions(col("order_key"), id)
   }
 
+  /** Proportional stride-scheduled mixture order: a deterministic
+    * global training order in which each `sourceCol` group appears
+    * INTERLEAVED in proportion to its size (the classic stride /
+    * virtual-time schedule — source s's r-th document runs at
+    * vt = r/w_s, so a 10× larger source fires 10× as often, and no
+    * prefix of the schedule over- or under-samples any source beyond
+    * one document). The practical mixture guarantee d20's report only
+    * measures: every training prefix IS the corpus mixture.
+    *
+    * Within a source, documents order by the portable md5 hash
+    * (trainOrder's engine-independent shuffle), so the schedule is
+    * reproducible anywhere. vt quantizes to integer micro-units by
+    * floor division — no float tie ambiguity between engines — with
+    * (vt_micro, source, id) a total order.
+    *
+    * Shape at scale: the per-source rank is
+    * [[graft.ops.DistributedRank.bucketedRank]] (grouped by source —
+    * parallel range-bucketed sorts) and the source sizes ride its
+    * `_grp_n` for free; the fold to vt is map-side. Consumers write
+    * with repartitionByRange(vt_micro, ...) for a total order across
+    * output files. */
+  def strideMixtureOrder(docs: DataFrame, idCol: String,
+                         sourceCol: String): DataFrame = {
+    val keyed = docs.withColumn("_h",
+      Dedup.md5Long60(col(idCol).cast("string")))
+    val ranked = graft.ops.DistributedRank.bucketedRank(
+      keyed, sourceCol, "_h", Seq(idCol), out = "_rs")
+    ranked
+      .withColumn("vt_micro", expr("(_rs * 1000000) div _grp_n"))
+      .drop("_h", "_grp_n")
+  }
+
   /** Weight-balanced serpentine sharding for training-data export:
     * every row gets a `shard` in [0, nShards) such that per-shard
     * total `weight` (token counts, byte sizes) is near-equal — the

@@ -292,6 +292,62 @@ object Eval {
         col("n_relevant"), col("n_run"))
   }
 
+  /** Kendall tau-b rank agreement between two scorings of the SAME
+    * bounded item set: one row (tau_micro, n, concordant, discordant).
+    * The retrieval-comparison metric — how much do the lexical and
+    * semantic rankers agree on a candidate list? — and the tie-aware
+    * form (tau-b), since scores round to 6 decimals and tie freely.
+    *
+    * `a` and `b` each carry (id, score); items are matched by id
+    * (inner join — both rankers must score the item). Contract: the
+    * inputs are LIST-SIZED frames (top-k results, judgment pools) —
+    * the pair enumeration is n(n−1)/2 and is meant for n in the
+    * hundreds, not the corpus; the corpus-scale analogue is sampling
+    * pairs, not this operator. Everything is integer until the final
+    * division: nc, nd, and the tie corrections count pairs exactly,
+    * and tau_b = (nc − nd)/√((n0−n1)(n0−n2)) micro-rounds once.
+    * Degenerate contract: if either ranking is all-ties (n0 = n1 or
+    * n0 = n2) tau is undefined → NULL, counts still reported. */
+  def kendallTauBMicro(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("id").as("_id"), col("score").as("_sa"))
+      .join(b.select(col("id").as("_id"), col("score").as("_sb")),
+        "_id")
+    // pair enumeration via a single-bucket BroadcastHashJoin (the
+    // attribute-dependent `_one` key) + the i<j filter — never a
+    // BroadcastNestedLoopJoin plan, and the broadcast side is the
+    // list-sized frame the contract bounds
+    val p1 = j.select(col("_id").as("_i"), col("_sa").as("_a1"),
+      col("_sb").as("_b1"),
+      pmod(col("_id"), lit(1L)).cast("int").as("_one"))
+    val p2 = j.select(col("_id").as("_j"), col("_sa").as("_a2"),
+      col("_sb").as("_b2"),
+      pmod(col("_id"), lit(1L)).cast("int").as("_one"))
+    val pairs = p1.join(broadcast(p2), "_one")
+      .filter(col("_i") < col("_j"))
+    val cmpA = when(col("_a1") < col("_a2"), -1)
+      .when(col("_a1") > col("_a2"), 1).otherwise(0)
+    val cmpB = when(col("_b1") < col("_b2"), -1)
+      .when(col("_b1") > col("_b2"), 1).otherwise(0)
+    val agg = pairs.agg(
+      sum(when(cmpA * cmpB > 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(cmpA * cmpB < 0, 1L).otherwise(0L)).as("nd"),
+      sum(when(cmpA === 0, 1L).otherwise(0L)).as("ta"),
+      sum(when(cmpB === 0, 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("n0"))
+    val nAgg = j.agg(count(lit(1)).as("n"))
+      .withColumn("_one", pmod(col("n"), lit(1L)).cast("int"))
+    agg.withColumn("_one",
+        pmod(col("n0") + col("nc"), lit(1L)).cast("int"))
+      .join(broadcast(nAgg), "_one")
+      .select(
+        when(col("n0") > col("ta") && col("n0") > col("tb"),
+          round(lit(1e6) * (col("nc") - col("nd")) /
+            sqrt((col("n0") - col("ta")).cast("double") *
+              (col("n0") - col("tb")).cast("double"))).cast("long"))
+          .as("tau_micro"),
+        col("n"), col("nc").as("concordant"), col("nd").as("discordant"))
+  }
+
   /** The reference side of the drift monitor: the pinned-once
     * histogram a stream (or a nightly batch job) scores every arrival
     * against. Exposed so batch and stream share one construction. */

@@ -396,6 +396,37 @@ class CurationSpec extends AnyFunSuite {
       s"sample id mean $meanId skewed — tie-break leakage")
   }
 
+  test("strideMixtureOrder: every prefix is the corpus mixture") {
+    val s = spark
+    import s.implicits._
+    // sources of size 30 and 10: a 3:1 mixture
+    val rows = (1L to 30L).map(i => (i, "big")) ++
+      (41L to 50L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    val ordered = Curation.strideMixtureOrder(df, "doc_id", "source")
+      .orderBy("vt_micro", "source", "doc_id")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ordered.length === 40)
+    // proportionality: any prefix of length 4k holds ~3k big / k small
+    // (stride guarantees within-one-of-proportional at every point)
+    Seq(4, 8, 20, 40).foreach { n =>
+      val smallN = ordered.take(n).count(_._2 == "small")
+      val expect = n / 4.0
+      assert(math.abs(smallN - expect) <= 1.0,
+        s"prefix $n: $smallN small docs, expected ~$expect")
+    }
+    // determinism: a second run reproduces the schedule exactly
+    val again = Curation.strideMixtureOrder(df, "doc_id", "source")
+      .orderBy("vt_micro", "source", "doc_id")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ordered.toSeq === again.toSeq)
+    // within-source order is the md5 shuffle, not id order
+    val bigIds = ordered.filter(_._2 == "big").map(_._1).toSeq
+    assert(bigIds !== bigIds.sorted, "expected hash-shuffled order")
+  }
+
   test("serpentineShards matches the naive window form and balances") {
     val s = spark
     import s.implicits._

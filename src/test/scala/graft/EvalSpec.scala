@@ -263,6 +263,36 @@ class EvalSpec extends AnyFunSuite {
     assert(none.getLong(1) === 0L && none.getLong(3) === 0L)
   }
 
+  test("kendallTauBMicro: golden agreements, ties, degenerate") {
+    val s = spark
+    import s.implicits._
+    def tau(a: Seq[(Long, Double)], b: Seq[(Long, Double)]) =
+      Eval.kendallTauBMicro(a.toDF("id", "score"), b.toDF("id", "score"))
+        .head()
+    val ids = Seq(1L, 2L, 3L, 4L)
+    val up = ids.map(i => (i, i.toDouble))
+    val down = ids.map(i => (i, -i.toDouble))
+    // identical order: tau = 1
+    val same = tau(up, up)
+    assert(same.getLong(0) === 1000000L && same.getLong(1) === 4L)
+    assert(same.getLong(2) === 6L && same.getLong(3) === 0L)
+    // exactly reversed: tau = -1
+    assert(tau(up, down).getLong(0) === -1000000L)
+    // one swap among 4: nc=5, nd=1 -> 4/6
+    val oneSwap = tau(up, Seq((1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 4.0)))
+    assert(oneSwap.getLong(0) === 666667L)
+    // ties in b: pair (2,3) tied -> excluded from b's effective pairs
+    val tied = tau(up, Seq((1L, 1.0), (2L, 2.0), (3L, 2.0), (4L, 3.0)))
+    // nc=5, nd=0, ta=0, tb=1: 5 / sqrt(6*5) = 0.912871
+    assert(tied.getLong(0) === 912871L)
+    // all-tied b: undefined -> NULL, counts reported
+    val deg = tau(up, ids.map(i => (i, 7.0)))
+    assert(deg.isNullAt(0) && deg.getLong(1) === 4L)
+    // id mismatch: inner join keeps the shared subset only
+    val sub = tau(up, Seq((2L, 1.0), (3L, 2.0), (9L, 9.0)))
+    assert(sub.getLong(1) === 2L && sub.getLong(0) === 1000000L)
+  }
+
   test("ndcgMrrMicro ideal cut: rel ties beyond k don't change idcg") {
     val s = spark
     import s.implicits._
