@@ -3093,7 +3093,11 @@ object SparkEntry {
               |      COALESCE(pv.tri, 0)) // (td.deg * (td.deg - 1))
               |    ELSE CAST(0 AS BIGINT) END AS lcc_micro
               |FROM td LEFT JOIN pv USING (id)
-              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        // force CTE materialization: tri is referenced 3x and te by
+        // every level — DuckDB's default inlining would re-run the
+        // whole LSH chain per reference
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Weight-balanced serpentine sharding for training-data export:
     // rank docs by token count (desc, id tiebreak) with the
@@ -3253,6 +3257,99 @@ object SparkEntry {
               |SELECT doc_id, source, (rs * 1000000) // w AS vt_micro
               |FROM r ORDER BY vt_micro, source, doc_id
               |LIMIT 500""".stripMargin)),
+
+    // Interpolated BIGRAM LM fluency score — the next-order signal
+    // d28's unigram model can't see (unigrams score shuffled text
+    // identically): per-doc mean log10 of the Jelinek-Mercer
+    // 0.75·c2/c1(w1) + 0.25·c1(w2)/N with corpus-level counts.
+    // Per-bigram terms micro-quantize before the sum; the expression
+    // shape (op order) is mirrored literally in the oracle so the
+    // IEEE doubles agree bit-for-bit. Count tables shuffle on their
+    // own n-gram keys (never broadcast); N is the 1-row driver-side
+    // parameter literal.
+    "d47_bigram_logprob" -> Q(
+      (s, dir) => TextStats.bigramLogProb(
+          table(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("nbg"),
+          col("sum_ll_micro"), col("score_micro"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, unnest(str_split(text, ' '))
+             |    AS tok FROM documents),
+             |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+             |  FROM t GROUP BY tok),
+             |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM u),
+             |b AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(toks) - 1, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+             |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+             |        FROM documents) d),
+             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM b GROUP BY bg),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nbg,
+             |    CAST(sum(CAST(ROUND(1e6 * log10(0.75 * c2 / u1.c1
+             |      + 0.25 * u2.c1 / n.n)) AS BIGINT)) AS BIGINT)
+             |      AS sum_ll_micro
+             |  FROM b JOIN bf USING (bg)
+             |  JOIN u u1 ON u1.tok = str_split(b.bg, ' ')[1]
+             |  JOIN u u2 ON u2.tok = str_split(b.bg, ' ')[2]
+             |  CROSS JOIN n GROUP BY doc_id)
+             |SELECT doc_id, nbg, sum_ll_micro,
+             |  CAST(TRUNC(CAST(sum_ll_micro AS DOUBLE) / nbg)
+             |    AS BIGINT) AS score_micro
+             |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // k-core of the near-dup graph by 4 fixed peel rounds (the g1
+    // fixed-iteration convention, so the loop replays as chained
+    // CTEs): drop deg<2 vertices, restrict edges to survivors,
+    // recompute, repeat. Chains and pendant quotes peel away;
+    // template cliques stay — the density filter before cluster
+    // mining. Per round: one map-side-combining degree count + two
+    // vertex-keyed semi-joins; edges never grow.
+    "g4_kcore" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.kCorePeel(
+          Dedup.lshVerifiedJaccardPairs(
+            table(s, dir, "documents"), "doc_id", "text",
+            threshold = 0.3),
+          "id_a", "id_b", k = 2, rounds = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT id_a AS lo, id_b AS hi
+              |       FROM vpairs WHERE id_a < id_b),
+              |d0 AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi FROM te) u GROUP BY id),
+              |k0 AS (SELECT id FROM d0 WHERE deg >= 2),
+              |e1 AS (SELECT te.lo, te.hi FROM te
+              |  JOIN k0 a ON a.id = te.lo JOIN k0 b ON b.id = te.hi),
+              |d1 AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM e1
+              |        UNION ALL SELECT hi FROM e1) u GROUP BY id),
+              |k1 AS (SELECT id FROM d1 WHERE deg >= 2),
+              |e2 AS (SELECT e1.lo, e1.hi FROM e1
+              |  JOIN k1 a ON a.id = e1.lo JOIN k1 b ON b.id = e1.hi),
+              |d2 AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM e2
+              |        UNION ALL SELECT hi FROM e2) u GROUP BY id),
+              |k2 AS (SELECT id FROM d2 WHERE deg >= 2),
+              |e3 AS (SELECT e2.lo, e2.hi FROM e2
+              |  JOIN k2 a ON a.id = e2.lo JOIN k2 b ON b.id = e2.hi),
+              |d3 AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM e3
+              |        UNION ALL SELECT hi FROM e3) u GROUP BY id),
+              |k3 AS (SELECT id FROM d3 WHERE deg >= 2),
+              |e4 AS (SELECT e3.lo, e3.hi FROM e3
+              |  JOIN k3 a ON a.id = e3.lo JOIN k3 b ON b.id = e3.hi),
+              |d4 AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM e4
+              |        UNION ALL SELECT hi FROM e4) u GROUP BY id)
+              |SELECT id AS doc_id, deg FROM d4 WHERE deg >= 2
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        // force CTE materialization: each peel level references the
+        // previous twice, so DuckDB's default inlining re-runs the
+        // LSH chain O(2^rounds) times (measured: >15 min inlined,
+        // 1.7 s materialized at sf0.01)
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Shannon entropy of each doc's token distribution in integer
     // micro-nats — the information-theoretic repetition/quality

@@ -312,6 +312,79 @@ object GraphOps {
           .otherwise(lit(0L)))
   }
 
+  /** Iterative k-core peeling, `rounds` fixed iterations: drop every
+    * vertex with degree < k, restrict edges to survivors, recompute,
+    * repeat. After enough rounds the survivors are exactly the k-core
+    * (the maximal subgraph of min-degree ≥ k) — the density filter a
+    * near-dup graph analysis runs before cluster mining: chains and
+    * pendant quotes peel away, template cliques stay. A FIXED round
+    * count (the g1 pageRankMicro convention) keeps the operator
+    * SQL-replayable as chained CTEs; each round removes at least one
+    * vertex until fixpoint, so `rounds` ≥ the peel depth (rarely more
+    * than a few on real graphs) reaches the true core, and
+    * [[kCorePeelStats]] reports whether the fixpoint was reached.
+    *
+    * Returns surviving (id, deg) — degrees IN the peeled subgraph.
+    * Per round: one map-side-combining degree count + two semi-joins
+    * co-partitioned on the vertex key the edges already carry; edge
+    * count never grows. At real scale, localCheckpoint the edge frame
+    * every few rounds (the connectedComponents contract) to cap
+    * lineage; at a fixed handful of rounds the lineage is bounded
+    * already. */
+  def kCorePeel(pairs: DataFrame, idACol: String, idBCol: String,
+                k: Int, rounds: Int): DataFrame =
+    peeledDegrees(pairs, idACol, idBCol, k, rounds)
+      .filter(col("deg") >= k)
+
+  /** [[kCorePeel]] plus the fixpoint flag: one row
+    * (n_vertices, n_edges, converged) — converged is true iff one
+    * MORE peel round would remove nothing (every vertex still carrying
+    * an edge after the last restriction has deg ≥ k), i.e. the
+    * survivors are the true k-core, not a truncation artifact. */
+  def kCorePeelStats(pairs: DataFrame, idACol: String, idBCol: String,
+                     k: Int, rounds: Int): DataFrame = {
+    val deg = peeledDegrees(pairs, idACol, idBCol, k, rounds)
+      .localCheckpoint()
+    val r = deg.agg(
+      coalesce(sum(when(col("deg") >= k, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("deg") >= k, col("deg")).otherwise(0L)),
+        lit(0L)),
+      coalesce(sum(when(col("deg") < k, 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // sum(deg)/2 = edges within the survivor set only when converged;
+    // report the survivor-degree sum halved regardless (exact at the
+    // fixpoint, and the convergence flag qualifies it otherwise)
+    Seq((r.getLong(0), r.getLong(1) / 2, r.getLong(2) == 0L))
+      .toDF("n_vertices", "n_edges", "converged")
+  }
+
+  /** The peel loop of [[kCorePeel]]: degrees after `rounds`
+    * restrictions, UNFILTERED (vertices that fell below k in the last
+    * round still present — the convergence evidence). */
+  private def peeledDegrees(pairs: DataFrame, idACol: String,
+                            idBCol: String, k: Int,
+                            rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = normalizedEdges(pairs, idACol, idBCol)
+    var deg = degreesOf(e)
+    (1 to rounds).foreach { _ =>
+      val keep = deg.filter(col("deg") >= k).select("id")
+      e = e.join(keep, col("lo") === col("id"), "left_semi")
+        .join(keep, col("hi") === col("id"), "left_semi")
+      deg = degreesOf(e)
+    }
+    deg
+  }
+
+  /** Degrees over a normalized (lo, hi) edge frame. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("lo").as("id"))
+      .union(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+
   /** Normalized undirected edge list: (lo, hi) with lo < hi, distinct,
     * self-loops and null ids dropped. */
   def normalizedEdges(pairs: DataFrame, idACol: String,

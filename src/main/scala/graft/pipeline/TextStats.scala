@@ -237,4 +237,58 @@ object TextStats {
       ((col("sum_ll_micro") - col("ntok") * lit(llNMicro))
         .cast("double") / col("ntok")).cast("long").as("score_micro"))
   }
+
+  /** Interpolated BIGRAM language-model score per doc — the
+    * next-order fluency signal [[unigramLogProb]] can't see (unigrams
+    * score shuffled text identically; bigrams collapse on it):
+    * per-doc mean of log10(0.75·c2(w1 w2)/c1(w1) + 0.25·c1(w2)/N)
+    * over the doc's consecutive token pairs, against corpus-level
+    * counts. The fixed 0.75/0.25 interpolation keeps every scored
+    * bigram's probability positive (its own occurrence is in c2) with
+    * the unigram term as the smoothing floor — the Jelinek-Mercer
+    * shape with a pinned λ so both engines replay it exactly.
+    *
+    * Output (id, nbg, sum_ll_micro, score_micro): per-bigram terms
+    * quantize to integer micro before the sum (d28 discipline —
+    * order-independent, hash-exact); score = sum/nbg truncated toward
+    * zero (d28's convention). Docs with fewer than 2 tokens have no
+    * bigrams and are absent — the caller left-joins if it needs them.
+    *
+    * Shape at scale: bigram/unigram counts shuffle co-partitioned on
+    * their OWN keys (no broadcast — a web-corpus bigram table is
+    * far beyond driver memory; hot stopword bigrams are AQE
+    * skew-split, the d27 contract); the corpus total N is the 1-row
+    * parameter fetched driver-side and folded in as a literal (a
+    * constant-key join would fold to `true` → banned BNLJ). */
+  def bigramLogProb(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bi = docs.select(col(idCol).as("id"),
+      explode(Curation.wordNgrams(col(textCol), 2)).as("bg"))
+    val bfreq = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val nTotal = docs.agg(
+        sum(size(tokens(col(textCol))).cast("long")).as("n_total"))
+      .head().getLong(0)
+    require(nTotal > 0, "empty corpus: no tokens to model")
+    val w1 = element_at(split(col("bg"), " "), 1)
+    val w2 = element_at(split(col("bg"), " "), 2)
+    val u1 = uni.select(col("tok").as("_w1"), col("c1").as("c1a"))
+    val u2 = uni.select(col("tok").as("_w2"), col("c1").as("c1b"))
+    // term expression mirrors the oracle's literal shape exactly:
+    // (0.75·c2)/c1(w1) + (0.25·c1(w2))/N — same IEEE op order
+    val p = lit(0.75) * col("c2") / col("c1a") +
+      lit(0.25) * col("c1b") / lit(nTotal.toDouble)
+    bi.withColumn("_w1", w1).withColumn("_w2", w2)
+      .join(bfreq, "bg")
+      .join(u1, "_w1")
+      .join(u2, "_w2")
+      .groupBy("id").agg(
+        count(lit(1)).as("nbg"),
+        sum(round(log10(p) * lit(1e6)).cast("long")).as("sum_ll_micro"))
+      .select(col("id"), col("nbg"), col("sum_ll_micro"),
+        (col("sum_ll_micro").cast("double") / col("nbg")).cast("long")
+          .as("score_micro"))
+  }
 }

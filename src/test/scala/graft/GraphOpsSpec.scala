@@ -254,6 +254,35 @@ class GraphOpsSpec extends AnyFunSuite {
       (5L, 1L, 0L, 0L)))       // deg < 2 -> defined as 0
   }
 
+  test("kCorePeel: chains and pendants peel, the clique survives") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4, triangle 5-6-7, pendant 8 on 5
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (5L, 8L)).toDF("id_a", "id_b")
+    val core = GraphOps.kCorePeel(p, "id_a", "id_b", k = 2, rounds = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(core === Array((5L, 2L), (6L, 2L), (7L, 2L)))
+    val stats = GraphOps.kCorePeelStats(p, "id_a", "id_b", 2, 4).head()
+    assert(stats.getLong(0) === 3L && stats.getLong(1) === 3L)
+    assert(stats.getBoolean(2), "triangle core must be a fixpoint")
+  }
+
+  test("kCorePeel: truncated rounds report non-convergence") {
+    val s = spark
+    import s.implicits._
+    // a long chain peels one vertex per end per round: 1 round is
+    // not enough to reach the (empty) 2-core, and the flag says so
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val one = GraphOps.kCorePeelStats(chain, "id_a", "id_b", 2, 1)
+      .head()
+    assert(!one.getBoolean(2), "1-round peel of a chain is truncated")
+    val enough = GraphOps.kCorePeelStats(chain, "id_a", "id_b", 2, 4)
+      .head()
+    assert(enough.getLong(0) === 0L && enough.getBoolean(2),
+      s"chain 2-core must be empty and converged: $enough")
+  }
+
   test("localClusteringMicro agrees with the census triangle total") {
     val s = spark
     import s.implicits._

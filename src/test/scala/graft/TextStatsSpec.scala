@@ -196,4 +196,41 @@ class TextStatsSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
     assert(viaSql === decl)
   }
+
+  test("bigramLogProb matches the closed-form micro terms") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
+    val got = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // corpus: c1(a)=2, c1(b)=2, c1(c)=2, N=6; c2("a b")=2,
+    // c2("b a")=1, c2("c c")=1 — replicate the engine formula exactly
+    def term(c2: Long, c1a: Long, c1b: Long): Long =
+      math.round(1e6 *
+        math.log10(0.75 * c2 / c1a + 0.25 * c1b / 6.0))
+    val d1 = 2 * term(2, 2, 2) + term(1, 2, 2) // ab, ab, ba
+    val d2 = term(1, 2, 2)                     // cc
+    assert(got === Array(
+      (1L, 3L, d1, (d1.toDouble / 3).toLong),
+      (2L, 1L, d2, d2)))
+  }
+
+  test("bigramLogProb separates what unigramLogProb cannot") {
+    val s = spark
+    import s.implicits._
+    // same token multiset, different order: repeated-bigram doc vs a
+    // shuffle of it — unigram scores are identical by construction,
+    // bigram scores must differ (the fluency signal)
+    val docs = Seq((1L, "x y x y x y x y"), (2L, "x x y y x y y x"))
+      .toDF("doc_id", "text")
+    val uni = TextStats.unigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(uni(0) === uni(1), "unigram model must be order-blind")
+    val bi = TextStats.bigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").collect().map(_.getLong(3))
+    assert(bi(0) !== bi(1), "bigram model must see the order")
+    assert(bi(0) > bi(1),
+      "the consistent-bigram doc must score as more probable")
+  }
 }
