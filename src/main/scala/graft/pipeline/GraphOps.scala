@@ -368,12 +368,20 @@ object GraphOps {
                             rounds: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    var e = normalizedEdges(pairs, idACol, idBCol)
+    // localCheckpoint BEFORE the loop, and every few rounds inside it:
+    // each round's plan embeds the previous round's ~3× (e directly +
+    // twice through keep's degree frame), so an un-cut lineage grows
+    // 3^rounds copies of the upstream pair pipeline — at sf0.1 the
+    // LSH-verified input made round 4's ANALYSIS alone run minutes.
+    // Checkpointing makes every round start from a leaf (the
+    // pageRankMicro / connectedComponents contract).
+    var e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
     var deg = degreesOf(e)
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { r =>
       val keep = deg.filter(col("deg") >= k).select("id")
       e = e.join(keep, col("lo") === col("id"), "left_semi")
         .join(keep, col("hi") === col("id"), "left_semi")
+      if (r % 2 == 0 && r < rounds) e = e.localCheckpoint()
       deg = degreesOf(e)
     }
     deg
