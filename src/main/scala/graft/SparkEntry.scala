@@ -4833,7 +4833,72 @@ object SparkEntry {
              |    AS duration_ms,
              |  'avi' AS format
              |FROM documents WHERE doc_id % 3 = 2
-             |ORDER BY doc_id LIMIT 500""".stripMargin)))
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // FRAME SAMPLING over the AVI movi list — the step between
+    // container metadata (m6) and pixel decode: index the video-data
+    // chunks by walking the real byte layout, keep every 4th frame,
+    // emit blob coordinates + payload byte-sum (what a downstream GPU
+    // decoder consumes: (blob, offset, length) pointers). The oracle
+    // is the closed-form of the synthesized container: frame i's
+    // payload starts at 224 + 24i + 8, is 16 bytes, and its four
+    // little-endian ints 4i..4i+3 sum (as bytes) to 16i + 6 — so the
+    // parser is pinned against arithmetic, not against itself.
+    "m9_video_frame_sample" -> Q(
+      (s, dir) => Multimodal.sampleVideoFrames(
+          Multimodal.attachVideos(
+            table(s, dir, "documents")), every = 4).toDF()
+        .orderBy("doc_id", "frame_idx").limit(2000),
+      Some("""WITH f AS (SELECT doc_id,
+             |    CAST(10 + doc_id % 20 AS BIGINT) AS frames
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |idx AS (SELECT doc_id, unnest(generate_series(0,
+             |    frames - 1, 4)) AS frame_idx
+             |  FROM f)
+             |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             |  CAST(224 + frame_idx * 24 + 8 AS BIGINT) AS byte_off,
+             |  CAST(16 AS BIGINT) AS n_bytes,
+             |  CAST(16 * frame_idx + 6 AS BIGINT) AS payload_sum
+             |FROM idx ORDER BY doc_id, frame_idx
+             |LIMIT 2000""".stripMargin)),
+
+    // Shard-export ROUNDTRIP: the d45 serpentine assignment written as
+    // a shard-partitioned parquet layout (one directory per shard —
+    // the layout a trainer's data loader reads shard-by-shard), read
+    // BACK through partition discovery, and re-aggregated. The oracle
+    // is d45's: the write→read cycle must be value- and
+    // assignment-lossless, and the read-side per-shard totals prove
+    // the partition pruning path sees exactly the exported rows.
+    "d48_shard_export_roundtrip" -> Q(
+      (s, dir) => {
+        val out = cachedArtifact(s"d48|$dir") { p =>
+          Curation.serpentineShards(table(s, dir, "documents"),
+              "doc_id", size(split(col("text"), " ")).cast("long"),
+              nShards = 8)
+            .select(col("doc_id"), col("_w"), col("shard"))
+            .write.mode("overwrite").partitionBy("shard").parquet(p)
+        }
+        s.read.parquet(out)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("_w")).as("total_weight"))
+          .select(col("shard").cast("long").as("shard"),
+            col("n_docs"), col("total_weight"))
+          .orderBy("shard")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS wt
+             |  FROM documents),
+             |r AS (SELECT doc_id, wt, CAST(row_number() OVER
+             |    (ORDER BY wt DESC, doc_id ASC) AS BIGINT) AS rn
+             |  FROM w),
+             |a AS (SELECT wt, CASE WHEN (rn - 1) % 16 < 8
+             |    THEN (rn - 1) % 16
+             |    ELSE 15 - ((rn - 1) % 16) END AS shard
+             |  FROM r)
+             |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(wt) AS BIGINT) AS total_weight
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)))
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

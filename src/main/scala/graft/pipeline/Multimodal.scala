@@ -41,6 +41,14 @@ final case class VideoMeta(doc_id: Long, n_bytes: Long, width: Int,
                            height: Int, frames: Long, us_per_frame: Long,
                            duration_ms: Long, format: String)
 
+/** One sampled frame of a video container: where the frame's payload
+  * lives in the blob (byte_off/n_bytes — the pointer a downstream
+  * decoder seeks to) plus the unsigned-byte payload sum as the
+  * parsed-the-right-bytes receipt. Exact integers → SQL-replayable. */
+final case class FrameSample(doc_id: Long, frame_idx: Long,
+                             byte_off: Long, n_bytes: Long,
+                             payload_sum: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition workers.
@@ -393,6 +401,82 @@ object Multimodal {
         col("frames"), col("us_per_frame"), col("duration_ms"),
         col("format"))
       .orderBy("doc_id").limit(500)
+
+  /** FRAME SAMPLING over the RIFF/AVI `movi` list — the training-data
+    * step between container metadata (m6) and pixel decode: walk the
+    * public chunk layout to index every video-data chunk ('##dc'/
+    * '##db'), keep every `every`-th frame, and emit its blob
+    * coordinates + payload byte-sum. No codec is touched: the sampled
+    * output is exactly what a downstream (GPU) decoder consumes —
+    * (blob, offset, length) pointers — so the Spark-side plumbing is
+    * fully real and oracle-checkable while pixel decode stays out of
+    * the JVM. Unparseable containers yield no rows (the m6 error-row
+    * convention does not fit a one-to-many output). Per-partition
+    * imperative walk (mapPartitions — the documented codec
+    * exception); map-only at any scale. */
+  def sampleVideoFrames(records: Dataset[MediaRecord],
+                        every: Int): Dataset[FrameSample] = {
+    require(every >= 1, "every must be >= 1")
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val b = r.media
+      def u32(off: Int): Long =
+        if (off < 0 || off + 4 > b.length) -1L
+        else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+      def fcc(off: Int): String =
+        if (off < 0 || off + 4 > b.length) ""
+        else new String(b, off, 4, "US-ASCII")
+      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") Iterator.empty
+      else {
+        var off = 12
+        var moviStart = -1
+        var moviEnd = -1
+        while (moviStart < 0 && off + 8 <= b.length) {
+          val id = fcc(off)
+          val size = u32(off + 4)
+          if (size < 0 || size > Int.MaxValue - 8 ||
+            off + 8 + size > b.length) { off = b.length }
+          else {
+            if (id == "LIST" && fcc(off + 8) == "movi") {
+              moviStart = off + 12
+              moviEnd = off + 8 + size.toInt
+            }
+            off += 8 + size.toInt + (size.toInt & 1)
+          }
+        }
+        if (moviStart < 0) Iterator.empty
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[FrameSample]()
+          var coff = moviStart
+          var idx = 0L
+          var ok = true
+          while (ok && coff + 8 <= moviEnd) {
+            val cid = fcc(coff)
+            val csize = u32(coff + 4)
+            if (csize < 0 || coff + 8 + csize > moviEnd) ok = false
+            else {
+              // video data chunks: '##dc' (compressed) / '##db' (raw)
+              if (cid.length == 4 &&
+                (cid.endsWith("dc") || cid.endsWith("db"))) {
+                if (idx % every == 0) {
+                  var sum = 0L
+                  var i = coff + 8
+                  val end = coff + 8 + csize.toInt
+                  while (i < end) { sum += b(i) & 0xffL; i += 1 }
+                  out += FrameSample(r.doc_id, idx, (coff + 8).toLong,
+                    csize, sum)
+                }
+                idx += 1
+              }
+              coff += 8 + csize.toInt + (csize.toInt & 1)
+            }
+          }
+          out.iterator
+        }
+      }
+    }
+  }
 
   // ImageIO's default read path spills to a temp-file cache per decode;
   // at millions of decodes per executor that is pure IO overhead.

@@ -334,4 +334,40 @@ class MultimodalSpec extends AnyFunSuite {
       s"expected one decode per image, got ${decodes.value} " +
         s"for ${ids.size} images")
   }
+
+  test("sampleVideoFrames: exact offsets/sums, stride, corrupt blob") {
+    val s = spark
+    import s.implicits._
+    val rec = MediaRecord(2L, "video",
+      Multimodal.synthesizeAvi(width = 160, height = 120, frames = 10,
+        usPerFrame = 20000))
+    val ds = Seq(rec).toDS()
+    // every=1: all 10 frames, closed-form layout coordinates
+    val all = Multimodal.sampleVideoFrames(ds, every = 1)
+      .orderBy("frame_idx").collect()
+    assert(all.length === 10)
+    all.zipWithIndex.foreach { case (f, i) =>
+      assert(f.frame_idx === i.toLong)
+      assert(f.byte_off === 224L + 24L * i + 8L, s"frame $i offset")
+      assert(f.n_bytes === 16L)
+      assert(f.payload_sum === 16L * i + 6L, s"frame $i sum")
+    }
+    // every=4: frames 0, 4, 8
+    val sampled = Multimodal.sampleVideoFrames(ds, every = 4)
+      .collect().map(_.frame_idx).sorted
+    assert(sampled.toSeq === Seq(0L, 4L, 8L))
+    // payload-sum is parsed from the real bytes, not the formula: a
+    // corrupted payload byte must shift the sum by the delta
+    val bent = rec.media.clone()
+    bent(224 + 8) = (bent(224 + 8) + 5).toByte
+    val bentSum = Multimodal.sampleVideoFrames(
+        Seq(MediaRecord(2L, "video", bent)).toDS(), 1)
+      .filter(col("frame_idx") === 0).head().payload_sum
+    assert(bentSum === 6L + 5L)
+    // non-AVI payload yields no rows
+    val junk = Multimodal.sampleVideoFrames(
+      Seq(MediaRecord(3L, "video",
+        Array.fill[Byte](64)(7))).toDS(), 1)
+    assert(junk.count() === 0L)
+  }
 }
