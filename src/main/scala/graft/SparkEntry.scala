@@ -2932,6 +2932,45 @@ object SparkEntry {
              |  na AS n_a, nb AS n_b, nvals AS n_values
              |FROM d""".stripMargin)),
 
+    // Batch REPLAY of the streaming KS drift monitor: one source's
+    // docs arrive as the micro-batch and are KS-scored against the
+    // pinned value counts of the REST of the corpus — the literal
+    // foreachBatch body of Eval.ksDriftStream (referenceValueCounts +
+    // ksAgainstReference, full-outer value domain, shared
+    // integer-exact arithmetic), driver-oracle-checked rather than
+    // spec-only (the q42/d41 promotion pattern).
+    "q49_ks_reference" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val refC = graft.pipeline.Eval.referenceValueCounts(
+          docs.filter(col("source") =!= "src0"), col("n_chars"))
+        graft.pipeline.Eval.ksAgainstReference(
+          docs.filter(col("source") === "src0"), refC, col("n_chars"))
+      },
+      Some("""WITH a AS (SELECT n_chars AS v,
+             |    CAST(count(*) AS BIGINT) AS ca
+             |  FROM documents WHERE source = 'src0' GROUP BY 1),
+             |b AS (SELECT n_chars AS v,
+             |    CAST(count(*) AS BIGINT) AS cb
+             |  FROM documents WHERE source <> 'src0' GROUP BY 1),
+             |g AS (SELECT COALESCE(a.v, b.v) AS v,
+             |    COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+             |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+             |    sum(cb) OVER (ORDER BY v) AS cum_b
+             |  FROM g),
+             |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nvals
+             |  FROM g),
+             |d AS (SELECT CAST(max(abs(cum_a * nb - cum_b * na))
+             |      AS BIGINT) AS dnum, na, nb, nvals
+             |  FROM c, t GROUP BY na, nb, nvals)
+             |SELECT CASE WHEN na > 0 AND nb > 0
+             |    THEN (1000000 * dnum) // (na * nb) END AS ks_micro,
+             |  na AS n_a, nb AS n_b, nvals AS n_values
+             |FROM d""".stripMargin)),
+
     // Offline retrieval eval: NDCG@10 / MRR@10 / recall@10 of the
     // SEMANTIC run (embedding-cosine top-20, the r2 sem list) against
     // graded LEXICAL relevance judgments (query-term occurrence

@@ -204,11 +204,17 @@ object Eval {
     * requires. Single-class input (n_a or n_b = 0) → ks_micro NULL,
     * counts still reported (the rocAuc degenerate contract). */
   def ksMicro(df: DataFrame, value: Column, segment: Column,
-              segA: String, segB: String): DataFrame = {
-    val g = df.filter(segment.isin(segA, segB))
+              segA: String, segB: String): DataFrame =
+    ksFromCounts(df.filter(segment.isin(segA, segB))
       .groupBy(value.as("v"))
       .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
-        sum(when(segment === segB, 1L).otherwise(0L)).as("cb"))
+        sum(when(segment === segB, 1L).otherwise(0L)).as("cb")))
+
+  /** The KS arithmetic over a prebuilt (v, ca, cb) value-count frame —
+    * shared by the two-segment batch form and the streaming drift
+    * monitor so the cumulative/quantization semantics cannot drift
+    * (the psiFromCounts discipline). */
+  private def ksFromCounts(g: DataFrame): DataFrame = {
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val c = g
@@ -228,6 +234,52 @@ object Eval {
           expr("(1000000 * dnum) div (na * nb)")).as("ks_micro"),
         col("na").as("n_a"), col("nb").as("n_b"),
         col("nvals").as("n_values"))
+  }
+
+  /** The reference side of the KS drift monitor: the pinned-once
+    * per-value counts a stream (or nightly batch) scores arrivals
+    * against. The KS analogue of [[referenceHistogram]] — per
+    * DISTINCT VALUE, not per bucket, since KS is bucket-free; the
+    * frame is bounded by value cardinality (quantize continuous
+    * values first, the ksMicro contract). */
+  def referenceValueCounts(reference: DataFrame, value: Column)
+      : DataFrame =
+    reference.groupBy(value.as("v")).agg(count(lit(1)).as("cb"))
+
+  /** KS of one arriving frame against prebuilt reference value counts
+    * — the EXACT computation [[ksDriftStream]]'s foreachBatch sink
+    * runs per micro-batch, exposed as a batch operator so the gate is
+    * oracle-checkable outside a streaming harness. The value domain
+    * is the FULL OUTER join of the two observed value sets (a value
+    * seen on either side is a CDF step for both; missing counts are
+    * 0), then the shared [[ksFromCounts]] arithmetic. */
+  def ksAgainstReference(batch: DataFrame, refCounts: DataFrame,
+                         value: Column): DataFrame = {
+    val bh = batch.groupBy(value.as("v")).agg(count(lit(1)).as("ca"))
+    ksFromCounts(bh.join(refCounts, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  /** Streaming KS drift monitor: every micro-batch's `value`
+    * distribution is KS-scored against a REFERENCE corpus's pinned
+    * value counts; one (batch_id, ks_micro, n_a, n_b, n_values) row
+    * per batch to `sink`. The bucket-free companion of
+    * [[psiDriftStream]] — same pinned-reference shape, and the sink
+    * body IS [[ksAgainstReference]], so batch and stream cannot
+    * drift. */
+  def ksDriftStream(docs: DataFrame, reference: DataFrame,
+                    value: Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refC = referenceValueCounts(reference, value).localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(ksAgainstReference(batch, refC, value)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
   }
 
   /** Graded ranking-quality metrics of a retrieval `run` against a

@@ -110,6 +110,57 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ksAgainstReference equals the two-segment form on one split") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { _ =>
+      val seg = if (rnd.nextBoolean()) "a" else "b"
+      val v = if (seg == "a") rnd.nextInt(20).toLong
+        else (rnd.nextInt(20) + 5).toLong
+      (v, seg)
+    }
+    val df = rows.toDF("v", "g")
+    val direct = Eval.ksMicro(df, col("v"), col("g"), "a", "b").head()
+    val viaRef = Eval.ksAgainstReference(
+      df.filter(col("g") === "a"),
+      Eval.referenceValueCounts(df.filter(col("g") === "b"), col("v")),
+      col("v")).head()
+    assert(direct.getLong(0) === viaRef.getLong(0))
+    assert(direct.getLong(1) === viaRef.getLong(1))
+    assert(direct.getLong(2) === viaRef.getLong(2))
+    assert(direct.getLong(3) === viaRef.getLong(3))
+  }
+
+  test("ksDriftStream scores each micro-batch against the reference") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    // reference: uniform over 0..9
+    val reference = (0 until 200).map(i => i % 10).toDF("v")
+    val mem = MemoryStream[Int]
+    val scores = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Eval.ksDriftStream(mem.toDF().toDF("v"), reference,
+        col("v")) { ks =>
+      scores ++= ks.collect().map(r => (r.getLong(4), r.getLong(0)))
+    }
+    try {
+      // batch 0: same uniform shape -> KS ~ 0
+      mem.addData((0 until 50).map(_ % 10): _*)
+      q.processAllAvailable()
+      // batch 1: all mass at the far end -> KS ~ 0.9
+      mem.addData(Seq.fill(50)(9): _*)
+      q.processAllAvailable()
+      assert(scores.length === 2)
+      val byBatch = scores.toMap
+      assert(byBatch(0L) === 0L,
+        s"identical shape must give exactly 0: $byBatch")
+      assert(byBatch(1L) === 900000L,
+        s"point mass at 9 vs uniform 0..9: D = 0.9: $byBatch")
+    } finally q.stop()
+  }
+
   test("psiMicro matches a brute-force smoothed reference") {
     val s = spark
     import s.implicits._
