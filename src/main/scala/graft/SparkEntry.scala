@@ -3188,6 +3188,26 @@ object SparkEntry {
              |SELECT r.v AS value, k.n, k.k
              |FROM r, k WHERE r.rn = k.k""".stripMargin)),
 
+    // Exact P99 through the MULTI-round narrowing path (q47's median
+    // resolves in one round at these scales; threshold 500 forces
+    // 2-3 rounds at sf0.01/sf0.1) — the driver-visible evidence that
+    // iterated range-narrowing converges to the same order statistic
+    // the oracle's full sort produces, round count notwithstanding.
+    "q50_exact_p99" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.exactQuantile(
+        lineitem(s, dir), "l_extendedprice", q = 0.99,
+        buckets = 32, threshold = 500),
+      Some("""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM v),
+             |k AS (SELECT greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.99 AS DOUBLE) * n) AS BIGINT)) AS k,
+             |    n FROM n)
+             |SELECT r.v AS value, k.n, k.k
+             |FROM r, k WHERE r.rn = k.k""".stripMargin)),
+
     // Kendall tau-b agreement between the lexical (BM25) and semantic
     // (cosine) scorings of the BM25 top-50 candidate list — do the two
     // rankers ORDER the shared candidates the same way? Tie-aware
