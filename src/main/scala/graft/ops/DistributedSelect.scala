@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *
   * Nulls and NaNs are excluded (order statistics over the comparable
   * values — the quantile convention every SQL engine shares).
+  * ±Infinity IS comparable and stays in the multiset: its masses are
+  * counted in the head pass and resolved directly, so infinite
+  * endpoints never enter the equi-width cell arithmetic.
   */
 object DistributedSelect {
 
@@ -39,18 +42,38 @@ object DistributedSelect {
                   threshold: Long = 100000): (Double, Int) = {
     require(k >= 1, "k must be >= 1")
     require(buckets >= 2, "buckets must be >= 2")
+    require(threshold >= 1 && threshold <= Int.MaxValue,
+      s"threshold must be in [1, Int.MaxValue] (got $threshold): the " +
+        "bounded resolve materializes up to threshold rows via limit()")
     val v = col(valueCol).cast("double")
-    val vals = df.select(v.as("_v"))
+    val all = df.select(v.as("_v"))
       .filter(col("_v").isNotNull && !isnan(col("_v")))
 
-    val head = vals.agg(min(col("_v")), max(col("_v")), count(lit(1)))
+    // ±Infinity is a legitimate member of the ordered multiset but
+    // poisons equi-width cells (width = Inf → NaN boundaries), so the
+    // head pass counts the infinite masses separately: if k lands in
+    // either mass the answer IS that infinity; otherwise narrowing
+    // runs over the finite values with k shifted past the -Inf mass.
+    val finite = col("_v") > Double.NegativeInfinity &&
+      col("_v") < Double.PositiveInfinity
+    val head = all.agg(
+      min(when(finite, col("_v"))), max(when(finite, col("_v"))),
+      count(when(finite, lit(1))),
+      count(when(col("_v") === Double.NegativeInfinity, lit(1))),
+      count(when(col("_v") === Double.PositiveInfinity, lit(1))))
       .head()
-    require(!head.isNullAt(2) && head.getLong(2) >= k,
+    val nFinite = head.getLong(2)
+    val nNegInf = head.getLong(3)
+    val nPosInf = head.getLong(4)
+    require(nFinite + nNegInf + nPosInf >= k,
       s"k=$k exceeds non-null row count")
+    if (k <= nNegInf) return (Double.NegativeInfinity, 0)
+    if (k > nNegInf + nFinite) return (Double.PositiveInfinity, 0)
+    val vals = all.filter(finite)
     var lo = head.getDouble(0)
     var hi = head.getDouble(1)
-    var kk = k
-    var inRange = head.getLong(2)
+    var kk = k - nNegInf
+    var inRange = nFinite
     var rounds = 0
 
     // Narrow while the candidate set is big and the range can split.

@@ -380,11 +380,15 @@ object Eval {
       .when(col("_a1") > col("_a2"), 1).otherwise(0)
     val cmpB = when(col("_b1") < col("_b2"), -1)
       .when(col("_b1") > col("_b2"), 1).otherwise(0)
+    // coalesce: with < 2 matched items the pair frame is EMPTY and the
+    // global agg's sums come back NULL — the degenerate contract says
+    // counts are still reported (as 0), and a NULL nc would also null
+    // the `_one` join key below, silently emptying the result
     val agg = pairs.agg(
-      sum(when(cmpA * cmpB > 0, 1L).otherwise(0L)).as("nc"),
-      sum(when(cmpA * cmpB < 0, 1L).otherwise(0L)).as("nd"),
-      sum(when(cmpA === 0, 1L).otherwise(0L)).as("ta"),
-      sum(when(cmpB === 0, 1L).otherwise(0L)).as("tb"),
+      coalesce(sum(when(cmpA * cmpB > 0, 1L).otherwise(0L)), lit(0L)).as("nc"),
+      coalesce(sum(when(cmpA * cmpB < 0, 1L).otherwise(0L)), lit(0L)).as("nd"),
+      coalesce(sum(when(cmpA === 0, 1L).otherwise(0L)), lit(0L)).as("ta"),
+      coalesce(sum(when(cmpB === 0, 1L).otherwise(0L)), lit(0L)).as("tb"),
       count(lit(1)).as("n0"))
     val nAgg = j.agg(count(lit(1)).as("n"))
       .withColumn("_one", pmod(col("n"), lit(1L)).cast("int"))

@@ -302,11 +302,17 @@ object Similarity {
     }.toSeq
 
   /** Hamming distance between two packed-word arrays: bit_count of the
-    * per-word XOR, folded. Codegen'd builtins only. */
+    * per-word XOR, folded. Codegen'd builtins only. Length-mismatched
+    * (malformed) vectors pad with null under zip_with, which nulls the
+    * fold — coalesced to Long.MaxValue so a malformed row sorts LAST
+    * under the asc Hamming cut instead of being promoted into the
+    * candidate set (NULL would sort first). */
   def hammingWords(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    coalesce(
+      aggregate(
+        zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x),
+      lit(Long.MaxValue))
 
   /** Two-stage binary ANN (the sign-random-projection / SimHash-for-
     * embeddings shape): rank the corpus by Hamming distance between

@@ -61,6 +61,37 @@ class DistributedSelectSpec extends AnyFunSuite {
     assert(r.getLong(2) === k)
   }
 
+  test("kthSmallest: ±Infinity stays in the multiset and resolves exactly") {
+    val s = spark
+    import s.implicits._
+    val ninf = Double.NegativeInfinity
+    val pinf = Double.PositiveInfinity
+    // sorted: -Inf, -Inf, 1, 2, 3, +Inf  (NaN/null excluded)
+    val df = Seq[(Long, java.lang.Double)]((1L, 3.0), (2L, ninf),
+      (3L, pinf), (4L, 1.0), (5L, ninf), (6L, 2.0), (7L, Double.NaN),
+      (8L, null)).toDF("id", "v")
+    val sorted = Seq(ninf, ninf, 1.0, 2.0, 3.0, pinf)
+    (1 to 6).foreach { k =>
+      val (got, _) = DistributedSelect.kthSmallest(df, "v", k,
+        buckets = 4, threshold = 2)
+      assert(got === sorted(k - 1), s"k=$k")
+    }
+    intercept[IllegalArgumentException] {
+      DistributedSelect.kthSmallest(df, "v", 7, buckets = 4,
+        threshold = 2)
+    }
+  }
+
+  test("kthSmallest: oversized threshold fails loudly, never truncates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      DistributedSelect.kthSmallest(df, "v", 1,
+        threshold = Int.MaxValue.toLong + 1)
+    }
+  }
+
   test("narrowing terminates under threshold pressure and stays exact") {
     val s = spark
     import s.implicits._

@@ -342,6 +342,16 @@ class EvalSpec extends AnyFunSuite {
     // id mismatch: inner join keeps the shared subset only
     val sub = tau(up, Seq((2L, 1.0), (3L, 2.0), (9L, 9.0)))
     assert(sub.getLong(1) === 2L && sub.getLong(0) === 1000000L)
+    // < 2 matched items: pair frame is EMPTY — tau NULL, counts ZERO
+    // (not NULL, and not an empty result: the degenerate contract)
+    Seq(up.take(1), Seq.empty[(Long, Double)]).foreach { small =>
+      val one = tau(small, small)
+      assert(one != null, s"n=${small.length}: row must exist")
+      assert(one.isNullAt(0), s"n=${small.length}: tau NULL")
+      assert(one.getLong(1) === small.length.toLong)
+      assert(one.getLong(2) === 0L && one.getLong(3) === 0L,
+        s"n=${small.length}: counts reported as 0")
+    }
   }
 
   test("ndcgMrrMicro ideal cut: rel ties beyond k don't change idcg") {

@@ -532,4 +532,24 @@ class SimilaritySpec extends AnyFunSuite {
         k = 30, candidates = 10)
     }
   }
+
+  test("hammingWords: length-mismatched vectors rank LAST, not first") {
+    val s = spark
+    import s.implicits._
+    // a 1-word (malformed, dim<=32) row among 2-word rows: zip_with
+    // pads with null — the sentinel must push it to max distance so
+    // the asc Hamming cut never promotes it into the candidates
+    val rows = Seq(
+      (1L, Seq(0L, 0L)),        // distance 0 to the query
+      (2L, Seq(1L, 0L)),        // distance 1
+      (3L, Seq(0L)))            // malformed: short array
+    val df = rows.toDF("id", "words")
+    val q = array(lit(0L), lit(0L))
+    val got = df.select(col("id"),
+        Similarity.hammingWords(col("words"), q).as("h"))
+      .orderBy(col("h").asc, col("id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(got.last._2 === Long.MaxValue)
+  }
 }
