@@ -40,12 +40,15 @@ object Bench {
       }
     }
     // Drop warm-up leftovers (sf0.001-sized caches must not occupy the
-    // store when the sf0.1 timed runs start).
+    // store when the sf0.1 timed runs start), and discard the warm-up
+    // runs' in-plan counters (they carry sf0.001 values).
     spark.catalog.clearCache()
+    graft.ops.Counters.drain()
     // Errors are reported explicitly, never folded into the total as
     // negative time (a broken query must not make the bench look faster).
     // Two timed runs per query, min reported: steady-state cost, less
     // JIT/IO noise.
+    val counterLines = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -69,8 +72,22 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       val (t1, o1) = once()
-      if (o1.isDefined) (name, t1, o1)
-      else { val (t2, o2) = once(); (name, math.min(t1, t2), o2) }
+      val r = if (o1.isDefined) (name, t1, o1)
+        else { val (t2, o2) = once(); (name, math.min(t1, t2), o2) }
+      // In-plan Observation counters registered by instrumented
+      // pipelines (graft.ops.Counters) fire during the runs above;
+      // drained HERE so each query's counters attach to its own name.
+      // These are the numbers that adjudicate a timing drift from the
+      // artifact alone: candidate volume grew → data shape; volume
+      // flat but time up → the plan (or the suite) got worse.
+      val cs = graft.ops.Counters.drain()
+      if (cs.nonEmpty) counterLines += name ->
+        cs.map { case (_, l, m) =>
+          m.toSeq.sortBy(_._1).map { case (k, v) =>
+            if (k == "rows") s"$l=$v" else s"$l.$k=$v"
+          }.mkString(" ")
+        }.mkString(" ")
+      r
     }
     val ok = results.filter(_._3.isEmpty)
     val failed = results.collect { case (n, _, Some(msg)) => n -> msg }
@@ -91,6 +108,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     results.foreach { case (n, t, _) =>
       System.err.println(s"[bench] $n ${fmt("%.4f", t)} s")
+    }
+    // Counter lines LAST (after the timings): the harness keeps only
+    // the tail of the output, and these few lines are the ones that
+    // explain a drifted timing without a re-run.
+    counterLines.foreach { case (n, line) =>
+      System.err.println(s"[counters] $n $line")
     }
     def sec(v: Double): String = fmt("%.3g", v)
     val leading = results.map { case (n, _, _) =>
@@ -121,7 +144,9 @@ object Bench {
         s"${jstr(k)}:${fmt("%.4f", v)}" }.mkString("{", ",", "}")
       val errsFull = failed.map { case (k, m) =>
         s"${jstr(k)}:${jstr(m)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"sf":${jstr(sfDir)}}"""
+      val ctrsFull = counterLines.map { case (k, line) =>
+        s"${jstr(k)}:${jstr(line)}" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt("%.4f", total)},"unit":"sec","queries":$qsFull,"errors":$errsFull,"counters":$ctrsFull,"sf":${jstr(sfDir)}}"""
     }
     // fixed path (the sf is recorded INSIDE the file; the driver runs
     // one bench at a time) — every byte of the contract line counts

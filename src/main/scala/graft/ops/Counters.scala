@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.Observation
+
+/** Process-wide registry of in-plan Observation counters, so the
+  * numbers that EXPLAIN a query's cost (candidate volumes, per-stage
+  * keep counts) land in the benchmark artifact itself rather than in a
+  * builder's self-run notes.
+  *
+  * Why this exists: three rounds running, locally-measured timings and
+  * the driver's bench artifact disagreed on specific queries, and the
+  * adjudication each time was "put counters in the plan" — an
+  * Observation rides the query's own action as accumulators (no extra
+  * jobs), so whatever run produced the artifact also produced the
+  * counters. Instrumented pipelines register here; the bench main
+  * drains after each timed query and prints one `[counters]` line per
+  * instrumented query next to the `[bench]` timing lines, plus a
+  * "counters" object in the full-result JSON. A registered observation
+  * that never fires (its query failed, or a spec built the frame
+  * without acting on it) is silently dropped by the non-blocking
+  * drain — never a hang.
+  *
+  * House rule (round 8 verdict): every new composition entry ships
+  * with counters from day one, through this registry.
+  */
+object Counters {
+  private final case class Entry(tag: String, label: String,
+                                 obs: Observation)
+  private val reg =
+    new java.util.concurrent.ConcurrentLinkedQueue[Entry]
+
+  /** Register `obs` under `tag` (the query/pipeline name) and `label`
+    * (the stage). Returns `obs` for inline use. */
+  def register(tag: String, label: String, obs: Observation): Observation = {
+    reg.add(Entry(tag, label, obs))
+    obs
+  }
+
+  /** Non-blocking drain: every registered observation that has FIRED,
+    * as (tag, label, metric → value) in registration order; unfired
+    * ones are dropped. Clears the registry either way. Re-registrations
+    * of the same (tag, label) — e.g. the bench's two timed runs —
+    * dedupe to the LAST fired instance. */
+  def drain(): Seq[(String, String, Map[String, Any])] = {
+    import scala.jdk.CollectionConverters._
+    val items = reg.asScala.toVector
+    reg.clear()
+    // non-blocking completed-future read (getOrEmpty is private[sql])
+    val fired: Vector[(String, String, Map[String, Any])] =
+      items.flatMap { e =>
+        e.obs.future.value.flatMap(_.toOption).map { row =>
+          val m: Map[String, Any] =
+            row.schema.fieldNames.zip(row.toSeq).toMap
+          (e.tag, e.label, m)
+        }
+      }
+    // keep last per (tag, label), preserve first-seen order
+    val last = fired.map { case (t, l, m) => (t, l) -> m }.toMap
+    fired.map { case (t, l, _) => (t, l) }.distinct
+      .map { case (t, l) => (t, l, last((t, l))) }
+  }
+}

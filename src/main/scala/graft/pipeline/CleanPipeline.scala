@@ -44,10 +44,15 @@ object CleanPipeline {
 
   def ccWithCounters(docs: DataFrame,
                      threshold: Double = 0.6): CleanRun = {
-    val in = Observation()
-    val q = Observation()
-    val ex = Observation()
-    val un = Observation()
+    // registered so the bench artifact carries the stage sizes next to
+    // the timing (graft.ops.Counters; the drain is non-blocking, so
+    // callers that never act on the frame cost nothing)
+    def reg(l: String) = graft.ops.Counters.register("llm_clean_cc", l,
+      Observation(s"llm_clean_cc_$l"))
+    val in = reg("input")
+    val q = reg("quality")
+    val ex = reg("exact")
+    val un = reg("unique")
     // linear chain: in and q are single-consumer up to the checkpoint,
     // and fire during its materialization
     val quality = docs.observe(in, count(lit(1)).as("rows"))
@@ -97,11 +102,13 @@ object CleanPipeline {
                          n: Int = 13, maxDupFrac: Double = 0.2,
                          minScoreMicro: Long = -1500000L,
                          minCosine: Double = 0.4): CurateRun = {
-    val in = Observation()
-    val ng = Observation()
-    val bd = Observation()
-    val sd = Observation()
-    val sv = Observation()
+    def reg(l: String) = graft.ops.Counters.register("llm_curate_full", l,
+      Observation(s"llm_curate_full_$l"))
+    val in = reg("input")
+    val ng = reg("ngramKeep")
+    val bd = reg("bandKeep")
+    val sd = reg("semDrop")
+    val sv = reg("survivors")
     val filtered = curateSurvivors(docs, emb, hyperplaneIds, n,
       maxDupFrac, minScoreMicro, minCosine,
       observeWith = Some((in, ng, bd, sd, sv)))

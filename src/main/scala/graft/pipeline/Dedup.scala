@@ -1,9 +1,11 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.{Column}
+import org.apache.spark.sql.{Column, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.Counters
 
 /** Deduplication operators, designed for 100 TB:
   *
@@ -431,6 +433,21 @@ object Dedup {
       .localCheckpoint()
     val tMicro = math.round(threshold * 1e6)
     val slackMicro = 1000000L - tMicro
+    // In-plan counters (graft.ops.Counters → the bench artifact): the
+    // numbers that explain this operator's cost without a re-run —
+    // prefix probe rows, raw candidate fan-out, survivors of the
+    // AllPairs size filter, distinct candidate pairs. They ride the
+    // query's own action as accumulators (no extra jobs); each
+    // observed subtree has exactly one consumer in this plan, so each
+    // fires once per action. The observe between the probe join and
+    // its filter keeps the filter a separate codegen'd node instead of
+    // a join residual — same rows matched and evaluated either way.
+    val obsPrefix = Counters.register("d35_containment_prefix", "prefix",
+      Observation("d35_prefix"))
+    val obsCand = Counters.register("d35_containment_prefix", "cand",
+      Observation("d35_cand"))
+    val obsPairs = Counters.register("d35_containment_prefix", "pairs",
+      Observation("d35_pairs"))
     val prefix = shRows.join(df_, "sh")
       .withColumn("_rk", row_number().over(
         Window.partitionBy("id").orderBy(col("_df"), col("sh"))))
@@ -439,22 +456,27 @@ object Dedup {
         expr(s"($slackMicro * _nsh) div 1000000") + lit(3L))
       .select(col("id").as("_pid"), col("sh"),
         col("_nsh").as("_pnsh"))
+      .observe(obsPrefix, count(lit(1)).as("rows"))
     // AllPairs size filter: the probe direction needs |Sh(A)∩Sh(B)| ≥
     // t·nsh(A), and the intersection is capped by nsh(B) — so a
     // candidate with nsh(B)·1e6 < t_micro·nsh(A) − 1e6 (one shingle
     // of quantization slack) cannot satisfy A-contained-in-B, and the
     // B-contained direction is covered by B's OWN probe. Prunes the
     // candidate fan-out wherever doc sizes spread.
+    val sizeKeep = col("_pid") =!= col("_xid") &&
+      col("_xnsh") * lit(1000000L) >=
+        lit(tMicro) * col("_pnsh") - lit(1000000L)
     prefix
       .join(shRows.join(sizes, "id")
           .select(col("id").as("_xid"), col("sh"),
             col("_nsh").as("_xnsh")), "sh")
-      .filter(col("_pid") =!= col("_xid") &&
-        col("_xnsh") * lit(1000000L) >=
-          lit(tMicro) * col("_pnsh") - lit(1000000L))
+      .observe(obsCand, count(lit(1)).as("rows"),
+        count(when(sizeKeep, lit(1))).as("sized"))
+      .filter(sizeKeep)
       .select(least(col("_pid"), col("_xid")).as("id_a"),
         greatest(col("_pid"), col("_xid")).as("id_b"))
       .distinct()
+      .observe(obsPairs, count(lit(1)).as("rows"))
   }
 
   /** Prefix-filter containment detection end to end: containment-recall
@@ -468,10 +490,13 @@ object Dedup {
     val cand = prefixContainmentCandidatePairs(docs, idCol, textCol,
       threshold, shingleSize)
     val sizes = distinctTokenSizes(docs, idCol, textCol)
+    val obsVer = Counters.register("d35_containment_prefix", "verified",
+      Observation("d35_verified"))
     finalizeContainment(
       candidateIntersections(cand, "id_a", "id_b", docs, docs,
         idCol, textCol),
       sizes, sizes, threshold)
+      .observe(obsVer, count(lit(1)).as("rows"))
   }
 
   /** Asymmetric containment GATE: which of the NEW docs (a micro-batch
