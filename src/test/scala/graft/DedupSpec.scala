@@ -734,4 +734,54 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(2L -> 2L, 3L -> 2L))
   }
+
+  test("DedupArtifacts: pinned equality, staged memoization, durable roundtrip") {
+    import graft.pipeline.DedupArtifacts
+    val s = spark
+    // the planted near-dup trio from the lshVerifiedJaccardPairs test
+    // (known to collide in the portable LSH bands), plus isolates
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog together"),
+      (4L, "completely different text with no overlap whatsoever here"),
+      (5L, "totally unrelated content with unique words in this row")))
+    def pc(a: DedupArtifacts) = (
+      a.pairs.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+      a.components.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+    val direct = pc(DedupArtifacts.build(corpus, "doc_id", "text", 0.3))
+    // pinning changes lineage (checkpoint), never rows
+    val pinned = DedupArtifacts.buildPinned(corpus, "doc_id", "text", 0.3)
+    assert(pc(pinned) === direct)
+    assert(direct._1.nonEmpty && direct._2.nonEmpty)
+    // staged: same key returns the SAME instance (the memoized state);
+    // a different key builds fresh
+    DedupArtifacts.clearStaged()
+    val a1 = DedupArtifacts.staged(s, "k1")(
+      DedupArtifacts.buildPinned(corpus, "doc_id", "text", 0.3))
+    val a2 = DedupArtifacts.staged(s, "k1")(
+      fail("second staged() call with the same key must not rebuild"))
+    assert(a1 eq a2)
+    DedupArtifacts.clearStaged()
+    // durable roundtrip: bucketed staging tables reload row-equal, and
+    // a components self-join on the bucket key plans exchange-free
+    DedupArtifacts.save(pinned, "da_rt", buckets = 4)
+    try {
+      val loaded = DedupArtifacts.load(s, "da_rt")
+      assert(pc(loaded) === direct)
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = loaded.components.join(
+            DedupArtifacts.load(s, "da_rt").components, "id")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed components join should not shuffle:\n$plan")
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally Seq("_pairs", "_components")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS da_rt$t"))
+  }
 }
