@@ -50,9 +50,15 @@ object DistributedRank {
     // partition like any other to ntile()/row_number(), so it must
     // survive the stats/offsets round-trips, not fall out of an
     // equi-join.
+    // pinned: the bucketed frame below has TWO consumers in
+    // rankFromCells (the cell counts and the window input), so an
+    // un-pinned stats subtree — a full-table aggregation — would
+    // execute once per consumer. The frame is |groups| rows; pinning
+    // costs one tiny job and halves the stats passes.
     val stats = df.groupBy(col(groupCol).as("_grp_key"))
       .agg(min(v).as("_pmin"), max(v).as("_pmax"),
         count(lit(1)).as("_grp_n"))
+      .localCheckpoint()
 
     // Monotone equi-width cell id: null values get cell -1 — they sort
     // FIRST under Spark's asc (nulls-first) window ordering, so the
@@ -113,6 +119,7 @@ object DistributedRank {
       // degenerate single cell: no boundaries to estimate
       val stats = df.groupBy(col(groupCol).as("_grp_key"))
         .agg(count(lit(1)).as("_grp_n"))
+        .localCheckpoint()
       return df.join(broadcast(stats),
           col(groupCol) <=> col("_grp_key"))
         .drop("_grp_key")
@@ -126,18 +133,36 @@ object DistributedRank {
     // the rank is bit-identical); at accuracy A each cell's population
     // is within ~n/A of its n/B target — A >= ~30·B keeps the spread
     // under a few percent, far below task-sizing relevance
+    // pinned for the same two-consumer reason as the equi-width stats
+    // — and it matters more here: the percentile sketch is an
+    // object-hash aggregate (no whole-stage codegen), the single most
+    // expensive piece of the balanced path, and un-pinned it ran once
+    // per rankFromCells consumer (the measured bulk of the q17c-vs-
+    // q17b driver-bench delta).
     val stats = df.groupBy(col(groupCol).as("_grp_key"))
       .agg(percentile_approx(v, qs, lit(accuracy)).as("_bnds"),
         count(lit(1)).as("_grp_n"))
-    // count boundaries <= v as a STATIC unrolled sum over the fixed
-    // B-1 array slots: higher-order array functions (filter/aggregate)
-    // are CodegenFallback — one interpreted per-row lambda here broke
-    // whole-stage codegen for the entire bucketing projection and cost
-    // ~1.5 s at sf0.1; element_at with literal indices stays codegen'd
+      .localCheckpoint()
+    // count boundaries <= v WITHOUT a higher-order array function
+    // (filter/aggregate lambdas are CodegenFallback — one interpreted
+    // per-row lambda here broke whole-stage codegen for the entire
+    // bucketing projection and cost ~1.5 s at sf0.1). The boundaries
+    // are sorted, so the count is a BINARY-SEARCH when-tree over the
+    // fixed B-1 slots: each row evaluates ⌈log2 B⌉ short-circuited
+    // comparisons (vs B-1 for the unrolled linear sum this replaces),
+    // all element_at with literal indices — fully codegen'd. This
+    // expression runs once per row per rankFromCells consumer, so its
+    // per-row cost is the balanced path's main overhead vs equi-width.
+    def leCount(lo: Int, hi: Int): org.apache.spark.sql.Column =
+      if (lo > hi) lit(0L)
+      else {
+        val mid = (lo + hi) / 2
+        when(element_at(col("_bnds"), mid) <= v,
+          lit((mid - lo + 1).toLong) + leCount(mid + 1, hi))
+          .otherwise(leCount(lo, mid - 1))
+      }
     val cell = when(v.isNull, lit(-1L))
-      .otherwise((1 until buckets).map(i =>
-        when(element_at(col("_bnds"), i) <= v, 1L).otherwise(0L))
-        .reduce(_ + _))
+      .otherwise(leCount(1, buckets - 1))
     df.join(broadcast(stats), col(groupCol) <=> col("_grp_key"))
       .drop("_grp_key")
       .withColumn("_bkt", cell)
