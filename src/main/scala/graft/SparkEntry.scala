@@ -163,6 +163,62 @@ object SparkEntry {
        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold)"""
       .stripMargin
 
+  /** DuckDB CTE chain replaying [[graft.pipeline.Dedup
+    * .lshVerifiedPairsAgainst]] — the TWO-SIDED resemblance gate
+    * (arrivals `newRel` probed against corpus `corpusRel`, both
+    * exposing doc_id/text; portable md5 MinHash, k=12 / 4 bands /
+    * 3-shingles). Emits `gpairs` with (id_new, id_corpus, jaccard) for
+    * exact Jaccard >= threshold on cross-side band collisions. */
+  private def duckLshGateCtes(newRel: String, corpusRel: String,
+                              threshold: Double): String = {
+    def bandCtes(rel: String, p: String): String =
+      s"""${p}doc AS (SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      generate_series(0, greatest(len(toks) - 3, 0)),
+         |      i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+         |        FROM $rel) t),
+         |${p}hs AS (SELECT doc_id, g.j,
+         |    min(((${duckHash60("u.s")} % 2147483647)
+         |      * (2*g.j + 1) + g.j*g.j) % 2147483647)
+         |      AS sig
+         |  FROM ${p}doc, unnest(sh) AS u(s), generate_series(0, 11) AS g(j)
+         |  GROUP BY doc_id, g.j),
+         |${p}band AS (SELECT doc_id, j // 3 AS b,
+         |    md5(CAST(j // 3 AS VARCHAR) || '|' ||
+         |      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY j)) AS h
+         |  FROM ${p}hs GROUP BY doc_id, j // 3)""".stripMargin
+    s"""${bandCtes(newRel, "gn")},
+       |${bandCtes(corpusRel, "gc")},
+       |gcand AS (SELECT DISTINCT a.doc_id AS id_new,
+       |    b2.doc_id AS id_corpus
+       |  FROM gnband a JOIN gcband b2 ON a.b = b2.b AND a.h = b2.h),
+       |gntok AS (SELECT doc_id AS id,
+       |    unnest(list_distinct(str_split(text, ' '))) AS t
+       |  FROM $newRel),
+       |gnsz AS (SELECT doc_id AS id,
+       |    len(list_distinct(str_split(text, ' '))) AS n
+       |  FROM $newRel),
+       |gctok AS (SELECT doc_id AS id,
+       |    unnest(list_distinct(str_split(text, ' '))) AS t
+       |  FROM $corpusRel),
+       |gcsz AS (SELECT doc_id AS id,
+       |    len(list_distinct(str_split(text, ' '))) AS n
+       |  FROM $corpusRel),
+       |ginter AS (SELECT c.id_new, c.id_corpus, count(*) AS i
+       |  FROM gcand c
+       |  JOIN gntok ta ON ta.id = c.id_new
+       |  JOIN gctok tb ON tb.id = c.id_corpus AND tb.t = ta.t
+       |  GROUP BY c.id_new, c.id_corpus),
+       |gpairs AS (SELECT id_new, id_corpus,
+       |    CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |  FROM ginter
+       |  JOIN gnsz sa ON sa.id = id_new
+       |  JOIN gcsz sb ON sb.id = id_corpus
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $threshold)"""
+      .stripMargin
+  }
+
   private lazy val registry: Map[String, Q] = Map(
 
     // ---- S: sources / scans (SURVEY §2.1) -----------------------------
@@ -2775,6 +2831,47 @@ object SparkEntry {
     // a map-side-combining min(struct(-score,id)) aggregation, never
     // a per-component window (a boilerplate cluster can hold 10⁸
     // members; one window partition would absorb them all).
+    // Batch REPLAY of the streaming RESEMBLANCE gate (the d41 pattern
+    // applied to the near-dup side — with this, BOTH gates have a
+    // durable-index form): arrivals are near-dup mutations of corpus
+    // docs (every 41st doc, last token dropped, id shifted), split
+    // into two micro-batches by parity; the corpus ResemblanceIndex
+    // (banded signatures + token/size tables) is built and PINNED
+    // once, each batch runs lshVerifiedPairsAgainstIndex — the literal
+    // foreachBatch body of Dedup.nearDupGateStream — and the union is
+    // oracle-checked against the one-shot whole-set SQL replay.
+    // Candidates and verification for an arriving doc depend only on
+    // (that doc, the corpus index), so the per-batch union must equal
+    // the one-shot run — the equivalence the oracle pins.
+    "d49_resemblance_gate_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select("doc_id", "text")
+        val arrivals = docs
+          .filter(pmod(col("doc_id"), lit(41L)) === 0 &&
+            size(split(col("text"), " ")) >= 12)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            expr("array_join(slice(split(text, ' '), 1, " +
+              "size(split(text, ' ')) - 1), ' ')").as("text"))
+        val index = Dedup.ResemblanceIndex
+          .build(docs, "doc_id", "text").pinned
+        val batches = Seq(0, 1).map { parity =>
+          Dedup.lshVerifiedPairsAgainstIndex(
+            arrivals.filter(pmod(col("doc_id"), lit(2L)) === parity),
+            index, "doc_id", "text", threshold = 0.5)
+        }
+        batches.reduce(_ unionByName _)
+          .orderBy("id_new", "id_corpus").limit(2000)
+      },
+      Some(s"""WITH arr AS (SELECT doc_id + 3000000 AS doc_id,
+              |    array_to_string(toks[1:len(toks)-1], ' ') AS text
+              |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+              |        FROM documents) t
+              |  WHERE doc_id % 41 = 0 AND len(toks) >= 12),
+              |${duckLshGateCtes("arr", "documents", 0.5)}
+              |SELECT id_new, id_corpus, ROUND(jaccard, 6) AS jaccard
+              |FROM gpairs
+              |ORDER BY id_new, id_corpus LIMIT 2000""".stripMargin)),
+
     "d42_canonical_by_quality" -> Q(
       (s, dir) =>
         Dedup.canonicalByScore(
@@ -4926,6 +5023,39 @@ object SparkEntry {
              |  CAST(16 * frame_idx + 6 AS BIGINT) AS payload_sum
              |FROM idx ORDER BY doc_id, frame_idx
              |LIMIT 2000""".stripMargin)),
+
+    // VIDEO NEAR-DUP via per-frame content fingerprints — the
+    // multimodal dedup modality m7 (images) and m8 (audio) didn't
+    // cover: every movi frame payload hashes to a polynomial (Horner)
+    // fingerprint base 131 mod 1e9+7, the per-video signature is
+    // Σ fp(i)·(i+1) mod 1e9+7 over the ordered frames, and videos
+    // collapse keep-min-id per signature (aggregate+join de-skew, the
+    // m7 clustering shape). The oracle computes fp and vsig in CLOSED
+    // FORM from the container synthesis (frame i's payload is the 4
+    // little-endian ints 4i..4i+3, so fp(i) = Σ_j (4i+j)·131^(15−4j)
+    // mod 1e9+7 with the powers as literals) — the real byte walk +
+    // hash + aggregate chain must land on SQL-predicted values. Frame
+    // content depends only on the frame index, so videos cluster by
+    // frame count (doc_id % 20) — predicted and verified.
+    "m10_video_fingerprint_dedup" -> Q(
+      (s, dir) => Multimodal.videoFingerprintDedupTable(
+        table(s, dir, "documents")),
+      Some("""WITH v AS (SELECT doc_id,
+             |    CAST(10 + doc_id % 20 AS BIGINT) AS n
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |fr AS (SELECT doc_id, n,
+             |    unnest(generate_series(0, n - 1)) AS i FROM v),
+             |fp AS (SELECT doc_id, n, i,
+             |    ((4*i + 0) * 493200928 + (4*i + 1) * 989961938
+             |     + (4*i + 2) * 617266377 + (4*i + 3) * 2248091)
+             |      % 1000000007 AS f
+             |  FROM fr),
+             |sig AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_frames,
+             |    CAST(sum(f * (i + 1)) % 1000000007 AS BIGINT) AS vsig
+             |  FROM fp GROUP BY doc_id)
+             |SELECT doc_id, n_frames, vsig,
+             |  min(doc_id) OVER (PARTITION BY vsig) AS keep_id
+             |FROM sig ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     // Shard-export ROUNDTRIP: the d45 serpentine assignment written as
     // a shard-partitioned parquet layout (one directory per shard —

@@ -45,6 +45,8 @@ final case class VideoMeta(doc_id: Long, n_bytes: Long, width: Int,
   * lives in the blob (byte_off/n_bytes — the pointer a downstream
   * decoder seeks to) plus the unsigned-byte payload sum as the
   * parsed-the-right-bytes receipt. Exact integers → SQL-replayable. */
+final case class FrameFingerprint(doc_id: Long, frame_idx: Long,
+                                  fp: Long)
 final case class FrameSample(doc_id: Long, frame_idx: Long,
                              byte_off: Long, n_bytes: Long,
                              payload_sum: Long)
@@ -419,63 +421,131 @@ object Multimodal {
     require(every >= 1, "every must be >= 1")
     import records.sparkSession.implicits._
     records.flatMap { r =>
-      val b = r.media
-      def u32(off: Int): Long =
-        if (off < 0 || off + 4 > b.length) -1L
-        else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-          ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-      def fcc(off: Int): String =
-        if (off < 0 || off + 4 > b.length) ""
-        else new String(b, off, 4, "US-ASCII")
-      if (fcc(0) != "RIFF" || fcc(8) != "AVI ") Iterator.empty
-      else {
-        var off = 12
-        var moviStart = -1
-        var moviEnd = -1
-        while (moviStart < 0 && off + 8 <= b.length) {
-          val id = fcc(off)
-          val size = u32(off + 4)
-          if (size < 0 || size > Int.MaxValue - 8 ||
-            off + 8 + size > b.length) { off = b.length }
-          else {
-            if (id == "LIST" && fcc(off + 8) == "movi") {
-              moviStart = off + 12
-              moviEnd = off + 8 + size.toInt
-            }
-            off += 8 + size.toInt + (size.toInt & 1)
-          }
-        }
-        if (moviStart < 0) Iterator.empty
-        else {
-          val out = scala.collection.mutable.ArrayBuffer[FrameSample]()
-          var coff = moviStart
-          var idx = 0L
-          var ok = true
-          while (ok && coff + 8 <= moviEnd) {
-            val cid = fcc(coff)
-            val csize = u32(coff + 4)
-            if (csize < 0 || coff + 8 + csize > moviEnd) ok = false
-            else {
-              // video data chunks: '##dc' (compressed) / '##db' (raw)
-              if (cid.length == 4 &&
-                (cid.endsWith("dc") || cid.endsWith("db"))) {
-                if (idx % every == 0) {
-                  var sum = 0L
-                  var i = coff + 8
-                  val end = coff + 8 + csize.toInt
-                  while (i < end) { sum += b(i) & 0xffL; i += 1 }
-                  out += FrameSample(r.doc_id, idx, (coff + 8).toLong,
-                    csize, sum)
-                }
-                idx += 1
-              }
-              coff += 8 + csize.toInt + (csize.toInt & 1)
-            }
-          }
-          out.iterator
+      val out = scala.collection.mutable.ArrayBuffer[FrameSample]()
+      foreachMoviChunk(r.media) { (idx, off, len) =>
+        if (idx % every == 0) {
+          var sum = 0L
+          var i = off
+          val end = off + len
+          while (i < end) { sum += r.media(i) & 0xffL; i += 1 }
+          out += FrameSample(r.doc_id, idx, off.toLong, len.toLong, sum)
         }
       }
+      out.iterator
     }
+  }
+
+  /** The RIFF/AVI `movi` walk shared by [[sampleVideoFrames]] and
+    * [[videoFrameFingerprints]]: calls `f(frameIdx, payloadOff,
+    * payloadLen)` for every video-data chunk ('##dc'/'##db') in stream
+    * order; silently emits nothing for unparseable containers (the
+    * one-to-many error convention). Bounds are checked BEFORE every
+    * read — nothing is allocated from declared sizes. */
+  private def foreachMoviChunk(b: Array[Byte])
+                              (f: (Long, Int, Int) => Unit): Unit = {
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > b.length) -1L
+      else (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fcc(off: Int): String =
+      if (off < 0 || off + 4 > b.length) ""
+      else new String(b, off, 4, "US-ASCII")
+    if (fcc(0) != "RIFF" || fcc(8) != "AVI ") return
+    var off = 12
+    var moviStart = -1
+    var moviEnd = -1
+    while (moviStart < 0 && off + 8 <= b.length) {
+      val id = fcc(off)
+      val size = u32(off + 4)
+      if (size < 0 || size > Int.MaxValue - 8 ||
+        off + 8 + size > b.length) { off = b.length }
+      else {
+        if (id == "LIST" && fcc(off + 8) == "movi") {
+          moviStart = off + 12
+          moviEnd = off + 8 + size.toInt
+        }
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+    }
+    if (moviStart < 0) return
+    var coff = moviStart
+    var idx = 0L
+    var ok = true
+    while (ok && coff + 8 <= moviEnd) {
+      val cid = fcc(coff)
+      val csize = u32(coff + 4)
+      if (csize < 0 || coff + 8 + csize > moviEnd) ok = false
+      else {
+        // video data chunks: '##dc' (compressed) / '##db' (raw)
+        if (cid.length == 4 &&
+          (cid.endsWith("dc") || cid.endsWith("db"))) {
+          f(idx, coff + 8, csize.toInt)
+          idx += 1
+        }
+        coff += 8 + csize.toInt + (csize.toInt & 1)
+      }
+    }
+  }
+
+  /** Per-frame CONTENT FINGERPRINT over the raw frame payload — the
+    * video near-dup signal (the one multimodal dedup modality m7/m8
+    * didn't cover). The fingerprint is a polynomial (Horner) hash of
+    * the payload bytes, base 131 mod 1e9+7 — the rolling-hash document
+    * fingerprint applied at frame granularity. A DCT pHash (m7's
+    * machinery) applies when frames decode to rasters; with no video
+    * codec in the JVM the payload bytes ARE the frame content, and the
+    * polynomial form has the property the oracle needs: it replays in
+    * closed form from the container synthesis formulas, so the parser
+    * + hash land on SQL-predicted values. Swap m7's aHash in at the
+    * pixel boundary when a decoder exists — the plumbing (walk,
+    * schema, clustering) is unchanged. */
+  private val FpMod = 1000000007L
+  def videoFrameFingerprints(records: Dataset[MediaRecord])
+      : Dataset[FrameFingerprint] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      val out = scala.collection.mutable.ArrayBuffer[FrameFingerprint]()
+      foreachMoviChunk(r.media) { (idx, off, len) =>
+        var acc = 0L
+        var i = off
+        val end = off + len
+        // acc < 1e9+7, so acc*131 + 255 < 1.4e11 — no long overflow
+        while (i < end) {
+          acc = (acc * 131L + (r.media(i) & 0xffL)) % FpMod
+          i += 1
+        }
+        out += FrameFingerprint(r.doc_id, idx, acc)
+      }
+      out.iterator
+    }
+  }
+
+  /** Video NEAR-DUP detection via frame fingerprints: per-video
+    * signature = Σ fp(i)·(i+1) mod 1e9+7 over the ordered frames
+    * (order-sensitive — a shuffled frame sequence is a different
+    * video; order-independent SUM of position-weighted terms, so
+    * partial aggregation is safe), then keep-min-id per signature.
+    * Clustering is the aggregate+join de-skew shape (m7/d14): a
+    * boilerplate-content signature collapses map-side instead of
+    * funneling one window task. Output (doc_id, n_frames, vsig,
+    * keep_id) — vsig itself is oracle-checked, pinning the whole
+    * walk→hash→aggregate chain against closed-form arithmetic. */
+  def videoFingerprintDedupTable(docs: DataFrame): DataFrame = {
+    val fps = videoFrameFingerprints(attachVideos(docs)).toDF()
+    // per-term mod BEFORE the sum (mod is homomorphic over +, so the
+    // result is unchanged): keeps every partial < n·1e9 — no long
+    // overflow even at millions of frames per video
+    val sig = fps.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        pmod(sum(pmod(col("fp") * (col("frame_idx") + lit(1L)),
+            lit(FpMod))),
+          lit(FpMod)).cast("long").as("vsig"))
+    val keep = sig.groupBy(col("vsig").as("_kv"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    sig.join(keep, col("vsig") === col("_kv"))
+      .select(col("doc_id"), col("n_frames"), col("vsig"),
+        col("keep_id"))
+      .orderBy("doc_id").limit(500)
   }
 
   // ImageIO's default read path spills to a temp-file cache per decode;

@@ -458,6 +458,49 @@ class DedupSpec extends AnyFunSuite {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ci_rt$t"))
   }
 
+  test("ResemblanceIndex save/load roundtrip: same gate results, exchange-free staged joins") {
+    val s = spark
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text with no overlap whatsoever here")))
+    val arrivals = docsDf(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "unrelated words entirely in this arriving row now")))
+    val fresh = Dedup.ResemblanceIndex.build(corpus, "doc_id", "text")
+    Dedup.ResemblanceIndex.save(fresh, "ri_rt", buckets = 4)
+    try {
+      val loaded = Dedup.ResemblanceIndex.load(s, "ri_rt")
+      def gate(ix: Dedup.ResemblanceIndex) =
+        Dedup.lshVerifiedPairsAgainstIndex(arrivals, ix,
+            "doc_id", "text", threshold = 0.3)
+          .orderBy("id_new", "id_corpus").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val a = gate(fresh)
+      val b = gate(loaded)
+      assert(a === b)
+      assert(a.map(p => (p._1, p._2)) === Seq((100L, 1L)))
+      // one-arg form ≡ index form (the refactor cannot drift)
+      val direct = Dedup.lshVerifiedPairsAgainst(arrivals, corpus,
+          "doc_id", "text", threshold = 0.3)
+        .orderBy("id_new", "id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(direct === a)
+      // staged verification tables are co-bucketed by id: the
+      // toks ⋈ sizes corpus-side join plans with no Exchange on
+      // either corpus-sized side
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = loaded.toks.join(loaded.sizes, "id")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed index join should not shuffle:\n$plan")
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally Seq("_bands", "_toks", "_sizes")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ri_rt$t"))
+  }
+
   test("streaming gate + merge maintains clusters across micro-batches") {
     val s = spark
     import s.implicits._

@@ -370,4 +370,47 @@ class MultimodalSpec extends AnyFunSuite {
         Array.fill[Byte](64)(7))).toDS(), 1)
     assert(junk.count() === 0L)
   }
+
+  test("video frame fingerprints: Horner replay, content sensitivity, dedup clusters") {
+    val s = spark
+    import s.implicits._
+    val M = 1000000007L
+    def hornerOf(bytes: Seq[Int]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 131L + b) % M)
+    val rec = MediaRecord(2L, "video",
+      Multimodal.synthesizeAvi(width = 160, height = 120, frames = 4,
+        usPerFrame = 20000))
+    val got = Multimodal.videoFrameFingerprints(Seq(rec).toDS())
+      .orderBy("frame_idx").collect()
+    assert(got.length === 4)
+    got.zipWithIndex.foreach { case (f, i) =>
+      // frame i payload: 4 little-endian ints 4i..4i+3 (values < 256)
+      val bytes = (0 until 4).flatMap(j => Seq(4 * i + j, 0, 0, 0))
+      assert(f.fp === hornerOf(bytes), s"frame $i")
+    }
+    // fingerprint reads real bytes: bending one payload byte moves it
+    val bent = rec.media.clone()
+    bent(224 + 8) = (bent(224 + 8) + 1).toByte
+    val bentFp = Multimodal.videoFrameFingerprints(
+        Seq(MediaRecord(2L, "video", bent)).toDS())
+      .filter(col("frame_idx") === 0).head().fp
+    assert(bentFp !== got.head.fp)
+    // dedup table: frame content is a pure function of the frame
+    // index, so videos cluster exactly by frame count (doc_id % 20)
+    val docs = (0L until 90L).toDF("doc_id")
+    val t = Multimodal.videoFingerprintDedupTable(docs).collect()
+    val videoIds = (0L until 90L).filter(_ % 3 == 2)
+    assert(t.map(_.getLong(0)).toSeq === videoIds)
+    t.foreach { r =>
+      val id = r.getLong(0)
+      val expectKeep = videoIds.filter(v => v % 20 == id % 20).min
+      assert(r.getLong(1) === 10L + id % 20, s"doc $id n_frames")
+      assert(r.getLong(3) === expectKeep, s"doc $id keep")
+    }
+    // distinct frame counts ⇒ distinct signatures
+    val sigByN = t.groupBy(_.getLong(1)).view.mapValues(
+      _.map(_.getLong(2)).toSet).toMap
+    assert(sigByN.values.forall(_.size == 1))
+    assert(sigByN.values.flatten.toSet.size === sigByN.size)
+  }
 }
