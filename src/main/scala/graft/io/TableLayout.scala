@@ -20,8 +20,26 @@ object TableLayout {
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, sortCol: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite")
+                    buckets: Int, sortCol: Option[String] = None,
+                    mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      // saveAsTable(overwrite) replaces a CATALOG-known table, but an
+      // orphaned warehouse directory from an earlier process fails
+      // with LOCATION_ALREADY_EXISTS: the in-memory catalog's table
+      // metadata dies with its JVM while the directory survives.
+      // Recurring staging writers (a nightly index refresh) hit this
+      // on every run after the first — drop both the entry and the
+      // orphan location.
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir")),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val w = df.write.mode(mode)
       .format("parquet")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)

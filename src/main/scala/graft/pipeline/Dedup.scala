@@ -739,6 +739,27 @@ object Dedup {
       graft.io.TableLayout.readTable(spark, s"${tablePrefix}_bands"),
       graft.io.TableLayout.readTable(spark, s"${tablePrefix}_toks"),
       graft.io.TableLayout.readTable(spark, s"${tablePrefix}_sizes"))
+
+    /** Fold an ADMITTED batch into a [[save]]d index: the batch's band
+      * rows / token rows / token sizes append to the staging tables
+      * (bucketed appends validate the bucket spec, so the layout — and
+      * the exchange-free join property — survives). This closes the
+      * incremental-admission loop: gate a batch against the index,
+      * admit the survivors, `append` them, and the NEXT batch's gate
+      * sees them as corpus members — no corpus rebuild anywhere. Cost
+      * per append is one scan of the BATCH (signature + tokenization),
+      * never of the corpus. The one index frame that is NOT
+      * batch-local — a corpus-df prefix order — belongs to the
+      * containment index, which is why that one rebuilds instead. */
+    def append(index: ResemblanceIndex, tablePrefix: String,
+               buckets: Int = 32): Unit = {
+      graft.io.TableLayout.writeBucketed(index.bandRows,
+        s"${tablePrefix}_bands", "band_hash", buckets, mode = "append")
+      graft.io.TableLayout.writeBucketed(index.toks,
+        s"${tablePrefix}_toks", "id", buckets, mode = "append")
+      graft.io.TableLayout.writeBucketed(index.sizes,
+        s"${tablePrefix}_sizes", "id", buckets, mode = "append")
+    }
   }
 
   /** [[lshVerifiedPairsAgainst]] against a prebuilt (pinned or loaded)

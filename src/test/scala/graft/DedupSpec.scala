@@ -501,6 +501,55 @@ class DedupSpec extends AnyFunSuite {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ri_rt$t"))
   }
 
+  test("ResemblanceIndex append: admitted docs become corpus members") {
+    val s = spark
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different text with no overlap whatsoever here")))
+    // batch1 is UNIQUE relative to the corpus (admitted); probe2 is an
+    // exact dup of batch1 (identical signature — every band collides
+    // by construction, so the test never depends on probabilistic
+    // band luck): it must be invisible before the append, flagged after
+    val batch1 = docsDf(Seq(
+      (100L, "seven silver ships sail silently toward southern shores tonight")))
+    val probe2 = docsDf(Seq(
+      (200L, "seven silver ships sail silently toward southern shores tonight")))
+    Dedup.ResemblanceIndex.save(
+      Dedup.ResemblanceIndex.build(corpus, "doc_id", "text"),
+      "ri_ap", buckets = 4)
+    try {
+      def gate() = Dedup.lshVerifiedPairsAgainstIndex(probe2,
+          Dedup.ResemblanceIndex.load(s, "ri_ap"),
+          "doc_id", "text", threshold = 0.3)
+        .orderBy("id_new", "id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(gate() === Seq.empty)
+      Dedup.ResemblanceIndex.append(
+        Dedup.ResemblanceIndex.build(batch1, "doc_id", "text"),
+        "ri_ap", buckets = 4)
+      assert(gate() === Seq((200L, 100L)))
+      // appended index ≡ fresh index over the grown corpus
+      val fresh = Dedup.lshVerifiedPairsAgainst(probe2,
+          corpus.unionByName(batch1), "doc_id", "text", threshold = 0.3)
+        .orderBy("id_new", "id_corpus").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fresh === Seq((200L, 100L)))
+      // the append preserved the bucketed layout: staged id join
+      // still plans exchange-free
+      val loaded = Dedup.ResemblanceIndex.load(s, "ri_ap")
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val plan = loaded.toks.join(loaded.sizes, "id")
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"append must preserve the bucketed layout:\n$plan")
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    } finally Seq("_bands", "_toks", "_sizes")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ri_ap$t"))
+  }
+
   test("streaming gate + merge maintains clusters across micro-batches") {
     val s = spark
     import s.implicits._
