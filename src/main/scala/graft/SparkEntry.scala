@@ -2215,6 +2215,51 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS n_cells
              |FROM t""".stripMargin)),
 
+    // Mutual information of the lang × source mixture — the
+    // effect-SIZE companion to d33's chi-square (chi2 grows with N at
+    // fixed association; MI answers "how many nats does lang tell you
+    // about source", the quantity a mixture-drift dashboard trends).
+    // Same marginal-broadcast shape as d33: observed cells from one
+    // aggregation, two mixture-sized marginal frames broadcast, each
+    // (o/n)·ln(o·n/(rt·ct)) term micro-quantized BEFORE the sum (the
+    // d28 discipline) with the IEEE op order mirrored literally in the
+    // oracle — bit-identical across engines, independent of partial
+    // aggregation order. Unobserved cells contribute 0 (the 0·ln 0
+    // convention) and never materialize.
+    "q51_mutual_information" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val n = docs.count().toDouble
+        val cells = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("o"))
+        val rows = docs.groupBy("lang").agg(count(lit(1)).as("rt"))
+        val cols = docs.groupBy("source").agg(count(lit(1)).as("ct"))
+        cells.join(broadcast(rows), "lang")
+          .join(broadcast(cols), "source")
+          .select(round((col("o").cast("double") / lit(n)) *
+              log(col("o").cast("double") * lit(n) /
+                (col("rt").cast("double") * col("ct").cast("double")))
+              * 1e6)
+            .cast("long").as("term_micro"))
+          .agg(sum(col("term_micro")).as("mi_micro"),
+            count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n
+             |  FROM documents),
+             |c AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+             |  FROM documents GROUP BY lang, source),
+             |r AS (SELECT lang, CAST(count(*) AS DOUBLE) AS rt
+             |  FROM documents GROUP BY lang),
+             |k AS (SELECT source, CAST(count(*) AS DOUBLE) AS ct
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(ROUND(
+             |    (o / n) * ln(o * n / (rt * ct)) * 1e6) AS BIGINT)
+             |      AS term_micro
+             |  FROM c JOIN r USING (lang) JOIN k USING (source), n)
+             |SELECT CAST(sum(term_micro) AS BIGINT) AS mi_micro,
+             |  CAST(count(*) AS BIGINT) AS n_cells
+             |FROM t""".stripMargin)),
+
     // Poisson-bootstrap confidence interval in ONE pass: every doc
     // contributes a deterministic hash-Poisson(1) weight to each of
     // 16 pseudo-resamples, so the 16 weighted means ARE the sampling

@@ -810,6 +810,26 @@ object Dedup {
       .start()
   }
 
+  /** Streaming EXACT dedup: keep the FIRST ARRIVAL of each content
+    * hash, with per-key state held only inside the watermark horizon.
+    * `dropDuplicates` on a stream keeps every key's state forever —
+    * unbounded at corpus scale; `dropDuplicatesWithinWatermark` evicts
+    * a key once the watermark passes its last-seen event time, so
+    * state is bounded by the horizon's arrival volume. The documented
+    * trade (same as every watermarked operator): a duplicate arriving
+    * AFTER its original's state was evicted is emitted again —
+    * downstream exact dedup (d1's batch form over the sink) reconciles
+    * those horizon-crossing stragglers; within the horizon the stream
+    * emits each content exactly once, immediately (append mode, no
+    * watermark-maturation latency). Spec-proved both ways: in-horizon
+    * duplicates dropped, post-eviction re-arrivals re-emitted. */
+  def exactDedupStream(docs: DataFrame, textCol: String,
+                       tsCol: String, delay: String): DataFrame =
+    docs.withWatermark(tsCol, delay)
+      .withColumn("_h", sha2(col(textCol).cast("binary"), 256))
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
     * bit position, the sign of each vote sum becomes the output bit.
     * Per-row map work only — no shuffle. `tokensExpr` must be a SQL

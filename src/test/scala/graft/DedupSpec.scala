@@ -589,6 +589,46 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: in-horizon dups dropped, post-eviction re-arrivals re-emitted") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String, Long)]
+    val deduped = Dedup.exactDedupStream(
+      mem.toDF().toDF("doc_id", "text", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec"),
+      "text", "ts", delay = "30 seconds")
+    val sink = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = deduped.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        sink ++= b.collect().map(r =>
+          (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+        ()
+      }
+      .start()
+    try {
+      // batch 1: a dup inside the horizon — first arrival only
+      mem.addData((1L, "same content", 10L), (2L, "same content", 11L),
+        (3L, "other content", 12L))
+      q.processAllAvailable()
+      assert(sink.map(_._1).sorted.toSeq === Seq(1L, 3L))
+      // batch 2: advance the watermark far past batch 1 (evicts state)
+      mem.addData((4L, "advancing content", 100L))
+      q.processAllAvailable()
+      // batch 3: same content re-arrives AFTER eviction → re-emitted
+      // (the documented horizon trade; batch d1 reconciles downstream)
+      mem.addData((5L, "same content", 101L))
+      q.processAllAvailable()
+      assert(sink.map(_._1).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+      // and a dup of the re-arrival inside the new horizon still drops
+      mem.addData((6L, "same content", 102L))
+      q.processAllAvailable()
+      assert(sink.map(_._1).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("dupNgramFilter drops docs above the duplicated-gram threshold") {
     // 2-grams: doc1 {a b, b c}, doc2 {a b, b x} share "a b" → both
     // dup_frac 0.5; doc3 is unique → 0.0; doc4 duplicates doc1 wholly
