@@ -45,10 +45,22 @@ object Counters {
     import scala.jdk.CollectionConverters._
     val items = reg.asScala.toVector
     reg.clear()
-    // non-blocking completed-future read (getOrEmpty is private[sql])
+    // bounded-wait read (getOrEmpty is private[sql]): the observation
+    // listener fires ASYNCHRONOUSLY after the action returns, so a
+    // drain immediately after .count() can race it — wait up to 250 ms
+    // per entry (Spark's own getOrEmpty waits 100 ms), then give up on
+    // that entry (a genuinely-unfired observation: its query never
+    // ran). Instrumented queries register a handful of entries, so the
+    // worst-case stall is a fraction of a second, never a hang.
     val fired: Vector[(String, String, Map[String, Any])] =
       items.flatMap { e =>
-        e.obs.future.value.flatMap(_.toOption).map { row =>
+        val f = e.obs.future
+        if (!f.isCompleted) {
+          try scala.concurrent.Await.ready(f,
+            scala.concurrent.duration.Duration(250, "ms"))
+          catch { case _: java.util.concurrent.TimeoutException => }
+        }
+        f.value.flatMap(_.toOption).map { row =>
           val m: Map[String, Any] =
             row.schema.fieldNames.zip(row.toSeq).toMap
           (e.tag, e.label, m)

@@ -132,4 +132,36 @@ class ObservationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(got === expected)
   }
+
+  test("d35 candidate counters: registered, fired once, internally consistent") {
+    val s = spark
+    import s.implicits._
+    // fragment⊂page fixture (the d35/DedupSpec shape): one long page,
+    // a contiguous fragment of it, one unrelated page
+    val page = (1 to 30).map(i => s"w$i").mkString(" ")
+    val frag = (9 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, page), (1000001L, frag),
+      (2L, "totally different words in this other page entirely"))
+      .toDF("doc_id", "text")
+    graft.ops.Counters.drain() // isolate from other tests
+    val out = Dedup.prefixVerifiedContainmentPairs(docs, "doc_id",
+      "text", threshold = 0.8)
+    val n = out.count()
+    val cs = graft.ops.Counters.drain()
+      .collect { case ("d35_containment_prefix", l, m) => l -> m }
+      .toMap
+    assert(cs.keySet === Set("prefix", "cand", "pairs", "verified"))
+    val prefix = cs("prefix")("rows").asInstanceOf[Long]
+    val cand = cs("cand")("rows").asInstanceOf[Long]
+    val sized = cs("cand")("sized").asInstanceOf[Long]
+    val pairs = cs("pairs")("rows").asInstanceOf[Long]
+    val verified = cs("verified")("rows").asInstanceOf[Long]
+    // the funnel can only narrow, and each stage fired exactly once
+    // (a double-firing CollectMetrics would double these counts)
+    assert(prefix > 0)
+    assert(cand >= sized && sized >= pairs)
+    assert(pairs >= verified)
+    assert(verified === n)
+    assert(pairs === 1L && verified === 1L) // exactly the planted pair
+  }
 }
