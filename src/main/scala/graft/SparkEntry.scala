@@ -3409,6 +3409,34 @@ object SparkEntry {
              |SELECT r.v AS value, k.n, k.k
              |FROM r, k WHERE r.rn = k.k""".stripMargin)),
 
+    // Exact WEIGHTED median — the token/byte-weighted order statistic
+    // a curation report actually wants ("the price below which half
+    // the QUANTITY sits", or at corpus scale "the doc length below
+    // which half the TOKENS sit"). Same iterative range narrowing as
+    // q47/q50 with per-cell integer WEIGHT sums driving the descent
+    // and per-cell row counts bounding the resolve; weights are
+    // positive integers so the crossing is exact and order-free. The
+    // oracle replays the cumulative-weight crossing over the sorted
+    // values; the 0.5 literal casts to DOUBLE so both engines compute
+    // the identical IEEE k = ⌈0.5·W⌉ (the q50 convention).
+    "q52_weighted_median" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.exactWeightedQuantile(
+        lineitem(s, dir), "l_extendedprice", "l_quantity", q = 0.5,
+        buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM s),
+             |kx AS (SELECT wt, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT v, CAST(sum(w) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw
+             |  FROM s)
+             |SELECT (SELECT min(v) FROM c, kx WHERE c.cw >= kx.k)
+             |    AS value,
+             |  wt AS w_total, k FROM kx""".stripMargin)),
+
     // Kendall tau-b agreement between the lexical (BM25) and semantic
     // (cosine) scorings of the BM25 top-50 candidate list — do the two
     // rankers ORDER the shared candidates the same way? Tie-aware

@@ -117,6 +117,125 @@ object DistributedSelect {
     (kth, rounds)
   }
 
+  /** Exact WEIGHTED k-th smallest: the smallest value v with
+    * Σ_{u ≤ v} w(u) ≥ k over positive INTEGER weights (integer so the
+    * crossing point is exact — no summation-order drift; a
+    * token-count or byte-size weight is the natural caller). Same
+    * iterative range narrowing as [[kthSmallest]] with per-cell
+    * weight sums driving the descent and per-cell ROW counts bounding
+    * the resolve; the bounded resolve takes the first crossing of the
+    * running weight over the ≤`threshold` surviving rows (a window
+    * over a bounded frame — the rocAuc contract). The answer is a
+    * value of the multiset, so tie order cannot affect it. Nulls and
+    * NaN values are excluded; rows with null/non-positive weight are
+    * rejected loudly (a silent drop would move every quantile).
+    * Returns (value, rounds). */
+  def weightedKthSmallest(df: DataFrame, valueCol: String,
+                          weightCol: String, k: Long,
+                          buckets: Int = 128,
+                          threshold: Long = 100000): (Double, Int) = {
+    require(k >= 1, "k must be >= 1")
+    require(buckets >= 2, "buckets must be >= 2")
+    require(threshold >= 1 && threshold <= Int.MaxValue,
+      s"threshold must be in [1, Int.MaxValue] (got $threshold)")
+    val v = col(valueCol).cast("double")
+    val w = col(weightCol).cast("long")
+    val all = df.select(v.as("_v"), w.as("_w"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val finite = col("_v") > Double.NegativeInfinity &&
+      col("_v") < Double.PositiveInfinity
+    // weight validation rides the same head aggregate (no separate
+    // validation scan — at corpus scale an extra full pass just to
+    // check weights would double the fixed cost of every quantile)
+    val head = all.agg(
+      min(when(finite, col("_v"))), max(when(finite, col("_v"))),
+      coalesce(sum(when(finite, col("_w"))), lit(0L)),
+      coalesce(sum(when(col("_v") === Double.NegativeInfinity,
+        col("_w"))), lit(0L)),
+      coalesce(sum(when(col("_v") === Double.PositiveInfinity,
+        col("_w"))), lit(0L)),
+      count(when(finite, lit(1))),
+      count(when(col("_w").isNull || col("_w") <= 0, lit(1)))).head()
+    require(head.getLong(6) == 0,
+      "weights must be positive integers (null/<=0 found)")
+    val wFinite = head.getLong(2)
+    val wNegInf = head.getLong(3)
+    val wPosInf = head.getLong(4)
+    require(wNegInf + wFinite + wPosInf >= k,
+      s"k=$k exceeds total weight")
+    if (k <= wNegInf) return (Double.NegativeInfinity, 0)
+    if (k > wNegInf + wFinite) return (Double.PositiveInfinity, 0)
+    val vals = all.filter(finite)
+    var lo = head.getDouble(0)
+    var hi = head.getDouble(1)
+    var kk = k - wNegInf
+    var rowsInRange = head.getLong(5)
+    var rounds = 0
+    while (rowsInRange > threshold && lo < hi && rounds < 64) {
+      rounds += 1
+      val width = (hi - lo) / buckets
+      val cellOf = least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("_v") - lit(lo)) / lit(width)).cast("long")))
+      val counts: Array[Row] = vals
+        .filter(col("_v") >= lo && col("_v") <= hi)
+        .groupBy(cellOf.as("_c"))
+        .agg(sum(col("_w")).as("_sw"), count(lit(1)).as("_n"))
+        .collect() // B rows max — a stats fetch, not a data collect
+      val byCell = counts.map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      var c = 0L
+      var below = 0L
+      while (c < buckets &&
+        below + byCell.get(c).map(_._1).getOrElse(0L) < kk) {
+        below += byCell.get(c).map(_._1).getOrElse(0L)
+        c += 1
+      }
+      kk -= below
+      rowsInRange = byCell.get(c).map(_._2).getOrElse(0L)
+      val newLo = lo + c * width
+      val newHi = if (c == buckets - 1) hi else lo + (c + 1) * width
+      if (newLo >= newHi || newLo == lo && newHi == hi) {
+        lo = newLo; hi = newLo
+      } else {
+        lo = newLo; hi = newHi
+      }
+    }
+    if (lo == hi) return (lo, rounds)
+    // bounded resolve: running weight over the ≤threshold surviving
+    // rows (single-partition window over a bounded frame), first
+    // crossing of kk
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val kth = vals.filter(col("_v") >= lo && col("_v") <= hi)
+      .withColumn("_cw", sum(col("_w")).over(win))
+      .filter(col("_cw") >= kk)
+      .orderBy(col("_v").asc).limit(1)
+      .head().getDouble(0)
+    (kth, rounds)
+  }
+
+  /** Exact weighted discrete quantile: the value at cumulative-weight
+    * position ⌈q·W⌉ — one-row DataFrame (value, w_total, k). */
+  def exactWeightedQuantile(df: DataFrame, valueCol: String,
+                            weightCol: String, q: Double,
+                            buckets: Int = 128,
+                            threshold: Long = 100000): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    val v = col(valueCol).cast("double")
+    val wTotal = df.select(v.as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .agg(coalesce(sum(col("_w")), lit(0L))).head().getLong(0)
+    val k = math.max(1L, math.ceil(q * wTotal).toLong)
+    val (value, _) = weightedKthSmallest(df, valueCol, weightCol, k,
+      buckets, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((value, wTotal, k)).toDF("value", "w_total", "k")
+  }
+
   /** Exact discrete quantile (the value at 1-based position
     * ⌈q·n⌉ — the lower/"disc" convention, no interpolation): one-row
     * DataFrame (value, n, k) for the oracle-comparable form. (The

@@ -92,6 +92,55 @@ class DistributedSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedKthSmallest: every k matches the weight-expanded reference") {
+    val s = spark
+    import s.implicits._
+    // duplicate values + varied integer weights; reference = expand
+    // each row into w copies and index the sorted multiset
+    val rows = Seq((9.0, 3L), (3.0, 1L), (2.0, 4L), (11.0, 2L),
+      (3.0, 2L), (1.0, 1L), (7.0, 5L), (2.0, 1L))
+    val df = rows.zipWithIndex.map { case ((v, w), i) =>
+      (i.toLong, v, w) }.toDF("id", "v", "w")
+    val expanded = rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v) }.sorted
+    (1 to expanded.length).foreach { k =>
+      val (got, _) = DistributedSelect.weightedKthSmallest(df, "v", "w",
+        k, buckets = 4, threshold = 2)
+      assert(got === expanded(k - 1), s"k=$k")
+    }
+    intercept[IllegalArgumentException] {
+      DistributedSelect.weightedKthSmallest(df, "v", "w",
+        expanded.length + 1L, buckets = 4, threshold = 2)
+    }
+    // non-positive / null weights are rejected loudly
+    intercept[IllegalArgumentException] {
+      DistributedSelect.weightedKthSmallest(
+        Seq((1L, 1.0, 0L)).toDF("id", "v", "w"), "v", "w", 1)
+    }
+  }
+
+  test("exactWeightedQuantile: golden weighted median and ±Infinity masses") {
+    val s = spark
+    import s.implicits._
+    // W = 10; k = ceil(0.5·10) = 5; expanded sorted:
+    // 1,1,1,2,2,2,2,5,5,5 → 5th = 2
+    val df = Seq((1L, 1.0, 3L), (2L, 5.0, 3L), (3L, 2.0, 4L))
+      .toDF("id", "v", "w")
+    val r = DistributedSelect.exactWeightedQuantile(df, "v", "w", 0.5,
+      buckets = 4, threshold = 2).head()
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getLong(1) === 10L && r.getLong(2) === 5L)
+    // infinite masses resolve by weight position
+    val inf = Seq((1L, Double.NegativeInfinity, 3L), (2L, 1.0, 1L),
+      (3L, Double.PositiveInfinity, 2L)).toDF("id", "v", "w")
+    val (a, _) = DistributedSelect.weightedKthSmallest(inf, "v", "w", 3)
+    val (b, _) = DistributedSelect.weightedKthSmallest(inf, "v", "w", 4)
+    val (c, _) = DistributedSelect.weightedKthSmallest(inf, "v", "w", 5)
+    assert(a === Double.NegativeInfinity)
+    assert(b === 1.0)
+    assert(c === Double.PositiveInfinity)
+  }
+
   test("narrowing terminates under threshold pressure and stays exact") {
     val s = spark
     import s.implicits._
