@@ -2999,6 +2999,46 @@ object SparkEntry {
               |FROM ranked WHERE rk = 1
               |ORDER BY component LIMIT 2000""".stripMargin)),
 
+    // EFFECTIVE dataset size after near-dup discounting: per source,
+    // each doc contributes tokens/cluster_size — a 10-clique of
+    // near-identical docs carries ONE doc's worth of information — the
+    // unique-information mass a mixture planner budgets against
+    // instead of raw token counts. A report OVER the staged family
+    // state (dedupArtifacts), like d40/d42/d43/d44: token counts
+    // project ahead of the join so only 24-byte rows meet the
+    // pair-sized assignment, and the per-doc discount micro-quantizes
+    // BEFORE the sum (order-free, engine-exact). The oracle replays
+    // the full pair pipeline + CC standalone.
+    "d51_effective_tokens" -> Q(
+      (s, dir) =>
+        Curation.effectiveTokenMass(table(s, dir, "documents"),
+            "doc_id", "text", "source",
+            dedupArtifacts(s, dir).components)
+          .orderBy("source"),
+      Some(s"""WITH RECURSIVE ${duckLshVerifiedCtes("documents", 0.3)},
+              |eedges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+              |  UNION SELECT id_b, id_a FROM vpairs),
+              |ereach(s, d) AS (
+              |  SELECT a, b FROM eedges
+              |  UNION
+              |  SELECT r.s, e.b FROM ereach r JOIN eedges e ON e.a = r.d),
+              |ecomp AS (SELECT s AS id, least(s, min(d)) AS component
+              |  FROM ereach GROUP BY s),
+              |esz AS (SELECT component, count(*) AS cs
+              |  FROM ecomp GROUP BY component),
+              |easz AS (SELECT ecomp.id, esz.cs
+              |  FROM ecomp JOIN esz USING (component)),
+              |etok AS (SELECT doc_id, source,
+              |    CAST(len(str_split(text, ' ')) AS BIGINT) AS nt
+              |  FROM documents)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(nt) AS BIGINT) AS raw_tokens,
+              |  CAST(sum(CAST(round(CAST(nt AS DOUBLE) * 1000000
+              |      / CAST(COALESCE(easz.cs, 1) AS DOUBLE)) AS BIGINT))
+              |    AS BIGINT) AS effective_tokens_micro
+              |FROM etok LEFT JOIN easz ON easz.id = etok.doc_id
+              |GROUP BY source ORDER BY source""".stripMargin)),
+
     // LEAKAGE-SAFE splits: the split hash keys on the near-dup
     // CLUSTER (singletons on their own id), so no cluster ever spans
     // train and test — per-doc hashing (d16) leaks near-identical
@@ -3436,6 +3476,38 @@ object SparkEntry {
              |SELECT (SELECT min(v) FROM c, kx WHERE c.cw >= kx.k)
              |    AS value,
              |  wt AS w_total, k FROM kx""".stripMargin)),
+
+    // Exact weighted median for EVERY group at once — the group-wise
+    // form of q52 with all groups narrowing in the SAME scans: one
+    // head groupBy seeds per-group ranges, each round is a single
+    // range-joined scan returning ≤ G·B stat rows, and one bounded
+    // window pass resolves every surviving group. Rounds are the MAX
+    // over groups of log_B(n_g/threshold), not the sum — a thousand
+    // groups cost the same scan count as one. The oracle replays the
+    // per-group cumulative-weight crossing (q52's convention,
+    // partitioned by group).
+    "q53_group_weighted_median" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.groupedWeightedQuantile(
+        lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        "l_quantity", q = 0.5, buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT l_returnflag AS grp,
+             |    CAST(l_extendedprice AS DOUBLE) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS wt
+             |  FROM s GROUP BY grp),
+             |kx AS (SELECT grp, wt, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT grp, v, CAST(sum(w) OVER (PARTITION BY grp
+             |    ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw
+             |  FROM s)
+             |SELECT kx.grp AS l_returnflag,
+             |  (SELECT min(v) FROM c
+             |   WHERE c.grp = kx.grp AND c.cw >= kx.k) AS value,
+             |  wt AS w_total, k
+             |FROM kx ORDER BY l_returnflag""".stripMargin)),
 
     // Kendall tau-b agreement between the lexical (BM25) and semantic
     // (cosine) scorings of the BM25 top-50 candidate list — do the two

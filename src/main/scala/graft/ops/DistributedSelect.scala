@@ -236,6 +236,174 @@ object DistributedSelect {
     Seq((value, wTotal, k)).toDF("value", "w_total", "k")
   }
 
+  /** Per-group resolution state for [[groupedWeightedQuantile]]:
+    * either already answered (±Infinity mass or a collapsed range) or
+    * carrying the live narrowing range. */
+  private final case class GroupState(lo: Double, hi: Double, kk: Long,
+                                      rowsInRange: Long,
+                                      resolved: Option[Double])
+
+  /** Exact weighted discrete quantile for EVERY group at once — the
+    * group-wise form of [[weightedKthSmallest]] with all groups
+    * narrowing in the SAME scans ("median doc length by language,
+    * weighted by tokens" in one operator call):
+    *
+    *   - one head pass per call (groupBy(group) aggregate) seeds every
+    *     group's range/target; G rows to the driver;
+    *   - each narrowing round is ONE scan: the per-group [lo, hi]
+    *     ranges broadcast-join onto the data, per-(group, cell) weight
+    *     sums come back (≤ G·B rows — stats, not data), and every
+    *     still-active group advances together. Rounds are
+    *     max over groups of log_B(n_g/threshold), NOT the sum — a
+    *     thousand groups cost the same number of scans as one;
+    *   - one bounded resolve pass for all surviving groups: a window
+    *     partitioned by group over ≤ threshold rows each takes the
+    *     first cumulative-weight crossing.
+    *
+    * Group cardinality must be report-grade (the per-group range state
+    * lives on the driver): `maxGroups` rejects degenerate callers
+    * loudly rather than OOMing. The group column must be string-typed
+    * (composite keys concat upstream — the splitName convention).
+    * Groups whose every value is null/NaN do not appear in the output,
+    * matching the SQL convention (no comparable values, no quantile).
+    * Weights must be positive integers, rejected loudly otherwise;
+    * ±Infinity masses resolve directly per group as in the ungrouped
+    * form. Returns (group, value, w_total, k) ordered by group. */
+  def groupedWeightedQuantile(df: DataFrame, groupCol: String,
+                              valueCol: String, weightCol: String,
+                              q: Double, buckets: Int = 128,
+                              threshold: Long = 100000,
+                              maxGroups: Int = 100000): DataFrame = {
+    require(q > 0 && q <= 1, "q must be in (0, 1]")
+    require(buckets >= 2, "buckets must be >= 2")
+    require(threshold >= 1 && threshold <= Int.MaxValue,
+      s"threshold must be in [1, Int.MaxValue] (got $threshold)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val all = df.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"),
+        col(weightCol).cast("long").as("_w"))
+      .filter(col("_g").isNotNull &&
+        col("_v").isNotNull && !isnan(col("_v")))
+    val finite = col("_v") > Double.NegativeInfinity &&
+      col("_v") < Double.PositiveInfinity
+
+    // head pass: one groupBy seeding every group's range and target
+    val head = all.groupBy("_g").agg(
+      min(when(finite, col("_v"))).as("_lo"),
+      max(when(finite, col("_v"))).as("_hi"),
+      coalesce(sum(when(finite, col("_w"))), lit(0L)).as("_wf"),
+      coalesce(sum(when(col("_v") === Double.NegativeInfinity,
+        col("_w"))), lit(0L)).as("_wn"),
+      coalesce(sum(when(col("_v") === Double.PositiveInfinity,
+        col("_w"))), lit(0L)).as("_wp"),
+      count(when(finite, lit(1))).as("_nf"),
+      count(when(col("_w").isNull || col("_w") <= 0, lit(1))).as("_bad"))
+      .collect()
+    require(head.length <= maxGroups,
+      s"${head.length} groups exceed maxGroups=$maxGroups: grouped " +
+        "selection keeps per-group range state on the driver")
+    require(head.forall(_.getLong(7) == 0),
+      "weights must be positive integers (null/<=0 found)")
+
+    // head row layout: _g(0) _lo(1) _hi(2) _wf(3) _wn(4) _wp(5)
+    // _nf(6) _bad(7)
+    val totals = head.map { r =>
+      r.getString(0) -> (r.getLong(3) + r.getLong(4) + r.getLong(5))
+    }.toMap
+    val ks = totals.map { case (g, wt) =>
+      g -> math.max(1L, math.ceil(q * wt).toLong)
+    }
+    var state: Map[String, GroupState] = head.map { r =>
+      val g = r.getString(0)
+      val wf = r.getLong(3); val wn = r.getLong(4)
+      val k = ks(g)
+      val st =
+        if (k <= wn) GroupState(0, 0, 0, 0,
+          Some(Double.NegativeInfinity))
+        else if (k > wn + wf) GroupState(0, 0, 0, 0,
+          Some(Double.PositiveInfinity))
+        else {
+          val lo = r.getDouble(1); val hi = r.getDouble(2)
+          GroupState(lo, hi, k - wn, r.getLong(6),
+            if (lo == hi) Some(lo) else None)
+        }
+      g -> st
+    }.toMap
+
+    val vals = all.filter(finite)
+    var rounds = 0
+    def active = state.filter { case (_, s) =>
+      s.resolved.isEmpty && s.rowsInRange > threshold && s.lo < s.hi
+    }
+    while (active.nonEmpty && rounds < 64) {
+      rounds += 1
+      val ranges = broadcast(active.toSeq
+        .map { case (g, s) => (g, s.lo, s.hi) }
+        .toDF("_rg", "_rlo", "_rhi"))
+      val width = (col("_rhi") - col("_rlo")) / buckets
+      val cellOf = least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("_v") - col("_rlo")) / width).cast("long")))
+      val counts = vals.join(ranges, col("_g") === col("_rg"))
+        .filter(col("_v") >= col("_rlo") && col("_v") <= col("_rhi"))
+        .groupBy(col("_g"), cellOf.as("_c"))
+        .agg(sum(col("_w")).as("_sw"), count(lit(1)).as("_n"))
+        .collect() // ≤ G_active·B rows — stats, not data
+      val byGroup = counts.groupBy(_.getString(0))
+      state = state.map { case (g, s) =>
+        if (!active.contains(g)) g -> s
+        else {
+          val byCell = byGroup.getOrElse(g, Array.empty[Row])
+            .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+            .toMap
+          val width = (s.hi - s.lo) / buckets
+          var c = 0L
+          var below = 0L
+          while (c < buckets &&
+            below + byCell.get(c).map(_._1).getOrElse(0L) < s.kk) {
+            below += byCell.get(c).map(_._1).getOrElse(0L)
+            c += 1
+          }
+          val kk = s.kk - below
+          val rows = byCell.get(c).map(_._2).getOrElse(0L)
+          val newLo = s.lo + c * width
+          val newHi =
+            if (c == buckets - 1) s.hi else s.lo + (c + 1) * width
+          if (newLo >= newHi || newLo == s.lo && newHi == s.hi)
+            g -> GroupState(newLo, newLo, kk, rows, Some(newLo))
+          else g -> GroupState(newLo, newHi, kk, rows, None)
+        }
+      }
+    }
+
+    // one bounded resolve pass for every still-unresolved group:
+    // window partitioned by group over ≤ threshold rows each
+    val pending = state.filter(_._2.resolved.isEmpty)
+    val resolvedTail: Map[String, Double] =
+      if (pending.isEmpty) Map.empty
+      else {
+        val fin = broadcast(pending.toSeq
+          .map { case (g, s) => (g, s.lo, s.hi, s.kk) }
+          .toDF("_rg", "_rlo", "_rhi", "_rkk"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("_g").orderBy(col("_v").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        vals.join(fin, col("_g") === col("_rg"))
+          .filter(col("_v") >= col("_rlo") && col("_v") <= col("_rhi"))
+          .withColumn("_cw", sum(col("_w")).over(win))
+          .filter(col("_cw") >= col("_rkk"))
+          .groupBy("_g").agg(min(col("_v")).as("_kth"))
+          .collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      }
+
+    state.toSeq.map { case (g, s) =>
+      (g, s.resolved.getOrElse(resolvedTail(g)), totals(g), ks(g))
+    }.sortBy(_._1)
+      .toDF(groupCol, "value", "w_total", "k")
+  }
+
   /** Exact discrete quantile (the value at 1-based position
     * ⌈q·n⌉ — the lower/"disc" convention, no interpolation): one-row
     * DataFrame (value, n, k) for the oracle-comparable form. (The

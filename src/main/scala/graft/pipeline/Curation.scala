@@ -494,4 +494,42 @@ object Curation {
   def serpentineShardReport(assigned: DataFrame): DataFrame =
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("total_weight"))
+
+  /** Effective dataset size after near-dup discounting — per group,
+    * each document contributes tokens/cluster_size ("a 10-clique of
+    * near-identical docs carries ONE doc's worth of information"), the
+    * standard unique-information mass a mixture planner budgets
+    * against instead of raw token counts. Composes over a PRECOMPUTED
+    * (id, component) assignment ([[graft.pipeline.DedupArtifacts]]):
+    * docs absent from the assignment are singletons (divisor 1).
+    *
+    * The per-doc discount is micro-quantized BEFORE the sum
+    * (round(tokens·1e6/cluster_size) as a long — the d28/e13 integer
+    * discipline), so the group totals are summation-order-free and
+    * engine-exact. Scale shape: token counts project ahead of the
+    * join, so only (id, group, n_tokens) rows meet the pair-sized
+    * assignment on the shuffle — document text never crosses an
+    * Exchange — and both aggregations combine map-side.
+    *
+    * Returns (group, n_docs, raw_tokens, effective_tokens_micro). */
+  def effectiveTokenMass(docs: DataFrame, idCol: String, textCol: String,
+                         groupCol: String,
+                         components: DataFrame): DataFrame = {
+    val sizes = components
+      .groupBy("component").agg(count(lit(1)).as("_cs"))
+    val assign = components.join(sizes, "component")
+      .select(col("id"), col("_cs"))
+    docs.select(col(idCol).as("id"),
+        col(groupCol).as("_grp"),
+        graft.pipeline.TextStats.tokenCount(col(textCol)).as("_nt"))
+      .join(assign, Seq("id"), "left")
+      .select(col("_grp"), col("_nt"),
+        round(col("_nt").cast("double") * lit(1e6) /
+          coalesce(col("_cs"), lit(1L)).cast("double"))
+          .cast("long").as("_eff"))
+      .groupBy(col("_grp").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("raw_tokens"),
+        sum(col("_eff")).as("effective_tokens_micro"))
+  }
 }

@@ -458,4 +458,27 @@ class CurationSpec extends AnyFunSuite {
       .groupBy("shard").count().collect().map(_.getLong(1))
     assert(counts.max - counts.min <= 1)
   }
+
+  test("effectiveTokenMass discounts by cluster size, singletons by 1") {
+    val s = spark
+    import s.implicits._
+    // web: docs 1,2,3 form one 3-cluster (4 tokens each) + a singleton
+    // (2 tokens); books: a 2-cluster (3 tokens each)
+    val docs = Seq(
+      (1L, "a b c d", "web"), (2L, "a b c d", "web"),
+      (3L, "a b c d", "web"), (4L, "x y", "web"),
+      (5L, "p q r", "books"), (6L, "p q r", "books"))
+      .toDF("doc_id", "text", "source")
+    val components = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (6L, 5L)).toDF("id", "component")
+    val got = Curation.effectiveTokenMass(docs, "doc_id", "text",
+        "source", components)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // web: 3 docs at 4/3 tokens (round(4e6/3) = 1333333 each) + 2
+    // singleton tokens = 3*1333333 + 2000000
+    assert(got("web") === ((4L, 14L, 3L * 1333333L + 2000000L)))
+    // books: 2 docs at 3/2 tokens = 1500000 micro each
+    assert(got("books") === ((2L, 6L, 3000000L)))
+  }
 }

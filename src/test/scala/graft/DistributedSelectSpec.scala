@@ -141,6 +141,62 @@ class DistributedSelectSpec extends AnyFunSuite {
     assert(c === Double.PositiveInfinity)
   }
 
+  test("groupedWeightedQuantile: every group matches its own expansion") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    // three groups with very different sizes/ranges so they resolve in
+    // different rounds; tight threshold forces real narrowing
+    val rows = (1 to 400).map(i => ("a", rng.nextInt(1000).toDouble,
+        1L + rng.nextInt(5))) ++
+      (1 to 40).map(i => ("b", -50.0 + rng.nextInt(100),
+        1L + rng.nextInt(3))) ++
+      Seq(("c", 7.0, 2L), ("c", 3.0, 1L))
+    val df = rows.zipWithIndex.map { case ((g, v, w), i) =>
+      (i.toLong, g, v, w) }.toDF("id", "g", "v", "w")
+    Seq(0.25, 0.5, 0.9).foreach { q =>
+      val got = DistributedSelect.groupedWeightedQuantile(df, "g", "v",
+          "w", q, buckets = 8, threshold = 16)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, grp) =>
+        val expanded = grp.flatMap { case (_, v, w) =>
+          Seq.fill(w.toInt)(v) }.sorted
+        val k = math.max(1L, math.ceil(q * expanded.length).toLong)
+        assert(got(g)._1 === expanded((k - 1).toInt), s"g=$g q=$q")
+        assert(got(g)._2 === expanded.length.toLong, s"g=$g q=$q wt")
+        assert(got(g)._3 === k, s"g=$g q=$q k")
+      }
+    }
+  }
+
+  test("groupedWeightedQuantile: infinity masses, null-only groups, guards") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("neg", Double.NegativeInfinity, 5L), ("neg", 1.0, 1L),
+      ("pos", 2.0, 1L), ("pos", Double.PositiveInfinity, 9L),
+      ("nul", Double.NaN, 3L),
+      ("fin", 4.0, 1L), ("fin", 8.0, 1L))
+      .toDF("g", "v", "w")
+    val out = DistributedSelect.groupedWeightedQuantile(df, "g", "v",
+        "w", 0.5, buckets = 4, threshold = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a NaN-only group has no comparable values and is absent
+    assert(out.keySet === Set("neg", "pos", "fin"))
+    assert(out("neg") === Double.NegativeInfinity) // k=3 inside -Inf mass
+    assert(out("pos") === Double.PositiveInfinity) // k=5 past finite mass
+    assert(out("fin") === 4.0)
+    intercept[IllegalArgumentException] {
+      DistributedSelect.groupedWeightedQuantile(
+        Seq(("x", 1.0, 0L)).toDF("g", "v", "w"), "g", "v", "w", 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      DistributedSelect.groupedWeightedQuantile(df, "g", "v", "w", 0.5,
+        maxGroups = 1)
+    }
+  }
+
   test("narrowing terminates under threshold pressure and stays exact") {
     val s = spark
     import s.implicits._
