@@ -3509,6 +3509,64 @@ object SparkEntry {
              |  wt AS w_total, k
              |FROM kx ORDER BY l_returnflag""".stripMargin)),
 
+    // Exact median absolute deviation — the robust dispersion a
+    // quality monitor scales by (stddev is wrecked by one huge
+    // outlier; MAD is not): two exact selections (median, then median
+    // of |x − m|) composed from the q47 narrowing operator —
+    // 2·log_B(n) pushable scans, no global sort, nothing data-sized
+    // on the driver. Deviations are IEEE |x − m| with the identical
+    // double m in both engines, so both medians are engine-exact
+    // order statistics with no summation order anywhere.
+    "q54_mad" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.madFrame(
+        lineitem(s, dir), "l_extendedprice", buckets = 32,
+        threshold = 500),
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |kx AS (SELECT n, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) AS k
+             |  FROM t),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM s),
+             |med AS (SELECT r.v AS m FROM r, kx WHERE r.rn = kx.k),
+             |d AS (SELECT abs(s.v - med.m) AS dv FROM s, med),
+             |r2 AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn
+             |  FROM d)
+             |SELECT med.m AS median,
+             |  (SELECT r2.dv FROM r2, kx WHERE r2.rn = kx.k) AS mad,
+             |  kx.n
+             |FROM med, kx""".stripMargin)),
+
+    // Exact winsorized mean: clamp to the exact [⌈.05n⌉-th, ⌈.95n⌉-th]
+    // order statistics (two more q47 selections), then average with
+    // per-value micro-quantization before the sum (order-free) and ONE
+    // integer floor division at the end — the outlier-robust location
+    // estimate a corpus dashboard trends.
+    "q55_winsorized_mean" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.winsorizedMeanMicro(
+        lineitem(s, dir), "l_extendedprice", qLo = 0.05, qHi = 0.95,
+        buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |kx AS (SELECT n,
+             |    greatest(CAST(1 AS BIGINT), CAST(ceil(
+             |      CAST(0.05 AS DOUBLE) * n) AS BIGINT)) AS klo,
+             |    greatest(CAST(1 AS BIGINT), CAST(ceil(
+             |      CAST(0.95 AS DOUBLE) * n) AS BIGINT)) AS khi
+             |  FROM t),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM s),
+             |b AS (SELECT
+             |    (SELECT r.v FROM r, kx WHERE r.rn = kx.klo) AS lo,
+             |    (SELECT r.v FROM r, kx WHERE r.rn = kx.khi) AS hi)
+             |SELECT b.lo AS lo_value, b.hi AS hi_value, kx.n,
+             |  (SELECT CAST(sum(CAST(round(least(greatest(s.v, b.lo),
+             |        b.hi) * 1000000) AS BIGINT)) AS BIGINT) // kx.n
+             |   FROM s) AS wmean_micro
+             |FROM b, kx""".stripMargin)),
+
     // Kendall tau-b agreement between the lexical (BM25) and semantic
     // (cosine) scorings of the BM25 top-50 candidate list — do the two
     // rankers ORDER the shared candidates the same way? Tie-aware

@@ -404,6 +404,64 @@ object DistributedSelect {
       .toDF(groupCol, "value", "w_total", "k")
   }
 
+  /** Exact median absolute deviation — the robust dispersion statistic
+    * a quality-score monitor scales by (stddev is wrecked by the one
+    * 10^6-token outlier; MAD is not): median m of the values, then the
+    * median of |x − m|, both EXACT via [[kthSmallest]] (two narrowing
+    * selections ≈ 2·log_B(n) pushable scans, nothing data-sized on
+    * the driver). Both answers are order statistics of real multisets
+    * (the deviations are IEEE |x − m| with m the identical double in
+    * any engine), so the result is engine-exact with no summation
+    * order anywhere. One-row DataFrame (median, mad, n). */
+  def madFrame(df: DataFrame, valueCol: String, buckets: Int = 128,
+               threshold: Long = 100000): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val vals = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val n = vals.count()
+    require(n >= 1, "madFrame needs at least one comparable value")
+    val k = math.max(1L, math.ceil(0.5 * n).toLong)
+    val (m, _) = kthSmallest(vals, "_v", k, buckets, threshold)
+    val (mad, _) = kthSmallest(
+      vals.select(abs(col("_v") - lit(m)).as("_d")), "_d", k,
+      buckets, threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((m, mad, n)).toDF("median", "mad", "n")
+  }
+
+  /** Exact winsorized mean: values clamp to the exact [⌈qLo·n⌉-th,
+    * ⌈qHi·n⌉-th] order statistics (two [[kthSmallest]] selections),
+    * then average — the outlier-robust location estimate a corpus
+    * quality dashboard trends (a handful of 10^8-char docs cannot move
+    * it). Each clamped value micro-quantizes BEFORE the sum
+    * (round(v·1e6) as a long — summation-order-free), and the mean is
+    * the single integer floor division at the end. One-row DataFrame
+    * (lo_value, hi_value, n, wmean_micro). */
+  def winsorizedMeanMicro(df: DataFrame, valueCol: String,
+                          qLo: Double = 0.05, qHi: Double = 0.95,
+                          buckets: Int = 128,
+                          threshold: Long = 100000): DataFrame = {
+    require(qLo > 0 && qLo < qHi && qHi <= 1,
+      "need 0 < qLo < qHi <= 1")
+    val v = col(valueCol).cast("double")
+    val vals = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val n = vals.count()
+    require(n >= 1, "winsorizedMeanMicro needs at least one value")
+    val kLo = math.max(1L, math.ceil(qLo * n).toLong)
+    val kHi = math.max(1L, math.ceil(qHi * n).toLong)
+    val (lo, _) = kthSmallest(vals, "_v", kLo, buckets, threshold)
+    val (hi, _) = kthSmallest(vals, "_v", kHi, buckets, threshold)
+    val agg = vals.agg(
+      sum(round(least(greatest(col("_v"), lit(lo)), lit(hi)) *
+        lit(1e6)).cast("long")).as("_s")).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((lo, hi, n, Math.floorDiv(agg.getLong(0), n)))
+      .toDF("lo_value", "hi_value", "n", "wmean_micro")
+  }
+
   /** Exact discrete quantile (the value at 1-based position
     * ⌈q·n⌉ — the lower/"disc" convention, no interpolation): one-row
     * DataFrame (value, n, k) for the oracle-comparable form. (The

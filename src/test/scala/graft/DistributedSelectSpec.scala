@@ -197,6 +197,40 @@ class DistributedSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("madFrame and winsorizedMeanMicro match the in-memory reference") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    // skewed values + planted outliers that must not move either stat
+    val base = (1 to 300).map(_ => rng.nextInt(100).toDouble)
+    val vals = base ++ Seq(1e9, -1e9, 1e9)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val sorted = vals.sorted
+    val n = vals.length
+    val k = math.max(1L, math.ceil(0.5 * n).toLong).toInt
+    val m = sorted(k - 1)
+    val madRef = vals.map(x => math.abs(x - m)).sorted.apply(k - 1)
+    val r = DistributedSelect.madFrame(df, "v", buckets = 8,
+      threshold = 16).head()
+    assert(r.getDouble(0) === m)
+    assert(r.getDouble(1) === madRef)
+    assert(r.getLong(2) === n.toLong)
+    // winsorized mean: clamp to exact P5/P95 then micro-mean
+    val kLo = math.max(1L, math.ceil(0.05 * n).toLong).toInt
+    val kHi = math.max(1L, math.ceil(0.95 * n).toLong).toInt
+    val (lo, hi) = (sorted(kLo - 1), sorted(kHi - 1))
+    val wRef = vals.map(v => math.round(math.min(math.max(v, lo), hi)
+      * 1e6)).sum / n
+    val w = DistributedSelect.winsorizedMeanMicro(df, "v", 0.05, 0.95,
+      buckets = 8, threshold = 16).head()
+    assert(w.getDouble(0) === lo && w.getDouble(1) === hi)
+    assert(w.getLong(2) === n.toLong)
+    assert(w.getLong(3) === wRef)
+    // the outliers moved the plain mean far away but not these
+    assert(math.abs(w.getLong(3) / 1e6 - base.sum / base.length) < 20)
+  }
+
   test("narrowing terminates under threshold pressure and stays exact") {
     val s = spark
     import s.implicits._
