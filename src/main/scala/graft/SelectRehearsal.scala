@@ -103,6 +103,77 @@ object SelectRehearsal {
     require(sortMed == smallMed,
       s"sort median disagrees: $sortMed vs $smallMed (rounds=$rs)")
 
+    // GROUPED selection: the groupedWeightedQuantile claim is that
+    // scan rounds are the MAX over groups, not the sum — a thousand
+    // groups cost the same scans as one. Groups sized exponentially
+    // (2^0 .. 2^19 rows per 1M-id block) so per-group round needs
+    // genuinely differ; the contender is the honest alternative, one
+    // kthSmallest run PER group (the "sum over groups" cost).
+    val grouped = vals
+      .withColumn("g", floor(log2(pmod(
+        monotonically_increasing_id(), lit(1048576L)) + lit(1L)))
+        .cast("string"))
+      .localCheckpoint()
+    val ((gdf, gRounds), _) = timed(
+      s"groupedWeightedQuantile median (N=$n, 21 groups)") {
+      DistributedSelect.groupedWeightedQuantileWithRounds(
+        grouped.withColumn("w", lit(1L)), "g", "v", "w", 0.5,
+        buckets = 128, threshold = 1000)
+    }
+    val gMed = gdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    println(s"[select-rehearsal]   groups=${gMed.size} " +
+      s"sharedRounds=$gRounds")
+    val (loopMed, _) = timed("per-group kthSmallest loop (the sum)") {
+      gMed.keys.toSeq.sorted.map { g =>
+        val sub = grouped.filter(col("g") === g)
+        val kg = math.max(1L, math.ceil(0.5 * sub.count()).toLong)
+        g -> DistributedSelect.kthSmallest(sub, "v", kg,
+          buckets = 128, threshold = 1000)
+      }.toMap
+    }
+    val loopRounds = loopMed.values.map(_._2).sum
+    loopMed.foreach { case (g, (m, _)) =>
+      require(m == gMed(g), s"group $g disagrees: $m vs ${gMed(g)}")
+    }
+    println(s"[select-rehearsal]   per-group loop total rounds=" +
+      s"$loopRounds (vs shared $gRounds)")
+
+    // Flat many-group case: the loop's cost is LINEAR in G (every
+    // group pays its own count + rounds + resolve scans) while the
+    // grouped form's scan count is flat in G — the crossover the
+    // operator exists for. G equal-sized groups at n/5 rows.
+    val flatG = args.lift(2).map(_.toInt).getOrElse(200)
+    val nf = n / 5
+    val flat = spark.range(nf).select(
+      (-log((abs(xxhash64(col("id"))) % lit(1000000000L) + lit(1L))
+        .cast("double") / lit(1000000001.0))).as("v"),
+      pmod(xxhash64(col("id") * lit(7L)), lit(flatG.toLong))
+        .cast("string").as("g"),
+      lit(1L).as("w"))
+      .localCheckpoint()
+    val ((fdf, fRounds), _) = timed(
+      s"groupedWeightedQuantile median (N=$nf, G=$flatG)") {
+      DistributedSelect.groupedWeightedQuantileWithRounds(
+        flat, "g", "v", "w", 0.5, buckets = 128, threshold = 1000)
+    }
+    val fMed = fdf.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    println(s"[select-rehearsal]   groups=${fMed.size} " +
+      s"sharedRounds=$fRounds")
+    val (fLoop, _) = timed(
+      s"per-group kthSmallest loop (G=$flatG, the sum)") {
+      fMed.keys.toSeq.sorted.map { g =>
+        val sub = flat.filter(col("g") === g)
+        val kg = math.max(1L, math.ceil(0.5 * sub.count()).toLong)
+        g -> DistributedSelect.kthSmallest(sub, "v", kg,
+          buckets = 128, threshold = 1000)
+      }.toMap
+    }
+    fLoop.foreach { case (g, (m, _)) =>
+      require(m == fMed(g), s"flat group $g disagrees: $m vs ${fMed(g)}")
+    }
+
     println(s"[select-rehearsal] done: N=$n rounds(median)=$r50 " +
       s"rounds(p99)=$r99")
     spark.stop()

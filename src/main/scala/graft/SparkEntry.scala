@@ -3214,6 +3214,42 @@ object SparkEntry {
              |  na AS n_a, nb AS n_b, nvals AS n_values
              |FROM d""".stripMargin)),
 
+    // Streaming exact-median drift monitor, batch-replayed (the
+    // d41/q42/q49 promotion pattern): the literal foreachBatch body
+    // of Eval.quantileDriftStream (= quantileOfBatch, the narrowing
+    // selection running its driver-coordinated rounds inside the
+    // sink) over three deterministic micro-batches of the events
+    // value column. KS (q49) flags a shape change; this trend says
+    // which way and how far the LOCATION moved, in the value's own
+    // units. The oracle replays each batch's ⌈n/2⌉ crossing.
+    "q56_stream_median_replay" -> Q(
+      (s, dir) => {
+        val ev = SE.readEventsTable(s, dir)
+          .select(col("event_id"), col("value"))
+        (0L until 3L).map { b =>
+          graft.pipeline.Eval.quantileOfBatch(
+            ev.filter(pmod(col("event_id"), lit(3L)) === b),
+            col("value"), 0.5, buckets = 32, threshold = 500)
+            .withColumn("batch_id", lit(b))
+        }.reduce(_ unionByName _).orderBy("batch_id")
+      },
+      Some("""WITH s AS (SELECT event_id % 3 AS b,
+             |    CAST(value AS DOUBLE) AS v FROM events
+             |  WHERE value IS NOT NULL
+             |    AND NOT isnan(CAST(value AS DOUBLE))),
+             |t AS (SELECT b, CAST(count(*) AS BIGINT) AS n
+             |  FROM s GROUP BY b),
+             |kx AS (SELECT b, n, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) AS k
+             |  FROM t),
+             |r AS (SELECT b, v,
+             |    row_number() OVER (PARTITION BY b ORDER BY v) AS rn
+             |  FROM s)
+             |SELECT (SELECT r.v FROM r
+             |    WHERE r.b = kx.b AND r.rn = kx.k) AS value,
+             |  n, k, CAST(kx.b AS BIGINT) AS batch_id
+             |FROM kx ORDER BY batch_id""".stripMargin)),
+
     // Offline retrieval eval: NDCG@10 / MRR@10 / recall@10 of the
     // SEMANTIC run (embedding-cosine top-20, the r2 sem list) against
     // graded LEXICAL relevance judgments (query-term occurrence

@@ -273,7 +273,19 @@ object DistributedSelect {
                               valueCol: String, weightCol: String,
                               q: Double, buckets: Int = 128,
                               threshold: Long = 100000,
-                              maxGroups: Int = 100000): DataFrame = {
+                              maxGroups: Int = 100000): DataFrame =
+    groupedWeightedQuantileWithRounds(df, groupCol, valueCol,
+      weightCol, q, buckets, threshold, maxGroups)._1
+
+  /** [[groupedWeightedQuantile]] plus the SHARED scan-round count —
+    * the number the rehearsal pins: rounds = max over groups of
+    * log_B(n_g/threshold), not the sum. */
+  private[graft] def groupedWeightedQuantileWithRounds(
+      df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      q: Double, buckets: Int = 128,
+      threshold: Long = 100000,
+      maxGroups: Int = 100000): (DataFrame, Int) = {
     require(q > 0 && q <= 1, "q must be in (0, 1]")
     require(buckets >= 2, "buckets must be >= 2")
     require(threshold >= 1 && threshold <= Int.MaxValue,
@@ -344,7 +356,14 @@ object DistributedSelect {
       val width = (col("_rhi") - col("_rlo")) / buckets
       val cellOf = least(lit(buckets - 1L), greatest(lit(0L),
         floor((col("_v") - col("_rlo")) / width).cast("long")))
-      val counts = vals.join(ranges, col("_g") === col("_rg"))
+      // the ENVELOPE of the active ranges filters before the join —
+      // a plain sargable value predicate (pushes to a real scan),
+      // so in later rounds most rows never pay the join probe
+      val envLo = active.values.map(_.lo).min
+      val envHi = active.values.map(_.hi).max
+      val counts = vals
+        .filter(col("_v") >= envLo && col("_v") <= envHi)
+        .join(ranges, col("_g") === col("_rg"))
         .filter(col("_v") >= col("_rlo") && col("_v") <= col("_rhi"))
         .groupBy(col("_g"), cellOf.as("_c"))
         .agg(sum(col("_w")).as("_sw"), count(lit(1)).as("_n"))
@@ -389,7 +408,10 @@ object DistributedSelect {
           .partitionBy("_g").orderBy(col("_v").asc)
           .rowsBetween(org.apache.spark.sql.expressions.Window
             .unboundedPreceding, 0)
-        vals.join(fin, col("_g") === col("_rg"))
+        vals
+          .filter(col("_v") >= pending.values.map(_.lo).min &&
+            col("_v") <= pending.values.map(_.hi).max)
+          .join(fin, col("_g") === col("_rg"))
           .filter(col("_v") >= col("_rlo") && col("_v") <= col("_rhi"))
           .withColumn("_cw", sum(col("_w")).over(win))
           .filter(col("_cw") >= col("_rkk"))
@@ -398,10 +420,10 @@ object DistributedSelect {
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
       }
 
-    state.toSeq.map { case (g, s) =>
+    (state.toSeq.map { case (g, s) =>
       (g, s.resolved.getOrElse(resolvedTail(g)), totals(g), ks(g))
     }.sortBy(_._1)
-      .toDF(groupCol, "value", "w_total", "k")
+      .toDF(groupCol, "value", "w_total", "k"), rounds)
   }
 
   /** Exact median absolute deviation — the robust dispersion statistic

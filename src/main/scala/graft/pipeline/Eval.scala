@@ -282,6 +282,39 @@ object Eval {
       .start()
   }
 
+  /** The exact q-quantile of one arriving frame — the computation
+    * [[quantileDriftStream]]'s foreachBatch sink runs per micro-batch,
+    * exposed as a batch operator so the monitor is oracle-checkable
+    * outside a streaming harness (the ksAgainstReference convention).
+    * One row (value, n, k) via the narrowing selection operator. */
+  def quantileOfBatch(batch: DataFrame, value: Column, q: Double,
+                      buckets: Int = 128,
+                      threshold: Long = 100000): DataFrame =
+    graft.ops.DistributedSelect.exactQuantile(
+      batch.select(value.as("_qv")), "_qv", q, buckets, threshold)
+
+  /** Streaming exact-quantile drift monitor: every micro-batch
+    * resolves the EXACT q-quantile of its `value` column — the
+    * location analogue of [[ksDriftStream]] (KS flags a shape change;
+    * the median/P99 trend says which way and how far the location
+    * moved, in the value's own units). The narrowing selection runs
+    * its driver-coordinated rounds INSIDE foreachBatch (a micro-batch
+    * is an ordinary DataFrame, so multi-job operators compose), and
+    * the sink body IS [[quantileOfBatch]], so batch and stream cannot
+    * drift. One (value, n, k, batch_id) row per batch to `sink`. */
+  def quantileDriftStream(docs: DataFrame, value: Column, q: Double,
+                          buckets: Int = 128,
+                          threshold: Long = 100000)
+                         (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(quantileOfBatch(batch, value, q, buckets, threshold)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Graded ranking-quality metrics of a retrieval `run` against a
     * relevance judgment set `qrels`: one row (ndcg_micro, mrr_micro,
     * recall_micro, n_relevant, n_run). `run` carries (id, rank)

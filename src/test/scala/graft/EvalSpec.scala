@@ -161,6 +161,30 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantileDriftStream resolves each micro-batch's exact median") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Double]
+    val medians = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    // tight threshold so the narrowing loop genuinely runs its
+    // driver-coordinated rounds INSIDE foreachBatch
+    val q = Eval.quantileDriftStream(mem.toDF().toDF("v"), col("v"),
+        0.5, buckets = 4, threshold = 8) { m =>
+      medians ++= m.collect().map(r => (r.getLong(3), r.getDouble(0)))
+    }
+    try {
+      val b0 = (1 to 101).map(_.toDouble)
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      val b1 = (1 to 101).map(i => 1000.0 + i) // location shifted
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(medians.toMap === Map(0L -> 51.0, 1L -> 1051.0))
+    } finally q.stop()
+  }
+
   test("psiMicro matches a brute-force smoothed reference") {
     val s = spark
     import s.implicits._
