@@ -172,6 +172,30 @@ class PlanDisciplineSpec extends AnyFunSuite {
     assert(!lp.contains("ResolvedHint"), s"unexpected broadcast hint:\n$lp")
   }
 
+  test("d51 effective-token joins never move document text") {
+    // token counts project ahead of the assignment join, so only
+    // (id, group, n_tokens) rows reach any exchange/join — at corpus
+    // scale the text column crossing a shuffle would dominate the
+    // report's cost
+    val df = SparkEntry.queries("d51_effective_tokens")(spark, sf)
+    // AdaptiveSparkPlanExec exposes no children, so collect() on the
+    // wrapper sees nothing — unwrap to the current physical plan
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val joins = root.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected the assignment join in the plan")
+    joins.foreach { j =>
+      val names = j.children.flatMap(_.output).map(_.name)
+      assert(!names.contains("text"),
+        s"document text reaches a join input: $names")
+    }
+  }
+
   test("no query plans a cartesian product or nested-loop join") {
     SparkEntry.queries.keys.foreach { q =>
       val p = plan(q)
