@@ -3545,6 +3545,45 @@ object SparkEntry {
              |  wt AS w_total, k
              |FROM kx ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-group exact weighted MAD — groupedWeightedQuantile composed
+    // TWICE (per-group medians in shared scans, G-row median table
+    // broadcast back, per-group median of |x − m_g| the same way):
+    // the robust dispersion behind per-group quality monitoring,
+    // 2× one grouped selection's scans regardless of G. The oracle
+    // replays both crossings partitioned by group; the deviation k
+    // equals the value k (same total weight per group).
+    "q57_group_mad" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.groupedMad(
+        lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        "l_quantity", buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT l_returnflag AS grp,
+             |    CAST(l_extendedprice AS DOUBLE) AS v,
+             |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+             |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS wt
+             |  FROM s GROUP BY grp),
+             |kx AS (SELECT grp, wt, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT grp, v, CAST(sum(w) OVER (PARTITION BY grp
+             |    ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw FROM s),
+             |m AS (SELECT kx.grp,
+             |    (SELECT min(v) FROM c
+             |     WHERE c.grp = kx.grp AND c.cw >= kx.k) AS med,
+             |    wt, k FROM kx),
+             |d AS (SELECT s.grp, abs(s.v - m.med) AS dv, s.w
+             |  FROM s JOIN m ON m.grp = s.grp),
+             |c2 AS (SELECT grp, dv, CAST(sum(w) OVER (
+             |    PARTITION BY grp ORDER BY dv
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw FROM d)
+             |SELECT m.grp AS l_returnflag, m.med AS median,
+             |  (SELECT min(dv) FROM c2
+             |   WHERE c2.grp = m.grp AND c2.cw >= m.k) AS mad,
+             |  wt AS w_total
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // Exact median absolute deviation — the robust dispersion a
     // quality monitor scales by (stddev is wrecked by one huge
     // outlier; MAD is not): two exact selections (median, then median
@@ -5344,6 +5383,49 @@ object SparkEntry {
              |SELECT doc_id, n_frames, vsig,
              |  min(doc_id) OVER (PARTITION BY vsig) AS keep_id
              |FROM sig ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    // Audio NEAR-DUP via PCM content fingerprints — the m10 machinery
+    // at sample granularity, completing modality symmetry (image m7
+    // pHash, video m10 frame hashes, audio m11 sample windows): real
+    // javax.sound decode → 100-sample Horner windows → order-
+    // sensitive per-audio signature → keep-min-id clusters. The
+    // oracle computes every sample value, window hash, and signature
+    // in CLOSED FORM from the WAV synthesis formulas (recursive-CTE
+    // power table for 131^e mod p), so the decode→window→hash→
+    // aggregate chain is pinned against pure arithmetic.
+    "m11_audio_fingerprint_dedup" -> Q(
+      (s, dir) => Multimodal.audioFingerprintDedupTable(
+        table(s, dir, "documents")),
+      Some("""WITH RECURSIVE pw(e, v) AS (
+             |  SELECT 0, CAST(1 AS HUGEINT)
+             |  UNION ALL SELECT e + 1, (v * 131) % 1000000007
+             |  FROM pw WHERE e < 99),
+             |au AS (SELECT doc_id,
+             |    CAST((1 + doc_id % 2) * (400 + doc_id % 600)
+             |      AS BIGINT) AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |sm AS (SELECT doc_id, n,
+             |    unnest(generate_series(0, n - 1)) AS j FROM au),
+             |sx AS (SELECT doc_id, j, j // 100 AS w, j % 100 AS pos,
+             |    ((62 * j + 31) % 256) * 256 + (62 * j) % 256 AS u
+             |  FROM sm),
+             |wl AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS lw
+             |  FROM sx GROUP BY doc_id, w),
+             |fp AS (SELECT sx.doc_id, sx.w,
+             |    CAST(sum((CAST(sx.u AS HUGEINT) * pw.v)
+             |        % 1000000007) % 1000000007 AS BIGINT) AS f
+             |  FROM sx
+             |  JOIN wl ON wl.doc_id = sx.doc_id AND wl.w = sx.w
+             |  JOIN pw ON pw.e = wl.lw - 1 - sx.pos
+             |  GROUP BY sx.doc_id, sx.w),
+             |sg AS (SELECT doc_id,
+             |    CAST(count(*) AS BIGINT) AS n_windows,
+             |    CAST(sum((CAST(f AS HUGEINT) * (w + 1))
+             |        % 1000000007) % 1000000007 AS BIGINT) AS asig
+             |  FROM fp GROUP BY doc_id)
+             |SELECT doc_id, n_windows, asig,
+             |  min(doc_id) OVER (PARTITION BY asig) AS keep_id
+             |FROM sg ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     // Shard-export ROUNDTRIP: the d45 serpentine assignment written as
     // a shard-partitioned parquet layout (one directory per shard —

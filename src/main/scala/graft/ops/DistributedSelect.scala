@@ -484,6 +484,41 @@ object DistributedSelect {
       .toDF("lo_value", "hi_value", "n", "wmean_micro")
   }
 
+  /** Exact per-group median absolute deviation — [[madFrame]] for
+    * every group at once, composed from TWO [[groupedWeightedQuantile]]
+    * passes: per-group medians m_g (all groups narrowing in the same
+    * scans), then the G-row median table broadcast-joins back onto the
+    * data and the per-group median of |x − m_g| resolves the same way.
+    * The robust dispersion behind per-language/per-source quality
+    * monitoring ("scale each group's scores by ITS spread") — total
+    * scan count is 2× one grouped selection regardless of G, where the
+    * per-group loop would pay G·log(n) scans twice. Weights weight the
+    * deviation multiset exactly as they weight the value multiset.
+    * Returns (group, median, mad, w_total) ordered by group. */
+  def groupedMad(df: DataFrame, groupCol: String, valueCol: String,
+                 weightCol: String, buckets: Int = 128,
+                 threshold: Long = 100000,
+                 maxGroups: Int = 100000): DataFrame = {
+    val med = groupedWeightedQuantile(df, groupCol, valueCol,
+        weightCol, 0.5, buckets, threshold, maxGroups)
+      .select(col(groupCol).as("_mg"), col("value").as("_m"),
+        col("w_total").as("_wt"))
+    val dev = df
+      .select(col(groupCol).cast("string").as("_dg"),
+        col(valueCol).cast("double").as("_dv"),
+        col(weightCol).cast("long").as("_dw"))
+      .join(broadcast(med), col("_dg") === col("_mg"))
+      .select(col("_dg"), abs(col("_dv") - col("_m")).as("_dd"),
+        col("_dw"))
+    groupedWeightedQuantile(dev, "_dg", "_dd", "_dw", 0.5, buckets,
+        threshold, maxGroups)
+      .select(col("_dg").as("_g2"), col("value").as("mad"))
+      .join(broadcast(med), col("_g2") === col("_mg"))
+      .select(col("_mg").as(groupCol), col("_m").as("median"),
+        col("mad"), col("_wt").as("w_total"))
+      .orderBy(groupCol)
+  }
+
   /** Exact discrete quantile (the value at 1-based position
     * ⌈q·n⌉ — the lower/"disc" convention, no interpolation): one-row
     * DataFrame (value, n, k) for the oracle-comparable form. (The

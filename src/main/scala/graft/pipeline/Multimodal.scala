@@ -47,6 +47,12 @@ final case class VideoMeta(doc_id: Long, n_bytes: Long, width: Int,
   * parsed-the-right-bytes receipt. Exact integers → SQL-replayable. */
 final case class FrameFingerprint(doc_id: Long, frame_idx: Long,
                                   fp: Long)
+
+/** PCM content fingerprint of one audio payload: window count and the
+  * order-sensitive per-audio signature over the windowed sample
+  * stream. Exact integers → SQL-replayable. */
+final case class AudioFingerprint(doc_id: Long, n_windows: Long,
+                                  asig: Long)
 final case class FrameSample(doc_id: Long, frame_idx: Long,
                              byte_off: Long, n_bytes: Long,
                              payload_sum: Long)
@@ -253,6 +259,74 @@ object Multimodal {
       case scala.util.control.NonFatal(_) =>
         AudioFeatures(r.doc_id, -1L, -1L, -1L, "error")
     }
+
+  /** Samples per fingerprint window: NOT a multiple (or divisor) of
+    * any power of two, so a periodic PCM pattern phases differently
+    * into successive windows and per-window fingerprints stay varied
+    * (a power-of-two window against byte-ramp test fixtures collapses
+    * every window to one value, weakening the differential check). */
+  private val AudioFpWindow = 100
+
+  /** PCM content fingerprints: the AUDIO near-dup modality, mirroring
+    * [[videoFrameFingerprints]] at sample granularity — the decoded
+    * 16-bit stream windows into [[AudioFpWindow]]-sample blocks, each
+    * block Horner-hashes its UNSIGNED 16-bit sample images (base 131
+    * mod 1e9+7, the m10 frame hash), and the per-audio signature is
+    * Σ fp(w)·(w+1) mod p over the ordered windows (order-sensitive —
+    * a reshuffled sample stream is different audio; per-term mod so
+    * partials never overflow even at 10^9-sample payloads). A payload
+    * the decoder cannot read (wrong encoding, corrupt container)
+    * yields no row — the walker-skip convention of the video path.
+    * One pass over the samples per record, executor-side only. */
+  def audioFingerprints(records: Dataset[MediaRecord])
+      : Dataset[AudioFingerprint] = {
+    import records.sparkSession.implicits._
+    records.flatMap { r =>
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.media))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val bytes = in.readAllBytes()
+            var w = 0L; var asig = 0L; var fp = 0L
+            var j = 0; var i = 0
+            while (i + 1 < bytes.length) {
+              val u = ((bytes(i + 1) & 0xffL) << 8) |
+                (bytes(i) & 0xffL)
+              fp = (fp * 131L + u) % FpMod
+              j += 1; i += 2
+              if (j == AudioFpWindow || i + 1 >= bytes.length) {
+                asig = (asig + fp * (w + 1L) % FpMod) % FpMod
+                w += 1; fp = 0L; j = 0
+              }
+            }
+            Some(AudioFingerprint(r.doc_id, w, asig))
+          }
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
+
+  /** Audio NEAR-DUP detection over [[audioFingerprints]]: keep-min-id
+    * per signature in the m7/m10 aggregate+join de-skew shape. Output
+    * (doc_id, n_windows, asig, keep_id) — asig itself is
+    * oracle-checked, pinning the decode→window→hash→aggregate chain
+    * against closed-form arithmetic on the synthesis formulas. */
+  def audioFingerprintDedupTable(docs: DataFrame): DataFrame = {
+    val sig = audioFingerprints(attachAudio(docs)).toDF()
+    val keep = sig.groupBy(col("asig").as("_ka"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    sig.join(keep, col("asig") === col("_ka"))
+      .select(col("doc_id"), col("n_windows"), col("asig"),
+        col("keep_id"))
+      .orderBy("doc_id").limit(500)
+  }
 
   /** Real PCM feature pipeline: synthesized WAV → full frame decode →
     * integer energy/peak per doc (m8). */

@@ -197,6 +197,29 @@ class DistributedSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedMad: weighted per-group medians and MADs match expansion") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 300).map(i => (s"g${i % 3}",
+      rng.nextInt(200).toDouble, 1L + rng.nextInt(4)))
+    val df = rows.zipWithIndex.map { case ((g, v, w), i) =>
+      (i.toLong, g, v, w) }.toDF("id", "g", "v", "w")
+    val got = DistributedSelect.groupedMad(df, "g", "v", "w",
+        buckets = 8, threshold = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val exp = grp.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }
+      val k = math.max(1L, math.ceil(0.5 * exp.length).toLong).toInt
+      val m = exp.sorted.apply(k - 1)
+      val mad = exp.map(x => math.abs(x - m)).sorted.apply(k - 1)
+      assert(got(g)._1 === m, s"median g=$g")
+      assert(got(g)._2 === mad, s"mad g=$g")
+      assert(got(g)._3 === exp.length.toLong, s"w_total g=$g")
+    }
+  }
+
   test("madFrame and winsorizedMeanMicro match the in-memory reference") {
     val s = spark
     import s.implicits._

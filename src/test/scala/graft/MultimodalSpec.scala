@@ -413,4 +413,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sigByN.values.forall(_.size == 1))
     assert(sigByN.values.flatten.toSet.size === sigByN.size)
   }
+
+  test("audio fingerprints: windowed Horner replay and dedup clusters") {
+    val s = spark
+    import s.implicits._
+    val M = 1000000007L
+    // golden replay: 250 samples -> windows of 100/100/50; PCM bytes
+    // are the synthesis ramp data(i) = (i*31)&0xff, samples unsigned LE
+    val rec = MediaRecord(7L, "audio",
+      Multimodal.synthesizeWav(rate = 8000, channels = 1, frames = 250))
+    def u(j: Int): Long =
+      (((2 * j + 1) * 31 & 0xff).toLong << 8) | ((2 * j) * 31 & 0xff)
+    def fpOf(js: Seq[Int]): Long =
+      js.foldLeft(0L)((acc, j) => (acc * 131L + u(j)) % M)
+    val windows = (0 until 250).grouped(100).toSeq
+    val expAsig = windows.zipWithIndex.foldLeft(0L) {
+      case (acc, (js, w)) => (acc + fpOf(js) * (w + 1L) % M) % M
+    }
+    val got = Multimodal.audioFingerprints(Seq(rec).toDS()).head()
+    assert(got.n_windows === 3L)
+    assert(got.asig === expAsig)
+    // non-PCM / unreadable payloads yield no row, not an error row
+    val bad = MediaRecord(8L, "audio", Array[Byte](1, 2, 3))
+    assert(Multimodal.audioFingerprints(Seq(bad).toDS()).count() === 0L)
+    // dedup table: PCM content is a pure function of byte length =
+    // frames·channels·2, and (frames, channels) are both functions of
+    // doc_id % 600 — so audios cluster exactly by doc_id % 600
+    val docs = (0L until 1300L).toDF("doc_id")
+    val t = Multimodal.audioFingerprintDedupTable(docs).collect()
+    val audioIds = (0L until 1300L).filter(_ % 3 == 1)
+    assert(t.map(_.getLong(0)).toSeq === audioIds.take(500))
+    t.foreach { r =>
+      val id = r.getLong(0)
+      val expectKeep = audioIds.filter(a => a % 600 == id % 600).min
+      assert(r.getLong(3) === expectKeep, s"doc $id keep")
+      val n = (1 + id % 2) * (400 + id % 600)
+      assert(r.getLong(1) === (n + 99) / 100, s"doc $id n_windows")
+    }
+  }
 }
