@@ -3545,6 +3545,30 @@ object SparkEntry {
              |  wt AS w_total, k
              |FROM kx ORDER BY l_returnflag""".stripMargin)),
 
+    // EVERY dashboard quantile in SHARED scans: P25/P50/P75/P99 of
+    // one column resolved together — one head pass, each round ONE
+    // envelope-filtered scan exploding rows onto the ≤4 active range
+    // literals (no join), rounds = max over targets not the sum, one
+    // bounded resolve for all survivors. Running q47's narrowing once
+    // per quantile would pay 4× the scans for one column's stats.
+    "q58_exact_quantiles" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.exactQuantiles(
+        lineitem(s, dir), "l_extendedprice",
+        Seq(0.25, 0.5, 0.75, 0.99), buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+             |  FROM lineitem),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |qv(q) AS (VALUES (0.25), (0.5), (0.75), (0.99)),
+             |kx AS (SELECT CAST(q AS DOUBLE) AS q, n,
+             |    greatest(CAST(1 AS BIGINT), CAST(ceil(
+             |      CAST(q AS DOUBLE) * n) AS BIGINT)) AS k
+             |  FROM qv, t),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM s)
+             |SELECT kx.q, (SELECT r.v FROM r WHERE r.rn = kx.k)
+             |    AS value, n, k
+             |FROM kx ORDER BY q""".stripMargin)),
+
     // Per-group exact weighted MAD — groupedWeightedQuantile composed
     // TWICE (per-group medians in shared scans, G-row median table
     // broadcast back, per-group median of |x − m_g| the same way):

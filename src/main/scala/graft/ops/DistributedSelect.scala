@@ -484,6 +484,142 @@ object DistributedSelect {
       .toDF("lo_value", "hi_value", "n", "wmean_micro")
   }
 
+  /** EVERY requested quantile of one column in SHARED scans — the
+    * multi-target form of [[kthSmallest]] (a latency dashboard wants
+    * P50/P90/P99/P999 together; running the narrowing once per
+    * quantile pays Q·log_B(n) scans for what is one column's
+    * statistics). One head pass seeds every target rank; each round is
+    * ONE scan: rows filter to the ENVELOPE of the active ranges
+    * (sargable), explode onto the ≤Q range literals that contain them
+    * (bounded Q× amplification of the envelope's rows only, fully
+    * codegen'd generate+filter — no join), and per-(target, cell)
+    * counts come back (≤ Q·B stat rows). Each target narrows B× per
+    * round in its OWN cell grid, so rounds = max over targets of
+    * log_B(n/threshold), not the sum. One bounded pass resolves all
+    * surviving targets (window partitioned by target over ≤ threshold
+    * rows each). Duplicate target ranks (q's that round to the same
+    * ⌈q·n⌉) share one narrowing. Returns (q, value, n, k) ordered
+    * by q. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double], buckets: Int = 128,
+                     threshold: Long = 100000): DataFrame = {
+    require(qs.nonEmpty, "need at least one quantile")
+    qs.foreach(q => require(q > 0 && q <= 1,
+      s"q must be in (0, 1] (got $q)"))
+    require(buckets >= 2, "buckets must be >= 2")
+    require(threshold >= 1 && threshold <= Int.MaxValue,
+      s"threshold must be in [1, Int.MaxValue] (got $threshold)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val all = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val finite = col("_v") > Double.NegativeInfinity &&
+      col("_v") < Double.PositiveInfinity
+    val head = all.agg(
+      min(when(finite, col("_v"))), max(when(finite, col("_v"))),
+      count(when(finite, lit(1))),
+      count(when(col("_v") === Double.NegativeInfinity, lit(1))),
+      count(when(col("_v") === Double.PositiveInfinity, lit(1))))
+      .head()
+    val nFinite = head.getLong(2)
+    val nNegInf = head.getLong(3)
+    val nPosInf = head.getLong(4)
+    val n = nFinite + nNegInf + nPosInf
+    require(n >= 1, "exactQuantiles needs at least one value")
+    val kOf = qs.map(q =>
+      q -> math.max(1L, math.ceil(q * n).toLong)).toMap
+    // one narrowing per DISTINCT target rank
+    var state: Map[Long, GroupState] = kOf.values.toSet.map { k: Long =>
+      k -> (if (k <= nNegInf)
+          GroupState(0, 0, 0, 0, Some(Double.NegativeInfinity))
+        else if (k > nNegInf + nFinite)
+          GroupState(0, 0, 0, 0, Some(Double.PositiveInfinity))
+        else {
+          val lo = head.getDouble(0); val hi = head.getDouble(1)
+          GroupState(lo, hi, k - nNegInf, nFinite,
+            if (lo == hi) Some(lo) else None)
+        })
+    }.toMap
+    val vals = all.filter(finite)
+    var rounds = 0
+    def active = state.filter { case (_, s) =>
+      s.resolved.isEmpty && s.rowsInRange > threshold && s.lo < s.hi
+    }
+    // each row explodes onto the ≤Q (target, lo, hi) literals whose
+    // range contains it — array+explode over literals, no join node
+    def rangeExplode(src: DataFrame,
+                     ranges: Seq[(Long, Double, Double)]): DataFrame =
+      src
+        .filter(col("_v") >= ranges.map(_._2).min &&
+          col("_v") <= ranges.map(_._3).max)
+        .select(col("_v"), explode(array(ranges.map { case (k, lo, hi) =>
+          struct(lit(k).as("_k"), lit(lo).as("_rlo"),
+            lit(hi).as("_rhi"))
+        }: _*)).as("_r"))
+        .filter(col("_v") >= col("_r._rlo") &&
+          col("_v") <= col("_r._rhi"))
+    while (active.nonEmpty && rounds < 64) {
+      rounds += 1
+      val ranges = active.toSeq.map { case (k, s) => (k, s.lo, s.hi) }
+      val width = (col("_r._rhi") - col("_r._rlo")) / buckets
+      val cellOf = least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("_v") - col("_r._rlo")) / width).cast("long")))
+      val counts = rangeExplode(vals, ranges)
+        .groupBy(col("_r._k").as("_k"), cellOf.as("_c"))
+        .agg(count(lit(1)).as("_n"))
+        .collect() // ≤ Q·B rows — stats, not data
+      val byK = counts.groupBy(_.getLong(0))
+      state = state.map { case (k, s) =>
+        if (!active.contains(k)) k -> s
+        else {
+          val byCell = byK.getOrElse(k, Array.empty[Row])
+            .map(r => r.getLong(1) -> r.getLong(2)).toMap
+          val width = (s.hi - s.lo) / buckets
+          var c = 0L
+          var below = 0L
+          while (c < buckets &&
+            below + byCell.getOrElse(c, 0L) < s.kk) {
+            below += byCell.getOrElse(c, 0L)
+            c += 1
+          }
+          val kk = s.kk - below
+          val rows = byCell.getOrElse(c, 0L)
+          val newLo = s.lo + c * width
+          val newHi =
+            if (c == buckets - 1) s.hi else s.lo + (c + 1) * width
+          if (newLo >= newHi || newLo == s.lo && newHi == s.hi)
+            k -> GroupState(newLo, newLo, kk, rows, Some(newLo))
+          else k -> GroupState(newLo, newHi, kk, rows, None)
+        }
+      }
+    }
+    val pending = state.filter(_._2.resolved.isEmpty)
+    val resolvedTail: Map[Long, Double] =
+      if (pending.isEmpty) Map.empty
+      else {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("_r._k")).orderBy(col("_v").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        rangeExplode(vals, pending.toSeq.map { case (k, s) =>
+            (k, s.lo, s.hi) })
+          .withColumn("_rn", count(lit(1)).over(win))
+          .filter(col("_rn") >= pending.toSeq.map { case (k, s) =>
+            when(col("_r._k") === k, lit(s.kk))
+          }.reduce((a, b) => coalesce(a, b)))
+          .groupBy(col("_r._k").as("_k"))
+          .agg(min(col("_v")).as("_kth"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      }
+    qs.distinct.sorted.map { q =>
+      val k = kOf(q)
+      val s = state(k)
+      (q, s.resolved.getOrElse(resolvedTail(k)), n, k)
+    }.toDF("q", "value", "n", "k")
+  }
+
   /** Exact per-group median absolute deviation — [[madFrame]] for
     * every group at once, composed from TWO [[groupedWeightedQuantile]]
     * passes: per-group medians m_g (all groups narrowing in the same

@@ -197,6 +197,31 @@ class DistributedSelectSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles: all targets match the sorted reference in shared scans") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    val vals = (1 to 2000).map(_ => rng.nextInt(10000).toDouble) ++
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity, Double.NaN)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val comparable = vals.filterNot(_.isNaN).sorted
+    val n = comparable.length
+    // far-apart targets + a duplicate-rank pair (0.5 and 0.5004 both
+    // hit k=1001 at n=2002) + the extremes that resolve in the head
+    val qs = Seq(0.001, 0.25, 0.5, 0.5004, 0.75, 0.999, 1.0)
+    val got = DistributedSelect.exactQuantiles(df, "v", qs,
+        buckets = 8, threshold = 16)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3))).toMap
+    qs.foreach { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      assert(got(q)._1 === comparable((k - 1).toInt), s"q=$q")
+      assert(got(q)._2 === n.toLong && got(q)._3 === k, s"q=$q meta")
+    }
+    assert(got(1.0)._1 === Double.PositiveInfinity)
+  }
+
   test("groupedMad: weighted per-group medians and MADs match expansion") {
     val s = spark
     import s.implicits._
