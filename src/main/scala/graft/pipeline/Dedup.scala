@@ -421,16 +421,20 @@ object Dedup {
       explode(shingles(col(textCol), shingleSize)).as("sh"))
     val df_ = shRows.groupBy("sh").agg(count(lit(1)).as("_df"))
     // `sizes` has TWO consumers (the prefix rank filter and the
-    // probe-side AllPairs size filter); un-pinned, each re-runs the
-    // full explode+aggregate pass over the corpus — the measured cost
-    // that made the round-7 size filter a net loss on spread-free
-    // fixtures. Pinned it is one row per doc (id, count): tiny
-    // relative to the shingle relation, cheap to materialize, and the
-    // filter's extra join becomes a broadcast against an
-    // already-computed frame. (The shingle relation itself stays
-    // deliberately un-persisted — see the note above.)
+    // probe-side AllPairs size filter) and is DELIBERATELY un-pinned,
+    // like the shingle relation: the round-8 localCheckpoint pin was
+    // the measured cause of the driver-bench 3.11 -> 4.14 s d35
+    // regression (round-9 A/B at sf0.1, min-of-3 isolated: unpinned
+    // 3.78-3.82 s; localCheckpoint 4.41-4.99 s; lazy persist
+    // 4.37-4.84 s). ANY materialization boundary here loses ~0.6 s:
+    // the eager checkpoint serializes the DAG into two phases, and
+    // even a lazy cache breaks whole-stage-codegen fusion of this
+    // cheap aggregate into its consumers — duplicate codegen'd
+    // recomputation hidden under 32-way parallelism beats
+    // deduplicated-but-serialized work. The same note as the shingle
+    // relation: pin only EXPENSIVE lineages (m7's image decode), and
+    // at 100 TB stage this frame as a TABLE, not an in-session pin.
     val sizes = shRows.groupBy("id").agg(count(lit(1)).as("_nsh"))
-      .localCheckpoint()
     val tMicro = math.round(threshold * 1e6)
     val slackMicro = 1000000L - tMicro
     // In-plan counters (graft.ops.Counters → the bench artifact): the
