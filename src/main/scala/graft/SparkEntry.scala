@@ -3569,6 +3569,87 @@ object SparkEntry {
              |    AS value, n, k
              |FROM kx ORDER BY q""".stripMargin)),
 
+    // Cohen's kappa between two binary quality raters (stopword-
+    // density gate vs lexical-diversity gate) — the labeling-pipeline
+    // agreement audit: raw overlap overstates agreement when both
+    // gates pass almost everything; kappa discounts the chance floor.
+    // One aggregation builds the 2×2 table; counts and marginal
+    // products accumulate exactly (decimal(38,0) / HUGEINT — n² of a
+    // 10¹²-row corpus cannot overflow), only the final division is
+    // floating, mirrored expression for expression in the oracle.
+    "q59_cohens_kappa" -> Q(
+      (s, dir) => {
+        val t = col("text")
+        graft.pipeline.Eval.cohensKappa(table(s, dir, "documents"),
+          TextStats.stopwordCount(t, TextStats.StopwordsEn) * 8 <
+            TextStats.tokenCount(t),
+          TextStats.distinctTokenCount(t) * 5 >=
+            TextStats.tokenCount(t) * 2)
+      },
+      Some("""WITH s AS (SELECT
+             |    (len(list_filter(str_split(text, ' '), x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) * 8
+             |      < len(str_split(text, ' '))) AS ra,
+             |    (len(list_distinct(str_split(text, ' '))) * 5
+             |      >= len(str_split(text, ' ')) * 2) AS rb
+             |  FROM documents),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n11,
+             |    CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01,
+             |    CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00
+             |  FROM s WHERE ra IS NOT NULL AND rb IS NOT NULL)
+             |SELECT n, n11, n10, n01, n00,
+             |  ROUND(CAST(CAST(n AS HUGEINT) * (n11 + n00)
+             |      - ((CAST(n11 AS HUGEINT) + n10)
+             |          * (CAST(n11 AS HUGEINT) + n01)
+             |        + (CAST(n00 AS HUGEINT) + n01)
+             |          * (CAST(n00 AS HUGEINT) + n10)) AS DOUBLE)
+             |    / nullif(CAST(CAST(n AS HUGEINT) * n
+             |      - ((CAST(n11 AS HUGEINT) + n10)
+             |          * (CAST(n11 AS HUGEINT) + n01)
+             |        + (CAST(n00 AS HUGEINT) + n01)
+             |          * (CAST(n00 AS HUGEINT) + n10)) AS DOUBLE),
+             |      0.0), 6) AS kappa
+             |FROM g""".stripMargin)),
+
+    // Equi-depth histogram of a heavy-tie column: boundaries are the
+    // EXACT order statistics at i/B resolved in the q58 shared
+    // narrowing scans, then ONE counting scan assigns bucket =
+    // #{boundaries < v} via a static codegen'd comparison chain.
+    // l_quantity (50 distinct values) forces boundary collisions, so
+    // the fixed-size output contract (all B rows, empty buckets as
+    // cnt 0) and the ties-fall-left convention are both exercised.
+    "q60_equidepth_hist" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.equiDepthHistogram(
+        lineitem(s, dir), "l_quantity", buckets = 8,
+        narrowBuckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS v
+             |  FROM lineitem WHERE l_quantity IS NOT NULL),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM s),
+             |b AS (SELECT i, (SELECT r.v FROM r, t
+             |      WHERE r.rn = greatest(CAST(1 AS BIGINT),
+             |        CAST(ceil((CAST(i AS DOUBLE) / CAST(8 AS DOUBLE))
+             |          * t.n) AS BIGINT))) AS bv
+             |  FROM range(1, 8) ti(i)),
+             |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT (SELECT count(*) FROM b WHERE s.v > b.bv)
+             |      AS bucket FROM s) q
+             |  GROUP BY bucket)
+             |SELECT ts.i AS bucket, bl.bv AS lo, bh.bv AS hi,
+             |  coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+             |FROM range(0, 8) ts(i)
+             |LEFT JOIN b bl ON bl.i = ts.i
+             |LEFT JOIN b bh ON bh.i = ts.i + 1
+             |LEFT JOIN c ON c.bucket = ts.i
+             |ORDER BY bucket""".stripMargin)),
+
     // Per-group exact weighted MAD — groupedWeightedQuantile composed
     // TWICE (per-group medians in shared scans, G-row median table
     // broadcast back, per-group median of |x − m_g| the same way):
@@ -3864,6 +3945,51 @@ object SparkEntry {
         // previous twice, so DuckDB's default inlining re-runs the
         // LSH chain O(2^rounds) times (measured: >15 min inlined,
         // 1.7 s materialized at sf0.01)
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Label-propagation communities (Raghavan et al. 2007), 3
+    // synchronous rounds with the deterministic (count desc, label
+    // asc) mode rule — the community split connected components
+    // cannot make: one spurious LSH pair fuses two template families
+    // into one component, but one bridging edge never outvotes a
+    // clique. Per round one edges⋈labels equi-join + two
+    // map-side-combining aggregations (argmax as max of a
+    // (count, −label) struct — no window); fixed rounds keep it
+    // replayable as chained CTEs, materialized per the g4 house rule.
+    "g5_label_propagation" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.labelPropagation(
+          dedupArtifacts(s, dir).pairs, "id_a", "id_b", rounds = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT id_a AS lo, id_b AS hi
+              |       FROM vpairs WHERE id_a < id_b),
+              |ed AS (SELECT lo AS src, hi AS dst FROM te
+              |       UNION ALL SELECT hi, lo FROM te),
+              |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
+              |c1 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM ed e JOIN l0 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |l1 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM c1) w1 WHERE rn = 1),
+              |c2 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM ed e JOIN l1 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |l2 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM c2) w2 WHERE rn = 1),
+              |c3 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM ed e JOIN l2 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |l3 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM c3) w3 WHERE rn = 1)
+              |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
+              |FROM l3 ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Shannon entropy of each doc's token distribution in integer

@@ -675,4 +675,48 @@ object DistributedSelect {
     import spark.implicits._
     Seq((value, n, k)).toDF("value", "n", "k")
   }
+
+  /** Equi-depth histogram: `buckets` buckets whose boundaries are the
+    * EXACT order statistics at q = 1/B … (B−1)/B — the optimizer-stats
+    * / data-profile shape where an equi-WIDTH histogram is useless on
+    * skewed values (one bucket holds everything). Boundaries resolve
+    * through [[exactQuantiles]]' shared narrowing scans (rounds = the
+    * max over targets, a B−1-row driver fetch — parameters, not data);
+    * then ONE counting scan assigns each row bucket = #{boundaries
+    * < v} via a static chain of B−1 codegen'd comparisons (values
+    * equal to a boundary fall LEFT; no higher-order functions on the
+    * hot path — the q17c house rule). With heavy ties adjacent
+    * boundaries can collide and the bucket between them is genuinely
+    * empty: all B rows are reported, absent buckets with cnt 0, so
+    * the output contract is fixed-size. NULL/NaN excluded as in every
+    * selection operator; ±∞ are ordinary extreme values. Returns
+    * (bucket, lo, hi, cnt) — lo is NULL for bucket 0, hi NULL for the
+    * last (unbounded tails). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, buckets: Int,
+                         narrowBuckets: Int = 128,
+                         threshold: Long = 100000): DataFrame = {
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024] (got $buckets)")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bnds = exactQuantiles(df, valueCol, qs, narrowBuckets, threshold)
+      .orderBy("q").select("value").collect().map(_.getDouble(0))
+    val vals = df.select(col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val bucketOf = bnds.map(b => when(col("_v") > lit(b), 1L)
+      .otherwise(0L)).reduce(_ + _)
+    val counts = vals.groupBy(bucketOf.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shell = (0 until buckets).map { i =>
+      (i.toLong,
+        if (i == 0) None else Some(bnds(i - 1)),
+        if (i == buckets - 1) None else Some(bnds(i)))
+    }.toDF("bucket", "lo", "hi")
+    // B-row shell ⋈ ≤B-row counts: both sides bucket-keyed singletons
+    shell.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), col("lo"), col("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
 }

@@ -483,4 +483,50 @@ object Eval {
       }
       .start()
   }
+
+  /** Cohen's kappa between two BINARY raters — the agreement audit a
+    * labeling pipeline runs when two quality gates (a heuristic and a
+    * model, or two annotators) disagree on the keep set: raw overlap
+    * overstates agreement when both raters say "keep" to almost
+    * everything, kappa discounts the chance-agreement floor.
+    *
+    * One aggregation pass builds the 2×2 contingency table; kappa
+    * derives from it alone:
+    *   kappa = (n·(n11+n00) − pe) / (n² − pe),
+    *   pe    = (n11+n10)·(n11+n01) + (n00+n01)·(n00+n10).
+    * All counts and products accumulate EXACTLY (longs into
+    * decimal(38,0) products, so a 10¹² -row corpus cannot overflow
+    * n²), and only the final single division is floating — the q36
+    * integer-co-moment discipline applied to agreement statistics.
+    * Rows where either rater is NULL are excluded (a rater that
+    * abstains is not a rater that said no). Degenerate contract: if
+    * both raters are constant (n² == pe) kappa is undefined → NULL;
+    * the table is still reported. Returns one row
+    * (n, n11, n10, n01, n00, kappa). */
+  def cohensKappa(df: DataFrame, raterA: Column,
+                  raterB: Column): DataFrame = {
+    val a = raterA.cast("boolean")
+    val b = raterB.cast("boolean")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(a && b, 1L).otherwise(0L)), lit(0L)).as("n11"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L)).as("n10"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L)).as("n01"),
+        coalesce(sum(when(!a && !b, 1L).otherwise(0L)), lit(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(
+          (dec(col("n")) * dec(col("n11") + col("n00")) -
+            (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
+              dec(col("n00") + col("n01")) * dec(col("n00") + col("n10"))))
+            .cast("double") /
+          nullif(
+            (dec(col("n")) * dec(col("n")) -
+              (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01")) +
+                dec(col("n00") + col("n01")) * dec(col("n00") + col("n10"))))
+              .cast("double"),
+            lit(0.0d)),
+          6).as("kappa"))
+  }
 }

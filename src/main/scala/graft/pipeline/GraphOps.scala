@@ -422,6 +422,56 @@ object GraphOps {
     * (degree, id) total order when `byDegree` (equal degrees fall back
     * to id order, so the orientation is a strict total order and every
     * triangle has exactly one all-out apex). */
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    * Rev. E 2007), `rounds` fixed iterations — the community detector
+    * that splits what connected components cannot: CC fuses two dense
+    * template families joined by one spurious LSH pair into one
+    * cluster; LPA's majority rule keeps each family under its own
+    * label because one bridging edge never outvotes a clique.
+    *
+    * Every node starts as its own label; each round, every node
+    * simultaneously adopts the MODE of its neighbors' previous-round
+    * labels, ties broken toward the smallest label — a deterministic
+    * total rule (the reference algorithm breaks ties randomly; the
+    * hashSample discipline applies: no rand() anywhere), so a fixed
+    * round count is SQL-replayable as chained CTEs the way g1/g4 are.
+    * Synchronous update can oscillate on bipartite-ish structures
+    * (the paper's known caveat) — a fixed round count reports the
+    * round-r labeling either way, and near-dup graphs are
+    * triangle-dense where the mode rule converges in a few rounds.
+    *
+    * Per round: one edges⋈labels equi-join on the node id + one
+    * map-side-combining (node, label) count + one argmax aggregation
+    * (max of a (count, −label) struct — no window, no sort); only the
+    * edge relation shuffles, and a boilerplate hub is one wide groupBy
+    * key that partial aggregation absorbs (the pageRankMicro
+    * argument). Lineage is cut every 2 rounds (the iterative-operator
+    * house contract). Ids must be non-negative longs (the −label
+    * tie-break negates them); isolated nodes never appear, as in every
+    * operator of this family. Returns (id, label). */
+  def labelPropagation(pairs: DataFrame, idACol: String, idBCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = normalizedEdges(pairs, idACol, idBCol)
+    val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to rounds).foreach { r =>
+      labels = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt").as("c"), (-col("label")).as("nl")))
+          .as("m"))
+        .select(col("src").as("id"), (-col("m.nl")).as("label"))
+      if (r % 2 == 0 && r < rounds) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   private def orientUp(e: DataFrame, deg: DataFrame,
                        byDegree: Boolean): DataFrame =
     if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))

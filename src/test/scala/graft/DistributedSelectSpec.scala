@@ -294,4 +294,56 @@ class DistributedSelectSpec extends AnyFunSuite {
       assert(rounds < 64, s"k=$k runaway narrowing")
     }
   }
+
+  test("equiDepthHistogram matches the sorted reference; ties fall left") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(9.0, 3.0, 2.0, 11.0, 3.0, 1.0, 7.0, 9.0, 2.0, 3.0,
+      100.0, -5.0)
+    val df = (vals.zipWithIndex.map { case (v, i) =>
+        (i.toLong, java.lang.Double.valueOf(v)) } ++
+      Seq((98L, null: java.lang.Double),
+        (99L, java.lang.Double.valueOf(Double.NaN))))
+      .toDF("id", "v")
+    val B = 4
+    val sorted = vals.sorted
+    val n = vals.length
+    val bnds = (1 until B).map(i =>
+      sorted(math.max(1, math.ceil(i.toDouble / B * n).toLong).toInt - 1))
+    val rows = DistributedSelect.equiDepthHistogram(df, "v", B,
+      narrowBuckets = 4, threshold = 2).collect()
+    assert(rows.length === B)
+    assert(rows.map(_.getLong(3)).sum === n.toLong,
+      "counts must cover exactly the non-null/NaN rows")
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      if (b == 0) assert(r.isNullAt(1)) else
+        assert(r.getDouble(1) === bnds(b - 1), s"lo of bucket $b")
+      if (b == B - 1) assert(r.isNullAt(2)) else
+        assert(r.getDouble(2) === bnds(b), s"hi of bucket $b")
+      val expect = vals.count { v =>
+        bnds.count(v > _) == b }
+      assert(r.getLong(3) === expect.toLong, s"cnt of bucket $b")
+    }
+  }
+
+  test("equiDepthHistogram: boundary collisions leave empty middle buckets") {
+    val s = spark
+    import s.implicits._
+    // 90% of the mass is one value: with B=4 every boundary collides
+    // on 5.0, so buckets 1 and 2 are genuinely empty — the fixed-size
+    // output contract must still report all four rows
+    val vals = Seq.fill(90)(5.0) ++ Seq(1.0, 2.0, 3.0, 4.0, 6.0, 7.0,
+      8.0, 9.0, 10.0, 11.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val rows = DistributedSelect.equiDepthHistogram(df, "v", 4,
+      narrowBuckets = 8, threshold = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L))
+    // all three boundaries are 5.0: everything <= 5.0 falls LEFT into
+    // bucket 0 (94 rows), buckets 1-2 are empty, the rest go right
+    assert(rows(0L) === 94L && rows(1L) === 0L && rows(2L) === 0L &&
+      rows(3L) === 6L)
+  }
 }

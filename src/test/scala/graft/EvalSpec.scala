@@ -378,6 +378,38 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("cohensKappa: golden agreement values and the degenerate contract") {
+    val s = spark
+    import s.implicits._
+    def kappa(rows: Seq[(java.lang.Boolean, java.lang.Boolean)]) =
+      Eval.cohensKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val T = java.lang.Boolean.TRUE
+    val F = java.lang.Boolean.FALSE
+    // perfect agreement with both classes present: kappa = 1
+    val perfect = kappa(Seq((T, T), (T, T), (F, F), (F, F)))
+    assert(perfect.getDouble(5) === 1.0)
+    assert(perfect.getLong(0) === 4L && perfect.getLong(1) === 2L &&
+      perfect.getLong(4) === 2L)
+    // complete disagreement with symmetric marginals: kappa = -1
+    assert(kappa(Seq((T, F), (T, F), (F, T), (F, T))).getDouble(5)
+      === -1.0)
+    // exact independence (one row per cell): chance-level, kappa = 0
+    assert(kappa(Seq((T, T), (T, F), (F, T), (F, F))).getDouble(5)
+      === 0.0)
+    // textbook table 20/5/10/15: pe = 1250, kappa = 500/1250 = 0.4
+    val text = kappa(
+      Seq.fill(20)((T, T)) ++ Seq.fill(5)((T, F)) ++
+        Seq.fill(10)((F, T)) ++ Seq.fill(15)((F, F)))
+    assert(text.getDouble(5) === 0.4)
+    assert(text.getLong(2) === 5L && text.getLong(3) === 10L)
+    // constant raters: n² == pe — kappa undefined -> NULL, table kept
+    val const = kappa(Seq((T, T), (T, T), (T, T)))
+    assert(const.isNullAt(5) && const.getLong(1) === 3L)
+    // a NULL rater abstains: the row is excluded from the table
+    val withNull = kappa(Seq((T, T), (null, T), (F, null), (F, F)))
+    assert(withNull.getLong(0) === 2L && withNull.getDouble(5) === 1.0)
+  }
+
   test("ndcgMrrMicro ideal cut: rel ties beyond k don't change idcg") {
     val s = spark
     import s.implicits._

@@ -297,4 +297,63 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(triSum === 3 * census)
     assert(census === 2L) // {1,2,3} and {1,3,4}
   }
+
+  /** In-memory synchronous LPA over normalized undirected edges with
+    * the same deterministic (count desc, label asc) mode rule — the
+    * union-find-style reference the distributed form is checked
+    * against. */
+  private def refLpa(edges: Set[(Long, Long)],
+                     rounds: Int): Map[Long, Long] = {
+    val adj = edges.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    var lab: Map[Long, Long] = adj.keys.map(i => i -> i).toMap
+    (1 to rounds).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size)
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: bridged cliques split where CC would fuse") {
+    // two 4-cliques joined by ONE bridge edge (4,5): connected
+    // components call this one cluster; the majority rule keeps each
+    // clique under its own minimum label because the single bridge
+    // never outvotes three in-clique neighbors
+    val clique1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val clique2 = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val p = pairs(clique1 ++ clique2 :+ (4L, 5L): _*)
+    val got = ranks(GraphOps.labelPropagation(p, "id_a", "id_b", 4))
+    assert(got.keySet === (1L to 8L).toSet)
+    val c1Labels = (1L to 4L).map(got).toSet
+    val c2Labels = (6L to 8L).map(got).toSet
+    assert(c1Labels.size === 1, s"clique 1 must agree: $got")
+    assert(c2Labels.size === 1, s"clique 2 must agree: $got")
+    assert(c1Labels != c2Labels, s"bridge must not fuse cliques: $got")
+    assert(got === refLpa((clique1 ++ clique2 :+ (4L, 5L)).toSet, 4))
+  }
+
+  test("labelPropagation matches the reference on random graphs") {
+    val rnd = new scala.util.Random(1123)
+    (1 to 3).foreach { trial =>
+      val n = 30
+      val es = (1 to 70).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.toSet
+      // feed the UN-normalized, duplicated, reversed form: the
+      // operator must normalize to the same edge set the ref sees
+      val noisy = es.toSeq.flatMap { case (a, b) =>
+        Seq((a, b), (b, a), (a, a)) }
+      (1 to 4).foreach { rounds =>
+        val got = ranks(GraphOps.labelPropagation(
+          pairs(noisy: _*), "id_a", "id_b", rounds))
+        assert(got === refLpa(es, rounds),
+          s"trial=$trial rounds=$rounds")
+      }
+    }
+  }
 }
