@@ -3650,6 +3650,48 @@ object SparkEntry {
              |LEFT JOIN c ON c.bucket = ts.i
              |ORDER BY bucket""".stripMargin)),
 
+    // Exact Spearman rank correlation with average-tie midranks —
+    // Pearson over midranks, the monotone-association companion of
+    // q48's Kendall tau that costs aggregations instead of pair
+    // enumeration. One groupBy collapses rows to the distinct (x, y)
+    // pair table; midranks derive from value tables WITHOUT a global
+    // window (monotone cells + bounded offsets + per-cell prefix
+    // windows); doubled midranks keep everything integral into q36's
+    // exact decimal(38,0) co-moments — one float division at the end,
+    // mirrored in the oracle (which replays midranks as the simple
+    // distinct-value running sum — correctness needs no cell split).
+    "q61_spearman" -> Q(
+      (s, dir) => graft.pipeline.Eval.spearmanRho(lineitem(s, dir),
+        col("l_quantity"), col("l_extendedprice")),
+      Some("""WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+             |    CAST(l_extendedprice AS DOUBLE) AS y
+             |  FROM lineitem
+             |  WHERE l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
+             |pt AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS cnt
+             |  FROM d GROUP BY x, y),
+             |vx AS (SELECT x, sum(cnt) AS c FROM pt GROUP BY x),
+             |rx AS (SELECT x,
+             |    2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS r2x
+             |  FROM vx),
+             |vy AS (SELECT y, sum(cnt) AS c FROM pt GROUP BY y),
+             |ry AS (SELECT y,
+             |    2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS r2y
+             |  FROM vy),
+             |j AS (SELECT cnt, r2x, r2y
+             |  FROM pt JOIN rx USING (x) JOIN ry USING (y)),
+             |a AS (SELECT sum(cnt) AS n,
+             |    sum(cnt * r2x) AS sx, sum(cnt * r2y) AS sy,
+             |    sum(cnt * r2x * r2y) AS sxy,
+             |    sum(cnt * r2x * r2x) AS sxx,
+             |    sum(cnt * r2y * r2y) AS syy
+             |  FROM j)
+             |SELECT CAST(n AS BIGINT) AS n_rows,
+             |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+             |      CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6) AS rho
+             |FROM a""".stripMargin)),
+
     // Per-group exact weighted MAD — groupedWeightedQuantile composed
     // TWICE (per-group medians in shared scans, G-row median table
     // broadcast back, per-group median of |x − m_g| the same way):
@@ -3990,6 +4032,51 @@ object SparkEntry {
               |      AS rn FROM c3) w3 WHERE rn = 1)
               |SELECT id AS doc_id, CAST(label AS BIGINT) AS label
               |FROM l3 ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Per-edge structural support (common neighbors, Adamic-Adar,
+    // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
+    // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge
+    // scores 0/0/0, a template-clique edge scores high on all three).
+    // Spark enumerates each triangle once at its degree-minimal apex
+    // (hub-safe, the g2/g3 machinery) and fans credits to the 3 member
+    // edges; the oracle replays triangles by the naive ordered 3-way
+    // self-join (a<b<c — correctness needs no skew bound). Adamic-Adar
+    // terms quantize to micro BEFORE summing (order-independent).
+    "g6_edge_embeddedness" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.edgeEmbeddedness(
+          dedupArtifacts(s, dir).pairs, "id_a", "id_b")
+        .orderBy("id_a", "id_b").limit(5000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT id_a AS lo, id_b AS hi
+              |       FROM vpairs WHERE id_a < id_b),
+              |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi FROM te) u GROUP BY id),
+              |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+              |  FROM te e1 JOIN te e2 ON e2.lo = e1.hi
+              |             JOIN te e3 ON e3.lo = e1.lo
+              |                       AND e3.hi = e2.hi),
+              |cr AS (SELECT a AS clo, b AS chi, c AS cn FROM tri
+              |       UNION ALL SELECT a, c, b FROM tri
+              |       UNION ALL SELECT b, c, a FROM tri),
+              |sup AS (SELECT clo, chi,
+              |    CAST(count(*) AS BIGINT) AS cn_cnt,
+              |    CAST(sum(CAST(round(1e6 / ln(d.deg)) AS BIGINT))
+              |      AS BIGINT) AS aa_micro
+              |  FROM cr JOIN dg d ON d.id = cr.cn GROUP BY clo, chi)
+              |SELECT te.lo AS id_a, te.hi AS id_b,
+              |  da.deg AS deg_a, db.deg AS deg_b,
+              |  coalesce(sup.cn_cnt, CAST(0 AS BIGINT)) AS cn_cnt,
+              |  coalesce(sup.aa_micro, CAST(0 AS BIGINT)) AS aa_micro,
+              |  (1000000 * coalesce(sup.cn_cnt, CAST(0 AS BIGINT)))
+              |    // (da.deg + db.deg
+              |        - coalesce(sup.cn_cnt, CAST(0 AS BIGINT)))
+              |    AS nbr_jaccard_micro
+              |FROM te JOIN dg da ON da.id = te.lo
+              |        JOIN dg db ON db.id = te.hi
+              |LEFT JOIN sup ON sup.clo = te.lo AND sup.chi = te.hi
+              |ORDER BY id_a, id_b LIMIT 5000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Shannon entropy of each doc's token distribution in integer

@@ -529,4 +529,98 @@ object Eval {
             lit(0.0d)),
           6).as("kappa"))
   }
+
+  /** Exact Spearman rank correlation with AVERAGE-tie ranks (the
+    * textbook tie treatment — Spearman rho = Pearson over midranks) —
+    * the monotone-association companion of [[kendallTauBMicro]] that
+    * costs aggregations instead of pair enumeration, so it runs at
+    * corpus scale: does a quality score rank documents the way token
+    * count does, regardless of either scale's shape?
+    *
+    * Plan shape, all value-table-sized after the first aggregation:
+    *   1. one groupBy collapses rows to the DISTINCT (x, y) pair
+    *     table with counts (map-side combine absorbs the mass);
+    *   2. per-column value tables derive midranks WITHOUT a global
+    *     window: values bucket into ≤1024 monotone equi-width cells
+    *     (min/max is a 1-row parameter fetch), cell offsets cumulate
+    *     over the ≤1024-row cell frame, in-cell prefix sums window
+    *     per-cell (tasks of D/B values, never one task of D — the
+    *     bucketedRank argument at value-table granularity). Midrank
+    *     doubling keeps everything integral: r2 = 2·cumBefore +
+    *     cnt + 1, and the ×2 cancels in the correlation;
+    *   3. the pair table joins both D-row rank tables on keys it
+    *     already carries and one aggregation forms the q36 exact
+    *     decimal(38,0) co-moments; the only float is the final
+    *     division.
+    * NULL/NaN on either side excludes the row (a pairwise-complete
+    * contract, like every agreement operator here). Degenerate: a
+    * constant column has zero rank variance → rho NULL, n still
+    * reported. Returns one row (n_rows, rho). */
+  def spearmanRho(df: DataFrame, xCol: Column, yCol: Column,
+                  cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val data = df.select(xCol.cast("double").as("x"),
+        yCol.cast("double").as("y"))
+      .filter(col("x").isNotNull && !isnan(col("x")) &&
+        col("y").isNotNull && !isnan(col("y")))
+    // pinned: the pair table feeds both rank derivations and the
+    // final join — the expensive corpus scan must run once (the
+    // llm_curate_full fork lesson; this frame is pair-table-sized,
+    // not corpus-sized, so the pin is cheap)
+    val pairTable = data.groupBy("x", "y")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+
+    /** (value, r2) midrank-doubled table for one column. */
+    def rankTable(vcol: String, out: String): DataFrame = {
+      val vals = pairTable.groupBy(col(vcol).as("_v"))
+        .agg(sum(col("cnt")).as("_c"))
+      val mm = vals.agg(min(col("_v")), max(col("_v"))).head()
+      if (mm.isNullAt(0))
+        return vals.select(col("_v"), lit(0L).as(out)).limit(0)
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val cell =
+        if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
+        else least(lit(cells - 1L), greatest(lit(0L),
+          floor((col("_v") - lit(lo)) /
+            lit((hi - lo) / cells)).cast("long")))
+      val celled = vals.withColumn("_cell", cell)
+      // cell offsets: cumulative counts over the ≤`cells`-row frame —
+      // bounded, the B-row-stats class, not a data-sized window
+      val offs = celled.groupBy("_cell").agg(sum(col("_c")).as("_cc"))
+        .withColumn("_off", coalesce(sum(col("_cc")).over(
+          Window.orderBy("_cell")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("_cc")
+      val inCell = Window.partitionBy("_cell").orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      celled.join(offs, Seq("_cell"))
+        .select(col("_v"),
+          (lit(2L) * (col("_off") +
+            coalesce(sum(col("_c")).over(inCell), lit(0L))) +
+            col("_c") + lit(1L)).as(out))
+    }
+
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    pairTable
+      .join(rankTable("x", "_r2x").withColumnRenamed("_v", "x"), Seq("x"))
+      .join(rankTable("y", "_r2y").withColumnRenamed("_v", "y"), Seq("y"))
+      .agg(coalesce(sum(dec(col("cnt"))), lit(0L).cast("decimal(38,0)"))
+          .as("n"),
+        sum(dec(col("cnt")) * dec(col("_r2x"))).as("sx"),
+        sum(dec(col("cnt")) * dec(col("_r2y"))).as("sy"),
+        sum(dec(col("cnt")) * dec(col("_r2x")) * dec(col("_r2y")))
+          .as("sxy"),
+        sum(dec(col("cnt")) * dec(col("_r2x")) * dec(col("_r2x")))
+          .as("sxx"),
+        sum(dec(col("cnt")) * dec(col("_r2y")) * dec(col("_r2y")))
+          .as("syy"))
+      .select(col("n").cast("long").as("n_rows"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), lit(0.0d)),
+          6).as("rho"))
+  }
 }

@@ -418,10 +418,6 @@ object GraphOps {
       .select(col("o1.dst").as("v"), col("o2.dst").as("w"))
   }
 
-  /** Directed (src, dst) view of the normalized edges, oriented up the
-    * (degree, id) total order when `byDegree` (equal degrees fall back
-    * to id order, so the orientation is a strict total order and every
-    * triangle has exactly one all-out apex). */
   /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
     * Rev. E 2007), `rounds` fixed iterations — the community detector
     * that splits what connected components cannot: CC fuses two dense
@@ -470,6 +466,79 @@ object GraphOps {
       if (r % 2 == 0 && r < rounds) labels = labels.localCheckpoint()
     }
     labels
+  }
+
+  /** Per-edge structural-support scores — the edge-pruning pass that
+    * runs BEFORE clustering: [[labelPropagation]] outvotes a spurious
+    * LSH bridge, this operator MEASURES it. For every edge (a, b) of
+    * the normalized graph: the common-neighbor count, the Adamic-Adar
+    * score Σ_{c ∈ N(a)∩N(b)} 1/ln(deg c) (low-degree shared neighbors
+    * are stronger evidence than hubs — Adamic & Adar, Social Networks
+    * 2003), and the neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)|.
+    * An edge inside a template clique scores high on all three; the
+    * one bridge fusing two families scores 0/0/0 — rank ascending and
+    * cut, then cluster on what survives.
+    *
+    * Exactness: each Adamic-Adar term quantizes to integer micro
+    * BEFORE the sum (round(1e6/ln deg) — deg ≥ 2 for any common
+    * neighbor, so ln > 0), making the sum order-independent and
+    * hash-exact (the d28 discipline); Jaccard is integer floor
+    * division in micro-units.
+    *
+    * Shape at scale: triangles enumerate ONCE each at their
+    * (degree, id)-minimal apex (the [[localClusteringMicro]] wedge
+    * machinery — hub wedges bounded by oriented out-degree, the
+    * HubRehearsal result), then each closed wedge fans out to its 3
+    * member edges carrying the OPPOSITE vertex as the common neighbor;
+    * a map-side-combining aggregation on the normalized edge key folds
+    * the credits, and the degree frame joins back co-partitioned on
+    * keys the plan already carries. No window, no all-pairs — cost is
+    * O(triangles), not O(Σ deg²). Returns
+    * (id_a, id_b, deg_a, deg_b, cn_cnt, aa_micro, nbr_jaccard_micro)
+    * for EVERY edge (unsupported edges report 0/0/0). */
+  def edgeEmbeddedness(pairs: DataFrame, idACol: String,
+                       idBCol: String): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    val deg = degreesOf(e)
+    val od = orientUp(e, deg, byDegree = true)
+    val wedges = od.as("o1").join(od.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("u"), col("o1.dst").as("v"),
+        col("o2.dst").as("w"))
+    // v < w numerically (the wedge join orders far endpoints by id),
+    // so the closing-edge lookup is a direct (lo, hi) equi-join
+    val closed = wedges.join(e,
+      col("v") === col("lo") && col("w") === col("hi"), "left_semi")
+    // each triangle credits its 3 edges with the opposite vertex as
+    // the common neighbor; least/greatest renormalizes the apex legs
+    // (u is degree-minimal, not id-minimal)
+    val credits = closed.select(explode(array(
+        struct(least(col("u"), col("v")).as("clo"),
+          greatest(col("u"), col("v")).as("chi"), col("w").as("cn")),
+        struct(least(col("u"), col("w")).as("clo"),
+          greatest(col("u"), col("w")).as("chi"), col("v").as("cn")),
+        struct(col("v").as("clo"), col("w").as("chi"),
+          col("u").as("cn")))).as("t"))
+      .select(col("t.clo"), col("t.chi"), col("t.cn"))
+    val support = credits
+      .join(deg.select(col("id").as("cn"), col("deg").as("cn_deg")),
+        Seq("cn"))
+      .groupBy(col("clo"), col("chi"))
+      .agg(count(lit(1)).as("cn_cnt"),
+        sum(round(lit(1e6) / log(col("cn_deg"))).cast("long"))
+          .as("aa_micro"))
+    e.join(deg.select(col("id").as("lo"), col("deg").as("deg_a")),
+        Seq("lo"))
+      .join(deg.select(col("id").as("hi"), col("deg").as("deg_b")),
+        Seq("hi"))
+      .join(support, col("lo") === col("clo") && col("hi") === col("chi"),
+        "left")
+      .select(col("lo").as("id_a"), col("hi").as("id_b"),
+        col("deg_a"), col("deg_b"),
+        coalesce(col("cn_cnt"), lit(0L)).as("cn_cnt"),
+        coalesce(col("aa_micro"), lit(0L)).as("aa_micro"))
+      .withColumn("nbr_jaccard_micro",
+        expr("(1000000 * cn_cnt) div (deg_a + deg_b - cn_cnt)"))
   }
 
   private def orientUp(e: DataFrame, deg: DataFrame,

@@ -410,6 +410,82 @@ class EvalSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 2L && withNull.getDouble(5) === 1.0)
   }
 
+  /** In-memory Spearman reference: average-tie midranks (doubled to
+    * stay integral), exact BigInt co-moments, one final double
+    * division — the same arithmetic path as the operator, so results
+    * are bit-identical, not just close. */
+  private def refSpearman(xs: Seq[Double], ys: Seq[Double])
+      : Option[Double] = {
+    def r2(vs: Seq[Double]): Map[Double, Long] = {
+      val cnt = vs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = cnt.keys.toSeq.sorted
+      val cum = sorted.scanLeft(0L)((a, v) => a + cnt(v))
+      sorted.zip(cum).map { case (v, before) =>
+        v -> (2 * before + cnt(v) + 1)
+      }.toMap
+    }
+    val (rx, ry) = (r2(xs), r2(ys))
+    val n = BigInt(xs.length)
+    def bi(l: Long) = BigInt(l)
+    val sx = xs.map(v => bi(rx(v))).sum
+    val sy = ys.map(v => bi(ry(v))).sum
+    val sxy = xs.zip(ys).map { case (a, b) => bi(rx(a)) * bi(ry(b)) }.sum
+    val sxx = xs.map(v => bi(rx(v)) * bi(rx(v))).sum
+    val syy = ys.map(v => bi(ry(v)) * bi(ry(v))).sum
+    val den = math.sqrt((n * sxx - sx * sx).toDouble *
+      (n * syy - sy * sy).toDouble)
+    if (den == 0.0) None
+    else Some(BigDecimal((n * sxy - sx * sy).toDouble / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("spearmanRho: golden values, ties, NULLs, degenerate contract") {
+    val s = spark
+    import s.implicits._
+    def rho(rows: Seq[(java.lang.Double, java.lang.Double)]) =
+      Eval.spearmanRho(rows.toDF("x", "y"), col("x"), col("y")).head()
+    def d(v: Double) = java.lang.Double.valueOf(v)
+    // strictly monotone (any shape): rho = 1; reversed: -1
+    val inc = Seq(d(1.0) -> d(10.0), d(2.0) -> d(400.0),
+      d(3.0) -> d(401.0), d(4.0) -> d(1e9))
+    assert(rho(inc).getDouble(1) === 1.0)
+    assert(rho(inc.map { case (a, b) => (a, d(-b)) }).getDouble(1)
+      === -1.0)
+    // tie case against the bit-identical reference
+    val xs = Seq(1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0)
+    val ys = Seq(2.0, 1.0, 5.0, 5.0, 3.0, 4.0, 4.0)
+    val got = rho(xs.zip(ys).map { case (a, b) => (d(a), d(b)) })
+    assert(got.getLong(0) === 7L)
+    assert(got.getDouble(1) === refSpearman(xs, ys).get)
+    // constant column: zero rank variance -> NULL rho, n reported
+    val const = rho(Seq(d(5.0) -> d(1.0), d(5.0) -> d(2.0),
+      d(5.0) -> d(3.0)))
+    assert(const.getLong(0) === 3L && const.isNullAt(1))
+    // NULL / NaN rows are pairwise-excluded
+    val withBad = rho(Seq(d(1.0) -> d(1.0), (null, d(9.0)),
+      d(Double.NaN) -> d(2.0), d(2.0) -> d(2.0), d(3.0) -> d(3.0)))
+    assert(withBad.getLong(0) === 3L && withBad.getDouble(1) === 1.0)
+  }
+
+  test("spearmanRho matches the reference on random tied data; cell-count invariant") {
+    val rnd = new scala.util.Random(227)
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { trial =>
+      // heavy ties: values drawn from small grids
+      val xs = Seq.fill(60)(rnd.nextInt(7).toDouble)
+      val ys = xs.map(x => x * (trial - 2) + rnd.nextInt(5).toDouble)
+      val df = xs.zip(ys).toDF("x", "y")
+      val want = refSpearman(xs, ys)
+      Seq(1, 3, 1024).foreach { cells =>
+        val r = Eval.spearmanRho(df, col("x"), col("y"), cells).head()
+        val gotRho = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        assert(r.getLong(0) === 60L)
+        assert(gotRho === want, s"trial=$trial cells=$cells")
+      }
+    }
+  }
+
   test("ndcgMrrMicro ideal cut: rel ties beyond k don't change idcg") {
     val s = spark
     import s.implicits._

@@ -335,6 +335,68 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === refLpa((clique1 ++ clique2 :+ (4L, 5L)).toSet, 4))
   }
 
+  /** In-memory edge-embeddedness reference: common neighbors by set
+    * intersection, Adamic-Adar with per-term micro rounding, Jaccard
+    * by integer floor division — the same quantization contract. */
+  private def refEmbed(edges: Set[(Long, Long)])
+      : Map[(Long, Long), (Long, Long, Long, Long, Long)] = {
+    val adj = edges.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+    edges.map { case (a, b) =>
+      val cn = adj(a).intersect(adj(b))
+      val aa = cn.toSeq
+        .map(c => math.round(1e6 / math.log(adj(c).size.toDouble))).sum
+    val jac = 1000000L * cn.size /
+        (adj(a).size + adj(b).size - cn.size)
+      (a, b) -> ((adj(a).size.toLong, adj(b).size.toLong,
+        cn.size.toLong, aa, jac))
+    }.toMap
+  }
+
+  test("edgeEmbeddedness: bridge scores zero, clique edges score high") {
+    val clique1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val clique2 = for (a <- 5L to 8L; b <- (a + 1) to 8L) yield (a, b)
+    val all = (clique1 ++ clique2 :+ (4L, 5L)).toSet
+    val got = GraphOps.edgeEmbeddedness(
+        pairs(all.toSeq: _*), "id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))))
+      .toMap
+    assert(got.keySet === all)
+    // the bridge: no common neighbor, all three scores zero
+    assert(got((4L, 5L)) === ((4L, 4L, 0L, 0L, 0L)))
+    // an interior K4 edge: common neighbors {3, 4} with deg 3 and 4
+    val aa12 = math.round(1e6 / math.log(3.0)) +
+      math.round(1e6 / math.log(4.0))
+    assert(got((1L, 2L)) === ((3L, 3L, 2L, aa12, 500000L)))
+    assert(got === refEmbed(all))
+  }
+
+  test("edgeEmbeddedness matches the reference on random graphs") {
+    val rnd = new scala.util.Random(917)
+    (1 to 3).foreach { trial =>
+      val n = 25
+      val es = (1 to 80).map { _ =>
+        val a = rnd.nextInt(n).toLong + 2 // deg-1 nodes exist too
+        val b = rnd.nextInt(n).toLong + 2
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.toSet
+      val noisy = es.toSeq.flatMap { case (a, b) =>
+        Seq((a, b), (b, a), (a, a)) }
+      val got = GraphOps.edgeEmbeddedness(
+          pairs(noisy: _*), "id_a", "id_b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6))))
+        .toMap
+      assert(got === refEmbed(es), s"trial=$trial")
+    }
+  }
+
   test("labelPropagation matches the reference on random graphs") {
     val rnd = new scala.util.Random(1123)
     (1 to 3).foreach { trial =>
