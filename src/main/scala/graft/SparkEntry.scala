@@ -3938,6 +3938,44 @@ object SparkEntry {
              |    AS BIGINT) AS score_micro
              |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // Top bigram collocations by PMI (Church & Hanks 1990) with a
+    // support floor — the corpus pass that surfaces multi-word units
+    // a tokenizer should treat as one. The support filter lands on
+    // the bigram-count frame BEFORE the unigram joins: it is both the
+    // statistical fix (hapax pairs dominate raw PMI) and the
+    // candidate bound (they dominate the Zipf tail's volume). Factors
+    // cast to double BEFORE multiplying (long products overflow at
+    // corpus scale); one ln, one round, mirrored shape both sides.
+    "d52_pmi_collocations" -> Q(
+      (s, dir) => TextStats.pmiCollocations(
+        table(s, dir, "documents"), "doc_id", "text",
+        minCount = 10, k = 300),
+      Some("""WITH tk AS (SELECT str_split(text, ' ') AS toks
+             |  FROM documents),
+             |t AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS nt,
+             |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
+             |  FROM tk),
+             |u AS (SELECT ut.tok, CAST(count(*) AS BIGINT) AS c1
+             |  FROM tk, unnest(toks) AS ut(tok) GROUP BY ut.tok),
+             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM (SELECT unnest(list_transform(
+             |      generate_series(1, greatest(len(toks) - 1, 0)),
+             |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk) b
+             |  GROUP BY bg HAVING count(*) >= 10)
+             |SELECT bf.bg AS bigram, bf.c2 AS pair_count,
+             |  u1.c1 AS w1_count, u2.c1 AS w2_count,
+             |  CAST(round(1e6 * ln(
+             |      (CAST(bf.c2 AS DOUBLE) * t.nt * t.nt)
+             |      / (t.nb * CAST(u1.c1 AS DOUBLE)
+             |         * CAST(u2.c1 AS DOUBLE)))) AS BIGINT)
+             |    AS pmi_micro
+             |FROM bf
+             |JOIN u u1 ON u1.tok = str_split(bf.bg, ' ')[1]
+             |JOIN u u2 ON u2.tok = str_split(bf.bg, ' ')[2]
+             |CROSS JOIN t
+             |ORDER BY pmi_micro DESC, bigram ASC
+             |LIMIT 300""".stripMargin)),
+
     // k-core of the near-dup graph by 4 fixed peel rounds (the g1
     // fixed-iteration convention, so the loop replays as chained
     // CTEs): drop deg<2 vertices, restrict edges to survivors,

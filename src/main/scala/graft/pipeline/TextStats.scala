@@ -291,4 +291,61 @@ object TextStats {
         (col("sum_ll_micro").cast("double") / col("nbg")).cast("long")
           .as("score_micro"))
   }
+
+  /** Top-k bigram collocations by pointwise mutual information
+    * (Church & Hanks, CL 1990) with a minimum-support floor — the
+    * corpus-analysis pass that surfaces multi-word units ("los
+    * angeles", "prime minister") a tokenizer or a template detector
+    * should treat as one: PMI = ln(p(w1 w2) / (p(w1)·p(w2))), high
+    * when the pair co-occurs far above the independence rate.
+    *
+    * PMI_micro = round(1e6 · ln((c2·Nt·Nt) / (Nb·c1(w1)·c1(w2))))
+    * with every factor cast to double BEFORE multiplying (the
+    * products overflow longs at corpus scale; double products in a
+    * fixed literal order are IEEE-deterministic and the oracle
+    * mirrors the expression shape exactly — one ln, one round). The
+    * support floor is applied to the bigram-count frame BEFORE the
+    * unigram joins: hapax pairs both dominate raw PMI (its known
+    * pathology) and dominate the bigram tail's volume (Zipf), so the
+    * filter is simultaneously the statistical fix and the candidate
+    * bound — the joins only ever see the surviving head.
+    *
+    * Shape at scale: two explodes (map-only) into map-side-combining
+    * counts; Nt/Nb ride one 1-row parameter fetch folded in as
+    * literals (a constant-key join would plan the banned BNLJ); the
+    * two unigram joins co-partition on token keys; the output is a
+    * TakeOrdered top-k, never a global sort. Returns
+    * (bigram, pair_count, w1_count, w2_count, pmi_micro). */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val toks = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bfreq = docs
+      .select(explode(Curation.wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val totals = docs.agg(
+        sum(size(tokens(col(textCol))).cast("long")).as("nt"),
+        sum(greatest(size(tokens(col(textCol))) - 1, lit(0))
+          .cast("long")).as("nb"))
+      .head()
+    val (nt, nb) = (totals.getLong(0), totals.getLong(1))
+    require(nb > 0, "empty corpus: no bigrams to score")
+    val pmi = round(lit(1e6) * log(
+      (col("c2").cast("double") * lit(nt.toDouble) * lit(nt.toDouble)) /
+        (lit(nb.toDouble) * col("c1a").cast("double") *
+          col("c1b").cast("double")))).cast("long")
+    bfreq
+      .withColumn("_w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("_w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("tok").as("_w1"), col("c1").as("c1a")), "_w1")
+      .join(uni.select(col("tok").as("_w2"), col("c1").as("c1b")), "_w2")
+      .select(col("bg").as("bigram"), col("c2").as("pair_count"),
+        col("c1a").as("w1_count"), col("c1b").as("w2_count"),
+        pmi.as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
 }

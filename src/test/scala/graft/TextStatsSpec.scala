@@ -233,4 +233,35 @@ class TextStatsSpec extends AnyFunSuite {
     assert(bi(0) > bi(1),
       "the consistent-bigram doc must score as more probable")
   }
+
+  test("pmiCollocations: hand-computed PMI, support floor, ordering") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "c d"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    // tokens: a=3 b=3 c=1 d=1, Nt=8; bigrams: "a b"×3 "b a"×1 "c d"×1,
+    // Nb=5 — the same double-op order as the operator
+    def pmi(c2: Long, c1a: Long, c1b: Long): Long =
+      math.round(1e6 * math.log(
+        (c2.toDouble * 8.0 * 8.0) / (5.0 * c1a.toDouble * c1b.toDouble)))
+    val all = TextStats.pmiCollocations(docs, "doc_id", "text",
+        minCount = 1, k = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(all.toMap === Map(
+      "a b" -> ((3L, 3L, 3L, pmi(3, 3, 3))),
+      "b a" -> ((1L, 3L, 3L, pmi(1, 3, 3))),
+      "c d" -> ((1L, 1L, 1L, pmi(1, 1, 1)))))
+    // ordering: pmi desc, bigram asc — "c d" (rarest unigrams) wins
+    assert(all.map(_._1).toSeq === Seq("c d", "a b", "b a"))
+    // support floor cuts hapax pairs BEFORE scoring
+    val floored = TextStats.pmiCollocations(docs, "doc_id", "text",
+      minCount = 2, k = 10).collect().map(_.getString(0))
+    assert(floored.toSeq === Seq("a b"))
+    // k truncates after the (pmi desc, bigram asc) total order
+    val top2 = TextStats.pmiCollocations(docs, "doc_id", "text",
+      minCount = 1, k = 2).collect().map(_.getString(0))
+    assert(top2.toSeq === Seq("c d", "a b"))
+  }
 }
