@@ -5114,6 +5114,73 @@ object SparkEntry {
              |WHERE rnk <= 5 ORDER BY query_id, rnk LIMIT 100"""
         .stripMargin)),
 
+    // Recall@k self-audit of the Hamming<=1 LSH ANN (e8's knnJoin)
+    // against the exact brute-force ranking — the index-quality
+    // measurement an engine runs on its own corpus: both sides rank
+    // by the same rounded cosine with id tie-break and exclude the
+    // trivial self-match BEFORE the cut, so the sets compare
+    // element-for-element. The exact side is honest brute force on a
+    // BOUNDED probe set (probe vectors ride a literal into a map-only
+    // explode — no join node); its cost bounds P, never the corpus.
+    "e15_ann_recall_audit" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val hp = Similarity.vectorsByIds(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L, 4L))
+        Similarity.annRecallAudit(emb, "vec_id", "embedding",
+          queryIds = Seq(10L, 11L, 12L, 13L, 14L), k = 10, hp,
+          probeHamming = 1)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS pid, v AS pv FROM e
+             |  WHERE vec_id BETWEEN 1 AND 4),
+             |b AS (SELECT e.vec_id,
+             |    CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+             |      AS BIGINT) AS bucket
+             |  FROM e, p GROUP BY e.vec_id),
+             |q AS (SELECT e.vec_id AS query_id, e.v AS qv,
+             |    b.bucket AS qb
+             |  FROM e JOIN b USING (vec_id)
+             |  WHERE e.vec_id IN (10, 11, 12, 13, 14)),
+             |anns AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, cb.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ROUND(list_dot_product(e.v, q.qv)
+             |          / (sqrt(list_dot_product(e.v, e.v))
+             |             * sqrt(list_dot_product(q.qv, q.qv))), 6)
+             |          DESC, cb.vec_id) AS rnk
+             |    FROM q JOIN b cb
+             |      ON bit_count(xor(cb.bucket, q.qb)) <= 1
+             |    JOIN e ON e.vec_id = cb.vec_id
+             |    WHERE cb.vec_id <> q.query_id) sa
+             |  WHERE rnk <= 10),
+             |exr AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT q.query_id, e.vec_id AS neighbor_id,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ROUND(list_dot_product(e.v, q.qv)
+             |          / (sqrt(list_dot_product(e.v, e.v))
+             |             * sqrt(list_dot_product(q.qv, q.qv))), 6)
+             |          DESC, e.vec_id) AS rnk
+             |    FROM q, e WHERE e.vec_id <> q.query_id) sx
+             |  WHERE rnk <= 10),
+             |hits AS (SELECT x.query_id,
+             |    CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM exr x JOIN anns a
+             |    ON a.query_id = x.query_id
+             |   AND a.neighbor_id = x.neighbor_id
+             |  GROUP BY x.query_id),
+             |nex AS (SELECT query_id,
+             |    CAST(count(*) AS BIGINT) AS n_exact
+             |  FROM exr GROUP BY query_id)
+             |SELECT nex.query_id, n_exact,
+             |  coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+             |  (1000000 * coalesce(h.n_hit, CAST(0 AS BIGINT)))
+             |    // n_exact AS recall_micro
+             |FROM nex LEFT JOIN hits h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     // Int8 scalar quantization fidelity probe: quantize every
     // embedding (per-vector scale = max|x|/127, tinyint codes),
     // reconstruct, exact-cosine top-k over the reconstructions — the

@@ -199,10 +199,14 @@ object Similarity {
     * per-task state at k rows per query; at scale the partition key
     * (query id) is high-cardinality, so the window parallelizes.
     * Multi-probe deeper than Hamming-1 needs per-query driver
-    * enumeration — use [[annTopKWith]] for single queries there. */
+    * enumeration — use [[annTopKWith]] for single queries there.
+    * `excludeSelf` drops candidates whose id equals the query id
+    * BEFORE ranking (the self-dedup / recall-audit convention: a
+    * vector trivially retrieving itself is not a neighbor). */
   def knnJoin(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, hp: Seq[Seq[Double]],
-              probeHamming: Int = 1): DataFrame = {
+              probeHamming: Int = 1,
+              excludeSelf: Boolean = false): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "declarative multi-probe supports Hamming distance 0 or 1")
     val qv = toDouble(col(vecCol))
@@ -223,11 +227,70 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    q.join(c, col("_qbucket") === col("_cbucket"))
+    val scored = q.join(c, col("_qbucket") === col("_cbucket"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("_cv"), col("_qv")), 6).as("cosine"))
+    (if (excludeSelf)
+       scored.filter(col("neighbor_id") =!= col("query_id"))
+     else scored)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Recall@k SELF-AUDIT of the Hamming≤1 LSH-bucket ANN
+    * ([[knnJoin]]) against the exact brute-force ranking, per probe
+    * query — the index-quality measurement an engine must be able to
+    * run on its own corpus: "is this plane count/probe depth giving
+    * 0.9 recall or 0.4?" is unanswerable without it, and at corpus
+    * scale it is run on a bounded probe set exactly like this.
+    *
+    * Both sides rank by the same ROUNDED cosine with the same id
+    * tie-break and both exclude the trivial self-match BEFORE the
+    * rank cut, so sets are comparable element-for-element and
+    * cross-engine deterministic. The exact side is honest brute
+    * force — each probe vector rides a LITERAL array into a map-only
+    * explode over the corpus (P× row amplification, NO join node —
+    * the bounded-parameter precedent), then a per-query
+    * rank-filtered window (`WindowGroupLimit`, P parallel tasks);
+    * cost is P scans' worth of cosines, which is the point: the
+    * audit's price bounds P, never the corpus. The tiny exact top-k
+    * frame is pinned (expensive lineage, two consumers — the
+    * llm_curate_full rule). Returns one row per probe:
+    * (query_id, n_exact, n_hit, recall_micro), recall in integer
+    * micro floor-division units. */
+  def annRecallAudit(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int, hp: Seq[Seq[Double]],
+                     probeHamming: Int = 1): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one probe query")
+    val ids = queryIds.distinct.sorted
+    val qvecs = vectorsByIds(emb, idCol, vecCol, ids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    val exact = emb
+      .select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("_cv"),
+        explode(typedlit(ids.zip(qvecs))).as("_q"))
+      .filter(col("neighbor_id") =!= col("_q._1"))
+      .select(col("_q._1").as("query_id"), col("neighbor_id"),
+        round(cosine(col("_cv"), col("_q._2")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint()
+    val ann = knnJoin(emb.filter(col(idCol).isin(ids: _*)), emb,
+        idCol, vecCol, k, hp, probeHamming, excludeSelf = true)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ann, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall_micro",
+        expr("(1000000 * n_hit) div n_exact"))
+      .orderBy("query_id")
   }
 
   /** Symmetric per-vector int8 scalar quantization — the storage/IO

@@ -552,4 +552,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
     assert(got.last._2 === Long.MaxValue)
   }
+
+  /** In-memory recall reference: sign buckets, Hamming≤h candidate
+    * cut, rounded-cosine + id ranking, self excluded on both sides —
+    * the operator's exact decision path. */
+  private def refRecall(rows: Seq[(Long, Seq[Float])],
+                        hp: Seq[Seq[Double]], qids: Seq[Long], k: Int,
+                        h: Int): Map[Long, (Long, Long)] = {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecs = rows.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    def bucket(v: Seq[Double]): Long =
+      hp.zipWithIndex.map { case (p, i) =>
+        if (p.zip(v).map { case (a, b) => a * b }.sum > 0) 1L << i
+        else 0L
+      }.sum
+    qids.map { qid =>
+      val qv = vecs(qid)
+      def top(ids: Iterable[Long]): Set[Long] =
+        ids.filter(_ != qid).toSeq
+          .sortBy(id => (-cos(vecs(id), qv), id)).take(k).toSet
+      val exact = top(vecs.keys)
+      val cand = vecs.keys.filter(id =>
+        java.lang.Long.bitCount(bucket(vecs(id)) ^ bucket(qv)) <= h)
+      val hit = (top(cand) & exact).size.toLong
+      qid -> ((exact.size.toLong, hit))
+    }.toMap
+  }
+
+  test("annRecallAudit matches the in-memory reference; perfect at full probe") {
+    val rnd = new scala.util.Random(4021)
+    val dim = 12
+    val rows = (0L to 79L).map(id =>
+      id -> Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val df = emb(rows)
+    val hp = Similarity.hyperplanes(4, dim, seed = 5L)
+    val qids = Seq(3L, 17L, 42L)
+    val got = Similarity.annRecallAudit(df, "vec_id", "embedding",
+        qids, k = 10, hp, probeHamming = 1)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = refRecall(rows, hp, qids, k = 10, h = 1)
+    assert(got.keySet === qids.toSet)
+    qids.foreach { q =>
+      val (nEx, nHit) = want(q)
+      assert(got(q) === ((nEx, nHit, 1000000L * nHit / nEx)), s"qid=$q")
+    }
+    // 4-plane/16-bucket LSH at Hamming<=1 probes 5/16 of the space:
+    // on random vectors SOME probe must miss, or the audit tests
+    // nothing (seed-pinned so this stays a real assertion)
+    assert(got.values.exists(_._3 < 1000000L),
+      "fixture must exercise an actual recall miss")
+    // probing h=0..1 can only help; exact-side size is min(k, n-1)
+    assert(got.values.forall(_._1 === 10L))
+  }
+
+  test("annRecallAudit: n_exact caps at n-1 on a tiny corpus") {
+    val rows = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)))
+    val hp = Seq(Seq(1.0, 1.0)) // one plane: buckets {0,1}
+    val got = Similarity.annRecallAudit(emb(rows), "vec_id",
+        "embedding", Seq(0L), k = 10, hp, probeHamming = 1)
+      .head()
+    // exact side has only 2 non-self rows; Hamming<=1 over 1 plane
+    // probes BOTH buckets, so the ann side sees everything: recall 1
+    assert(got.getLong(1) === 2L && got.getLong(2) === 2L &&
+      got.getLong(3) === 1000000L)
+  }
 }
