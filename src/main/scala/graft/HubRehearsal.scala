@@ -74,6 +74,42 @@ object HubRehearsal {
       GraphOps.pageRankMicro(hubbed, "id_a", "id_b").count())
     println(s"[rehearsal] pageRank nodes: $pr3")
 
+    // LPA under the hub: the star is one wide groupBy key — partial
+    // aggregation must absorb it (the pageRankMicro argument). A star
+    // is BIPARTITE, i.e. exactly the synchronous-update oscillation
+    // the scaladoc documents: the hub and its leaves swap labels each
+    // round. The invariant that must hold anyway: all leaves agree
+    // with each other every round (they see the same neighborhood),
+    // so the star carries at most 2 labels — leaves' and the hub's.
+    val lpaFrame = GraphOps.labelPropagation(hubbed, "id_a", "id_b",
+      rounds = 3).localCheckpoint()
+    val lpaNodes = timed("labelPropagation 3 rounds (hubbed)")(
+      lpaFrame.count())
+    val leafLabels = lpaFrame.filter(col("id") > 90000000L)
+      .select("label").distinct().count()
+    val starLabels = lpaFrame.filter(col("id") >= 90000000L)
+      .select("label").distinct().count()
+    println(s"[rehearsal] LPA nodes: $lpaNodes; leaf labels " +
+      s"(must be 1): $leafLabels; star labels (<=2, the documented " +
+      s"bipartite oscillation): $starLabels")
+    require(leafLabels == 1L, "all leaves must agree every round")
+    require(starLabels <= 2L, "star must carry at most hub+leaf labels")
+
+    // edgeEmbeddedness under the hub: the degree orientation points
+    // every leaf edge AT the hub (leaf out-degree 1, hub out-degree 0),
+    // so the star contributes ZERO wedges — supported-edge counts on
+    // hubbed vs clean graphs must be identical, and the hub costs
+    // nothing beyond its edge rows
+    val embHub = timed("edgeEmbeddedness (hubbed)")(
+      GraphOps.edgeEmbeddedness(hubbed, "id_a", "id_b")
+        .filter(col("cn_cnt") > 0).count())
+    val embClean = timed("edgeEmbeddedness (clean)")(
+      GraphOps.edgeEmbeddedness(nearDup, "id_a", "id_b")
+        .filter(col("cn_cnt") > 0).count())
+    println(s"[rehearsal] supported edges: hubbed=$embHub clean=$embClean")
+    require(embHub == embClean,
+      "a triangle-free star must not change the supported-edge count")
+
     // production claim: convergence-stopped ranks order the top-k the
     // same way the 3-iteration oracle form does on the CLEAN graph
     def topK(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
