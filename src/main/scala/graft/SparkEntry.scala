@@ -3692,6 +3692,66 @@ object SparkEntry {
              |      CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6) AS rho
              |FROM a""".stripMargin)),
 
+    // Per-user inter-arrival BURSTINESS (Goh & Barabási 2008):
+    // B = (σ−μ)/(σ+μ) of the gap distribution — the bot detector a
+    // training-data pipeline runs on behavioral logs (a scripted
+    // producer's near-periodic gaps score B → −1, organic activity
+    // B ≳ 0). Gaps in µs from a (ts, event_id)-ordered per-user lag —
+    // the gap MULTISET is tie-order invariant; the user_id partition
+    // key is high-cardinality, so the window parallelizes (q16). n
+    // cancels in B, so only two exact decimal co-moments feed one
+    // sqrt + one division — mirrored op order, ROUND 6 both sides.
+    // Users with <2 events have no gaps; zero-span users (σ+μ = 0)
+    // are excluded rather than NULL-scored (Spark and DuckDB disagree
+    // on NULL placement under asc, so the contract keeps NULLs out of
+    // the ordered output). Most bot-like (lowest B) first.
+    "q62_interarrival_burstiness" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val us = expr("ts div 1000")
+        def dec(c: Column): Column = c.cast("decimal(38,0)")
+        rawEvents(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"),
+            (us - lag(us, 1).over(w)).as("gap"))
+          .filter(col("gap").isNotNull)
+          .groupBy("user_id").agg(
+            count(lit(1)).as("n_gaps"),
+            sum(dec(col("gap"))).as("sg"),
+            sum(dec(col("gap")) * dec(col("gap"))).as("sgg"))
+          .filter(col("sg") > 0)
+          .select(col("user_id"), col("n_gaps"),
+            round((sqrt((dec(col("n_gaps")) * col("sgg") -
+                col("sg") * col("sg")).cast("double")) -
+                col("sg").cast("double")) /
+              (sqrt((dec(col("n_gaps")) * col("sgg") -
+                col("sg") * col("sg")).cast("double")) +
+                col("sg").cast("double")), 6).as("burstiness"))
+          .orderBy(col("burstiness").asc, col("user_id").asc)
+          .limit(200)
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus, event_id
+             |  FROM events WHERE user_id IS NOT NULL),
+             |g AS (SELECT user_id,
+             |    tus - lag(tus) OVER (PARTITION BY user_id
+             |      ORDER BY tus, event_id) AS gap
+             |  FROM ev),
+             |a AS (SELECT user_id,
+             |    CAST(count(*) AS BIGINT) AS n_gaps,
+             |    CAST(sum(gap) AS HUGEINT) AS sg,
+             |    sum(CAST(gap AS HUGEINT) * CAST(gap AS HUGEINT))
+             |      AS sgg
+             |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, n_gaps,
+             |  ROUND((sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE))
+             |      - CAST(sg AS DOUBLE))
+             |    / (sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE))
+             |      + CAST(sg AS DOUBLE)), 6) AS burstiness
+             |FROM a WHERE sg > 0
+             |ORDER BY burstiness ASC, user_id ASC
+             |LIMIT 200""".stripMargin)),
+
     // Per-group exact weighted MAD — groupedWeightedQuantile composed
     // TWICE (per-group medians in shared scans, G-row median table
     // broadcast back, per-group median of |x − m_g| the same way):
@@ -4185,6 +4245,63 @@ object SparkEntry {
               |    FROM ge JOIN gr2 ON gr2.id = ge.src
               |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst)
               |SELECT id AS doc_id, r AS rank_micro FROM gr3
+              |ORDER BY rank_micro DESC, doc_id ASC
+              |LIMIT 500""".stripMargin)),
+
+    // PERSONALIZED PageRank: teleport mass lands only on a seed set,
+    // so the score measures proximity to the seeds — retrieval
+    // expansion over the near-dup graph ("docs structurally related
+    // to this template family"). Seeds here are the 2 smallest node
+    // ids of the pair graph (a 2-row parameter fetch, data-derived so
+    // the oracle re-derives them); unreached nodes report rank 0.
+    // Same integer micro discipline and chained-CTE replay as g1.
+    "g7_personalized_pagerank" -> Q(
+      (s, dir) => {
+        val pairs = dedupArtifacts(s, dir).pairs
+        val seeds = pairs.select(col("id_a").as("id"))
+          .union(pairs.select(col("id_b").as("id")))
+          .distinct().orderBy("id").limit(2)
+          .collect().map(_.getLong(0)).toSeq
+        graft.pipeline.GraphOps.personalizedPageRankMicro(
+            pairs, "id_a", "id_b", seeds, iterations = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(desc("rank_micro"), asc("doc_id")).limit(500)
+      },
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |pgs AS (SELECT id FROM (SELECT id_a AS id FROM vpairs
+              |        UNION SELECT id_b FROM vpairs) u
+              |        ORDER BY id LIMIT 2),
+              |pge AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+              |        UNION ALL
+              |        SELECT id_b AS src, id_a AS dst FROM vpairs),
+              |pgd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              |        FROM pge GROUP BY src),
+              |ppr0 AS (SELECT src AS id, CAST(CASE WHEN src IN
+              |      (SELECT id FROM pgs) THEN 1000000 ELSE 0 END
+              |      AS BIGINT) AS r
+              |    FROM pgd),
+              |ppr1 AS (SELECT pge.dst AS id, CAST(
+              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+              |        THEN 150000 ELSE 0 END
+              |      + ROUND(0.85 * SUM(ppr0.r // pgd.deg)) AS BIGINT)
+              |      AS r
+              |    FROM pge JOIN ppr0 ON ppr0.id = pge.src
+              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
+              |ppr2 AS (SELECT pge.dst AS id, CAST(
+              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+              |        THEN 150000 ELSE 0 END
+              |      + ROUND(0.85 * SUM(ppr1.r // pgd.deg)) AS BIGINT)
+              |      AS r
+              |    FROM pge JOIN ppr1 ON ppr1.id = pge.src
+              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
+              |ppr3 AS (SELECT pge.dst AS id, CAST(
+              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+              |        THEN 150000 ELSE 0 END
+              |      + ROUND(0.85 * SUM(ppr2.r // pgd.deg)) AS BIGINT)
+              |      AS r
+              |    FROM pge JOIN ppr2 ON ppr2.id = pge.src
+              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst)
+              |SELECT id AS doc_id, r AS rank_micro FROM ppr3
               |ORDER BY rank_micro DESC, doc_id ASC
               |LIMIT 500""".stripMargin)),
 

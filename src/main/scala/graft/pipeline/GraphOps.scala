@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One convergence-stopped PageRank run: the final rank vector, how
@@ -187,15 +187,74 @@ object GraphOps {
                            ranks: DataFrame,
                            damping: Double): DataFrame = {
     val baseMicro = math.round((1.0 - damping) * 1e6)
+    pageRankStepWith(edges, deg, ranks, damping, _ => lit(baseMicro))
+  }
+
+  /** One micro-rank iteration with a caller-supplied teleport base
+    * (a function of the node id) — shared by the uniform
+    * ([[pageRankMicro]]) and personalized ([[personalizedPageRankMicro]])
+    * forms; everything else (exact integral contributions, one IEEE
+    * damping multiply, partial-aggregating inflow) is identical. */
+  private def pageRankStepWith(edges: DataFrame, deg: DataFrame,
+                               ranks: DataFrame, damping: Double,
+                               baseOf: Column => Column): DataFrame =
     edges
       .join(ranks, edges("src") === ranks("id"))
       .join(deg, "src")
       .select(col("dst"), expr("rank_micro div deg").as("contrib"))
       .groupBy("dst").agg(sum("contrib").as("inflow"))
       .select(col("dst").as("id"),
-        (lit(baseMicro) +
+        (baseOf(col("dst")) +
           round(lit(damping) * col("inflow")).cast("long"))
           .as("rank_micro"))
+
+  /** PERSONALIZED PageRank in micro-units: teleport mass lands only on
+    * `seeds`, so the stationary-ish score measures proximity to the
+    * seed set instead of global centrality — the retrieval-expansion
+    * primitive over the near-dup graph ("documents structurally
+    * related to this template family"), and the seeded variant of the
+    * g1 canonical-survivor policy when a cluster has a known anchor.
+    *
+    *   r₀(v)    = 1e6·[v ∈ seeds]
+    *   r_{t+1}(v) = round((1−d)·1e6)·[v ∈ seeds]
+    *                + round(d · Σ_{u→v} (r(u) div deg(u)))
+    *
+    * Same integer discipline as [[pageRankMicro]] (exact integral
+    * contributions, ONE IEEE multiply per node per round), so a fixed
+    * iteration count replays as chained CTEs. Nodes never reached
+    * from a seed within `iterations` hops report rank 0 (they stay in
+    * the output — the frame is node-sized, like g1's). Seeds must be
+    * node ids; a seed absent from the graph contributes nothing (its
+    * teleport mass has no edges to flow through) and does not appear.
+    *
+    * Shape at scale: identical to [[pageRankMicro]] — the seed
+    * indicator is a broadcast-free literal `isin` (seed sets are
+    * report parameters, tens of ids); only the pair graph shuffles,
+    * co-partitioned on node ids across rounds. */
+  def personalizedPageRankMicro(pairs: DataFrame, idACol: String,
+                                idBCol: String, seeds: Seq[Long],
+                                iterations: Int = 3,
+                                damping: Double = 0.85,
+                                checkpointEvery: Int = 0): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0")
+    val baseMicro = math.round((1.0 - damping) * 1e6)
+    def seedBase(id: Column): Column =
+      when(id.isin(seeds.map(Long.box): _*), lit(baseMicro))
+        .otherwise(lit(0L))
+    val (edges, deg) = edgesAndDegrees(pairs, idACol, idBCol)
+    var ranks = deg.select(col("src").as("id"),
+      when(col("src").isin(seeds.map(Long.box): _*), lit(1000000L))
+        .otherwise(lit(0L)).as("rank_micro"))
+    for (it <- 1 to iterations) {
+      ranks = pageRankStepWith(edges, deg, ranks, damping, seedBase)
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
+        it < iterations)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
   }
 
   /** Directed edge expansion + degree table of an undirected pair

@@ -335,6 +335,35 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got === refLpa((clique1 ++ clique2 :+ (4L, 5L)).toSet, 4))
   }
 
+  test("personalizedPageRank: exact 2-iteration micro arithmetic on a path") {
+    // path 1-2-3, seed {1}: deg = (1, 2, 1)
+    // r0 = (1e6, 0, 0)
+    // r1(1) = 150000 + round(.85·(0 div 2))        = 150000
+    // r1(2) = 0      + round(.85·(1e6 div 1 + 0))  = 850000
+    // r1(3) = 0      + round(.85·(0 div 2))        = 0
+    // r2(1) = 150000 + round(.85·(850000 div 2))   = 511250
+    // r2(2) = 0      + round(.85·150000)           = 127500
+    // r2(3) = 0      + round(.85·425000)           = 361250
+    val p = pairs((1L, 2L), (2L, 3L))
+    val got = ranks(GraphOps.personalizedPageRankMicro(
+      p, "id_a", "id_b", seeds = Seq(1L), iterations = 2))
+    assert(got === Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
+  test("personalizedPageRank: unseeded components score 0; absent seed flows nothing") {
+    // seeded 2-clique {1,2} plus an isolated pair {10,11}
+    val p = pairs((1L, 2L), (10L, 11L))
+    val got = ranks(GraphOps.personalizedPageRankMicro(
+      p, "id_a", "id_b", seeds = Seq(1L, 2L), iterations = 3))
+    assert(got(10L) === 0L && got(11L) === 0L)
+    assert(got(1L) === got(2L) && got(1L) > 0L,
+      s"symmetric seeds must tie: $got")
+    // a seed id that is not a node: no teleport mass ever enters
+    val none = ranks(GraphOps.personalizedPageRankMicro(
+      p, "id_a", "id_b", seeds = Seq(99L), iterations = 3))
+    assert(none.values.forall(_ === 0L))
+  }
+
   /** In-memory edge-embeddedness reference: common neighbors by set
     * intersection, Adamic-Adar with per-term micro rounding, Jaccard
     * by integer floor division — the same quantization contract. */
