@@ -3752,6 +3752,93 @@ object SparkEntry {
              |ORDER BY burstiness ASC, user_id ASC
              |LIMIT 200""".stripMargin)),
 
+    // DeLong's test comparing two quality signals' ROC-AUCs on the
+    // SAME labeled rows (paired structural-component covariance —
+    // independent-variance z would be wrong here): "is signal A
+    // actually better than signal B, or is the AUC gap noise?" All
+    // tie-aware integer components (W = 2·#less + #eq from
+    // value-distinct tables, the rocAuc shape), exact decimal
+    // co-moments, then a FIXED final IEEE op order mirrored token for
+    // token in the oracle.
+    "q63_delong_auc" -> Q(
+      (s, dir) => graft.pipeline.Eval.delongAucCompare(
+        table(s, dir, "documents").filter(col("lang").isNotNull),
+        TextStats.tokenCount(col("text")),
+        TextStats.distinctTokenCount(col("text")),
+        col("lang") === "en"),
+      Some("""WITH d AS (SELECT
+             |    CAST(len(str_split(text, ' ')) AS DOUBLE) AS s1,
+             |    CAST(len(list_distinct(str_split(text, ' ')))
+             |      AS DOUBLE) AS s2,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+             |  FROM documents
+             |  WHERE lang IS NOT NULL AND text IS NOT NULL),
+             |mn AS (SELECT CAST(coalesce(sum(y), 0) AS BIGINT) AS m,
+             |    CAST(count(*) - coalesce(sum(y), 0) AS BIGINT) AS n
+             |  FROM d),
+             |g1 AS (SELECT s1 AS v, CAST(sum(y) AS HUGEINT) AS pos,
+             |    CAST(count(*) - sum(y) AS HUGEINT) AS neg
+             |  FROM d GROUP BY s1),
+             |w1 AS (SELECT v,
+             |    2 * sum(neg) OVER (ORDER BY v) - neg AS w10,
+             |    2 * ((SELECT m FROM mn) - sum(pos) OVER (ORDER BY v))
+             |      + pos AS w01
+             |  FROM g1),
+             |g2 AS (SELECT s2 AS v, CAST(sum(y) AS HUGEINT) AS pos,
+             |    CAST(count(*) - sum(y) AS HUGEINT) AS neg
+             |  FROM d GROUP BY s2),
+             |w2 AS (SELECT v,
+             |    2 * sum(neg) OVER (ORDER BY v) - neg AS w10,
+             |    2 * ((SELECT m FROM mn) - sum(pos) OVER (ORDER BY v))
+             |      + pos AS w01
+             |  FROM g2),
+             |pa AS (SELECT sum(a.w10) AS sa1, sum(b.w10) AS sa2,
+             |    sum(a.w10 * a.w10) AS saa, sum(b.w10 * b.w10) AS sbb,
+             |    sum(a.w10 * b.w10) AS sab
+             |  FROM d JOIN w1 a ON a.v = d.s1
+             |         JOIN w2 b ON b.v = d.s2
+             |  WHERE d.y = 1),
+             |na AS (SELECT sum(a.w01) AS ta1, sum(b.w01) AS ta2,
+             |    sum(a.w01 * a.w01) AS taa, sum(b.w01 * b.w01) AS tbb,
+             |    sum(a.w01 * b.w01) AS tib
+             |  FROM d JOIN w1 a ON a.v = d.s1
+             |         JOIN w2 b ON b.v = d.s2
+             |  WHERE d.y = 0),
+             |vv AS (SELECT m, n,
+             |    CAST(sa1 AS DOUBLE) / (2.0 * m * n) AS auc1,
+             |    CAST(sa2 AS DOUBLE) / (2.0 * m * n) AS auc2,
+             |    CAST(sa1 - sa2 AS DOUBLE) / (2.0 * m * n) AS delta,
+             |    (CAST(CAST(m AS HUGEINT) * saa - sa1 * sa1 AS DOUBLE)
+             |       / (CAST(m AS DOUBLE) * (m - 1)
+             |          * (2.0 * n) * (2.0 * n))
+             |     + CAST(CAST(m AS HUGEINT) * sbb - sa2 * sa2
+             |         AS DOUBLE)
+             |       / (CAST(m AS DOUBLE) * (m - 1)
+             |          * (2.0 * n) * (2.0 * n))
+             |     - 2.0 * (CAST(CAST(m AS HUGEINT) * sab - sa1 * sa2
+             |         AS DOUBLE)
+             |       / (CAST(m AS DOUBLE) * (m - 1)
+             |          * (2.0 * n) * (2.0 * n)))) / m
+             |    + (CAST(CAST(n AS HUGEINT) * taa - ta1 * ta1
+             |          AS DOUBLE)
+             |       / (CAST(n AS DOUBLE) * (n - 1)
+             |          * (2.0 * m) * (2.0 * m))
+             |     + CAST(CAST(n AS HUGEINT) * tbb - ta2 * ta2
+             |         AS DOUBLE)
+             |       / (CAST(n AS DOUBLE) * (n - 1)
+             |          * (2.0 * m) * (2.0 * m))
+             |     - 2.0 * (CAST(CAST(n AS HUGEINT) * tib - ta1 * ta2
+             |         AS DOUBLE)
+             |       / (CAST(n AS DOUBLE) * (n - 1)
+             |          * (2.0 * m) * (2.0 * m)))) / n AS vr
+             |  FROM mn, pa, na)
+             |SELECT m AS n_pos, n AS n_neg,
+             |  ROUND(auc1, 6) AS auc1, ROUND(auc2, 6) AS auc2,
+             |  ROUND(delta, 6) AS delta_auc,
+             |  CASE WHEN m >= 2 AND n >= 2 AND vr > 0
+             |    THEN ROUND(delta / sqrt(vr), 6) ELSE NULL END AS z
+             |FROM vv""".stripMargin)),
+
     // Per-group exact weighted MAD — groupedWeightedQuantile composed
     // TWICE (per-group medians in shared scans, G-row median table
     // broadcast back, per-group median of |x − m_g| the same way):

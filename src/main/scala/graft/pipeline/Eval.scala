@@ -530,6 +530,117 @@ object Eval {
           6).as("kappa"))
   }
 
+  /** DeLong's test (DeLong, DeLong & Clarke-Pearson, Biometrics 1988)
+    * comparing the ROC-AUCs of TWO scores over the SAME labeled rows —
+    * the decision tool behind "is the new quality model actually
+    * better than the old one, or is the AUC gap noise?": correlated
+    * AUCs (same examples) need the paired structural-component
+    * covariance, not two independent variances.
+    *
+    * Everything is tie-aware integer arithmetic until the last few
+    * IEEE ops. Per positive i and score k the structural component is
+    * kept DOUBLED-and-scaled: W10_k(i) = 2·#{neg < s} + #{neg = s}
+    * (an integer in [0, 2n]) = 2n·V10; the per-row W values come from
+    * value-distinct tables (the rocAuc shape — windows are bounded by
+    * score cardinality, quantize continuous scores first) joined back
+    * on score keys, and ONE aggregation per class forms exact
+    * decimal(38,0) sums and co-moments. Driver-side (1-row parameter
+    * fetches, the triangleCensus convention) the closed forms follow
+    * in a FIXED op order the oracle mirrors token for token:
+    *   AUC_k = ΣW10_k / (2mn),
+    *   S10_kl·m(m−1)(2n)² = m·ΣW_kW_l − ΣW_k·ΣW_l  (exact integers),
+    *   var(ΔAUC) = (S10_11+S10_22−2S10_12)/m + (S01_11+S01_22−2S01_12)/n,
+    *   z = ΔAUC / √var.
+    * Degenerate contract: single-class input → NULL aucs and z;
+    * m < 2 or n < 2 or var ≤ 0 (e.g. identical scores) → aucs
+    * reported, z NULL. Rows with NULL label or NULL/NaN in either
+    * score are excluded (pairwise-complete). Returns one row
+    * (n_pos, n_neg, auc1, auc2, delta_auc, z). */
+  def delongAucCompare(df: DataFrame, score1: Column, score2: Column,
+                       label: Column): DataFrame = {
+    val yb = label.cast("boolean")
+    val c1 = score1.cast("double")
+    val c2 = score2.cast("double")
+    val data = df.filter(yb.isNotNull && c1.isNotNull && !isnan(c1) &&
+        c2.isNotNull && !isnan(c2))
+      .select(c1.as("s1"), c2.as("s2"),
+        when(yb, 1L).otherwise(0L).as("y"))
+    val mnRow = data.agg(coalesce(sum(col("y")), lit(0L)),
+      count(lit(1))).head()
+    val m = mnRow.getLong(0)
+    val n = mnRow.getLong(1) - m
+    val spark = df.sparkSession
+    import spark.implicits._
+    def out(auc1: Option[Double], auc2: Option[Double],
+            delta: Option[Double], z: Option[Double]): DataFrame =
+      Seq((m, n)).toDF("n_pos", "n_neg").select(
+        col("n_pos"), col("n_neg"),
+        lit(auc1.map(Double.box).orNull).cast("double").as("auc1"),
+        lit(auc2.map(Double.box).orNull).cast("double").as("auc2"),
+        lit(delta.map(Double.box).orNull).cast("double")
+          .as("delta_auc"),
+        lit(z.map(Double.box).orNull).cast("double").as("z"))
+    if (m == 0 || n == 0) return out(None, None, None, None)
+
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // (value, W10, W01) per distinct score value of one column
+    def wTable(scol: String): DataFrame = {
+      val g = data.groupBy(col(scol).as("_v")).agg(
+        coalesce(sum(col("y")), lit(0L)).as("_pos"),
+        (count(lit(1)) - coalesce(sum(col("y")), lit(0L))).as("_neg"))
+      val w = Window.orderBy("_v")
+      g.select(col("_v"),
+        (lit(2L) * sum(col("_neg")).over(w) - col("_neg")).as("_w10"),
+        (lit(2L) * (lit(m) - sum(col("_pos")).over(w)) + col("_pos"))
+          .as("_w01"))
+    }
+    def sums(wcol: String, yVal: Long): (BigDecimal, BigDecimal,
+        BigDecimal, BigDecimal, BigDecimal) = {
+      val t1 = wTable("s1").select(col("_v").as("s1"),
+        col(wcol).as("_wa"))
+      val t2 = wTable("s2").select(col("_v").as("s2"),
+        col(wcol).as("_wb"))
+      val r = data.filter(col("y") === yVal)
+        .join(t1, Seq("s1")).join(t2, Seq("s2"))
+        .agg(sum(dec(col("_wa"))), sum(dec(col("_wb"))),
+          sum(dec(col("_wa")) * dec(col("_wa"))),
+          sum(dec(col("_wb")) * dec(col("_wb"))),
+          sum(dec(col("_wa")) * dec(col("_wb"))))
+        .head()
+      (BigDecimal(r.getDecimal(0)), BigDecimal(r.getDecimal(1)),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)),
+        BigDecimal(r.getDecimal(4)))
+    }
+    val (sa1, sa2, saa, sbb, sab) = sums("_w10", 1L)
+    val (ta1, ta2, taa, tbb, tab) = sums("_w01", 0L)
+
+    // fixed IEEE op order below — the oracle mirrors it token for token
+    val auc1 = sa1.toDouble / (2.0 * m * n)
+    val auc2 = sa2.toDouble / (2.0 * m * n)
+    val delta = (sa1 - sa2).toDouble / (2.0 * m * n)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val z: Option[Double] =
+      if (m < 2 || n < 2) None
+      else {
+        val mB = BigDecimal(m); val nB = BigDecimal(n)
+        val den10 = m.toDouble * (m - 1) * (2.0 * n) * (2.0 * n)
+        val den01 = n.toDouble * (n - 1) * (2.0 * m) * (2.0 * m)
+        val s1011 = (mB * saa - sa1 * sa1).toDouble / den10
+        val s1022 = (mB * sbb - sa2 * sa2).toDouble / den10
+        val s1012 = (mB * sab - sa1 * sa2).toDouble / den10
+        val s0111 = (nB * taa - ta1 * ta1).toDouble / den01
+        val s0122 = (nB * tbb - ta2 * ta2).toDouble / den01
+        val s0112 = (nB * tab - ta1 * ta2).toDouble / den01
+        val variance = (s1011 + s1022 - 2.0 * s1012) / m +
+          (s0111 + s0122 - 2.0 * s0112) / n
+        if (variance > 0) Some(r6(delta / math.sqrt(variance)))
+        else None
+      }
+    out(Some(r6(auc1)), Some(r6(auc2)), Some(r6(delta)), z)
+  }
+
   /** Exact Spearman rank correlation with AVERAGE-tie ranks (the
     * textbook tie treatment — Spearman rho = Pearson over midranks) —
     * the monotone-association companion of [[kendallTauBMicro]] that

@@ -410,6 +410,108 @@ class EvalSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 2L && withNull.getDouble(5) === 1.0)
   }
 
+  /** In-memory DeLong reference: doubled-and-scaled structural
+    * components, BigInt co-moments, the operator's exact double op
+    * order — results are bit-identical, not just close. */
+  private def refDelong(rows: Seq[(Double, Double, Boolean)])
+      : (Long, Long, Option[Double], Option[Double], Option[Double],
+         Option[Double]) = {
+    val pos = rows.filter(_._3)
+    val neg = rows.filterNot(_._3)
+    val m = pos.size.toLong
+    val n = neg.size.toLong
+    if (m == 0 || n == 0) return (m, n, None, None, None, None)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def w10(s: Double, of: ((Double, Double, Boolean)) => Double) =
+      BigInt(2L * neg.count(of(_) < s) + neg.count(of(_) == s))
+    def w01(s: Double, of: ((Double, Double, Boolean)) => Double) =
+      BigInt(2L * pos.count(of(_) > s) + pos.count(of(_) == s))
+    val wa = pos.map(r => w10(r._1, _._1))
+    val wb = pos.map(r => w10(r._2, _._2))
+    val ua = neg.map(r => w01(r._1, _._1))
+    val ub = neg.map(r => w01(r._2, _._2))
+    val (sa1, sa2) = (wa.sum, wb.sum)
+    val auc1 = sa1.toDouble / (2.0 * m * n)
+    val auc2 = sa2.toDouble / (2.0 * m * n)
+    val delta = (sa1 - sa2).toDouble / (2.0 * m * n)
+    val z: Option[Double] =
+      if (m < 2 || n < 2) None
+      else {
+        val den10 = m.toDouble * (m - 1) * (2.0 * n) * (2.0 * n)
+        val den01 = n.toDouble * (n - 1) * (2.0 * m) * (2.0 * m)
+        def cm(xs: Seq[BigInt], ys: Seq[BigInt], c: Long,
+               den: Double): Double =
+          (BigInt(c) * xs.zip(ys).map { case (a, b) => a * b }.sum -
+            xs.sum * ys.sum).toDouble / den
+        val variance =
+          (cm(wa, wa, m, den10) + cm(wb, wb, m, den10) -
+            2.0 * cm(wa, wb, m, den10)) / m +
+          (cm(ua, ua, n, den01) + cm(ub, ub, n, den01) -
+            2.0 * cm(ua, ub, n, den01)) / n
+        if (variance > 0) Some(r6(delta / math.sqrt(variance)))
+        else None
+      }
+    (m, n, Some(r6(auc1)), Some(r6(auc2)), Some(r6(delta)), z)
+  }
+
+  test("delongAucCompare: goldens, identical-score and single-class contracts") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Double, Double, Boolean)]) = {
+      val r = Eval.delongAucCompare(rows.toDF("s1", "s2", "y"),
+        col("s1"), col("s2"), col("y")).head()
+      def opt(i: Int) =
+        if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      (r.getLong(0), r.getLong(1), opt(2), opt(3), opt(4), opt(5))
+    }
+    // s1 separates perfectly, s2 is anti-correlated: auc1 = 1,
+    // auc2 = 0, z strongly positive
+    val sep = Seq((0.9, 0.1, true), (0.8, 0.2, true), (0.2, 0.8, false),
+      (0.1, 0.9, false))
+    val got = run(sep)
+    assert(got._3 === Some(1.0) && got._4 === Some(0.0))
+    assert(got._5 === Some(1.0))
+    assert(got === refDelong(sep))
+    // identical scores: aucs equal, delta 0, zero variance -> z NULL
+    val same = Seq((0.9, 0.9, true), (0.5, 0.5, false),
+      (0.7, 0.7, true), (0.3, 0.3, false))
+    val g2 = run(same)
+    assert(g2._3 === g2._4 && g2._5 === Some(0.0) && g2._6 === None)
+    // single-class input: NULL aucs and z, counts reported
+    assert(run(Seq((0.5, 0.5, true), (0.6, 0.6, true)))
+      === ((2L, 0L, None, None, None, None)))
+    // m = 1: aucs computable, z undefined
+    val oneP = run(Seq((0.9, 0.1, true), (0.5, 0.5, false),
+      (0.4, 0.6, false)))
+    assert(oneP._3.isDefined && oneP._6 === None)
+  }
+
+  test("delongAucCompare matches the reference on random tied data") {
+    val rnd = new scala.util.Random(5309)
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { trial =>
+      // quantized scores (heavy ties) with a planted quality gap
+      val rows = (1 to 80).map { _ =>
+        val y = rnd.nextBoolean()
+        val s1 = (rnd.nextInt(8) + (if (y) 3 else 0)).toDouble
+        val s2 = (rnd.nextInt(8) + (if (y) 1 else 0)).toDouble
+        (s1, s2, y)
+      }
+      val got = Eval.delongAucCompare(rows.toDF("s1", "s2", "y"),
+        col("s1"), col("s2"), col("y")).head()
+      val want = refDelong(rows)
+      assert(got.getLong(0) === want._1 && got.getLong(1) === want._2)
+      assert(Some(got.getDouble(2)) === want._3, s"auc1 trial=$trial")
+      assert(Some(got.getDouble(3)) === want._4, s"auc2 trial=$trial")
+      assert(Some(got.getDouble(4)) === want._5, s"delta trial=$trial")
+      val gz = if (got.isNullAt(5)) None else Some(got.getDouble(5))
+      assert(gz === want._6, s"z trial=$trial")
+    }
+  }
+
   /** In-memory Spearman reference: average-tie midranks (doubled to
     * stay integral), exact BigInt co-moments, one final double
     * division — the same arithmetic path as the operator, so results
