@@ -3752,6 +3752,71 @@ object SparkEntry {
              |ORDER BY burstiness ASC, user_id ASC
              |LIMIT 200""".stripMargin)),
 
+    // Exact 1-D Wasserstein-1 drift between the same two segments as
+    // q45's KS — completing the drift family: KS is the max CDF gap,
+    // W1 INTEGRATES it, weighing how FAR mass moved in the column's
+    // own units. Per support interval |cumA·nB − cumB·nA|·Δv is an
+    // exact integer accumulated in decimal; one micro floor division.
+    "q64_wasserstein_drift" -> Q(
+      (s, dir) => graft.pipeline.Eval.wasserstein1Micro(
+        table(s, dir, "documents"), col("n_chars"), col("source"),
+        "src0", "src1"),
+      Some("""WITH pts AS (SELECT n_chars AS v, source FROM documents
+             |  WHERE source IN ('src0', 'src1')
+             |    AND n_chars IS NOT NULL),
+             |g AS (SELECT v,
+             |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS cb
+             |  FROM pts GROUP BY v),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+             |    sum(cb) OVER (ORDER BY v) AS cum_b,
+             |    lead(v) OVER (ORDER BY v) AS next_v
+             |  FROM g),
+             |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+             |    CAST(sum(cb) AS HUGEINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nvals FROM g),
+             |w AS (SELECT coalesce(sum(
+             |      abs(cum_a * t.nb - cum_b * t.na)
+             |      * CAST(next_v - v AS HUGEINT)),
+             |    CAST(0 AS HUGEINT)) AS wnum
+             |  FROM c, t WHERE next_v IS NOT NULL)
+             |SELECT CASE WHEN t.na > 0 AND t.nb > 0
+             |    THEN CAST((1000000 * w.wnum) // (t.na * t.nb)
+             |      AS BIGINT) ELSE NULL END AS w1_micro,
+             |  CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             |  t.nvals AS n_values
+             |FROM t, w""".stripMargin)),
+
+    // Exact Gini coefficient of the corpus token-mass distribution —
+    // the concentration report behind chunking/sampling policy (a
+    // high-Gini corpus needs d12 chunking before d17 sampling or the
+    // sample is whale-dominated). Ranks ride bucketedRank (no
+    // full-partition window); the numerator is tie-order invariant,
+    // which is why the oracle's plain ordered row_number replays it.
+    "q65_gini_concentration" -> Q(
+      (s, dir) => TextStats.tokenMassGini(
+        table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x
+             |  FROM documents WHERE text IS NOT NULL),
+             |r AS (SELECT x, CAST(row_number()
+             |      OVER (ORDER BY x, doc_id) AS HUGEINT) AS r
+             |  FROM d),
+             |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(coalesce(sum(x), 0) AS BIGINT) AS total_tokens,
+             |    coalesce(sum((2 * r.r - nn.n - 1)
+             |      * CAST(x AS HUGEINT)), CAST(0 AS HUGEINT)) AS num
+             |  FROM r CROSS JOIN nn)
+             |SELECT n_docs, total_tokens,
+             |  CASE WHEN n_docs > 0 AND total_tokens > 0
+             |    THEN CAST((1000000 * num)
+             |      // (CAST(n_docs AS HUGEINT) * total_tokens)
+             |      AS BIGINT) ELSE NULL END AS gini_micro
+             |FROM t""".stripMargin)),
+
     // DeLong's test comparing two quality signals' ROC-AUCs on the
     // SAME labeled rows (paired structural-component covariance —
     // independent-variance z would be wrong here): "is signal A

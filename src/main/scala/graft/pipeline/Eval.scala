@@ -530,6 +530,59 @@ object Eval {
           6).as("kappa"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
+    * segments of an INTEGER-VALUED column — the drift metric that
+    * completes the family: KS ([[ksMicro]]) is the max CDF gap (shape
+    * shift anywhere), PSI is binned, W1 INTEGRATES the gap, so it
+    * weighs how FAR mass moved, in the column's own units (a 5-char
+    * shift in n_chars scores 5× a 1-char shift; KS can't tell them
+    * apart). W1 = ∫|F_A − F_B| dv over the merged support.
+    *
+    * Everything is integer-exact until one final division: on the
+    * value-distinct frame (the ksMicro shape — window bounded by
+    * value cardinality; quantize continuous columns first), each
+    * support interval contributes |cumA·nB − cumB·nA|·(v_next − v),
+    * an exact integer accumulated in decimal(38,0); the output is
+    * integer micro floor division, so hash-exact cross-engine.
+    * Returns (w1_micro, n_a, n_b, n_values) — w1_micro is 1e-6 VALUE
+    * UNITS (not a probability); NULL when either segment is empty. */
+  def wasserstein1Micro(df: DataFrame, value: Column, segment: Column,
+                        segA: String, segB: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = df.filter(segment.isin(segA, segB) && value.isNotNull)
+      .groupBy(value.cast("long").as("v"))
+      .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
+        sum(when(segment === segB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = g
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .withColumn("next_v", lead(col("v"), 1).over(Window.orderBy("v")))
+      .filter(col("next_v").isNotNull)
+    val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("nvals"))
+      .withColumn("_one", pmod(col("nvals"), lit(1L)).cast("int"))
+    // terms grouped on the constant key, then a LEFT join from totals:
+    // a single-support-value input has no intervals (empty terms) and
+    // must report W1 = 0, not an empty frame
+    val terms = c
+      .withColumn("_one",
+        pmod(col("cum_a") + col("cum_b"), lit(1L)).cast("int"))
+      .join(broadcast(totals.select("_one", "na", "nb")), "_one")
+      .groupBy("_one")
+      .agg(sum(dec(abs(col("cum_a") * col("nb") -
+          col("cum_b") * col("na"))) *
+        dec(col("next_v") - col("v"))).as("wnum"))
+    totals.join(terms, Seq("_one"), "left")
+      .select(
+        when(col("na") > 0 && col("nb") > 0, expr(
+          "(1000000 * coalesce(wnum, CAST(0 AS DECIMAL(38,0))))" +
+            " div (cast(na as decimal(38,0)) * nb)")).as("w1_micro"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        col("nvals").as("n_values"))
+  }
+
   /** DeLong's test (DeLong, DeLong & Clarke-Pearson, Biometrics 1988)
     * comparing the ROC-AUCs of TWO scores over the SAME labeled rows —
     * the decision tool behind "is the new quality model actually

@@ -348,4 +348,42 @@ object TextStats {
       .orderBy(col("pmi_micro").desc, col("bigram").asc)
       .limit(k)
   }
+
+  /** Exact Gini coefficient of the corpus TOKEN-MASS distribution —
+    * the one-number concentration report (0 = every doc the same
+    * length, → 1 = a few giant docs carry all the mass) that drives
+    * chunking and sampling policy: a high-Gini corpus needs d12-style
+    * window chunking before d17 sampling or the sample is dominated
+    * by whales. Gini = Σ_i (2·r_i − n − 1)·x_i / (n·Σx) over
+    * ascending ranks r_i.
+    *
+    * Ranks come from [[graft.ops.DistributedRank.bucketedRank]] (no
+    * full-partition window sort — the q17 machinery on a constant
+    * group), tie-broken by doc id; the numerator is tie-order
+    * INVARIANT anyway (equal x share Σr over any permutation of
+    * consecutive ranks), which is why the oracle's plain
+    * (x, doc_id)-ordered row_number replays it exactly. The numerator
+    * accumulates in exact decimal(38,0) (it is ≥ 0 by the rearranged
+    * sorting, so floor division is truncation cross-engine); output
+    * is integer micro. Returns (n_docs, total_tokens, gini_micro);
+    * gini NULL on an empty or zero-mass corpus. */
+  def tokenMassGini(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("_id"), tokenCount(col(textCol)).as("x"))
+      .withColumn("_g", lit(0))
+    val ranked = graft.ops.DistributedRank.bucketedRank(
+      d, "_g", "x", tieCols = Seq("_id"), out = "_r")
+    ranked.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("x")), lit(0L)).as("total_tokens"),
+        coalesce(sum(dec(lit(2L) * col("_r") - col("_grp_n") - 1L) *
+          dec(col("x"))), lit(0L).cast("decimal(38,0)")).as("num"))
+      .select(col("n_docs"), col("total_tokens"),
+        when(col("n_docs") > 0 && col("total_tokens") > 0,
+          expr("(1000000 * num) div " +
+            "(cast(n_docs as decimal(38,0)) * total_tokens)"))
+          .as("gini_micro"))
+  }
 }

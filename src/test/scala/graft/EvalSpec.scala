@@ -410,6 +410,54 @@ class EvalSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 2L && withNull.getDouble(5) === 1.0)
   }
 
+  test("wasserstein1Micro: hand-computed shifts, ties, degenerate contracts") {
+    val s = spark
+    import s.implicits._
+    def w1(rows: Seq[(Long, String)]) =
+      Eval.wasserstein1Micro(rows.toDF("v", "seg"), col("v"),
+        col("seg"), "a", "b").head()
+    // pure location shift by +3: W1 = 3 exactly (micro = 3e6)
+    val shift = w1(Seq(1L, 2L, 4L).map(v => (v, "a")) ++
+      Seq(4L, 5L, 7L).map(v => (v, "b")))
+    assert(shift.getLong(0) === 3000000L)
+    assert(shift.getLong(1) === 3L && shift.getLong(2) === 3L)
+    // identical segments: 0 (and ties collapse into shared support)
+    assert(w1(Seq((1L, "a"), (1L, "b"), (5L, "a"), (5L, "b")))
+      .getLong(0) === 0L)
+    // hand case with unequal sizes: A={0,10}, B={10}:
+    // interval [0,10): |1·1 − 0·2|·10 = 10 → micro = 1e7/(2·1) = 5e6
+    assert(w1(Seq((0L, "a"), (10L, "a"), (10L, "b")))
+      .getLong(0) === 5000000L)
+    // single support value: zero intervals, still one row, W1 = 0
+    assert(w1(Seq((7L, "a"), (7L, "b"))).getLong(0) === 0L)
+    // empty segment: NULL distance, counts reported
+    val one = w1(Seq((1L, "a"), (2L, "a")))
+    assert(one.isNullAt(0) && one.getLong(1) === 2L &&
+      one.getLong(2) === 0L)
+  }
+
+  test("wasserstein1Micro matches a brute-force CDF integral on random data") {
+    val rnd = new scala.util.Random(661)
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { trial =>
+      val as = Seq.fill(40)(rnd.nextInt(20).toLong)
+      val bs = Seq.fill(25)(rnd.nextInt(20).toLong + trial)
+      val rows = as.map((_, "a")) ++ bs.map((_, "b"))
+      val got = Eval.wasserstein1Micro(rows.toDF("v", "seg"),
+        col("v"), col("seg"), "a", "b").head().getLong(0)
+      // brute force over the merged sorted support
+      val support = (as ++ bs).distinct.sorted
+      val num = support.zip(support.tail).map { case (v, nv) =>
+        val ca = as.count(_ <= v).toLong * bs.length
+        val cb = bs.count(_ <= v).toLong * as.length
+        (ca - cb).abs * (nv - v)
+      }.sum
+      val want = 1000000L * num / (as.length.toLong * bs.length)
+      assert(got === want, s"trial=$trial")
+    }
+  }
+
   /** In-memory DeLong reference: doubled-and-scaled structural
     * components, BigInt co-moments, the operator's exact double op
     * order — results are bit-identical, not just close. */

@@ -264,4 +264,34 @@ class TextStatsSpec extends AnyFunSuite {
       minCount = 1, k = 2).collect().map(_.getString(0))
     assert(top2.toSeq === Seq("c d", "a b"))
   }
+
+  test("tokenMassGini: uniform, concentrated, and reference cases") {
+    val s = spark
+    import s.implicits._
+    def gini(texts: Seq[String]) = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      TextStats.tokenMassGini(df, "doc_id", "text").head()
+    }
+    def refGini(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      val n = xs.length.toLong
+      val num = sorted.zipWithIndex.map { case (x, i) =>
+        BigInt(2L * (i + 1) - n - 1) * x }.sum
+      (BigInt(1000000) * num / (BigInt(n) * sorted.sum)).toLong
+    }
+    // all docs the same length: perfectly uniform, gini 0
+    val uni = gini(Seq.fill(5)("a b c"))
+    assert(uni.getLong(0) === 5L && uni.getLong(1) === 15L &&
+      uni.getLong(2) === 0L)
+    // one whale among minimal docs: strongly concentrated
+    val whale = gini(Seq.fill(9)("x") :+ Seq.fill(91)("w").mkString(" "))
+    assert(whale.getLong(2) === refGini(Seq.fill(9)(1L) :+ 91L))
+    assert(whale.getLong(2) > 700000L, "whale corpus must score high")
+    // random mix matches the closed-form reference exactly
+    val rnd = new scala.util.Random(41)
+    val lens = Seq.fill(30)(rnd.nextInt(40) + 1)
+    val mixed = gini(lens.map(l => Seq.fill(l)("t").mkString(" ")))
+    assert(mixed.getLong(2) === refGini(lens.map(_.toLong)))
+  }
 }
