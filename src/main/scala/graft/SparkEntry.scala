@@ -3752,6 +3752,51 @@ object SparkEntry {
              |ORDER BY burstiness ASC, user_id ASC
              |LIMIT 200""".stripMargin)),
 
+    // Batch REPLAY of the streaming KMV distinct-count monitor: the
+    // orders stream splits into three deterministic pmod batches,
+    // each batch's sketch unions into the standing k-long state (the
+    // literal kmvDistinctStream foreachBatch body — the d41/q42/q56
+    // convention), and every running estimate must equal the one-shot
+    // sketch over the rows seen so far: KMV union is associative AND
+    // commutative, which is the semantic being pinned. The oracle
+    // recomputes each cumulative prefix's k smallest hashes directly.
+    "q66_stream_kmv_replay" -> Q(
+      (s, dir) => {
+        val k = 64
+        val hashed = table(s, dir, "orders").select(
+          Dedup.md5Long60(col("o_custkey").cast("string")).as("h"),
+          pmod(col("o_orderkey"), lit(3L)).as("_b"))
+        val state = new java.util.concurrent.atomic.AtomicReference[
+          Seq[Long]](Seq.empty[Long])
+        val rows = (0L until 3L).map { b =>
+          val r = graft.pipeline.Eval.kmvBatchUpdate(
+            hashed.filter(col("_b") === b), col("h"), k, state).head()
+          (b, r.getLong(0), r.getDouble(1))
+        }
+        import s.implicits._
+        rows.toDF("batch_id", "n_in_sketch", "est_distinct")
+          .orderBy("batch_id")
+      },
+      Some(s"""WITH r0 AS (SELECT CAST(o_orderkey % 3 AS BIGINT) AS eb,
+             |    ${duckHash60("CAST(o_custkey AS VARCHAR)")} AS h
+             |  FROM orders),
+             |dh AS (SELECT DISTINCT gb.b, r0.h
+             |  FROM generate_series(0, 2) gb(b), r0
+             |  WHERE r0.eb <= gb.b),
+             |rk AS (SELECT b, h,
+             |    row_number() OVER (PARTITION BY b ORDER BY h) AS rn,
+             |    count(*) OVER (PARTITION BY b) AS nd
+             |  FROM dh),
+             |kth AS (SELECT b, max(CASE WHEN rn = 64 THEN h END)
+             |      AS h64, max(nd) AS nd
+             |  FROM rk WHERE rn <= 64 GROUP BY b)
+             |SELECT CAST(b AS BIGINT) AS batch_id,
+             |  CAST(least(nd, 64) AS BIGINT) AS n_in_sketch,
+             |  ROUND(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+             |    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(h64 AS DOUBLE) END, 6) AS est_distinct
+             |FROM kth ORDER BY batch_id""".stripMargin)),
+
     // Exact 1-D Wasserstein-1 drift between the same two segments as
     // q45's KS — completing the drift family: KS is the max CDF gap,
     // W1 INTEGRATES it, weighing how FAR mass moved in the column's

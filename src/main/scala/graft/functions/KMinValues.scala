@@ -74,4 +74,20 @@ object KMinValues {
       .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) /
         element_at(sketch, k).cast("double"))
   }
+
+  /** Order-independent union of two finished sketches truncated at k —
+    * the streaming/index-merge primitive. Associative AND commutative
+    * (a set union truncated at k), so any batch fold of a partitioned
+    * stream equals the one-shot sketch over the union — the q66
+    * replay entry pins exactly that. */
+  def mergeSketches(a: Seq[Long], b: Seq[Long], k: Int): Seq[Long] =
+    new KMinValues(k).merge(a, b)
+
+  /** Driver-side twin of [[estimate]] over a FETCHED sketch (k longs —
+    * a bounded parameter, never data): the same IEEE ops in the same
+    * order, so streaming monitors that hold sketch state driver-side
+    * report the identical estimate. */
+  def estimateOf(sketch: Seq[Long], k: Int): Double =
+    if (sketch.length < k) sketch.length.toDouble
+    else (k - 1).toDouble * math.pow(2, 60) / sketch(k - 1).toDouble
 }

@@ -530,6 +530,54 @@ object Eval {
           6).as("kappa"))
   }
 
+  /** One micro-batch of the streaming KMV distinct-count monitor —
+    * the literal foreachBatch body, shared with the q66 batch-replay
+    * entry (the ksAgainstReference convention): aggregate the batch's
+    * KMV sketch (one map-side-combining pass over the batch), union
+    * it into the standing sketch (k longs of driver-side state — a
+    * bounded parameter, never data; union is associative and
+    * commutative so batching order cannot change the final sketch),
+    * and report (n_in_sketch, est_distinct) for the stream so far.
+    * The estimate uses the same IEEE ops as the column form, so the
+    * streaming report is bit-identical to a one-shot q25 sketch over
+    * the same rows. */
+  def kmvBatchUpdate(batch: DataFrame, hash: Column, k: Int,
+                     state: java.util.concurrent.atomic.AtomicReference[
+                       Seq[Long]]): DataFrame = {
+    val sk = batch.agg(graft.functions.KMinValues.agg(k, hash))
+      .head().getSeq[Long](0)
+    val merged = graft.functions.KMinValues
+      .mergeSketches(state.get, sk, k)
+    state.set(merged)
+    val est = BigDecimal(graft.functions.KMinValues.estimateOf(merged, k))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = batch.sparkSession
+    import spark.implicits._
+    Seq((merged.length.toLong, est)).toDF("n_in_sketch", "est_distinct")
+  }
+
+  /** Streaming approximate-distinct monitor: every micro-batch folds
+    * its KMV sketch into the standing one and reports the running
+    * estimate — "how many distinct users/documents has this stream
+    * seen" with O(k) state, the mergeable-sketch streaming pattern
+    * (HLL-style monitoring, but KMV so the oracle replays it
+    * hash-exactly). State lives in the foreachBatch closure; at-least-
+    * once batch replays are safe because union is idempotent on
+    * duplicate hashes (set semantics). */
+  def kmvDistinctStream(docs: DataFrame, hash: Column, k: Int)
+                       (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Seq[Long]](Seq.empty[Long])
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(kmvBatchUpdate(batch, hash, k, state)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
   /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
     * segments of an INTEGER-VALUED column — the drift metric that
     * completes the family: KS ([[ksMicro]]) is the max CDF gap (shape

@@ -410,6 +410,59 @@ class EvalSpec extends AnyFunSuite {
     assert(withNull.getLong(0) === 2L && withNull.getDouble(5) === 1.0)
   }
 
+  test("kmvDistinctStream: running estimates equal the one-shot sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    import graft.functions.KMinValues
+    val k = 8
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = Eval.kmvDistinctStream(mem.toDF().toDF("h"), col("h"), k) {
+      m => seen ++= m.collect()
+        .map(r => (r.getLong(2), r.getLong(0), r.getDouble(1)))
+    }
+    def oneShot(hs: Seq[Long]): (Long, Double) = {
+      val sk = hs.distinct.sorted.take(k)
+      (sk.length.toLong,
+        BigDecimal(KMinValues.estimateOf(sk, k))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    try {
+      // batch 0: below k — the sketch IS the exact count
+      val b0 = Seq(1L << 55, 1L << 56, 1L << 57, 1L << 55)
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      // batch 1: overlaps batch 0 (set semantics) and crosses k
+      val b1 = (1L to 12L).map(i => i << 52) :+ (1L << 55)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val exp0 = oneShot(b0)
+      val exp1 = oneShot(b0 ++ b1)
+      assert(seen.toList === List(
+        (0L, exp0._1, exp0._2), (1L, exp1._1, exp1._2)))
+      assert(exp0._2 === 3.0, "below-k sketch reports the exact count")
+    } finally q.stop()
+  }
+
+  test("KMV sketch union is associative and commutative (the q66 pin)") {
+    import graft.functions.KMinValues
+    val rnd = new scala.util.Random(88)
+    val k = 16
+    def sketchOf(hs: Seq[Long]): Seq[Long] = hs.distinct.sorted.take(k)
+    (1 to 5).foreach { _ =>
+      val parts = Seq.fill(4)(
+        Seq.fill(rnd.nextInt(40))(rnd.nextLong().abs % (1L << 60)))
+      val oneShot = sketchOf(parts.flatten)
+      val leftFold = parts.map(sketchOf)
+        .foldLeft(Seq.empty[Long])(KMinValues.mergeSketches(_, _, k))
+      val shuffled = scala.util.Random.shuffle(parts.map(sketchOf))
+        .foldLeft(Seq.empty[Long])(KMinValues.mergeSketches(_, _, k))
+      assert(leftFold === oneShot && shuffled === oneShot)
+    }
+  }
+
   test("wasserstein1Micro: hand-computed shifts, ties, degenerate contracts") {
     val s = spark
     import s.implicits._
