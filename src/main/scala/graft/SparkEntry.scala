@@ -3752,6 +3752,35 @@ object SparkEntry {
              |ORDER BY burstiness ASC, user_id ASC
              |LIMIT 200""".stripMargin)),
 
+    // Fuzzy label matching (entity resolution) over part names:
+    // delete-1 token blocking (every pair reachable by one token
+    // substitution shares a blocking key — the declared recall
+    // neighborhood) + thresholded-Levenshtein verify, ALL on the
+    // distinct-value table (vocabulary-bounded — 64 names at any SF;
+    // rows never enter the pair join). The metadata-dedup primitive:
+    // near-identical labels, not near-identical documents.
+    "d53_fuzzy_label_pairs" -> Q(
+      (s, dir) => Dedup.fuzzyValuePairs(
+          table(s, dir, "part"), "p_name", maxDist = 5)
+        .orderBy("name_a", "name_b").limit(5000),
+      Some("""WITH v AS (SELECT p_name AS s,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
+             |k AS (SELECT s, n, unnest(list_transform(
+             |    generate_series(1, len(toks)),
+             |    i -> array_to_string(list_concat(toks[1:i-1],
+             |      toks[i+1:len(toks)]), ' '))) AS k
+             |  FROM (SELECT s, n, str_split(s, ' ') AS toks FROM v) t),
+             |c AS (SELECT DISTINCT a.s AS name_a, a.n AS n_a,
+             |    b.s AS name_b, b.n AS n_b
+             |  FROM k a JOIN k b ON a.k = b.k AND a.s < b.s)
+             |SELECT name_a, name_b, n_a, n_b,
+             |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+             |FROM c
+             |WHERE abs(length(name_a) - length(name_b)) <= 5
+             |  AND levenshtein(name_a, name_b) <= 5
+             |ORDER BY name_a, name_b LIMIT 5000""".stripMargin)),
+
     // Batch REPLAY of the streaming KMV distinct-count monitor: the
     // orders stream splits into three deterministic pmod batches,
     // each batch's sketch unions into the standing k-long state (the

@@ -65,6 +65,60 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Fuzzy ENTITY-RESOLUTION matcher over a string column's DISTINCT
+    * VALUES: pairs of values within Levenshtein distance `maxDist`,
+    * candidates blocked by the DELETE-1 token neighborhood (each value
+    * emits one key per token position with that token removed; two
+    * values differing by exactly one token SUBSTITUTION share the key
+    * that deletes the differing slot). The metadata-cleaning primitive
+    * (source names, product titles, author strings) the dedup family
+    * lacked: near-identical LABELS, not near-identical documents.
+    *
+    * Recall contract — stated, not hoped: every pair reachable by one
+    * token substitution is a candidate (plus whatever else shares a
+    * delete-1 key); pairs differing in ≥2 token slots are NOT found
+    * even if their edit distance is small. That is the standard
+    * deletion-neighborhood blocking trade (Ukkonen-style): bounded
+    * candidate volume in exchange for a declared neighborhood.
+    *
+    * Shape at scale: everything runs on the VALUE table — a groupBy
+    * collapses the corpus to (value, count) first (map-side combine;
+    * label vocabularies are bounded, 64 names at any TPC-H SF), so
+    * blocking, the self-join, and the verify are all
+    * vocabulary-sized; mapping back to rows is one equi-join the
+    * caller owns. The verify uses the THRESHOLDED Levenshtein kernel
+    * (banded DP, O(maxDist·len) per pair instead of O(len²)), after a
+    * sargable length prefilter. Single-token values all share the
+    * empty delete-1 key — one block of the whole single-token
+    * vocabulary; fine for label vocabularies, the documented caveat.
+    * Returns (name_a, name_b, n_a, n_b, dist), name_a < name_b. */
+  def fuzzyValuePairs(df: DataFrame, strCol: String,
+                      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val vals = df.filter(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("s")).agg(count(lit(1)).as("n"))
+    val keyed = vals.select(col("s"), col("n"), explode(
+      ExprUtils.let(split(col("s"), " ")) { toks =>
+        transform(sequence(lit(0), size(toks) - 1), i =>
+          concat_ws(" ", concat(slice(toks, lit(1), i),
+            slice(toks, i + 2, size(toks)))))
+      }).as("k"))
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("name_a"), col("a.n").as("n_a"),
+        col("b.s").as("name_b"), col("b.n").as("n_b"))
+      .distinct()
+    cand
+      .filter(abs(length(col("name_a")) - length(col("name_b")))
+        <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist)
+          .cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        col("dist"))
+  }
+
   /** Word n-gram shingles of size n. The token array is let-bound so the
     * split runs once per row, not once per shingle (see ExprUtils.let). */
   def shingles(text: Column, n: Int): Column =

@@ -662,10 +662,15 @@ object Eval {
     val yb = label.cast("boolean")
     val c1 = score1.cast("double")
     val c2 = score2.cast("double")
+    // pinned: the 3-column projection (two doubles + the label) is
+    // consumed by the mn fetch, both value tables, and both class
+    // aggregations — without the pin the upstream lineage (token
+    // splits in the q63 entry) re-executes per consumer
     val data = df.filter(yb.isNotNull && c1.isNotNull && !isnan(c1) &&
         c2.isNotNull && !isnan(c2))
       .select(c1.as("s1"), c2.as("s2"),
         when(yb, 1L).otherwise(0L).as("y"))
+      .localCheckpoint()
     val mnRow = data.agg(coalesce(sum(col("y")), lit(0L)),
       count(lit(1))).head()
     val m = mnRow.getLong(0)
@@ -695,12 +700,14 @@ object Eval {
         (lit(2L) * (lit(m) - sum(col("_pos")).over(w)) + col("_pos"))
           .as("_w01"))
     }
+    // value-distinct tables built ONCE and pinned: each has two
+    // consumers (the positive and negative class aggregations)
+    val w1 = wTable("s1").localCheckpoint()
+    val w2 = wTable("s2").localCheckpoint()
     def sums(wcol: String, yVal: Long): (BigDecimal, BigDecimal,
         BigDecimal, BigDecimal, BigDecimal) = {
-      val t1 = wTable("s1").select(col("_v").as("s1"),
-        col(wcol).as("_wa"))
-      val t2 = wTable("s2").select(col("_v").as("s2"),
-        col(wcol).as("_wb"))
+      val t1 = w1.select(col("_v").as("s1"), col(wcol).as("_wa"))
+      val t2 = w2.select(col("_v").as("s2"), col(wcol).as("_wb"))
       val r = data.filter(col("y") === yVal)
         .join(t1, Seq("s1")).join(t2, Seq("s2"))
         .agg(sum(dec(col("_wa"))), sum(dec(col("_wb"))),
@@ -781,15 +788,18 @@ object Eval {
     // not corpus-sized, so the pin is cheap)
     val pairTable = data.groupBy("x", "y")
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // ONE blocking job fetches both columns' envelopes (the 1-row
+    // parameter precedent) instead of one job per rank table
+    val mmRow = pairTable.agg(min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head()
 
     /** (value, r2) midrank-doubled table for one column. */
-    def rankTable(vcol: String, out: String): DataFrame = {
+    def rankTable(vcol: String, out: String, mmAt: Int): DataFrame = {
       val vals = pairTable.groupBy(col(vcol).as("_v"))
         .agg(sum(col("cnt")).as("_c"))
-      val mm = vals.agg(min(col("_v")), max(col("_v"))).head()
-      if (mm.isNullAt(0))
+      if (mmRow.isNullAt(mmAt))
         return vals.select(col("_v"), lit(0L).as(out)).limit(0)
-      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      val (lo, hi) = (mmRow.getDouble(mmAt), mmRow.getDouble(mmAt + 1))
       val cell =
         if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
         else least(lit(cells - 1L), greatest(lit(0L),
@@ -814,8 +824,10 @@ object Eval {
 
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     pairTable
-      .join(rankTable("x", "_r2x").withColumnRenamed("_v", "x"), Seq("x"))
-      .join(rankTable("y", "_r2y").withColumnRenamed("_v", "y"), Seq("y"))
+      .join(rankTable("x", "_r2x", 0).withColumnRenamed("_v", "x"),
+        Seq("x"))
+      .join(rankTable("y", "_r2y", 2).withColumnRenamed("_v", "y"),
+        Seq("y"))
       .agg(coalesce(sum(dec(col("cnt"))), lit(0L).cast("decimal(38,0)"))
           .as("n"),
         sum(dec(col("cnt")) * dec(col("_r2x"))).as("sx"),

@@ -916,4 +916,52 @@ class DedupSpec extends AnyFunSuite {
     } finally Seq("_pairs", "_components")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS da_rt$t"))
   }
+
+  test("fuzzyValuePairs: substitution recall, blocking contract, counts") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      "red widget", "red widget", "red widget",   // n = 3
+      "rad widget",                               // 1 char in token 0
+      "red gadget",                               // token-1 substitution
+      "blue bolt",                                // unrelated
+      "bluu bolt",                                // near "blue bolt"
+      "rad gadget")                               // 2 subs from "red widget"
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "name")
+    val got = Dedup.fuzzyValuePairs(rows, "name", maxDist = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // every 1-token-substitution pair within dist 5 is found, with
+    // value counts carried through
+    assert(got(("rad widget", "red widget")) === ((1L, 3L, 1L)))
+    assert(got(("red gadget", "red widget")) === ((1L, 3L, 2L)))
+    assert(got(("blue bolt", "bluu bolt")) === ((1L, 1L, 1L)))
+    assert(got(("rad gadget", "red gadget")) === ((1L, 1L, 1L)))
+    assert(got(("rad gadget", "rad widget")) === ((1L, 1L, 2L)))
+    // the 2-slot-substitution pair shares NO delete-1 key: not a
+    // candidate even though lev("rad gadget","red widget") = 4 <= 5 --
+    // the declared blocking neighborhood, asserted so it cannot
+    // silently change
+    assert(!got.contains(("rad gadget", "red widget")))
+    // unrelated names never pair
+    assert(!got.keys.exists { case (a, b) =>
+      (a.contains("widget") || a.contains("gadget")) &&
+        b.contains("bolt") })
+  }
+
+  test("fuzzyValuePairs: maxDist gates the verify; dist is the real distance") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq("alpha beta", "alphaxxxxx beta")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "name")
+    // shared delete-1 key "beta", lev = 5
+    val wide = Dedup.fuzzyValuePairs(rows, "name", maxDist = 5).collect()
+    assert(wide.length === 1 && wide.head.getLong(4) === 5L)
+    val tight = Dedup.fuzzyValuePairs(rows, "name", maxDist = 4)
+    assert(tight.count() === 0L)
+  }
 }
