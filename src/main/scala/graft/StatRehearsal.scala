@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Eval
+
+/** Dev/audit tool: scale rehearsal for the rank/drift statistics
+  * family (the SelectRehearsal convention) — synthetic 50M-row frames
+  * on local[32], measuring the claims the operators' scaladocs make:
+  *
+  *   - `spearmanRho`: the (x, y) PAIR-TABLE collapse is the whole
+  *     cost model — tie-heavy columns collapse 50M rows to a
+  *     few-hundred-row pair table (cheap), near-unique columns leave
+  *     the pair table row-sized (the documented worst case, where the
+  *     cell-split keeps the rank windows off a single task);
+  *   - `wasserstein1Micro`: value-distinct-frame sizing — integer
+  *     (quantized) supports stay bounded regardless of N;
+  *   - correctness under scale pressure: the tie-heavy Spearman is
+  *     checked against the closed form on a planted monotone
+  *     relationship (rho = 1 exactly), W1 against a planted +SHIFT
+  *     location move (W1 = SHIFT exactly — every quantile moved by
+  *     SHIFT, so the integral is SHIFT).
+  *
+  * Usage: sbt "runMain graft.StatRehearsal [rows]"
+  * Results recorded in PLANS.md ("Stat rehearsal").
+  */
+object StatRehearsal {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(50000000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic frames (hash-derived, no rand(): the
+    // hashSample discipline), pinned so every contender reads the
+    // same rows
+    val base = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000L)).as("h"))
+
+    // tie-heavy: x on a 50-value grid, y a noisy monotone function of
+    // x on a 20-value grid -> pair table <= 1000 rows
+    val tied = base.select(
+      (col("h") % 50).as("x"),
+      ((col("h") % 50) * 2 + (col("h") % 7)).as("y"))
+      .localCheckpoint()
+    val rTied = timed(s"spearman tie-heavy ($n rows)")(
+      Eval.spearmanRho(tied, col("x"), col("y")).head())
+    println(s"[rehearsal] tie-heavy rho=${rTied.getDouble(1)} " +
+      s"(monotone-plus-bounded-noise: expect ~1)")
+    val pairRows = tied.groupBy("x", "y").count().count()
+    println(s"[rehearsal] tie-heavy pair-table rows: $pairRows")
+
+    // strictly monotone planted relationship: rho must be EXACTLY 1
+    val mono = base.select(col("id").cast("double").as("x"),
+      (col("id") * 3 + 1).cast("double").as("y"))
+    val rMono = timed(s"spearman near-unique ($n rows — worst case: " +
+      "pair table is row-sized)")(
+      Eval.spearmanRho(mono, col("x"), col("y")).head())
+    require(rMono.getDouble(1) == 1.0,
+      s"planted monotone must give rho=1, got ${rMono.getDouble(1)}")
+    println(s"[rehearsal] near-unique rho=${rMono.getDouble(1)} ok")
+
+    // Wasserstein: every row contributes one 'a' value AND its +SHIFT
+    // twin to 'b', so segment B is EXACTLY segment A's multiset
+    // shifted -> W1 = SHIFT by construction, not approximately
+    val shift = 37L
+    val seg = base.select(explode(array(
+        struct(lit("a").as("seg"), (col("h") % 200).as("v")),
+        struct(lit("b").as("seg"),
+          ((col("h") % 200) + shift).as("v")))).as("r"))
+      .select(col("r.seg").as("seg"), col("r.v").as("v"))
+    val w1 = timed(s"wasserstein1Micro ($n rows, 200-value support)")(
+      Eval.wasserstein1Micro(seg, col("v"), col("seg"), "a", "b")
+        .head())
+    require(w1.getLong(0) == shift * 1000000L,
+      s"planted +$shift shift must give W1=$shift, got ${w1.getLong(0)}")
+    println(s"[rehearsal] W1=${w1.getLong(0)} micro " +
+      s"(= planted shift $shift) over ${w1.getLong(3)} support values")
+
+    spark.stop()
+  }
+}
