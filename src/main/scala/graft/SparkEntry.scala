@@ -3752,6 +3752,75 @@ object SparkEntry {
              |ORDER BY burstiness ASC, user_id ASC
              |LIMIT 200""".stripMargin)),
 
+    // Behavioral logs → TRAINING DOCUMENTS: the exporter that closes
+    // the loop between the reference's event logger and this engine's
+    // document pipeline. Sessionize (t1's exact gap rule), then
+    // assemble each session's ordered event-type transcript as a text
+    // document — collect_list sorted by the (ts, event_id) struct so
+    // the nondeterministic collection order cannot leak — and score
+    // it with the document-quality machinery (d36's entropy: a
+    // low-entropy session is a scripted producer loop). One window +
+    // one aggregation; the session key is high-cardinality.
+    "q67_session_transcripts" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val newSession = when(prev.isNull ||
+          col("ts") > prev + lit(1800L * 1000000000L), 1).otherwise(0)
+        rawEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))
+          .withColumn("session_seq", sum(newSession)
+            .over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("long"))
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n_events"),
+            concat_ws(" ", transform(array_sort(collect_list(
+                struct(col("ts"), col("event_id"),
+                  col("event_type")))),
+              x => x.getField("event_type"))).as("transcript"))
+          .select(col("user_id"), col("session_seq"), col("n_events"),
+            col("transcript"),
+            TextStats.tokenEntropyMicroNative(col("transcript"))
+              .as("entropy_micro"))
+          .orderBy("user_id", "session_seq").limit(1000)
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, ts, event_type,
+             |    lag(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |se AS (SELECT event_id, user_id, ts, event_type,
+             |    CAST(SUM(CASE WHEN prev_ts IS NULL
+             |        OR ts > prev_ts + INTERVAL 30 MINUTE
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS session_seq
+             |  FROM b),
+             |d AS (SELECT user_id, session_seq,
+             |    CAST(count(*) AS BIGINT) AS n_events,
+             |    string_agg(event_type, ' '
+             |      ORDER BY ts, event_id) AS transcript
+             |  FROM se GROUP BY user_id, session_seq),
+             |tc AS (SELECT user_id, session_seq, event_type AS t,
+             |    count(*) AS c
+             |  FROM se GROUP BY user_id, session_seq, event_type),
+             |tn AS (SELECT user_id, session_seq,
+             |    CAST(sum(c) AS BIGINT) AS n
+             |  FROM tc GROUP BY user_id, session_seq),
+             |terms AS (SELECT tc.user_id, tc.session_seq,
+             |    CAST(ROUND(1e6 * (CAST(c AS DOUBLE) / n)
+             |      * ln(CAST(c AS DOUBLE) / n)) AS BIGINT) AS term
+             |  FROM tc JOIN tn USING (user_id, session_seq)),
+             |ent AS (SELECT user_id, session_seq,
+             |    CAST(-sum(term) AS BIGINT) AS entropy_micro
+             |  FROM terms GROUP BY user_id, session_seq)
+             |SELECT d.user_id, d.session_seq, d.n_events, d.transcript,
+             |  ent.entropy_micro
+             |FROM d JOIN ent USING (user_id, session_seq)
+             |ORDER BY user_id, session_seq LIMIT 1000""".stripMargin)),
+
     // Fuzzy label matching (entity resolution) over part names:
     // delete-1 token blocking (every pair reachable by one token
     // substitution shares a blocking key — the declared recall
