@@ -3569,6 +3569,50 @@ object SparkEntry {
              |    AS value, n, k
              |FROM kx ORDER BY q""".stripMargin)),
 
+    // EXACT time-to-convert quantiles: the funnel metric (first view →
+    // first purchase per user, q30's machinery) composed with the
+    // shared-scan exact-selection operator (q58) — "median and P99
+    // conversion latency, exactly" is the product question behind
+    // both, and the composition costs two event-type aggregations
+    // plus one narrowing selection over the user-sized gap frame.
+    "q68_time_to_convert" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir).filter(col("user_id").isNotNull)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ts")).as("t_buy"))
+        // ts is long ns at µs resolution: div 1000 is the exact µs gap
+        val gaps = v.join(p, "user_id")
+          .filter(col("t_buy") >= col("t_view"))
+          .select(expr("(t_buy - t_view) div 1000").as("gap_us"))
+        graft.ops.DistributedSelect.exactQuantiles(gaps, "gap_us",
+          Seq(0.5, 0.9, 0.99), buckets = 32, threshold = 200)
+      },
+      Some("""WITH fv AS (SELECT user_id,
+             |    min(epoch_us(ts)) AS t_view
+             |  FROM events
+             |  WHERE event_type = 'view' AND user_id IS NOT NULL
+             |  GROUP BY user_id),
+             |fp AS (SELECT user_id, min(epoch_us(ts)) AS t_buy
+             |  FROM events
+             |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             |  GROUP BY user_id),
+             |s AS (SELECT CAST(t_buy - t_view AS DOUBLE) AS v
+             |  FROM fv JOIN fp USING (user_id)
+             |  WHERE t_buy >= t_view),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+             |qv(q) AS (VALUES (0.5), (0.9), (0.99)),
+             |kx AS (SELECT CAST(q AS DOUBLE) AS q, n,
+             |    greatest(CAST(1 AS BIGINT), CAST(ceil(
+             |      CAST(q AS DOUBLE) * n) AS BIGINT)) AS k
+             |  FROM qv, t),
+             |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn
+             |  FROM s)
+             |SELECT kx.q, (SELECT r.v FROM r WHERE r.rn = kx.k)
+             |    AS value, n, k
+             |FROM kx ORDER BY q""".stripMargin)),
+
     // Cohen's kappa between two binary quality raters (stopword-
     // density gate vs lexical-diversity gate) — the labeling-pipeline
     // agreement audit: raw overlap overstates agreement when both
