@@ -372,7 +372,11 @@ object TextStats {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val d = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("_id"), tokenCount(col(textCol)).as("x"))
-      .withColumn("_g", lit(0))
+      // ATTRIBUTE-DEPENDENT constant key (always 0): a lit(0) key
+      // folds the bucketedRank stats equi-join to `true` and Catalyst
+      // plans the banned BroadcastNestedLoopJoin (the ksMicro `_one`
+      // rule; caught by PlanDisciplineSpec's whole-catalog sweep)
+      .withColumn("_g", pmod(col("x"), lit(1L)))
     val ranked = graft.ops.DistributedRank.bucketedRank(
       d, "_g", "x", tieCols = Seq("_id"), out = "_r")
     ranked.agg(
