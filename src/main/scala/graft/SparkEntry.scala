@@ -1985,6 +1985,46 @@ object SparkEntry {
               |FROM bits GROUP BY doc_id
               |ORDER BY doc_id LIMIT 500""".stripMargin)),
 
+    // EXACT Hamming-neighborhood join over the d7 simhashes: all
+    // pairs within distance 3, by banding (4 bands of 15 bits) +
+    // xor/bit_count verify — pigeonhole makes it exact (≤3 differing
+    // bits cannot touch all 4 bands, so every qualifying pair shares
+    // an intact band), never all-pairs. The retrieval step d7's
+    // exact-equality clustering was missing.
+    "d54_simhash_neighbors" -> Q(
+      (s, dir) => Dedup.bandedHammingPairs(
+          table(s, dir, "documents").select(col("doc_id"),
+            Dedup.simhash60Portable(split(col("text"), " "))
+              .as("simhash")),
+          "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b").limit(5000),
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(str_split(text, ' ')) AS t
+              |  FROM documents),
+              |hh AS (SELECT doc_id, ${duckHash60("t")} AS hv FROM tok),
+              |sbits AS (SELECT doc_id, g.b,
+              |    SUM(CASE WHEN (hv >> g.b) & 1 = 1 THEN 1 ELSE -1 END)
+              |      AS vote
+              |  FROM hh, generate_series(0, 59) AS g(b)
+              |  GROUP BY doc_id, g.b),
+              |sh AS (SELECT doc_id,
+              |    CAST(SUM(CASE WHEN vote > 0
+              |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              |      AS BIGINT) AS simhash
+              |  FROM sbits GROUP BY doc_id),
+              |bnd AS (SELECT doc_id, simhash, g.b,
+              |    (simhash >> (g.b * 15)) & 32767 AS bv
+              |  FROM sh, generate_series(0, 3) AS g(b)),
+              |cp AS (SELECT DISTINCT a.doc_id AS id_a,
+              |    a.simhash AS ha, b.doc_id AS id_b, b.simhash AS hb
+              |  FROM bnd a JOIN bnd b
+              |    ON a.b = b.b AND a.bv = b.bv
+              |   AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b,
+              |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+              |FROM cp WHERE bit_count(xor(ha, hb)) <= 3
+              |ORDER BY id_a, id_b LIMIT 5000""".stripMargin)),
+
     // Corpus-level mergeable sketch: per-language MinHash profile via
     // the typed Aggregator (partial+final combine of k-long arrays —
     // no row data crosses the exchange). Portable signatures make the

@@ -119,6 +119,54 @@ object Dedup {
         col("dist"))
   }
 
+  /** EXACT Hamming-neighborhood join over a precomputed fingerprint
+    * column (simhash, image/video pHash — any ≤64-bit signature):
+    * all pairs within Hamming distance `maxDist`, found by banding
+    * instead of all-pairs. Pigeonhole makes it exact, not
+    * approximate: with `bands` bands and maxDist ≤ bands−1, at most
+    * bands−1 differing bits cannot touch every band, so every
+    * qualifying pair shares at least one INTACT band and lands in the
+    * candidate join — the require below is the recall proof, not a
+    * tuning knob. This is the retrieval step d7's simhash was
+    * missing: exact-equality clustering finds identical fingerprints;
+    * this finds the neighborhood.
+    *
+    * Shape at scale: each row emits `bands` (band, value) keys
+    * (map-only), candidates come from an equi-join on the band key,
+    * and the verify is one codegen'd xor+bit_count per candidate —
+    * never all-pairs. A hyper-common band value (a boilerplate
+    * fingerprint) is a hot join key that AQE skew-splits; the
+    * candidate count is data-dependent but the verify is O(1) per
+    * candidate. Returns (id_a, id_b, dist), id_a < id_b. */
+  def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                         bits: Int, bands: Int,
+                         maxDist: Int): DataFrame = {
+    require(bands >= 2 && bits > 0 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    require(maxDist >= 0 && maxDist <= bands - 1,
+      s"exactness needs maxDist <= bands-1 (pigeonhole recall proof); " +
+        s"got maxDist=$maxDist bands=$bands")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val t = df.select(col(idCol).cast("long").as("_id"),
+        col(hashCol).cast("long").as("_h"))
+      .filter(col("_id").isNotNull && col("_h").isNotNull)
+    val banded = t.select(col("_id"), col("_h"), explode(array(
+        (0 until bands).map(b => struct(lit(b).as("b"),
+          shiftright(col("_h"), b * width).bitwiseAND(lit(mask))
+            .as("bv"))): _*)).as("r"))
+      .select(col("_id"), col("_h"), col("r.b").as("_b"),
+        col("r.bv").as("_bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a._b") === col("b._b") && col("a._bv") === col("b._bv") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._h").bitwiseXOR(col("b._h"))).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Word n-gram shingles of size n. The token array is let-bound so the
     * split runs once per row, not once per shingle (see ExprUtils.let). */
   def shingles(text: Column, n: Int): Column =

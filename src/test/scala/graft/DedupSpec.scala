@@ -917,6 +917,48 @@ class DedupSpec extends AnyFunSuite {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS da_rt$t"))
   }
 
+  test("bandedHammingPairs equals brute force: the pigeonhole exactness") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(733)
+    (1 to 3).foreach { trial =>
+      // random 60-bit hashes plus PLANTED neighbors at dist 1..4 so
+      // the in-budget band (<=3) and out-of-budget (4) cases exist
+      val base = Seq.fill(20)(rnd.nextLong().abs & ((1L << 60) - 1))
+      def flip(h: Long, k: Int): Long = {
+        var x = h
+        rnd.shuffle((0 until 60).toList).take(k)
+          .foreach(b => x ^= 1L << b)
+        x
+      }
+      val hs = (base ++ base.take(6).zipWithIndex.map {
+        case (h, i) => flip(h, i % 4 + 1) }).zipWithIndex
+        .map { case (h, i) => (i.toLong, h) }
+      val got = Dedup.bandedHammingPairs(hs.toDF("id", "h"),
+          "id", "h", bits = 60, bands = 4, maxDist = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = (for {
+        (idA, hA) <- hs; (idB, hB) <- hs if idA < idB
+        d = java.lang.Long.bitCount(hA ^ hB) if d <= 3
+      } yield (idA, idB) -> d.toLong).toMap
+      assert(got === want, s"trial=$trial")
+      assert(want.nonEmpty, "fixture must plant in-budget neighbors")
+    }
+  }
+
+  test("bandedHammingPairs: maxDist beyond the pigeonhole bound fails loudly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 1L), (2L, 2L)).toDF("id", "h")
+    intercept[IllegalArgumentException] {
+      Dedup.bandedHammingPairs(df, "id", "h", 60, 4, maxDist = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bandedHammingPairs(df, "id", "h", 60, 7, maxDist = 2)
+    }
+  }
+
   test("fuzzyValuePairs: substitution recall, blocking contract, counts") {
     val s = spark
     import s.implicits._
