@@ -4044,6 +4044,48 @@ object SparkEntry {
              |      AS BIGINT) ELSE NULL END AS gini_micro
              |FROM t""".stripMargin)),
 
+    // W1 against a PINNED REFERENCE (the q49 convention): the batch
+    // operator w1DriftStream's foreachBatch sink runs per micro-batch,
+    // oracle-checked outside the streaming harness. Completes the
+    // drift-monitor symmetry — KS, PSI, exact-quantile, and now W1
+    // all have batch + reference-stream forms.
+    "q69_w1_reference" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val refC = graft.pipeline.Eval.referenceValueCounts(
+          docs.filter(col("source") =!= "src0"),
+          col("n_chars").cast("long"))
+        graft.pipeline.Eval.w1AgainstReference(
+          docs.filter(col("source") === "src0"), refC, col("n_chars"))
+      },
+      Some("""WITH a AS (SELECT n_chars AS v,
+             |    CAST(count(*) AS BIGINT) AS ca
+             |  FROM documents WHERE source = 'src0' GROUP BY 1),
+             |b AS (SELECT n_chars AS v,
+             |    CAST(count(*) AS BIGINT) AS cb
+             |  FROM documents WHERE source <> 'src0' GROUP BY 1),
+             |g AS (SELECT COALESCE(a.v, b.v) AS v,
+             |    COALESCE(a.ca, 0) AS ca, COALESCE(b.cb, 0) AS cb
+             |  FROM a FULL OUTER JOIN b ON a.v = b.v),
+             |c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+             |    sum(cb) OVER (ORDER BY v) AS cum_b,
+             |    lead(v) OVER (ORDER BY v) AS next_v
+             |  FROM g),
+             |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+             |    CAST(sum(cb) AS HUGEINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nvals FROM g),
+             |w AS (SELECT coalesce(sum(
+             |      abs(cum_a * t.nb - cum_b * t.na)
+             |      * CAST(next_v - v AS HUGEINT)),
+             |    CAST(0 AS HUGEINT)) AS wnum
+             |  FROM c, t WHERE next_v IS NOT NULL)
+             |SELECT CASE WHEN t.na > 0 AND t.nb > 0
+             |    THEN CAST((1000000 * w.wnum) // (t.na * t.nb)
+             |      AS BIGINT) ELSE NULL END AS w1_micro,
+             |  CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+             |  t.nvals AS n_values
+             |FROM t, w""".stripMargin)),
+
     // DeLong's test comparing two quality signals' ROC-AUCs on the
     // SAME labeled rows (paired structural-component covariance —
     // independent-variance z would be wrong here): "is signal A

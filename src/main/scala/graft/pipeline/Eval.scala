@@ -595,12 +595,55 @@ object Eval {
     * Returns (w1_micro, n_a, n_b, n_values) — w1_micro is 1e-6 VALUE
     * UNITS (not a probability); NULL when either segment is empty. */
   def wasserstein1Micro(df: DataFrame, value: Column, segment: Column,
-                        segA: String, segB: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val g = df.filter(segment.isin(segA, segB) && value.isNotNull)
+                        segA: String, segB: String): DataFrame =
+    w1FromCounts(df.filter(segment.isin(segA, segB) && value.isNotNull)
       .groupBy(value.cast("long").as("v"))
       .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
-        sum(when(segment === segB, 1L).otherwise(0L)).as("cb"))
+        sum(when(segment === segB, 1L).otherwise(0L)).as("cb")))
+
+  /** W1 of one arriving frame against prebuilt reference value counts
+    * ([[referenceValueCounts]] over the cast-to-long column) — the
+    * exact computation [[w1DriftStream]]'s foreachBatch sink runs per
+    * micro-batch, exposed as a batch operator so the monitor is
+    * oracle-checkable outside a streaming harness (the
+    * ksAgainstReference convention; full-outer value domain, missing
+    * counts are 0). */
+  def w1AgainstReference(batch: DataFrame, refCounts: DataFrame,
+                         value: Column): DataFrame = {
+    val bh = batch.filter(value.isNotNull)
+      .groupBy(value.cast("long").as("v"))
+      .agg(count(lit(1)).as("ca"))
+    w1FromCounts(bh.join(refCounts, Seq("v"), "full_outer")
+      .select(col("v"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb")))
+  }
+
+  /** Streaming W1 drift monitor: each micro-batch's integer-valued
+    * distribution scored by earth mover's distance against a pinned
+    * reference — the location-sensitive companion of [[ksDriftStream]]
+    * (KS flags that SOMETHING moved; W1 says how FAR, in the column's
+    * units). One (w1_micro, n_a, n_b, n_values, batch_id) row per
+    * batch. */
+  def w1DriftStream(docs: DataFrame, reference: DataFrame,
+                    value: Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refC = referenceValueCounts(reference, value.cast("long"))
+      .localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(w1AgainstReference(batch, refC, value)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
+  /** The W1 arithmetic over a prebuilt (v, ca, cb) value-count frame —
+    * shared by the two-segment batch form and the reference monitor
+    * (the ksFromCounts discipline). */
+  private def w1FromCounts(g: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val c = g

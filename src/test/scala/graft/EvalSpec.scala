@@ -489,6 +489,41 @@ class EvalSpec extends AnyFunSuite {
       one.getLong(2) === 0L)
   }
 
+  test("w1AgainstReference equals the two-segment form; stream scores each batch") {
+    val s = spark
+    import s.implicits._
+    val as = Seq(1L, 2L, 4L, 9L, 9L)
+    val bs = Seq(4L, 5L, 7L, 7L)
+    val twoSeg = Eval.wasserstein1Micro(
+      (as.map((_, "a")) ++ bs.map((_, "b"))).toDF("v", "seg"),
+      col("v"), col("seg"), "a", "b").head()
+    val refC = Eval.referenceValueCounts(
+      bs.toDF("v"), col("v").cast("long"))
+    val viaRef = Eval.w1AgainstReference(
+      as.toDF("v"), refC, col("v")).head()
+    assert(viaRef.getLong(0) === twoSeg.getLong(0) &&
+      viaRef.getLong(1) === twoSeg.getLong(1) &&
+      viaRef.getLong(2) === twoSeg.getLong(2) &&
+      viaRef.getLong(3) === twoSeg.getLong(3))
+    // streaming: two batches, the second location-shifted by +10
+    // against the same pinned reference
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Eval.w1DriftStream(mem.toDF().toDF("v"),
+        bs.toDF("v"), col("v")) { m =>
+      seen ++= m.collect().map(r => (r.getLong(4), r.getLong(0)))
+    }
+    try {
+      mem.addData(bs: _*) // identical to the reference: W1 = 0
+      q.processAllAvailable()
+      mem.addData(bs.map(_ + 10L): _*) // shifted copy: W1 = 10
+      q.processAllAvailable()
+      assert(seen.toList === List((0L, 0L), (1L, 10000000L)))
+    } finally q.stop()
+  }
+
   test("wasserstein1Micro matches a brute-force CDF integral on random data") {
     val rnd = new scala.util.Random(661)
     val s = spark
