@@ -4044,6 +4044,62 @@ object SparkEntry {
              |      AS BIGINT) ELSE NULL END AS gini_micro
              |FROM t""".stripMargin)),
 
+    // Benford first-digit deviation — the fabricated-segment detector
+    // for numeric columns (organically-grown magnitudes follow
+    // log10(1+1/d); uniformly-generated ones don't): per digit, the
+    // observed micro-share vs the Benford expectation. The first
+    // digit comes from the INTEGER cents' string head (log10/pow
+    // flooring is the classic cross-engine trap at powers of ten —
+    // 1000.0 can log10 to 2.999…96 and floor wrong; integer string
+    // heads cannot disagree). Expected values are micro-integer
+    // literals computed ONCE in Scala and spliced verbatim into both
+    // the plan and the oracle text, so no engine evaluates log10.
+    "q70_benford_deviation" -> Q(
+      (s, dir) => {
+        val exp = (1 to 9).map(d =>
+          d.toLong -> math.round(1e6 * math.log10(1 + 1.0 / d)))
+        val expCol = exp.tail.foldLeft(
+          when(col("digit") === exp.head._1, lit(exp.head._2))) {
+          case (acc, (d, e)) => acc.when(col("digit") === d, lit(e))
+        }
+        val wAll = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        lineitem(s, dir)
+          .select(round(col("l_extendedprice") * 100).cast("long")
+            .as("c"))
+          .filter(col("c") > 0)
+          .select(substring(col("c").cast("string"), 1, 1).cast("long")
+            .as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("cnt"))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+          .select(col("digit"), col("cnt"), col("n"),
+            expr("(1000000 * cnt) div n").as("obs_micro"),
+            expCol.as("expected_micro"))
+          .withColumn("dev_micro",
+            col("obs_micro") - col("expected_micro"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100)
+             |      AS BIGINT) AS c
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |d AS (SELECT CAST(left(CAST(c AS VARCHAR), 1) AS BIGINT)
+             |    AS digit
+             |  FROM c WHERE c > 0),
+             |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM d GROUP BY digit),
+             |e(digit, expected_micro) AS (VALUES ${(1 to 9).map(d =>
+               s"(CAST($d AS BIGINT), CAST(${math.round(
+                 1e6 * math.log10(1 + 1.0 / d))} AS BIGINT))")
+               .mkString(", ")}),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM g)
+             |SELECT g.digit, g.cnt, t.n,
+             |  (1000000 * g.cnt) // t.n AS obs_micro,
+             |  e.expected_micro,
+             |  (1000000 * g.cnt) // t.n - e.expected_micro AS dev_micro
+             |FROM g JOIN e USING (digit) CROSS JOIN t
+             |ORDER BY digit""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the
