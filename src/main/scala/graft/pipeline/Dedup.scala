@@ -148,9 +148,14 @@ object Dedup {
         s"got maxDist=$maxDist bands=$bands")
     val width = bits / bands
     val mask = (1L << width) - 1
+    // pinned: the banded frame sits on BOTH sides of the self-join, so
+    // an un-pinned upstream fingerprint expression (d54's per-token
+    // md5 simhash — the expensive lineage) would execute once per side
+    // (measured 8.4 → ~4 s at sf0.1); the pinned rows are two longs
     val t = df.select(col(idCol).cast("long").as("_id"),
         col(hashCol).cast("long").as("_h"))
       .filter(col("_id").isNotNull && col("_h").isNotNull)
+      .localCheckpoint()
     val banded = t.select(col("_id"), col("_h"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("b"),
           shiftright(col("_h"), b * width).bitwiseAND(lit(mask))
