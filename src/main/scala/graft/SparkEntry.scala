@@ -4609,6 +4609,93 @@ object SparkEntry {
               |FROM l3 ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Topic-ish WORD communities: label propagation over the PMI
+    // collocation graph — the d52 → g5 composition across domains
+    // (text statistics feeding graph clustering). Words become
+    // 60-bit portable-hash node ids (deterministic, so the oracle
+    // re-derives them; LPA's −label trick needs non-negative longs),
+    // the top-300 collocations are the edges, and each word reports
+    // its 3-round community label, joined back to the readable word.
+    "g8_word_communities" -> Q(
+      (s, dir) => {
+        val pmi = TextStats.pmiCollocations(
+          table(s, dir, "documents"), "doc_id", "text",
+          minCount = 10, k = 300)
+        val w1 = element_at(split(col("bigram"), " "), 1)
+        val w2 = element_at(split(col("bigram"), " "), 2)
+        val edges = pmi.select(Dedup.md5Long60(w1).as("id_a"),
+          Dedup.md5Long60(w2).as("id_b"))
+        val words = pmi
+          .select(explode(array(w1, w2)).as("word")).distinct()
+          .withColumn("id", Dedup.md5Long60(col("word")))
+        graft.pipeline.GraphOps.labelPropagation(
+            edges, "id_a", "id_b", rounds = 3)
+          .join(words, "id")
+          .select(col("word"), col("label"))
+          .orderBy("word").limit(2000)
+      },
+      Some(s"""WITH tk AS (SELECT str_split(text, ' ') AS toks
+             |  FROM documents),
+             |tt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS nt,
+             |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
+             |  FROM tk),
+             |u AS (SELECT ut.tok, CAST(count(*) AS BIGINT) AS c1
+             |  FROM tk, unnest(toks) AS ut(tok) GROUP BY ut.tok),
+             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM (SELECT unnest(list_transform(
+             |      generate_series(1, greatest(len(toks) - 1, 0)),
+             |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk) b
+             |  GROUP BY bg HAVING count(*) >= 10),
+             |pm AS (SELECT bf.bg FROM bf
+             |  JOIN u u1 ON u1.tok = str_split(bf.bg, ' ')[1]
+             |  JOIN u u2 ON u2.tok = str_split(bf.bg, ' ')[2]
+             |  CROSS JOIN tt
+             |  ORDER BY CAST(round(1e6 * ln(
+             |      (CAST(bf.c2 AS DOUBLE) * tt.nt * tt.nt)
+             |      / (tt.nb * CAST(u1.c1 AS DOUBLE)
+             |         * CAST(u2.c1 AS DOUBLE)))) AS BIGINT) DESC,
+             |    bg ASC
+             |  LIMIT 300),
+             |wh AS (SELECT bg,
+             |    ${duckHash60("str_split(bg, ' ')[1]")} AS ha,
+             |    ${duckHash60("str_split(bg, ' ')[2]")} AS hb
+             |  FROM pm),
+             |te AS (SELECT DISTINCT least(ha, hb) AS lo,
+             |    greatest(ha, hb) AS hi
+             |  FROM wh WHERE ha <> hb),
+             |ed AS (SELECT lo AS src, hi AS dst FROM te
+             |       UNION ALL SELECT hi, lo FROM te),
+             |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
+             |c1 AS (SELECT e.src, l.label, count(*) AS cnt
+             |  FROM ed e JOIN l0 l ON e.dst = l.id
+             |  GROUP BY e.src, l.label),
+             |l1 AS (SELECT src AS id, label FROM (
+             |    SELECT src, label, row_number() OVER (
+             |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+             |      AS rn FROM c1) w1 WHERE rn = 1),
+             |c2 AS (SELECT e.src, l.label, count(*) AS cnt
+             |  FROM ed e JOIN l1 l ON e.dst = l.id
+             |  GROUP BY e.src, l.label),
+             |l2 AS (SELECT src AS id, label FROM (
+             |    SELECT src, label, row_number() OVER (
+             |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+             |      AS rn FROM c2) w2 WHERE rn = 1),
+             |c3 AS (SELECT e.src, l.label, count(*) AS cnt
+             |  FROM ed e JOIN l2 l ON e.dst = l.id
+             |  GROUP BY e.src, l.label),
+             |l3 AS (SELECT src AS id, label FROM (
+             |    SELECT src, label, row_number() OVER (
+             |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+             |      AS rn FROM c3) w3 WHERE rn = 1),
+             |wd AS (SELECT DISTINCT wu.w AS word,
+             |    ${duckHash60("wu.w")} AS id
+             |  FROM (SELECT unnest([str_split(bg, ' ')[1],
+             |      str_split(bg, ' ')[2]]) AS w FROM pm) wu)
+             |SELECT wd.word, CAST(l3.label AS BIGINT) AS label
+             |FROM l3 JOIN wd ON wd.id = l3.id
+             |ORDER BY word LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
     // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge
