@@ -1996,7 +1996,8 @@ object SparkEntry {
           table(s, dir, "documents").select(col("doc_id"),
             Dedup.simhash60Portable(split(col("text"), " "))
               .as("simhash")),
-          "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3)
+          "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3,
+          counterTag = Some("d54_simhash_neighbors"))
         .orderBy("id_a", "id_b").limit(5000),
       Some(s"""WITH tok AS (SELECT doc_id,
               |    unnest(str_split(text, ' ')) AS t
@@ -3906,12 +3907,14 @@ object SparkEntry {
              |ORDER BY user_id, session_seq LIMIT 1000""".stripMargin)),
 
     // Fuzzy label matching (entity resolution) over part names:
-    // delete-1 token blocking (every pair reachable by one token
-    // substitution shares a blocking key — the declared recall
-    // neighborhood) + thresholded-Levenshtein verify, ALL on the
-    // distinct-value table (vocabulary-bounded — 64 names at any SF;
-    // rows never enter the pair join). The metadata-dedup primitive:
-    // near-identical labels, not near-identical documents.
+    // delete-0/delete-1 token blocking (every pair reachable by one
+    // token substitution OR one token insertion/deletion shares a
+    // blocking key — the declared recall neighborhood; the delete-0
+    // identity key closes the round-9 advice gap where "foo bar baz"
+    // vs "foo baz" shared no key) + thresholded-Levenshtein verify,
+    // ALL on the distinct-value table (vocabulary-bounded — 64 names
+    // at any SF; rows never enter the pair join). The metadata-dedup
+    // primitive: near-identical labels, not near-identical documents.
     "d53_fuzzy_label_pairs" -> Q(
       (s, dir) => Dedup.fuzzyValuePairs(
           table(s, dir, "part"), "p_name", maxDist = 5)
@@ -3919,10 +3922,10 @@ object SparkEntry {
       Some("""WITH v AS (SELECT p_name AS s,
              |    CAST(count(*) AS BIGINT) AS n
              |  FROM part WHERE p_name IS NOT NULL GROUP BY p_name),
-             |k AS (SELECT s, n, unnest(list_transform(
+             |k AS (SELECT s, n, unnest(list_prepend(s, list_transform(
              |    generate_series(1, len(toks)),
              |    i -> array_to_string(list_concat(toks[1:i-1],
-             |      toks[i+1:len(toks)]), ' '))) AS k
+             |      toks[i+1:len(toks)]), ' ')))) AS k
              |  FROM (SELECT s, n, str_split(s, ' ') AS toks FROM v) t),
              |c AS (SELECT DISTINCT a.s AS name_a, a.n AS n_a,
              |    b.s AS name_b, b.n AS n_b

@@ -23,6 +23,13 @@ object TableLayout {
                     buckets: Int, sortCol: Option[String] = None,
                     mode: String = "overwrite"): Unit = {
     val spark = df.sparkSession
+    // A database-qualified name would mis-quote below (`db.tbl` is one
+    // backticked identifier) and compute the WRONG orphan path — refuse
+    // it up front rather than delete an unrelated directory (round-9
+    // advice).
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'; " +
+        "qualified names would mis-resolve the warehouse orphan path")
     if (mode == "overwrite") {
       // saveAsTable(overwrite) replaces a CATALOG-known table, but an
       // orphaned warehouse directory from an earlier process fails
@@ -30,14 +37,25 @@ object TableLayout {
       // metadata dies with its JVM while the directory survives.
       // Recurring staging writers (a nightly index refresh) hit this
       // on every run after the first — drop both the entry and the
-      // orphan location.
+      // orphan location. The delete only fires when no surviving
+      // catalog entry still points at the directory (an EXTERNAL
+      // table of the same name would, and its data must not vanish).
       spark.sql(s"DROP TABLE IF EXISTS `$table`")
       val loc = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(
           spark.conf.get("spark.sql.warehouse.dir")),
         table.toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      val qualified = fs.makeQualified(loc)
+      val catalog = spark.sessionState.catalog
+      val stillReferenced = catalog.listDatabases().exists { db =>
+        catalog.listTables(db).exists { id =>
+          try fs.makeQualified(new org.apache.hadoop.fs.Path(
+            catalog.getTableMetadata(id).location)) == qualified
+          catch { case _: Exception => false }
+        }
+      }
+      if (!stillReferenced && fs.exists(loc)) fs.delete(loc, true)
     }
     val w = df.write.mode(mode)
       .format("parquet")

@@ -48,19 +48,24 @@ object Counters {
     // bounded-wait read (getOrEmpty is private[sql]): the observation
     // listener fires ASYNCHRONOUSLY after the action returns, so a
     // drain immediately after .count() can race it — wait up to 250 ms
-    // per entry (Spark's own getOrEmpty waits 100 ms), then give up on
-    // that entry (a genuinely-unfired observation: its query never
-    // ran). Instrumented queries register a handful of entries, so the
-    // worst-case stall is a fraction of a second, never a hang.
+    // TOTAL on one combined future (Spark's own getOrEmpty waits
+    // 100 ms), then read whatever has landed. One shared deadline, not
+    // 250 ms per entry: a run that registers N observations whose
+    // queries never executed (a failed query, a spec that built frames
+    // without acting) would otherwise stall the drain by N·250 ms
+    // (round-9 advice).
+    val pendingF = items.map(_.obs.future).filterNot(_.isCompleted)
+    if (pendingF.nonEmpty) {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      try scala.concurrent.Await.ready(
+        scala.concurrent.Future.sequence(pendingF.toList),
+        scala.concurrent.duration.Duration(250, "ms"))
+      catch { case _: java.util.concurrent.TimeoutException => }
+    }
     val fired: Vector[(String, String, Map[String, Any])] =
       items.flatMap { e =>
-        val f = e.obs.future
-        if (!f.isCompleted) {
-          try scala.concurrent.Await.ready(f,
-            scala.concurrent.duration.Duration(250, "ms"))
-          catch { case _: java.util.concurrent.TimeoutException => }
-        }
-        f.value.flatMap(_.toOption).map { row =>
+        e.obs.future.value.flatMap(_.toOption).map { row =>
           val m: Map[String, Any] =
             row.schema.fieldNames.zip(row.toSeq).toMap
           (e.tag, e.label, m)

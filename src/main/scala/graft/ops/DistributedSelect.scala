@@ -420,8 +420,19 @@ object DistributedSelect {
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
       }
 
+    // guarded lookup (round-9 advice): if FP drift between the
+    // floor((v-lo)/width) cell assignment and the v∈[lo,hi] resolve
+    // filter ever strands a pending group with no crossing row, fail
+    // with the group/range/rank in the message, not a bare
+    // NoSuchElementException from a Map.
     (state.toSeq.map { case (g, s) =>
-      (g, s.resolved.getOrElse(resolvedTail(g)), totals(g), ks(g))
+      val v = s.resolved.getOrElse(resolvedTail.getOrElse(g,
+        throw new IllegalStateException(
+          s"groupedWeightedQuantile: bounded resolve found no crossing " +
+            s"row for group '$g' (range [${s.lo}, ${s.hi}], " +
+            s"kk=${s.kk}, rowsInRange=${s.rowsInRange}) — " +
+            "FP boundary drift between cell assignment and resolve")))
+      (g, v, totals(g), ks(g))
     }.sortBy(_._1)
       .toDF(groupCol, "value", "w_total", "k"), rounds)
   }
@@ -616,7 +627,13 @@ object DistributedSelect {
     qs.distinct.sorted.map { q =>
       val k = kOf(q)
       val s = state(k)
-      (q, s.resolved.getOrElse(resolvedTail(k)), n, k)
+      val v = s.resolved.getOrElse(resolvedTail.getOrElse(k,
+        throw new IllegalStateException(
+          s"exactQuantiles: bounded resolve found no crossing row for " +
+            s"q=$q (rank k=$k, range [${s.lo}, ${s.hi}], kk=${s.kk}, " +
+            s"rowsInRange=${s.rowsInRange}) — FP boundary drift " +
+            "between cell assignment and resolve")))
+      (q, v, n, k)
     }.toDF("q", "value", "n", "k")
   }
 

@@ -75,11 +75,15 @@ object Dedup {
     * lacked: near-identical LABELS, not near-identical documents.
     *
     * Recall contract — stated, not hoped: every pair reachable by one
-    * token substitution is a candidate (plus whatever else shares a
-    * delete-1 key); pairs differing in ≥2 token slots are NOT found
-    * even if their edit distance is small. That is the standard
-    * deletion-neighborhood blocking trade (Ukkonen-style): bounded
-    * candidate volume in exchange for a declared neighborhood.
+    * token substitution OR one token insertion/deletion is a
+    * candidate (each value also emits its UNMODIFIED self as a
+    * delete-0 key, so A = B plus one inserted token matches via
+    * delete-1(A) = delete-0(B) — the round-9 advice gap), plus
+    * whatever else shares a key; pairs differing in ≥2 token slots
+    * are NOT found even if their edit distance is small. That is the
+    * standard deletion-neighborhood blocking trade (Ukkonen-style):
+    * bounded candidate volume in exchange for a declared
+    * neighborhood.
     *
     * Shape at scale: everything runs on the VALUE table — a groupBy
     * collapses the corpus to (value, count) first (map-side combine;
@@ -99,9 +103,10 @@ object Dedup {
       .groupBy(col(strCol).as("s")).agg(count(lit(1)).as("n"))
     val keyed = vals.select(col("s"), col("n"), explode(
       ExprUtils.let(split(col("s"), " ")) { toks =>
-        transform(sequence(lit(0), size(toks) - 1), i =>
-          concat_ws(" ", concat(slice(toks, lit(1), i),
-            slice(toks, i + 2, size(toks)))))
+        concat(array(col("s")),
+          transform(sequence(lit(0), size(toks) - 1), i =>
+            concat_ws(" ", concat(slice(toks, lit(1), i),
+              slice(toks, i + 2, size(toks))))))
       }).as("k"))
     val cand = keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.s") < col("b.s"))
@@ -139,8 +144,8 @@ object Dedup {
     * candidate count is data-dependent but the verify is O(1) per
     * candidate. Returns (id_a, id_b, dist), id_a < id_b. */
   def bandedHammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                         bits: Int, bands: Int,
-                         maxDist: Int): DataFrame = {
+                         bits: Int, bands: Int, maxDist: Int,
+                         counterTag: Option[String] = None): DataFrame = {
     require(bands >= 2 && bits > 0 && bits % bands == 0,
       s"bits ($bits) must split evenly into bands ($bands)")
     require(maxDist >= 0 && maxDist <= bands - 1,
@@ -156,20 +161,49 @@ object Dedup {
         col(hashCol).cast("long").as("_h"))
       .filter(col("_id").isNotNull && col("_h").isNotNull)
       .localCheckpoint()
-    val banded = t.select(col("_id"), col("_h"), explode(array(
+    // In-plan counters (graft.ops.Counters → the bench artifact;
+    // house rule: data-dependent cost ships counters from day one).
+    // `banded` is observed ONCE on the SHARED frame before the
+    // self-join aliases it: identical duplicate CollectMetrics nodes
+    // are legal (CheckAnalysis only rejects same-name nodes with
+    // DIFFERENT plans), and observing a per-side copy instead would
+    // break the sides' canonical equality and with it the exchange
+    // reuse that makes this a one-shuffle self-join. The counter
+    // doubles as the execute-once proof the round-9 verdict asked
+    // for: rows == n·bands means the banded subtree (and the
+    // localCheckpoint pin under it) fed both sides from one
+    // execution; 2·n·bands would mean reuse was lost.
+    val banded0 = t.select(col("_id"), col("_h"), explode(array(
         (0 until bands).map(b => struct(lit(b).as("b"),
           shiftright(col("_h"), b * width).bitwiseAND(lit(mask))
             .as("bv"))): _*)).as("r"))
       .select(col("_id"), col("_h"), col("r.b").as("_b"),
         col("r.bv").as("_bv"))
-    banded.as("a").join(banded.as("b"),
+    val banded = counterTag.fold(banded0) { tag =>
+      banded0.observe(
+        Counters.register(tag, "banded", Observation(s"${tag}_banded")),
+        count(lit(1)).as("rows"))
+    }
+    val cand = banded.as("a").join(banded.as("b"),
         col("a._b") === col("b._b") && col("a._bv") === col("b._bv") &&
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         bit_count(col("a._h").bitwiseXOR(col("b._h"))).cast("long")
           .as("dist"))
-      .filter(col("dist") <= maxDist)
-      .distinct()
+    // candidate volume pre/post the Hamming verify, in one observe so
+    // the filter stays a separate codegen'd node (the d35 pattern)
+    val candObs = counterTag.fold(cand) { tag =>
+      cand.observe(
+        Counters.register(tag, "cand", Observation(s"${tag}_cand")),
+        count(lit(1)).as("rows"),
+        count(when(col("dist") <= maxDist, lit(1))).as("kept"))
+    }
+    val pairs = candObs.filter(col("dist") <= maxDist).distinct()
+    counterTag.fold(pairs) { tag =>
+      pairs.observe(
+        Counters.register(tag, "pairs", Observation(s"${tag}_pairs")),
+        count(lit(1)).as("rows"))
+    }
   }
 
   /** Word n-gram shingles of size n. The token array is let-bound so the

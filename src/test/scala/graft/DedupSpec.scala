@@ -994,6 +994,31 @@ class DedupSpec extends AnyFunSuite {
         b.contains("bolt") })
   }
 
+  test("fuzzyValuePairs: one-token insert/delete pairs found via the " +
+    "delete-0 identity key") {
+    val s = spark
+    import s.implicits._
+    // "foo bar baz" delete-1 at slot 2 == "foo baz" delete-0 — the
+    // round-9 advice gap: within maxDist but sharing no delete-1 key
+    val rows = Seq("foo bar baz", "foo baz", "quick brown fox",
+      "quick fox")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "name")
+    def pairs(maxDist: Int) =
+      Dedup.fuzzyValuePairs(rows, "name", maxDist)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4))
+        .toMap
+    // dist("foo bar baz","foo baz") = 4: candidate AND verified at 5
+    val at5 = pairs(5)
+    assert(at5(("foo bar baz", "foo baz")) === 4L)
+    assert(at5.size === 1) // "quick brown fox"/"quick fox" is dist 6
+    // at maxDist 6 the second insert/delete pair verifies too
+    val at6 = pairs(6)
+    assert(at6(("quick brown fox", "quick fox")) === 6L)
+    assert(at6.size === 2) // never a cross-family pair
+  }
+
   test("fuzzyValuePairs: maxDist gates the verify; dist is the real distance") {
     val s = spark
     import s.implicits._

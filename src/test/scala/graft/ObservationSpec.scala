@@ -164,4 +164,38 @@ class ObservationSpec extends AnyFunSuite {
     assert(verified === n)
     assert(pairs === 1L && verified === 1L) // exactly the planted pair
   }
+
+  test("d54 banded-Hamming counters: shared-frame observe fires once, " +
+    "banded == n*bands proves exchange reuse") {
+    val s = spark
+    import s.implicits._
+    // 5 valid fingerprints; two dist-1 neighbor pairs planted
+    val rows = Seq(
+      (1L, Some(0x0F0F0F0F0F0F0F0L)),
+      (2L, Some(0x0F0F0F0F0F0F0F1L)), // dist 1 from id 1
+      (3L, Some(0x123456789ABCDEL)),
+      (4L, Some(0x123456789ABCDFL)),  // dist 1 from id 3
+      (5L, Some(0x0L)),
+      (6L, Option.empty[Long]))       // null fingerprint: dropped
+      .toDF("id", "h")
+    graft.ops.Counters.drain() // isolate from other tests
+    val out = Dedup.bandedHammingPairs(rows, "id", "h",
+      bits = 60, bands = 4, maxDist = 3, counterTag = Some("t54"))
+    val n = out.count()
+    val cs = graft.ops.Counters.drain()
+      .collect { case ("t54", l, m) => l -> m }.toMap
+    assert(cs.keySet === Set("banded", "cand", "pairs"))
+    val banded = cs("banded")("rows").asInstanceOf[Long]
+    val cand = cs("cand")("rows").asInstanceOf[Long]
+    val kept = cs("cand")("kept").asInstanceOf[Long]
+    val pairs = cs("pairs")("rows").asInstanceOf[Long]
+    // the execute-once proof the round-9 verdict asked for: the
+    // observed node sits under BOTH sides of the self-join; 5 valid
+    // rows x 4 bands = 20 means the banded subtree (and the
+    // localCheckpoint pin beneath it) executed exactly once and fed
+    // both sides via exchange reuse — 40 would mean reuse was lost
+    assert(banded === 20L)
+    assert(cand >= kept && kept >= pairs)
+    assert(pairs === n && n === 2L)
+  }
 }
