@@ -102,7 +102,8 @@ object DistributedRank {
                            out: String = "rank",
                            accuracy: Int = 1000): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    rankFromCells(balancedCells(df, groupCol, valueCol, buckets, accuracy),
+    rankFromCells(balancedCells(df, groupCol, valueCol, buckets, accuracy,
+        tieCols),
       groupCol, valueCol, tieCols, buckets.toLong, out)
   }
 
@@ -113,7 +114,9 @@ object DistributedRank {
   private[graft] def balancedCells(df: DataFrame, groupCol: String,
                                    valueCol: String,
                                    buckets: Int,
-                                   accuracy: Int = 1000): DataFrame = {
+                                   accuracy: Int = 1000,
+                                   tieCols: Seq[String] = Seq.empty,
+                                   sampleMod: Int = 16): DataFrame = {
     val v = col(valueCol).cast("double")
     if (buckets == 1) {
       // degenerate single cell: no boundaries to estimate
@@ -139,9 +142,35 @@ object DistributedRank {
     // expensive piece of the balanced path, and un-pinned it ran once
     // per rankFromCells consumer (the measured bulk of the q17c-vs-
     // q17b driver-bench delta).
-    val stats = df.groupBy(col(groupCol).as("_grp_key"))
-      .agg(percentile_approx(v, qs, lit(accuracy)).as("_bnds"),
-        count(lit(1)).as("_grp_n"))
+    //
+    // SAMPLED sketch input (the round-10 close of that residual): the
+    // sketch only needs boundary ESTIMATES — Spark's own
+    // RangePartitioner picks shuffle bounds from a sample for the
+    // same reason — so only rows whose deterministic row hash lands
+    // in 1/sampleMod of the space feed it. The sketch aggregation is
+    // a SEPARATE pass from the exact _grp_n count, on purpose: one
+    // TypedImperativeAggregate in a groupBy forces the whole
+    // aggregation onto ObjectHashAggregateExec (no whole-stage
+    // codegen), so fusing count+sketch made every row pay the
+    // object-agg row path. Split, the count stays a codegen'd
+    // HashAggregate over all rows, the sketch's object path sees only
+    // the post-filter 1/sampleMod sample, and the two groups-sized
+    // results meet in a tiny join. Balance error grows
+    // ~sqrt(sampleMod) on the sampled count — negligible for any
+    // group big enough for balance to matter, and a group too small
+    // to sample (null sketch) falls back to one cell, which is
+    // exactly the cheap case. Ranks are boundary-independent either
+    // way — the q17c oracle pins that.
+    val rowHash = xxhash64((col(groupCol) +: v +: tieCols.map(col)): _*)
+    val sketchIn =
+      if (sampleMod <= 1) df
+      else df.filter(pmod(rowHash, lit(sampleMod.toLong)) === 0L)
+    val cnts = df.groupBy(col(groupCol).as("_grp_key"))
+      .agg(count(lit(1)).as("_grp_n"))
+    val bnds = sketchIn.groupBy(col(groupCol).as("_bnd_key"))
+      .agg(percentile_approx(v, qs, lit(accuracy)).as("_bnds"))
+    val stats = cnts.join(bnds, col("_grp_key") <=> col("_bnd_key"),
+        "left").drop("_bnd_key")
       .localCheckpoint()
     // count boundaries <= v WITHOUT a higher-order array function
     // (filter/aggregate lambdas are CodegenFallback — one interpreted
@@ -161,7 +190,11 @@ object DistributedRank {
           lit((mid - lo + 1).toLong) + leCount(mid + 1, hi))
           .otherwise(leCount(lo, mid - 1))
       }
+    // a group whose sample was empty has a null sketch: all its rows
+    // share cell 0 (single-cell fallback — it was too small to sample,
+    // so it is too small for balance to matter)
     val cell = when(v.isNull, lit(-1L))
+      .when(col("_bnds").isNull, lit(0L))
       .otherwise(leCount(1, buckets - 1))
     df.join(broadcast(stats), col(groupCol) <=> col("_grp_key"))
       .drop("_grp_key")
