@@ -1422,6 +1422,84 @@ object SparkEntry {
              |FROM t3
              |ORDER BY stage""".stripMargin)),
 
+    // Batch REPLAY of the STREAMING funnel (FunnelStream.stageHits):
+    // events split into three deterministic time-tertile batches, the
+    // per-user state machine folds forward batch-by-batch via a typed
+    // cogroup (the same applyEvent transition the streaming wirings
+    // run — no driver state, both sides user-keyed), and the
+    // cumulative hits after each prefix must equal the ONE-SHOT q30
+    // funnel on that prefix — the in-order fold composes. The oracle
+    // recomputes every prefix's funnel directly; the q56/q66/d41
+    // stream-replay convention applied to the last uncovered
+    // streaming family.
+    "q71_funnel_stream_replay" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val hourNs = graft.streaming.FunnelStream.HourNs
+        val ev = rawEvents(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        // 1-row bounded parameter fetch, folded in as literals (the
+        // house rule: a constant-key join would plan a BNLJ)
+        val r = ev.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val span = mx - mn + 1
+        val withB = ev.withColumn("_b",
+          expr(s"((ts - $mn) * 3) div $span"))
+        val batches = (0L to 2L).map(b =>
+          withB.filter(col("_b") === b).drop("_b")
+            .as[graft.streaming.FunnelEvent])
+        val perBatch =
+          graft.streaming.FunnelStream.replayStageHits(batches, hourNs)
+        val all = perBatch.zipWithIndex
+          .map { case (h, i) =>
+            h.toDF().withColumn("_hb", lit(i.toLong)) }
+          .reduce(_ unionAll _)
+        // a hit emitted in batch b is part of every prefix >= b
+        val cum = all.select(col("stage"),
+            explode(sequence(col("_hb"), lit(2L))).as("batch_id"))
+          .groupBy("batch_id", "stage").agg(count(lit(1)).as("users"))
+        val frame = s.range(3).select(col("id").as("batch_id"))
+          .crossJoin(Seq("1_view", "2_click", "3_purchase")
+            .toDF("stage"))
+        frame.join(cum, Seq("batch_id", "stage"), "left")
+          .select(col("batch_id"), col("stage"),
+            coalesce(col("users"), lit(0L)).as("users"))
+          .orderBy("batch_id", "stage")
+      },
+      Some("""WITH rng AS (SELECT min(epoch_ns(ts)) AS mn,
+             |    max(epoch_ns(ts)) AS mx FROM events),
+             |e AS (SELECT user_id, event_type, epoch_ns(ts) AS tn,
+             |    ((epoch_ns(ts) - rng.mn) * 3) // (rng.mx - rng.mn + 1)
+             |      AS b
+             |  FROM events, rng),
+             |p AS (SELECT gb.b AS pb FROM generate_series(0, 2) gb(b)),
+             |t1 AS (SELECT p.pb, e.user_id, min(e.tn) AS t1
+             |  FROM p JOIN e ON e.b <= p.pb
+             |  WHERE e.event_type = 'view' GROUP BY p.pb, e.user_id),
+             |t2 AS (SELECT t1.pb, e.user_id, min(e.tn) AS t2
+             |  FROM e JOIN t1 ON e.b <= t1.pb AND e.user_id = t1.user_id
+             |  WHERE e.event_type = 'click' AND e.tn > t1.t1
+             |    AND e.tn < t1.t1 + 3600000000000
+             |  GROUP BY t1.pb, e.user_id),
+             |t3 AS (SELECT t2.pb, e.user_id, min(e.tn) AS t3
+             |  FROM e JOIN t2 ON e.b <= t2.pb AND e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND e.tn > t2.t2
+             |    AND e.tn < t2.t2 + 3600000000000
+             |  GROUP BY t2.pb, e.user_id),
+             |c AS (SELECT pb, '1_view' AS stage,
+             |    CAST(count(*) AS BIGINT) AS users FROM t1 GROUP BY pb
+             |  UNION ALL SELECT pb, '2_click', CAST(count(*) AS BIGINT)
+             |    FROM t2 GROUP BY pb
+             |  UNION ALL SELECT pb, '3_purchase',
+             |    CAST(count(*) AS BIGINT) FROM t3 GROUP BY pb)
+             |SELECT CAST(p.pb AS BIGINT) AS batch_id,
+             |  st.stage AS stage,
+             |  COALESCE(c.users, CAST(0 AS BIGINT)) AS users
+             |FROM p CROSS JOIN (SELECT unnest(
+             |    ['1_view', '2_click', '3_purchase']) AS stage) st
+             |LEFT JOIN c ON c.pb = p.pb AND c.stage = st.stage
+             |ORDER BY batch_id, st.stage""".stripMargin)),
+
     // Retention cohorts — the standard event-log product analytics:
     // users bucketed by first-seen day, distinct actives per
     // (cohort, day offset). Day index via exact integer ns division

@@ -102,6 +102,27 @@ object FunnelStream {
       case _ => (st, None)
     }
 
+  /** In-order micro-batch fold: sort, then thread [[applyEvent]] —
+    * the one transition — through every event. Returns the new state,
+    * the emitted hits, and the newest applied event time (for
+    * event-time eviction arming). Shared by [[processUser]],
+    * [[processUserEventTime]], AND the batch [[replayStageHits]], so
+    * the streaming and replay semantics cannot drift. */
+  private[graft] def foldInOrder(user: Long, st0: FunnelState,
+                                 events: Iterator[FunnelEvent],
+                                 deadlineNs: Long)
+      : (FunnelState, Seq[StageHit], Option[Long]) = {
+    var st = st0
+    val hits = scala.collection.mutable.Buffer[StageHit]()
+    val batch = boundedBatch(user, events).sortBy(_.ts)
+    batch.foreach { e =>
+      val (next, hit) = applyEvent(st, e, deadlineNs)
+      st = next
+      hits ++= hit
+    }
+    (st, hits.toSeq, batch.lastOption.map(_.ts))
+  }
+
   /** The per-user step function — pure, unit-testable through
     * `TestGroupState`, shared by the streaming wiring. With an
     * `idleTimeout`, a user idle past it is evicted on the timeout
@@ -114,13 +135,8 @@ object FunnelStream {
       state.remove()
       return Iterator.empty
     }
-    var st = state.getOption.getOrElse(FunnelState(None, None, None))
-    val hits = scala.collection.mutable.Buffer[StageHit]()
-    boundedBatch(user, events).sortBy(_.ts).foreach { e =>
-      val (next, hit) = applyEvent(st, e, deadlineNs)
-      st = next
-      hits ++= hit
-    }
+    val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+    val (st, hits, _) = foldInOrder(user, st0, events, deadlineNs)
     state.update(st)
     // the duration string was validated at query construction (see
     // stageHits); the only legitimate failure left is a state with no
@@ -171,21 +187,15 @@ object FunnelStream {
       state.remove()
       return Iterator.empty
     }
-    var st = state.getOption.getOrElse(FunnelState(None, None, None))
-    val hits = scala.collection.mutable.Buffer[StageHit]()
-    val batch = boundedBatch(user, events).sortBy(_.ts)
-    batch.foreach { e =>
-      val (next, hit) = applyEvent(st, e, deadlineNs)
-      st = next
-      hits ++= hit
-    }
+    val st0 = state.getOption.getOrElse(FunnelState(None, None, None))
+    val (st, hits, lastTs) = foldInOrder(user, st0, events, deadlineNs)
     state.update(st)
     // batch mode (differential tests) has no watermark: Try guards
     // only that harness; in the streaming wiring the watermark always
     // exists because stageHitsEventTime sets one
     val w = scala.util.Try(state.getCurrentWatermarkMs()).toOption
     w.foreach { wm =>
-      val lastMs = batch.lastOption.map(_.ts / 1000000L).getOrElse(wm)
+      val lastMs = lastTs.map(_ / 1000000L).getOrElse(wm)
       // must arm strictly above the watermark or Spark rejects it
       state.setTimeoutTimestamp(
         math.max(lastMs + idleNs / 1000000L, wm + 1))
@@ -314,5 +324,47 @@ object FunnelStream {
           processUserBuffered(u,
             it.map(e => FunnelEvent(e.user_id, e.event_type, e.ts)),
             s, deadlineNs, idleNs))
+  }
+
+  /** Batch REPLAY of the streaming funnel — the driver-visible
+    * correctness form of [[stageHits]] (the q56/q66/d41 replay
+    * convention): the event set arrives as K per-user-in-order
+    * batches; each batch folds the standing per-user state forward
+    * through a typed cogroup running the SAME [[foldInOrder]] /
+    * [[applyEvent]] transition as the streaming wirings, and emits
+    * that batch's stage hits. With time-contiguous batches the
+    * concatenated emissions over batches 0..b equal the one-shot
+    * batch funnel (q30) over the same prefix — the in-order fold
+    * composes — which is the invariant the q71 oracle pins.
+    *
+    * Shape at scale: state and batch cogroup on user_id — both sides
+    * shuffle user-keyed, state is one tiny row per user, NOTHING
+    * lives on the driver. Each batch's fold result is
+    * localCheckpointed once and feeds both its consumers (the carried
+    * state and the emitted hits); a long-lived deployment would stage
+    * the state as a user-bucketed table instead
+    * ([[graft.io.TableLayout.writeBucketed]]). */
+  def replayStageHits(batches: Seq[Dataset[FunnelEvent]],
+                      deadlineNs: Long = HourNs): Seq[Dataset[StageHit]] = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    implicit val pairEnc = Encoders.product[(Long, FunnelState)]
+    implicit val foldEnc =
+      Encoders.product[(Long, FunnelState, Seq[StageHit])]
+    implicit val hitEnc = Encoders.product[StageHit]
+    var state = spark.emptyDataset[(Long, FunnelState)](pairEnc)
+    batches.map { b =>
+      val folded = state.groupByKey(_._1)(Encoders.scalaLong)
+        .cogroup(b.groupByKey(_.user_id)(Encoders.scalaLong)) {
+          (user, sts, evs) =>
+            val st0 =
+              if (sts.hasNext) sts.next()._2
+              else FunnelState(None, None, None)
+            val (st1, hits, _) = foldInOrder(user, st0, evs, deadlineNs)
+            Iterator((user, st1, hits))
+        }.localCheckpoint()
+      state = folded.map(r => (r._1, r._2))(pairEnc)
+      folded.flatMap(_._3)(hitEnc)
+    }
   }
 }

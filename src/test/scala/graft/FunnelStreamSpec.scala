@@ -243,4 +243,52 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(got.getOrElse("1_view", 0L) > 0)
     } finally q.stop()
   }
+
+  test("batch replay (cogroup fold) matches q30 on every time prefix " +
+    "and the streaming emissions per batch") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val evDs = graft.ops.SyntheticEvents.readEventsTable(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[FunnelEvent]
+    val ev = evDs.collect()
+    val (mn, mx) = (ev.map(_.ts).min, ev.map(_.ts).max)
+    val span = mx - mn + 1
+    def batchOf(e: FunnelEvent): Long = (e.ts - mn) * 3 / span
+    val batches = (0L to 2L).map(b =>
+      evDs.filter((e: FunnelEvent) => batchOf(e) == b))
+    val perBatch = FunnelStream.replayStageHits(batches)
+    // cumulative emissions after prefix b == one-shot q30 fold over
+    // the prefix events (reference: in-order scala fold of the same
+    // applyEvent semantics, independently via per-user min chains)
+    var cumHits = Map.empty[(Long, String), Long] // (user, stage) -> ts
+    (0 to 2).foreach { b =>
+      perBatch(b).collect().foreach { h =>
+        assert(!cumHits.contains((h.user_id, h.stage)),
+          s"stage ${h.stage} emitted twice for user ${h.user_id}")
+        cumHits += (h.user_id, h.stage) -> h.ts
+      }
+      val prefix = ev.filter(e => batchOf(e) <= b)
+      val h = FunnelStream.HourNs
+      val t1 = prefix.filter(_.event_type == "view")
+        .groupBy(_.user_id).map { case (u, es) => u -> es.map(_.ts).min }
+      val t2 = prefix.filter(_.event_type == "click")
+        .groupBy(_.user_id).flatMap { case (u, es) =>
+          t1.get(u).flatMap { v =>
+            val q = es.map(_.ts).filter(t => t > v && t < v + h)
+            if (q.nonEmpty) Some(u -> q.min) else None } }
+      val t3 = prefix.filter(_.event_type == "purchase")
+        .groupBy(_.user_id).flatMap { case (u, es) =>
+          t2.get(u).flatMap { c =>
+            val q = es.map(_.ts).filter(t => t > c && t < c + h)
+            if (q.nonEmpty) Some(u -> q.min) else None } }
+      val want =
+        t1.map { case (u, t) => (u, "1_view") -> t } ++
+          t2.map { case (u, t) => (u, "2_click") -> t } ++
+          t3.map { case (u, t) => (u, "3_purchase") -> t }
+      assert(cumHits === want, s"prefix $b diverged")
+    }
+    assert(cumHits.nonEmpty)
+  }
 }
