@@ -111,6 +111,15 @@ object SparkEntry {
         "event_id", "committed_text", "selected_candidate_rank")),
       "view" -> graft.config.EventFieldRules(Set("event_id", "value"))))
 
+  /** The d56 demo model: 512 micro-integer hashed-feature weights +
+    * bias from a fixed integer recurrence — deterministic, so the SAME
+    * literals splice into the Spark plan and the DuckDB oracle (the
+    * q70 Benford convention). A real deployment loads a trained vector
+    * instead; the inference shape is identical. */
+  private lazy val classifierModel: (IndexedSeq[Long], Long) =
+    ((0 until 512).map(j =>
+      ((j * 2654435761L + 97L) % 2000001L) - 1000000L), 250000L)
+
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
   private def duckHash60(e: String): String =
@@ -2103,6 +2112,46 @@ object SparkEntry {
               |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
               |FROM cp WHERE bit_count(xor(ha, hb)) <= 3
               |ORDER BY id_a, id_b LIMIT 5000""".stripMargin)),
+
+    // Learned quality-classifier INFERENCE (fastText-style): hashed
+    // unigram+bigram features dot a literal micro-integer weight
+    // vector (the model rides the task closure — broadcast by
+    // construction, map-only at any corpus size). The 512 weights are
+    // computed once in Scala and spliced VERBATIM into both the plan
+    // and the oracle text (the q70 Benford convention); the output is
+    // the integer-micro LOGIT + thresholded label — the sigmoid is
+    // monotone, so no engine evaluates a transcendental. Completes
+    // the quality stack: d3 heuristics + d28/d47 LM scores + learned
+    // classifier.
+    "d56_quality_classifier" -> Q(
+      (s, dir) => {
+        val (w, bias) = classifierModel
+        table(s, dir, "documents").select(col("doc_id"),
+            TextStats.hashedLinearLogitMicro(col("text"), w, bias)
+              .as("logit_micro"))
+          .withColumn("label",
+            when(col("logit_micro") > 0, 1L).otherwise(0L))
+          .orderBy("doc_id").limit(500)
+      },
+      Some {
+        val (w, bias) = classifierModel
+        val wList = w.mkString("[", ", ", "]")
+        s"""WITH doc AS (SELECT doc_id, str_split(text, ' ') AS toks
+           |  FROM documents),
+           |feats AS (SELECT doc_id, unnest(list_concat(toks,
+           |    list_transform(generate_series(1, len(toks) - 1),
+           |      i -> toks[i] || '_' || toks[i+1]))) AS f
+           |  FROM doc),
+           |ids AS (SELECT doc_id,
+           |    ${duckHash60("f")} % ${w.length} AS j
+           |  FROM feats),
+           |sc AS (SELECT doc_id,
+           |    CAST($bias AS BIGINT) + SUM(($wList)[j + 1]) AS s
+           |  FROM ids GROUP BY doc_id)
+           |SELECT doc_id, CAST(s AS BIGINT) AS logit_micro,
+           |  CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+           |FROM sc ORDER BY doc_id LIMIT 500""".stripMargin
+      }),
 
     // Corpus-level mergeable sketch: per-language MinHash profile via
     // the typed Aggregator (partial+final combine of k-long arrays —

@@ -180,6 +180,58 @@ object TextStats {
     *     MinHash usable as a cheap near-dup prefilter. Both expressible
     *     in ANSI SQL for oracle checking; the scale path uses the
     *     k-permutation xxhash64 MinHash in [[Dedup]]. */
+  /** Hashed word n-gram features of `text` — unigrams plus adjacent
+    * "a_b" bigrams (the fastText feature map): each feature hashes
+    * through the PORTABLE [[Dedup.md5Long60]] into `dim` buckets, so
+    * an ANSI oracle re-derives every bucket id bit for bit. The
+    * bigram zip is two slices zipped (no sequence() — a one-token
+    * text yields zero bigrams, not a bogus index range). */
+  def hashedNgramFeatures(text: Column, dim: Int): Column = {
+    require(dim >= 2, "dim must be >= 2")
+    ExprUtils.let(tokens(text)) { toks =>
+      ExprUtils.let(concat(toks,
+        zip_with(slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws("_", a, b)))) { feats =>
+        transform(feats,
+          f => pmod(Dedup.md5Long60(f), lit(dim.toLong)))
+      }
+    }
+  }
+
+  /** Learned-classifier INFERENCE as pure column arithmetic — the
+    * fastText-style linear scorer that completes the quality stack
+    * next to the d3 heuristics and the d28/d47 LM scores: hash the
+    * word n-gram features ([[hashedNgramFeatures]]), dot a weight
+    * vector held as a LITERAL array (micro-integer weights — the
+    * model rides the task closure, broadcast by construction: a
+    * model-sized constant, never a join, never a shuffle; inference
+    * stays embarrassingly parallel map work at any corpus size), add
+    * the bias. Returns the LOGIT in integer micros — integer-exact
+    * cross-engine, the d28/q70 discipline: the sigmoid is monotone,
+    * so thresholding/ranking on the logit IS thresholding/ranking on
+    * the probability with zero transcendental drift; callers who want
+    * the probability apply [[sigmoidMicro]] for display.
+    *
+    * Weight convention: `weightsMicro(j)` is the micro-unit weight of
+    * feature bucket j, `j = md5Long60(feature) mod dim`; the SUM (not
+    * mean) of feature weights — the mean's divisor is absorbable into
+    * the weight scale, and integer division floors differently across
+    * engines (Spark truncates, DuckDB floors) for negative logits. */
+  def hashedLinearLogitMicro(text: Column, weightsMicro: IndexedSeq[Long],
+                             biasMicro: Long): Column = {
+    val w = array(weightsMicro.map(lit): _*)
+    aggregate(hashedNgramFeatures(text, weightsMicro.length),
+      lit(biasMicro),
+      (acc, j) => acc + element_at(w, j.cast("int") + 1))
+  }
+
+  /** Display-side sigmoid of a micro logit, in micros (double exp —
+    * NOT oracle-hashed; keep oracle comparisons on the logit). */
+  def sigmoidMicro(logitMicro: Column): Column =
+    round(lit(1e6) / (lit(1.0) + exp(-logitMicro.cast("double") / 1e6)))
+      .cast("long")
+
   def docFingerprint(text: Column): Column = md5(text.cast("binary"))
   def minTokenFingerprint(text: Column): Column =
     array_min(transform(array_distinct(tokens(text)),

@@ -294,4 +294,38 @@ class TextStatsSpec extends AnyFunSuite {
     val mixed = gini(lens.map(l => Seq.fill(l)("t").mkString(" ")))
     assert(mixed.getLong(2) === refGini(lens.map(_.toLong)))
   }
+
+  test("hashedLinearLogitMicro matches an independent MD5 re-derivation") {
+    val s = spark
+    import s.implicits._
+    // independent reference: JVM MessageDigest, not Spark's md5 —
+    // re-derives md5Long60 + bucket + weight lookup from scratch
+    def h60(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val dim = 64
+    val w = (0 until dim).map(j => (j * 37L % 41L) - 20L)
+    val bias = 7L
+    def refLogit(text: String): Long = {
+      val toks = text.split(" ", -1).toSeq
+      val feats = toks ++ toks.zip(toks.drop(1))
+        .map { case (a, b) => s"${a}_$b" }
+      bias + feats.map(f => w((h60(f) % dim).toInt)).sum
+    }
+    val texts = Seq("good day", "one", "the quick brown fox",
+      "dup dup dup", "")
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.pipeline.TextStats
+        .hashedLinearLogitMicro(col("text"), w, bias).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === refLogit(t), s"text '$t'")
+    }
+    // one-token text contributes exactly one unigram, no bogus bigram
+    assert(got(1L) === bias + w((h60("one") % dim).toInt))
+  }
 }
