@@ -2113,6 +2113,57 @@ object SparkEntry {
               |FROM cp WHERE bit_count(xor(ha, hb)) <= 3
               |ORDER BY id_a, id_b LIMIT 5000""".stripMargin)),
 
+    // BPE MERGE TRAINING (Sennrich-style iterative top-1 pair merge)
+    // over the documents vocabulary — the tokenizer-TRAINING
+    // counterpart to d31's tokenize-against-a-given-vocab. Each word
+    // is one "(s)(y)(m)" string so the merge is a plain leftmost
+    // non-overlapping replace() — semantics both engines share bit
+    // for bit; the oracle replays all 6 rounds as an unrolled chained
+    // CTE (the d44 replay convention): per round, pair counts →
+    // deterministic argmax (count desc, lexicographic) → merge
+    // applied to the carried vocabulary.
+    "d55_bpe_merges" -> Q(
+      (s, dir) => graft.pipeline.Bpe.trainMerges(
+          table(s, dir, "documents").select(col("text")), "text",
+          rounds = 6)
+        .select(col("round").as("merge_round"), col("lhs"),
+          col("rhs"), col("merged"), col("pair_count"))
+        .orderBy("merge_round"),
+      Some {
+        val rounds = 6
+        val roundCtes = (1 to rounds).map { r =>
+          s"""s$r AS (SELECT str_split(trim(enc, '()'), ')(') AS sy, n
+             |  FROM v${r - 1}),
+             |p$r AS (SELECT u.l AS l, u.r AS r, SUM(n) AS c
+             |  FROM s$r, unnest(list_transform(
+             |    generate_series(1, len(sy) - 1),
+             |    i -> {'l': sy[i], 'r': sy[i + 1]})) AS t(u)
+             |  GROUP BY u.l, u.r),
+             |m$r AS (SELECT l, r, c FROM p$r
+             |  ORDER BY c DESC, l, r LIMIT 1),
+             |v$r AS (SELECT replace(enc,
+             |    '(' || m$r.l || ')(' || m$r.r || ')',
+             |    '(' || m$r.l || m$r.r || ')') AS enc, n
+             |  FROM v${r - 1}, m$r)""".stripMargin
+        }.mkString(",\n")
+        val unioned = (1 to rounds).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs,
+             |  r AS rhs, l || r AS merged, CAST(c AS BIGINT)
+             |    AS pair_count FROM m$r""".stripMargin)
+          .mkString("\nUNION ALL ")
+        s"""WITH w0 AS (SELECT t.w AS w FROM (SELECT
+           |    unnest(str_split(text, ' ')) AS w FROM documents) t
+           |  WHERE regexp_full_match(t.w, '[a-z0-9]+')),
+           |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
+           |  GROUP BY w),
+           |v0 AS (SELECT array_to_string(list_transform(
+           |    str_split(w, ''), c -> '(' || c || ')'), '') AS enc, n
+           |  FROM vc),
+           |$roundCtes
+           |$unioned
+           |ORDER BY merge_round""".stripMargin
+      }),
+
     // Learned quality-classifier INFERENCE (fastText-style): hashed
     // unigram+bigram features dot a literal micro-integer weight
     // vector (the model rides the task closure — broadcast by
