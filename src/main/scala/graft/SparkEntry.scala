@@ -4799,9 +4799,13 @@ object SparkEntry {
     // its 3-round community label, joined back to the readable word.
     "g8_word_communities" -> Q(
       (s, dir) => {
+        // pinned: the k-row PMI result feeds BOTH the edge list and
+        // the word-id map, and its lineage is the corpus token scan —
+        // un-pinned it executed once per consumer (round-10 PprRehearsal
+        // A/B: 5.1 -> 1.9 s at sf0.1, labels identical)
         val pmi = TextStats.pmiCollocations(
           table(s, dir, "documents"), "doc_id", "text",
-          minCount = 10, k = 300)
+          minCount = 10, k = 300).localCheckpoint()
         val w1 = element_at(split(col("bigram"), " "), 1)
         val w2 = element_at(split(col("bigram"), " "), 2)
         val edges = pmi.select(Dedup.md5Long60(w1).as("id_a"),

@@ -235,7 +235,8 @@ object GraphOps {
                                 idBCol: String, seeds: Seq[Long],
                                 iterations: Int = 3,
                                 damping: Double = 0.85,
-                                checkpointEvery: Int = 0): DataFrame = {
+                                checkpointEvery: Int = 0,
+                                sparse: Boolean = false): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
@@ -245,6 +246,8 @@ object GraphOps {
       when(id.isin(seeds.map(Long.box): _*), lit(baseMicro))
         .otherwise(lit(0L))
     val (edges, deg) = edgesAndDegrees(pairs, idACol, idBCol)
+    if (sparse) return pprSparse(edges, deg, seeds, iterations,
+      damping, baseMicro, checkpointEvery)
     var ranks = deg.select(col("src").as("id"),
       when(col("src").isin(seeds.map(Long.box): _*), lit(1000000L))
         .otherwise(lit(0L)).as("rank_micro"))
@@ -255,6 +258,64 @@ object GraphOps {
         ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** SPARSE-FRONTIER personalized PageRank — bit-identical output to
+    * the dense form (GraphOpsSpec proves it differentially), reached
+    * by carrying ONLY the nonzero-rank rows through the rounds:
+    * a zero-rank node's contribution is exactly 0 (`0 div deg = 0`,
+    * and 0 terms vanish from the inflow SUM before any rounding), so
+    * dropping those rows from the per-round join changes nothing.
+    * With seed-local teleport most of a big graph never carries mass
+    * (the round-10 ring rehearsal: a 3-hop frontier of 7 nodes on a
+    * 50M-node cycle — the dense form shuffled all 100M directed edges
+    * three times anyway), so each round's join probe collapses from
+    * node-sized to frontier-sized; AQE sees the tiny frontier after
+    * its shuffle and broadcasts it, making the edge join map-only.
+    * The node-sized work left is ONE final left-join that reports the
+    * unreached nodes as rank 0 (the g7 output contract).
+    *
+    * State recurrence per round over the full outer join of the
+    * damped inflow with the seed-base rows (a seed gets its teleport
+    * mass every round even when its frontier inflow is zero —
+    * identical to the dense step, where the base rides seedBase(dst)):
+    * nodes whose new rank is 0 drop out of the carried state. */
+  private def pprSparse(edges: DataFrame, deg: DataFrame,
+                        seeds: Seq[Long], iterations: Int,
+                        damping: Double, baseMicro: Long,
+                        checkpointEvery: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // seeds restricted to graph nodes (an absent seed has no edges to
+    // flow through and must not appear — the dense contract)
+    val seedRows = broadcast(seeds.distinct.toDF("id"))
+      .join(deg, col("id") === col("src"), "leftsemi")
+      .localCheckpoint() // tiny; reused every round
+    var state = seedRows.select(col("id"),
+      lit(1000000L).as("rank_micro"))
+    for (it <- 1 to iterations) {
+      val inflow = edges
+        .join(state, edges("src") === state("id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank_micro div deg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+      state = inflow.as("i")
+        .join(seedRows.select(col("id").as("sid")).as("s"),
+          col("i.dst") === col("s.sid"), "full")
+        .select(coalesce(col("i.dst"), col("s.sid")).as("id"),
+          (when(col("s.sid").isNotNull, lit(baseMicro))
+            .otherwise(lit(0L)) +
+            round(lit(damping) * coalesce(col("i.inflow"), lit(0L)))
+              .cast("long")).as("rank_micro"))
+        .filter(col("rank_micro") > 0)
+      if (checkpointEvery > 0 && it % checkpointEvery == 0 &&
+        it < iterations)
+        state = state.localCheckpoint()
+    }
+    deg.select(col("src").as("id")).distinct()
+      .join(state, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
   }
 
   /** Directed edge expansion + degree table of an undirected pair

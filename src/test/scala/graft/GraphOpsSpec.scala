@@ -364,6 +364,33 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(none.values.forall(_ === 0L))
   }
 
+  test("personalizedPageRank sparse frontier is bit-identical to dense") {
+    // hand-pinned path arithmetic, the disconnected/absent-seed
+    // contracts, AND a random graph — all node-for-node equal
+    val path = pairs((1L, 2L), (2L, 3L))
+    for ((p, seeds, iters) <- Seq(
+        (path, Seq(1L), 2),
+        (pairs((1L, 2L), (10L, 11L)), Seq(1L, 2L), 3),
+        (pairs((1L, 2L), (10L, 11L)), Seq(99L), 3))) {
+      val dense = ranks(GraphOps.personalizedPageRankMicro(
+        p, "id_a", "id_b", seeds, iterations = iters))
+      val sparse = ranks(GraphOps.personalizedPageRankMicro(
+        p, "id_a", "id_b", seeds, iterations = iters, sparse = true))
+      assert(sparse === dense)
+    }
+    val rnd = new scala.util.Random(17)
+    val es = (1 to 60).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val g = pairs(es: _*)
+    val dense = ranks(GraphOps.personalizedPageRankMicro(
+      g, "id_a", "id_b", seeds = Seq(es.head._1), iterations = 4))
+    val sparse = ranks(GraphOps.personalizedPageRankMicro(
+      g, "id_a", "id_b", seeds = Seq(es.head._1), iterations = 4,
+      sparse = true))
+    assert(sparse === dense)
+  }
+
   /** In-memory edge-embeddedness reference: common neighbors by set
     * intersection, Adamic-Adar with per-term micro rounding, Jaccard
     * by integer floor division — the same quantization contract. */
