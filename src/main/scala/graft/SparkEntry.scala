@@ -120,6 +120,41 @@ object SparkEntry {
     ((0 until 512).map(j =>
       ((j * 2654435761L + 97L) % 2000001L) - 1000000L), 250000L)
 
+  /** DuckDB CTE chain replaying [[graft.pipeline.Bpe.train]] for
+    * `rounds` rounds over the documents vocabulary (the d44 unrolled
+    * replay convention): w0/vc/v0 build the paren-encoded
+    * word-frequency vocab; each round r contributes s_r (symbol
+    * split), p_r (weighted adjacent-pair counts), m_r (deterministic
+    * argmax) and v_r (the merge applied via leftmost non-overlapping
+    * replace, the exact Bpe semantics). d55 reads the m_r rows, d57
+    * reads the final v_rounds vocabulary. */
+  private def bpeChainCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT str_split(trim(enc, '()'), ')(') AS sy, n
+         |  FROM v${r - 1}),
+         |p$r AS (SELECT u.l AS l, u.r AS r, SUM(n) AS c
+         |  FROM s$r, unnest(list_transform(
+         |    generate_series(1, len(sy) - 1),
+         |    i -> {'l': sy[i], 'r': sy[i + 1]})) AS t(u)
+         |  GROUP BY u.l, u.r),
+         |m$r AS (SELECT l, r, c FROM p$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |v$r AS (SELECT w, replace(enc,
+         |    '(' || m$r.l || ')(' || m$r.r || ')',
+         |    '(' || m$r.l || m$r.r || ')') AS enc, n
+         |  FROM v${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w0 AS (SELECT t.w AS w FROM (SELECT
+       |    unnest(str_split(text, ' ')) AS w FROM documents) t
+       |  WHERE regexp_full_match(t.w, '[a-z0-9]+')),
+       |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
+       |  GROUP BY w),
+       |v0 AS (SELECT w, array_to_string(list_transform(
+       |    str_split(w, ''), c -> '(' || c || ')'), '') AS enc, n
+       |  FROM vc),
+       |$roundCtes""".stripMargin
+  }
+
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
   private def duckHash60(e: String): String =
@@ -2131,38 +2166,37 @@ object SparkEntry {
         .orderBy("merge_round"),
       Some {
         val rounds = 6
-        val roundCtes = (1 to rounds).map { r =>
-          s"""s$r AS (SELECT str_split(trim(enc, '()'), ')(') AS sy, n
-             |  FROM v${r - 1}),
-             |p$r AS (SELECT u.l AS l, u.r AS r, SUM(n) AS c
-             |  FROM s$r, unnest(list_transform(
-             |    generate_series(1, len(sy) - 1),
-             |    i -> {'l': sy[i], 'r': sy[i + 1]})) AS t(u)
-             |  GROUP BY u.l, u.r),
-             |m$r AS (SELECT l, r, c FROM p$r
-             |  ORDER BY c DESC, l, r LIMIT 1),
-             |v$r AS (SELECT replace(enc,
-             |    '(' || m$r.l || ')(' || m$r.r || ')',
-             |    '(' || m$r.l || m$r.r || ')') AS enc, n
-             |  FROM v${r - 1}, m$r)""".stripMargin
-        }.mkString(",\n")
         val unioned = (1 to rounds).map(r =>
           s"""SELECT CAST($r AS BIGINT) AS merge_round, l AS lhs,
              |  r AS rhs, l || r AS merged, CAST(c AS BIGINT)
              |    AS pair_count FROM m$r""".stripMargin)
           .mkString("\nUNION ALL ")
-        s"""WITH w0 AS (SELECT t.w AS w FROM (SELECT
-           |    unnest(str_split(text, ' ')) AS w FROM documents) t
-           |  WHERE regexp_full_match(t.w, '[a-z0-9]+')),
-           |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
-           |  GROUP BY w),
-           |v0 AS (SELECT array_to_string(list_transform(
-           |    str_split(w, ''), c -> '(' || c || ')'), '') AS enc, n
-           |  FROM vc),
-           |$roundCtes
+        s"""${bpeChainCtes(rounds)}
            |$unioned
            |ORDER BY merge_round""".stripMargin
       }),
+
+    // The APPLY side of BPE — subword segmentation of the vocabulary
+    // by the 6 trained merges (the same training loop; its final
+    // carried vocabulary IS the segmentation state, so the oracle is
+    // d55's CTE chain read out at v6 instead of the merge rows).
+    // Segmenting NEW text is one vocabulary join against this table —
+    // the standard per-word BPE cache; corpus rows never replay the
+    // merge chain.
+    "d57_bpe_segment" -> Q(
+      (s, dir) => graft.pipeline.Bpe.segmentVocab(
+          table(s, dir, "documents").select(col("text")), "text",
+          rounds = 6)
+        .select(col("w").as("word"), col("n"), col("n_subwords"),
+          col("segmentation"))
+        .orderBy("word"),
+      Some(s"""${bpeChainCtes(6)}
+             |SELECT w AS word, n,
+             |  CAST(len(str_split(trim(enc, '()'), ')(')) AS BIGINT)
+             |    AS n_subwords,
+             |  array_to_string(str_split(trim(enc, '()'), ')('), ' ')
+             |    AS segmentation
+             |FROM v6 ORDER BY word""".stripMargin)),
 
     // Learned quality-classifier INFERENCE (fastText-style): hashed
     // unigram+bigram features dot a literal micro-integer weight

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** BPE (byte-pair-encoding) MERGE TRAINING — the subword-tokenizer
@@ -42,11 +42,18 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Symbol array of an encoded "(a)(b)" word. */
+  private def symbolsOf(enc: Column): Column =
+    split(regexp_replace(enc, "^\\(|\\)$", ""), "\\)\\(")
+
   /** Train `rounds` BPE merges over the words of `textCol`. Returns
-    * one row per executed round: (round, lhs, rhs, merged,
-    * pair_count); stops early if no adjacent pair remains. */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
-                  alphabet: String = "[a-z0-9]+"): DataFrame = {
+    * (merge table, final encoded vocabulary): one merge row per
+    * executed round (round, lhs, rhs, merged, pair_count) — training
+    * stops early if no adjacent pair remains — and the vocabulary
+    * (w, n, enc) AFTER all merges, i.e. the trained segmentation
+    * state that [[segmentVocab]] reads subword tokens from. */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+            alphabet: String = "[a-z0-9]+"): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64,
       "rounds in [1, 64] (each round is a vocab pass)")
     val spark = docs.sparkSession
@@ -54,20 +61,17 @@ object Bpe {
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^" + alphabet + "$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    var vocab = words.select(
+    var vocab = words.select(col("w"), col("n"),
         concat_ws("", transform(split(col("w"), ""),
-          c => concat(lit("("), c, lit(")")))).as("enc"),
-        col("n"))
+          c => concat(lit("("), c, lit(")")))).as("enc"))
       .localCheckpoint()
     val merges = scala.collection.mutable.Buffer[
       (Long, String, String, String, Long)]()
     var r = 1
     var exhausted = false
     while (r <= rounds && !exhausted) {
-      val syms = split(
-        regexp_replace(col("enc"), "^\\(|\\)$", ""), "\\)\\(")
       val pairCounts = vocab.select(col("n"), explode(
-          ExprUtils.let(syms) { s =>
+          ExprUtils.let(symbolsOf(col("enc"))) { s =>
             zip_with(slice(s, lit(1), size(s) - 1),
               slice(s, lit(2), size(s) - 1),
               (a, b) => struct(a.as("l"), b.as("r")))
@@ -85,27 +89,54 @@ object Bpe {
           (top.head.getString(0), top.head.getString(1),
             top.head.getLong(2))
         merges += ((r.toLong, l, rr, l + rr, c))
-        vocab = vocab.select(
+        vocab = vocab.select(col("w"), col("n"),
             replace(col("enc"), lit(s"($l)($rr)"),
-              lit(s"(${l + rr})")).as("enc"),
-            col("n"))
+              lit(s"(${l + rr})")).as("enc"))
           .localCheckpoint()
         r += 1
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count")
+    (merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count"),
+      vocab)
   }
 
-  /** The per-round vocabulary state after applying `merges` (for
-    * spec-side inspection): words as their current encoded symbol
-    * strings with frequencies. */
-  private[graft] def encodeVocab(docs: DataFrame, textCol: String,
-                                 alphabet: String = "[a-z0-9]+")
-      : DataFrame =
-    docs.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w").rlike("^" + alphabet + "$"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(concat_ws("", transform(split(col("w"), ""),
-        c => concat(lit("("), c, lit(")")))).as("enc"), col("n"))
+  /** The merge table alone (d55's shape). */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+                  alphabet: String = "[a-z0-9]+"): DataFrame =
+    train(docs, textCol, rounds, alphabet)._1
+
+  /** Train `rounds` merges and SEGMENT the vocabulary with them — the
+    * apply side of BPE: each word reports its subword tokens after
+    * the trained merge sequence (w, n, n_subwords, segmentation with
+    * subwords space-joined). New text segments by the same merge
+    * table via one vocabulary join (subword segmentation is a
+    * per-WORD function, the standard BPE cache trick — corpus rows
+    * never re-run the merge chain). */
+  def segmentVocab(docs: DataFrame, textCol: String, rounds: Int,
+                   alphabet: String = "[a-z0-9]+"): DataFrame = {
+    val (_, vocab) = train(docs, textCol, rounds, alphabet)
+    vocab.select(col("w"), col("n"),
+      ExprUtils.let(symbolsOf(col("enc"))) { s =>
+        size(s).cast("long")
+      }.as("n_subwords"),
+      concat_ws(" ", symbolsOf(col("enc"))).as("segmentation"))
+  }
+
+  /** Apply an ALREADY-TRAINED merge sequence to arbitrary words —
+    * inference against a saved merge table: encode, replay the
+    * merges in rank order, split. `merges` is (lhs, rhs) in training
+    * order (a model parameter, literal-folded — tens to tens of
+    * thousands of rows driver-side, the standard tokenizer-model
+    * size). */
+  def applyMerges(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val enc0 = concat_ws("", transform(split(col(wordCol), ""),
+      c => concat(lit("("), c, lit(")"))))
+    val encN = merges.foldLeft(enc0) { case (e, (l, r)) =>
+      replace(e, lit(s"($l)($r)"), lit(s"(${l + r})"))
+    }
+    words.withColumn("subwords", symbolsOf(encN))
+  }
+
 }

@@ -61,4 +61,37 @@ class BpeSpec extends AnyFunSuite {
     assert(merges("ab ab (x)(y) a_b", 1) ===
       Seq((1L, "a", "b", "ab", 2L)))
   }
+
+  test("segmentVocab: textbook corpus segments after the 4 merges") {
+    val s = spark
+    import s.implicits._
+    val corpus = (Seq.fill(3)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(5)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = Bpe.segmentVocab(Seq(corpus).toDF("text"), "text", 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // merges: es, est, ew, ewest (hand-computed above)
+    assert(got === Map(
+      "low" -> ((3L, 3L, "l o w")),
+      "lower" -> ((2L, 5L, "l o w e r")),
+      "newest" -> ((5L, 2L, "n ewest")),
+      "widest" -> ((3L, 4L, "w i d est"))))
+  }
+
+  test("applyMerges segments UNSEEN words with a trained merge table") {
+    val s = spark
+    import s.implicits._
+    // trained merges from the textbook corpus: es, est, ew, ewest
+    val trained = Seq(("e", "s"), ("es", "t"), ("e", "w"),
+      ("ew", "est"))
+    val got = Bpe.applyMerges(
+        Seq("lowest", "newest", "w").toDF("word"), "word", trained)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // lowest: es then est apply, ew cannot (its 'e' was consumed)
+    assert(got("lowest") === Seq("l", "o", "w", "est"))
+    assert(got("newest") === Seq("n", "ewest"))
+    assert(got("w") === Seq("w"))
+  }
 }
