@@ -1502,9 +1502,11 @@ object SparkEntry {
         val cum = all.select(col("stage"),
             explode(sequence(col("_hb"), lit(2L))).as("batch_id"))
           .groupBy("batch_id", "stage").agg(count(lit(1)).as("users"))
-        val frame = s.range(3).select(col("id").as("batch_id"))
-          .crossJoin(Seq("1_view", "2_click", "3_purchase")
-            .toDF("stage"))
+        // literal 9-row (batch, stage) frame — a crossJoin of two
+        // constant frames would plan the banned BroadcastNestedLoopJoin
+        val frame = (for (b <- 0L to 2L;
+          st <- Seq("1_view", "2_click", "3_purchase"))
+          yield (b, st)).toDF("batch_id", "stage")
         frame.join(cum, Seq("batch_id", "stage"), "left")
           .select(col("batch_id"), col("stage"),
             coalesce(col("users"), lit(0L)).as("users"))

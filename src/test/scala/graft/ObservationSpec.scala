@@ -198,4 +198,18 @@ class ObservationSpec extends AnyFunSuite {
     assert(cand >= kept && kept >= pairs)
     assert(pairs === n && n === 2L)
   }
+
+  test("drain waits ONE shared deadline across unfired observations " +
+    "(round-9 advice)") {
+    graft.ops.Counters.drain() // isolate
+    (1 to 20).foreach(i => graft.ops.Counters.register(
+      "never_fired", s"o$i", Observation(s"unfired_$i")))
+    val t0 = System.nanoTime()
+    val cs = graft.ops.Counters.drain()
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(cs.isEmpty)
+    // old behavior: 20 x 250 ms = 5 s; shared deadline: ~250 ms
+    assert(ms < 2000,
+      f"drain took $ms%.0f ms — per-entry waits are back")
+  }
 }

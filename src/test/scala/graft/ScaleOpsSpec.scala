@@ -114,6 +114,48 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed refuses database-qualified names (round-9 advice)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      TableLayout.writeBucketed(df, "somedb.tbl", "k", 2)
+    }
+    assert(e.getMessage.contains("unqualified"))
+  }
+
+  test("writeBucketed orphan delete spares a directory a catalog " +
+    "entry still references") {
+    val s = spark
+    import s.implicits._
+    // park an EXTERNAL table (under a DIFFERENT name) whose location
+    // is exactly the warehouse path writeBucketed computes for the
+    // name 'guard_probe_data'. Before the guard, the overwrite path
+    // silently DELETED that directory (it looked like an orphan);
+    // now the delete must not fire — the write fails loudly on the
+    // occupied location and the external table's data survives.
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.io.File(new java.net.URI(
+      wh.stripSuffix("/") + "/guard_probe_data"))
+    try {
+      Seq((7L, "keep")).toDF("k", "v").write.mode("overwrite")
+        .parquet(loc.toString)
+      s.sql("DROP TABLE IF EXISTS other_name")
+      s.sql(s"CREATE TABLE other_name (k BIGINT, v STRING) " +
+        s"USING parquet LOCATION '${loc.toString}'")
+      intercept[Exception] {
+        TableLayout.writeBucketed(Seq((1L, "a")).toDF("k", "v"),
+          "guard_probe_data", "k", 2)
+      }
+      assert(s.read.parquet(loc.toString).count() >= 1L,
+        "externally-referenced directory was deleted")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS other_name")
+      s.sql("DROP TABLE IF EXISTS guard_probe_data")
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+  }
+
   test("partitioned layout prunes partitions at scan time") {
     val s2 = spark
     import s2.implicits._
