@@ -2115,10 +2115,16 @@ object SparkEntry {
     // bits cannot touch all 4 bands, so every qualifying pair shares
     // an intact band), never all-pairs. The retrieval step d7's
     // exact-equality clustering was missing.
+    // Fingerprints come from the NATIVE one-pass kernel
+    // (Md5SimHash60): d7 keeps the declarative form under its oracle,
+    // this entry pins the native twin, and DedupSpec pins their
+    // equality — both forms stay oracle-covered. The 60-lambda
+    // interpreted vote loop was the measured bulk of this entry's
+    // pinned-lineage build.
     "d54_simhash_neighbors" -> Q(
       (s, dir) => Dedup.bandedHammingPairs(
           table(s, dir, "documents").select(col("doc_id"),
-            Dedup.simhash60Portable(split(col("text"), " "))
+            Dedup.simhash60PortableNative(split(col("text"), " "))
               .as("simhash")),
           "doc_id", "simhash", bits = 60, bands = 4, maxDist = 3,
           counterTag = Some("d54_simhash_neighbors"))

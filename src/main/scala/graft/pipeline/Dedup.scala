@@ -311,6 +311,16 @@ object Dedup {
       }
     }
 
+  /** Native-kernel twin of [[simhash60Portable]]: the same bits from
+    * graft.functions.Md5SimHash60's one-pass JVM loop instead of the
+    * 60-lambda interpreted zip_with per token (the measured bulk of
+    * d54's fingerprint lineage — see PLANS.md round-10 third wave).
+    * Differential-tested equal in DedupSpec. */
+  def simhash60PortableNative(tokens: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.Md5SimHash60(
+        org.apache.spark.sql.GraftBridge.expression(tokens)))
+
   /** Modulus of the portable affine rehash family: the Mersenne prime
     * 2^31-1. (h % M) * (2j+1) ≤ ~2^36, so the arithmetic never
     * overflows a 64-bit long in any engine. */

@@ -959,6 +959,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash60PortableNative is bit-identical to the declarative form") {
+    val s = spark
+    import s.implicits._
+    val fixture = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val diff = fixture.select(
+        Dedup.simhash60Portable(col("toks")).as("a"),
+        Dedup.simhash60PortableNative(col("toks")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(diff === 0L)
+    // degenerate inputs: empty token, single token, repeated tokens
+    val hand = Seq(Seq(""), Seq("x"), Seq("x", "x", "y"),
+      Seq("the", "quick", "brown", "fox"))
+      .toDF("toks")
+    val handDiff = hand.select(
+        Dedup.simhash60Portable(col("toks")).as("a"),
+        Dedup.simhash60PortableNative(col("toks")).as("b"))
+      .collect()
+    handDiff.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("fuzzyValuePairs: substitution recall, blocking contract, counts") {
     val s = spark
     import s.implicits._
