@@ -111,6 +111,65 @@ object SparkEntry {
         "event_id", "committed_text", "selected_candidate_rank")),
       "view" -> graft.config.EventFieldRules(Set("event_id", "value"))))
 
+  /** Shared g7/g9 body: personalized PageRank from the 2 smallest
+    * node ids of the staged near-dup pair graph (a 2-row parameter
+    * fetch, data-derived so the oracle re-derives them); `sparse`
+    * flips only the PLAN (frontier-carried state), never the ranks. */
+  private def pprEntry(s: SparkSession, dir: String,
+                       sparse: Boolean): DataFrame = {
+    val pairs = dedupArtifacts(s, dir).pairs
+    val seeds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct().orderBy("id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    graft.pipeline.GraphOps.personalizedPageRankMicro(
+        pairs, "id_a", "id_b", seeds, iterations = 3, sparse = sparse)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(desc("rank_micro"), asc("doc_id")).limit(500)
+  }
+
+  /** The g7/g9 oracle: 3 unrolled PPR rounds over the verified pair
+    * graph, shared verbatim by the dense and sparse entries — the
+    * oracle is what pins that the plan choice never moves a rank. */
+  private lazy val pprOracleSql: String =
+    s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+       |pgs AS (SELECT id FROM (SELECT id_a AS id FROM vpairs
+       |        UNION SELECT id_b FROM vpairs) u
+       |        ORDER BY id LIMIT 2),
+       |pge AS (SELECT id_a AS src, id_b AS dst FROM vpairs
+       |        UNION ALL
+       |        SELECT id_b AS src, id_a AS dst FROM vpairs),
+       |pgd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM pge GROUP BY src),
+       |ppr0 AS (SELECT src AS id, CAST(CASE WHEN src IN
+       |      (SELECT id FROM pgs) THEN 1000000 ELSE 0 END
+       |      AS BIGINT) AS r
+       |    FROM pgd),
+       |ppr1 AS (SELECT pge.dst AS id, CAST(
+       |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+       |        THEN 150000 ELSE 0 END
+       |      + ROUND(0.85 * SUM(ppr0.r // pgd.deg)) AS BIGINT)
+       |      AS r
+       |    FROM pge JOIN ppr0 ON ppr0.id = pge.src
+       |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
+       |ppr2 AS (SELECT pge.dst AS id, CAST(
+       |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+       |        THEN 150000 ELSE 0 END
+       |      + ROUND(0.85 * SUM(ppr1.r // pgd.deg)) AS BIGINT)
+       |      AS r
+       |    FROM pge JOIN ppr1 ON ppr1.id = pge.src
+       |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
+       |ppr3 AS (SELECT pge.dst AS id, CAST(
+       |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
+       |        THEN 150000 ELSE 0 END
+       |      + ROUND(0.85 * SUM(ppr2.r // pgd.deg)) AS BIGINT)
+       |      AS r
+       |    FROM pge JOIN ppr2 ON ppr2.id = pge.src
+       |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst)
+       |SELECT id AS doc_id, r AS rank_micro FROM ppr3
+       |ORDER BY rank_micro DESC, doc_id ASC
+       |LIMIT 500""".stripMargin
+
   /** The d56 demo model: 512 micro-integer hashed-feature weights +
     * bias from a fixed integer recurrence — deterministic, so the SAME
     * literals splice into the Spark plan and the DuckDB oracle (the
@@ -2205,6 +2264,55 @@ object SparkEntry {
              |  array_to_string(str_split(trim(enc, '()'), ')('), ' ')
              |    AS segmentation
              |FROM v6 ORDER BY word""".stripMargin)),
+
+    // Learned-classifier TRAINING: multinomial Naive Bayes with
+    // Laplace smoothing, trained on (text, lang) and re-scored over
+    // the same corpus — train, score, and the confusion-matrix
+    // evaluation all in exact aggregates (NB's MLE is a pair of
+    // groupBys; no gradient descent, so the whole loop is
+    // oracle-checkable). Per-term micro rounding before summation
+    // (d28/d47 discipline); argmax via min(struct(-score, label)),
+    // an aggregate, not a window.
+    "d58_nb_confusion" -> Q(
+      (s, dir) => graft.pipeline.Classify.nbSelfConfusion(
+          table(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("label_actual", "label_pred"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    unnest(str_split(text, ' ')) AS tok FROM documents),
+             |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+             |  FROM t),
+             |nl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS n
+             |  FROM t GROUP BY lang),
+             |dl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS d
+             |  FROM documents GROUP BY lang),
+             |dd AS (SELECT CAST(count(*) AS BIGINT) AS d
+             |  FROM documents),
+             |ct AS (SELECT lang AS clab, tok AS ctok,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM t GROUP BY lang, tok),
+             |cand AS (SELECT t.doc_id, t.lang, t.tok, nl.cl, nl.n
+             |  FROM t CROSS JOIN nl),
+             |terms AS (SELECT c2.doc_id, c2.lang, c2.cl,
+             |    CAST(round(1e6 * ln((COALESCE(ct.c, 0) + 1)
+             |      / CAST(c2.n + vs.v AS DOUBLE))) AS BIGINT) AS term
+             |  FROM cand c2 CROSS JOIN vs
+             |  LEFT JOIN ct ON ct.clab = c2.cl AND ct.ctok = c2.tok),
+             |pri AS (SELECT dl.cl,
+             |    CAST(round(1e6 * ln(CAST(dl.d AS DOUBLE) / dd.d))
+             |      AS BIGINT) AS p
+             |  FROM dl CROSS JOIN dd),
+             |sc AS (SELECT tr.doc_id, tr.lang, tr.cl,
+             |    CAST(SUM(tr.term) + max(pri.p) AS BIGINT) AS s
+             |  FROM terms tr JOIN pri ON pri.cl = tr.cl
+             |  GROUP BY tr.doc_id, tr.lang, tr.cl),
+             |pred AS (SELECT doc_id, lang, cl AS pl FROM (
+             |    SELECT doc_id, lang, cl, s, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY s DESC, cl ASC) AS rn
+             |    FROM sc) w WHERE rn = 1)
+             |SELECT lang AS label_actual, pl AS label_pred,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM pred GROUP BY 1, 2
+             |ORDER BY label_actual, label_pred""".stripMargin)),
 
     // Learned quality-classifier INFERENCE (fastText-style): hashed
     // unigram+bigram features dot a literal micro-integer weight
@@ -5047,54 +5155,21 @@ object SparkEntry {
     // the oracle re-derives them); unreached nodes report rank 0.
     // Same integer micro discipline and chained-CTE replay as g1.
     "g7_personalized_pagerank" -> Q(
-      (s, dir) => {
-        val pairs = dedupArtifacts(s, dir).pairs
-        val seeds = pairs.select(col("id_a").as("id"))
-          .union(pairs.select(col("id_b").as("id")))
-          .distinct().orderBy("id").limit(2)
-          .collect().map(_.getLong(0)).toSeq
-        graft.pipeline.GraphOps.personalizedPageRankMicro(
-            pairs, "id_a", "id_b", seeds, iterations = 3)
-          .withColumnRenamed("id", "doc_id")
-          .orderBy(desc("rank_micro"), asc("doc_id")).limit(500)
-      },
-      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
-              |pgs AS (SELECT id FROM (SELECT id_a AS id FROM vpairs
-              |        UNION SELECT id_b FROM vpairs) u
-              |        ORDER BY id LIMIT 2),
-              |pge AS (SELECT id_a AS src, id_b AS dst FROM vpairs
-              |        UNION ALL
-              |        SELECT id_b AS src, id_a AS dst FROM vpairs),
-              |pgd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
-              |        FROM pge GROUP BY src),
-              |ppr0 AS (SELECT src AS id, CAST(CASE WHEN src IN
-              |      (SELECT id FROM pgs) THEN 1000000 ELSE 0 END
-              |      AS BIGINT) AS r
-              |    FROM pgd),
-              |ppr1 AS (SELECT pge.dst AS id, CAST(
-              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
-              |        THEN 150000 ELSE 0 END
-              |      + ROUND(0.85 * SUM(ppr0.r // pgd.deg)) AS BIGINT)
-              |      AS r
-              |    FROM pge JOIN ppr0 ON ppr0.id = pge.src
-              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
-              |ppr2 AS (SELECT pge.dst AS id, CAST(
-              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
-              |        THEN 150000 ELSE 0 END
-              |      + ROUND(0.85 * SUM(ppr1.r // pgd.deg)) AS BIGINT)
-              |      AS r
-              |    FROM pge JOIN ppr1 ON ppr1.id = pge.src
-              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst),
-              |ppr3 AS (SELECT pge.dst AS id, CAST(
-              |      CASE WHEN pge.dst IN (SELECT id FROM pgs)
-              |        THEN 150000 ELSE 0 END
-              |      + ROUND(0.85 * SUM(ppr2.r // pgd.deg)) AS BIGINT)
-              |      AS r
-              |    FROM pge JOIN ppr2 ON ppr2.id = pge.src
-              |    JOIN pgd ON pgd.src = pge.src GROUP BY pge.dst)
-              |SELECT id AS doc_id, r AS rank_micro FROM ppr3
-              |ORDER BY rank_micro DESC, doc_id ASC
-              |LIMIT 500""".stripMargin)),
+      (s, dir) => pprEntry(s, dir, sparse = false),
+      Some(pprOracleSql)),
+
+    // The SPARSE-FRONTIER twin of g7 — same seeds, same oracle, same
+    // bit-exact ranks, different PLAN: only nonzero-rank rows ride the
+    // per-round join (a zero rank contributes exactly 0 to the inflow
+    // sum, so dropping the rows is arithmetic identity), unreached
+    // nodes report 0 through one final node-sized left join. The
+    // round-10 ring rehearsal measured 6.8x on a 50M-edge graph where
+    // the 3-hop frontier was 7 nodes; this entry keeps the path under
+    // a driver-checked oracle (the q17b/q17c twin convention: the
+    // oracle pins that plan choice never moves the answer).
+    "g9_ppr_sparse" -> Q(
+      (s, dir) => pprEntry(s, dir, sparse = true),
+      Some(pprOracleSql)),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /

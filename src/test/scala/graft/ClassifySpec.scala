@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipeline.Classify
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Naive Bayes train→score→confusion against an INDEPENDENT
+  * in-memory reference (plain Scala maps + Math.log, same micro
+  * rounding discipline). */
+class ClassifySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Reference NB: multinomial, Laplace-smoothed, per-term micro
+    * rounding, min(-score, label) tie-break. */
+  private def refConfusion(docs: Seq[(Long, String, String)])
+      : Map[(String, String), Long] = {
+    def roundMicro(x: Double): Long =
+      BigDecimal(x * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val toks = docs.flatMap { case (id, text, lab) =>
+      text.split(" ", -1).map(t => (id, lab, t)) }
+    val classTok = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val docCnt = docs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val vocab = toks.map(_._3).distinct.size.toLong
+    val counts = toks.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.size.toLong).toMap
+    val labels = classTok.keys.toSeq.sorted
+    val preds = docs.map { case (id, text, lab) =>
+      val best = labels.map { l =>
+        val prior = roundMicro(math.log(
+          docCnt(l).toDouble / docs.size))
+        val terms = text.split(" ", -1).map { t =>
+          roundMicro(math.log(
+            (counts.getOrElse((l, t), 0L) + 1).toDouble /
+              (classTok(l) + vocab).toDouble))
+        }.sum
+        (-(prior + terms), l)
+      }.min
+      (lab, best._2)
+    }
+    preds.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("nbSelfConfusion matches the independent reference") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "der hund und die katze", "de"),
+      (2L, "die katze und der vogel", "de"),
+      (3L, "der vogel singt und singt", "de"),
+      (4L, "the cat and the dog", "en"),
+      (5L, "the bird sings and sings", "en"),
+      (6L, "the dog and the bird", "en"),
+      (7L, "le chat et le chien", "fr"),
+      (8L, "le chien et le oiseau", "fr"),
+      // deliberately ambiguous: shared-vocab word soup
+      (9L, "und the et", "en"))
+    val got = Classify.nbSelfConfusion(
+        docs.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === refConfusion(docs))
+    // the clean docs classify to their own language
+    assert(got.getOrElse(("de", "de"), 0L) === 3L)
+    assert(got.getOrElse(("fr", "fr"), 0L) === 2L)
+  }
+
+  test("class-count bounds are enforced") {
+    val s = spark
+    import s.implicits._
+    val one = Seq((1L, "a b", "x")).toDF("doc_id", "text", "lang")
+    assertThrows[IllegalArgumentException] {
+      Classify.nbSelfConfusion(one, "doc_id", "text", "lang")
+    }
+  }
+}
