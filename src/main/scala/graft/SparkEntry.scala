@@ -2314,6 +2314,65 @@ object SparkEntry {
              |FROM pred GROUP BY 1, 2
              |ORDER BY label_actual, label_pred""".stripMargin)),
 
+    // NB HOLDOUT evaluation — the d58 trainer composed with a
+    // portable-hash 80/20 split (the d16/d43 split discipline): the
+    // model, INCLUDING its smoothing vocabulary, sees only the train
+    // buckets; the confusion matrix is over the held-out 20%. Unseen
+    // holdout tokens contribute the per-class smoothed floor via the
+    // left-join coalesce.
+    "d59_nb_holdout" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bucket = pmod(
+          Dedup.md5Long60(col("doc_id").cast("string")), lit(5L))
+        graft.pipeline.Classify.nbConfusion(
+            docs.filter(bucket =!= 0L), docs.filter(bucket === 0L),
+            "doc_id", "text", "lang")
+          .orderBy("label_actual", "label_pred")
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, lang, text,
+             |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 5 AS b
+             |  FROM documents),
+             |tr AS (SELECT doc_id, lang, text FROM sp WHERE b <> 0),
+             |te AS (SELECT doc_id, lang, text FROM sp WHERE b = 0),
+             |t AS (SELECT doc_id, lang,
+             |    unnest(str_split(text, ' ')) AS tok FROM tr),
+             |ts AS (SELECT doc_id, lang,
+             |    unnest(str_split(text, ' ')) AS tok FROM te),
+             |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+             |  FROM t),
+             |nl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS n
+             |  FROM t GROUP BY lang),
+             |dl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS d
+             |  FROM tr GROUP BY lang),
+             |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM tr),
+             |ct AS (SELECT lang AS clab, tok AS ctok,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM t GROUP BY lang, tok),
+             |cand AS (SELECT ts.doc_id, ts.lang, ts.tok, nl.cl, nl.n
+             |  FROM ts CROSS JOIN nl),
+             |terms AS (SELECT c2.doc_id, c2.lang, c2.cl,
+             |    CAST(round(1e6 * ln((COALESCE(ct.c, 0) + 1)
+             |      / CAST(c2.n + vs.v AS DOUBLE))) AS BIGINT) AS term
+             |  FROM cand c2 CROSS JOIN vs
+             |  LEFT JOIN ct ON ct.clab = c2.cl AND ct.ctok = c2.tok),
+             |pri AS (SELECT dl.cl,
+             |    CAST(round(1e6 * ln(CAST(dl.d AS DOUBLE) / dd.d))
+             |      AS BIGINT) AS p
+             |  FROM dl CROSS JOIN dd),
+             |sc AS (SELECT tr2.doc_id, tr2.lang, tr2.cl,
+             |    CAST(SUM(tr2.term) + max(pri.p) AS BIGINT) AS s
+             |  FROM terms tr2 JOIN pri ON pri.cl = tr2.cl
+             |  GROUP BY tr2.doc_id, tr2.lang, tr2.cl),
+             |pred AS (SELECT doc_id, lang, cl AS pl FROM (
+             |    SELECT doc_id, lang, cl, s, row_number() OVER (
+             |      PARTITION BY doc_id ORDER BY s DESC, cl ASC) AS rn
+             |    FROM sc) w WHERE rn = 1)
+             |SELECT lang AS label_actual, pl AS label_pred,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM pred GROUP BY 1, 2
+             |ORDER BY label_actual, label_pred""".stripMargin)),
+
     // Learned quality-classifier INFERENCE (fastText-style): hashed
     // unigram+bigram features dot a literal micro-integer weight
     // vector (the model rides the task closure — broadcast by

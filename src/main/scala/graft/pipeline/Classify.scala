@@ -36,8 +36,21 @@ object Classify {
     * audit of how separable the classes are under a bag-of-words
     * model. */
   def nbSelfConfusion(docs: DataFrame, idCol: String, textCol: String,
-                      labelCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("_id"),
+                      labelCol: String): DataFrame =
+    nbConfusion(docs, docs, idCol, textCol, labelCol)
+
+  /** Train on `train`, score `score` (the holdout form — compose with
+    * a leakage-safe split for a real evaluation). All model
+    * statistics, INCLUDING the smoothing vocabulary size, come from
+    * `train` only; a holdout token unseen in training contributes the
+    * smoothed floor for every class through the left-join coalesce.
+    * Predictions range over the TRAIN labels only; a holdout doc
+    * whose actual label never occurred in training still appears in
+    * the matrix under its own label_actual (necessarily
+    * misclassified — the honest accounting). */
+  def nbConfusion(train: DataFrame, score: DataFrame, idCol: String,
+                  textCol: String, labelCol: String): DataFrame = {
+    val toks = train.select(col(idCol).as("_id"),
       col(labelCol).as("_lab"),
       explode(split(col(textCol), " ")).as("_tok"))
     // bounded parameter fetches: per-class token totals + doc counts,
@@ -46,8 +59,8 @@ object Classify {
       .agg(count(lit(1)).as("_n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(classStats.size >= 2 && classStats.size <= 64,
-      s"nbSelfConfusion expects 2..64 classes, got ${classStats.size}")
-    val docCounts = docs.groupBy(col(labelCol).as("_lab"))
+      s"nbConfusion expects 2..64 classes, got ${classStats.size}")
+    val docCounts = train.groupBy(col(labelCol).as("_lab"))
       .agg(count(lit(1)).as("_d")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val totalDocs = docCounts.values.sum
@@ -77,7 +90,10 @@ object Classify {
 
     val counts = toks.groupBy(col("_lab").as("_clab"),
       col("_tok").as("_ctok")).agg(count(lit(1)).as("_c"))
-    val scored = toks
+    val scoreToks = score.select(col(idCol).as("_id"),
+      col(labelCol).as("_lab"),
+      explode(split(col(textCol), " ")).as("_tok"))
+    val scored = scoreToks
       .select(col("_id"), col("_lab"), col("_tok"),
         explode(array(labels.map(lit(_)): _*)).as("_cand"))
       .join(counts, col("_cand") === col("_clab") &&

@@ -66,6 +66,33 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.getOrElse(("fr", "fr"), 0L) === 2L)
   }
 
+  test("nbConfusion holdout: model stats come from train only; " +
+    "unseen tokens get the smoothed floor") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "aa aa bb", "x"),
+      (2L, "aa bb bb", "x"),
+      (3L, "cc cc dd", "y"),
+      (4L, "cc dd dd", "y"))
+    val test = Seq(
+      (10L, "aa bb", "x"),       // clean x vocabulary
+      (11L, "cc dd", "y"),       // clean y vocabulary
+      (12L, "zz zz", "y"))       // entirely UNSEEN tokens
+    val got = Classify.nbConfusion(
+        train.toDF("doc_id", "text", "lang"),
+        test.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got(("x", "x")) === 1L)
+    // doc 12: every token floors identically for both classes, both
+    // priors are equal (2 docs each) -> exact tie -> smallest label
+    assert(got(("y", "y")) === 1L && got(("y", "x")) === 1L)
+    assert(got.values.sum === 3L)
+  }
+
   test("class-count bounds are enforced") {
     val s = spark
     import s.implicits._
