@@ -36,6 +36,22 @@ object Counters {
     obs
   }
 
+  private val notes = new java.util.concurrent.ConcurrentLinkedQueue[
+    (String, String, Map[String, Any])]
+
+  /** DRIVER-LOOP counter: for operators whose cost driver is a
+    * driver-side iteration (the exact-selection narrowing rounds, a
+    * convergence loop) rather than an in-plan row count — an
+    * Observation cannot ride those, but the numbers belong in the
+    * bench artifact for the same reason (a drifted timing must be
+    * adjudicable from the artifact alone: rounds grew → data shape;
+    * rounds flat but time up → the plan or the suite). Drained
+    * together with the observations; same keep-last dedup, so an
+    * operator noted in both of a bench's timed runs reports once. */
+  def note(tag: String, label: String,
+           values: Map[String, Any]): Unit =
+    notes.add((tag, label, values))
+
   /** Non-blocking drain: every registered observation that has FIRED,
     * as (tag, label, metric → value) in registration order; unfired
     * ones are dropped. Clears the registry either way. Re-registrations
@@ -71,9 +87,16 @@ object Counters {
           (e.tag, e.label, m)
         }
       }
+    val noted = {
+      import scala.jdk.CollectionConverters._
+      val v = notes.asScala.toVector
+      notes.clear()
+      v
+    }
     // keep last per (tag, label), preserve first-seen order
-    val last = fired.map { case (t, l, m) => (t, l) -> m }.toMap
-    fired.map { case (t, l, _) => (t, l) }.distinct
+    val all = fired ++ noted
+    val last = all.map { case (t, l, m) => (t, l) -> m }.toMap
+    all.map { case (t, l, _) => (t, l) }.distinct
       .map { case (t, l) => (t, l, last((t, l))) }
   }
 }

@@ -420,6 +420,12 @@ object DistributedSelect {
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
       }
 
+    // driver-loop counters into the bench artifact (Counters.note —
+    // keep-last, so a multi-pass caller like groupedMad reports its
+    // final pass): rounds is THE cost driver here
+    Counters.note("grouped_weighted_quantile", "loop", Map(
+      "rounds" -> rounds.toLong, "groups" -> state.size.toLong,
+      "tail_resolved" -> resolvedTail.size.toLong))
     // guarded lookup (round-9 advice): if FP drift between the
     // floor((v-lo)/width) cell assignment and the v∈[lo,hi] resolve
     // filter ever strands a pending group with no crossing row, fail
@@ -624,6 +630,10 @@ object DistributedSelect {
           .collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       }
+    Counters.note("exact_quantiles", "loop", Map(
+      "rounds" -> rounds.toLong,
+      "targets" -> kOf.values.toSet.size.toLong,
+      "tail_resolved" -> resolvedTail.size.toLong))
     qs.distinct.sorted.map { q =>
       val k = kOf(q)
       val s = state(k)

@@ -1214,6 +1214,11 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge within $maxRounds rounds")
+    // driver-loop counter (Counters.note): contraction rounds are THE
+    // cost driver of every CC-shaped entry (d23, and d44 runs three
+    // of these sequentially); keep-last reports the final convergence
+    Counters.note("connected_components", "cc", Map(
+      "rounds" -> rounds.toLong, "star_edges" -> edges.count()))
     val d = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     d.groupBy("u").agg(min("v").as("mv"))

@@ -312,7 +312,9 @@ object GraphOps {
         it < iterations)
         state = state.localCheckpoint()
     }
-    deg.select(col("src").as("id")).distinct()
+    // deg is one row per node by construction (groupBy src) — no
+    // distinct, so the final zero-fill is one join, not join+shuffle
+    deg.select(col("src").as("id"))
       .join(state, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))

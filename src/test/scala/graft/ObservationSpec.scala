@@ -199,6 +199,18 @@ class ObservationSpec extends AnyFunSuite {
     assert(pairs === n && n === 2L)
   }
 
+  test("driver-loop notes drain alongside observations, keep-last") {
+    graft.ops.Counters.drain() // isolate
+    graft.ops.Counters.note("op", "loop", Map("rounds" -> 2L))
+    graft.ops.Counters.note("op", "loop", Map("rounds" -> 5L))
+    graft.ops.Counters.note("op2", "cc", Map("rounds" -> 1L))
+    val cs = graft.ops.Counters.drain()
+    assert(cs === Seq(
+      ("op", "loop", Map[String, Any]("rounds" -> 5L)),
+      ("op2", "cc", Map[String, Any]("rounds" -> 1L))))
+    assert(graft.ops.Counters.drain().isEmpty) // cleared
+  }
+
   test("drain waits ONE shared deadline across unfired observations " +
     "(round-9 advice)") {
     graft.ops.Counters.drain() // isolate
