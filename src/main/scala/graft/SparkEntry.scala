@@ -185,8 +185,12 @@ object SparkEntry {
     * word-frequency vocab; each round r contributes s_r (symbol
     * split), p_r (weighted adjacent-pair counts), m_r (deterministic
     * argmax) and v_r (the merge applied via leftmost non-overlapping
-    * replace, the exact Bpe semantics). d55 reads the m_r rows, d57
-    * reads the final v_rounds vocabulary. */
+    * replace, the exact Bpe semantics). v_r LEFT-joins the 1-row m_r
+    * (ON true) and carries the vocabulary through UNCHANGED when m_r
+    * is empty — matching Bpe.train's early stop when no adjacent pair
+    * remains; a cross join would collapse every later v_k to zero
+    * rows and diverge d57 on an exhausted corpus. d55 reads the m_r
+    * rows, d57 reads the final v_rounds vocabulary. */
   private def bpeChainCtes(rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""s$r AS (SELECT str_split(trim(enc, '()'), ')(') AS sy, n
@@ -198,10 +202,11 @@ object SparkEntry {
          |  GROUP BY u.l, u.r),
          |m$r AS (SELECT l, r, c FROM p$r
          |  ORDER BY c DESC, l, r LIMIT 1),
-         |v$r AS (SELECT w, replace(enc,
-         |    '(' || m$r.l || ')(' || m$r.r || ')',
-         |    '(' || m$r.l || m$r.r || ')') AS enc, n
-         |  FROM v${r - 1}, m$r)""".stripMargin
+         |v$r AS (SELECT w, CASE WHEN m$r.l IS NULL THEN enc
+         |    ELSE replace(enc,
+         |      '(' || m$r.l || ')(' || m$r.r || ')',
+         |      '(' || m$r.l || m$r.r || ')') END AS enc, n
+         |  FROM v${r - 1} LEFT JOIN m$r ON true)""".stripMargin
     }.mkString(",\n")
     s"""WITH w0 AS (SELECT t.w AS w FROM (SELECT
        |    unnest(str_split(text, ' ')) AS w FROM documents) t

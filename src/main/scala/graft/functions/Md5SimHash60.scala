@@ -52,14 +52,14 @@ object Md5SimHash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** The per-row kernel (called from generated code). A null token
-    * element hashes like the declarative form: md5 of a null cast
-    * yields null -> md5Long60 null -> the zip_with vote row is null
-    * and the +/- contribution is null... which in the declarative
-    * aggregate propagates null into every vote. Token arrays here
-    * come from split() and are never null-elemented; the kernel
-    * skips null elements defensively (documented deviation only
-    * reachable through hand-built arrays). */
+  /** The per-row kernel (called from generated code). A NULL token
+    * element votes −1 on every bit, exactly like the declarative
+    * form: there md5Long60(null) is null, each bit's
+    * `when(null === 1, +1).otherwise(−1)` falls through to the
+    * otherwise branch, and all 60 votes shift down by one. Token
+    * arrays from split() are never null-elemented, but hand-built
+    * arrays must hash identically for the differential spec's
+    * bit-for-bit claim to hold. */
   def compute(tokens: ArrayData): Long = {
     val n = tokens.numElements()
     val votes = new Array[Int](60)
@@ -67,7 +67,10 @@ object Md5SimHash60 {
     var i = 0
     while (i < n) {
       val t = tokens.getUTF8String(i)
-      if (t != null) {
+      if (t == null) {
+        var b = 0
+        while (b < 60) { votes(b) -= 1; b += 1 }
+      } else {
         digest.reset()
         val d = digest.digest(t.getBytes)
         var be = 0L

@@ -46,16 +46,23 @@ object TableLayout {
           spark.conf.get("spark.sql.warehouse.dir")),
         table.toLowerCase(java.util.Locale.ROOT))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val qualified = fs.makeQualified(loc)
-      val catalog = spark.sessionState.catalog
-      val stillReferenced = catalog.listDatabases().exists { db =>
-        catalog.listTables(db).exists { id =>
-          try fs.makeQualified(new org.apache.hadoop.fs.Path(
-            catalog.getTableMetadata(id).location)) == qualified
-          catch { case _: Exception => false }
+      // fast path first: no orphan directory (the overwhelmingly
+      // common case) → zero catalog RPCs. Only when a directory DOES
+      // sit at the computed path is the catalog swept for a surviving
+      // reference — that sweep is O(#tables) metastore calls, priced
+      // only on the rare recovery path, not on every write.
+      if (fs.exists(loc)) {
+        val qualified = fs.makeQualified(loc)
+        val catalog = spark.sessionState.catalog
+        val stillReferenced = catalog.listDatabases().exists { db =>
+          catalog.listTables(db).exists { id =>
+            try fs.makeQualified(new org.apache.hadoop.fs.Path(
+              catalog.getTableMetadata(id).location)) == qualified
+            catch { case _: Exception => false }
+          }
         }
+        if (!stillReferenced) fs.delete(loc, true)
       }
-      if (!stillReferenced && fs.exists(loc)) fs.delete(loc, true)
     }
     val w = df.write.mode(mode)
       .format("parquet")

@@ -38,6 +38,13 @@ object Counters {
 
   private val notes = new java.util.concurrent.ConcurrentLinkedQueue[
     (String, String, Map[String, Any])]
+  private val noteCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Bound on undrained notes: note() is called unconditionally from
+    * library operators, and a long-running service that never drains
+    * (only the bench main does) must not leak — beyond the cap the
+    * OLDEST notes are dropped (the artifact wants the latest run's
+    * numbers anyway). */
+  val MaxUndrainedNotes: Int = 1024
 
   /** DRIVER-LOOP counter: for operators whose cost driver is a
     * driver-side iteration (the exact-selection narrowing rounds, a
@@ -49,8 +56,13 @@ object Counters {
     * together with the observations; same keep-last dedup, so an
     * operator noted in both of a bench's timed runs reports once. */
   def note(tag: String, label: String,
-           values: Map[String, Any]): Unit =
+           values: Map[String, Any]): Unit = {
     notes.add((tag, label, values))
+    if (noteCount.incrementAndGet() > MaxUndrainedNotes) {
+      notes.poll()
+      noteCount.decrementAndGet()
+    }
+  }
 
   /** Non-blocking drain: every registered observation that has FIRED,
     * as (tag, label, metric → value) in registration order; unfired
@@ -91,6 +103,7 @@ object Counters {
       import scala.jdk.CollectionConverters._
       val v = notes.asScala.toVector
       notes.clear()
+      noteCount.set(0)
       v
     }
     // keep last per (tag, label), preserve first-seen order

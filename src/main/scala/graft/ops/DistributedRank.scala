@@ -102,8 +102,7 @@ object DistributedRank {
                            out: String = "rank",
                            accuracy: Int = 1000): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
-    rankFromCells(balancedCells(df, groupCol, valueCol, buckets, accuracy,
-        tieCols),
+    rankFromCells(balancedCells(df, groupCol, valueCol, buckets, accuracy),
       groupCol, valueCol, tieCols, buckets.toLong, out)
   }
 
@@ -115,7 +114,6 @@ object DistributedRank {
                                    valueCol: String,
                                    buckets: Int,
                                    accuracy: Int = 1000,
-                                   tieCols: Seq[String] = Seq.empty,
                                    sampleMod: Int = 16): DataFrame = {
     val v = col(valueCol).cast("double")
     if (buckets == 1) {
@@ -146,25 +144,34 @@ object DistributedRank {
     // SAMPLED sketch input (the round-10 close of that residual): the
     // sketch only needs boundary ESTIMATES — Spark's own
     // RangePartitioner picks shuffle bounds from a sample for the
-    // same reason — so only rows whose deterministic row hash lands
-    // in 1/sampleMod of the space feed it. The sketch aggregation is
-    // a SEPARATE pass from the exact _grp_n count, on purpose: one
-    // TypedImperativeAggregate in a groupBy forces the whole
-    // aggregation onto ObjectHashAggregateExec (no whole-stage
-    // codegen), so fusing count+sketch made every row pay the
-    // object-agg row path. Split, the count stays a codegen'd
-    // HashAggregate over all rows, the sketch's object path sees only
-    // the post-filter 1/sampleMod sample, and the two groups-sized
-    // results meet in a tiny join. Balance error grows
-    // ~sqrt(sampleMod) on the sampled count — negligible for any
-    // group big enough for balance to matter, and a group too small
-    // to sample (null sketch) falls back to one cell, which is
-    // exactly the cheap case. Ranks are boundary-independent either
-    // way — the q17c oracle pins that.
-    val rowHash = xxhash64((col(groupCol) +: v +: tieCols.map(col)): _*)
+    // same reason — so only ~1/sampleMod of the ROWS feed it. The
+    // sample is a seeded rand() per-row filter (the sample() idiom),
+    // NOT a hash of the value columns: hashing (group, value, ties)
+    // samples distinct value COMBINATIONS wholesale, so a huge
+    // low-cardinality group (10M rows over 20 distinct values, empty
+    // tieCols) could land zero combos in the sample ~27% of the time
+    // and fall back to one cell — the exact skew case this bucketizer
+    // exists to avoid (round-10 review catch). Rand is deterministic
+    // per task attempt given stable input splits, and boundary
+    // placement is allowed to vary anyway: ranks are
+    // boundary-independent (the q17c oracle pins that), and the stats
+    // frame is localCheckpointed so ONE consistent boundary set
+    // serves the whole query.
+    //
+    // The sketch aggregation is a SEPARATE pass from the exact
+    // _grp_n count, on purpose: one TypedImperativeAggregate in a
+    // groupBy forces the whole aggregation onto
+    // ObjectHashAggregateExec (no whole-stage codegen), so fusing
+    // count+sketch made every row pay the object-agg row path.
+    // Split, the count stays a codegen'd HashAggregate over all rows,
+    // the sketch's object path sees only the 1/sampleMod sample, and
+    // the two groups-sized results meet in a tiny join. Balance error
+    // grows ~sqrt(sampleMod) on the sampled count — negligible for
+    // any group big enough for balance to matter; a group too small
+    // to sample (null sketch) falls back to one cell, the cheap case.
     val sketchIn =
       if (sampleMod <= 1) df
-      else df.filter(pmod(rowHash, lit(sampleMod.toLong)) === 0L)
+      else df.filter(rand(20251015L) < lit(1.0 / sampleMod))
     val cnts = df.groupBy(col(groupCol).as("_grp_key"))
       .agg(count(lit(1)).as("_grp_n"))
     val bnds = sketchIn.groupBy(col(groupCol).as("_bnd_key"))

@@ -1204,12 +1204,18 @@ object Dedup {
         col("u") =!= col("v"))
       .distinct().localCheckpoint()
     var converged = edges.isEmpty
+    // carry the edge count across rounds: the convergence test needs
+    // |next| == |edges|, and re-counting the PREVIOUS (checkpointed)
+    // frame each round was a redundant job per round (round-10 review
+    // catch) — as was a fresh count for the note below
+    var edgeCount = if (converged) 0L else edges.count()
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       rounds += 1
     }
     require(converged,
@@ -1218,7 +1224,7 @@ object Dedup {
     // cost driver of every CC-shaped entry (d23, and d44 runs three
     // of these sequentially); keep-last reports the final convergence
     Counters.note("connected_components", "cc", Map(
-      "rounds" -> rounds.toLong, "star_edges" -> edges.count()))
+      "rounds" -> rounds.toLong, "star_edges" -> edgeCount))
     val d = edges.select(col("u"), col("v"))
       .union(edges.select(col("v").as("u"), col("u").as("v")))
     d.groupBy("u").agg(min("v").as("mv"))

@@ -969,10 +969,15 @@ class DedupSpec extends AnyFunSuite {
         Dedup.simhash60PortableNative(col("toks")).as("b"))
       .filter(!(col("a") <=> col("b"))).count()
     assert(diff === 0L)
-    // degenerate inputs: empty token, single token, repeated tokens
+    // degenerate inputs: empty token, single token, repeated tokens,
+    // and a NULL element (votes -1 on every bit in BOTH forms)
     val hand = Seq(Seq(""), Seq("x"), Seq("x", "x", "y"),
       Seq("the", "quick", "brown", "fox"))
       .toDF("toks")
+      .select(col("toks"))
+      .unionByName(spark.range(1).select(
+        array(lit("x"), lit(null).cast("string"), lit("x"))
+          .as("toks")))
     val handDiff = hand.select(
         Dedup.simhash60Portable(col("toks")).as("a"),
         Dedup.simhash60PortableNative(col("toks")).as("b"))
