@@ -782,6 +782,76 @@ object SparkEntry {
               |  CAST(s - LEAST(m, 0) AS BIGINT) AS page
               |FROM s2 ORDER BY event_id LIMIT 1000""".stripMargin)),
 
+    // Batch REPLAY of the T3 page-tracker state machine (the q71
+    // convention applied to the RankRederivation family): events
+    // split into three time-tertile batches, the clamped page walk
+    // folds forward per user through a keyed cogroup, and the carried
+    // state after each prefix must equal the ONE-SHOT t3 window form
+    // (reflection identity) over that prefix — splitting a sequential
+    // walk at batch boundaries cannot move it.
+    "q72_page_track_replay" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val delta =
+          when(col("event_type") === "view" && col("k") % 3 === 0, 1)
+            .when(col("event_type") === "view" && col("k") % 3 === 1, -1)
+            .otherwise(0)
+        val rst =
+          when(col("event_type") === "signup", 1).otherwise(0)
+        val ev = events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"), delta.as("d"), rst.as("rst"))
+        val r = ev.agg(min("ts").as("mn"), max("ts").as("mx")).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        val span = mx - mn + 1
+        val withB = ev.withColumn("_b",
+          expr(s"((ts - $mn) * 3) div $span"))
+        val batches = (0L to 2L).map(b =>
+          withB.filter(col("_b") === b).drop("_b")
+            .as[graft.streaming.PageEvent])
+        val snaps = graft.streaming.PageTrackReplay.replay(batches)
+        snaps.zipWithIndex.map { case (st, i) =>
+            st.toDF().withColumn("batch_id", lit(i.toLong)) }
+          .reduce(_ unionAll _)
+          .select(col("batch_id"), col("user_id"), col("page"))
+          .orderBy("batch_id", "user_id").limit(5000)
+      },
+      Some(s"""$cte,
+              |pe0 AS (SELECT event_id, user_id, ts,
+              |    epoch_ns(ts) AS tn,
+              |    CASE WHEN event_type = 'view' AND k % 3 = 0 THEN 1
+              |         WHEN event_type = 'view' AND k % 3 = 1 THEN -1
+              |         ELSE 0 END AS d,
+              |    CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+              |      AS rst
+              |  FROM rime),
+              |prng AS (SELECT min(tn) AS mn, max(tn) AS mx FROM pe0),
+              |peb AS (SELECT pe0.*,
+              |    ((tn - prng.mn) * 3) // (prng.mx - prng.mn + 1) AS bb
+              |  FROM pe0, prng),
+              |pp AS (SELECT gb.b AS pb FROM generate_series(0, 2)
+              |  gb(b)),
+              |pfx AS (SELECT pp.pb, peb.* FROM pp
+              |  JOIN peb ON peb.bb <= pp.pb),
+              |pr AS (SELECT *, SUM(rst) OVER (
+              |    PARTITION BY pb, user_id ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS run FROM pfx),
+              |ps1 AS (SELECT *, SUM(d) OVER (
+              |    PARTITION BY pb, user_id, run ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS s FROM pr),
+              |ps2 AS (SELECT *, MIN(s) OVER (
+              |    PARTITION BY pb, user_id, run ORDER BY ts, event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS m FROM ps1),
+              |plast AS (SELECT *, row_number() OVER (
+              |    PARTITION BY pb, user_id
+              |    ORDER BY ts DESC, event_id DESC) AS rn FROM ps2)
+              |SELECT CAST(pb AS BIGINT) AS batch_id, user_id,
+              |  CAST(s - LEAST(m, 0) AS BIGINT) AS page
+              |FROM plast WHERE rn = 1
+              |ORDER BY batch_id, user_id LIMIT 5000""".stripMargin)),
+
     "t5_selection_method" -> Q(
       (s, dir) => {
         // synthesize the pending key action / buffer the way the producer

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.model.LogEvent
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** A raw producer-side event, before the producer's derivations: one row
@@ -209,5 +209,53 @@ object RankRederivation {
     events.groupByKey(_.session_id)
       .flatMapGroupsWithState(OutputMode.Append(), conf)(
         processGroup(sessionIdleTimeout))
+  }
+}
+
+/** One page-tracker input: a delta (nav key direction) and a reset
+  * flag (buffer change / session start), pre-derived from the event
+  * row — the T3 state machine's minimal alphabet. */
+final case class PageEvent(user_id: Long, ts: Long, event_id: Long,
+                           d: Int, rst: Int)
+
+/** A user's tracked page after a batch. */
+final case class PageSnapshot(user_id: Long, page: Long)
+
+/** Batch REPLAY of the T3 page tracker (the q56/q66/d41/q71 replay
+  * convention applied to the RankRederivation family): the tracked
+  * page is the clamped walk `page = max(page + d, 0)`, reset to 0 on
+  * `rst` — exactly `RankRederivation.step`'s page logic in the
+  * events-table dialect that t3_page_track pins with its
+  * reflection-identity window oracle (s − min(0, min s) within reset
+  * runs). Folding the walk batch-by-batch through a keyed cogroup
+  * just SPLITS the sequential walk at the batch boundaries, so the
+  * carried state after batches 0..b must equal the one-shot window
+  * form over the prefix — the invariant q72 pins per prefix.
+  *
+  * Shape at scale: state is one (user, page) row per user seen,
+  * cogrouped user-keyed with each batch — no driver state; each
+  * batch's fold localCheckpoints once for its two consumers (carried
+  * state and the emitted snapshot). */
+object PageTrackReplay {
+  def replay(batches: Seq[Dataset[PageEvent]])
+      : Seq[Dataset[PageSnapshot]] = {
+    require(batches.nonEmpty, "need at least one batch")
+    val spark = batches.head.sparkSession
+    implicit val snapEnc = Encoders.product[PageSnapshot]
+    var state = spark.emptyDataset[PageSnapshot](snapEnc)
+    batches.map { b =>
+      val folded = state.groupByKey(_.user_id)(Encoders.scalaLong)
+        .cogroup(b.groupByKey(_.user_id)(Encoders.scalaLong)) {
+          (u, sts, evs) =>
+            var page = if (sts.hasNext) sts.next().page else 0L
+            evs.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+              if (e.rst == 1) page = 0L
+              page = math.max(0L, page + e.d)
+            }
+            Iterator(PageSnapshot(u, page))
+        }.localCheckpoint()
+      state = folded
+      folded
+    }
   }
 }

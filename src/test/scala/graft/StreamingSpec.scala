@@ -418,4 +418,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows === Set((500L, 100L), (500L, 101L)))
     } finally q.stop()
   }
+
+  test("page-tracker batch replay equals the sequential walk on " +
+    "every prefix (hand fixture with resets and clamping)") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.{PageEvent, PageTrackReplay}
+    // one user exercising clamp-at-zero and a mid-stream reset, plus
+    // a second user whose events straddle batch boundaries mid-run
+    val evs = Seq(
+      PageEvent(1L, 10L, 1L, 1, 0),   // page 1
+      PageEvent(1L, 20L, 2L, -1, 0),  // page 0
+      PageEvent(1L, 30L, 3L, -1, 0),  // clamped at 0
+      PageEvent(1L, 40L, 4L, 1, 0),   // page 1         | batch 1
+      PageEvent(1L, 50L, 5L, 0, 1),   // reset -> 0     | batch 1
+      PageEvent(1L, 70L, 6L, 1, 0),   // page 1         | batch 2
+      PageEvent(2L, 15L, 7L, 1, 0),   // page 1
+      PageEvent(2L, 45L, 8L, 1, 0),   // page 2         | batch 1
+      PageEvent(2L, 75L, 9L, 1, 0))   // page 3         | batch 2
+    def ref(user: Long, upToTs: Long): Long = {
+      var page = 0L
+      evs.filter(e => e.user_id == user && e.ts <= upToTs)
+        .sortBy(e => (e.ts, e.event_id)).foreach { e =>
+          if (e.rst == 1) page = 0L
+          page = math.max(0L, page + e.d)
+        }
+      page
+    }
+    val batches = Seq(0L -> 30L, 31L -> 60L, 61L -> 90L).map {
+      case (lo, hi) =>
+        evs.filter(e => e.ts >= lo && e.ts <= hi).toDS()
+    }
+    val snaps = PageTrackReplay.replay(batches)
+    val bounds = Seq(30L, 60L, 90L)
+    snaps.zip(bounds).foreach { case (snap, hi) =>
+      val got = snap.collect().map(p => p.user_id -> p.page).toMap
+      val want = Seq(1L, 2L)
+        .filter(u => evs.exists(e => e.user_id == u && e.ts <= hi))
+        .map(u => u -> ref(u, hi)).toMap
+      assert(got === want, s"prefix <= $hi")
+    }
+    // spot-check the interesting values
+    assert(snaps(0).collect().map(p => p.user_id -> p.page).toMap ===
+      Map(1L -> 0L, 2L -> 1L)) // user 1 clamped at zero
+    assert(snaps(1).collect().map(p => p.user_id -> p.page).toMap ===
+      Map(1L -> 0L, 2L -> 2L)) // reset landed
+    assert(snaps(2).collect().map(p => p.user_id -> p.page).toMap ===
+      Map(1L -> 1L, 2L -> 3L)) // run resumed across the boundary
+  }
 }
