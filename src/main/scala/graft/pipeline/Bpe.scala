@@ -97,6 +97,10 @@ object Bpe {
       }
     }
     import spark.implicits._
+    // driver-loop counter (the d54/CC convention): executed rounds ×
+    // vocabulary size IS this trainer's cost model
+    graft.ops.Counters.note("bpe_train", "loop", Map(
+      "rounds" -> merges.size.toLong, "vocab" -> vocab.count()))
     (merges.toSeq.toDF("round", "lhs", "rhs", "merged", "pair_count"),
       vocab)
   }
