@@ -5305,6 +5305,51 @@ object SparkEntry {
       (s, dir) => pprEntry(s, dir, sparse = true),
       Some(pprOracleSql)),
 
+    // WEIGHTED PageRank over the SIMILARITY-weighted near-dup graph:
+    // each rank splits across a node's edges proportionally to the
+    // verified Jaccard (micro-quantized), so a doc held by many
+    // STRONG near-dup edges outranks one held by many weak ones —
+    // invisible to unweighted g1. Integer to the last division
+    // ((r·w) div Σw; with constant weights it collapses to g1's
+    // arithmetic bit for bit, the spec pins it); 3 unrolled rounds in
+    // the oracle.
+    "g10_weighted_pagerank" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.weightedPageRankMicro(
+          dedupArtifacts(s, dir).pairs
+            .withColumn("w", round(col("jaccard") * 1e6).cast("long")),
+          "id_a", "id_b", "w", iterations = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(desc("rank_micro"), asc("doc_id")).limit(500),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |wge AS (SELECT id_a AS src, id_b AS dst,
+              |    CAST(ROUND(ROUND(jaccard, 6) * 1e6) AS BIGINT) AS w
+              |  FROM vpairs
+              |  UNION ALL SELECT id_b, id_a,
+              |    CAST(ROUND(ROUND(jaccard, 6) * 1e6) AS BIGINT)
+              |  FROM vpairs),
+              |wgs AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ws
+              |  FROM wge GROUP BY src),
+              |wr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r
+              |  FROM wgs),
+              |wr1 AS (SELECT wge.dst AS id, CAST(150000
+              |    + ROUND(0.85 * SUM((wr0.r * wge.w) // wgs.ws))
+              |    AS BIGINT) AS r
+              |  FROM wge JOIN wr0 ON wr0.id = wge.src
+              |  JOIN wgs ON wgs.src = wge.src GROUP BY wge.dst),
+              |wr2 AS (SELECT wge.dst AS id, CAST(150000
+              |    + ROUND(0.85 * SUM((wr1.r * wge.w) // wgs.ws))
+              |    AS BIGINT) AS r
+              |  FROM wge JOIN wr1 ON wr1.id = wge.src
+              |  JOIN wgs ON wgs.src = wge.src GROUP BY wge.dst),
+              |wr3 AS (SELECT wge.dst AS id, CAST(150000
+              |    + ROUND(0.85 * SUM((wr2.r * wge.w) // wgs.ws))
+              |    AS BIGINT) AS r
+              |  FROM wge JOIN wr2 ON wr2.id = wge.src
+              |  JOIN wgs ON wgs.src = wge.src GROUP BY wge.dst)
+              |SELECT id AS doc_id, r AS rank_micro FROM wr3
+              |ORDER BY rank_micro DESC, doc_id ASC
+              |LIMIT 500""".stripMargin)),
+
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /
     // small-star contraction — O(log²) rounds regardless of chain

@@ -320,6 +320,54 @@ object GraphOps {
         coalesce(col("rank_micro"), lit(0L)).as("rank_micro"))
   }
 
+  /** WEIGHTED PageRank in micro-units over an undirected
+    * positively-weighted pair list: each node's rank splits across
+    * its edges proportionally to weight — contrib(u→v) =
+    * (r(u)·w(u,v)) div W(u) with W(u) = Σ_x w(u,x). The natural form
+    * for similarity graphs (near-dup pairs weighted by Jaccard, the
+    * PMI collocation graph weighted by co-occurrence): a node held by
+    * many STRONG edges outranks one held by many weak ones, which
+    * unweighted PageRank cannot see. Same integer discipline as
+    * [[pageRankMicro]] — exact integral contributions, ONE IEEE
+    * multiply per node per round — so fixed iteration counts replay
+    * as chained CTEs; with CONSTANT weights the div cancels
+    * ((r·w) div (w·deg) = r div deg exactly) and the ranks equal the
+    * unweighted form bit for bit (GraphOpsSpec pins it). Weights must
+    * be positive integers (micro-quantize upstream); w ≤ 1e6 and
+    * rank ≤ ~2e6 keep r·w ≤ ~2e12, far inside long.
+    *
+    * Shape at scale: identical to [[pageRankMicro]] — only the pair
+    * graph shuffles, co-partitioned on node ids across rounds. */
+  def weightedPageRankMicro(pairs: DataFrame, idACol: String,
+                            idBCol: String, wCol: String,
+                            iterations: Int = 3,
+                            damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val base = math.round((1.0 - damping) * 1e6)
+    val a = col(idACol).cast("long")
+    val b = col(idBCol).cast("long")
+    val w = col(wCol).cast("long")
+    val edges = pairs.select(a.as("src"), b.as("dst"), w.as("w"))
+      .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w") > 0)
+    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    var ranks = wsum.select(col("src").as("id"),
+      lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iterations) {
+      ranks = edges.join(ranks, edges("src") === ranks("id"))
+        .join(wsum, "src")
+        .select(col("dst"),
+          expr("(rank_micro * w) div wsum").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+        .select(col("dst").as("id"),
+          (lit(base) + round(lit(damping) * col("inflow"))
+            .cast("long")).as("rank_micro"))
+    }
+    ranks
+  }
+
   /** Directed edge expansion + degree table of an undirected pair
     * list. Null-id pairs are dropped, not nodes — same contract as
     * Dedup.connectedComponents (a null would otherwise ride the

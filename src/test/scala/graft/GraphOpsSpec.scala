@@ -364,6 +364,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(none.values.forall(_ === 0L))
   }
 
+  test("weightedPageRank: hand-computed micro arithmetic; constant " +
+    "weights collapse to the unweighted form bit for bit") {
+    val s = spark
+    import s.implicits._
+    // path 1-2 (w 1e6), 2-3 (w 5e5), one iteration, worked by hand:
+    // W = (1e6, 1.5e6, 5e5)
+    // r1(1) = 150000 + round(.85 * ((1e6*1e6) div 1.5e6)) = 716666
+    // r1(2) = 150000 + round(.85 * (1e6 + 1e6))           = 1850000
+    // r1(3) = 150000 + round(.85 * ((1e6*5e5) div 1.5e6)) = 433333
+    val wp = Seq((1L, 2L, 1000000L), (2L, 3L, 500000L))
+      .toDF("id_a", "id_b", "w")
+    val got = GraphOps.weightedPageRankMicro(wp, "id_a", "id_b", "w",
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 716666L, 2L -> 1850000L, 3L -> 433333L))
+    // constant weights: (r*w) div (w*deg) = r div deg exactly, so the
+    // ranks must equal pageRankMicro's on the same random graph
+    val rnd = new scala.util.Random(23)
+    val es = (1 to 50).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val g = es.toDF("id_a", "id_b")
+    val gw = es.map { case (a, b) => (a, b, 777L) }
+      .toDF("id_a", "id_b", "w")
+    val unweighted = ranks(GraphOps.pageRankMicro(g, "id_a", "id_b"))
+    val constW = GraphOps.weightedPageRankMicro(gw, "id_a", "id_b", "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(constW === unweighted)
+  }
+
   test("personalizedPageRank sparse frontier is bit-identical to dense") {
     // hand-pinned path arithmetic, the disconnected/absent-seed
     // contracts, AND a random graph — all node-for-node equal
