@@ -4565,6 +4565,104 @@ object SparkEntry {
              |FROM g JOIN e USING (digit) CROSS JOIN t
              |ORDER BY digit""".stripMargin)),
 
+    // Exact Mann–Whitney U (rank-sum) — the distribution-free "does
+    // segment A price higher?" companion of q61: same midrank cells,
+    // no pair enumeration, U from the rank-sum identity. 2U stays
+    // integral (hash-exact `u2_a`); the tie-corrected z does ONE
+    // sqrt + division at the end, op order mirrored. The oracle
+    // replays midranks as the simple distinct-value running sum
+    // (correctness needs no cell split — q61's convention).
+    "q73_mannwhitney_u" -> Q(
+      (s, dir) => graft.pipeline.Eval.mannWhitneyU(lineitem(s, dir),
+        col("l_extendedprice"), col("l_linestatus") === "O"),
+      Some("""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |vv AS (SELECT v, CAST(count(*) AS HUGEINT) AS c,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS ca
+             |  FROM d GROUP BY v),
+             |r AS (SELECT v, c, ca,
+             |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+             |  FROM vv),
+             |ag AS (SELECT coalesce(sum(c), 0) AS n,
+             |    coalesce(sum(ca), 0) AS na,
+             |    coalesce(sum(ca * r2), 0) AS ra2,
+             |    coalesce(sum(c * c * c - c), 0) AS t
+             |  FROM r)
+             |SELECT CAST(na AS BIGINT) AS n_a,
+             |  CAST(n - na AS BIGINT) AS n_b,
+             |  CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a,
+             |  CAST(t AS BIGINT) AS tie_t,
+             |  CASE WHEN n < 2 THEN NULL ELSE
+             |    ROUND(CAST(ra2 - na * (na + 1) - na * (n - na)
+             |        AS DOUBLE) /
+             |      nullif(sqrt(CAST(na * (n - na) AS DOUBLE)
+             |        * CAST(n * n * n - n - t AS DOUBLE)
+             |        / CAST(3 * n * (n - 1) AS DOUBLE)), 0.0), 6)
+             |  END AS z
+             |FROM ag""".stripMargin)),
+
+    // McNemar's paired-classifier test — q63 (DeLong) asked of hard
+    // DECISIONS: the full langid heuristic vs the stopword-only
+    // English detector, both scored against the documents table's
+    // lang label on the binary is-English task. Of the docs they
+    // disagree on, does the full heuristic win significantly? Counts
+    // exact; one continuity-corrected division at the end. The oracle
+    // replays d3's langid CASE verbatim.
+    "q74_mcnemar" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+        val truthEn = col("lang") === "en"
+        val predA = TextStats.langId(col("text")) === "en"
+        val predB = TextStats.stopwordCount(col("text"),
+          TextStats.StopwordsEn) > 0
+        graft.pipeline.Eval.mcnemar(docs,
+          predA === truthEn, predB === truthEn)
+      },
+      Some("""WITH t AS (SELECT lang, str_split(text, ' ') AS toks,
+             |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]',
+             |      '', 'g')) AS cjk,
+             |    length(text) AS lc
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+             |s AS (SELECT lang, cjk, lc,
+             |    len(list_filter(toks, x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) AS en,
+             |    len(list_filter(toks, x -> x IN
+             |      ('el','la','los','de','y','en','es','un'))) AS es,
+             |    len(list_filter(toks, x -> x IN
+             |      ('le','la','les','et','de','un','une','est'))) AS fr,
+             |    len(list_filter(toks, x -> x IN
+             |      ('der','die','das','und','ein','ist','zu','von')))
+             |      AS de
+             |  FROM t),
+             |p AS (SELECT (lang = 'en') AS truth,
+             |    (CASE WHEN cjk * 3 > lc THEN 'zh'
+             |          WHEN en >= es AND en >= fr AND en >= de
+             |            AND en > 0 THEN 'en'
+             |          WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+             |          WHEN fr >= de AND fr > 0 THEN 'fr'
+             |          WHEN de > 0 THEN 'de'
+             |          ELSE 'und' END = 'en') AS pa,
+             |    (en > 0) AS pb
+             |  FROM s),
+             |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (WHERE (pa = truth)
+             |      AND NOT (pb = truth)) AS BIGINT) AS b_only,
+             |    CAST(count(*) FILTER (WHERE NOT (pa = truth)
+             |      AND (pb = truth)) AS BIGINT) AS c_only
+             |  FROM p)
+             |SELECT n, b_only, c_only,
+             |  ROUND(CAST(CAST(greatest(abs(b_only - c_only) - 1, 0)
+             |      AS HUGEINT)
+             |      * greatest(abs(b_only - c_only) - 1, 0) AS DOUBLE) /
+             |    nullif(CAST(b_only + c_only AS DOUBLE), 0.0), 6)
+             |    AS chi2
+             |FROM m""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the
@@ -5165,6 +5263,93 @@ object SparkEntry {
              |ORDER BY word LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    // PageRank over the PMI collocation graph — the corpus's most
+    // structurally central words, a better keyword list than raw
+    // frequency (d13) because a word earns rank from the DIVERSITY of
+    // strong collocations it anchors, not its count. Pure composition
+    // of proven parts: d52's PMI edges (pinned once — the g8 lesson),
+    // g1's integer micro PageRank, 3 unrolled oracle rounds. Edges
+    // normalize to distinct unordered word pairs (self-collocations
+    // drop) exactly as the oracle's te CTE does.
+    "d60_textrank_keywords" -> Q(
+      (s, dir) => {
+        val pmi = TextStats.pmiCollocations(
+          table(s, dir, "documents"), "doc_id", "text",
+          minCount = 10, k = 300).localCheckpoint()
+        val w1 = element_at(split(col("bigram"), " "), 1)
+        val w2 = element_at(split(col("bigram"), " "), 2)
+        val ha = Dedup.md5Long60(w1)
+        val hb = Dedup.md5Long60(w2)
+        val edges = pmi.select(least(ha, hb).as("id_a"),
+            greatest(ha, hb).as("id_b"))
+          .filter(col("id_a") =!= col("id_b")).distinct()
+        val words = pmi
+          .select(explode(array(w1, w2)).as("word")).distinct()
+          .withColumn("id", Dedup.md5Long60(col("word")))
+        graft.pipeline.GraphOps.pageRankMicro(
+            edges, "id_a", "id_b", iterations = 3)
+          .join(words, "id")
+          .select(col("word"), col("rank_micro"))
+          .orderBy(desc("rank_micro"), asc("word")).limit(100)
+      },
+      Some(s"""WITH tk AS (SELECT str_split(text, ' ') AS toks
+             |  FROM documents),
+             |tt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS nt,
+             |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
+             |  FROM tk),
+             |u AS (SELECT ut.tok, CAST(count(*) AS BIGINT) AS c1
+             |  FROM tk, unnest(toks) AS ut(tok) GROUP BY ut.tok),
+             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM (SELECT unnest(list_transform(
+             |      generate_series(1, greatest(len(toks) - 1, 0)),
+             |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk) b
+             |  GROUP BY bg HAVING count(*) >= 10),
+             |pm AS (SELECT bf.bg FROM bf
+             |  JOIN u u1 ON u1.tok = str_split(bf.bg, ' ')[1]
+             |  JOIN u u2 ON u2.tok = str_split(bf.bg, ' ')[2]
+             |  CROSS JOIN tt
+             |  ORDER BY CAST(round(1e6 * ln(
+             |      (CAST(bf.c2 AS DOUBLE) * tt.nt * tt.nt)
+             |      / (tt.nb * CAST(u1.c1 AS DOUBLE)
+             |         * CAST(u2.c1 AS DOUBLE)))) AS BIGINT) DESC,
+             |    bg ASC
+             |  LIMIT 300),
+             |wh AS (SELECT bg,
+             |    ${duckHash60("str_split(bg, ' ')[1]")} AS ha,
+             |    ${duckHash60("str_split(bg, ' ')[2]")} AS hb
+             |  FROM pm),
+             |te AS (SELECT DISTINCT least(ha, hb) AS lo,
+             |    greatest(ha, hb) AS hi
+             |  FROM wh WHERE ha <> hb),
+             |ge AS (SELECT lo AS src, hi AS dst FROM te
+             |       UNION ALL SELECT hi, lo FROM te),
+             |gd AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+             |       FROM ge GROUP BY src),
+             |gr0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r
+             |        FROM gd),
+             |gr1 AS (SELECT ge.dst AS id, CAST(150000 +
+             |      ROUND(0.85 * SUM(gr0.r // gd.deg)) AS BIGINT) AS r
+             |    FROM ge JOIN gr0 ON gr0.id = ge.src
+             |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst),
+             |gr2 AS (SELECT ge.dst AS id, CAST(150000 +
+             |      ROUND(0.85 * SUM(gr1.r // gd.deg)) AS BIGINT) AS r
+             |    FROM ge JOIN gr1 ON gr1.id = ge.src
+             |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst),
+             |gr3 AS (SELECT ge.dst AS id, CAST(150000 +
+             |      ROUND(0.85 * SUM(gr2.r // gd.deg)) AS BIGINT) AS r
+             |    FROM ge JOIN gr2 ON gr2.id = ge.src
+             |    JOIN gd ON gd.src = ge.src GROUP BY ge.dst),
+             |wd AS (SELECT DISTINCT wu.w AS word,
+             |    ${duckHash60("wu.w")} AS id
+             |  FROM (SELECT unnest([str_split(bg, ' ')[1],
+             |      str_split(bg, ' ')[2]]) AS w FROM pm) wu)
+             |SELECT wd.word, gr3.r AS rank_micro
+             |FROM gr3 JOIN wd ON wd.id = gr3.id
+             |ORDER BY rank_micro DESC, word ASC
+             |LIMIT 100""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
     // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge
@@ -5349,6 +5534,45 @@ object SparkEntry {
               |SELECT id AS doc_id, r AS rank_micro FROM wr3
               |ORDER BY rank_micro DESC, doc_id ASC
               |LIMIT 500""".stripMargin)),
+
+    // Degree ASSORTATIVITY of the near-dup graph (Newman 2002):
+    // Pearson correlation of endpoint degrees over every directed
+    // edge — do well-connected docs near-duplicate other
+    // well-connected docs (one dense template family, r > 0) or do
+    // hubs fan out to leaves (boilerplate-spoke pattern, r < 0)?
+    // One number auditing graph SHAPE that g1's rank histogram and
+    // d40's size histogram cannot tell apart. Exact decimal
+    // co-moments (q36/q61 discipline), one float division at the end.
+    "g11_assortativity" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.degreeAssortativity(
+        dedupArtifacts(s, dir).pairs, "id_a", "id_b"),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |ate AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+              |    greatest(id_a, id_b) AS hi
+              |  FROM vpairs WHERE id_a <> id_b),
+              |adg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM ate
+              |        UNION ALL SELECT hi FROM ate) u GROUP BY id),
+              |ade AS (SELECT da.deg AS x, db.deg AS y
+              |  FROM ate JOIN adg da ON da.id = ate.lo
+              |           JOIN adg db ON db.id = ate.hi
+              |  UNION ALL
+              |  SELECT db.deg, da.deg
+              |  FROM ate JOIN adg da ON da.id = ate.lo
+              |           JOIN adg db ON db.id = ate.hi),
+              |aag AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+              |    coalesce(sum(CAST(x AS HUGEINT)), 0) AS sx,
+              |    coalesce(sum(CAST(y AS HUGEINT)), 0) AS sy,
+              |    coalesce(sum(CAST(x AS HUGEINT) * y), 0) AS sxy,
+              |    coalesce(sum(CAST(x AS HUGEINT) * x), 0) AS sxx,
+              |    coalesce(sum(CAST(y AS HUGEINT) * y), 0) AS syy
+              |  FROM ade)
+              |SELECT CAST(n AS BIGINT) AS n_endpoints,
+              |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+              |    nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              |      * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6)
+              |    AS assortativity
+              |FROM aag""".stripMargin)),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /

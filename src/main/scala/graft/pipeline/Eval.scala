@@ -890,4 +890,122 @@ object Eval {
               .cast("double")), lit(0.0d)),
           6).as("rho"))
   }
+
+  /** Exact Mann–Whitney U (Wilcoxon rank-sum) between group A
+    * (`isA` true) and the complement group B over `value` — the
+    * distribution-free "did segment A score higher?" test an eval
+    * pipeline runs when means lie (heavy tails, outliers): U counts
+    * concordant cross-group pairs without enumerating them, via the
+    * rank-sum identity U_A = R_A − n_A(n_A+1)/2 over pooled
+    * average-tie midranks.
+    *
+    * Midranks ride the spearmanRho machinery: one corpus pass
+    * collapses to the distinct-value table with per-group counts,
+    * DOUBLED midranks (always integral) derive from monotone cells +
+    * bounded offsets + per-cell prefix windows — no global window
+    * touches a data-sized frame. 2·U_A = Σ(c_A·r2) − n_A(n_A+1)
+    * stays integral and is reported as `u2_a` (hash-exact); the
+    * tie-corrected normal z uses T = Σ(t³−t) with
+    * 4σ² = n_A·n_B·(n³−n−T)/(3n(n−1)) — exact decimals until ONE
+    * final sqrt + division, ROUND 6, op order mirrored in the
+    * oracle. z is NULL when n < 2 or every pooled value ties (σ = 0).
+    * NULL/NaN values and NULL group flags drop. Returns one row
+    * (n_a, n_b, u2_a, tie_t, z). */
+  def mannWhitneyU(df: DataFrame, value: Column, isA: Column,
+                   cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val data = df.select(value.cast("double").as("v"),
+        isA.cast("boolean").as("a"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("a").isNotNull)
+    // pinned: the distinct-value table feeds the 1-row envelope fetch
+    // AND the ranked aggregation — the corpus scan must run once
+    val vals = data.groupBy("v").agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("ca"))
+      .localCheckpoint()
+    val mmRow = vals.agg(min(col("v")), max(col("v"))).head()
+    val cell =
+      if (mmRow.isNullAt(0)) lit(0L)
+      else {
+        val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
+        if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
+        else least(lit(cells - 1L), greatest(lit(0L),
+          floor((col("v") - lit(lo)) /
+            lit((hi - lo) / cells)).cast("long")))
+      }
+    val celled = vals.withColumn("_cell", cell)
+    // cell offsets: cumulative counts over the ≤`cells`-row frame
+    val offs = celled.groupBy("_cell").agg(sum(col("c")).as("_cc"))
+      .withColumn("_off", coalesce(sum(col("_cc")).over(
+        Window.orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_cc")
+    val inCell = Window.partitionBy("_cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = celled.join(offs, Seq("_cell"))
+      .select(col("c"), col("ca"),
+        (lit(2L) * (col("_off") +
+          coalesce(sum(col("c")).over(inCell), lit(0L))) +
+          col("c") + lit(1L)).as("r2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    ranked.agg(
+        coalesce(sum(dec(col("c"))), z0).as("n"),
+        coalesce(sum(dec(col("ca"))), z0).as("na"),
+        coalesce(sum(dec(col("ca")) * dec(col("r2"))), z0).as("ra2"),
+        coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
+          dec(col("c"))), z0).as("t"))
+      .select(
+        col("na").cast("long").as("n_a"),
+        (col("n") - col("na")).cast("long").as("n_b"),
+        (col("ra2") - col("na") * (col("na") + lit(1L)))
+          .cast("long").as("u2_a"),
+        col("t").cast("long").as("tie_t"),
+        when(col("n") < 2, lit(null).cast("double")).otherwise(
+          round((col("ra2") - col("na") * (col("na") + lit(1L)) -
+              col("na") * (col("n") - col("na"))).cast("double") /
+            nullif(sqrt(
+              (col("na") * (col("n") - col("na"))).cast("double") *
+              (col("n") * col("n") * col("n") - col("n") - col("t"))
+                .cast("double") /
+              (lit(3L) * col("n") * (col("n") - lit(1L)))
+                .cast("double")), lit(0.0d)),
+            6)).as("z"))
+  }
+
+  /** McNemar's test for two PAIRED classifiers scored on the same
+    * examples — the eval question DeLong (q63) answers for scores,
+    * asked of hard decisions: of the examples the two classifiers
+    * DISAGREE on, does one win significantly more? b = A right ∧ B
+    * wrong, c = A wrong ∧ B right; the continuity-corrected statistic
+    * (max(|b−c|−1, 0))²/(b+c) is χ²(1) under H₀. Counts are exact
+    * longs; the numerator squares in decimal(38,0) and the SINGLE
+    * float division lands at the end (ROUND 6, mirrored in the
+    * oracle) — NULL when the classifiers never disagree (b+c = 0).
+    * Rows where either correctness flag is NULL drop (the cohensKappa
+    * abstention contract). Returns one row (n, b_only, c_only, chi2). */
+  def mcnemar(df: DataFrame, correctA: Column,
+              correctB: Column): DataFrame = {
+    val a = correctA.cast("boolean")
+    val b = correctB.cast("boolean")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    df.filter(a.isNotNull && b.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L))
+          .as("b_only"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L))
+          .as("c_only"))
+      .select(col("n"), col("b_only"), col("c_only"),
+        round(
+          (dec(greatest(abs(col("b_only") - col("c_only")) - lit(1L),
+            lit(0L))) *
+           dec(greatest(abs(col("b_only") - col("c_only")) - lit(1L),
+            lit(0L)))).cast("double") /
+          nullif(dec(col("b_only") + col("c_only")).cast("double"),
+            lit(0.0d)),
+          6).as("chi2"))
+  }
 }

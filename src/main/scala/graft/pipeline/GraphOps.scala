@@ -711,6 +711,57 @@ object GraphOps {
         expr("(1000000 * cn_cnt) div (deg_a + deg_b - cn_cnt)"))
   }
 
+  /** Degree assortativity (Newman, Phys. Rev. Lett. 2002): the
+    * Pearson correlation of endpoint degrees over every directed
+    * edge — one number answering "do well-connected documents
+    * near-duplicate other well-connected documents?" (a template
+    * family where hubs link hubs scores positive; a hub-and-spoke
+    * boilerplate pattern scores negative). The discriminating audit
+    * between two graphs g1's rank histogram cannot tell apart.
+    *
+    * Each undirected edge contributes BOTH ordered endpoint pairs, so
+    * the statistic is symmetric by construction (the standard excess-
+    * degree formulation restricted to Pearson-over-edges). Degrees are
+    * exact longs; all five co-moments accumulate in decimal(38,0)
+    * (the q36/q61 discipline — order-independent under partial
+    * aggregation) and the single float division + sqrt lands at the
+    * end, ROUND 6, mirrored in the oracle. Input is normalized:
+    * reversed/duplicate pairs collapse, self-loops and null ids drop.
+    * Returns one row (n_endpoints, assortativity); a degenerate graph
+    * (all degrees equal, e.g. one edge or a clean ring) has zero
+    * variance → NULL, the q61 contract. */
+  def degreeAssortativity(pairs: DataFrame, idACol: String,
+                          idBCol: String): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol)
+    val deg = degreesOf(e)
+    val dl = deg.select(col("id").as("lo"), col("deg").as("_dlo"))
+    val dh = deg.select(col("id").as("hi"), col("deg").as("_dhi"))
+    val ends = e.join(dl, Seq("lo")).join(dh, Seq("hi"))
+    val both = ends.select(col("_dlo").as("x"), col("_dhi").as("y"))
+      .union(ends.select(col("_dhi").as("x"), col("_dlo").as("y")))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    both.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        coalesce(sum(dec(col("x"))), lit(0L).cast("decimal(38,0)"))
+          .as("sx"),
+        coalesce(sum(dec(col("y"))), lit(0L).cast("decimal(38,0)"))
+          .as("sy"),
+        coalesce(sum(dec(col("x")) * dec(col("y"))),
+          lit(0L).cast("decimal(38,0)")).as("sxy"),
+        coalesce(sum(dec(col("x")) * dec(col("x"))),
+          lit(0L).cast("decimal(38,0)")).as("sxx"),
+        coalesce(sum(dec(col("y")) * dec(col("y"))),
+          lit(0L).cast("decimal(38,0)")).as("syy"))
+      .select(col("n").cast("long").as("n_endpoints"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), lit(0.0d)),
+          6).as("assortativity"))
+  }
+
   private def orientUp(e: DataFrame, deg: DataFrame,
                        byDegree: Boolean): DataFrame =
     if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))

@@ -736,4 +736,78 @@ class EvalSpec extends AnyFunSuite {
     assert(r.getLong(0) === 1000000L) // run hits 2 rel-2 docs: perfect
     assert(r.getLong(3) === 5L)
   }
+
+  test("mannWhitneyU: golden hand-computed statistic with ties") {
+    val s = spark
+    import s.implicits._
+    // A = {1, 2, 3}, B = {2, 4}; pooled midranks 1→1, 2→2.5, 3→4,
+    // 4→5, so R_A = 7.5 and u2_a = 2·7.5 − 3·4 = 3 (U_A = 1.5 — the
+    // concordant-pair count: one win 3>2 plus half the 2=2 tie).
+    // Ties T = 2³−2 = 6; 4σ² = 3·2·(5³−5−6)/(3·5·4) = 11.4;
+    // z = (3 − 3·2)/√11.4.
+    val r = Eval.mannWhitneyU(
+      Seq((1.0, true), (2.0, true), (3.0, true), (2.0, false),
+        (4.0, false)).toDF("v", "a"), col("v"), col("a")).head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 2L)
+    assert(r.getLong(2) === 3L, s"u2_a: $r")
+    assert(r.getLong(3) === 6L, s"tie_t: $r")
+    val wantZ = BigDecimal(-3.0 / math.sqrt(6.0 * 114.0 / 60.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) === wantZ, s"z: $r")
+    // cell-count invariance: the statistic must not depend on the
+    // midrank bucketization (the q61 contract)
+    Seq(1, 2, 7).foreach { cells =>
+      val rc = Eval.mannWhitneyU(
+        Seq((1.0, true), (2.0, true), (3.0, true), (2.0, false),
+          (4.0, false)).toDF("v", "a"), col("v"), col("a"), cells)
+        .head()
+      assert(rc.getLong(2) === 3L && rc.getDouble(4) === wantZ,
+        s"cells=$cells: $rc")
+    }
+  }
+
+  test("mannWhitneyU: degenerate contracts — all tied, n<2, empty") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Double, Boolean)]) =
+      Eval.mannWhitneyU(rows.toDF("v", "a"), col("v"), col("a")).head()
+    // every pooled value ties: all cross pairs half-count
+    // (u2_a = n_a·n_b exactly) and σ = 0 → z NULL, counts reported
+    val tied = run(Seq((5.0, true), (5.0, true), (5.0, false)))
+    assert(tied.getLong(0) === 2L && tied.getLong(1) === 1L)
+    assert(tied.getLong(2) === 2L && tied.getLong(3) === 24L)
+    assert(tied.isNullAt(4), s"expected null z: $tied")
+    // n < 2
+    val one = run(Seq((3.0, true)))
+    assert(one.getLong(0) === 1L && one.getLong(1) === 0L &&
+      one.getLong(2) === 0L && one.isNullAt(4))
+    // empty input still reports one zero row
+    val empty = run(Seq.empty)
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L &&
+      empty.getLong(2) === 0L && empty.getLong(3) === 0L &&
+      empty.isNullAt(4))
+  }
+
+  test("mcnemar: golden counts and the never-disagree contract") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(java.lang.Boolean, java.lang.Boolean)]) =
+      Eval.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).head()
+    val T = java.lang.Boolean.TRUE
+    val F = java.lang.Boolean.FALSE
+    // b = 5, c = 1 → χ² = (|5−1|−1)²/6 = 9/6 = 1.5
+    val g = run(Seq.fill(5)((T, F)) ++ Seq((F, T)) ++
+      Seq.fill(3)((T, T)) ++ Seq.fill(2)((F, F)))
+    assert(g.getLong(0) === 11L && g.getLong(1) === 5L &&
+      g.getLong(2) === 1L)
+    assert(g.getDouble(3) === 1.5, s"chi2: $g")
+    // b = c: |b−c|−1 clamps at 0 (continuity never goes negative)
+    assert(run(Seq((T, F), (F, T))).getDouble(3) === 0.0)
+    // never disagree → χ² undefined, NULL not NaN
+    val agree = run(Seq((T, T), (F, F)))
+    assert(agree.isNullAt(3), s"expected null chi2: $agree")
+    // NULL correctness flags drop (the abstention contract)
+    val withNull = run(Seq((T, F), (null, T), (T, null), (F, F)))
+    assert(withNull.getLong(0) === 2L && withNull.getLong(1) === 1L)
+  }
 }

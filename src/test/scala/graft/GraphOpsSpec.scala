@@ -504,4 +504,25 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("degreeAssortativity: golden paths, degenerate NULL, normalization") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.degreeAssortativity(df, "id_a", "id_b").head()
+    // P4 path 1-2-3-4: directed endpoint-degree pairs
+    // (1,2),(2,1),(2,2),(2,2),(2,1),(1,2) → r = (6·16−100)/(108−100)
+    // ... Pearson = −0.5 by hand
+    val p4 = run(pairs((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(p4.getLong(0) === 6L)
+    assert(p4.getDouble(1) === -0.5, s"p4: $p4")
+    // P3 path: the two-point degree sets anticorrelate exactly: r = −1
+    val p3 = run(pairs((1L, 2L), (2L, 3L)))
+    assert(p3.getLong(0) === 4L && p3.getDouble(1) === -1.0)
+    // a single edge has zero degree variance → NULL, never NaN
+    val one = run(pairs((1L, 2L)))
+    assert(one.getLong(0) === 2L && one.isNullAt(1), s"one: $one")
+    // reversed + duplicate + self-loop pairs normalize away
+    val noisy = run(pairs((2L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 4L)))
+    assert(noisy.getLong(0) === 6L && noisy.getDouble(1) === -0.5)
+  }
 }
