@@ -4663,6 +4663,49 @@ object SparkEntry {
              |    AS chi2
              |FROM m""".stripMargin)),
 
+    // Welch's unequal-variance t-test — q73's parametric companion on
+    // the SAME split (rank test vs mean test over the identical
+    // data: the robustness A/B an eval pipeline wants side by side).
+    // Prices quantize to exact integer cents (the q70 head-digit
+    // move), six decimal co-moments, then t and the
+    // Welch–Satterthwaite df from three one-division IEEE doubles,
+    // op order mirrored verbatim.
+    "q75_welch_ttest" -> Q(
+      (s, dir) => graft.pipeline.Eval.welchT(lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_linestatus") === "O"),
+      Some("""WITH d AS (SELECT CAST(round(l_extendedprice * 100)
+             |      AS HUGEINT) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |g AS (SELECT
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS na,
+             |    CAST(count(*) FILTER (WHERE NOT a) AS HUGEINT) AS nb,
+             |    coalesce(sum(v) FILTER (WHERE a), 0) AS sx,
+             |    coalesce(sum(v) FILTER (WHERE NOT a), 0) AS sy,
+             |    coalesce(sum(v * v) FILTER (WHERE a), 0) AS sxx,
+             |    coalesce(sum(v * v) FILTER (WHERE NOT a), 0) AS syy
+             |  FROM d),
+             |e AS (SELECT na, nb,
+             |    CAST(na * sxx - sx * sx AS DOUBLE)
+             |      / CAST(na * na * (na - 1) AS DOUBLE) AS va,
+             |    CAST(nb * syy - sy * sy AS DOUBLE)
+             |      / CAST(nb * nb * (nb - 1) AS DOUBLE) AS vb,
+             |    CAST(sx * nb - sy * na AS DOUBLE)
+             |      / CAST(na * nb AS DOUBLE) AS dd
+             |  FROM g)
+             |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+             |  CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+             |    ROUND(dd / nullif(sqrt(va + vb), 0.0), 6) END AS t_stat,
+             |  CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+             |    ROUND((va + vb) * (va + vb) /
+             |      nullif(va * va / CAST(na - 1 AS DOUBLE)
+             |        + vb * vb / CAST(nb - 1 AS DOUBLE), 0.0), 6)
+             |  END AS df_ws
+             |FROM e""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the
@@ -5350,6 +5393,71 @@ object SparkEntry {
              |LIMIT 100""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Zipf rank–frequency slope of the top-1000 vocabulary — the
+    // corpus-health audit run before trusting token statistics:
+    // natural language sits near slope −1 on log rank vs log
+    // frequency; boilerplate floods flatten it, spam inflates the
+    // tail. d13's vocab (TakeOrdered, rank window over the k-row
+    // post-agg frame — the d31 discipline), ln values quantized to
+    // integer micro BEFORE the co-moments (d28), exact OLS slope
+    // with ONE float division.
+    "d61_zipf_slope" -> Q(
+      (s, dir) => {
+        val vocab = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token").asc).limit(1000)
+          .select(col("tf"), row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("tf").desc, col("token").asc))
+            .cast("long").as("rk"))
+        def dec(c: Column): Column = c.cast("decimal(38,0)")
+        val z0 = lit(0L).cast("decimal(38,0)")
+        vocab
+          .select(
+            round(lit(1e6) * log(col("rk").cast("double")))
+              .cast("long").as("x"),
+            round(lit(1e6) * log(col("tf").cast("double")))
+              .cast("long").as("y"))
+          .agg(
+            count(lit(1)).cast("decimal(38,0)").as("n"),
+            coalesce(sum(dec(col("x"))), z0).as("sx"),
+            coalesce(sum(dec(col("y"))), z0).as("sy"),
+            coalesce(sum(dec(col("x")) * dec(col("y"))), z0).as("sxy"),
+            coalesce(sum(dec(col("x")) * dec(col("x"))), z0).as("sxx"))
+          .select(col("n").cast("long").as("n_vocab"),
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+              nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double"), lit(0.0d)),
+              6).as("zipf_slope"))
+      },
+      Some("""WITH zv AS (SELECT ut.tok,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT str_split(text, ' ') AS toks
+             |        FROM documents) tk,
+             |    unnest(toks) AS ut(tok)
+             |  GROUP BY ut.tok),
+             |zr AS (SELECT tf, row_number() OVER (
+             |      ORDER BY tf DESC, tok ASC) AS rk
+             |  FROM zv ORDER BY tf DESC, tok ASC LIMIT 1000),
+             |zm AS (SELECT
+             |    CAST(round(1e6 * ln(CAST(rk AS DOUBLE))) AS HUGEINT)
+             |      AS x,
+             |    CAST(round(1e6 * ln(CAST(tf AS DOUBLE))) AS HUGEINT)
+             |      AS y
+             |  FROM zr),
+             |za AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    coalesce(sum(x), 0) AS sx, coalesce(sum(y), 0) AS sy,
+             |    coalesce(sum(x * y), 0) AS sxy,
+             |    coalesce(sum(x * x), 0) AS sxx
+             |  FROM zm)
+             |SELECT CAST(n AS BIGINT) AS n_vocab,
+             |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0), 6)
+             |    AS zipf_slope
+             |FROM za""".stripMargin)),
+
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
     // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge
@@ -5573,6 +5681,73 @@ object SparkEntry {
               |      * CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6)
               |    AS assortativity
               |FROM aag""".stripMargin)),
+
+    // Newman–Girvan MODULARITY of the g5 LPA partition — the quality
+    // gate on community structure itself: Q ≈ 0 says the labels are
+    // no better than a degree-preserving rewiring (don't trust
+    // community canonicalization), Q ≳ 0.3 says real structure.
+    // Exact to the last step: S = Σ_c d_c = 2m, so
+    // Q = (2·S·Σm_c − Σd_c²)/S² is one integer division — no edge
+    // count job, no float accumulation. Oracle replays the same 3
+    // LPA rounds as chained CTEs (g8's machinery over d23's graph).
+    "g12_modularity" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.modularity(
+        dedupArtifacts(s, dir).pairs, "id_a", "id_b", rounds = 3),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |mte AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+              |    greatest(id_a, id_b) AS hi
+              |  FROM vpairs WHERE id_a <> id_b),
+              |med AS (SELECT lo AS src, hi AS dst FROM mte
+              |       UNION ALL SELECT hi, lo FROM mte),
+              |ml0 AS (SELECT DISTINCT src AS id, src AS label FROM med),
+              |mc1 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM med e JOIN ml0 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |ml1 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM mc1) w1 WHERE rn = 1),
+              |mc2 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM med e JOIN ml1 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |ml2 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM mc2) w2 WHERE rn = 1),
+              |mc3 AS (SELECT e.src, l.label, count(*) AS cnt
+              |  FROM med e JOIN ml2 l ON e.dst = l.id
+              |  GROUP BY e.src, l.label),
+              |ml3 AS (SELECT src AS id, label FROM (
+              |    SELECT src, label, row_number() OVER (
+              |      PARTITION BY src ORDER BY cnt DESC, label ASC)
+              |      AS rn FROM mc3) w3 WHERE rn = 1),
+              |mdg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM mte
+              |        UNION ALL SELECT hi FROM mte) u GROUP BY id),
+              |mdc AS (SELECT l.label, CAST(sum(d.deg) AS HUGEINT)
+              |    AS dsum
+              |  FROM ml3 l JOIN mdg d ON d.id = l.id GROUP BY l.label),
+              |mmc AS (SELECT la.label, CAST(count(*) AS HUGEINT)
+              |    AS m_in
+              |  FROM mte JOIN ml3 la ON la.id = mte.lo
+              |           JOIN ml3 lb ON lb.id = mte.hi
+              |  WHERE la.label = lb.label GROUP BY la.label),
+              |mpl AS (SELECT mdc.dsum,
+              |    coalesce(mmc.m_in, 0) AS m_in
+              |  FROM mdc LEFT JOIN mmc USING (label)),
+              |mag AS (SELECT coalesce(sum(dsum), 0) AS s,
+              |    coalesce(sum(m_in), 0) AS smc,
+              |    coalesce(sum(dsum * dsum), 0) AS sdc2,
+              |    CAST(count(*) AS BIGINT) AS ncomm
+              |  FROM mpl)
+              |SELECT CAST(s // 2 AS BIGINT) AS n_edges,
+              |  ncomm AS n_communities,
+              |  CASE WHEN s > 0 THEN
+              |    ROUND(CAST(2 * s * smc - sdc2 AS DOUBLE)
+              |      / CAST(s * s AS DOUBLE), 6)
+              |  ELSE NULL END AS modularity
+              |FROM mag""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /

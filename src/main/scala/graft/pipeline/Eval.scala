@@ -975,6 +975,66 @@ object Eval {
             6)).as("z"))
   }
 
+  /** Welch's unequal-variance t-test between group A (`isA` true) and
+    * the complement group B over `value` — the parametric companion
+    * of [[mannWhitneyU]] (same split, means instead of ranks), with
+    * the Welch–Satterthwaite degrees of freedom. CONTRACT: `value`
+    * must be exactly summable (an integer quantization — cents,
+    * micro-units; the d28 discipline), because the six co-moments
+    * accumulate in decimal(38,0) and order-independence is what makes
+    * the result hash-exact. The statistic is scale-invariant, so
+    * quantization never changes t or df.
+    *
+    * From the exact sums, three IEEE doubles each defined by ONE
+    * division of two exact integers (bit-identical in any engine):
+    * A = s²_a/n_a = (n_a·Σx²−(Σx)²)/(n_a²(n_a−1)), B likewise,
+    * D = x̄−ȳ = (Σx·n_b−Σy·n_a)/(n_a·n_b). Then
+    * t = D/√(A+B) and df = (A+B)²/(A²/(n_a−1)+B²/(n_b−1)) with the
+    * op order mirrored verbatim in the oracle, ROUND 6. t and df are
+    * NULL when either side has n < 2 or both variances are zero.
+    * NULL values/flags drop. Returns one row (n_a, n_b, t_stat,
+    * df_ws). */
+  def welchT(df: DataFrame, value: Column, isA: Column): DataFrame = {
+    val v = value.cast("decimal(38,0)")
+    val a = isA.cast("boolean")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val g = df.filter(v.isNotNull && a.isNotNull)
+      .agg(
+        coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("na"),
+        coalesce(sum(when(!a, 1L).otherwise(0L)), lit(0L)).as("nb"),
+        coalesce(sum(when(a, v).otherwise(z0)), z0).as("sx"),
+        coalesce(sum(when(!a, v).otherwise(z0)), z0).as("sy"),
+        coalesce(sum(when(a, v * v).otherwise(z0)), z0).as("sxx"),
+        coalesce(sum(when(!a, v * v).otherwise(z0)), z0).as("syy"))
+    val va = (dec(col("na")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double") /
+      (dec(col("na")) * dec(col("na")) * (dec(col("na")) - lit(1L)))
+        .cast("double")
+    val vb = (dec(col("nb")) * col("syy") - col("sy") * col("sy"))
+      .cast("double") /
+      (dec(col("nb")) * dec(col("nb")) * (dec(col("nb")) - lit(1L)))
+        .cast("double")
+    val d = (col("sx") * dec(col("nb")) - col("sy") * dec(col("na")))
+      .cast("double") /
+      (dec(col("na")) * dec(col("nb"))).cast("double")
+    // va/vb/d stay INSIDE the guarded branches: under ANSI mode their
+    // divisions must not evaluate when n < 2 zeroes a denominator
+    // (when/otherwise generates lazy branches; a materialized column
+    // would evaluate unconditionally and throw DIVIDE_BY_ZERO)
+    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") < 2 || col("nb") < 2, lit(null).cast("double"))
+        .otherwise(round(d /
+          nullif(sqrt(va + vb), lit(0.0d)), 6)).as("t_stat"),
+      when(col("na") < 2 || col("nb") < 2, lit(null).cast("double"))
+        .otherwise(round(
+          (va + vb) * (va + vb) /
+            nullif(va * va / (dec(col("na")) - lit(1L)).cast("double") +
+              vb * vb / (dec(col("nb")) - lit(1L)).cast("double"),
+              lit(0.0d)),
+          6)).as("df_ws"))
+  }
+
   /** McNemar's test for two PAIRED classifiers scored on the same
     * examples — the eval question DeLong (q63) answers for scores,
     * asked of hard decisions: of the examples the two classifiers

@@ -711,6 +711,54 @@ object GraphOps {
         expr("(1000000 * cn_cnt) div (deg_a + deg_b - cn_cnt)"))
   }
 
+  /** Newman–Girvan modularity of the [[labelPropagation]] partition —
+    * the quality score for g5's communities: Q compares the fraction
+    * of edges falling INSIDE communities against the fraction
+    * expected if the same degree sequence were wired at random.
+    * Q ≈ 0 means LPA found nothing beyond chance (one spurious-bridge
+    * blob); Q ≳ 0.3 is real structure — the accept/reject gate a
+    * pipeline runs before trusting community-based canonicalization.
+    *
+    * Exact to the last step: with S = Σ_c d_c = 2m (so m never needs
+    * its own job) and Σ_c m_c the intra-community edge count,
+    * Q = (2·S·Σm_c − Σd_c²)/S² — integer numerator and denominator
+    * in decimal(38,0), ONE float division, ROUND 6 (mirrored in the
+    * oracle as the same chained-CTE LPA replay g8 uses). The edge
+    * frame is pinned once and feeds labels, degrees, and the intra
+    * count. Returns one row (n_edges, n_communities, modularity);
+    * an empty graph reports (0, 0, NULL). */
+  def modularity(pairs: DataFrame, idACol: String, idBCol: String,
+                 rounds: Int): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    val labels = labelPropagation(e, "lo", "hi", rounds)
+    val nl = labels.join(degreesOf(e), "id")
+    val dc = nl.groupBy("label").agg(sum(col("deg")).as("dsum"))
+    val la = labels.select(col("id").as("lo"), col("label").as("_la"))
+    val lb = labels.select(col("id").as("hi"), col("label").as("_lb"))
+    val mc = e.join(la, Seq("lo")).join(lb, Seq("hi"))
+      .filter(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label"))
+      .agg(count(lit(1)).as("m_in"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    dc.join(mc, Seq("label"), "left")
+      .select(col("dsum"), coalesce(col("m_in"), lit(0L)).as("m_in"))
+      .agg(
+        coalesce(sum(dec(col("dsum"))), z0).as("s"),
+        coalesce(sum(dec(col("m_in"))), z0).as("smc"),
+        coalesce(sum(dec(col("dsum")) * dec(col("dsum"))), z0)
+          .as("sdc2"),
+        count(lit(1)).as("ncomm"))
+      .select(
+        expr("CAST(s AS BIGINT) div 2").as("n_edges"),
+        col("ncomm").as("n_communities"),
+        when(col("s") > 0,
+          round((lit(2L) * col("s") * col("smc") - col("sdc2"))
+              .cast("double") /
+            (col("s") * col("s")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("modularity"))
+  }
+
   /** Degree assortativity (Newman, Phys. Rev. Lett. 2002): the
     * Pearson correlation of endpoint degrees over every directed
     * edge — one number answering "do well-connected documents

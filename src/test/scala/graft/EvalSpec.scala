@@ -788,6 +788,41 @@ class EvalSpec extends AnyFunSuite {
       empty.isNullAt(4))
   }
 
+  test("welchT: golden statistic and degenerate NULL contracts") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Boolean)]) =
+      Eval.welchT(rows.toDF("v", "a"), col("v"), col("a")).head()
+    // A = {1,2,3,4}, B = {2,4,6}: s²a/na = 5/12, s²b/nb = 4/3,
+    // x̄−ȳ = 2.5−4 = −1.5 — re-derive t and df through the SAME
+    // single-division IEEE ops the operator contracts to
+    val va = 5.0 / 12.0
+    val vb = 4.0 / 3.0
+    val d = -18.0 / 12.0
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantT = r6(d / math.sqrt(va + vb))
+    val wantDf = r6((va + vb) * (va + vb) /
+      (va * va / 3.0 + vb * vb / 2.0))
+    val g = run(Seq(1L -> true, 2L -> true, 3L -> true, 4L -> true,
+      2L -> false, 4L -> false, 6L -> false))
+    assert(g.getLong(0) === 4L && g.getLong(1) === 3L)
+    assert(g.getDouble(2) === wantT, s"t: $g")
+    assert(g.getDouble(3) === wantDf, s"df: $g")
+    // scale invariance under integer quantization (×100): identical
+    val g100 = run(Seq(100L -> true, 200L -> true, 300L -> true,
+      400L -> true, 200L -> false, 400L -> false, 600L -> false))
+    assert(g100.getDouble(2) === wantT && g100.getDouble(3) === wantDf)
+    // one side too small → NULL t and df
+    val small = run(Seq(1L -> true, 2L -> false, 4L -> false))
+    assert(small.getLong(0) === 1L && small.isNullAt(2) &&
+      small.isNullAt(3))
+    // both sides constant: zero pooled variance → NULL, never NaN
+    val const = run(Seq(5L -> true, 5L -> true, 7L -> false,
+      7L -> false))
+    assert(const.isNullAt(2) && const.isNullAt(3), s"const: $const")
+  }
+
   test("mcnemar: golden counts and the never-disagree contract") {
     val s = spark
     import s.implicits._

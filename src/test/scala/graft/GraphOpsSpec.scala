@@ -505,6 +505,32 @@ class GraphOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: textbook cliques, single community, empty graph") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.modularity(df, "id_a", "id_b", rounds = 3).head()
+    // two disjoint triangles: LPA converges to one label per clique by
+    // round 3; every edge intra, S = 12, Σm_c = 6, Σd_c² = 72 →
+    // Q = (2·12·6 − 72)/144 = 0.5 — the textbook two-equal-cliques
+    // value
+    val two = run(pairs((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L)))
+    assert(two.getLong(0) === 6L && two.getLong(1) === 2L)
+    assert(two.getDouble(2) === 0.5, s"two cliques: $two")
+    // one triangle = one community: Q = 0 exactly (no structure
+    // beyond the degree sequence)
+    val one = run(pairs((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(one.getLong(0) === 3L && one.getLong(1) === 1L)
+    assert(one.getDouble(2) === 0.0, s"one clique: $one")
+    // reversed/duplicate/self-loop pairs normalize to the same answer
+    val noisy = run(pairs((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (1L, 3L), (3L, 3L)))
+    assert(noisy.getLong(0) === 3L && noisy.getDouble(2) === 0.0)
+    // empty graph: (0, 0, NULL)
+    val empty = run(pairs())
+    assert(empty.getLong(0) === 0L && empty.getLong(1) === 0L &&
+      empty.isNullAt(2), s"empty: $empty")
+  }
+
   test("degreeAssortativity: golden paths, degenerate NULL, normalization") {
     def run(df: org.apache.spark.sql.DataFrame) =
       GraphOps.degreeAssortativity(df, "id_a", "id_b").head()
