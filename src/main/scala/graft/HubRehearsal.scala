@@ -126,6 +126,53 @@ object HubRehearsal {
       s"${tFixed.toSet == tThree.toSet}")
     println(s"[rehearsal] fixed=$tFixed")
     println(s"[rehearsal] three=$tThree")
+
+    // degree assortativity under the hub: a pure star is PERFECTLY
+    // disassortative (degree pairs are (k,1)/(1,k) two-point,
+    // r = −1 exactly — planted truth), and welding it onto the real
+    // graph must drag the measured r DOWN, at one degree-join's cost
+    val aStar = timed(s"degreeAssortativity (pure $hubDegree-star)")(
+      GraphOps.degreeAssortativity(hub, "id_a", "id_b").head())
+    require(aStar.getDouble(1) == -1.0,
+      s"a pure star must give r = -1 exactly, got $aStar")
+    val aClean = timed("degreeAssortativity (clean)")(
+      GraphOps.degreeAssortativity(nearDup, "id_a", "id_b").head())
+    val aHub = timed("degreeAssortativity (hubbed)")(
+      GraphOps.degreeAssortativity(hubbed, "id_a", "id_b").head())
+    println(s"[rehearsal] assortativity clean=${aClean.getDouble(1)} " +
+      s"hubbed=${aHub.getDouble(1)} (star drags it down)")
+    require(aHub.getDouble(1) < aClean.getDouble(1),
+      "welding a star must lower assortativity")
+
+    // modularity: planted k disjoint triangles → Q = 1 − 1/k exactly
+    // (S = 6k, Σm_c = 3k, Σd_c² = 36k), re-derived through the
+    // operator's own one-division contract; then the hubbed graph
+    // measured (the star joins the hub's community; cost is the LPA
+    // rounds the g5 rehearsal already prices)
+    val k = 1000000L
+    val tri = spark.range(k).select(col("id"))
+      .select(explode(array(
+        struct((col("id") * 3).as("id_a"), (col("id") * 3 + 1).as("id_b")),
+        struct((col("id") * 3).as("id_a"), (col("id") * 3 + 2).as("id_b")),
+        struct((col("id") * 3 + 1).as("id_a"),
+          (col("id") * 3 + 2).as("id_b")))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"))
+    val mTri = timed(s"modularity ($k disjoint triangles)")(
+      GraphOps.modularity(tri, "id_a", "id_b", rounds = 3).head())
+    val s6k = BigInt(6) * k
+    val wantQ = BigDecimal((2 * s6k * (3 * k) - 36 * k).doubleValue /
+        (s6k * s6k).doubleValue)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    require(mTri.getLong(0) == 3 * k && mTri.getLong(1) == k,
+      s"triangle partition shape: $mTri")
+    require(mTri.getDouble(2) == wantQ,
+      s"planted Q = 1 - 1/k: want $wantQ got $mTri")
+    println(s"[rehearsal] modularity($k cliques)=${mTri.getDouble(2)} " +
+      s"(= 1 - 1/k) ok")
+    val mHub = timed("modularity (hubbed near-dup)")(
+      GraphOps.modularity(hubbed, "id_a", "id_b", rounds = 3).head())
+    println(s"[rehearsal] modularity hubbed: edges=${mHub.getLong(0)} " +
+      s"communities=${mHub.getLong(1)} Q=${mHub.getDouble(2)}")
     spark.stop()
   }
 }

@@ -89,6 +89,62 @@ object StatRehearsal {
     println(s"[rehearsal] W1=${w1.getLong(0)} micro " +
       s"(= planted shift $shift) over ${w1.getLong(3)} support values")
 
+    // Mann-Whitney worst case: n DISTINCT pooled values (the value
+    // table is row-sized — exactly what the midrank cells exist
+    // for), planted DISJOINT ranges: every A value above every B
+    // value, so u2_a = 2·na·nb exactly, zero ties, z > 0
+    val mw = base.select(
+      when(col("id") % 2 === 0, col("id") + n).otherwise(col("id"))
+        .cast("double").as("v"),
+      (col("id") % 2 === 0).as("a"))
+    val rMw = timed(s"mannWhitneyU near-unique ($n rows — worst " +
+      "case: value table is row-sized)")(
+      Eval.mannWhitneyU(mw, col("v"), col("a")).head())
+    val (mwNa, mwNb) = (rMw.getLong(0), rMw.getLong(1))
+    require(rMw.getLong(2) == 2L * mwNa * mwNb,
+      s"planted disjoint ranges must give u2_a=2·na·nb, got $rMw")
+    require(rMw.getLong(3) == 0L, s"no ties planted, got $rMw")
+    require(rMw.getDouble(4) > 0,
+      s"A strictly above B must give z > 0, got $rMw")
+    println(s"[rehearsal] MW u2_a=${rMw.getLong(2)} " +
+      s"(= 2*na*nb for na=$mwNa nb=$mwNb) z=${rMw.getDouble(4)} ok")
+
+    // Welch at scale with a CLOSED-FORM expectation: A two-point
+    // {0, 2} (half each), B two-point {10, 14} — exact sums known,
+    // expected t/df re-derived through the operator's own
+    // single-division IEEE contract from BigInt-exact co-moments
+    require(n % 4 == 0, "welch planting needs n divisible by 4")
+    val wdf = base.select(
+      when(col("id") % 2 === 0,
+          when(col("id") % 4 === 0, 0L).otherwise(2L))
+        .otherwise(when(col("id") % 4 === 1, 10L).otherwise(14L))
+        .as("v"),
+      (col("id") % 2 === 0).as("a"))
+    val rW = timed(s"welchT ($n rows)")(
+      Eval.welchT(wdf, col("v"), col("a")).head())
+    val q = BigInt(n / 4)
+    val (wNa, wNb) = (2 * q, 2 * q)
+    val (sx, sxx) = (2 * q, 4 * q)            // {0,2} halves
+    val (sy, syy) = (24 * q, (100 + 196) * q) // {10,14} halves
+    val va = (wNa * sxx - sx * sx).doubleValue /
+      (wNa * wNa * (wNa - 1)).doubleValue
+    val vb = (wNb * syy - sy * sy).doubleValue /
+      (wNb * wNb * (wNb - 1)).doubleValue
+    val dd = (sx * wNb - sy * wNa).doubleValue /
+      (wNa * wNb).doubleValue
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wantT = r6(dd / math.sqrt(va + vb))
+    val wantDf = r6((va + vb) * (va + vb) /
+      (va * va / (wNa - 1).doubleValue +
+        vb * vb / (wNb - 1).doubleValue))
+    require(rW.getDouble(2) == wantT,
+      s"welch t: want $wantT got ${rW.getDouble(2)}")
+    require(rW.getDouble(3) == wantDf,
+      s"welch df: want $wantDf got ${rW.getDouble(3)}")
+    println(s"[rehearsal] Welch t=${rW.getDouble(2)} " +
+      s"df=${rW.getDouble(3)} (closed form) ok")
+
     spark.stop()
   }
 }
