@@ -842,27 +842,9 @@ object Eval {
         .agg(sum(col("cnt")).as("_c"))
       if (mmRow.isNullAt(mmAt))
         return vals.select(col("_v"), lit(0L).as(out)).limit(0)
-      val (lo, hi) = (mmRow.getDouble(mmAt), mmRow.getDouble(mmAt + 1))
-      val cell =
-        if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
-        else least(lit(cells - 1L), greatest(lit(0L),
-          floor((col("_v") - lit(lo)) /
-            lit((hi - lo) / cells)).cast("long")))
-      val celled = vals.withColumn("_cell", cell)
-      // cell offsets: cumulative counts over the ≤`cells`-row frame —
-      // bounded, the B-row-stats class, not a data-sized window
-      val offs = celled.groupBy("_cell").agg(sum(col("_c")).as("_cc"))
-        .withColumn("_off", coalesce(sum(col("_cc")).over(
-          Window.orderBy("_cell")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .drop("_cc")
-      val inCell = Window.partitionBy("_cell").orderBy("_v")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      celled.join(offs, Seq("_cell"))
-        .select(col("_v"),
-          (lit(2L) * (col("_off") +
-            coalesce(sum(col("_c")).over(inCell), lit(0L))) +
-            col("_c") + lit(1L)).as(out))
+      midrankDoubled(vals, "_v", "_c", mmRow.getDouble(mmAt),
+        mmRow.getDouble(mmAt + 1), cells)
+        .select(col("_v"), col("r2").as(out))
     }
 
     def dec(c: Column): Column = c.cast("decimal(38,0)")
@@ -891,6 +873,43 @@ object Eval {
           6).as("rho"))
   }
 
+  /** Doubled average-tie midranks over a distinct-value frame — the
+    * ONE derivation behind [[spearmanRho]] and [[mannWhitneyU]]
+    * (extracted so a fix to the shared edge cases lands in both):
+    * monotone cells + bounded cell offsets + per-cell prefix windows,
+    * NO global window over a data-sized frame. `vals` holds one row
+    * per distinct value (`valueCol`) with its total multiplicity
+    * (`countCol`); every other column rides through untouched.
+    * (lo, hi) is the value envelope from the caller's single bounded
+    * parameter fetch (a degenerate envelope — equal, reversed, or
+    * non-finite width — collapses to one cell, which is correct, just
+    * unsplit). Appends `r2` = 2·midrank, always integral. */
+  private def midrankDoubled(vals: DataFrame, valueCol: String,
+                             countCol: String, lo: Double, hi: Double,
+                             cells: Int): DataFrame = {
+    val cell =
+      if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
+      else least(lit(cells - 1L), greatest(lit(0L),
+        floor((col(valueCol) - lit(lo)) /
+          lit((hi - lo) / cells)).cast("long")))
+    val celled = vals.withColumn("_cell", cell)
+    // cell offsets: cumulative counts over the ≤`cells`-row frame —
+    // bounded, the B-row-stats class, not a data-sized window
+    val offs = celled.groupBy("_cell").agg(sum(col(countCol)).as("_cc"))
+      .withColumn("_off", coalesce(sum(col("_cc")).over(
+        Window.orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_cc")
+    val inCell = Window.partitionBy("_cell").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    celled.join(offs, Seq("_cell"))
+      .withColumn("r2",
+        lit(2L) * (col("_off") +
+          coalesce(sum(col(countCol)).over(inCell), lit(0L))) +
+          col(countCol) + lit(1L))
+      .drop("_cell", "_off")
+  }
+
   /** Exact Mann–Whitney U (Wilcoxon rank-sum) between group A
     * (`isA` true) and the complement group B over `value` — the
     * distribution-free "did segment A score higher?" test an eval
@@ -901,10 +920,12 @@ object Eval {
     *
     * Midranks ride the spearmanRho machinery: one corpus pass
     * collapses to the distinct-value table with per-group counts,
-    * DOUBLED midranks (always integral) derive from monotone cells +
-    * bounded offsets + per-cell prefix windows — no global window
-    * touches a data-sized frame. 2·U_A = Σ(c_A·r2) − n_A(n_A+1)
-    * stays integral and is reported as `u2_a` (hash-exact); the
+    * DOUBLED midranks (always integral) derive from [[midrankDoubled]]
+    * (the spearmanRho machinery, shared) — no global window touches a
+    * data-sized frame. 2·U_A = Σ(c_A·r2) − n_A(n_A+1)
+    * stays integral and is reported as `u2_a` (hash-exact; NULL past
+    * ~4.3e9 pooled rows where 2·n_a·n_b outgrows a long — z still
+    * reports there, its intermediates stay decimal); the
     * tie-corrected normal z uses T = Σ(t³−t) with
     * 4σ² = n_A·n_B·(n³−n−T)/(3n(n−1)) — exact decimals until ONE
     * final sqrt + division, ROUND 6, op order mirrored in the
@@ -926,29 +947,10 @@ object Eval {
           .as("ca"))
       .localCheckpoint()
     val mmRow = vals.agg(min(col("v")), max(col("v"))).head()
-    val cell =
-      if (mmRow.isNullAt(0)) lit(0L)
-      else {
-        val (lo, hi) = (mmRow.getDouble(0), mmRow.getDouble(1))
-        if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
-        else least(lit(cells - 1L), greatest(lit(0L),
-          floor((col("v") - lit(lo)) /
-            lit((hi - lo) / cells)).cast("long")))
-      }
-    val celled = vals.withColumn("_cell", cell)
-    // cell offsets: cumulative counts over the ≤`cells`-row frame
-    val offs = celled.groupBy("_cell").agg(sum(col("c")).as("_cc"))
-      .withColumn("_off", coalesce(sum(col("_cc")).over(
-        Window.orderBy("_cell")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_cc")
-    val inCell = Window.partitionBy("_cell").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = celled.join(offs, Seq("_cell"))
-      .select(col("c"), col("ca"),
-        (lit(2L) * (col("_off") +
-          coalesce(sum(col("c")).over(inCell), lit(0L))) +
-          col("c") + lit(1L)).as("r2"))
+    val (lo, hi) =
+      if (mmRow.isNullAt(0)) (0.0, 0.0)
+      else (mmRow.getDouble(0), mmRow.getDouble(1))
+    val ranked = midrankDoubled(vals, "v", "c", lo, hi, cells)
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
     ranked.agg(
@@ -960,8 +962,15 @@ object Eval {
       .select(
         col("na").cast("long").as("n_a"),
         (col("n") - col("na")).cast("long").as("n_b"),
-        (col("ra2") - col("na") * (col("na") + lit(1L)))
-          .cast("long").as("u2_a"),
+        // u2_a can reach 2·n_a·n_b ≈ n²/2, which outgrows a long past
+        // ~4.3e9 pooled rows — report NULL there (an ANSI overflow
+        // crash otherwise) rather than a wrapped value; z carries the
+        // statistic at that scale (its intermediates stay decimal)
+        when(col("ra2") - col("na") * (col("na") + lit(1L)) <=
+            lit(Long.MaxValue),
+          (col("ra2") - col("na") * (col("na") + lit(1L)))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("u2_a"),
         col("t").cast("long").as("tie_t"),
         when(col("n") < 2, lit(null).cast("double")).otherwise(
           round((col("ra2") - col("na") * (col("na") + lit(1L)) -

@@ -333,8 +333,14 @@ object GraphOps {
     * as chained CTEs; with CONSTANT weights the div cancels
     * ((r·w) div (w·deg) = r div deg exactly) and the ranks equal the
     * unweighted form bit for bit (GraphOpsSpec pins it). Weights must
-    * be positive integers (micro-quantize upstream); w ≤ 1e6 and
-    * rank ≤ ~2e6 keep r·w ≤ ~2e12, far inside long.
+    * be positive integers (micro-quantize upstream). Ranks are
+    * UNNORMALIZED, so a hub's rank grows with its in-degree (bounded
+    * only by the total mass ≈ N·1e6) — the r·w product therefore runs
+    * in decimal(38,0), not long (a 1e7-degree hub at max weight would
+    * overflow a long multiply by round 2); contributions and the
+    * inflow sum stay decimal until the damping multiply, so the
+    * operative bound is the same N ≲ 9e12-node rank-fits-in-long
+    * bound [[pageRankMicro]] has, not a weight-dependent one.
     *
     * Shape at scale: identical to [[pageRankMicro]] — only the pair
     * graph shuffles, co-partitioned on node ids across rounds. */
@@ -352,17 +358,27 @@ object GraphOps {
       .union(pairs.select(b.as("src"), a.as("dst"), w.as("w")))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("w") > 0)
-    val wsum = edges.groupBy("src").agg(sum("w").as("wsum"))
+    // weight sums, the r·w product, and the inflow sum all run in
+    // decimal(38,0): unnormalized hub ranks grow with in-degree, so a
+    // long multiply would overflow on exactly the boilerplate-hub
+    // shape this operator targets. IntegralDivide on decimals still
+    // returns an exact long contribution (contrib ≤ rank ≤ total
+    // mass), and the decimal→double cast before the damping multiply
+    // is value-identical to the long path below 2^53.
+    val wsum = edges.groupBy("src")
+      .agg(sum(col("w").cast("decimal(38,0)")).as("wsum"))
     var ranks = wsum.select(col("src").as("id"),
       lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iterations) {
       ranks = edges.join(ranks, edges("src") === ranks("id"))
         .join(wsum, "src")
         .select(col("dst"),
-          expr("(rank_micro * w) div wsum").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("inflow"))
+          expr("(CAST(rank_micro AS DECIMAL(38,0)) * w) div wsum")
+            .as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib").cast("decimal(38,0)")).as("inflow"))
         .select(col("dst").as("id"),
-          (lit(base) + round(lit(damping) * col("inflow"))
+          (lit(base) + round(lit(damping) * col("inflow").cast("double"))
             .cast("long")).as("rank_micro"))
     }
     ranks
@@ -616,9 +632,19 @@ object GraphOps {
     * tie-break negates them); isolated nodes never appear, as in every
     * operator of this family. Returns (id, label). */
   def labelPropagation(pairs: DataFrame, idACol: String, idBCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int): DataFrame =
+    labelPropagationNormalized(
+      normalizedEdges(pairs, idACol, idBCol), rounds)
+
+  /** [[labelPropagation]] over an ALREADY-normalized (lo, hi) edge
+    * frame — the entry point for callers that hold the normalized
+    * graph (modularity pins it once and reuses it for labels, degrees,
+    * and the intra count; re-normalizing would re-shuffle the whole
+    * edge list for nothing). The caller owns the normalization
+    * contract: distinct, lo < hi, no nulls. */
+  def labelPropagationNormalized(e: DataFrame,
+                                 rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = normalizedEdges(pairs, idACol, idBCol)
     val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
       .union(e.select(col("hi").as("src"), col("lo").as("dst")))
       .localCheckpoint()
@@ -730,7 +756,7 @@ object GraphOps {
   def modularity(pairs: DataFrame, idACol: String, idBCol: String,
                  rounds: Int): DataFrame = {
     val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
-    val labels = labelPropagation(e, "lo", "hi", rounds)
+    val labels = labelPropagationNormalized(e, rounds)
     val nl = labels.join(degreesOf(e), "id")
     val dc = nl.groupBy("label").agg(sum(col("deg")).as("dsum"))
     val la = labels.select(col("id").as("lo"), col("label").as("_la"))
@@ -784,7 +810,13 @@ object GraphOps {
     val deg = degreesOf(e)
     val dl = deg.select(col("id").as("lo"), col("deg").as("_dlo"))
     val dh = deg.select(col("id").as("hi"), col("deg").as("_dhi"))
+    // pinned: both union branches read the per-edge degree pairs, and
+    // Spark does no CSE across a union — un-pinned, the normalize +
+    // degree aggregation + double join subtree executes twice (the
+    // spearmanRho/llm_curate_full fork lesson; this frame is
+    // edge-sized, the same class as e itself)
     val ends = e.join(dl, Seq("lo")).join(dh, Seq("hi"))
+      .select(col("_dlo"), col("_dhi")).localCheckpoint()
     val both = ends.select(col("_dlo").as("x"), col("_dhi").as("y"))
       .union(ends.select(col("_dhi").as("x"), col("_dlo").as("y")))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
