@@ -1,0 +1,209 @@
+package graft
+
+import graft.pipeline.{Eval, GraphOps}
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck differentials for the round-10 two-sample / graph-shape
+  * family: random inputs vs independent in-memory references that
+  * re-derive every statistic through the SAME single-division IEEE op
+  * order the operators contract to — so doubles compare for exact
+  * equality, not tolerance. Each case runs real Spark jobs — small
+  * sample counts (the DedupProperties convention). */
+object StatProperties extends Properties("graft.stat") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def r6(x: Double): Double = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // values on a small grid so ties are GUARANTEED (the midrank and
+  // tie-correction machinery is the thing under test)
+  private val genSamples: Gen[List[(Double, Boolean)]] = for {
+    n <- Gen.choose(3, 24)
+    rows <- Gen.listOfN(n, for {
+      v <- Gen.choose(0, 6)
+      a <- Gen.oneOf(true, false)
+    } yield (v.toDouble, a))
+  } yield rows
+
+  /** In-memory Mann–Whitney: doubled midranks from the sorted
+    * distinct-value running sum, then the operator's own closed
+    * forms in BigInt-exact arithmetic. */
+  private def refMw(rows: List[(Double, Boolean)])
+      : (Long, Long, Long, Long, Option[Double]) = {
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, g) =>
+        (v, BigInt(g.size), BigInt(g.count(_._2))) }
+    var cum = BigInt(0)
+    var (ra2, t) = (BigInt(0), BigInt(0))
+    byV.foreach { case (_, c, ca) =>
+      val r2 = 2 * cum + c + 1
+      ra2 += ca * r2
+      t += c * c * c - c
+      cum += c
+    }
+    val n = BigInt(rows.size)
+    val na = BigInt(rows.count(_._2))
+    val nb = n - na
+    val u2 = ra2 - na * (na + 1)
+    val z =
+      if (n < 2) None
+      else {
+        val den = math.sqrt((na * nb).doubleValue *
+          (n * n * n - n - t).doubleValue /
+          (3 * n * (n - 1)).doubleValue)
+        if (den == 0.0) None
+        else Some(r6((u2 - na * nb).doubleValue / den))
+      }
+    (na.toLong, nb.toLong, u2.toLong, t.toLong, z)
+  }
+
+  property("mannWhitneyU equals the in-memory midrank reference at " +
+    "every cell count") =
+    Prop.forAll(genSamples, Gen.oneOf(1, 2, 7, 1024)) { (rows, cells) =>
+      val s = spark
+      import s.implicits._
+      val (na, nb, u2, t, z) = refMw(rows)
+      val r = Eval.mannWhitneyU(rows.toDF("v", "a"), col("v"),
+        col("a"), cells).head()
+      val gotZ = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+      Prop(r.getLong(0) == na && r.getLong(1) == nb &&
+        r.getLong(2) == u2 && r.getLong(3) == t && gotZ == z) :|
+        s"cells=$cells got=$r want=($na,$nb,$u2,$t,$z)"
+    }
+
+  /** In-memory Welch through the operator's three one-division
+    * doubles. */
+  private def refWelch(rows: List[(Long, Boolean)])
+      : (Long, Long, Option[Double], Option[Double]) = {
+    val a = rows.filter(_._2).map(r => BigInt(r._1))
+    val b = rows.filterNot(_._2).map(r => BigInt(r._1))
+    val (na, nb) = (BigInt(a.size), BigInt(b.size))
+    if (na < 2 || nb < 2) return (na.toLong, nb.toLong, None, None)
+    val (sx, sxx) = (a.sum, a.map(x => x * x).sum)
+    val (sy, syy) = (b.sum, b.map(x => x * x).sum)
+    val va = (na * sxx - sx * sx).doubleValue /
+      (na * na * (na - 1)).doubleValue
+    val vb = (nb * syy - sy * sy).doubleValue /
+      (nb * nb * (nb - 1)).doubleValue
+    val d = (sx * nb - sy * na).doubleValue / (na * nb).doubleValue
+    val den = math.sqrt(va + vb)
+    val tStat = if (den == 0.0) None else Some(r6(d / den))
+    val dfDen = va * va / (na - 1).doubleValue +
+      vb * vb / (nb - 1).doubleValue
+    val df = if (dfDen == 0.0) None
+      else Some(r6((va + vb) * (va + vb) / dfDen))
+    (na.toLong, nb.toLong, tStat, df)
+  }
+
+  property("welchT equals the in-memory single-division reference") =
+    Prop.forAll(Gen.choose(2, 20).flatMap(n =>
+      Gen.listOfN(n, for {
+        v <- Gen.choose(-5L, 5L)
+        a <- Gen.oneOf(true, false)
+      } yield (v, a)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val (na, nb, t, df) = refWelch(rows)
+      val r = Eval.welchT(rows.toDF("v", "a"), col("v"), col("a"))
+        .head()
+      val gotT = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val gotDf = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      Prop(r.getLong(0) == na && r.getLong(1) == nb &&
+        gotT == t && gotDf == df) :|
+        s"got=$r want=($na,$nb,$t,$df)"
+    }
+
+  // small random multigraphs WITH duplicates, reversals, self-loops —
+  // normalization is part of the contract under test
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 14)
+    es <- Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 7L)
+      b <- Gen.choose(0L, 7L)
+    } yield (a, b))
+  } yield es
+
+  private def normalize(es: List[(Long, Long)]): Set[(Long, Long)] =
+    es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+
+  /** In-memory assortativity through the operator's op order. */
+  private def refAssort(es: List[(Long, Long)])
+      : (Long, Option[Double]) = {
+    val te = normalize(es)
+    val deg = te.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(v => BigInt(v.size)).toMap
+    val xs = te.toSeq.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = BigInt(xs.size)
+    if (n == 0) return (0L, None)
+    val sx = xs.map(_._1).sum
+    val sy = xs.map(_._2).sum
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val den = math.sqrt((n * sxx - sx * sx).doubleValue *
+      (n * syy - sy * sy).doubleValue)
+    val r = if (den == 0.0) None
+      else Some(r6((n * sxy - sx * sy).doubleValue / den))
+    (n.toLong, r)
+  }
+
+  property("degreeAssortativity equals the in-memory Pearson " +
+    "reference on noisy multigraphs") =
+    Prop.forAll(genEdges) { es =>
+      val s = spark
+      import s.implicits._
+      val (n, want) = refAssort(es)
+      val r = GraphOps.degreeAssortativity(es.toDF("id_a", "id_b"),
+        "id_a", "id_b").head()
+      val got = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      Prop(r.getLong(0) == n && got == want) :|
+        s"edges=$es got=$r want=($n,$want)"
+    }
+
+  /** Synchronous min-tie-break LPA (the GraphOpsSpec refLpa
+    * semantics) feeding the exact in-memory Q. */
+  private def refModularity(es: List[(Long, Long)], rounds: Int)
+      : (Long, Long, Option[Double]) = {
+    val te = normalize(es)
+    if (te.isEmpty) return (0L, 0L, None)
+    val adj = te.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2)
+    var lab: Map[Long, Long] = adj.keys.map(i => i -> i).toMap
+    (1 to rounds).foreach { _ =>
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size)
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val deg = adj.view.mapValues(ns => BigInt(ns.size)).toMap
+    val dc = lab.groupMapReduce(_._2)(kv => deg(kv._1))(_ + _)
+    val sTot = dc.values.sum
+    val smc = te.toSeq.map(e =>
+      BigInt(if (lab(e._1) == lab(e._2)) 1 else 0)).sum
+    val sdc2 = dc.values.map(d => d * d).sum
+    val q = r6((2 * sTot * smc - sdc2).doubleValue /
+      (sTot * sTot).doubleValue)
+    ((sTot / 2).toLong, dc.size.toLong, Some(q))
+  }
+
+  property("modularity equals the in-memory LPA+Q reference on " +
+    "noisy multigraphs") =
+    Prop.forAll(genEdges, Gen.oneOf(1, 2, 3)) { (es, rounds) =>
+      val s = spark
+      import s.implicits._
+      val (m, ncomm, want) = refModularity(es, rounds)
+      val r = GraphOps.modularity(es.toDF("id_a", "id_b"),
+        "id_a", "id_b", rounds).head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      Prop(r.getLong(0) == m && r.getLong(1) == ncomm &&
+        got == want) :|
+        s"edges=$es rounds=$rounds got=$r want=($m,$ncomm,$want)"
+    }
+}
