@@ -4706,6 +4706,58 @@ object SparkEntry {
              |  END AS df_ws
              |FROM e""".stripMargin)),
 
+    // Mann–Whitney against a PINNED REFERENCE (the q49/q69
+    // convention): the rank-based drift monitor — does src0's length
+    // distribution stochastically dominate the rest of the corpus? —
+    // completing the reference-monitor symmetry (KS shape, W1 area,
+    // PSI likelihood, quantile location, KMV cardinality, now rank
+    // dominance). The batch operator IS mwDriftStream's foreachBatch
+    // sink body; StatProperties pins its equivalence to q73's
+    // row-level form over the union.
+    "q76_mw_reference" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val refC = graft.pipeline.Eval.referenceValueCounts(
+          docs.filter(col("source") =!= "src0"),
+          col("n_chars").cast("double"))
+        graft.pipeline.Eval.mwAgainstReference(
+          docs.filter(col("source") === "src0"), refC, col("n_chars"))
+      },
+      Some("""WITH ma AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |    CAST(count(*) AS HUGEINT) AS ca
+             |  FROM documents
+             |  WHERE source = 'src0' AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |mb AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |    CAST(count(*) AS HUGEINT) AS cb
+             |  FROM documents
+             |  WHERE source <> 'src0' AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |mv AS (SELECT coalesce(ma.v, mb.v) AS v,
+             |    coalesce(ca, 0) + coalesce(cb, 0) AS c,
+             |    coalesce(ca, 0) AS ca
+             |  FROM ma FULL OUTER JOIN mb ON ma.v = mb.v),
+             |mr AS (SELECT v, c, ca,
+             |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+             |  FROM mv),
+             |mg AS (SELECT coalesce(sum(c), 0) AS n,
+             |    coalesce(sum(ca), 0) AS na,
+             |    coalesce(sum(ca * r2), 0) AS ra2,
+             |    coalesce(sum(c * c * c - c), 0) AS t
+             |  FROM mr)
+             |SELECT CAST(na AS BIGINT) AS n_a,
+             |  CAST(n - na AS BIGINT) AS n_b,
+             |  CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a,
+             |  CAST(t AS BIGINT) AS tie_t,
+             |  CASE WHEN n < 2 THEN NULL ELSE
+             |    ROUND(CAST(ra2 - na * (na + 1) - na * (n - na)
+             |        AS DOUBLE) /
+             |      nullif(sqrt(CAST(na * (n - na) AS DOUBLE)
+             |        * CAST(n * n * n - n - t AS DOUBLE)
+             |        / CAST(3 * n * (n - 1) AS DOUBLE)), 0.0), 6)
+             |  END AS z
+             |FROM mg""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the

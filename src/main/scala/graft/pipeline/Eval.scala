@@ -939,13 +939,68 @@ object Eval {
         isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull && !isnan(col("v")) &&
         col("a").isNotNull)
+    mwFromValueCounts(data.groupBy("v").agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+        .as("ca")), cells)
+  }
+
+  /** Mann–Whitney of one arriving frame AGAINST prebuilt reference
+    * value counts — the rank-based member of the pinned-reference
+    * drift-monitor family (KS = max CDF gap, W1 = area between CDFs,
+    * PSI = binned likelihood, exact quantile = location, KMV =
+    * cardinality; this one answers STOCHASTIC DOMINANCE: does the
+    * arriving batch score systematically above the reference corpus,
+    * robust to outliers and heavy tails). The batch collapses to
+    * value counts, full-outer-merges with the reference counts
+    * (group A = the batch), and the pooled-midrank machinery runs
+    * over the merged value table — identical closed forms to
+    * [[mannWhitneyU]] over the equivalent row union (StatProperties
+    * pins the equivalence). Exposed as a batch operator so the
+    * monitor is oracle-checkable outside a streaming harness (the
+    * ksAgainstReference convention). */
+  def mwAgainstReference(batch: DataFrame, refCounts: DataFrame,
+                         value: Column, cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val bh = batch.select(value.cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+      .groupBy("v").agg(count(lit(1)).as("ca"))
+    val rc = refCounts.select(col("v").cast("double").as("v"),
+        col("cb"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+    mwFromValueCounts(bh.join(rc, Seq("v"), "full_outer")
+      .select(col("v"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+          .as("c"),
+        coalesce(col("ca"), lit(0L)).as("ca")), cells)
+  }
+
+  /** Streaming rank-based drift monitor: every micro-batch is
+    * Mann–Whitney-scored against a REFERENCE corpus's pinned value
+    * counts; one (n_a, n_b, u2_a, tie_t, z, batch_id) row per batch
+    * to `sink`. The sink body IS [[mwAgainstReference]], so batch and
+    * stream cannot drift (the ksDriftStream convention). */
+  def mwDriftStream(docs: DataFrame, reference: DataFrame,
+                    value: Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refC = referenceValueCounts(reference, value).localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(mwAgainstReference(batch, refC, value)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
+  /** The shared tail of [[mannWhitneyU]] / [[mwAgainstReference]]:
+    * the exact statistic from a (v, c, ca) distinct-value frame. */
+  private def mwFromValueCounts(valsIn: DataFrame,
+                                cells: Int): DataFrame = {
     // pinned: the distinct-value table feeds the 1-row envelope fetch
-    // AND the ranked aggregation — the corpus scan must run once
-    val vals = data.groupBy("v").agg(
-        count(lit(1)).as("c"),
-        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
-          .as("ca"))
-      .localCheckpoint()
+    // AND the ranked aggregation — its lineage (a corpus scan or the
+    // reference merge) must run once
+    val vals = valsIn.localCheckpoint()
     val mmRow = vals.agg(min(col("v")), max(col("v"))).head()
     val (lo, hi) =
       if (mmRow.isNullAt(0)) (0.0, 0.0)

@@ -118,6 +118,23 @@ object StatProperties extends Properties("graft.stat") {
         s"got=$r want=($na,$nb,$t,$df)"
     }
 
+  property("mwAgainstReference equals mannWhitneyU over the " +
+    "equivalent row union") =
+    Prop.forAll(genSamples) { rows =>
+      val s = spark
+      import s.implicits._
+      // group A = the "batch", group B = the "reference"
+      val batch = rows.filter(_._2).map(_._1)
+      val ref = rows.filterNot(_._2).map(_._1)
+      val refC = Eval.referenceValueCounts(ref.toDF("x"), col("x"))
+      val viaRef = Eval.mwAgainstReference(batch.toDF("x"), refC,
+        col("x")).head()
+      val viaRows = Eval.mannWhitneyU(rows.toDF("v", "a"), col("v"),
+        col("a")).head()
+      Prop(viaRef.toSeq == viaRows.toSeq) :|
+        s"ref=$viaRef rows=$viaRows"
+    }
+
   // small random multigraphs WITH duplicates, reversals, self-loops —
   // normalization is part of the contract under test
   private val genEdges: Gen[List[(Long, Long)]] = for {
