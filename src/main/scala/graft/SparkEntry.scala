@@ -4706,6 +4706,53 @@ object SparkEntry {
              |  END AS df_ws
              |FROM e""".stripMargin)),
 
+    // Cliff's delta + common-language effect size on the q73 split —
+    // the magnitude report that belongs NEXT TO the significance
+    // tests (a 600k-row suite makes everything "significant"; delta
+    // says whether it matters): δ = (#(a>b) − #(a<b))/(n_a·n_b)
+    // = (u2_a − n_a·n_b)/(n_a·n_b) exactly in the doubled-midrank
+    // units (ties split evenly, the standard treatment), and
+    // Â = U_A/(n_a·n_b) = (δ+1)/2. Pure 1-row arithmetic over the
+    // mannWhitneyU frame — exact integers into one division each.
+    "q77_cliffs_delta" -> Q(
+      (s, dir) => graft.pipeline.Eval.mannWhitneyU(lineitem(s, dir),
+          col("l_extendedprice"), col("l_linestatus") === "O")
+        .select(col("n_a"), col("n_b"),
+          round((col("u2_a") - col("n_a") * col("n_b"))
+              .cast("double") /
+            nullif((col("n_a") * col("n_b")).cast("double"),
+              lit(0.0d)), 6).as("cliffs_delta"),
+          round(col("u2_a").cast("double") /
+            nullif((lit(2L) * col("n_a") * col("n_b")).cast("double"),
+              lit(0.0d)), 6).as("a_hat")),
+      Some("""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |vv AS (SELECT v, CAST(count(*) AS HUGEINT) AS c,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS ca
+             |  FROM d GROUP BY v),
+             |r AS (SELECT v, c, ca,
+             |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+             |  FROM vv),
+             |ag AS (SELECT coalesce(sum(c), 0) AS n,
+             |    coalesce(sum(ca), 0) AS na,
+             |    coalesce(sum(ca * r2), 0) AS ra2
+             |  FROM r),
+             |u AS (SELECT CAST(na AS BIGINT) AS n_a,
+             |    CAST(n - na AS BIGINT) AS n_b,
+             |    CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a
+             |  FROM ag)
+             |SELECT n_a, n_b,
+             |  ROUND(CAST(u2_a - n_a * n_b AS DOUBLE) /
+             |    nullif(CAST(n_a * n_b AS DOUBLE), 0.0), 6)
+             |    AS cliffs_delta,
+             |  ROUND(CAST(u2_a AS DOUBLE) /
+             |    nullif(CAST(2 * n_a * n_b AS DOUBLE), 0.0), 6)
+             |    AS a_hat
+             |FROM u""".stripMargin)),
+
     // Mann–Whitney against a PINNED REFERENCE (the q49/q69
     // convention): the rank-based drift monitor — does src0's length
     // distribution stochastically dominate the rest of the corpus? —
