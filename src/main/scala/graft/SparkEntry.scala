@@ -4805,6 +4805,47 @@ object SparkEntry {
              |  END AS z
              |FROM mg""".stripMargin)),
 
+    // Per-GROUP Mann–Whitney in shared scans (the q53/q57 grouped
+    // discipline applied to the rank test): every language's "does
+    // src0 run longer?" from ONE corpus pass — per-group midranks via
+    // per-(group, cell) offsets under one global envelope; a
+    // per-group driver loop at 1000 domains would be 1000 jobs.
+    // StatProperties pins per-group equality with q73's form.
+    "q78_group_mannwhitney" -> Q(
+      (s, dir) => graft.pipeline.Eval.groupedMannWhitneyU(
+        table(s, dir, "documents"), col("n_chars"),
+        col("source") === "src0", col("lang")),
+      Some("""WITH gd AS (SELECT lang AS g,
+             |    CAST(n_chars AS DOUBLE) AS v,
+             |    (source = 'src0') AS a
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+             |    AND lang IS NOT NULL),
+             |gv AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS c,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS ca
+             |  FROM gd GROUP BY g, v),
+             |gr AS (SELECT g, c, ca,
+             |    2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c)
+             |      + c + 1 AS r2
+             |  FROM gv),
+             |gg AS (SELECT g, coalesce(sum(c), 0) AS n,
+             |    coalesce(sum(ca), 0) AS na,
+             |    coalesce(sum(ca * r2), 0) AS ra2,
+             |    coalesce(sum(c * c * c - c), 0) AS t
+             |  FROM gr GROUP BY g)
+             |SELECT g AS "group", CAST(na AS BIGINT) AS n_a,
+             |  CAST(n - na AS BIGINT) AS n_b,
+             |  CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a,
+             |  CAST(t AS BIGINT) AS tie_t,
+             |  CASE WHEN n < 2 THEN NULL ELSE
+             |    ROUND(CAST(ra2 - na * (na + 1) - na * (n - na)
+             |        AS DOUBLE) /
+             |      nullif(sqrt(CAST(na * (n - na) AS DOUBLE)
+             |        * CAST(n * n * n - n - t AS DOUBLE)
+             |        / CAST(3 * n * (n - 1) AS DOUBLE)), 0.0), 6)
+             |  END AS z
+             |FROM gg ORDER BY g""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the

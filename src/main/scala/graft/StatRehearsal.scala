@@ -109,6 +109,28 @@ object StatRehearsal {
     println(s"[rehearsal] MW u2_a=${rMw.getLong(2)} " +
       s"(= 2*na*nb for na=$mwNa nb=$mwNb) z=${rMw.getDouble(4)} ok")
 
+    // grouped MW: 21 groups resolved in ONE shared pass (a per-group
+    // loop would be 21 jobs), same planted disjoint ranges — so
+    // within EVERY group u2_a = 2·na·nb exactly, zero ties, z > 0
+    val gmw = base.select(
+      (col("h") % 21).as("g"),
+      when(col("id") % 2 === 0, col("id") + n).otherwise(col("id"))
+        .cast("double").as("v"),
+      (col("id") % 2 === 0).as("a"))
+    val rG = timed(s"groupedMannWhitneyU ($n rows, 21 groups, one " +
+      "pass)")(
+      Eval.groupedMannWhitneyU(gmw, col("v"), col("a"), col("g"))
+        .collect())
+    require(rG.length == 21, s"21 groups expected, got ${rG.length}")
+    rG.foreach { r =>
+      require(r.getLong(3) == 2L * r.getLong(1) * r.getLong(2),
+        s"group ${r.get(0)}: planted disjoint ranges must give " +
+          s"u2_a=2·na·nb, got $r")
+      require(r.getLong(4) == 0L && r.getDouble(5) > 0,
+        s"group ${r.get(0)}: no ties planted, z > 0: $r")
+    }
+    println(s"[rehearsal] grouped MW: all 21 groups exact ok")
+
     // Welch at scale with a CLOSED-FORM expectation: A two-point
     // {0, 2} (half each), B two-point {10, 14} — exact sums known,
     // expected t/df re-derived through the operator's own

@@ -993,6 +993,88 @@ object Eval {
       .start()
   }
 
+  /** Per-GROUP Mann–Whitney in shared scans — every group's rank
+    * test from ONE corpus pass (the groupedWeightedQuantile
+    * discipline: a per-group driver loop at 1000 groups would be 1000
+    * jobs; here the group key simply rides every frame). Midranks are
+    * per group by construction: the cell split uses one GLOBAL value
+    * envelope (a single 1-row fetch — cells only bucket the value
+    * axis, so a shared split keeps within-group counts exact), the
+    * cell offsets cumulate per (group, cell) over a ≤cells-row frame
+    * per group, and the in-cell prefix window partitions by
+    * (group, cell). Identical closed forms to [[mannWhitneyU]] per
+    * group (StatProperties pins the equivalence); same degenerate
+    * contracts per group (z NULL when that group's n < 2 or σ = 0,
+    * u2_a NULL past the long ceiling). Returns one row per group
+    * (group, n_a, n_b, u2_a, tie_t, z), ordered by group. */
+  def groupedMannWhitneyU(df: DataFrame, value: Column, isA: Column,
+                          group: Column,
+                          cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val data = df.select(group.as("g"), value.cast("double").as("v"),
+        isA.cast("boolean").as("a"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("a").isNotNull && col("g").isNotNull)
+    // pinned: feeds the 1-row global envelope fetch AND the ranked
+    // aggregation — the corpus scan must run once
+    val vals = data.groupBy("g", "v").agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("ca"))
+      .localCheckpoint()
+    val mmRow = vals.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) =
+      if (mmRow.isNullAt(0)) (0.0, 0.0)
+      else (mmRow.getDouble(0), mmRow.getDouble(1))
+    val cell =
+      if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
+      else least(lit(cells - 1L), greatest(lit(0L),
+        floor((col("v") - lit(lo)) /
+          lit((hi - lo) / cells)).cast("long")))
+    val celled = vals.withColumn("_cell", cell)
+    val offs = celled.groupBy("g", "_cell").agg(sum(col("c")).as("_cc"))
+      .withColumn("_off", coalesce(sum(col("_cc")).over(
+        Window.partitionBy("g").orderBy("_cell")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_cc")
+    val inCell = Window.partitionBy("g", "_cell").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = celled.join(offs, Seq("g", "_cell"))
+      .select(col("g"), col("c"), col("ca"),
+        (lit(2L) * (col("_off") +
+          coalesce(sum(col("c")).over(inCell), lit(0L))) +
+          col("c") + lit(1L)).as("r2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    ranked.groupBy("g").agg(
+        coalesce(sum(dec(col("c"))), z0).as("n"),
+        coalesce(sum(dec(col("ca"))), z0).as("na"),
+        coalesce(sum(dec(col("ca")) * dec(col("r2"))), z0).as("ra2"),
+        coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
+          dec(col("c"))), z0).as("t"))
+      .select(
+        col("g").as("group"),
+        col("na").cast("long").as("n_a"),
+        (col("n") - col("na")).cast("long").as("n_b"),
+        when(col("ra2") - col("na") * (col("na") + lit(1L)) <=
+            lit(Long.MaxValue),
+          (col("ra2") - col("na") * (col("na") + lit(1L)))
+            .cast("long"))
+          .otherwise(lit(null).cast("long")).as("u2_a"),
+        col("t").cast("long").as("tie_t"),
+        when(col("n") < 2, lit(null).cast("double")).otherwise(
+          round((col("ra2") - col("na") * (col("na") + lit(1L)) -
+              col("na") * (col("n") - col("na"))).cast("double") /
+            nullif(sqrt(
+              (col("na") * (col("n") - col("na"))).cast("double") *
+              (col("n") * col("n") * col("n") - col("n") - col("t"))
+                .cast("double") /
+              (lit(3L) * col("n") * (col("n") - lit(1L)))
+                .cast("double")), lit(0.0d)),
+            6)).as("z"))
+      .orderBy("group")
+  }
+
   /** The shared tail of [[mannWhitneyU]] / [[mwAgainstReference]]:
     * the exact statistic from a (v, c, ca) distinct-value frame. */
   private def mwFromValueCounts(valsIn: DataFrame,

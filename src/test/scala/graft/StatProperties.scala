@@ -118,6 +118,27 @@ object StatProperties extends Properties("graft.stat") {
         s"got=$r want=($na,$nb,$t,$df)"
     }
 
+  property("groupedMannWhitneyU equals per-group mannWhitneyU") =
+    Prop.forAll(Gen.choose(4, 24).flatMap(n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("p", "q", "r")
+        v <- Gen.choose(0, 6)
+        a <- Gen.oneOf(true, false)
+      } yield (g, v.toDouble, a))),
+      Gen.oneOf(1, 3, 1024)) { (rows, cells) =>
+      val s = spark
+      import s.implicits._
+      val got = Eval.groupedMannWhitneyU(rows.toDF("g", "v", "a"),
+          col("v"), col("a"), col("g"), cells)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val want = rows.groupBy(_._1).map { case (g, grp) =>
+        g -> Eval.mannWhitneyU(
+          grp.map(t => (t._2, t._3)).toDF("v", "a"),
+          col("v"), col("a"), cells).head().toSeq
+      }
+      Prop(got == want) :| s"cells=$cells got=$got want=$want"
+    }
+
   property("mwAgainstReference equals mannWhitneyU over the " +
     "equivalent row union") =
     Prop.forAll(genSamples) { rows =>
