@@ -4846,6 +4846,49 @@ object SparkEntry {
              |  END AS z
              |FROM gg ORDER BY g""".stripMargin)),
 
+    // Per-GROUP Welch in one shared scan — q78's parametric twin on
+    // the same per-language split: six exact co-moments ride one
+    // groupBy, per-group guarded single-division t/df. Together they
+    // are the per-domain robustness A/B (means vs ranks) at the cost
+    // of two aggregation jobs regardless of group count.
+    "q79_group_welch" -> Q(
+      (s, dir) => graft.pipeline.Eval.groupedWelchT(
+        table(s, dir, "documents"), col("n_chars"),
+        col("source") === "src0", col("lang")),
+      Some("""WITH wd AS (SELECT lang AS g,
+             |    CAST(n_chars AS HUGEINT) AS v,
+             |    (source = 'src0') AS a
+             |  FROM documents
+             |  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+             |    AND lang IS NOT NULL),
+             |wg AS (SELECT g,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS na,
+             |    CAST(count(*) FILTER (WHERE NOT a) AS HUGEINT) AS nb,
+             |    coalesce(sum(v) FILTER (WHERE a), 0) AS sx,
+             |    coalesce(sum(v) FILTER (WHERE NOT a), 0) AS sy,
+             |    coalesce(sum(v * v) FILTER (WHERE a), 0) AS sxx,
+             |    coalesce(sum(v * v) FILTER (WHERE NOT a), 0) AS syy
+             |  FROM wd GROUP BY g),
+             |we AS (SELECT g, na, nb,
+             |    CAST(na * sxx - sx * sx AS DOUBLE)
+             |      / CAST(na * na * (na - 1) AS DOUBLE) AS va,
+             |    CAST(nb * syy - sy * sy AS DOUBLE)
+             |      / CAST(nb * nb * (nb - 1) AS DOUBLE) AS vb,
+             |    CAST(sx * nb - sy * na AS DOUBLE)
+             |      / CAST(na * nb AS DOUBLE) AS dd
+             |  FROM wg)
+             |SELECT g AS "group", CAST(na AS BIGINT) AS n_a,
+             |  CAST(nb AS BIGINT) AS n_b,
+             |  CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+             |    ROUND(dd / nullif(sqrt(va + vb), 0.0), 6)
+             |  END AS t_stat,
+             |  CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+             |    ROUND((va + vb) * (va + vb) /
+             |      nullif(va * va / CAST(na - 1 AS DOUBLE)
+             |        + vb * vb / CAST(nb - 1 AS DOUBLE), 0.0), 6)
+             |  END AS df_ws
+             |FROM we ORDER BY g""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the

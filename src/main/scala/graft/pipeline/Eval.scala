@@ -1143,16 +1143,50 @@ object Eval {
   def welchT(df: DataFrame, value: Column, isA: Column): DataFrame = {
     val v = value.cast("decimal(38,0)")
     val a = isA.cast("boolean")
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val aggs = welchAggExprs(v, a)
+    welchFinish(df.filter(v.isNotNull && a.isNotNull)
+      .agg(aggs.head, aggs.tail: _*), Seq.empty)
+  }
+
+  /** Per-GROUP Welch in a shared scan — the parametric twin of
+    * [[groupedMannWhitneyU]] under the same grouped-selection
+    * discipline: the six exact co-moments ride one groupBy, the
+    * per-group t/df land in the same guarded single-division finish
+    * [[welchT]] uses (StatProperties pins per-group equality). The
+    * [[welchT]] quantization contract applies per row: `value` must
+    * be exactly summable. Returns one row per group
+    * (group, n_a, n_b, t_stat, df_ws), ordered by group. */
+  def groupedWelchT(df: DataFrame, value: Column, isA: Column,
+                    group: Column): DataFrame = {
+    val v = value.cast("decimal(38,0)")
+    val a = isA.cast("boolean")
+    val aggs = welchAggExprs(col("_wv"), col("_wa"))
+    welchFinish(
+      df.select(group.as("g"), v.as("_wv"), a.as("_wa"))
+        .filter(col("_wv").isNotNull && col("_wa").isNotNull &&
+          col("g").isNotNull)
+        .groupBy("g")
+        .agg(aggs.head, aggs.tail: _*),
+      Seq(col("g").as("group")))
+      .orderBy("group")
+  }
+
+  private def welchAggExprs(v: Column, a: Column): Seq[Column] = {
     val z0 = lit(0L).cast("decimal(38,0)")
-    val g = df.filter(v.isNotNull && a.isNotNull)
-      .agg(
-        coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("na"),
-        coalesce(sum(when(!a, 1L).otherwise(0L)), lit(0L)).as("nb"),
-        coalesce(sum(when(a, v).otherwise(z0)), z0).as("sx"),
-        coalesce(sum(when(!a, v).otherwise(z0)), z0).as("sy"),
-        coalesce(sum(when(a, v * v).otherwise(z0)), z0).as("sxx"),
-        coalesce(sum(when(!a, v * v).otherwise(z0)), z0).as("syy"))
+    Seq(
+      coalesce(sum(when(a, 1L).otherwise(0L)), lit(0L)).as("na"),
+      coalesce(sum(when(!a, 1L).otherwise(0L)), lit(0L)).as("nb"),
+      coalesce(sum(when(a, v).otherwise(z0)), z0).as("sx"),
+      coalesce(sum(when(!a, v).otherwise(z0)), z0).as("sy"),
+      coalesce(sum(when(a, v * v).otherwise(z0)), z0).as("sxx"),
+      coalesce(sum(when(!a, v * v).otherwise(z0)), z0).as("syy"))
+  }
+
+  /** The shared finish of [[welchT]] / [[groupedWelchT]]: the guarded
+    * single-division t/df over a (na, nb, sx, sy, sxx, syy) frame,
+    * with `lead` columns (the group key) carried through. */
+  private def welchFinish(g: DataFrame, lead: Seq[Column]): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val va = (dec(col("na")) * col("sxx") - col("sx") * col("sx"))
       .cast("double") /
       (dec(col("na")) * dec(col("na")) * (dec(col("na")) - lit(1L)))
@@ -1168,7 +1202,7 @@ object Eval {
     // divisions must not evaluate when n < 2 zeroes a denominator
     // (when/otherwise generates lazy branches; a materialized column
     // would evaluate unconditionally and throw DIVIDE_BY_ZERO)
-    g.select(col("na").as("n_a"), col("nb").as("n_b"),
+    g.select(lead ++ Seq(col("na").as("n_a"), col("nb").as("n_b"),
       when(col("na") < 2 || col("nb") < 2, lit(null).cast("double"))
         .otherwise(round(d /
           nullif(sqrt(va + vb), lit(0.0d)), 6)).as("t_stat"),
@@ -1178,7 +1212,7 @@ object Eval {
             nullif(va * va / (dec(col("na")) - lit(1L)).cast("double") +
               vb * vb / (dec(col("nb")) - lit(1L)).cast("double"),
               lit(0.0d)),
-          6)).as("df_ws"))
+          6)).as("df_ws")): _*)
   }
 
   /** McNemar's test for two PAIRED classifiers scored on the same

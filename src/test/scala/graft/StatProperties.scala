@@ -139,6 +139,25 @@ object StatProperties extends Properties("graft.stat") {
       Prop(got == want) :| s"cells=$cells got=$got want=$want"
     }
 
+  property("groupedWelchT equals per-group welchT") =
+    Prop.forAll(Gen.choose(4, 24).flatMap(n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("p", "q", "r")
+        v <- Gen.choose(-5L, 5L)
+        a <- Gen.oneOf(true, false)
+      } yield (g, v, a)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val got = Eval.groupedWelchT(rows.toDF("g", "v", "a"),
+          col("v"), col("a"), col("g"))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      val want = rows.groupBy(_._1).map { case (g, grp) =>
+        g -> Eval.welchT(grp.map(t => (t._2, t._3)).toDF("v", "a"),
+          col("v"), col("a")).head().toSeq
+      }
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
   property("mwAgainstReference equals mannWhitneyU over the " +
     "equivalent row union") =
     Prop.forAll(genSamples) { rows =>
