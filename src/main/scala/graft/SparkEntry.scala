@@ -4717,14 +4717,19 @@ object SparkEntry {
     "q77_cliffs_delta" -> Q(
       (s, dir) => graft.pipeline.Eval.mannWhitneyU(lineitem(s, dir),
           col("l_extendedprice"), col("l_linestatus") === "O")
+        // n_a·n_b multiplies in DOUBLE, not long: past the u2_a NULL
+        // ceiling a long product would ANSI-overflow instead of
+        // degrading to NULL as the guard's contract promises
         .select(col("n_a"), col("n_b"),
-          round((col("u2_a") - col("n_a") * col("n_b"))
-              .cast("double") /
-            nullif((col("n_a") * col("n_b")).cast("double"),
-              lit(0.0d)), 6).as("cliffs_delta"),
+          round((col("u2_a").cast("double") -
+              col("n_a").cast("double") * col("n_b").cast("double")) /
+            nullif(col("n_a").cast("double") *
+              col("n_b").cast("double"), lit(0.0d)), 6)
+            .as("cliffs_delta"),
           round(col("u2_a").cast("double") /
-            nullif((lit(2L) * col("n_a") * col("n_b")).cast("double"),
-              lit(0.0d)), 6).as("a_hat")),
+            nullif(lit(2.0d) * col("n_a").cast("double") *
+              col("n_b").cast("double"), lit(0.0d)), 6)
+            .as("a_hat")),
       Some("""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
              |    (l_linestatus = 'O') AS a
              |  FROM lineitem
@@ -4745,12 +4750,13 @@ object SparkEntry {
              |    CAST(ra2 - na * (na + 1) AS BIGINT) AS u2_a
              |  FROM ag)
              |SELECT n_a, n_b,
-             |  ROUND(CAST(u2_a - n_a * n_b AS DOUBLE) /
-             |    nullif(CAST(n_a * n_b AS DOUBLE), 0.0), 6)
-             |    AS cliffs_delta,
+             |  ROUND((CAST(u2_a AS DOUBLE)
+             |      - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+             |    nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE),
+             |      0.0), 6) AS cliffs_delta,
              |  ROUND(CAST(u2_a AS DOUBLE) /
-             |    nullif(CAST(2 * n_a * n_b AS DOUBLE), 0.0), 6)
-             |    AS a_hat
+             |    nullif(2.0 * CAST(n_a AS DOUBLE)
+             |      * CAST(n_b AS DOUBLE), 0.0), 6) AS a_hat
              |FROM u""".stripMargin)),
 
     // Mann–Whitney against a PINNED REFERENCE (the q49/q69

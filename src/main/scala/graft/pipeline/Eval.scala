@@ -886,23 +886,33 @@ object Eval {
     * unsplit). Appends `r2` = 2·midrank, always integral. */
   private def midrankDoubled(vals: DataFrame, valueCol: String,
                              countCol: String, lo: Double, hi: Double,
-                             cells: Int): DataFrame = {
+                             cells: Int,
+                             partitionCols: Seq[String] = Nil)
+      : DataFrame = {
     val cell =
       if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
       else least(lit(cells - 1L), greatest(lit(0L),
         floor((col(valueCol) - lit(lo)) /
           lit((hi - lo) / cells)).cast("long")))
     val celled = vals.withColumn("_cell", cell)
-    // cell offsets: cumulative counts over the ≤`cells`-row frame —
+    // cell offsets: cumulative counts over the ≤`cells`-row frame (per
+    // partition when `partitionCols` ride — the grouped form) —
     // bounded, the B-row-stats class, not a data-sized window
-    val offs = celled.groupBy("_cell").agg(sum(col(countCol)).as("_cc"))
-      .withColumn("_off", coalesce(sum(col("_cc")).over(
-        Window.orderBy("_cell")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offKeys = partitionCols :+ "_cell"
+    val offWindow =
+      (if (partitionCols.isEmpty) Window.orderBy("_cell")
+       else Window.partitionBy(partitionCols.map(col): _*)
+         .orderBy("_cell"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = celled.groupBy(offKeys.map(col): _*)
+      .agg(sum(col(countCol)).as("_cc"))
+      .withColumn("_off",
+        coalesce(sum(col("_cc")).over(offWindow), lit(0L)))
       .drop("_cc")
-    val inCell = Window.partitionBy("_cell").orderBy(valueCol)
+    val inCell = Window.partitionBy(offKeys.map(col): _*)
+      .orderBy(valueCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    celled.join(offs, Seq("_cell"))
+    celled.join(offs, offKeys)
       .withColumn("r2",
         lit(2L) * (col("_off") +
           coalesce(sum(col(countCol)).over(inCell), lit(0L))) +
@@ -1026,52 +1036,8 @@ object Eval {
     val (lo, hi) =
       if (mmRow.isNullAt(0)) (0.0, 0.0)
       else (mmRow.getDouble(0), mmRow.getDouble(1))
-    val cell =
-      if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
-      else least(lit(cells - 1L), greatest(lit(0L),
-        floor((col("v") - lit(lo)) /
-          lit((hi - lo) / cells)).cast("long")))
-    val celled = vals.withColumn("_cell", cell)
-    val offs = celled.groupBy("g", "_cell").agg(sum(col("c")).as("_cc"))
-      .withColumn("_off", coalesce(sum(col("_cc")).over(
-        Window.partitionBy("g").orderBy("_cell")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("_cc")
-    val inCell = Window.partitionBy("g", "_cell").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = celled.join(offs, Seq("g", "_cell"))
-      .select(col("g"), col("c"), col("ca"),
-        (lit(2L) * (col("_off") +
-          coalesce(sum(col("c")).over(inCell), lit(0L))) +
-          col("c") + lit(1L)).as("r2"))
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val z0 = lit(0L).cast("decimal(38,0)")
-    ranked.groupBy("g").agg(
-        coalesce(sum(dec(col("c"))), z0).as("n"),
-        coalesce(sum(dec(col("ca"))), z0).as("na"),
-        coalesce(sum(dec(col("ca")) * dec(col("r2"))), z0).as("ra2"),
-        coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
-          dec(col("c"))), z0).as("t"))
-      .select(
-        col("g").as("group"),
-        col("na").cast("long").as("n_a"),
-        (col("n") - col("na")).cast("long").as("n_b"),
-        when(col("ra2") - col("na") * (col("na") + lit(1L)) <=
-            lit(Long.MaxValue),
-          (col("ra2") - col("na") * (col("na") + lit(1L)))
-            .cast("long"))
-          .otherwise(lit(null).cast("long")).as("u2_a"),
-        col("t").cast("long").as("tie_t"),
-        when(col("n") < 2, lit(null).cast("double")).otherwise(
-          round((col("ra2") - col("na") * (col("na") + lit(1L)) -
-              col("na") * (col("n") - col("na"))).cast("double") /
-            nullif(sqrt(
-              (col("na") * (col("n") - col("na"))).cast("double") *
-              (col("n") * col("n") * col("n") - col("n") - col("t"))
-                .cast("double") /
-              (lit(3L) * col("n") * (col("n") - lit(1L)))
-                .cast("double")), lit(0.0d)),
-            6)).as("z"))
+    mwFinish(midrankDoubled(vals, "v", "c", lo, hi, cells, Seq("g")),
+      Seq("g"))
       .orderBy("group")
   }
 
@@ -1087,38 +1053,53 @@ object Eval {
     val (lo, hi) =
       if (mmRow.isNullAt(0)) (0.0, 0.0)
       else (mmRow.getDouble(0), mmRow.getDouble(1))
-    val ranked = midrankDoubled(vals, "v", "c", lo, hi, cells)
+    mwFinish(midrankDoubled(vals, "v", "c", lo, hi, cells), Nil)
+  }
+
+  /** The ONE closed-form finish behind every Mann–Whitney face
+    * (global, reference, grouped) — a one-sided edge-case fix here
+    * cannot diverge the forms. Aggregates a (c, ca, r2) ranked frame
+    * (optionally per `groupCols`, reported as `group`) into
+    * (n_a, n_b, u2_a, tie_t, z). Both long reports guard their
+    * decimal→long cast: u2_a can reach 2·n_a·n_b ≈ n²/2 (NULL past
+    * ~4.3e9 pooled rows), and tie_t = Σ(t³−t) outgrows a long as soon
+    * as ONE value carries ≥ ~2.1e6 tied rows — the heavily-tied case
+    * this operator is FOR, so an unguarded cast would be an ANSI
+    * crash on production shapes; z carries the statistic either way
+    * (its intermediates stay decimal). */
+  private def mwFinish(ranked: DataFrame,
+                       groupCols: Seq[String]): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
-    ranked.agg(
-        coalesce(sum(dec(col("c"))), z0).as("n"),
-        coalesce(sum(dec(col("ca"))), z0).as("na"),
-        coalesce(sum(dec(col("ca")) * dec(col("r2"))), z0).as("ra2"),
-        coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
-          dec(col("c"))), z0).as("t"))
-      .select(
-        col("na").cast("long").as("n_a"),
-        (col("n") - col("na")).cast("long").as("n_b"),
-        // u2_a can reach 2·n_a·n_b ≈ n²/2, which outgrows a long past
-        // ~4.3e9 pooled rows — report NULL there (an ANSI overflow
-        // crash otherwise) rather than a wrapped value; z carries the
-        // statistic at that scale (its intermediates stay decimal)
-        when(col("ra2") - col("na") * (col("na") + lit(1L)) <=
-            lit(Long.MaxValue),
-          (col("ra2") - col("na") * (col("na") + lit(1L)))
-            .cast("long"))
-          .otherwise(lit(null).cast("long")).as("u2_a"),
-        col("t").cast("long").as("tie_t"),
-        when(col("n") < 2, lit(null).cast("double")).otherwise(
-          round((col("ra2") - col("na") * (col("na") + lit(1L)) -
-              col("na") * (col("n") - col("na"))).cast("double") /
-            nullif(sqrt(
-              (col("na") * (col("n") - col("na"))).cast("double") *
-              (col("n") * col("n") * col("n") - col("n") - col("t"))
-                .cast("double") /
-              (lit(3L) * col("n") * (col("n") - lit(1L)))
-                .cast("double")), lit(0.0d)),
-            6)).as("z"))
+    def longOrNull(x: Column): Column =
+      when(x <= lit(Long.MaxValue), x.cast("long"))
+        .otherwise(lit(null).cast("long"))
+    val aggs = Seq(
+      coalesce(sum(dec(col("c"))), z0).as("n"),
+      coalesce(sum(dec(col("ca"))), z0).as("na"),
+      coalesce(sum(dec(col("ca")) * dec(col("r2"))), z0).as("ra2"),
+      coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
+        dec(col("c"))), z0).as("t"))
+    val agged =
+      if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    agged.select(groupCols.map(c => col(c).as("group")) ++ Seq(
+      col("na").cast("long").as("n_a"),
+      (col("n") - col("na")).cast("long").as("n_b"),
+      longOrNull(col("ra2") - col("na") * (col("na") + lit(1L)))
+        .as("u2_a"),
+      longOrNull(col("t")).as("tie_t"),
+      when(col("n") < 2, lit(null).cast("double")).otherwise(
+        round((col("ra2") - col("na") * (col("na") + lit(1L)) -
+            col("na") * (col("n") - col("na"))).cast("double") /
+          nullif(sqrt(
+            (col("na") * (col("n") - col("na"))).cast("double") *
+            (col("n") * col("n") * col("n") - col("n") - col("t"))
+              .cast("double") /
+            (lit(3L) * col("n") * (col("n") - lit(1L)))
+              .cast("double")), lit(0.0d)),
+          6)).as("z")): _*)
   }
 
   /** Welch's unequal-variance t-test between group A (`isA` true) and
