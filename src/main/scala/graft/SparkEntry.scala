@@ -4895,6 +4895,43 @@ object SparkEntry {
              |  END AS df_ws
              |FROM we ORDER BY g""".stripMargin)),
 
+    // CUSUM changepoint localization over hourly buckets (Page 1954):
+    // the drift family's WHERE — the monitors say the value
+    // distribution moved, this names the hour the mean shifted
+    // (argmax |T·cumS − S·cumC|, exact integers; the last bucket
+    // before the shift). One partial+final aggregation to the bucket
+    // table; every window rides the ≤B-row post-agg frame.
+    "q80_cusum_changepoint" -> Q(
+      (s, dir) => graft.pipeline.Eval.cusumChangepoint(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000")),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS bucket,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY bucket),
+             |cw AS (SELECT bucket,
+             |    sum(c) OVER (ORDER BY bucket) AS cc,
+             |    sum(s) OVER (ORDER BY bucket) AS cs,
+             |    sum(c) OVER () AS tc,
+             |    sum(s) OVER () AS ts_,
+             |    CAST(count(*) OVER () AS BIGINT) AS nb
+             |  FROM bb),
+             |dd AS (SELECT bucket, nb,
+             |    tc * cs - ts_ * cc AS d
+             |  FROM cw)
+             |SELECT bucket AS cp_bucket, nb AS n_buckets,
+             |  CAST(d AS DOUBLE) AS cusum
+             |FROM dd
+             |ORDER BY abs(d) DESC, bucket ASC
+             |LIMIT 1""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the

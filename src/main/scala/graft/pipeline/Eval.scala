@@ -1102,6 +1102,57 @@ object Eval {
           6)).as("z")): _*)
   }
 
+  /** Offline CUSUM changepoint localization over time buckets — the
+    * drift family's WHERE: KS/PSI/W1/MW say the distribution moved,
+    * this says in which bucket the mean shifted (Page 1954, the
+    * cumulative-sum form). For bucket k,
+    * D_k = T·Σ_{i≤k}s_i − S·Σ_{i≤k}c_i — the T-scaled cumulative
+    * deviation from the global mean (s = per-bucket value sum in
+    * caller-quantized micro units, c = per-bucket count, S/T the
+    * global totals) — and the changepoint estimate is the bucket
+    * maximizing |D_k| (the last bucket BEFORE the shift). Exact
+    * decimal integers end to end; D reports as ROUND(double, 6)
+    * (values < 2^53 at any bucketed scale that fits a report).
+    *
+    * Shape: one partial+final aggregation to the bucket table, then
+    * every window runs over that ≤B-row frame (hours of telemetry —
+    * the q70/d20 post-agg class, bounded regardless of corpus size),
+    * and the argmax is a B-row TakeOrdered with a deterministic
+    * (|D| desc, bucket asc) tie-break. The last bucket always has
+    * D = 0 (telescoping), so a constant series reports the smallest
+    * bucket with cusum 0. Returns one row
+    * (cp_bucket, n_buckets, cusum). */
+  def cusumChangepoint(df: DataFrame, valueMicro: Column,
+                       bucket: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val b = df.select(bucket.cast("long").as("bucket"),
+        valueMicro.cast("long").as("v"))
+      .filter(col("bucket").isNotNull && col("v").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("c"),
+        coalesce(sum(dec(col("v"))), z0).as("s"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    b.select(col("bucket"),
+        sum(dec(col("c"))).over(w).as("cc"),
+        sum(col("s")).over(w).as("cs"),
+        sum(dec(col("c"))).over(wAll).as("tc"),
+        sum(col("s")).over(wAll).as("ts_"),
+        count(lit(1)).over(wAll).as("nb"))
+      .select(col("bucket"), col("nb"),
+        (col("tc") * col("cs") - col("ts_") * col("cc")).as("d"))
+      .orderBy(abs(col("d")).desc, col("bucket").asc).limit(1)
+      // NO round(…, 6) here: d is already integral, and ROUND-6 on a
+      // large-magnitude double DIVERGES between engines (DuckDB's
+      // x·1e6/1e6 detour loses ulps past ~2^53/1e6 where a plain
+      // nearest-double cast agrees exactly)
+      .select(col("bucket").as("cp_bucket"),
+        col("nb").as("n_buckets"),
+        col("d").cast("double").as("cusum"))
+  }
+
   /** Welch's unequal-variance t-test between group A (`isA` true) and
     * the complement group B over `value` — the parametric companion
     * of [[mannWhitneyU]] (same split, means instead of ranks), with

@@ -823,6 +823,31 @@ class EvalSpec extends AnyFunSuite {
     assert(const.isNullAt(2) && const.isNullAt(3), s"const: $const")
   }
 
+  test("cusumChangepoint: planted step, constant series, tie-break") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.cusumChangepoint(rows.toDF("b", "v"), col("v"), col("b"))
+        .head()
+    // planted step: buckets 1,2 at 0; buckets 3,4 at 1e7 micro.
+    // T=4, S=2e7; D = (−2e7, −4e7, −2e7, 0) → argmax |D| = bucket 2
+    // (the last bucket BEFORE the shift) with cusum −4e7
+    val step = run(Seq(1L -> 0L, 2L -> 0L, 3L -> 10000000L,
+      4L -> 10000000L))
+    assert(step.getLong(0) === 2L, s"cp: $step")
+    assert(step.getLong(1) === 4L)
+    assert(step.getDouble(2) === -4.0e7, s"cusum: $step")
+    // constant series: every D = 0 → tie-break reports the smallest
+    // bucket with cusum 0
+    val const = run(Seq(5L -> 7L, 6L -> 7L, 7L -> 7L))
+    assert(const.getLong(0) === 5L && const.getDouble(2) === 0.0)
+    // uneven bucket sizes: the count term matters. buckets: 1 has
+    // rows (0,0), 2 has (6). T=3, S=6.
+    // D_1 = 3·0 − 6·2 = −12; D_2 = 0 → cp bucket 1, cusum −12
+    val uneven = run(Seq(1L -> 0L, 1L -> 0L, 2L -> 6L))
+    assert(uneven.getLong(0) === 1L && uneven.getDouble(2) === -12.0)
+  }
+
   test("mcnemar: golden counts and the never-disagree contract") {
     val s = spark
     import s.implicits._

@@ -175,6 +175,32 @@ object StatProperties extends Properties("graft.stat") {
         s"ref=$viaRef rows=$viaRows"
     }
 
+  property("cusumChangepoint equals the in-memory argmax reference") =
+    Prop.forAll(Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, for {
+        b <- Gen.choose(0L, 5L)
+        v <- Gen.choose(-9L, 9L)
+      } yield (b, v)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val byB = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, g) =>
+          (b, BigInt(g.size), g.map(r => BigInt(r._2)).sum) }
+      val t = byB.map(_._2).sum
+      val sTot = byB.map(_._3).sum
+      var (cc, cs) = (BigInt(0), BigInt(0))
+      val ds = byB.map { case (b, c, sv) =>
+        cc += c; cs += sv
+        (b, t * cs - sTot * cc)
+      }
+      val (wantB, wantD) = ds.minBy { case (b, d) => (-d.abs, b) }
+      val r = Eval.cusumChangepoint(rows.toDF("b", "v"), col("v"),
+        col("b")).head()
+      Prop(r.getLong(0) == wantB && r.getLong(1) == byB.size &&
+        r.getDouble(2) == wantD.doubleValue) :|
+        s"got=$r want=($wantB,${byB.size},$wantD)"
+    }
+
   // small random multigraphs WITH duplicates, reversals, self-loops —
   // normalization is part of the contract under test
   private val genEdges: Gen[List[(Long, Long)]] = for {
