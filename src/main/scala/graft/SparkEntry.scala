@@ -4932,6 +4932,52 @@ object SparkEntry {
              |ORDER BY abs(d) DESC, bucket ASC
              |LIMIT 1""".stripMargin)),
 
+    // Batch REPLAY of the streaming CUSUM monitor (the q56/q66
+    // convention): three deterministic batches fold their bucket
+    // counts into the standing state — bounded, one (count, sum)
+    // entry per time bucket; the merge is associative+commutative —
+    // and the final report must equal the ONE-SHOT q80 over all rows
+    // (its oracle, verbatim). The sink body IS cusumBatchUpdate.
+    "q81_cusum_stream_replay" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value")))
+        val state = new java.util.concurrent.atomic.AtomicReference[
+          Map[Long, (Long, BigDecimal)]](Map.empty)
+        var out: DataFrame = null
+        (0 until 3).foreach { b =>
+          out = graft.pipeline.Eval.cusumBatchUpdate(
+            ev.filter(pmod(col("event_id"), lit(3L)) === b),
+            round(col("value") * 1e6).cast("long"),
+            expr("(ts div 1000) div 3600000000"), state)
+        }
+        out
+      },
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS bucket,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY bucket),
+             |cw AS (SELECT bucket,
+             |    sum(c) OVER (ORDER BY bucket) AS cc,
+             |    sum(s) OVER (ORDER BY bucket) AS cs,
+             |    sum(c) OVER () AS tc,
+             |    sum(s) OVER () AS ts_,
+             |    CAST(count(*) OVER () AS BIGINT) AS nb
+             |  FROM bb),
+             |dd AS (SELECT bucket, nb,
+             |    tc * cs - ts_ * cc AS d
+             |  FROM cw)
+             |SELECT bucket AS cp_bucket, nb AS n_buckets,
+             |  CAST(d AS DOUBLE) AS cusum
+             |FROM dd
+             |ORDER BY abs(d) DESC, bucket ASC
+             |LIMIT 1""".stripMargin)),
+
     // W1 against a PINNED REFERENCE (the q49 convention): the batch
     // operator w1DriftStream's foreachBatch sink runs per micro-batch,
     // oracle-checked outside the streaming harness. Completes the

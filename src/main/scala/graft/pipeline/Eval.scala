@@ -1123,14 +1123,27 @@ object Eval {
     * bucket with cusum 0. Returns one row
     * (cp_bucket, n_buckets, cusum). */
   def cusumChangepoint(df: DataFrame, valueMicro: Column,
-                       bucket: Column): DataFrame = {
+                       bucket: Column): DataFrame =
+    cusumFromBuckets(cusumBuckets(df, valueMicro, bucket))
+
+  /** The bucket collapse of [[cusumChangepoint]]: one partial+final
+    * aggregation to (bucket, c, s). */
+  private def cusumBuckets(df: DataFrame, valueMicro: Column,
+                           bucket: Column): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
-    val b = df.select(bucket.cast("long").as("bucket"),
+    df.select(bucket.cast("long").as("bucket"),
         valueMicro.cast("long").as("v"))
       .filter(col("bucket").isNotNull && col("v").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("c"),
         coalesce(sum(dec(col("v"))), z0).as("s"))
+  }
+
+  /** The argmax tail of [[cusumChangepoint]] over a (bucket, c, s)
+    * frame — shared with the streaming fold, whose standing state IS
+    * such a frame. */
+  private def cusumFromBuckets(b: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.rowsBetween(
@@ -1151,6 +1164,56 @@ object Eval {
       .select(col("bucket").as("cp_bucket"),
         col("nb").as("n_buckets"),
         col("d").cast("double").as("cusum"))
+  }
+
+  /** One micro-batch of the streaming CUSUM changepoint monitor (the
+    * kmvBatchUpdate convention): collapse the batch to its ≤B-row
+    * bucket counts, MERGE them into the standing per-bucket (count,
+    * micro-sum) state — bounded driver-side state, one entry per time
+    * bucket, never data; the merge is associative and commutative so
+    * batching order cannot change it — and re-run the shared argmax
+    * tail over the standing buckets. The report is therefore
+    * bit-identical to a one-shot [[cusumChangepoint]] over the rows
+    * so far (StatProperties pins it on random splits). */
+  def cusumBatchUpdate(batch: DataFrame, valueMicro: Column,
+                       bucket: Column,
+                       state: java.util.concurrent.atomic.AtomicReference[
+                         Map[Long, (Long, BigDecimal)]]): DataFrame = {
+    val upd = cusumBuckets(batch, valueMicro, bucket).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), BigDecimal(r.getDecimal(2)))))
+    val merged = upd.foldLeft(state.get()) { case (m, (b, (c, s))) =>
+      val (c0, s0) = m.getOrElse(b, (0L, BigDecimal(0)))
+      m.updated(b, (c0 + c, s0 + s))
+    }
+    state.set(merged)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    cusumFromBuckets(merged.toSeq
+      .map { case (b, (c, s)) => (b, c, s) }
+      .toDF("bucket", "c", "_s")
+      .select(col("bucket"), col("c"),
+        col("_s").cast("decimal(38,0)").as("s")))
+  }
+
+  /** Streaming CUSUM changepoint monitor: every micro-batch folds its
+    * bucket counts into the standing state and reports the current
+    * changepoint estimate for the stream SO FAR — one
+    * (cp_bucket, n_buckets, cusum, batch_id) row per batch to `sink`.
+    * The sink body IS [[cusumBatchUpdate]], so batch and stream
+    * cannot drift. */
+  def cusumDriftStream(docs: DataFrame, valueMicro: Column,
+                       bucket: Column)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[Long, (Long, BigDecimal)]](Map.empty)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(cusumBatchUpdate(batch, valueMicro, bucket, state)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
   }
 
   /** Welch's unequal-variance t-test between group A (`isA` true) and

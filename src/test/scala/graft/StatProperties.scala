@@ -201,6 +201,30 @@ object StatProperties extends Properties("graft.stat") {
         s"got=$r want=($wantB,${byB.size},$wantD)"
     }
 
+  property("cusumBatchUpdate fold equals the one-shot changepoint " +
+    "on every prefix-free split") =
+    Prop.forAll(Gen.choose(2, 16).flatMap(n =>
+      Gen.listOfN(n, for {
+        b <- Gen.choose(0L, 4L)
+        v <- Gen.choose(-9L, 9L)
+      } yield (b, v))), Gen.choose(2, 4)) { (rows, nBatches) =>
+      val s = spark
+      import s.implicits._
+      val state = new java.util.concurrent.atomic.AtomicReference[
+        Map[Long, (Long, BigDecimal)]](Map.empty)
+      var last: org.apache.spark.sql.Row = null
+      (0 until nBatches).foreach { i =>
+        val batch = rows.zipWithIndex
+          .filter(_._2 % nBatches == i).map(_._1)
+        last = Eval.cusumBatchUpdate(batch.toDF("b", "v"), col("v"),
+          col("b"), state).head()
+      }
+      val oneShot = Eval.cusumChangepoint(rows.toDF("b", "v"),
+        col("v"), col("b")).head()
+      Prop(last.toSeq == oneShot.toSeq) :|
+        s"nBatches=$nBatches fold=$last oneShot=$oneShot"
+    }
+
   // small random multigraphs WITH duplicates, reversals, self-loops —
   // normalization is part of the contract under test
   private val genEdges: Gen[List[(Long, Long)]] = for {
