@@ -24,6 +24,12 @@ object BpeRehearsal {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val rounds = args.lift(1).map(_.toInt).getOrElse(4)
+    // the planted-truth checks below index merges(1): a 1-round run
+    // cannot be audited, so reject it with a clear message instead of
+    // an IndexOutOfBoundsException (round-10 advice)
+    require(rounds >= 2,
+      s"rehearsal needs rounds >= 2 (got $rounds): the round-2 " +
+        "planted-truth check indexes the second merge")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

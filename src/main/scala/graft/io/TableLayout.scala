@@ -58,7 +58,18 @@ object TableLayout {
           catalog.listTables(db).exists { id =>
             try fs.makeQualified(new org.apache.hadoop.fs.Path(
               catalog.getTableMetadata(id).location)) == qualified
-            catch { case _: Exception => false }
+            catch {
+              // Only the cases that PROVE this entry cannot own the
+              // directory may answer false: the table vanished
+              // concurrently, or it is a view with no location (both
+              // surface as AnalysisException). Anything else — a
+              // transient metastore/RPC failure on exactly the table
+              // that owns the path — must fail SAFE: treat it as
+              // still-referenced so live external-table data is never
+              // deleted on a flaky lookup (round-10 advice).
+              case _: org.apache.spark.sql.AnalysisException => false
+              case scala.util.control.NonFatal(_) => true
+            }
           }
         }
         if (!stillReferenced) fs.delete(loc, true)

@@ -56,6 +56,13 @@ object Bpe {
             alphabet: String = "[a-z0-9]+"): (DataFrame, DataFrame) = {
     require(rounds >= 1 && rounds <= 64,
       "rounds in [1, 64] (each round is a vocab pass)")
+    // The paren-encoding ("(a)(b)") is only injective when no symbol
+    // can contain a paren — enforce the contract instead of assuming
+    // it: an alphabet admitting '(' or ')' would silently corrupt
+    // merge boundaries (round-10 advice).
+    require(!alphabet.contains("(") && !alphabet.contains(")"),
+      s"alphabet '$alphabet' must not admit '(' or ')': the " +
+        "paren-encoded merge relies on parens never appearing in symbols")
     val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("w"))

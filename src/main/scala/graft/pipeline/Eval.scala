@@ -1178,7 +1178,8 @@ object Eval {
   def cusumBatchUpdate(batch: DataFrame, valueMicro: Column,
                        bucket: Column,
                        state: java.util.concurrent.atomic.AtomicReference[
-                         Map[Long, (Long, BigDecimal)]]): DataFrame = {
+                         Map[Long, (Long, BigDecimal)]],
+                       maxBuckets: Int = 8192): DataFrame = {
     val upd = cusumBuckets(batch, valueMicro, bucket).collect()
       .map(r => (r.getLong(0),
         (r.getLong(1), BigDecimal(r.getDecimal(2)))))
@@ -1186,11 +1187,29 @@ object Eval {
       val (c0, s0) = m.getOrElse(b, (0L, BigDecimal(0)))
       m.updated(b, (c0 + c, s0 + s))
     }
+    // The standing state is one (count, sum) per time BUCKET — bounded
+    // by construction at any report granularity (hours, days), but
+    // nothing else stops a caller passing a per-second or per-event
+    // bucket expression from growing driver state silently. The house
+    // bounded-fetch rule, applied here too: fail loudly with the count
+    // (round-10 verdict).
+    require(merged.size <= maxBuckets,
+      s"CUSUM monitor state has ${merged.size} buckets > " +
+        s"maxBuckets=$maxBuckets: the bucket expression is too " +
+        "fine-grained for driver-side state; coarsen it or raise " +
+        "maxBuckets deliberately")
     state.set(merged)
     val spark = batch.sparkSession
     import spark.implicits._
+    // Round-trip the exact integral sums as STRINGS, not BigDecimal:
+    // the default encoder pins scala BigDecimal to decimal(38,18),
+    // silently capping integral headroom at ~1e20 where the batch path
+    // has the full decimal(38,0) range — an overflowing bucket would
+    // diverge from the one-shot cusumChangepoint this fold claims
+    // bit-equality with (round-10 advice). toString of an integral
+    // BigDecimal is exact, and the cast restores decimal(38,0).
     cusumFromBuckets(merged.toSeq
-      .map { case (b, (c, s)) => (b, c, s) }
+      .map { case (b, (c, s)) => (b, c, s.toBigInt.toString) }
       .toDF("bucket", "c", "_s")
       .select(col("bucket"), col("c"),
         col("_s").cast("decimal(38,0)").as("s")))
@@ -1203,14 +1222,16 @@ object Eval {
     * The sink body IS [[cusumBatchUpdate]], so batch and stream
     * cannot drift. */
   def cusumDriftStream(docs: DataFrame, valueMicro: Column,
-                       bucket: Column)(sink: DataFrame => Unit)
+                       bucket: Column, maxBuckets: Int = 8192)(
+                       sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val state = new java.util.concurrent.atomic.AtomicReference[
       Map[Long, (Long, BigDecimal)]](Map.empty)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        sink(cusumBatchUpdate(batch, valueMicro, bucket, state)
+        sink(cusumBatchUpdate(batch, valueMicro, bucket, state,
+            maxBuckets)
           .withColumn("batch_id", lit(batchId)))
       }
       .start()

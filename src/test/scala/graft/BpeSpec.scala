@@ -55,6 +55,16 @@ class BpeSpec extends AnyFunSuite {
     assert(merges("a b a b c", 3) === Seq.empty)
   }
 
+  test("paren-admitting alphabet is rejected up front") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("ab ab").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.train(df, "text", 1, alphabet = "[a-z()]+")
+    }
+    assert(e.getMessage.contains("paren"), e.getMessage)
+  }
+
   test("non-alphabet words are excluded before training") {
     // '(x)(y)' would break the paren encoding; the alphabet filter
     // must drop it, leaving only the clean word

@@ -848,6 +848,32 @@ class EvalSpec extends AnyFunSuite {
     assert(uneven.getLong(0) === 1L && uneven.getDouble(2) === -12.0)
   }
 
+  test("cusumBatchUpdate: >1e20 integral sums and the maxBuckets guard") {
+    val s = spark
+    import s.implicits._
+    def freshState = new java.util.concurrent.atomic.AtomicReference[
+      Map[Long, (Long, BigDecimal)]](Map.empty)
+    // a bucket whose micro-sum (20 × 9e18 = 1.8e20) exceeds the
+    // integral headroom of decimal(38,18) — the type the default
+    // BigDecimal encoder would pin — so this pins the explicit
+    // decimal(38,0) round-trip: the fold must still equal the
+    // one-shot bit-for-bit (round-10 advice)
+    val big = (Seq.fill(20)(1L -> 9000000000000000000L) ++
+      Seq.fill(5)(2L -> 1L)).toDF("b", "v")
+    val folded =
+      Eval.cusumBatchUpdate(big, col("v"), col("b"), freshState).head()
+    val oneShot = Eval.cusumChangepoint(big, col("v"), col("b")).head()
+    assert(folded === oneShot, s"fold $folded vs one-shot $oneShot")
+    // bounded-state contract: a bucket expression finer than
+    // maxBuckets must fail loudly instead of growing driver state
+    val fine = (1L to 50L).map(i => (i, i)).toDF("b", "v")
+    val e = intercept[IllegalArgumentException] {
+      Eval.cusumBatchUpdate(fine, col("v"), col("b"), freshState,
+        maxBuckets = 10)
+    }
+    assert(e.getMessage.contains("maxBuckets"), e.getMessage)
+  }
+
   test("mcnemar: golden counts and the never-disagree contract") {
     val s = spark
     import s.implicits._
