@@ -5730,6 +5730,103 @@ object SparkEntry {
              |    AS zipf_slope
              |FROM za""".stripMargin)),
 
+    // ExactSubstr span LOCALIZATION (Lee et al., ACL 2022): maximal
+    // runs of cross-doc duplicated 13-grams as 1-based inclusive word
+    // spans + the span text. Two dup starts p < q chain iff q <= p+13
+    // (equal-length covering intervals overlap or touch). The oracle
+    // replays gram -> min/max-doc dup test -> lag-gap islands ->
+    // string surgery; Spark keys grams by xxhash64 (shuffle bytes),
+    // the oracle by the string — exact agreement short of collision.
+    "d62_span_excision" -> Q(
+      (s, dir) => Dedup.dupSpans(
+          table(s, dir, "documents"), "doc_id", "text", n = 13)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_end"), col("span_words"), col("span_text"))
+        .orderBy("doc_id", "span_start").limit(5000),
+      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |pg AS (SELECT doc_id,
+             |    unnest(generate_series(1, greatest(len(toks)-12, 0)))
+             |      AS pos,
+             |    unnest(list_transform(
+             |      generate_series(1, greatest(len(toks)-12, 0)),
+             |      i -> array_to_string(toks[i:i+12], ' '))) AS gram
+             |  FROM t),
+             |dup AS (SELECT gram FROM pg GROUP BY gram
+             |  HAVING min(doc_id) <> max(doc_id)),
+             |ds AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram)),
+             |fl AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER
+             |    (PARTITION BY doc_id ORDER BY pos) + 13
+             |  THEN 1 ELSE 0 END AS f FROM ds),
+             |gr AS (SELECT doc_id, pos, SUM(f) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS UNBOUNDED PRECEDING) AS grp FROM fl),
+             |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+             |    MAX(pos) + 12 AS span_end
+             |  FROM gr GROUP BY doc_id, grp)
+             |SELECT s.doc_id, span_start, span_end,
+             |  span_end - span_start + 1 AS span_words,
+             |  array_to_string(toks[span_start:span_end], ' ')
+             |    AS span_text
+             |FROM spans s JOIN t USING (doc_id)
+             |ORDER BY doc_id, span_start LIMIT 5000""".stripMargin)),
+
+    // ExactSubstr span EXCISION — the string surgery over d62's spans:
+    // every duplicated span removed, host document kept (empty string
+    // when the whole doc is duplicated text — doc-level dedup
+    // degenerating out of the span form). Spark's surgery is a
+    // map-only positional array filter after ONE id-keyed join of the
+    // per-doc span list; the corpus is never exploded to words. The
+    // oracle rebuilds kept words by an anti-EXISTS against the span
+    // table and an ordered string_agg.
+    "d63_span_surgery" -> Q(
+      (s, dir) => Dedup.spanExcise(
+          table(s, dir, "documents"), "doc_id", "text", n = 13)
+        .select(col("id").as("doc_id"), col("n_spans"),
+          col("n_words"), col("n_removed"), col("clean_text"))
+        .orderBy("doc_id").limit(2000),
+      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |pg AS (SELECT doc_id,
+             |    unnest(generate_series(1, greatest(len(toks)-12, 0)))
+             |      AS pos,
+             |    unnest(list_transform(
+             |      generate_series(1, greatest(len(toks)-12, 0)),
+             |      i -> array_to_string(toks[i:i+12], ' '))) AS gram
+             |  FROM t),
+             |dup AS (SELECT gram FROM pg GROUP BY gram
+             |  HAVING min(doc_id) <> max(doc_id)),
+             |ds AS (SELECT doc_id, pos FROM pg JOIN dup USING (gram)),
+             |fl AS (SELECT doc_id, pos, CASE WHEN pos > lag(pos) OVER
+             |    (PARTITION BY doc_id ORDER BY pos) + 13
+             |  THEN 1 ELSE 0 END AS f FROM ds),
+             |gr AS (SELECT doc_id, pos, SUM(f) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS UNBOUNDED PRECEDING) AS grp FROM fl),
+             |spans AS (SELECT doc_id, MIN(pos) AS span_start,
+             |    MAX(pos) + 12 AS span_end
+             |  FROM gr GROUP BY doc_id, grp),
+             |sagg AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+             |    AS n_spans,
+             |  CAST(SUM(span_end - span_start + 1) AS BIGINT)
+             |    AS n_removed
+             |  FROM spans GROUP BY doc_id),
+             |words AS (SELECT doc_id, unnest(toks) AS w,
+             |    unnest(generate_series(1, len(toks))) AS pos FROM t),
+             |kept AS (SELECT w.doc_id, w.pos, w.w FROM words w
+             |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+             |    WHERE s.doc_id = w.doc_id
+             |      AND w.pos BETWEEN s.span_start AND s.span_end)),
+             |cl AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos)
+             |    AS clean_text FROM kept GROUP BY doc_id)
+             |SELECT t.doc_id, COALESCE(n_spans, 0) AS n_spans,
+             |  CAST(len(toks) AS BIGINT) AS n_words,
+             |  COALESCE(n_removed, 0) AS n_removed,
+             |  COALESCE(clean_text, '') AS clean_text
+             |FROM t LEFT JOIN sagg USING (doc_id)
+             |  LEFT JOIN cl USING (doc_id)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
     // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge

@@ -1098,6 +1098,113 @@ object Dedup {
       .filter(col("dup_frac") <= maxDupFrac)
       .select(col("id"), col("n_grams"), col("dup_frac"))
 
+  /** Maximal cross-document duplicated SPANS per document — the
+    * excision half of ExactSubstr dedup (Lee et al., ACL 2022): where
+    * [[dupNgramFilter]] keeps or drops WHOLE documents on the
+    * duplicated-n-gram fraction, this locates the repeated regions
+    * themselves so they can be removed while the host document
+    * survives. A word position is covered when some cross-doc
+    * duplicated n-gram starts at most n−1 words before it; the spans
+    * are the maximal runs of covered words, reported as 1-based
+    * inclusive word indices plus the span text.
+    *
+    * Shape at scale, stage by stage:
+    *   - the (id, pos, gram) stream is one map-only explode, keyed by
+    *     the gram's 64-bit hash right after construction (the
+    *     crossDocNgramStats shuffle-byte discipline — a 13-gram string
+    *     is ~70 bytes and crosses two shuffles; the oracle keys by the
+    *     string and agrees short of an xxhash64 collision);
+    *   - "appears in more than one document" is `min(id) ≠ max(id)`
+    *     over the gram group — ONE fully-combinable aggregation pass,
+    *     no count-distinct expansion;
+    *   - the join back is gram-keyed and skew-free (long n-grams are
+    *     near-unique, the d18 argument);
+    *   - span assembly windows over DUPLICATED starts only — a corpus
+    *     fraction — partitioned by doc id. Because every covering
+    *     interval has the same length n, two starts p < q chain into
+    *     one span iff q ≤ p + n (their covered ranges overlap or
+    *     touch), so a lag-gap flag plus a running sum finds the
+    *     maximal runs without interval-merging machinery;
+    *   - the final id-keyed join rehydrates the token array once per
+    *     spanned doc for the span-text slice. No per-word shuffle
+    *     anywhere.
+    *
+    * Returns (id, span_start, span_end, span_words, span_text). */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    require(n >= 2, "n >= 2: span chaining needs multi-word grams")
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("toks"))
+    val g = base.select(col("id"), explode(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => struct(i.cast("long").as("pos"),
+              xxhash64(concat_ws(" ", slice(col("toks"), i, lit(n))))
+                .as("gram"))))
+          .otherwise(array().cast(
+            "array<struct<pos:bigint,gram:bigint>>"))).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"),
+        col("pg.gram").as("gram"))
+    val dup = g.groupBy("gram")
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("gram")
+    val starts = g.join(dup, "gram").select(col("id"), col("pos"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = starts
+      .withColumn("f",
+        when(col("pos") > lag(col("pos"), 1).over(w) + n, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("f")).over(wc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+    spans.join(base, "id")
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        concat_ws(" ", slice(col("toks"),
+          col("span_start").cast("int"),
+          (col("span_end") - col("span_start") + 1L).cast("int")))
+          .as("span_text"))
+  }
+
+  /** String surgery on the [[dupSpans]] output: rebuild each document
+    * with every duplicated span REMOVED — the ExactSubstr semantic
+    * real pretraining pipelines run next to doc-level dedup (keep the
+    * page, cut the syndicated paragraph). Spans aggregate to one
+    * per-doc array (few per doc), ride ONE id-keyed left join onto the
+    * corpus, and the excision itself is a map-only array expression —
+    * a positional filter against the span list — so the corpus is
+    * never exploded to words or re-collected across a shuffle. Docs
+    * with no spans pass through unchanged (left join + null-safe
+    * lambda); a fully-duplicated doc survives as an EMPTY string, a
+    * row the caller can drop, which is exactly doc-level dedup
+    * degenerating out of the span form.
+    *
+    * Returns (id, n_spans, n_words, n_removed, clean_text). */
+  def spanExcise(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    val perDoc = dupSpans(docs, idCol, textCol, n)
+      .groupBy("id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("toks"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(size(col("sp")), lit(0)).cast("long").as("n_spans"),
+        size(col("toks")).cast("long").as("n_words"),
+        coalesce(aggregate(col("sp"), lit(0L), (acc, s) =>
+          acc + s.getField("span_end") - s.getField("span_start")
+            + 1L), lit(0L)).as("n_removed"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          coalesce(!exists(col("sp"), sp =>
+            (i + 1) >= sp.getField("span_start") &&
+              (i + 1) <= sp.getField("span_end")), lit(true))))
+          .as("clean_text"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication over an
     * embedding column — cluster the corpus cheaply, then drop all but
     * one member of every within-cluster group of near-identical

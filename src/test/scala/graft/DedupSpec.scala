@@ -1057,4 +1057,74 @@ class DedupSpec extends AnyFunSuite {
     val tight = Dedup.fuzzyValuePairs(rows, "name", maxDist = 4)
     assert(tight.count() === 0L)
   }
+
+  // planted corpus for the ExactSubstr span family (n = 3):
+  //   P = "p1..p5" shared by docs 1 (middle), 2 (head), 3 (tail);
+  //   "q1 q2 q3" / "r1 r2 r3" shared by 4 and 5 with gaps > n (two
+  //   separate spans each); doc 6 unique; 7 = 8 exactly (whole-doc
+  //   span); 11/12 share two phrases with gap exactly n (merge) vs
+  //   n+1 (no merge) — the boundary of the q <= p + n chain rule.
+  private val spanDocs = Seq(
+    (1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"),
+    (2L, "p1 p2 p3 p4 p5 v1 v2"),
+    (3L, "w1 w2 w3 p1 p2 p3 p4 p5"),
+    (4L, "q1 q2 q3 z1 r1 r2 r3"),
+    (5L, "q1 q2 q3 y1 y2 y3 y4 r1 r2 r3"),
+    (6L, "n1 n2 n3 n4"),
+    (7L, "c1 c2 c3"),
+    (8L, "c1 c2 c3"),
+    (11L, "s1 s2 s3 t1 t2 t3 x9"),
+    (12L, "s1 s2 s3 mm t1 t2 t3"))
+
+  test("dupSpans: boundary spans, chained overlaps, exact-gap merge") {
+    val got = Dedup.dupSpans(docsDf(spanDocs), "doc_id", "text", n = 3)
+      .orderBy("id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got === Seq(
+      // middle / head / tail placements of the shared phrase P: the
+      // three overlapping dup 3-grams chain into the full 5-word span
+      (1L, 3L, 7L, 5L, "p1 p2 p3 p4 p5"),
+      (2L, 1L, 5L, 5L, "p1 p2 p3 p4 p5"),
+      (3L, 4L, 8L, 5L, "p1 p2 p3 p4 p5"),
+      // two shared phrases, gaps > n: two DISTINCT spans per doc
+      (4L, 1L, 3L, 3L, "q1 q2 q3"),
+      (4L, 5L, 7L, 3L, "r1 r2 r3"),
+      (5L, 1L, 3L, 3L, "q1 q2 q3"),
+      (5L, 8L, 10L, 3L, "r1 r2 r3"),
+      // whole-doc duplication degenerates to one full-width span
+      (7L, 1L, 3L, 3L, "c1 c2 c3"),
+      (8L, 1L, 3L, 3L, "c1 c2 c3"),
+      // gap EXACTLY n (starts 1 and 4): covered ranges touch -> merge
+      (11L, 1L, 6L, 6L, "s1 s2 s3 t1 t2 t3"),
+      // gap n+1 (starts 1 and 5): one word survives between spans
+      (12L, 1L, 3L, 3L, "s1 s2 s3"),
+      (12L, 5L, 7L, 3L, "t1 t2 t3")), got.mkString("\n"))
+  }
+
+  test("spanExcise: surgery keeps hosts, empties full dups, conserves words") {
+    val got = Dedup.spanExcise(docsDf(spanDocs), "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 9L, 5L, "u1 u2 u3 u4"),
+      (2L, 1L, 7L, 5L, "v1 v2"),
+      (3L, 1L, 8L, 5L, "w1 w2 w3"),
+      (4L, 2L, 7L, 6L, "z1"),
+      (5L, 2L, 10L, 6L, "y1 y2 y3 y4"),
+      // no duplicated gram -> document passes through untouched
+      (6L, 0L, 4L, 0L, "n1 n2 n3 n4"),
+      // whole-doc dup excises to the EMPTY string (doc-level dedup
+      // degenerating out of the span form)
+      (7L, 1L, 3L, 3L, ""),
+      (8L, 1L, 3L, 3L, ""),
+      (11L, 1L, 7L, 6L, "x9"),
+      (12L, 2L, 7L, 6L, "mm")), got.mkString("\n"))
+    // conservation: kept words + removed words == total words
+    got.foreach { case (id, _, nw, nr, clean) =>
+      val kept = if (clean.isEmpty) 0 else clean.split(" ").length
+      assert(kept + nr === nw, s"doc $id: $kept + $nr != $nw")
+    }
+  }
 }
