@@ -191,7 +191,10 @@ object SparkEntry {
     * remains; a cross join would collapse every later v_k to zero
     * rows and diverge d57 on an exhausted corpus. d55 reads the m_r
     * rows, d57 reads the final v_rounds vocabulary. */
-  private def bpeChainCtes(rounds: Int): String = {
+  /** BPE training-chain CTEs over relation `rel` (exposing `text`) —
+    * NO leading WITH, so callers can splice it after other CTEs. */
+  private def bpeChainCtes(rounds: Int,
+                           rel: String = "documents"): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""s$r AS (SELECT str_split(trim(enc, '()'), ')(') AS sy, n
          |  FROM v${r - 1}),
@@ -208,8 +211,8 @@ object SparkEntry {
          |      '(' || m$r.l || m$r.r || ')') END AS enc, n
          |  FROM v${r - 1} LEFT JOIN m$r ON true)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w0 AS (SELECT t.w AS w FROM (SELECT
-       |    unnest(str_split(text, ' ')) AS w FROM documents) t
+    s"""w0 AS (SELECT t.w AS w FROM (SELECT
+       |    unnest(str_split(text, ' ')) AS w FROM $rel) t
        |  WHERE regexp_full_match(t.w, '[a-z0-9]+')),
        |vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM w0
        |  GROUP BY w),
@@ -218,6 +221,67 @@ object SparkEntry {
        |  FROM vc),
        |$roundCtes""".stripMargin
   }
+
+  /** DuckDB CTE chain replaying [[graft.pipeline.CleanPipeline]]'s
+    * curation survivors over `documents`/`embeddings` — n-gram keep,
+    * unigram-LM band, semantic-dup drop — ending in `flt` (survivors
+    * BEFORE exact dedup; the dedup is one min-id-per-text predicate on
+    * `flt`). NO leading WITH. Shared by llm_curate_full and the
+    * llm_pretrain_full capstone so the replayed stage cannot drift
+    * between them. */
+  private def duckCurateCtes: String =
+    """t AS (SELECT doc_id, str_split(text,' ') AS toks
+      |  FROM documents),
+      |ga AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks)-12, 0)),
+      |    i -> array_to_string(toks[i:i+12], ' '))) AS gs FROM t),
+      |g AS (SELECT doc_id, unnest(gs) AS gram FROM ga),
+      |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+      |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
+      |  FROM g JOIN dfr USING (gram) WHERE df > 1
+      |  GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng
+      |  FROM ga),
+      |ngkeep AS (SELECT tot.doc_id
+      |  FROM tot LEFT JOIN dup USING (doc_id)
+      |  WHERE (CASE WHEN ng > 0 THEN
+      |      ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / ng, 6)
+      |    ELSE 0.0 END) <= 0.2),
+      |t2 AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+      |  FROM documents),
+      |f2 AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+      |n2 AS (SELECT CAST(ROUND(log10(SUM(cnt)) * 1e6) AS BIGINT)
+      |    AS lln FROM f2),
+      |d2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+      |    CAST(SUM(CAST(ROUND(log10(cnt) * 1e6) AS BIGINT))
+      |      AS BIGINT) AS sll
+      |  FROM t2 JOIN f2 USING (tok) GROUP BY doc_id),
+      |band AS (SELECT doc_id FROM d2, n2
+      |  WHERE CAST(TRUNC(CAST(sll - ntok * lln AS DOUBLE) / ntok)
+      |    AS BIGINT) > -1500000),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id,
+      |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |      AS nv
+      |  FROM e),
+      |p AS (SELECT vec_id AS pid, v AS pv FROM e
+      |  WHERE vec_id BETWEEN 1 AND 4),
+      |b AS (SELECT nrm.vec_id,
+      |    CAST(SUM(CASE WHEN list_dot_product(nrm.nv, p.pv) > 0
+      |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM nrm, p GROUP BY nrm.vec_id),
+      |dr AS (SELECT DISTINCT c.vec_id AS did
+      |  FROM b a JOIN b c ON a.bucket = c.bucket
+      |    AND a.vec_id < c.vec_id
+      |  JOIN nrm na ON na.vec_id = a.vec_id
+      |  JOIN nrm nc ON nc.vec_id = c.vec_id
+      |  WHERE ROUND(list_dot_product(na.nv, nc.nv), 6) > 0.4),
+      |flt AS (SELECT doc_id, text, lang, n_chars FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM ngkeep)
+      |    AND doc_id IN (SELECT doc_id FROM band)
+      |    AND doc_id NOT IN (SELECT did FROM dr))""".stripMargin
 
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
@@ -2313,7 +2377,7 @@ object SparkEntry {
              |  r AS rhs, l || r AS merged, CAST(c AS BIGINT)
              |    AS pair_count FROM m$r""".stripMargin)
           .mkString("\nUNION ALL ")
-        s"""${bpeChainCtes(rounds)}
+        s"""WITH ${bpeChainCtes(rounds)}
            |$unioned
            |ORDER BY merge_round""".stripMargin
       }),
@@ -2332,7 +2396,7 @@ object SparkEntry {
         .select(col("w").as("word"), col("n"), col("n_subwords"),
           col("segmentation"))
         .orderBy("word"),
-      Some(s"""${bpeChainCtes(6)}
+      Some(s"""WITH ${bpeChainCtes(6)}
              |SELECT w AS word, n,
              |  CAST(len(str_split(trim(enc, '()'), ')(')) AS BIGINT)
              |    AS n_subwords,
@@ -6584,61 +6648,79 @@ object SparkEntry {
           .curated
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id").limit(2000),
-      Some("""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
-             |  FROM documents),
-             |ga AS (SELECT doc_id, list_distinct(list_transform(
-             |    generate_series(1, greatest(len(toks)-12, 0)),
-             |    i -> array_to_string(toks[i:i+12], ' '))) AS gs FROM t),
-             |g AS (SELECT doc_id, unnest(gs) AS gram FROM ga),
-             |dfr AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
-             |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd
-             |  FROM g JOIN dfr USING (gram) WHERE df > 1
-             |  GROUP BY doc_id),
-             |tot AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng
-             |  FROM ga),
-             |ngkeep AS (SELECT tot.doc_id
-             |  FROM tot LEFT JOIN dup USING (doc_id)
-             |  WHERE (CASE WHEN ng > 0 THEN
-             |      ROUND(CAST(COALESCE(nd, 0) AS DOUBLE) / ng, 6)
-             |    ELSE 0.0 END) <= 0.2),
-             |t2 AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
-             |  FROM documents),
-             |f2 AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
-             |n2 AS (SELECT CAST(ROUND(log10(SUM(cnt)) * 1e6) AS BIGINT)
-             |    AS lln FROM f2),
-             |d2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
-             |    CAST(SUM(CAST(ROUND(log10(cnt) * 1e6) AS BIGINT))
-             |      AS BIGINT) AS sll
-             |  FROM t2 JOIN f2 USING (tok) GROUP BY doc_id),
-             |band AS (SELECT doc_id FROM d2, n2
-             |  WHERE CAST(TRUNC(CAST(sll - ntok * lln AS DOUBLE) / ntok)
-             |    AS BIGINT) > -1500000),
-             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-             |  FROM embeddings),
-             |nrm AS (SELECT vec_id,
-             |    list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-             |      AS nv
-             |  FROM e),
-             |p AS (SELECT vec_id AS pid, v AS pv FROM e
-             |  WHERE vec_id BETWEEN 1 AND 4),
-             |b AS (SELECT nrm.vec_id,
-             |    CAST(SUM(CASE WHEN list_dot_product(nrm.nv, p.pv) > 0
-             |      THEN (CAST(1 AS BIGINT) << (p.pid - 1)) ELSE 0 END)
-             |      AS BIGINT) AS bucket
-             |  FROM nrm, p GROUP BY nrm.vec_id),
-             |dr AS (SELECT DISTINCT c.vec_id AS did
-             |  FROM b a JOIN b c ON a.bucket = c.bucket
-             |    AND a.vec_id < c.vec_id
-             |  JOIN nrm na ON na.vec_id = a.vec_id
-             |  JOIN nrm nc ON nc.vec_id = c.vec_id
-             |  WHERE ROUND(list_dot_product(na.nv, nc.nv), 6) > 0.4),
-             |flt AS (SELECT doc_id, text, lang, n_chars FROM documents
-             |  WHERE doc_id IN (SELECT doc_id FROM ngkeep)
-             |    AND doc_id IN (SELECT doc_id FROM band)
-             |    AND doc_id NOT IN (SELECT did FROM dr))
+      Some(s"""WITH $duckCurateCtes
              |SELECT doc_id, lang, n_chars FROM flt
              |WHERE doc_id IN (SELECT min(doc_id) FROM flt GROUP BY text)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // PRETRAINING CAPSTONE — the full logs-to-training-shards loop in
+    // ONE oracle-checked composition (the g8/q67 capstone move):
+    // curate (llm_curate_full's survivors + exact dedup) -> train a
+    // 6-merge BPE tokenizer ON THE CURATED CORPUS (d55) -> segment the
+    // vocabulary and count per-doc subword tokens (d57's cache join —
+    // corpus rows never replay the merge chain) -> serpentine-balance
+    // into 8 shards by BPE token weight (d45) -> pack each shard's
+    // docs back-to-back into 512-token sequences (d22) and report per
+    // shard. Every stage replays in the oracle's single CTE chain, so
+    // a seam between any two stages breaks the hash.
+    "llm_pretrain_full" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val emb = table(s, dir, "embeddings")
+        // checkpoint: the curated frame feeds BOTH the tokenizer
+        // trainer and the doc-token join; without it the whole
+        // curation chain would execute once per consumer
+        val curated = graft.pipeline.CleanPipeline.curate(docs, emb)
+          .localCheckpoint()
+        val vocab = graft.pipeline.Bpe.segmentVocab(
+          curated.select(col("text")), "text", rounds = 6)
+        val occ = curated.select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+        val perDocTok = occ
+          .join(vocab.select(col("w"), col("n_subwords")), "w")
+          .groupBy("doc_id").agg(sum(col("n_subwords")).as("bt"))
+        val perDoc = curated.select("doc_id")
+          .join(perDocTok, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("bt"), lit(0L)).as("bpe_tokens"))
+        Curation.packedShardReport(perDoc, "doc_id",
+            col("bpe_tokens"), nShards = 8, seqTokens = 512)
+          .orderBy("shard")
+      },
+      Some(s"""WITH $duckCurateCtes,
+             |cur AS (SELECT doc_id, text FROM flt
+             |  WHERE doc_id IN (SELECT min(doc_id) FROM flt
+             |                   GROUP BY text)),
+             |${bpeChainCtes(6, "cur")},
+             |dw AS (SELECT doc_id, u.w AS w
+             |  FROM (SELECT doc_id, str_split(text, ' ') AS ts
+             |        FROM cur) c, unnest(ts) AS u(w)
+             |  WHERE regexp_full_match(u.w, '[a-z0-9]+')),
+             |seg AS (SELECT w,
+             |    CAST(len(str_split(trim(enc, '()'), ')(')) AS BIGINT)
+             |      AS nsub FROM v6),
+             |dtok AS (SELECT c.doc_id, COALESCE(sm.bt, 0) AS bt
+             |  FROM cur c LEFT JOIN (
+             |    SELECT dw.doc_id, CAST(SUM(seg.nsub) AS BIGINT) AS bt
+             |    FROM dw JOIN seg USING (w) GROUP BY dw.doc_id) sm
+             |  ON sm.doc_id = c.doc_id),
+             |rk AS (SELECT doc_id, bt, CAST(row_number() OVER
+             |    (ORDER BY bt DESC, doc_id ASC) AS BIGINT) AS rn
+             |  FROM dtok),
+             |sa AS (SELECT doc_id, bt, CASE WHEN (rn - 1) % 16 < 8
+             |    THEN (rn - 1) % 16 ELSE 15 - ((rn - 1) % 16) END
+             |      AS shard FROM rk),
+             |pk AS (SELECT shard, doc_id, bt,
+             |    SUM(bt) OVER (PARTITION BY shard ORDER BY doc_id)
+             |      - bt AS strt
+             |  FROM sa)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(bt) AS BIGINT) AS total_tokens,
+             |  CAST(count(DISTINCT strt // 512) AS BIGINT)
+             |    AS n_start_seqs
+             |FROM pk GROUP BY shard ORDER BY shard""".stripMargin)),
 
     // The transitive-cluster twin of llm_clean_pipeline: near-dup
     // removal keeps each CONNECTED COMPONENT's minimum id instead of

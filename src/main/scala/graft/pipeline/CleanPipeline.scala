@@ -117,6 +117,20 @@ object CleanPipeline {
     CurateRun(curated, in, ng, bd, sd, sv)
   }
 
+  /** Uninstrumented [[curateWithCounters]] — same survivors, same
+    * fork-point checkpoint, no Observation registration: for
+    * COMPOSITIONS that embed the curation stage as a prefix (the
+    * llm_pretrain_full capstone), where registering the standalone
+    * entry's counter tag again would double-count its observations. */
+  def curate(docs: DataFrame, emb: DataFrame,
+             hyperplaneIds: Seq[Long] = Seq(1L, 2L, 3L, 4L),
+             n: Int = 13, maxDupFrac: Double = 0.2,
+             minScoreMicro: Long = -1500000L,
+             minCosine: Double = 0.4): DataFrame =
+    Dedup.exactDedup(curateSurvivors(docs, emb, hyperplaneIds, n,
+        maxDupFrac, minScoreMicro, minCosine).localCheckpoint(),
+      "doc_id", "text")
+
   /** The survivor frame of the curation composition — signal joins
     * only, BEFORE the fork-point checkpoint — shared by
     * [[curateWithCounters]] (instrumented) and by plan-shape audits

@@ -495,6 +495,33 @@ object Curation {
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("total_weight"))
 
+  /** [[packSequences]] run INSIDE a [[serpentineShards]] assignment —
+    * the export tail of a pretraining pipeline: balance shards by
+    * token weight, then pack each shard's documents back-to-back (id
+    * order) into seqTokens-sized training sequences. Reports, per
+    * shard, the doc count, the token total, and the number of
+    * distinct sequences that HOST a document start (each doc's first
+    * token offset ÷ seqTokens — the d22 placement key, so the pack
+    * stage genuinely replays instead of degenerating to
+    * ceil(total/seqTokens)). One window per shard partition plus one
+    * map-side-combining groupBy; the pack never leaves its shard's
+    * partition, so the cumulative sum parallelizes across shards at
+    * any corpus size. Returns (shard, n_docs, total_tokens,
+    * n_start_seqs). */
+  def packedShardReport(perDoc: DataFrame, idCol: String,
+                        weight: Column, nShards: Int,
+                        seqTokens: Int): DataFrame = {
+    require(seqTokens >= 1, "seqTokens >= 1")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    serpentineShards(perDoc, idCol, weight, nShards)
+      .withColumn("_start", sum(col("_w")).over(w) - col("_w"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("total_tokens"),
+        countDistinct(floor(col("_start") / lit(seqTokens.toDouble))
+          .cast("long")).as("n_start_seqs"))
+  }
+
   /** Effective dataset size after near-dup discounting — per group,
     * each document contributes tokens/cluster_size ("a 10-clique of
     * near-identical docs carries ONE doc's worth of information"), the
