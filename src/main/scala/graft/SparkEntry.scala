@@ -4996,6 +4996,77 @@ object SparkEntry {
              |ORDER BY abs(d) DESC, bucket ASC
              |LIMIT 1""".stripMargin)),
 
+    // MULTI-shift changepoint localization: binary segmentation (one
+    // recursion level, the unrolled-replay discipline) — root CUSUM
+    // argmax over all hourly buckets, then the same argmax re-run on
+    // each side of the root cp. Two planted steps report both (the
+    // root sees the dominant shift, a child sees the other); a
+    // constant child reports its smallest bucket at cusum 0; an empty
+    // right side emits no row. All three argmaxes run over the ONE
+    // corpus-collapsed bucket frame.
+    "q82_binseg_changepoints" -> Q(
+      (s, dir) => graft.pipeline.Eval.cusumBinseg(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000")),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS bucket,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY bucket),
+             |cw AS (SELECT bucket,
+             |    sum(c) OVER (ORDER BY bucket) AS cc,
+             |    sum(s) OVER (ORDER BY bucket) AS cs,
+             |    sum(c) OVER () AS tc,
+             |    sum(s) OVER () AS ts_,
+             |    CAST(count(*) OVER () AS BIGINT) AS nb
+             |  FROM bb),
+             |rt AS (SELECT bucket AS cp_bucket, nb,
+             |    tc * cs - ts_ * cc AS d
+             |  FROM cw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+             |    bucket ASC LIMIT 1),
+             |lb AS (SELECT * FROM bb
+             |  WHERE bucket <= (SELECT cp_bucket FROM rt)),
+             |lw AS (SELECT bucket,
+             |    sum(c) OVER (ORDER BY bucket) AS cc,
+             |    sum(s) OVER (ORDER BY bucket) AS cs,
+             |    sum(c) OVER () AS tc,
+             |    sum(s) OVER () AS ts_,
+             |    CAST(count(*) OVER () AS BIGINT) AS nb
+             |  FROM lb),
+             |lt AS (SELECT bucket AS cp_bucket, nb,
+             |    tc * cs - ts_ * cc AS d
+             |  FROM lw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+             |    bucket ASC LIMIT 1),
+             |rb AS (SELECT * FROM bb
+             |  WHERE bucket > (SELECT cp_bucket FROM rt)),
+             |rw AS (SELECT bucket,
+             |    sum(c) OVER (ORDER BY bucket) AS cc,
+             |    sum(s) OVER (ORDER BY bucket) AS cs,
+             |    sum(c) OVER () AS tc,
+             |    sum(s) OVER () AS ts_,
+             |    CAST(count(*) OVER () AS BIGINT) AS nb
+             |  FROM rb),
+             |rr AS (SELECT bucket AS cp_bucket, nb,
+             |    tc * cs - ts_ * cc AS d
+             |  FROM rw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+             |    bucket ASC LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS level, 'root' AS segment,
+             |  cp_bucket, nb AS n_buckets, CAST(d AS DOUBLE) AS cusum
+             |FROM rt
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'left', cp_bucket, nb,
+             |  CAST(d AS DOUBLE) FROM lt
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), 'right', cp_bucket, nb,
+             |  CAST(d AS DOUBLE) FROM rr
+             |ORDER BY level, segment""".stripMargin)),
+
     // Batch REPLAY of the streaming CUSUM monitor (the q56/q66
     // convention): three deterministic batches fold their bucket
     // counts into the standing state — bounded, one (count, sum)

@@ -1237,6 +1237,45 @@ object Eval {
       .start()
   }
 
+  /** Binary-segmentation changepoint localization (Scott & Knott's
+    * recursion, one level deep) — the MULTI-shift extension of
+    * [[cusumChangepoint]]: q80 localizes ONE mean shift; this re-runs
+    * the same CUSUM argmax on the two sides of the root changepoint,
+    * so a series with two planted steps reports both (the root picks
+    * the dominant shift, the child segments pick the other). Depth is
+    * fixed at one recursion level — the d44/d55 unrolled-replay
+    * discipline: each level is a chained CTE in the oracle, and at
+    * fixed depth the whole recursion stays ONE declarative plan.
+    *
+    * Cost: the corpus collapses to the (bucket, count, sum) frame
+    * ONCE (localCheckpointed — three argmax consumers must not
+    * re-aggregate the corpus); every subsequent window runs over that
+    * ≤B-row frame. The root cp bucket is a 1-row bounded parameter
+    * fetch (the house convention). Segments inherit q80's semantics:
+    * a constant child segment reports its smallest bucket with cusum
+    * 0; an EMPTY right segment (root cp at the last bucket) emits no
+    * row. Returns up to 3 rows
+    * (level, segment, cp_bucket, n_buckets, cusum). */
+  def cusumBinseg(df: DataFrame, valueMicro: Column,
+                  bucket: Column): DataFrame = {
+    val b = cusumBuckets(df, valueMicro, bucket).localCheckpoint()
+    val root = cusumFromBuckets(b)
+    // 1-row bounded parameter fetch; an all-NULL input has no buckets
+    // and therefore no root — every segment is empty too
+    val r0 = root.collect()
+    val cp0 = if (r0.isEmpty) Long.MinValue else r0.head.getLong(0)
+    def tag(dfr: DataFrame, level: Int, seg: String): DataFrame =
+      dfr.select(lit(level.toLong).as("level"),
+        lit(seg).as("segment"), col("cp_bucket"), col("n_buckets"),
+        col("cusum"))
+    tag(root, 1, "root")
+      .unionAll(tag(cusumFromBuckets(b.filter(col("bucket") <= cp0)),
+        2, "left"))
+      .unionAll(tag(cusumFromBuckets(b.filter(col("bucket") > cp0)),
+        2, "right"))
+      .orderBy("level", "segment")
+  }
+
   /** Welch's unequal-variance t-test between group A (`isA` true) and
     * the complement group B over `value` — the parametric companion
     * of [[mannWhitneyU]] (same split, means instead of ranks), with

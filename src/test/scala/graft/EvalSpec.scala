@@ -848,6 +848,36 @@ class EvalSpec extends AnyFunSuite {
     assert(uneven.getLong(0) === 1L && uneven.getDouble(2) === -12.0)
   }
 
+  test("cusumBinseg: two planted steps, constant child, single bucket") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.cusumBinseg(rows.toDF("b", "v"), col("v"), col("b"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    // two steps: buckets 1-3 at 0, 4-6 at 10, 7-9 at 50 (micro).
+    // Root: T=9, S=180, D=(−180,−360,−540,−630,−720,−810,−540,−270,0)
+    //   → cp 6 (the dominant 10→50 shift).
+    // Left [1..6]: T=6, S=30, D=(−30,−60,−90,−60,−30,0) → cp 3
+    //   (the 0→10 shift the root could not see).
+    // Right [7..9]: constant → smallest bucket, cusum 0.
+    val two = run(Seq(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 10L, 5L -> 10L, 6L -> 10L,
+      7L -> 50L, 8L -> 50L, 9L -> 50L))
+    assert(two === Seq(
+      (1L, "root", 6L, 9L, -810.0),
+      (2L, "left", 3L, 6L, -90.0),
+      (2L, "right", 7L, 3L, 0.0)), two.mkString("\n"))
+    // single bucket: root cp is the bucket itself (cusum 0), the left
+    // child is that same degenerate segment, the right side is EMPTY
+    // and must emit no row
+    val one = run(Seq(5L -> 7L, 5L -> 9L))
+    assert(one === Seq(
+      (1L, "root", 5L, 1L, 0.0),
+      (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
+  }
+
   test("cusumBatchUpdate: >1e20 integral sums and the maxBuckets guard") {
     val s = spark
     import s.implicits._
