@@ -283,6 +283,48 @@ object SparkEntry {
       |    AND doc_id IN (SELECT doc_id FROM band)
       |    AND doc_id NOT IN (SELECT did FROM dr))""".stripMargin
 
+  /** DuckDB CTE chain replaying the NB-holdout trainer+scorer
+    * ([[graft.pipeline.Classify.nbScores]] under the d59 80/20
+    * portable-hash split) — ends in `sc` (doc_id, lang, cl, s): the
+    * integer-micro score of every holdout doc under every train
+    * class. NO leading WITH. Shared by d59 and the d64 model-quality
+    * report so the replayed model cannot drift between them. */
+  private def duckNbHoldoutCtes: String =
+    s"""sp AS (SELECT doc_id, lang, text,
+       |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 5 AS b
+       |  FROM documents),
+       |tr AS (SELECT doc_id, lang, text FROM sp WHERE b <> 0),
+       |te AS (SELECT doc_id, lang, text FROM sp WHERE b = 0),
+       |t AS (SELECT doc_id, lang,
+       |    unnest(str_split(text, ' ')) AS tok FROM tr),
+       |ts AS (SELECT doc_id, lang,
+       |    unnest(str_split(text, ' ')) AS tok FROM te),
+       |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM t),
+       |nl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS n
+       |  FROM t GROUP BY lang),
+       |dl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS d
+       |  FROM tr GROUP BY lang),
+       |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM tr),
+       |ct AS (SELECT lang AS clab, tok AS ctok,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM t GROUP BY lang, tok),
+       |cand AS (SELECT ts.doc_id, ts.lang, ts.tok, nl.cl, nl.n
+       |  FROM ts CROSS JOIN nl),
+       |terms AS (SELECT c2.doc_id, c2.lang, c2.cl,
+       |    CAST(round(1e6 * ln((COALESCE(ct.c, 0) + 1)
+       |      / CAST(c2.n + vs.v AS DOUBLE))) AS BIGINT) AS term
+       |  FROM cand c2 CROSS JOIN vs
+       |  LEFT JOIN ct ON ct.clab = c2.cl AND ct.ctok = c2.tok),
+       |pri AS (SELECT dl.cl,
+       |    CAST(round(1e6 * ln(CAST(dl.d AS DOUBLE) / dd.d))
+       |      AS BIGINT) AS p
+       |  FROM dl CROSS JOIN dd),
+       |sc AS (SELECT tr2.doc_id, tr2.lang, tr2.cl,
+       |    CAST(SUM(tr2.term) + max(pri.p) AS BIGINT) AS s
+       |  FROM terms tr2 JOIN pri ON pri.cl = tr2.cl
+       |  GROUP BY tr2.doc_id, tr2.lang, tr2.cl)""".stripMargin
+
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
   private def duckHash60(e: String): String =
@@ -2469,40 +2511,7 @@ object SparkEntry {
             "doc_id", "text", "lang")
           .orderBy("label_actual", "label_pred")
       },
-      Some(s"""WITH sp AS (SELECT doc_id, lang, text,
-             |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 5 AS b
-             |  FROM documents),
-             |tr AS (SELECT doc_id, lang, text FROM sp WHERE b <> 0),
-             |te AS (SELECT doc_id, lang, text FROM sp WHERE b = 0),
-             |t AS (SELECT doc_id, lang,
-             |    unnest(str_split(text, ' ')) AS tok FROM tr),
-             |ts AS (SELECT doc_id, lang,
-             |    unnest(str_split(text, ' ')) AS tok FROM te),
-             |vs AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-             |  FROM t),
-             |nl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS n
-             |  FROM t GROUP BY lang),
-             |dl AS (SELECT lang AS cl, CAST(count(*) AS BIGINT) AS d
-             |  FROM tr GROUP BY lang),
-             |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM tr),
-             |ct AS (SELECT lang AS clab, tok AS ctok,
-             |    CAST(count(*) AS BIGINT) AS c
-             |  FROM t GROUP BY lang, tok),
-             |cand AS (SELECT ts.doc_id, ts.lang, ts.tok, nl.cl, nl.n
-             |  FROM ts CROSS JOIN nl),
-             |terms AS (SELECT c2.doc_id, c2.lang, c2.cl,
-             |    CAST(round(1e6 * ln((COALESCE(ct.c, 0) + 1)
-             |      / CAST(c2.n + vs.v AS DOUBLE))) AS BIGINT) AS term
-             |  FROM cand c2 CROSS JOIN vs
-             |  LEFT JOIN ct ON ct.clab = c2.cl AND ct.ctok = c2.tok),
-             |pri AS (SELECT dl.cl,
-             |    CAST(round(1e6 * ln(CAST(dl.d AS DOUBLE) / dd.d))
-             |      AS BIGINT) AS p
-             |  FROM dl CROSS JOIN dd),
-             |sc AS (SELECT tr2.doc_id, tr2.lang, tr2.cl,
-             |    CAST(SUM(tr2.term) + max(pri.p) AS BIGINT) AS s
-             |  FROM terms tr2 JOIN pri ON pri.cl = tr2.cl
-             |  GROUP BY tr2.doc_id, tr2.lang, tr2.cl),
+      Some(s"""WITH $duckNbHoldoutCtes,
              |pred AS (SELECT doc_id, lang, cl AS pl FROM (
              |    SELECT doc_id, lang, cl, s, row_number() OVER (
              |      PARTITION BY doc_id ORDER BY s DESC, cl ASC) AS rn
@@ -2511,6 +2520,77 @@ object SparkEntry {
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM pred GROUP BY 1, 2
              |ORDER BY label_actual, label_pred""".stripMargin)),
+
+    // NB MODEL-QUALITY REPORT — the d58/d59 classifier composed with
+    // its evaluation loop (the verdict-r10 capstone): score the d59
+    // holdout under the SAME trained model, frame lang='en' as the
+    // binary task, and report tie-aware ROC-AUC (q40 machinery) on
+    // the integer score margin next to the calibration error (q44
+    // machinery) on the softmax probability — whose per-class exp
+    // terms quantize to micro integers BEFORE the per-doc sum, making
+    // p ONE division of two exact integers. The two 1-row audits meet
+    // on the attribute-dependent key n_pos+n_neg = n (a constant key
+    // would plan the banned BroadcastNestedLoopJoin).
+    "d64_nb_model_report" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bucket = pmod(
+          Dedup.md5Long60(col("doc_id").cast("string")), lit(5L))
+        graft.pipeline.Classify.nbModelReport(
+          docs.filter(bucket =!= 0L), docs.filter(bucket === 0L),
+          "doc_id", "text", "lang", posLabel = "en")
+      },
+      Some(s"""WITH $duckNbHoldoutCtes,
+             |mx AS (SELECT doc_id, MAX(s) AS smax FROM sc
+             |  GROUP BY doc_id),
+             |tt AS (SELECT sc.doc_id, sc.lang, sc.cl, sc.s,
+             |    CAST(round(1e6 * exp(
+             |      CAST(sc.s - mx.smax AS DOUBLE) / 1e6)) AS BIGINT)
+             |      AS tv
+             |  FROM sc JOIN mx USING (doc_id)),
+             |pd AS (SELECT doc_id,
+             |    MAX(CASE WHEN cl = 'en' THEN tv END) AS t_pos,
+             |    MAX(CASE WHEN cl = 'en' THEN s END) AS s_pos,
+             |    MAX(CASE WHEN cl <> 'en' THEN s END) AS s_alt,
+             |    SUM(tv) AS t_sum,
+             |    MAX(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y
+             |  FROM tt GROUP BY doc_id),
+             |fr AS (SELECT s_pos - s_alt AS margin,
+             |    CAST(t_pos AS DOUBLE) / t_sum AS p, y FROM pd),
+             |rg AS (SELECT margin AS sv, CAST(sum(y) AS BIGINT)
+             |      AS pos,
+             |    CAST(count(*) - sum(y) AS BIGINT) AS neg
+             |  FROM fr GROUP BY margin),
+             |rw2 AS (SELECT sv, pos, neg,
+             |    COALESCE(CAST(sum(neg) OVER (ORDER BY sv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS BIGINT), 0) AS neg_below
+             |  FROM rg),
+             |ru AS (SELECT
+             |    CAST(sum(2 * neg_below * pos + neg * pos) AS BIGINT)
+             |      AS u2,
+             |    CAST(sum(pos) AS BIGINT) AS n_pos,
+             |    CAST(sum(neg) AS BIGINT) AS n_neg
+             |  FROM rw2),
+             |eb2 AS (SELECT least(9, greatest(0,
+             |      CAST(floor(p / 0.1) AS BIGINT))) AS bin,
+             |    CAST(ROUND(p * 1e6) AS BIGINT) AS pm, y
+             |  FROM fr),
+             |eg AS (SELECT bin, CAST(sum(pm) AS BIGINT) AS psum,
+             |    CAST(sum(y) AS BIGINT) AS pos,
+             |    CAST(count(*) AS BIGINT) AS nb
+             |  FROM eb2 GROUP BY bin),
+             |et AS (SELECT CAST(sum(abs(psum - 1000000 * pos))
+             |      AS BIGINT) AS num,
+             |    CAST(sum(nb) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_bins_used
+             |  FROM eg)
+             |SELECT ROUND(CAST(u2 AS DOUBLE)
+             |    / (2.0 * n_pos * n_neg), 6) AS auc, n_pos, n_neg,
+             |  CAST(ROUND(CAST(num AS DOUBLE) / n) AS BIGINT)
+             |    AS ece_micro, n, n_bins_used
+             |FROM ru JOIN et ON ru.n_pos + ru.n_neg = et.n"""
+        .stripMargin)),
 
     // Learned quality-classifier INFERENCE (fastText-style): hashed
     // unigram+bigram features dot a literal micro-integer weight

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Learned-classifier TRAINING — the counterpart to the inference-only
@@ -50,6 +51,23 @@ object Classify {
     * misclassified — the honest accounting). */
   def nbConfusion(train: DataFrame, score: DataFrame, idCol: String,
                   textCol: String, labelCol: String): DataFrame = {
+    val scored = nbScores(train, score, idCol, textCol, labelCol)
+    scored
+      .groupBy(col("_id"), col("_lab"))
+      .agg(min(struct((-col("_score")).as("_neg"),
+        col("_cand").as("_pl"))).as("_best"))
+      .groupBy(col("_lab").as("label_actual"),
+        col("_best._pl").as("label_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The raw per-(doc, candidate-class) integer-micro NB scores the
+    * confusion matrices argmax over — exposed so downstream model-
+    * quality reports (ROC-AUC on a class margin, calibration over the
+    * softmax) compose with the SAME trained model instead of
+    * re-deriving one. Returns (_id, _lab, _cand, _score). */
+  def nbScores(train: DataFrame, score: DataFrame, idCol: String,
+               textCol: String, labelCol: String): DataFrame = {
     val toks = train.select(col(idCol).as("_id"),
       col(labelCol).as("_lab"),
       explode(split(col(textCol), " ")).as("_tok"))
@@ -105,11 +123,53 @@ object Classify {
       .groupBy("_id", "_lab", "_cand")
       .agg((sum(col("_term")) + priorOf(col("_cand"))).as("_score"))
     scored
-      .groupBy(col("_id"), col("_lab"))
-      .agg(min(struct((-col("_score")).as("_neg"),
-        col("_cand").as("_pl"))).as("_best"))
-      .groupBy(col("_lab").as("label_actual"),
-        col("_best._pl").as("label_pred"))
-      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Model-quality capstone over the trained NB: score a holdout,
+    * frame class `posLabel` as the binary task, and report ranking
+    * quality (tie-aware ROC-AUC over the integer margin
+    * s_pos − max s_other) NEXT TO calibration (ECE over the softmax
+    * probability of posLabel) from the SAME scored frame — the
+    * train → score → rank-audit → calibration-audit loop as one
+    * composition.
+    *
+    * The softmax keeps the exact-integer discipline: each class term
+    * round(1e6·exp((s_c − s_max)/1e6)) quantizes to a micro integer
+    * BEFORE the per-doc sum (order-free long addition — never a float
+    * accumulation whose order an engine could pick differently), and
+    * p is ONE division of two exact integers (the welch convention).
+    * The framed holdout is localCheckpointed: two audit consumers
+    * must not run the scoring explode+join twice. The two 1-row
+    * audits meet on an ATTRIBUTE-DEPENDENT equi-key
+    * (n_pos + n_neg = n — both count the same frame), because a
+    * constant-key join would fold to `true` and plan the banned
+    * BroadcastNestedLoopJoin. Returns one row
+    * (auc, n_pos, n_neg, ece_micro, n, n_bins_used). */
+  def nbModelReport(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String, labelCol: String,
+                    posLabel: String): DataFrame = {
+    val scores = nbScores(train, score, idCol, textCol, labelCol)
+    val wDoc = Window.partitionBy("_id")
+    val framed = scores
+      .withColumn("_smax", max(col("_score")).over(wDoc))
+      .withColumn("_t", round(lit(1e6) * exp(
+          (col("_score") - col("_smax")).cast("double") / lit(1e6)))
+        .cast("long"))
+      .groupBy("_id", "_lab")
+      .agg(
+        max(when(col("_cand") === posLabel, col("_t"))).as("t_pos"),
+        max(when(col("_cand") === posLabel, col("_score")))
+          .as("s_pos"),
+        max(when(col("_cand") =!= posLabel, col("_score")))
+          .as("s_alt"),
+        sum(col("_t")).as("t_sum"))
+      .select((col("s_pos") - col("s_alt")).as("margin"),
+        (col("t_pos").cast("double") / col("t_sum").cast("double"))
+          .as("p"),
+        when(col("_lab") === posLabel, 1L).otherwise(0L).as("y"))
+      .localCheckpoint()
+    Eval.rocAuc(framed, col("margin"), col("y"))
+      .join(Eval.calibrationErrorMicro(framed, col("p"), col("y")),
+        col("n_pos") + col("n_neg") === col("n"))
   }
 }

@@ -101,4 +101,29 @@ class ClassifySpec extends AnyFunSuite {
       Classify.nbSelfConfusion(one, "doc_id", "text", "lang")
     }
   }
+
+  test("nbModelReport: separable holdout scores AUC 1, counts add up") {
+    val s = spark
+    import s.implicits._
+    // disjoint vocabularies: every 'en' holdout doc outranks every
+    // 'fr' one on the en-margin, so the tie-aware AUC must be exactly
+    // 1.0; softmax p sits near 1 for en and near 0 for fr
+    val train = Seq(
+      (1L, "aa bb", "en"), (2L, "aa cc", "en"), (3L, "bb cc", "en"),
+      (4L, "dd ee", "fr"), (5L, "dd ff", "fr"), (6L, "ee ff", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val holdout = Seq(
+      (11L, "aa bb cc", "en"), (12L, "aa aa", "en"),
+      (13L, "dd ee ff", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classify.nbModelReport(train, holdout, "doc_id", "text",
+      "lang", posLabel = "en").head()
+    assert(r.getDouble(0) === 1.0, s"auc: $r")
+    assert(r.getLong(1) === 2L && r.getLong(2) === 1L, s"pos/neg: $r")
+    // the equi-key the two audits join on: both counted the holdout
+    assert(r.getLong(4) === 3L, s"n: $r")
+    val ece = r.getLong(3)
+    assert(ece >= 0L && ece <= 1000000L, s"ece: $r")
+    assert(r.getLong(5) >= 1L && r.getLong(5) <= 10L, s"bins: $r")
+  }
 }
