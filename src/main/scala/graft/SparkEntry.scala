@@ -6376,10 +6376,12 @@ object SparkEntry {
         var assign = Dedup.connectedComponents(pairs.limit(0),
           "id_a", "id_b")
         (0 until 3).foreach { b =>
+          // lazy: the next batch's first count materializes it — the
+          // truncation still happens, one fewer job per batch
           assign = Dedup.mergeComponents(assign,
             pairs.filter(pmod(col("id_a") + col("id_b"), lit(3L))
               === b),
-            "id_a", "id_b").localCheckpoint()
+            "id_a", "id_b").localCheckpoint(false)
         }
         assign.select(col("id").as("doc_id"), col("component"))
           .orderBy("doc_id").limit(2000)

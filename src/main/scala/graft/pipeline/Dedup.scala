@@ -1304,21 +1304,27 @@ object Dedup {
     * without shuffling the corpus through the iteration. */
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
                           maxRounds: Int = 50): DataFrame = {
+    // LAZY checkpoints throughout the loop (round-11): an eager
+    // localCheckpoint is its own job and the count that follows is a
+    // second — lazy folds truncation+count into ONE action per round,
+    // halving the driver round-trips that dominate this iterative
+    // plan's wall-clock (the replay entries run several convergences
+    // back to back). The count() fully computes every partition, so
+    // the checkpoint it triggers is complete.
     var edges = pairs
       .select(least(col(idACol), col(idBCol)).as("u"),
         greatest(col(idACol), col(idBCol)).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct().localCheckpoint()
-    var converged = edges.isEmpty
-    // carry the edge count across rounds: the convergence test needs
-    // |next| == |edges|, and re-counting the PREVIOUS (checkpointed)
-    // frame each round was a redundant job per round (round-10 review
-    // catch) — as was a fresh count for the note below
-    var edgeCount = if (converged) 0L else edges.count()
+      .distinct().localCheckpoint(false)
+    // one count doubles as the emptiness test (isEmpty was a
+    // redundant extra job) and carries across rounds: the convergence
+    // test needs |next| == |edges| (round-10 review catch)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
@@ -1375,6 +1381,51 @@ object Dedup {
       .join(merged, Seq("id"), "full_outer")
       .select(col("id"),
         coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Frontier-localized [[mergeComponents]] — the g9 sparse-frontier
+    * discipline applied to CC: only components owning an id the batch
+    * touches ride the re-convergence; every other assignment row
+    * passes through verbatim. Untouched components' star edges share
+    * no vertex with (affected ∪ batch) — their members are in no
+    * batch pair (or they would be touched) and star edges never cross
+    * components — so CC over the disjoint union factorizes and
+    * dropping them cannot change any touched label (DedupSpec pins
+    * bit-equality with the plain merge and the one-shot recompute).
+    *
+    * WHEN to prefer it: per-batch contraction cost is proportional to
+    * the cluster state the batch touches, never to corpus history —
+    * the fleet shape once the standing star-edge state dwarfs a
+    * batch's reach (the final id-keyed re-attach join is the one
+    * unavoidable assignment-sized pass, co-located when the standing
+    * assignment is bucketed by id). BELOW that regime the two extra
+    * semi-join stages cost more than they save: the round-11 A/B at
+    * sf0.1 (d44's three-batch replay, ~500 star edges) measured the
+    * localized path consistently SLOWER (see PLANS.md "d44 decision"),
+    * which is why the replay entry ships on the plain merge and this
+    * form is the explicitly-chosen scale path. */
+  def mergeComponentsLocalized(assign: DataFrame, newPairs: DataFrame,
+                               idACol: String, idBCol: String,
+                               maxRounds: Int = 50): DataFrame = {
+    val np = newPairs.select(col(idACol).as("u"), col(idBCol).as("v"))
+    val touched = np.select(col("u").as("id"))
+      .union(np.select(col("v").as("id"))).distinct()
+    val touchedComps = assign.join(touched, Seq("id"), "left_semi")
+      .select(col("component").as("_tc")).distinct()
+    val stars = componentStarEdges(assign)
+    val affected = stars.join(touchedComps,
+      stars("u") === col("_tc"), "left_semi")
+    val merged = connectedComponents(affected.union(np), "u", "v",
+        maxRounds)
+      .withColumnRenamed("component", "_newc")
+    // full-outer on id: merged-only ids are new docs from the batch;
+    // assign-only ids are untouched and keep their old component
+    // (roots and non-roots of touched clusters all sit on an affected
+    // star edge or a batch pair, so they are in merged)
+    assign.select(col("id"), col("component").as("_oldc"))
+      .join(merged, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("_newc"), col("_oldc")).as("component"))
   }
 
   /** Cluster-size histogram of a computed component assignment —
