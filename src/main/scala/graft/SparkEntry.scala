@@ -325,6 +325,67 @@ object SparkEntry {
        |  FROM terms tr2 JOIN pri ON pri.cl = tr2.cl
        |  GROUP BY tr2.doc_id, tr2.lang, tr2.cl)""".stripMargin
 
+  /** The binary-segmentation oracle over events' hourly value-micro
+    * buckets — shared VERBATIM by q82 (one-shot) and q83 (stream
+    * replay): the replay's contract IS equality with the one-shot. */
+  private def duckBinsegSql: String =
+    """WITH eb AS (SELECT
+      |    epoch_us(ts) // 3600000000 AS bucket,
+      |    CAST(round(value * 1e6) AS HUGEINT) AS v
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND NOT isnan(value)),
+      |bb AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS c,
+      |    coalesce(sum(v), 0) AS s
+      |  FROM eb GROUP BY bucket),
+      |cw AS (SELECT bucket,
+      |    sum(c) OVER (ORDER BY bucket) AS cc,
+      |    sum(s) OVER (ORDER BY bucket) AS cs,
+      |    sum(c) OVER () AS tc,
+      |    sum(s) OVER () AS ts_,
+      |    CAST(count(*) OVER () AS BIGINT) AS nb
+      |  FROM bb),
+      |rt AS (SELECT bucket AS cp_bucket, nb,
+      |    tc * cs - ts_ * cc AS d
+      |  FROM cw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+      |    bucket ASC LIMIT 1),
+      |lb AS (SELECT * FROM bb
+      |  WHERE bucket <= (SELECT cp_bucket FROM rt)),
+      |lw AS (SELECT bucket,
+      |    sum(c) OVER (ORDER BY bucket) AS cc,
+      |    sum(s) OVER (ORDER BY bucket) AS cs,
+      |    sum(c) OVER () AS tc,
+      |    sum(s) OVER () AS ts_,
+      |    CAST(count(*) OVER () AS BIGINT) AS nb
+      |  FROM lb),
+      |lt AS (SELECT bucket AS cp_bucket, nb,
+      |    tc * cs - ts_ * cc AS d
+      |  FROM lw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+      |    bucket ASC LIMIT 1),
+      |rb AS (SELECT * FROM bb
+      |  WHERE bucket > (SELECT cp_bucket FROM rt)),
+      |rw AS (SELECT bucket,
+      |    sum(c) OVER (ORDER BY bucket) AS cc,
+      |    sum(s) OVER (ORDER BY bucket) AS cs,
+      |    sum(c) OVER () AS tc,
+      |    sum(s) OVER () AS ts_,
+      |    CAST(count(*) OVER () AS BIGINT) AS nb
+      |  FROM rb),
+      |rr AS (SELECT bucket AS cp_bucket, nb,
+      |    tc * cs - ts_ * cc AS d
+      |  FROM rw ORDER BY abs(tc * cs - ts_ * cc) DESC,
+      |    bucket ASC LIMIT 1)
+      |SELECT CAST(1 AS BIGINT) AS level, 'root' AS segment,
+      |  cp_bucket, nb AS n_buckets, CAST(d AS DOUBLE) AS cusum
+      |FROM rt
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'left', cp_bucket, nb,
+      |  CAST(d AS DOUBLE) FROM lt
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), 'right', cp_bucket, nb,
+      |  CAST(d AS DOUBLE) FROM rr
+      |ORDER BY level, segment""".stripMargin
+
   /** DuckDB rendering of [[graft.pipeline.Dedup.md5Long60]]: big-endian
     * integer of the leading 15 md5 hex chars, via digit polynomial. */
   private def duckHash60(e: String): String =
@@ -5090,62 +5151,29 @@ object SparkEntry {
           !isnan(col("value"))),
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000")),
-      Some("""WITH eb AS (SELECT
-             |    epoch_us(ts) // 3600000000 AS bucket,
-             |    CAST(round(value * 1e6) AS HUGEINT) AS v
-             |  FROM events
-             |  WHERE ts IS NOT NULL AND value IS NOT NULL
-             |    AND NOT isnan(value)),
-             |bb AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS c,
-             |    coalesce(sum(v), 0) AS s
-             |  FROM eb GROUP BY bucket),
-             |cw AS (SELECT bucket,
-             |    sum(c) OVER (ORDER BY bucket) AS cc,
-             |    sum(s) OVER (ORDER BY bucket) AS cs,
-             |    sum(c) OVER () AS tc,
-             |    sum(s) OVER () AS ts_,
-             |    CAST(count(*) OVER () AS BIGINT) AS nb
-             |  FROM bb),
-             |rt AS (SELECT bucket AS cp_bucket, nb,
-             |    tc * cs - ts_ * cc AS d
-             |  FROM cw ORDER BY abs(tc * cs - ts_ * cc) DESC,
-             |    bucket ASC LIMIT 1),
-             |lb AS (SELECT * FROM bb
-             |  WHERE bucket <= (SELECT cp_bucket FROM rt)),
-             |lw AS (SELECT bucket,
-             |    sum(c) OVER (ORDER BY bucket) AS cc,
-             |    sum(s) OVER (ORDER BY bucket) AS cs,
-             |    sum(c) OVER () AS tc,
-             |    sum(s) OVER () AS ts_,
-             |    CAST(count(*) OVER () AS BIGINT) AS nb
-             |  FROM lb),
-             |lt AS (SELECT bucket AS cp_bucket, nb,
-             |    tc * cs - ts_ * cc AS d
-             |  FROM lw ORDER BY abs(tc * cs - ts_ * cc) DESC,
-             |    bucket ASC LIMIT 1),
-             |rb AS (SELECT * FROM bb
-             |  WHERE bucket > (SELECT cp_bucket FROM rt)),
-             |rw AS (SELECT bucket,
-             |    sum(c) OVER (ORDER BY bucket) AS cc,
-             |    sum(s) OVER (ORDER BY bucket) AS cs,
-             |    sum(c) OVER () AS tc,
-             |    sum(s) OVER () AS ts_,
-             |    CAST(count(*) OVER () AS BIGINT) AS nb
-             |  FROM rb),
-             |rr AS (SELECT bucket AS cp_bucket, nb,
-             |    tc * cs - ts_ * cc AS d
-             |  FROM rw ORDER BY abs(tc * cs - ts_ * cc) DESC,
-             |    bucket ASC LIMIT 1)
-             |SELECT CAST(1 AS BIGINT) AS level, 'root' AS segment,
-             |  cp_bucket, nb AS n_buckets, CAST(d AS DOUBLE) AS cusum
-             |FROM rt
-             |UNION ALL
-             |SELECT CAST(2 AS BIGINT), 'left', cp_bucket, nb,
-             |  CAST(d AS DOUBLE) FROM lt
-             |UNION ALL
-             |SELECT CAST(2 AS BIGINT), 'right', cp_bucket, nb,
-             |  CAST(d AS DOUBLE) FROM rr
-             |ORDER BY level, segment""".stripMargin)),
+      Some(duckBinsegSql)),
+
+    // Batch REPLAY of the streaming BINSEG monitor: the q81 fold (one
+    // shared cusumFold — batch and stream cannot drift) with the full
+    // multi-shift localization as the per-batch report; after the
+    // last batch the 3-row report must equal the ONE-SHOT q82 over
+    // all rows (its oracle, verbatim).
+    "q83_binseg_stream_replay" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value")))
+        val state = new java.util.concurrent.atomic.AtomicReference[
+          Map[Long, (Long, BigDecimal)]](Map.empty)
+        var out: DataFrame = null
+        (0 until 3).foreach { b =>
+          out = graft.pipeline.Eval.cusumBinsegUpdate(
+            ev.filter(pmod(col("event_id"), lit(3L)) === b),
+            round(col("value") * 1e6).cast("long"),
+            expr("(ts div 1000) div 3600000000"), state)
+        }
+        out
+      },
+      Some(duckBinsegSql)),
 
     // Batch REPLAY of the streaming CUSUM monitor (the q56/q66
     // convention): three deterministic batches fold their bucket

@@ -1180,6 +1180,29 @@ object Eval {
                        state: java.util.concurrent.atomic.AtomicReference[
                          Map[Long, (Long, BigDecimal)]],
                        maxBuckets: Int = 8192): DataFrame = {
+    cusumFromBuckets(cusumFold(batch, valueMicro, bucket, state,
+      maxBuckets))
+  }
+
+  /** The shared fold of the two streaming changepoint monitors:
+    * collapse the batch, merge into the standing per-bucket state
+    * (guarded by maxBuckets — the house bounded-fetch rule: a
+    * per-second or per-event bucket expression must fail loudly, not
+    * grow driver state silently), and return the state as a bucket
+    * FRAME for whichever argmax tail the caller runs.
+    *
+    * The exact integral sums round-trip as STRINGS, not BigDecimal:
+    * the default encoder pins scala BigDecimal to decimal(38,18),
+    * silently capping integral headroom at ~1e20 where the batch path
+    * has the full decimal(38,0) range — an overflowing bucket would
+    * diverge from the one-shot the fold claims bit-equality with
+    * (round-10 advice). toString of an integral BigDecimal is exact,
+    * and the cast restores decimal(38,0). */
+  private def cusumFold(batch: DataFrame, valueMicro: Column,
+                        bucket: Column,
+                        state: java.util.concurrent.atomic.AtomicReference[
+                          Map[Long, (Long, BigDecimal)]],
+                        maxBuckets: Int): DataFrame = {
     val upd = cusumBuckets(batch, valueMicro, bucket).collect()
       .map(r => (r.getLong(0),
         (r.getLong(1), BigDecimal(r.getDecimal(2)))))
@@ -1187,12 +1210,6 @@ object Eval {
       val (c0, s0) = m.getOrElse(b, (0L, BigDecimal(0)))
       m.updated(b, (c0 + c, s0 + s))
     }
-    // The standing state is one (count, sum) per time BUCKET — bounded
-    // by construction at any report granularity (hours, days), but
-    // nothing else stops a caller passing a per-second or per-event
-    // bucket expression from growing driver state silently. The house
-    // bounded-fetch rule, applied here too: fail loudly with the count
-    // (round-10 verdict).
     require(merged.size <= maxBuckets,
       s"CUSUM monitor state has ${merged.size} buckets > " +
         s"maxBuckets=$maxBuckets: the bucket expression is too " +
@@ -1201,19 +1218,27 @@ object Eval {
     state.set(merged)
     val spark = batch.sparkSession
     import spark.implicits._
-    // Round-trip the exact integral sums as STRINGS, not BigDecimal:
-    // the default encoder pins scala BigDecimal to decimal(38,18),
-    // silently capping integral headroom at ~1e20 where the batch path
-    // has the full decimal(38,0) range — an overflowing bucket would
-    // diverge from the one-shot cusumChangepoint this fold claims
-    // bit-equality with (round-10 advice). toString of an integral
-    // BigDecimal is exact, and the cast restores decimal(38,0).
-    cusumFromBuckets(merged.toSeq
+    merged.toSeq
       .map { case (b, (c, s)) => (b, c, s.toBigInt.toString) }
       .toDF("bucket", "c", "_s")
       .select(col("bucket"), col("c"),
-        col("_s").cast("decimal(38,0)").as("s")))
+        col("_s").cast("decimal(38,0)").as("s"))
   }
+
+  /** One micro-batch of the streaming BINSEG monitor: the SAME fold
+    * as [[cusumBatchUpdate]] (one shared implementation — batch and
+    * stream cannot drift), but the report is the full multi-shift
+    * [[cusumBinseg]] localization over the stream so far, bit-equal
+    * to the one-shot on the same rows. The state frame is a local
+    * relation (≤maxBuckets rows), so the three argmax consumers need
+    * no checkpoint. */
+  def cusumBinsegUpdate(batch: DataFrame, valueMicro: Column,
+                        bucket: Column,
+                        state: java.util.concurrent.atomic.AtomicReference[
+                          Map[Long, (Long, BigDecimal)]],
+                        maxBuckets: Int = 8192): DataFrame =
+    cusumBinsegFromBuckets(cusumFold(batch, valueMicro, bucket, state,
+      maxBuckets))
 
   /** Streaming CUSUM changepoint monitor: every micro-batch folds its
     * bucket counts into the standing state and reports the current
@@ -1257,8 +1282,14 @@ object Eval {
     * row. Returns up to 3 rows
     * (level, segment, cp_bucket, n_buckets, cusum). */
   def cusumBinseg(df: DataFrame, valueMicro: Column,
-                  bucket: Column): DataFrame = {
-    val b = cusumBuckets(df, valueMicro, bucket).localCheckpoint()
+                  bucket: Column): DataFrame =
+    cusumBinsegFromBuckets(
+      cusumBuckets(df, valueMicro, bucket).localCheckpoint())
+
+  /** The argmax recursion of [[cusumBinseg]] over a (bucket, c, s)
+    * frame — shared with the streaming fold, whose standing state IS
+    * such a frame (the cusumFromBuckets twin, one level deeper). */
+  private def cusumBinsegFromBuckets(b: DataFrame): DataFrame = {
     val root = cusumFromBuckets(b)
     // 1-row bounded parameter fetch; an all-NULL input has no buckets
     // and therefore no root — every segment is empty too

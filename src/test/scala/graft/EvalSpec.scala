@@ -878,6 +878,31 @@ class EvalSpec extends AnyFunSuite {
       (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
   }
 
+  test("cusumBinsegUpdate: random batch splits equal the one-shot binseg") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // two planted steps + noise buckets, split into 3 random batches
+    val rows = (1L to 60L).map { i =>
+      val base = if (i <= 20) 0L else if (i <= 40) 100L else 900L
+      (i / 3L, base + rnd.nextInt(5))
+    }
+    val oneShot = Eval.cusumBinseg(rows.toDF("b", "v"), col("v"),
+      col("b")).collect().toSeq
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[Long, (Long, BigDecimal)]](Map.empty)
+    val batches = rows.groupBy { case (b, v) =>
+      math.abs((b * 31 + v).toInt) % 3 }
+    var out: Seq[org.apache.spark.sql.Row] = Seq.empty
+    (0 until 3).foreach { k =>
+      out = Eval.cusumBinsegUpdate(
+        batches.getOrElse(k, Seq.empty).toDF("b", "v"),
+        col("v"), col("b"), state).collect().toSeq
+    }
+    assert(out === oneShot, s"fold\n${out.mkString("\n")}\nvs\n" +
+      oneShot.mkString("\n"))
+  }
+
   test("cusumBatchUpdate: >1e20 integral sums and the maxBuckets guard") {
     val s = spark
     import s.implicits._
