@@ -6070,6 +6070,93 @@ object SparkEntry {
              |  LEFT JOIN cl USING (doc_id)
              |ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — MOSS):
+    // per-window rightmost-minimal gram-hash selection, (hash, pos)
+    // packed into h*2^24 + (2^24 - pos) so the selection is a plain
+    // integer MIN over the trailing frame in BOTH engines. Report:
+    // grams, full windows, distinct fingerprints per doc (the
+    // 2/(w+1)-density local sketch; docs under k+w-1 words are below
+    // fingerprint resolution and report 0).
+    "d65_winnow_fingerprints" -> Q(
+      (s, dir) => Dedup.winnowSummary(
+          table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5)
+        .select(col("id").as("doc_id"), col("n_grams"),
+          col("n_windows"), col("n_fp"))
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |pg AS (SELECT doc_id,
+             |    unnest(generate_series(1, greatest(len(toks)-3, 0)))
+             |      AS pos,
+             |    unnest(list_transform(
+             |      generate_series(1, greatest(len(toks)-3, 0)),
+             |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+             |  FROM t),
+             |ph AS (SELECT doc_id, pos, ${duckHash60("gram")} AS h
+             |  FROM pg),
+             |ky AS (SELECT doc_id, pos,
+             |    CAST(h AS HUGEINT) * 16777216 + (16777216 - pos)
+             |      AS key FROM ph),
+             |sw AS (SELECT doc_id, pos, MIN(key) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS skey
+             |  FROM ky),
+             |sel AS (SELECT DISTINCT doc_id, skey FROM sw
+             |  WHERE pos >= 5),
+             |ng AS (SELECT doc_id,
+             |    CAST(greatest(len(toks)-3, 0) AS BIGINT) AS n_grams
+             |  FROM t),
+             |fp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+             |  FROM sel GROUP BY doc_id)
+             |SELECT ng.doc_id, n_grams,
+             |  CAST(greatest(n_grams - 4, 0) AS BIGINT) AS n_windows,
+             |  COALESCE(n_fp, 0) AS n_fp
+             |FROM ng LEFT JOIN fp USING (doc_id)
+             |ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
+    // Cross-doc fingerprint matching over d65's sketch — the MOSS
+    // report: pairs sharing >= 2 distinct fingerprint hashes
+    // (positions stripped: a moved quote still matches). Hashes with
+    // df > 20 drop BEFORE pairing (the d29 heavy-hitter guard on the
+    // join key: a boilerplate fingerprint in f docs would emit f^2
+    // rows and carries no signal).
+    "d66_winnow_pairs" -> Q(
+      (s, dir) => Dedup.winnowedPairs(
+          table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5,
+          maxDf = 20, minShared = 2)
+        .orderBy("id_a", "id_b").limit(5000),
+      Some(s"""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+             |  FROM documents),
+             |pg AS (SELECT doc_id,
+             |    unnest(generate_series(1, greatest(len(toks)-3, 0)))
+             |      AS pos,
+             |    unnest(list_transform(
+             |      generate_series(1, greatest(len(toks)-3, 0)),
+             |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+             |  FROM t),
+             |ph AS (SELECT doc_id, pos, ${duckHash60("gram")} AS h
+             |  FROM pg),
+             |ky AS (SELECT doc_id, pos,
+             |    CAST(h AS HUGEINT) * 16777216 + (16777216 - pos)
+             |      AS key FROM ph),
+             |sw AS (SELECT doc_id, pos, MIN(key) OVER (
+             |    PARTITION BY doc_id ORDER BY pos
+             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS skey
+             |  FROM ky),
+             |sel AS (SELECT DISTINCT doc_id, skey FROM sw
+             |  WHERE pos >= 5),
+             |fh AS (SELECT DISTINCT doc_id, skey // 16777216 AS h
+             |  FROM sel),
+             |wdf AS (SELECT h FROM fh GROUP BY h
+             |  HAVING count(*) <= 20),
+             |fk AS (SELECT doc_id, h FROM fh JOIN wdf USING (h))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM fk a JOIN fk b ON a.h = b.h
+             |  AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2
+             |ORDER BY id_a, id_b LIMIT 5000""".stripMargin)),
+
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:
     // g5 outvotes a spurious LSH bridge, g6 measures it (the bridge

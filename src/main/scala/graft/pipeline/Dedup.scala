@@ -1205,6 +1205,105 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+    * MOSS algorithm): hash every word k-gram, slide a window of w
+    * consecutive hashes, and in each full window select the minimal
+    * hash with the RIGHTMOST tie-break; the distinct selected
+    * (hash, position) pairs are the document's fingerprints. The
+    * guarantee: any shared run of at least k+w−1 words between two
+    * documents yields at least one shared fingerprint HASH, at an
+    * expected density of 2/(w+1) fingerprints per gram — the
+    * local-fingerprinting property simhash/minhash lack (they sketch
+    * whole documents; winnowing localizes like d62 but with a sketch,
+    * not an exact gram join). Documents with fewer than k+w−1 words
+    * have no full window and emit nothing — below fingerprint
+    * resolution, the exact/minhash stages own them.
+    *
+    * Cross-engine exactness: grams hash through the portable
+    * [[md5Long60]]; (hash, position) packs into ONE integer key
+    * h·2²⁴ + (2²⁴ − pos), so "min hash, rightmost tie-break" is a
+    * plain integer MIN over the trailing window frame in BOTH engines
+    * (no struct-ordering or argmin conventions to align; positions
+    * above 2²⁴ words would alias, far beyond any document). All
+    * decimal(38,0)/HUGEINT arithmetic — h·2²⁴ ≈ 2⁸⁴ needs more than a
+    * long. Shape at scale: one map-only positioned-gram explode, one
+    * window per doc partition over the gram stream, one distinct —
+    * nothing corpus-crossing until a caller joins fingerprints.
+    * Returns (id, key) — decode h = key div 2²⁴,
+    * pos = 2²⁴ − key mod 2²⁴. */
+  def winnowKeys(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k, w >= 1")
+    val M = 1L << 24
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("toks"))
+    val g = base.select(col("id"), explode(
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => struct(i.cast("long").as("pos"),
+              md5Long60(concat_ws(" ", slice(col("toks"), i, lit(k))))
+                .as("h"))))
+          .otherwise(array().cast(
+            "array<struct<pos:bigint,h:bigint>>"))).as("pg"))
+      .select(col("id"), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    val win = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    g.withColumn("key",
+        min(dec(col("h")) * lit(M) + (lit(M) - col("pos"))).over(win))
+      .filter(col("pos") >= w)
+      .select(col("id"), col("key")).distinct()
+  }
+
+  /** Per-document winnowing report over [[winnowKeys]]:
+    * (id, n_grams, n_windows, n_fp). n_fp sits in
+    * [ceil(n_windows/w), n_windows] by the algorithm's guarantee
+    * (at least one selection per w consecutive windows; at most one
+    * per window) — WinnowSpec asserts the envelope. */
+  def winnowSummary(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int): DataFrame = {
+    val fp = winnowKeys(docs, idCol, textCol, k, w)
+      .groupBy("id").agg(count(lit(1)).as("n_fp"))
+    docs.select(col(idCol).as("id"),
+        greatest(size(TextStats.tokens(col(textCol))) - (k - 1),
+          lit(0)).cast("long").as("n_grams"))
+      .withColumn("n_windows",
+        greatest(col("n_grams") - (w - 1), lit(0L)))
+      .join(fp, Seq("id"), "left")
+      .select(col("id"), col("n_grams"), col("n_windows"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+  }
+
+  /** Cross-document fingerprint matching over [[winnowKeys]] — the
+    * MOSS report: pairs of documents sharing at least `minShared`
+    * distinct fingerprint HASHES (positions stripped — a moved quote
+    * still matches). Fingerprint hashes with document frequency above
+    * `maxDf` are dropped BEFORE pairing: a boilerplate fingerprint
+    * shared by f docs would emit f² pair rows (the d29 heavy-hitter
+    * guard applied to the join key — ubiquitous spans carry no
+    * plagiarism signal and are exactly what the df cap removes at any
+    * corpus size). Pair volume is therefore bounded by Σ min(df,
+    * maxDf)² per hash. Returns (id_a, id_b, n_shared). */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int, maxDf: Int = 20,
+                    minShared: Int = 2): DataFrame = {
+    val M = 1L << 24
+    val fh = winnowKeys(docs, idCol, textCol, k, w)
+      .select(col("id"),
+        ((col("key") - pmod(col("key"), lit(M))) / lit(M))
+          .cast("decimal(38,0)").as("h"))
+      .distinct()
+    val keepH = fh.groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("h")
+    val kept = fh.join(keepH, "h")
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication over an
     * embedding column — cluster the corpus cheaply, then drop all but
     * one member of every within-cluster group of near-identical
