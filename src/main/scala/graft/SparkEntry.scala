@@ -7575,6 +7575,69 @@ object SparkEntry {
     // top-50 (documents and embeddings are id-aligned) by reciprocal
     // rank — rank-only fusion, robust to incomparable score scales.
     // Both input lists are top-n bounded, so the fusion is list-sized.
+    // MMR diversified top-k (Carbonell & Goldstein, SIGIR 1998): the
+    // re-rank after ANN that stops near-duplicate neighbors crowding
+    // the list. Relevance and pairwise cosines quantize to MICRO
+    // integers per value and λ rides as tenths, so every greedy
+    // step's argmax is an exact integer comparison; the oracle
+    // replays all 10 steps as unrolled chained CTEs over the 50-row
+    // re-rank window (the d55 iterative-top-1 discipline).
+    "r3_mmr_diversified" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        Retrieval.mmrTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+            "embedding", q, k = 10, pool = 50)
+          .orderBy("mmr_rank")
+      },
+      Some {
+        val k = 10
+        def selUnion(r: Int) = (1 until r)
+          .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+        val steps = (2 to k).map { r =>
+          val su = selUnion(r)
+          s"""s$r AS (SELECT c.vec_id, c.rel_m,
+             |    (SELECT MAX(cm) FROM cp WHERE ai = c.vec_id
+             |      AND bi IN ($su)) AS pen,
+             |    7 * c.rel_m - 3 * (SELECT MAX(cm) FROM cp
+             |      WHERE ai = c.vec_id AND bi IN ($su)) AS sc
+             |  FROM cand c WHERE c.vec_id NOT IN ($su)
+             |  ORDER BY sc DESC, c.vec_id LIMIT 1)""".stripMargin
+        }.mkString(",\n")
+        val out = (2 to k).map(r =>
+          s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, rel_m, " +
+            s"pen, sc FROM s$r").mkString("\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |nn AS (SELECT vec_id, list_transform(v,
+           |    x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+           |qv AS (SELECT nv AS q FROM nn WHERE vec_id = 0),
+           |cand AS (SELECT vec_id, nv,
+           |    CAST(round(1e6 * list_dot_product(nv, q)) AS BIGINT)
+           |      AS rel_m
+           |  FROM nn, qv WHERE vec_id <> 0
+           |  ORDER BY rel_m DESC, vec_id LIMIT 50),
+           |cp AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+           |    CAST(round(1e6 * list_dot_product(a.nv, b.nv))
+           |      AS BIGINT) AS cm
+           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+           |s1 AS (SELECT vec_id, rel_m, CAST(0 AS BIGINT) AS pen,
+           |    7 * rel_m AS sc
+           |  FROM cand ORDER BY sc DESC, vec_id LIMIT 1),
+           |$steps
+           |SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id,
+           |  rel_m AS rel_micro, pen AS pen_micro, sc AS score10_micro
+           |FROM s1
+           |$out
+           |ORDER BY mmr_rank""".stripMargin
+          // force CTE materialization: every step references cand/cp
+          // and the selected-set unions re-reference every prior step
+          // — DuckDB's default inlining would re-run the embedding
+          // scan per reference (it actually exhausts file handles)
+          .replace(" AS (", " AS MATERIALIZED (")
+      }),
+
     "r2_hybrid_rrf" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")

@@ -94,4 +94,80 @@ object Retrieval {
     scored.select(col(idCol).as("id"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col(scoreCol).desc, col(idCol).asc)).as("rank"))
+
+  /** Maximal Marginal Relevance top-k (Carbonell & Goldstein, SIGIR
+    * 1998) — DIVERSIFIED nearest-neighbor retrieval: greedily select
+    * the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected, so near-duplicate neighbors stop crowding the
+    * result list (the re-rank every RAG/search stack runs after ANN).
+    *
+    * Exactness discipline: relevance and pairwise cosines quantize to
+    * MICRO integers per value — round(1e6·dot of unit vectors) — and
+    * λ rides as tenths (`lambda10`), so each greedy step's argmax is
+    * over score10 = λ10·rel − (10−λ10)·pen, an exact integer with the
+    * (score desc, id asc) tie-break: no float accumulation or
+    * comparison can diverge between engines. The oracle replays all k
+    * steps as unrolled chained CTEs (the d55 discipline).
+    *
+    * Shape at scale: one corpus scan scores relevance and takes the
+    * top-`pool` re-rank window (TakeOrdered); the greedy runs k
+    * bounded argmax fetches over that localCheckpointed pool-row
+    * frame, with selected vectors folded back as literals (the BPE
+    * iterative-top-1 convention — driver state is k unit vectors,
+    * never data). Returns
+    * (mmr_rank, vec_id, rel_micro, pen_micro, score10_micro). */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, pool: Int,
+              lambda10: Int = 7): DataFrame = {
+    require(k >= 1 && pool >= k && pool <= 1000,
+      "need 1 <= k <= pool <= 1000 (the bounded re-rank window)")
+    require(lambda10 >= 0 && lambda10 <= 10, "lambda10 in [0, 10]")
+    val qn = {
+      val n = math.sqrt(query.map(x => x * x).sum)
+      query.map(_ / n)
+    }
+    val cand = emb.select(col(idCol).as("vec_id"),
+        ExprUtils.let(Similarity.toDouble(col(vecCol))) { v =>
+          ExprUtils.let(Similarity.norm(v)) { n =>
+            transform(v, x => x / n)
+          }
+        }.as("nv"))
+      .withColumn("rel_m",
+        round(Similarity.dot(col("nv"), typedlit(qn)) * lit(1e6))
+          .cast("long"))
+      .orderBy(col("rel_m").desc, col("vec_id").asc).limit(pool)
+      .localCheckpoint()
+    val lam = lambda10.toLong
+    var selected = Vector.empty[(Long, Seq[Double], Long, Long)]
+    (1 to k).foreach { _ =>
+      val base =
+        if (selected.isEmpty) cand
+        else cand.filter(!col("vec_id").isin(selected.map(_._1): _*))
+      val penCols = selected.map(s =>
+        round(Similarity.dot(col("nv"), typedlit(s._2)) * lit(1e6))
+          .cast("long"))
+      val pen = penCols match {
+        case Seq() => lit(0L)
+        case Seq(one) => one
+        case more => greatest(more: _*)
+      }
+      val top = base
+        .select(col("vec_id"), col("nv"), col("rel_m"),
+          pen.as("pen_m"))
+        .withColumn("score10",
+          lit(lam) * col("rel_m") - lit(10L - lam) * col("pen_m"))
+        .orderBy(col("score10").desc, col("vec_id").asc)
+        .limit(1).collect().headOption
+      top.foreach { r =>
+        selected :+= ((r.getLong(0), r.getSeq[Double](1),
+          r.getLong(2), r.getLong(3)))
+      }
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _, rel, pen), i) =>
+      (i + 1L, id, rel, pen, lam * rel - (10L - lam) * pen)
+    }.toDF("mmr_rank", "vec_id", "rel_micro", "pen_micro",
+      "score10_micro")
+  }
 }

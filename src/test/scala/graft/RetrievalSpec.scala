@@ -65,4 +65,67 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got === Map(3L -> 1, 5L -> 2, 7L -> 3)) // tie broken by id
   }
+
+  /** Independent in-memory MMR: same micro quantization, same
+    * (score desc, id asc) tie-break, plain Scala loops. */
+  private def refMmr(vecs: Map[Long, Seq[Double]], q: Seq[Double],
+                     k: Int, pool: Int, lam: Long)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    def unit(v: Seq[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def relM(a: Seq[Double], b: Seq[Double]): Long =
+      BigDecimal(1e6 * a.zip(b).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + x * y })
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qn = unit(q)
+    val nv = vecs.view.mapValues(unit).toMap
+    val cand = nv.map { case (id, v) => (id, relM(v, qn)) }.toSeq
+      .sortBy { case (id, r) => (-r, id) }.take(pool)
+    var sel = Vector.empty[(Long, Long, Long, Long, Long)]
+    (1 to k).foreach { r =>
+      val chosen = cand.filterNot(c => sel.exists(_._2 == c._1))
+        .map { case (id, rel) =>
+          val pen = if (sel.isEmpty) 0L
+            else sel.map(s => relM(nv(id), nv(s._2))).max
+          (id, rel, pen, lam * rel - (10 - lam) * pen)
+        }.minBy { case (id, _, _, sc) => (-sc, id) }
+      sel :+= ((r.toLong, chosen._1, chosen._2, chosen._3, chosen._4))
+    }
+    sel
+  }
+
+  test("mmrTopK matches the reference and actually diversifies") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 8
+    // a tight cluster near the query plus scattered vectors: pure
+    // relevance ranking would fill the list with the cluster; MMR
+    // must interleave scattered ids
+    val center = Seq.fill(dim)(rnd.nextDouble())
+    def near(eps: Double) = center.map(_ + rnd.nextDouble() * eps)
+    val rows: Seq[(Long, Seq[Double])] =
+      (1L to 8L).map(id => (id, near(0.02))) ++
+      (9L to 30L).map(id => (id, Seq.fill(dim)(rnd.nextDouble() * 2 - 1)))
+    val emb = rows.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrTopK(emb, "vec_id", "embedding", center,
+        k = 6, pool = 20, lambda10 = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // float-cast parity: the reference sees the SAME float-rounded
+    // vectors the DataFrame carries
+    val want = refMmr(
+      rows.map { case (id, v) =>
+        id -> v.map(x => x.toFloat.toDouble) }.toMap,
+      center, k = 6, pool = 20, lam = 5L)
+    assert(got === want, s"got\n${got.mkString("\n")}\nwant\n" +
+      want.mkString("\n"))
+    // diversification: at lambda 0.5 the 6 picks cannot all come from
+    // the 8-member near-duplicate cluster
+    assert(got.map(_._2).count(_ <= 8L) < 6, got.toString)
+    // rank 1 is the pure-relevance argmax
+    assert(got.head._1 === 1L && got.head._4 === 0L)
+  }
 }
