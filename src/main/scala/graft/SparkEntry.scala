@@ -5596,6 +5596,66 @@ object SparkEntry {
              |    AS BIGINT) AS score_micro
              |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin)),
 
+    // HOLDOUT bigram-LM scoring — the d59 split discipline applied to
+    // the d47 LM: the interpolated model (counts, vocab, total) sees
+    // only the 80% train buckets; the 20% holdout scores against it
+    // with an in-branch-guarded bigram term and an add-1 unigram
+    // back-off (every holdout event finite), reporting the unseen-
+    // bigram mass next to the score. Completes the LM family's
+    // evaluation loop exactly as d59 completed the classifier's.
+    "d67_bigram_holdout" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val bucket = pmod(
+          Dedup.md5Long60(col("doc_id").cast("string")), lit(5L))
+        TextStats.bigramHoldoutLogProb(
+            docs.filter(bucket =!= 0L), docs.filter(bucket === 0L),
+            "doc_id", "text")
+          .select(col("id").as("doc_id"), col("nbg"),
+            col("n_unseen"), col("sum_ll_micro"), col("score_micro"))
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH sp AS (SELECT doc_id, text,
+             |    ${duckHash60("CAST(doc_id AS VARCHAR)")} % 5 AS bk
+             |  FROM documents),
+             |tr AS (SELECT doc_id, text FROM sp WHERE bk <> 0),
+             |te AS (SELECT doc_id, text FROM sp WHERE bk = 0),
+             |t AS (SELECT unnest(str_split(text, ' ')) AS tok
+             |  FROM tr),
+             |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+             |  FROM t GROUP BY tok),
+             |nv AS (SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS v FROM u),
+             |btr AS (SELECT unnest(list_transform(
+             |    generate_series(1, greatest(len(toks) - 1, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+             |  FROM (SELECT str_split(text, ' ') AS toks FROM tr) d),
+             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM btr GROUP BY bg),
+             |b AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(toks) - 1, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+             |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+             |        FROM te) d),
+             |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nbg,
+             |    CAST(count(CASE WHEN bf.c2 IS NULL THEN 1 END)
+             |      AS BIGINT) AS n_unseen,
+             |    CAST(sum(CAST(ROUND(1e6 * log10(
+             |      (CASE WHEN u1.c1 > 0
+             |        THEN 0.75 * COALESCE(bf.c2, 0) / u1.c1
+             |        ELSE 0 END)
+             |      + 0.25 * (COALESCE(u2.c1, 0) + 1)
+             |        / (nv.n + nv.v))) AS BIGINT)) AS BIGINT)
+             |      AS sum_ll_micro
+             |  FROM b LEFT JOIN bf USING (bg)
+             |  LEFT JOIN u u1 ON u1.tok = str_split(b.bg, ' ')[1]
+             |  LEFT JOIN u u2 ON u2.tok = str_split(b.bg, ' ')[2]
+             |  CROSS JOIN nv GROUP BY doc_id)
+             |SELECT doc_id, nbg, n_unseen, sum_ll_micro,
+             |  CAST(TRUNC(CAST(sum_ll_micro AS DOUBLE) / nbg)
+             |    AS BIGINT) AS score_micro
+             |FROM sc ORDER BY doc_id LIMIT 2000""".stripMargin)),
+
     // Top bigram collocations by PMI (Church & Hanks 1990) with a
     // support floor — the corpus pass that surfaces multi-word units
     // a tokenizer should treat as one. The support filter lands on

@@ -344,6 +344,63 @@ object TextStats {
           .as("score_micro"))
   }
 
+  /** HOLDOUT form of [[bigramLogProb]] — the LM evaluation loop: the
+    * interpolated bigram model (counts, vocabulary, total) comes from
+    * `train` ONLY and scores the `score` docs, the d59 discipline
+    * applied to the d47 LM. Unseen events need defined probabilities,
+    * so the holdout form smooths where the self-scoring form could
+    * not hit zero: the bigram term is guarded in-branch (a w1 never
+    * seen in training contributes 0 from the bigram side), and the
+    * unigram back-off is add-1 over the train vocabulary,
+    * 0.25·(c1(w2)+1)/(N+V) — strictly positive, so every holdout
+    * bigram has a finite log term. Per-term micro rounding before the
+    * per-doc sum (d28/d47 discipline: order-free, hash-exact); the
+    * report adds n_unseen (bigrams absent from the train model — the
+    * held-out OOV mass a perplexity audit wants next to the score).
+    *
+    * Shape at scale: model tables are (vocab, bigram-vocab)-sized
+    * aggregations with map-side combine; (N, V) is a 2-scalar bounded
+    * parameter fetch; scoring is the holdout's bigram explode LEFT-
+    * joined to the model tables on near-unique keys. Returns
+    * (id, nbg, n_unseen, sum_ll_micro, score_micro) — single-word
+    * docs carry no bigram and drop, exactly as in [[bigramLogProb]]. */
+  def bigramHoldoutLogProb(train: DataFrame, score: DataFrame,
+                           idCol: String, textCol: String): DataFrame = {
+    val uni = train.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val bfreq = train
+      .select(explode(Curation.wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val nv = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).head()
+    val nTotal = nv.getLong(0)
+    val vocab = nv.getLong(1)
+    require(nTotal > 0, "empty train corpus: no tokens to model")
+    val bi = score.select(col(idCol).as("id"),
+      explode(Curation.wordNgrams(col(textCol), 2)).as("bg"))
+    val u1 = uni.select(col("tok").as("_w1"), col("c1").as("c1a"))
+    val u2 = uni.select(col("tok").as("_w2"), col("c1").as("c1b"))
+    val p = when(col("c1a") > 0,
+        lit(0.75) * coalesce(col("c2"), lit(0L)) / col("c1a"))
+        .otherwise(lit(0.0)) +
+      lit(0.25) * (coalesce(col("c1b"), lit(0L)) + lit(1L)) /
+        lit((nTotal + vocab).toDouble)
+    bi.withColumn("_w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("_w2", element_at(split(col("bg"), " "), 2))
+      .join(bfreq, Seq("bg"), "left")
+      .join(u1, Seq("_w1"), "left")
+      .join(u2, Seq("_w2"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("nbg"),
+        count(when(col("c2").isNull, 1)).as("n_unseen"),
+        sum(round(log10(p) * lit(1e6)).cast("long"))
+          .as("sum_ll_micro"))
+      .select(col("id"), col("nbg"), col("n_unseen"),
+        col("sum_ll_micro"),
+        (col("sum_ll_micro").cast("double") / col("nbg")).cast("long")
+          .as("score_micro"))
+  }
+
   /** Top-k bigram collocations by pointwise mutual information
     * (Church & Hanks, CL 1990) with a minimum-support floor — the
     * corpus-analysis pass that surfaces multi-word units ("los

@@ -216,6 +216,32 @@ class TextStatsSpec extends AnyFunSuite {
       (2L, 1L, d2, d2)))
   }
 
+  test("bigramHoldoutLogProb: train-only model, guarded OOV terms") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    // train model: c1(a)=2, c1(b)=1, c1(c)=1, N=4, V=3;
+    // bigrams "a b", "b a", "a c" each once
+    val hold = Seq((11L, "a b"), (12L, "z a"), (13L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bigramHoldoutLogProb(train, hold,
+        "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // replicate the engine's double-op order exactly
+    def ll(p: Double): Long = math.round(1e6 * math.log10(p))
+    // "a b": seen bigram -> 0.75*1/2 + 0.25*(1+1)/7
+    val t11 = ll(0.75 * 1 / 2 + 0.25 * (1 + 1) / 7.0)
+    // "z a": w1 unseen -> bigram term 0; back-off 0.25*(2+1)/7
+    val t12 = ll(0.25 * (2 + 1) / 7.0)
+    assert(got === Array(
+      (11L, 1L, 0L, t11, t11),
+      (12L, 1L, 1L, t12, t12)), got.mkString("\n"))
+    // doc 13 is single-word: no bigram, no row (the d47 semantic)
+    assert(!got.exists(_._1 == 13L))
+  }
+
   test("bigramLogProb separates what unigramLogProb cannot") {
     val s = spark
     import s.implicits._
