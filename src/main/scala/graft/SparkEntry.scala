@@ -5175,6 +5175,66 @@ object SparkEntry {
       },
       Some(duckBinsegSql)),
 
+    // Robust trend over the hourly value series: Mann-Kendall S with
+    // tie-corrected variance and continuity-corrected z (is there a
+    // monotone trend at all — outlier-immune where q37's LSQ line is
+    // not), plus the Theil-Sen median pairwise slope (its robust
+    // rate). Per-bucket means quantize to micro; S/ties/var are pure
+    // integers; each slope is one division of two integers; the
+    // median is an exact selection. The pair frame is the post-agg
+    // bucket frame squared, enumerated via the kendall single-bucket
+    // broadcast trick (never a BNLJ), required under maxBuckets.
+    "q84_mann_kendall_trend" -> Q(
+      (s, dir) => graft.pipeline.Eval.mannKendallTheilSen(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000")),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |pr AS (SELECT
+             |    CASE WHEN b.m > a.m THEN 1
+             |         WHEN b.m < a.m THEN -1 ELSE 0 END AS sgn,
+             |    CAST(round(CAST(b.m - a.m AS DOUBLE)
+             |      / (b.x - a.x)) AS BIGINT) AS slope
+             |  FROM mm a JOIN mm b ON a.x < b.x),
+             |sg AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT)
+             |    AS s_stat FROM pr),
+             |tg AS (SELECT CAST(coalesce(sum(t * (t - 1)
+             |      * (2 * t + 5)), 0) AS BIGINT) AS tt
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+             |        FROM mm GROUP BY m)),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM mm),
+             |md AS (SELECT slope AS slope_med FROM (
+             |    SELECT slope, row_number() OVER (ORDER BY slope)
+             |      AS rn, count(*) OVER () AS np FROM pr)
+             |  WHERE rn = (np + 1) // 2),
+             |v18 AS (SELECT nb.nb,
+             |    nb.nb * (nb.nb - 1) * (2 * nb.nb + 5) - tg.tt
+             |      AS var18
+             |  FROM nb, tg)
+             |SELECT v18.nb AS n_buckets, sg.s_stat, v18.var18,
+             |  CASE WHEN v18.var18 > 0 THEN
+             |    CASE WHEN sg.s_stat > 0 THEN ROUND(
+             |        CAST(sg.s_stat - 1 AS DOUBLE)
+             |          / sqrt(CAST(v18.var18 AS DOUBLE) / 18.0), 6)
+             |      WHEN sg.s_stat < 0 THEN ROUND(
+             |        CAST(sg.s_stat + 1 AS DOUBLE)
+             |          / sqrt(CAST(v18.var18 AS DOUBLE) / 18.0), 6)
+             |      ELSE 0.0 END
+             |  ELSE NULL END AS z,
+             |  md.slope_med AS ts_slope_micro
+             |FROM sg, v18, md""".stripMargin)),
+
     // Batch REPLAY of the streaming CUSUM monitor (the q56/q66
     // convention): three deterministic batches fold their bucket
     // counts into the standing state — bounded, one (count, sum)

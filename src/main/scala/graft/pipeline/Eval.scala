@@ -1307,6 +1307,91 @@ object Eval {
       .orderBy("level", "segment")
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope over time buckets —
+    * the ROBUST trend pair for drift monitoring (Mann 1945 / Kendall
+    * 1975; Theil 1950 / Sen 1968): q37's least-squares line answers
+    * "what trend fits best", this answers "is there a monotone trend
+    * at all" (S = Σ_{i<j} sign(m_j − m_i), outlier-immune) and "what
+    * is its robust rate" (the median of all pairwise slopes — one
+    * wild bucket moves an LSQ slope arbitrarily, it moves a median of
+    * B(B−1)/2 slopes not at all).
+    *
+    * Series construction: the corpus collapses to per-bucket MEAN
+    * micro values (round of one exact-integer division per bucket —
+    * the d28 quantization); S, the tie table, and the variance
+    * numerator are then pure integers, each pairwise slope is ONE
+    * division of two integers rounded to a long, and the median is an
+    * exact selection by value (the q47 convention, k = ⌈n/2⌉ via
+    * (n+1) div 2). z carries the standard continuity correction
+    * ((S∓1)/√(var18/18)), ROUND 6; all-tied or single-bucket series
+    * → var18 = 0 → z NULL.
+    *
+    * Shape at scale: the pair frame is the POST-AGG bucket frame
+    * squared — `require`d under maxBuckets (hours for years fit;
+    * a per-event bucket expression fails loudly, the cusum rule) —
+    * and enumerates through the kendallTauBMicro single-bucket
+    * broadcast-hash trick, never a BroadcastNestedLoopJoin. Returns
+    * one row (n_buckets, s_stat, var18, z, ts_slope_micro); empty
+    * with fewer than two buckets. */
+  def mannKendallTheilSen(df: DataFrame, valueMicro: Column,
+                          bucket: Column,
+                          maxBuckets: Int = 4096): DataFrame = {
+    val mm = cusumBuckets(df, valueMicro, bucket)
+      .select(col("bucket").as("x"),
+        round(col("s").cast("double") / col("c")).cast("long")
+          .as("m"))
+      .localCheckpoint()
+    val nB = mm.count()
+    require(nB <= maxBuckets,
+      s"trend test over $nB buckets > maxBuckets=$maxBuckets: the " +
+        "pair frame is quadratic in buckets; coarsen the bucket " +
+        "expression or raise maxBuckets deliberately")
+    val p1 = mm.select(col("x").as("_xi"), col("m").as("_mi"),
+      pmod(col("x"), lit(1L)).cast("int").as("_one"))
+    val p2 = mm.select(col("x").as("_xj"), col("m").as("_mj"),
+      pmod(col("x"), lit(1L)).cast("int").as("_one"))
+    val pairs = p1.join(broadcast(p2), "_one")
+      .filter(col("_xi") < col("_xj"))
+      .select(
+        when(col("_mj") > col("_mi"), 1L)
+          .when(col("_mj") < col("_mi"), -1L).otherwise(0L).as("sgn"),
+        round((col("_mj") - col("_mi")).cast("double") /
+          (col("_xj") - col("_xi")).cast("double")).cast("long")
+          .as("slope"))
+      .localCheckpoint()
+    val sAgg = pairs.agg(
+      coalesce(sum(col("sgn")), lit(0L)).as("s_stat"),
+      count(lit(1)).as("n_pairs"))
+    val ties = mm.groupBy("m").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) *
+        (lit(2L) * col("t") + lit(5L))), lit(0L)).as("tt"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val med = pairs
+      .withColumn("rn", row_number().over(Window.orderBy("slope")))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("slope").as("slope_med"))
+    val var18 = lit(nB * (nB - 1) * (2 * nB + 5)) - col("tt")
+    sAgg.withColumn("_one",
+        pmod(col("s_stat") + col("n_pairs"), lit(1L)).cast("int"))
+      .join(broadcast(ties.withColumn("_one",
+        pmod(col("tt"), lit(1L)).cast("int"))), "_one")
+      .join(broadcast(med.withColumn("_one",
+        pmod(col("slope_med"), lit(1L)).cast("int"))), "_one")
+      .select(lit(nB).as("n_buckets"), col("s_stat"),
+        var18.as("var18"),
+        when(var18 > 0,
+          when(col("s_stat") > 0,
+            round((col("s_stat") - 1L).cast("double") /
+              sqrt(var18.cast("double") / lit(18.0)), 6))
+          .when(col("s_stat") < 0,
+            round((col("s_stat") + 1L).cast("double") /
+              sqrt(var18.cast("double") / lit(18.0)), 6))
+          .otherwise(lit(0.0d))).as("z"),
+        col("slope_med").as("ts_slope_micro"))
+  }
+
   /** Welch's unequal-variance t-test between group A (`isA` true) and
     * the complement group B over `value` — the parametric companion
     * of [[mannWhitneyU]] (same split, means instead of ranks), with

@@ -878,6 +878,43 @@ class EvalSpec extends AnyFunSuite {
       (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
   }
 
+  test("mannKendallTheilSen: hand-computed S, ties, z, median slope") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.mannKendallTheilSen(rows.toDF("b", "v"), col("v"),
+        col("b")).collect()
+    // series m = (10, 20, 15, 30, 30) at x = 1..5:
+    // signs: 8 pluses, 1 minus, 1 tie -> S = 7; tie group {30,30} ->
+    // tt = 2*1*9 = 18; var18 = 5*4*15 - 18 = 282;
+    // z = (7-1)/sqrt(282/18); slopes sorted
+    // (-5,0,3,3,5,5,7,8,10,15), k = (10+1) div 2 = 5 -> median 5
+    val g = run(Seq(1L -> 10L, 2L -> 20L, 3L -> 15L, 4L -> 30L,
+      5L -> 30L))
+    assert(g.length === 1)
+    val r = g.head
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getLong(0) === 5L && r.getLong(1) === 7L &&
+      r.getLong(2) === 282L, s"row: $r")
+    assert(r.getDouble(3) === r6(6.0 / math.sqrt(282 / 18.0)),
+      s"z: $r")
+    assert(r.getLong(4) === 5L, s"slope: $r")
+    // constant series: S = 0, full tie table zeroes var18 -> z NULL,
+    // every pairwise slope 0
+    val c = run(Seq(1L -> 7L, 2L -> 7L, 3L -> 7L)).head
+    assert(c.getLong(1) === 0L && c.getLong(2) === 0L &&
+      c.isNullAt(3) && c.getLong(4) === 0L, s"const: $c")
+    // strictly decreasing: S = -n(n-1)/2, negative continuity branch
+    val d = run(Seq(1L -> 30L, 2L -> 20L, 3L -> 10L)).head
+    assert(d.getLong(1) === -3L, s"dec: $d")
+    assert(d.getDouble(3) === r6(-2.0 / math.sqrt(
+      (3 * 2 * 11 - 0) / 18.0)), s"dec z: $d")
+    assert(d.getLong(4) === -10L, s"dec slope: $d")
+    // fewer than two buckets: empty report
+    assert(run(Seq(1L -> 5L)).isEmpty)
+  }
+
   test("cusumBinsegUpdate: random batch splits equal the one-shot binseg") {
     val s = spark
     import s.implicits._
