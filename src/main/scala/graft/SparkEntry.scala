@@ -5235,6 +5235,97 @@ object SparkEntry {
              |  md.slope_med AS ts_slope_micro
              |FROM sg, v18, md""".stripMargin)),
 
+    // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
+    // delta = bigram LM score (d47) - unigram LM score (d28), both
+    // integer micro log10/token under the SAME corpus model, then 64
+    // deterministic Poisson-bootstrap replicates of the mean delta
+    // (d32's hash-CDF machinery). n_pos_rep counts replicates
+    // favoring the bigram model; lo/hi are the exact 2.5%/97.5%
+    // order statistics of the replicate means. q74 tests paired
+    // LABELS; this tests paired continuous METRICS — together the
+    // paired-comparison family is complete.
+    "q85_paired_bootstrap" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val uni = TextStats.unigramLogProb(docs, "doc_id", "text")
+          .select(col("id"), col("score_micro").as("su"))
+        val bi = TextStats.bigramLogProb(docs, "doc_id", "text")
+          .select(col("id"), col("score_micro").as("sb"))
+        graft.pipeline.Eval.pairedBootstrap(
+          uni.join(bi, "id")
+            .select(col("id"), (col("sb") - col("su")).as("d")),
+          col("id"), col("d"), replicates = 64)
+      },
+      Some(s"""WITH t2 AS (SELECT doc_id,
+             |    unnest(str_split(text, ' ')) AS tok FROM documents),
+             |f2 AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+             |n2 AS (SELECT CAST(ROUND(log10(SUM(cnt)) * 1e6)
+             |    AS BIGINT) AS lln FROM f2),
+             |d2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+             |    CAST(SUM(CAST(ROUND(log10(cnt) * 1e6) AS BIGINT))
+             |      AS BIGINT) AS sll
+             |  FROM t2 JOIN f2 USING (tok) GROUP BY doc_id),
+             |us AS (SELECT doc_id, CAST(TRUNC(CAST(sll - ntok * lln
+             |    AS DOUBLE) / ntok) AS BIGINT) AS su FROM d2, n2),
+             |nn2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM f2),
+             |bg0 AS (SELECT doc_id, unnest(list_transform(
+             |    generate_series(1, greatest(len(toks) - 1, 0)),
+             |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+             |  FROM (SELECT doc_id, str_split(text, ' ') AS toks
+             |        FROM documents) dd),
+             |bf2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+             |  FROM bg0 GROUP BY bg),
+             |bs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nbg,
+             |    CAST(sum(CAST(ROUND(1e6 * log10(0.75 * c2 / u1.cnt
+             |      + 0.25 * u2.cnt / nn2.n)) AS BIGINT)) AS BIGINT)
+             |      AS sllb
+             |  FROM bg0 JOIN bf2 USING (bg)
+             |  JOIN f2 u1 ON u1.tok = str_split(bg0.bg, ' ')[1]
+             |  JOIN f2 u2 ON u2.tok = str_split(bg0.bg, ' ')[2]
+             |  CROSS JOIN nn2 GROUP BY doc_id),
+             |bsc AS (SELECT doc_id, CAST(TRUNC(CAST(sllb AS DOUBLE)
+             |    / nbg) AS BIGINT) AS sb FROM bs),
+             |de AS (SELECT us.doc_id, sb - su AS d
+             |  FROM us JOIN bsc USING (doc_id)),
+             |rr AS (SELECT doc_id, d, g.b
+             |  FROM de, generate_series(0, 63) AS g(b)),
+             |uu AS (SELECT doc_id, d, b,
+             |    (${duckHash60(
+                    "CAST(doc_id AS VARCHAR) || '|' || " +
+                    "CAST(b AS VARCHAR)")}) % 1000000 AS h
+             |  FROM rr),
+             |ww AS (SELECT b, d,
+             |    (CASE WHEN h >= 367879 THEN 1 ELSE 0 END +
+             |     CASE WHEN h >= 735758 THEN 1 ELSE 0 END +
+             |     CASE WHEN h >= 919698 THEN 1 ELSE 0 END +
+             |     CASE WHEN h >= 981011 THEN 1 ELSE 0 END +
+             |     CASE WHEN h >= 996340 THEN 1 ELSE 0 END +
+             |     CASE WHEN h >= 999405 THEN 1 ELSE 0 END) AS wt
+             |  FROM uu),
+             |rm0 AS (SELECT b, CAST(sum(wt) AS BIGINT) AS ne,
+             |    CAST(sum(CAST(wt AS HUGEINT) * d) AS HUGEINT) AS sd
+             |  FROM ww GROUP BY b),
+             |rm AS (SELECT b, CAST(round(CAST(sd AS DOUBLE)
+             |    / CAST(ne AS DOUBLE)) AS BIGINT) AS rm
+             |  FROM rm0 WHERE ne > 0),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_rep,
+             |    CAST(coalesce(sum(CASE WHEN rm > 0 THEN 1 ELSE 0
+             |      END), 0) AS BIGINT) AS n_pos_rep FROM rm),
+             |rk AS (SELECT rm, row_number() OVER (ORDER BY rm, b)
+             |    AS rn, count(*) OVER () AS nr FROM rm),
+             |lo AS (SELECT rm AS lo_micro FROM rk
+             |  WHERE rn = (nr * 25 + 999) // 1000),
+             |hi AS (SELECT rm AS hi_micro FROM rk
+             |  WHERE rn = nr + 1 - ((nr * 25 + 999) // 1000)),
+             |ba AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(round(CAST(coalesce(sum(CAST(d AS HUGEINT)), 0)
+             |      AS DOUBLE) / count(*)) AS BIGINT)
+             |      AS mean_delta_micro
+             |  FROM de HAVING count(*) > 0)
+             |SELECT n_items, mean_delta_micro, n_rep, n_pos_rep,
+             |  lo_micro, hi_micro
+             |FROM ba, st, lo, hi""".stripMargin)),
+
     // Batch REPLAY of the streaming CUSUM monitor (the q56/q66
     // convention): three deterministic batches fold their bucket
     // counts into the standing state — bounded, one (count, sum)

@@ -1307,6 +1307,84 @@ object Eval {
       .orderBy("level", "segment")
   }
 
+  /** Paired bootstrap significance test (Koehn, EMNLP 2004 — the
+    * standard NLP system-comparison test) over per-item metric
+    * DELTAS: given one row per item with an integer-micro delta
+    * (metric_A − metric_B on the SAME item), Poisson-bootstrap the
+    * mean delta `replicates` times (the d32 single-pass machinery:
+    * Binomial(n, 1/n) → Poisson(1), deterministic portable-hash
+    * draws against [[Curation.PoissonCdfMicro]]) and report how many
+    * replicate means favor A plus the central 95% interval of the
+    * replicate means — the "is the improvement real or resampling
+    * noise" report next to McNemar's exact paired counts (q74 tests
+    * paired LABELS; this tests paired continuous METRICS).
+    *
+    * Exactness: deltas are integers, replicate weights are integers,
+    * each replicate mean is ONE division of two exact integers
+    * rounded to micro, and the interval bounds are exact order
+    * statistics of the bounded replicate frame (k_lo = ⌈R/40⌉ via
+    * (R·25+999) div 1000, k_hi mirrored — the q47 selection
+    * convention, ties broken by replicate id). Returns one row
+    * (n_items, mean_delta_micro, n_rep, n_pos_rep, lo_micro,
+    * hi_micro); empty when there are no items. */
+  def pairedBootstrap(df: DataFrame, id: Column, deltaMicro: Column,
+                      replicates: Int = 64): DataFrame = {
+    require(replicates >= 4 && replicates <= 1024,
+      "replicates in [4, 1024] (a bounded replicate frame)")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df.select(id.cast("string").as("_id"),
+      deltaMicro.cast("long").as("_d"))
+    val keyed = base
+      .select(col("_id"), col("_d"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
+      .withColumn("replicate", col("replicate").cast("long"))
+      .withColumn("_u", pmod(Dedup.md5Long60(
+        concat(col("_id"), lit("|"),
+          col("replicate").cast("string"))), lit(1000000L)))
+    val w = Curation.PoissonCdfMicro.foldLeft(lit(0L)) { (acc, t) =>
+      acc + when(col("_u") >= t, 1L).otherwise(0L)
+    }
+    val repMeans = keyed.withColumn("_w", w)
+      .groupBy("replicate").agg(
+        sum(col("_w")).as("ne"),
+        coalesce(sum(dec(col("_w")) * dec(col("_d"))),
+          lit(0L).cast("decimal(38,0)")).as("sd"))
+      .filter(col("ne") > 0)
+      .select(col("replicate"),
+        round(col("sd").cast("double") / col("ne").cast("double"))
+          .cast("long").as("rm"))
+      .localCheckpoint()
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val ranked = repMeans
+      .withColumn("rn",
+        row_number().over(Window.orderBy("rm", "replicate")))
+      .withColumn("nr", count(lit(1)).over(wAll))
+    val lo = ranked.filter(col("rn") === expr("(nr * 25 + 999) div 1000"))
+      .select(col("rm").as("lo_micro"))
+    val hi = ranked.filter(
+        col("rn") === expr("nr + 1 - ((nr * 25 + 999) div 1000)"))
+      .select(col("rm").as("hi_micro"))
+    val reps = repMeans.agg(count(lit(1)).as("n_rep"),
+      coalesce(sum(when(col("rm") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_pos_rep"))
+    val ba = base.agg(count(lit(1)).as("n_items"),
+      round(coalesce(sum(dec(col("_d"))), lit(0L).cast("decimal(38,0)"))
+        .cast("double") / count(lit(1)).cast("double"))
+        .cast("long").as("mean_delta_micro"))
+      .filter(col("n_items") > 0)
+    ba.withColumn("_one",
+        pmod(col("n_items"), lit(1L)).cast("int"))
+      .join(broadcast(reps.withColumn("_one",
+        pmod(col("n_rep"), lit(1L)).cast("int"))), "_one")
+      .join(broadcast(lo.withColumn("_one",
+        pmod(col("lo_micro"), lit(1L)).cast("int"))), "_one")
+      .join(broadcast(hi.withColumn("_one",
+        pmod(col("hi_micro"), lit(1L)).cast("int"))), "_one")
+      .select(col("n_items"), col("mean_delta_micro"), col("n_rep"),
+        col("n_pos_rep"), col("lo_micro"), col("hi_micro"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope over time buckets —
     * the ROBUST trend pair for drift monitoring (Mann 1945 / Kendall
     * 1975; Theil 1950 / Sen 1968): q37's least-squares line answers

@@ -878,6 +878,60 @@ class EvalSpec extends AnyFunSuite {
       (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
   }
 
+  test("pairedBootstrap matches an independent in-memory reference") {
+    val s = spark
+    import s.implicits._
+    def md5L60(t: String): Long = {
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dg.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val cdf = Seq(367879L, 735758L, 919698L, 981011L, 996340L,
+      999405L)
+    val rnd = new scala.util.Random(41)
+    val items = (1L to 40L).map(i => (i, (rnd.nextInt(20001) - 10000).toLong))
+    val reps = 32
+    // reference: identical hash draws, integer weights, one rounded
+    // division per replicate, exact order statistics
+    val repMeans = (0 until reps).flatMap { b =>
+      val ws = items.map { case (i, d) =>
+        val u = md5L60(s"$i|$b") % 1000000L
+        (cdf.count(u >= _).toLong, d)
+      }
+      val ne = ws.map(_._1).sum
+      if (ne == 0) None
+      else Some((b.toLong, BigDecimal(
+        ws.map { case (w, d) => w * d }.sum.toDouble / ne)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    }
+    val sorted = repMeans.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val kLo = (repMeans.size * 25 + 999) / 1000
+    val want = (
+      40L,
+      BigDecimal(items.map(_._2).sum.toDouble / 40)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+      repMeans.size.toLong,
+      repMeans.count(_._2 > 0).toLong,
+      sorted(kLo - 1),
+      sorted(repMeans.size - kLo))
+    val r = Eval.pairedBootstrap(items.toDF("id", "d"), col("id"),
+      col("d"), replicates = reps).head()
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+    assert(got === want, s"got $got want $want")
+    // all-positive deltas: every replicate must favor A
+    val pos = Eval.pairedBootstrap(
+      (1L to 20L).map(i => (i, i * 1000L)).toDF("id", "d"),
+      col("id"), col("d"), replicates = 16).head()
+    assert(pos.getLong(3) === pos.getLong(2), s"pos: $pos")
+    assert(pos.getLong(4) <= pos.getLong(5))
+    // empty input: empty report
+    assert(Eval.pairedBootstrap(
+      Seq.empty[(Long, Long)].toDF("id", "d"), col("id"), col("d"),
+      replicates = 8).isEmpty)
+  }
+
   test("mannKendallTheilSen: hand-computed S, ties, z, median slope") {
     val s = spark
     import s.implicits._
