@@ -5235,6 +5235,60 @@ object SparkEntry {
              |  md.slope_med AS ts_slope_micro
              |FROM sg, v18, md""".stripMargin)),
 
+    // Wald-Wolfowitz runs test on the hourly means around their
+    // median — the randomness companion of q84's trend pair: too few
+    // runs = regime persistence, too many = alternation. Counts are
+    // exact integers (median by exact selection, equals drop), z is
+    // one mirrored double expression; all windows ride the post-agg
+    // bucket frame.
+    "q86_runs_test" -> Q(
+      (s, dir) => graft.pipeline.Eval.runsTest(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000")),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |md AS (SELECT m AS med, nb FROM (
+             |    SELECT m, row_number() OVER (ORDER BY m, x) AS rn,
+             |      CAST(count(*) OVER () AS BIGINT) AS nb FROM mm)
+             |  WHERE rn = (nb + 1) // 2),
+             |fl AS (SELECT x,
+             |    CASE WHEN m > med THEN 1 ELSE -1 END AS sgn
+             |  FROM mm, md WHERE m <> med),
+             |fw AS (SELECT sgn,
+             |    CASE WHEN lag(sgn) OVER (ORDER BY x) IS NULL
+             |      OR lag(sgn) OVER (ORDER BY x) <> sgn
+             |    THEN 1 ELSE 0 END AS nw FROM fl),
+             |ag AS (SELECT
+             |    CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0
+             |      END), 0) AS BIGINT) AS n_pos,
+             |    CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0
+             |      END), 0) AS BIGINT) AS n_neg,
+             |    CAST(coalesce(sum(nw), 0) AS BIGINT) AS n_runs
+             |  FROM fw)
+             |SELECT md.nb AS n_buckets, n_pos, n_neg, n_runs,
+             |  CASE WHEN n_pos > 0 AND n_neg > 0
+             |    AND 2.0 * n_pos * n_neg
+             |      * (2 * n_pos * n_neg - n_pos - n_neg) > 0 THEN
+             |    ROUND((CAST(n_runs AS DOUBLE)
+             |      - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+             |      / sqrt(2.0 * n_pos * n_neg
+             |        * (2 * n_pos * n_neg - n_pos - n_neg)
+             |        / (CAST(n_pos + n_neg AS DOUBLE)
+             |          * (n_pos + n_neg) * (n_pos + n_neg - 1))), 6)
+             |  ELSE NULL END AS z
+             |FROM ag, md""".stripMargin)),
+
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
     // integer micro log10/token under the SAME corpus model, then 64

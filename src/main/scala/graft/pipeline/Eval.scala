@@ -1307,6 +1307,75 @@ object Eval {
       .orderBy("level", "segment")
   }
 
+  /** Wald–Wolfowitz runs test over the time-bucket mean series — the
+    * RANDOMNESS companion of the trend pair: Mann–Kendall (q84) asks
+    * "is there a monotone trend", this asks "do the values oscillate
+    * like noise around their level, or do they clump" (too FEW runs =
+    * regime persistence/drift, too MANY = alternation; both reject).
+    * Signs are taken against the MEDIAN of the bucket means (exact
+    * selection, the q47 convention — the textbook median-split form),
+    * buckets equal to the median drop (the standard treatment).
+    *
+    * R = 1 + #sign changes along the bucket order; with n1 pluses
+    * and n2 minuses, z = (R − μ)/σ, μ = 2n1n2/(n1+n2) + 1,
+    * σ² = 2n1n2(2n1n2−n1−n2)/((n1+n2)²(n1+n2−1)) — counts are exact
+    * integers, z is the one mirrored double expression, ROUND 6, NULL
+    * when either side is empty or σ degenerates. All windows ride the
+    * ≤B-row post-agg bucket frame (the q80 class); the median is a
+    * 1-row bounded parameter fetch. Returns one row
+    * (n_buckets, n_pos, n_neg, n_runs, z). */
+  def runsTest(df: DataFrame, valueMicro: Column,
+               bucket: Column): DataFrame = {
+    val mm = cusumBuckets(df, valueMicro, bucket)
+      .select(col("bucket").as("x"),
+        round(col("s").cast("double") / col("c")).cast("long")
+          .as("m"))
+      .localCheckpoint()
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val medRow = mm
+      .withColumn("rn", row_number().over(Window.orderBy("m", "x")))
+      .withColumn("nb", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(nb + 1) div 2"))
+      .select(col("m"), col("nb")).collect()
+    if (medRow.isEmpty) {
+      // no buckets: empty report (mirrors the oracle's empty join)
+      return mm.select(lit(0L).as("n_buckets"), lit(0L).as("n_pos"),
+        lit(0L).as("n_neg"), lit(0L).as("n_runs"),
+        lit(null).cast("double").as("z")).limit(0)
+    }
+    val med = medRow.head.getLong(0)
+    val nb = medRow.head.getLong(1)
+    val w = Window.orderBy("x")
+    val fl = mm.filter(col("m") =!= med)
+      .select(col("x"),
+        when(col("m") > med, 1L).otherwise(-1L).as("sgn"))
+      .withColumn("nw", when(lag(col("sgn"), 1).over(w).isNull ||
+        lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L)
+        .otherwise(0L))
+    val n1c = sum(when(col("sgn") === 1L, 1L).otherwise(0L))
+    val n2c = sum(when(col("sgn") === -1L, 1L).otherwise(0L))
+    fl.agg(coalesce(n1c, lit(0L)).as("n_pos"),
+        coalesce(n2c, lit(0L)).as("n_neg"),
+        coalesce(sum(col("nw")), lit(0L)).as("n_runs"))
+      .select(lit(nb).as("n_buckets"), col("n_pos"), col("n_neg"),
+        col("n_runs"),
+        when(col("n_pos") > 0 && col("n_neg") > 0 &&
+          lit(2.0) * col("n_pos") * col("n_neg") *
+            (lit(2L) * col("n_pos") * col("n_neg") - col("n_pos") -
+              col("n_neg")) > 0,
+          round((col("n_runs").cast("double") -
+            (lit(2.0) * col("n_pos") * col("n_neg") /
+              (col("n_pos") + col("n_neg")) + lit(1.0))) /
+            sqrt(lit(2.0) * col("n_pos") * col("n_neg") *
+              (lit(2L) * col("n_pos") * col("n_neg") - col("n_pos") -
+                col("n_neg")) /
+              ((col("n_pos") + col("n_neg")).cast("double") *
+                (col("n_pos") + col("n_neg")) *
+                (col("n_pos") + col("n_neg") - lit(1L)))), 6))
+          .as("z"))
+  }
+
   /** Paired bootstrap significance test (Koehn, EMNLP 2004 — the
     * standard NLP system-comparison test) over per-item metric
     * DELTAS: given one row per item with an integer-micro delta

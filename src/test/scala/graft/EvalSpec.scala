@@ -878,6 +878,43 @@ class EvalSpec extends AnyFunSuite {
       (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
   }
 
+  test("runsTest: hand-computed runs, clumped vs alternating, degenerates") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Eval.runsTest(rows.toDF("b", "v"), col("v"), col("b")).collect()
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def zOf(r: Long, n1: Long, n2: Long): Double =
+      r6((r.toDouble - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+        math.sqrt(2.0 * n1 * n2 * (2 * n1 * n2 - n1 - n2) /
+          ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1))))
+    // series 1,9,2,8,3,7 at x=1..6: median selection over sorted
+    // (1,2,3,7,8,9) picks k=(6+1)div 2=3 -> med 3; signs per x:
+    // (1:-, 9:+, 2:-, 8:+, 3 drops, 7:+) -> -,+,-,+,+ : 4 runs,
+    // n1=3, n2=2 (perfect alternation until the tail)
+    val alt = run(Seq(1L -> 1L, 2L -> 9L, 3L -> 2L, 4L -> 8L,
+      5L -> 3L, 6L -> 7L)).head
+    assert((alt.getLong(0), alt.getLong(1), alt.getLong(2),
+      alt.getLong(3)) === ((6L, 3L, 2L, 4L)), s"alt: $alt")
+    assert(alt.getDouble(4) === zOf(4L, 3L, 2L), s"alt z: $alt")
+    // clumped: 1,1,2,9,9,8 -> med 2 (sorted 1,1,2,8,9,9; k=3);
+    // signs: -,-,drop,+,+,+ -> 2 runs, n1=3, n2=2, z negative
+    val clump = run(Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 9L,
+      5L -> 9L, 6L -> 8L)).head
+    assert((clump.getLong(1), clump.getLong(2), clump.getLong(3))
+      === ((3L, 2L, 2L)), s"clump: $clump")
+    assert(clump.getDouble(4) === zOf(2L, 3L, 2L), s"clump z: $clump")
+    assert(clump.getDouble(4) < 0, "clumping must push z negative")
+    // constant series: every bucket equals the median -> no signs,
+    // zero runs, z NULL
+    val const = run(Seq(1L -> 5L, 2L -> 5L, 3L -> 5L)).head
+    assert((const.getLong(1), const.getLong(2), const.getLong(3))
+      === ((0L, 0L, 0L)) && const.isNullAt(4), s"const: $const")
+    // empty input: empty report
+    assert(run(Seq.empty).isEmpty)
+  }
+
   test("pairedBootstrap matches an independent in-memory reference") {
     val s = spark
     import s.implicits._
