@@ -325,6 +325,43 @@ object SparkEntry {
        |  FROM terms tr2 JOIN pri ON pri.cl = tr2.cl
        |  GROUP BY tr2.doc_id, tr2.lang, tr2.cl)""".stripMargin
 
+  /** The unrolled MMR greedy (k steps, λ = 0.7 as 7/3 tenths) over a
+    * prepared `cand` (vec_id, nv, rel_m) CTE — shared by r3 (brute
+    * pool) and e16 (IVF-probed pool) so the re-rank semantics cannot
+    * drift between them. NO leading WITH; splice after the caller's
+    * cand CTE and apply the MATERIALIZED rewrite to the whole SQL
+    * (every step re-references cand/cp and all prior steps). */
+  private def duckMmrTail(k: Int): String = {
+    def selUnion(r: Int) = (1 until r)
+      .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
+    val steps = (2 to k).map { r =>
+      val su = selUnion(r)
+      s"""s$r AS (SELECT c.vec_id, c.rel_m,
+         |    (SELECT MAX(cm) FROM cp WHERE ai = c.vec_id
+         |      AND bi IN ($su)) AS pen,
+         |    7 * c.rel_m - 3 * (SELECT MAX(cm) FROM cp
+         |      WHERE ai = c.vec_id AND bi IN ($su)) AS sc
+         |  FROM cand c WHERE c.vec_id NOT IN ($su)
+         |  ORDER BY sc DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to k).map(r =>
+      s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, rel_m, " +
+        s"pen, sc FROM s$r").mkString("\n")
+    s"""cp AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |    CAST(round(1e6 * list_dot_product(a.nv, b.nv))
+       |      AS BIGINT) AS cm
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (SELECT vec_id, rel_m, CAST(0 AS BIGINT) AS pen,
+       |    7 * rel_m AS sc
+       |  FROM cand ORDER BY sc DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id,
+       |  rel_m AS rel_micro, pen AS pen_micro, sc AS score10_micro
+       |FROM s1
+       |$out
+       |ORDER BY mmr_rank""".stripMargin
+  }
+
   /** The binary-segmentation oracle over events' hourly value-micro
     * buckets — shared VERBATIM by q82 (one-shot) and q83 (stream
     * replay): the replay's contract IS equality with the one-shot. */
@@ -7857,22 +7894,6 @@ object SparkEntry {
           .orderBy("mmr_rank")
       },
       Some {
-        val k = 10
-        def selUnion(r: Int) = (1 until r)
-          .map(i => s"SELECT vec_id FROM s$i").mkString(" UNION ALL ")
-        val steps = (2 to k).map { r =>
-          val su = selUnion(r)
-          s"""s$r AS (SELECT c.vec_id, c.rel_m,
-             |    (SELECT MAX(cm) FROM cp WHERE ai = c.vec_id
-             |      AND bi IN ($su)) AS pen,
-             |    7 * c.rel_m - 3 * (SELECT MAX(cm) FROM cp
-             |      WHERE ai = c.vec_id AND bi IN ($su)) AS sc
-             |  FROM cand c WHERE c.vec_id NOT IN ($su)
-             |  ORDER BY sc DESC, c.vec_id LIMIT 1)""".stripMargin
-        }.mkString(",\n")
-        val out = (2 to k).map(r =>
-          s"UNION ALL SELECT CAST($r AS BIGINT), vec_id, rel_m, " +
-            s"pen, sc FROM s$r").mkString("\n")
         s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            |  FROM embeddings),
            |nn AS (SELECT vec_id, list_transform(v,
@@ -7883,23 +7904,58 @@ object SparkEntry {
            |      AS rel_m
            |  FROM nn, qv WHERE vec_id <> 0
            |  ORDER BY rel_m DESC, vec_id LIMIT 50),
-           |cp AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
-           |    CAST(round(1e6 * list_dot_product(a.nv, b.nv))
-           |      AS BIGINT) AS cm
-           |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
-           |s1 AS (SELECT vec_id, rel_m, CAST(0 AS BIGINT) AS pen,
-           |    7 * rel_m AS sc
-           |  FROM cand ORDER BY sc DESC, vec_id LIMIT 1),
-           |$steps
-           |SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id,
-           |  rel_m AS rel_micro, pen AS pen_micro, sc AS score10_micro
-           |FROM s1
-           |$out
-           |ORDER BY mmr_rank""".stripMargin
+           |${duckMmrTail(10)}""".stripMargin
           // force CTE materialization: every step references cand/cp
           // and the selected-set unions re-reference every prior step
           // — DuckDB's default inlining would re-run the embedding
           // scan per reference (it actually exhausts file handles)
+          .replace(" AS (", " AS MATERIALIZED (")
+      }),
+
+    // IVF-probed MMR — the production ANN -> diversified-re-rank
+    // composition: the pool feeding r3's greedy is e4's probed cells
+    // (nProbes/nCells of the corpus at scale), not a corpus-wide
+    // scan. Same shared greedy tail as r3, so pool construction is
+    // the ONLY difference an oracle mismatch could blame.
+    "e16_ivf_mmr" -> Q(
+      (s, dir) => {
+        val emb = table(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+          .head().getSeq[Float](0).map(_.toDouble)
+        val pool = Similarity.ivfProbedCandidatesData(emb, "vec_id",
+            "embedding", q, centroidIds = (1L to 16L))
+          .filter(col("vec_id") =!= 0)
+        Retrieval.mmrTopK(pool, "vec_id", "embedding", q,
+            k = 10, pool = 50)
+          .orderBy("mmr_rank")
+      },
+      Some {
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM e
+           |  WHERE vec_id BETWEEN 1 AND 16),
+           |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |probe AS (SELECT cid FROM c, q
+           |  ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT 2),
+           |asg AS (SELECT vec_id, cid, row_number() OVER (
+           |      PARTITION BY vec_id
+           |      ORDER BY dt DESC, cid ASC) AS rn
+           |  FROM (SELECT e.vec_id, c.cid,
+           |          list_dot_product(e.v, c.cv) AS dt FROM e, c)),
+           |pc AS (SELECT vec_id FROM asg
+           |  WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+           |    AND vec_id <> 0),
+           |nn AS (SELECT e.vec_id, list_transform(v,
+           |    x -> x / sqrt(list_dot_product(v, v))) AS nv
+           |  FROM e JOIN pc USING (vec_id)),
+           |qn AS (SELECT list_transform(qv,
+           |    x -> x / sqrt(list_dot_product(qv, qv))) AS q2 FROM q),
+           |cand AS (SELECT vec_id, nv,
+           |    CAST(round(1e6 * list_dot_product(nv, q2)) AS BIGINT)
+           |      AS rel_m
+           |  FROM nn, qn
+           |  ORDER BY rel_m DESC, vec_id LIMIT 50),
+           |${duckMmrTail(10)}""".stripMargin
           .replace(" AS (", " AS MATERIALIZED (")
       }),
 

@@ -567,6 +567,27 @@ object Similarity {
       cellIds = centroidIds, nProbes = nProbes, roundCosine = true)
   }
 
+  /** The probed candidate SUBSET of the data-derived IVF — the frame
+    * [[ivfTopKData]] reranks, exposed un-cut so a downstream re-rank
+    * (r3's MMR diversification) composes with the same probing
+    * instead of a corpus-wide scan: at scale the pool feeding the
+    * diversifier is nProbes/nCells of the corpus, exactly the ANN →
+    * re-rank production shape. Keeps the input columns plus `cell`. */
+  def ivfProbedCandidatesData(embeddings: DataFrame, idCol: String,
+                              vecCol: String, query: Seq[Double],
+                              centroidIds: Seq[Long],
+                              nProbes: Int = 2): DataFrame = {
+    require(centroidIds == centroidIds.sorted,
+      "centroidIds must be ascending")
+    val cents = vectorsByIds(embeddings, idCol, vecCol, centroidIds)
+    val probes = probeCells(cents, centroidIds, query, nProbes)
+    val v = toDouble(col(vecCol))
+    val cellId = ExprUtils.let(ivfAssign(v, cents)) { idx =>
+      element_at(typedlit(centroidIds), (idx + 1).cast("int")) }
+    embeddings.withColumn("cell", cellId)
+      .filter(col("cell").isin(probes: _*))
+  }
+
   /** Persist an IVF index: the embeddings written once, directory-
     * partitioned by assigned cell (`cell=<id>/`). The LAYOUT is the
     * index — a probe reads only the probed cells' directories
