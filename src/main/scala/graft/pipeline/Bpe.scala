@@ -59,8 +59,15 @@ object Bpe {
     // The paren-encoding ("(a)(b)") is only injective when no symbol
     // can contain a paren — enforce the contract instead of assuming
     // it: an alphabet admitting '(' or ')' would silently corrupt
-    // merge boundaries (round-10 advice).
-    require(!alphabet.contains("(") && !alphabet.contains(")"),
+    // merge boundaries (round-10 advice). The check is BEHAVIORAL —
+    // probe the regex with the paren characters themselves — because
+    // a literal-character scan misses escape forms (\x28, () and
+    // ranges ('!'..'+' contains '(') while falsely rejecting grouped
+    // regexes whose parens are syntax, not admitted characters
+    // (round-11 review). An invalid regex fails here, loudly, before
+    // any data moves.
+    require(!"(".matches("^" + alphabet + "$") &&
+        !")".matches("^" + alphabet + "$"),
       s"alphabet '$alphabet' must not admit '(' or ')': the " +
         "paren-encoded merge relies on parens never appearing in symbols")
     val spark = docs.sparkSession

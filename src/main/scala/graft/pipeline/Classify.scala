@@ -148,6 +148,15 @@ object Classify {
   def nbModelReport(train: DataFrame, score: DataFrame, idCol: String,
                     textCol: String, labelCol: String,
                     posLabel: String): DataFrame = {
+    // a typo'd posLabel would NULL every margin and read as a
+    // plausible "model is random" report (auc 0.5, ece NULL) — fail
+    // loudly instead; the label list is a bounded parameter fetch
+    // (<= 64 classes by the nbScores contract) (round-11 review)
+    val trainLabels = train.select(col(labelCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    require(trainLabels.contains(posLabel),
+      s"posLabel '$posLabel' is not a training label " +
+        s"(${trainLabels.toSeq.sorted.mkString(", ")})")
     val scores = nbScores(train, score, idCol, textCol, labelCol)
     val wDoc = Window.partitionBy("_id")
     val framed = scores

@@ -342,7 +342,25 @@ object Curation {
     * rather than left to division semantics, and the d32 oracle SQL
     * carries the same CASE. */
   def poissonBootstrapMeans(df: DataFrame, id: Column, value: Column,
-                            replicates: Int): DataFrame = {
+                            replicates: Int): DataFrame =
+    poissonWeighted(df, id, value, replicates)
+      .groupBy("replicate").agg(
+        sum(col("_w")).as("n_eff"),
+        when(sum(col("_w")) > 0,
+          round(sum(col("_w") * col("_v")).cast("double") /
+            sum(col("_w")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("mean_val"))
+      .orderBy("replicate")
+
+  /** The keyed deterministic Poisson(1) draw shared by
+    * [[poissonBootstrapMeans]] and Eval.pairedBootstrap — one row per
+    * (input row, replicate) carrying the integer weight, so the draw
+    * convention (hash-key shape, CDF table) lives in exactly one
+    * place and the d32 and q85 families cannot drift (round-11
+    * review). Returns (replicate, _v, _w). */
+  private[pipeline] def poissonWeighted(df: DataFrame, id: Column,
+                                        value: Column,
+                                        replicates: Int): DataFrame = {
     require(replicates >= 1, "replicates must be >= 1")
     val b = explode(sequence(lit(0), lit(replicates - 1)))
     val keyed = df
@@ -356,13 +374,7 @@ object Curation {
       acc + when(col("_u") >= t, 1L).otherwise(0L)
     }
     keyed.withColumn("_w", w)
-      .groupBy("replicate").agg(
-        sum(col("_w")).as("n_eff"),
-        when(sum(col("_w")) > 0,
-          round(sum(col("_w") * col("_v")).cast("double") /
-            sum(col("_w")).cast("double"), 6))
-          .otherwise(lit(null).cast("double")).as("mean_val"))
-      .orderBy("replicate")
+      .select(col("replicate"), col("_v"), col("_w"))
   }
 
   /** Snapshot reconciliation: per-doc status between two corpus
@@ -516,10 +528,14 @@ object Curation {
     serpentineShards(perDoc, idCol, weight, nShards)
       .withColumn("_start", sum(col("_w")).over(w) - col("_w"))
       .groupBy("shard")
+      // integer floor division, not floor(double /): a shard offset
+      // past 2^53 tokens would land double division on the wrong
+      // sequence index; `div` is exact at any scale and matches the
+      // oracle's `//` (round-11 review)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_w")).as("total_tokens"),
-        countDistinct(floor(col("_start") / lit(seqTokens.toDouble))
-          .cast("long")).as("n_start_seqs"))
+        countDistinct(expr(s"_start div $seqTokens"))
+          .as("n_start_seqs"))
   }
 
   /** Effective dataset size after near-dup discounting — per group,

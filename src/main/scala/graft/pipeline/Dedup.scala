@@ -1132,9 +1132,24 @@ object Dedup {
     * Returns (id, span_start, span_end, span_words, span_text). */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
-    require(n >= 2, "n >= 2: span chaining needs multi-word grams")
     val base = docs.select(col(idCol).as("id"),
       TextStats.tokens(col(textCol)).as("toks"))
+    // the text-bearing report joins the token arrays back ONLY here —
+    // the surgery path consumes the bounds alone and must not pay
+    // this rehydration (round-11 review)
+    dupSpanBounds(base, n).join(base, "id")
+      .select(col("id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        concat_ws(" ", slice(col("toks"),
+          col("span_start").cast("int"),
+          (col("span_end") - col("span_start") + 1L).cast("int")))
+          .as("span_text"))
+  }
+
+  /** The bounds-only core of [[dupSpans]] over a prepared (id, toks)
+    * frame: (id, span_start, span_end), no text rehydration. */
+  private def dupSpanBounds(base: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, "n >= 2: span chaining needs multi-word grams")
     val g = base.select(col("id"), explode(
         when(size(col("toks")) >= n,
           transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -1152,7 +1167,7 @@ object Dedup {
     val starts = g.join(dup, "gram").select(col("id"), col("pos"))
     val w = Window.partitionBy("id").orderBy("pos")
     val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = starts
+    starts
       .withColumn("f",
         when(col("pos") > lag(col("pos"), 1).over(w) + n, 1L)
           .otherwise(0L))
@@ -1160,13 +1175,7 @@ object Dedup {
       .groupBy(col("id"), col("grp"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (n - 1)).as("span_end"))
-    spans.join(base, "id")
-      .select(col("id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1L).as("span_words"),
-        concat_ws(" ", slice(col("toks"),
-          col("span_start").cast("int"),
-          (col("span_end") - col("span_start") + 1L).cast("int")))
-          .as("span_text"))
+      .select(col("id"), col("span_start"), col("span_end"))
   }
 
   /** String surgery on the [[dupSpans]] output: rebuild each document
@@ -1185,12 +1194,14 @@ object Dedup {
     * Returns (id, n_spans, n_words, n_removed, clean_text). */
   def spanExcise(docs: DataFrame, idCol: String, textCol: String,
                  n: Int): DataFrame = {
-    val perDoc = dupSpans(docs, idCol, textCol, n)
+    val base = docs.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("toks"))
+    // bounds only: the surgery never needs span_text, so it must not
+    // pay dupSpans' rehydration join + slice (round-11 review)
+    val perDoc = dupSpanBounds(base, n)
       .groupBy("id")
       .agg(sort_array(collect_list(
         struct(col("span_start"), col("span_end")))).as("sp"))
-    val base = docs.select(col(idCol).as("id"),
-      TextStats.tokens(col(textCol)).as("toks"))
     base.join(perDoc, Seq("id"), "left")
       .select(col("id"),
         coalesce(size(col("sp")), lit(0)).cast("long").as("n_spans"),
@@ -1491,6 +1502,14 @@ object Dedup {
     * components — so CC over the disjoint union factorizes and
     * dropping them cannot change any touched label (DedupSpec pins
     * bit-equality with the plain merge and the one-shot recompute).
+    * PRECONDITION (shared with the plain merge's singleton handling
+    * but load-bearing here): `assign` must be a
+    * [[connectedComponents]]/[[mergeComponents]] OUTPUT — component
+    * labels are the minimum reachable id (the algorithm's fixed
+    * point). An arbitrary relabeling (e.g. root named by max id)
+    * passes through verbatim on the untouched side while the plain
+    * merge would re-canonicalize it, voiding the equality contract
+    * (round-11 review).
     *
     * WHEN to prefer it: per-batch contraction cost is proportional to
     * the cluster state the batch touches, never to corpus history —

@@ -1307,6 +1307,20 @@ object Eval {
       .orderBy("level", "segment")
   }
 
+  /** The per-bucket MEAN-micro series both time-series tests read —
+    * one rounded exact-integer division per bucket (the d28
+    * quantization), checkpointed because every consumer windows it
+    * more than once. One construction so the trend (q84) and
+    * randomness (q86) tests cannot drift onto different series
+    * (round-11 review). Returns (x, m). */
+  private def bucketMeansMicro(df: DataFrame, valueMicro: Column,
+                               bucket: Column): DataFrame =
+    cusumBuckets(df, valueMicro, bucket)
+      .select(col("bucket").as("x"),
+        round(col("s").cast("double") / col("c")).cast("long")
+          .as("m"))
+      .localCheckpoint()
+
   /** Wald–Wolfowitz runs test over the time-bucket mean series — the
     * RANDOMNESS companion of the trend pair: Mann–Kendall (q84) asks
     * "is there a monotone trend", this asks "do the values oscillate
@@ -1326,11 +1340,7 @@ object Eval {
     * (n_buckets, n_pos, n_neg, n_runs, z). */
   def runsTest(df: DataFrame, valueMicro: Column,
                bucket: Column): DataFrame = {
-    val mm = cusumBuckets(df, valueMicro, bucket)
-      .select(col("bucket").as("x"),
-        round(col("s").cast("double") / col("c")).cast("long")
-          .as("m"))
-      .localCheckpoint()
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val medRow = mm
@@ -1403,20 +1413,13 @@ object Eval {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val base = df.select(id.cast("string").as("_id"),
       deltaMicro.cast("long").as("_d"))
-    val keyed = base
-      .select(col("_id"), col("_d"),
-        explode(sequence(lit(0), lit(replicates - 1))).as("replicate"))
-      .withColumn("replicate", col("replicate").cast("long"))
-      .withColumn("_u", pmod(Dedup.md5Long60(
-        concat(col("_id"), lit("|"),
-          col("replicate").cast("string"))), lit(1000000L)))
-    val w = Curation.PoissonCdfMicro.foldLeft(lit(0L)) { (acc, t) =>
-      acc + when(col("_u") >= t, 1L).otherwise(0L)
-    }
-    val repMeans = keyed.withColumn("_w", w)
+    // one shared draw with the d32 bootstrap (Curation.poissonWeighted
+    // — hash-key shape and CDF table live in exactly one place)
+    val repMeans = Curation.poissonWeighted(base, col("_id"),
+        col("_d"), replicates)
       .groupBy("replicate").agg(
         sum(col("_w")).as("ne"),
-        coalesce(sum(dec(col("_w")) * dec(col("_d"))),
+        coalesce(sum(dec(col("_w")) * dec(col("_v"))),
           lit(0L).cast("decimal(38,0)")).as("sd"))
       .filter(col("ne") > 0)
       .select(col("replicate"),
@@ -1483,11 +1486,7 @@ object Eval {
   def mannKendallTheilSen(df: DataFrame, valueMicro: Column,
                           bucket: Column,
                           maxBuckets: Int = 4096): DataFrame = {
-    val mm = cusumBuckets(df, valueMicro, bucket)
-      .select(col("bucket").as("x"),
-        round(col("s").cast("double") / col("c")).cast("long")
-          .as("m"))
-      .localCheckpoint()
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
     val nB = mm.count()
     require(nB <= maxBuckets,
       s"trend test over $nB buckets > maxBuckets=$maxBuckets: the " +

@@ -122,11 +122,24 @@ object Retrieval {
     require(k >= 1 && pool >= k && pool <= 1000,
       "need 1 <= k <= pool <= 1000 (the bounded re-rank window)")
     require(lambda10 >= 0 && lambda10 <= 10, "lambda10 in [0, 10]")
+    // the greedy loop reads ids back as longs: demand an integral id
+    // up front instead of a mid-loop ClassCastException, and a
+    // NONZERO query instead of NaN relevance sorting silently last
+    // (round-11 review). Zero-norm stored vectors have no direction
+    // and are excluded below for the same reason.
+    require(Seq("bigint", "int", "smallint")
+        .contains(emb.schema(idCol).dataType.simpleString),
+      s"mmrTopK needs an integral id column; '$idCol' is " +
+        emb.schema(idCol).dataType.simpleString)
     val qn = {
       val n = math.sqrt(query.map(x => x * x).sum)
+      require(n > 0, "query vector must be nonzero")
       query.map(_ / n)
     }
-    val cand = emb.select(col(idCol).as("vec_id"),
+    val cand = emb
+      .filter(ExprUtils.let(Similarity.toDouble(col(vecCol))) { v =>
+        Similarity.dot(v, v) > 0 })
+      .select(col(idCol).cast("long").as("vec_id"),
         ExprUtils.let(Similarity.toDouble(col(vecCol))) { v =>
           ExprUtils.let(Similarity.norm(v)) { n =>
             transform(v, x => x / n)
