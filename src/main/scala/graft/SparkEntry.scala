@@ -362,6 +362,42 @@ object SparkEntry {
        |ORDER BY mmr_rank""".stripMargin
   }
 
+  /** The winnow pair-matching oracle (k=4, w=5, df<=20, shared>=2) —
+    * shared VERBATIM by d66 (one-shot) and d68 (append-only index
+    * replay): the replay's contract IS equality with the one-shot. */
+  private def duckWinnowPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
+       |  FROM documents),
+       |pg AS (SELECT doc_id,
+       |    unnest(generate_series(1, greatest(len(toks)-3, 0)))
+       |      AS pos,
+       |    unnest(list_transform(
+       |      generate_series(1, greatest(len(toks)-3, 0)),
+       |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+       |  FROM t),
+       |ph AS (SELECT doc_id, pos, ${duckHash60("gram")} AS h
+       |  FROM pg),
+       |ky AS (SELECT doc_id, pos,
+       |    CAST(h AS HUGEINT) * 16777216 + (16777216 - pos)
+       |      AS key FROM ph),
+       |sw AS (SELECT doc_id, pos, MIN(key) OVER (
+       |    PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS skey
+       |  FROM ky),
+       |sel AS (SELECT DISTINCT doc_id, skey FROM sw
+       |  WHERE pos >= 5),
+       |fh AS (SELECT DISTINCT doc_id, skey // 16777216 AS h
+       |  FROM sel),
+       |wdf AS (SELECT h FROM fh GROUP BY h
+       |  HAVING count(*) <= 20),
+       |fk AS (SELECT doc_id, h FROM fh JOIN wdf USING (h))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fk a JOIN fk b ON a.h = b.h
+       |  AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY id_a, id_b LIMIT 5000""".stripMargin
+
   /** The binary-segmentation oracle over events' hourly value-micro
     * buckets — shared VERBATIM by q82 (one-shot) and q83 (stream
     * replay): the replay's contract IS equality with the one-shot. */
@@ -6427,37 +6463,26 @@ object SparkEntry {
           table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5,
           maxDf = 20, minShared = 2)
         .orderBy("id_a", "id_b").limit(5000),
-      Some(s"""WITH t AS (SELECT doc_id, str_split(text,' ') AS toks
-             |  FROM documents),
-             |pg AS (SELECT doc_id,
-             |    unnest(generate_series(1, greatest(len(toks)-3, 0)))
-             |      AS pos,
-             |    unnest(list_transform(
-             |      generate_series(1, greatest(len(toks)-3, 0)),
-             |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
-             |  FROM t),
-             |ph AS (SELECT doc_id, pos, ${duckHash60("gram")} AS h
-             |  FROM pg),
-             |ky AS (SELECT doc_id, pos,
-             |    CAST(h AS HUGEINT) * 16777216 + (16777216 - pos)
-             |      AS key FROM ph),
-             |sw AS (SELECT doc_id, pos, MIN(key) OVER (
-             |    PARTITION BY doc_id ORDER BY pos
-             |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS skey
-             |  FROM ky),
-             |sel AS (SELECT DISTINCT doc_id, skey FROM sw
-             |  WHERE pos >= 5),
-             |fh AS (SELECT DISTINCT doc_id, skey // 16777216 AS h
-             |  FROM sel),
-             |wdf AS (SELECT h FROM fh GROUP BY h
-             |  HAVING count(*) <= 20),
-             |fk AS (SELECT doc_id, h FROM fh JOIN wdf USING (h))
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(count(*) AS BIGINT) AS n_shared
-             |FROM fk a JOIN fk b ON a.h = b.h
-             |  AND a.doc_id < b.doc_id
-             |GROUP BY 1, 2 HAVING count(*) >= 2
-             |ORDER BY id_a, id_b LIMIT 5000""".stripMargin)),
+      Some(duckWinnowPairsSql)),
+
+    // Append-only fingerprint-INDEX replay: winnow fingerprints are a
+    // PER-DOCUMENT function, so a standing index maintains itself by
+    // pure append — keys(A ∪ B) = keys(A) ∪ keys(B), no cross-doc
+    // state to re-converge (contrast d50's band index and d44's star
+    // edges). Three deterministic batches' key-frames unioned and
+    // matched must equal the ONE-SHOT d66 (its oracle, verbatim).
+    "d68_winnow_index_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val keys = (0 until 3).map(b =>
+            Dedup.winnowKeys(
+              docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+              "doc_id", "text", k = 4, w = 5))
+          .reduce(_ unionAll _)
+        Dedup.winnowedPairsFromKeys(keys, maxDf = 20, minShared = 2)
+          .orderBy("id_a", "id_b").limit(5000)
+      },
+      Some(duckWinnowPairsSql)),
 
     // Per-edge structural support (common neighbors, Adamic-Adar,
     // neighborhood Jaccard) — the edge-pruning pass BEFORE clustering:

@@ -1298,9 +1298,23 @@ object Dedup {
     * maxDf)² per hash. Returns (id_a, id_b, n_shared). */
   def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int, maxDf: Int = 20,
-                    minShared: Int = 2): DataFrame = {
+                    minShared: Int = 2): DataFrame =
+    winnowedPairsFromKeys(winnowKeys(docs, idCol, textCol, k, w),
+      maxDf, minShared)
+
+  /** The matching tail of [[winnowedPairs]] over an ALREADY-computed
+    * (id, key) fingerprint frame — exposed separately because winnow
+    * fingerprints are a PER-DOCUMENT function: a standing fingerprint
+    * INDEX maintains itself append-only (keys(A ∪ B) = keys(A) ∪
+    * keys(B), no cross-doc state to re-converge, unlike the LSH
+    * band index's verified pairs or CC's star edges), and matching is
+    * a query against the accumulated keys. d68 replays exactly that:
+    * three batch key-frames unioned must match the one-shot d66
+    * bit-for-bit. */
+  def winnowedPairsFromKeys(keys: DataFrame, maxDf: Int,
+                            minShared: Int): DataFrame = {
     val M = 1L << 24
-    val fh = winnowKeys(docs, idCol, textCol, k, w)
+    val fh = keys
       .select(col("id"),
         ((col("key") - pmod(col("key"), lit(M))) / lit(M))
           .cast("decimal(38,0)").as("h"))
