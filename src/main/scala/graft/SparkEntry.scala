@@ -5362,6 +5362,42 @@ object SparkEntry {
              |  ELSE NULL END AS z
              |FROM ag, md""".stripMargin)),
 
+    // One-way ANOVA F: does MEAN document length differ across the
+    // languages — the many-group completion of the q75/q79 mean
+    // comparisons. Per-group n·m² terms quantize to integer micro
+    // BEFORE the cross-group sum (a float accumulation would be
+    // order-dependent); F is two integer-ratio divisions, mirrored.
+    "q87_anova_f" -> Q(
+      (s, dir) => graft.pipeline.Eval.anovaF(
+        table(s, dir, "documents"), col("n_chars"), col("lang")),
+      Some("""WITH ad AS (SELECT lang AS g,
+             |    CAST(n_chars AS HUGEINT) AS v FROM documents
+             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             |ag AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             |    coalesce(sum(v), 0) AS sg,
+             |    coalesce(sum(v * v), 0) AS qg
+             |  FROM ad GROUP BY g),
+             |at2 AS (SELECT g, ng, sg, qg,
+             |    CAST(ROUND(1e6 * (CAST(sg AS DOUBLE) / ng)
+             |      * (CAST(sg AS DOUBLE) / ng) * ng) AS HUGEINT)
+             |      AS term FROM ag),
+             |aa AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ng) AS BIGINT) AS n,
+             |    coalesce(sum(qg), 0) AS ssq,
+             |    coalesce(sum(sg), 0) AS s,
+             |    coalesce(sum(term), 0) AS sumterm FROM at2)
+             |SELECT k AS k_groups, n, k - 1 AS df1, n - k AS df2,
+             |  CASE WHEN k >= 2 AND n > k
+             |    AND (1000000 * ssq - sumterm) > 0 THEN
+             |    ROUND((CAST(sumterm - CAST(ROUND(1e6
+             |        * (CAST(s AS DOUBLE) / n)
+             |        * (CAST(s AS DOUBLE) / n) * n) AS HUGEINT)
+             |        AS DOUBLE) / (k - 1))
+             |      / (CAST(1000000 * ssq - sumterm AS DOUBLE)
+             |        / (n - k)), 6)
+             |  ELSE NULL END AS f_stat
+             |FROM aa""".stripMargin)),
+
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
     // integer micro log10/token under the SAME corpus model, then 64

@@ -1386,6 +1386,56 @@ object Eval {
           .as("z"))
   }
 
+  /** One-way ANOVA F over `value` across the groups of `group` — the
+    * MANY-group completion of the comparison family: q75/q79 ask "do
+    * these TWO means differ", this asks "does ANY of the k group
+    * means differ" in one statistic (Fisher's F = between-group over
+    * within-group mean square). One corpus scan to per-group exact
+    * co-moments (count, Σv, Σv² in decimal — map-side combine), then
+    * everything rides the ≤k-row group frame.
+    *
+    * Cross-group exactness: SSB and SSW are sums of per-group
+    * RATIONALS (S_g²/n_g), which a float accumulation would make
+    * order-dependent — so each group's n_g·m_g² quantizes to an
+    * integer MICRO term (one division, one round — the d28
+    * discipline) BEFORE the cross-group sum, and Σv² scales to micro
+    * exactly in decimal. F is then two integer-ratio divisions in the
+    * mirrored order, ROUND 6; NULL when k < 2, n ≤ k, or the
+    * within-group mass is 0 (all groups constant). Returns one row
+    * (k_groups, n, df1, df2, f_stat). */
+  def anovaF(df: DataFrame, value: Column, group: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val per = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .groupBy("g").agg(count(lit(1)).as("ng"),
+        coalesce(sum(dec(col("v"))), z0).as("sg"),
+        coalesce(sum(dec(col("v")) * dec(col("v"))), z0).as("qg"))
+    val withTerm = per.withColumn("term",
+      round(lit(1e6) * (col("sg").cast("double") / col("ng")) *
+        (col("sg").cast("double") / col("ng")) * col("ng"))
+        .cast("decimal(38,0)"))
+    val gterm = round(lit(1e6) *
+      (col("s").cast("double") / col("n")) *
+      (col("s").cast("double") / col("n")) * col("n"))
+      .cast("decimal(38,0)")
+    val ssb = (col("sumterm") - gterm).cast("double")
+    val ssw = (col("ssq") * lit(1000000L) - col("sumterm"))
+    withTerm.agg(
+        count(lit(1)).as("k"),
+        sum(col("ng")).as("n"),
+        coalesce(sum(col("qg")), z0).as("ssq"),
+        coalesce(sum(col("sg")), z0).as("s"),
+        coalesce(sum(col("term")), z0).as("sumterm"))
+      .select(col("k").as("k_groups"), col("n"),
+        (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
+        when(col("k") >= 2L && col("n") > col("k") && ssw > 0,
+          round((ssb / (col("k") - 1L)) /
+            (ssw.cast("double") / (col("n") - col("k"))), 6))
+          .as("f_stat"))
+  }
+
   /** Paired bootstrap significance test (Koehn, EMNLP 2004 — the
     * standard NLP system-comparison test) over per-item metric
     * DELTAS: given one row per item with an integer-micro delta

@@ -878,6 +878,28 @@ class EvalSpec extends AnyFunSuite {
       (2L, "left", 5L, 1L, 0.0)), one.mkString("\n"))
   }
 
+  test("anovaF: hand-computed F, degenerate contracts") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, Long)]) =
+      Eval.anovaF(rows.toDF("g", "v"), col("v"), col("g")).head()
+    // groups a=[1,2,3] b=[2,4,6] c=[10,10]: means 2/4/10, grand 4.75;
+    // SSB = 3*(2-4.75)^2 + 3*(4-4.75)^2 + 2*(10-4.75)^2 = 79.5;
+    // SSW = 2 + 8 + 0 = 10; F = (79.5/2)/(10/5) = 19.875
+    val g = run(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+      "b" -> 2L, "b" -> 4L, "b" -> 6L, "c" -> 10L, "c" -> 10L))
+    assert((g.getLong(0), g.getLong(1), g.getLong(2), g.getLong(3))
+      === ((3L, 8L, 2L, 5L)), s"counts: $g")
+    assert(g.getDouble(4) === 19.875, s"F: $g")
+    // one group: F undefined
+    val one = run(Seq("a" -> 1L, "a" -> 2L))
+    assert(one.getLong(0) === 1L && one.isNullAt(4), s"one: $one")
+    // all groups constant: zero within-group mass -> NULL, never a
+    // division blowup
+    val const = run(Seq("a" -> 5L, "a" -> 5L, "b" -> 9L, "b" -> 9L))
+    assert(const.isNullAt(4), s"const: $const")
+  }
+
   test("runsTest: hand-computed runs, clumped vs alternating, degenerates") {
     val s = spark
     import s.implicits._
