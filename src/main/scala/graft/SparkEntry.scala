@@ -5398,6 +5398,45 @@ object SparkEntry {
              |  ELSE NULL END AS f_stat
              |FROM aa""".stripMargin)),
 
+    // Kruskal-Wallis H: the rank-based twin of q87's ANOVA (as MW is
+    // to Welch) — does ANY language's length distribution sit higher,
+    // robust to the heavy tails that move means. Pooled midranks ride
+    // the shared MW machinery; per-class R2^2/(4n) terms quantize to
+    // micro before the cross-class sum; tie-corrected H mirrored.
+    "q88_kruskal_wallis" -> Q(
+      (s, dir) => graft.pipeline.Eval.kruskalWallisH(
+        table(s, dir, "documents"), col("n_chars"), col("lang")),
+      Some("""WITH kd AS (SELECT lang AS cl,
+             |    CAST(n_chars AS DOUBLE) AS v FROM documents
+             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             |kcv AS (SELECT cl, v, CAST(count(*) AS HUGEINT) AS cvc
+             |  FROM kd GROUP BY cl, v),
+             |kv AS (SELECT v, sum(cvc) AS c FROM kcv GROUP BY v),
+             |kr AS (SELECT v, c,
+             |    2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS r2
+             |  FROM kv),
+             |kc AS (SELECT cl, sum(cvc) AS ncl,
+             |    coalesce(sum(cvc * kr.r2), 0) AS r2sum
+             |  FROM kcv JOIN kr USING (v) GROUP BY cl),
+             |kt AS (SELECT cl, ncl, r2sum,
+             |    CAST(ROUND(1e6 * CAST(r2sum * r2sum AS DOUBLE)
+             |      / (4 * ncl)) AS HUGEINT) AS term FROM kc),
+             |ka AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ncl) AS BIGINT) AS n,
+             |    coalesce(sum(term), 0) AS sumterm FROM kt),
+             |kb AS (SELECT coalesce(sum(c * c * c - c), 0) AS tt,
+             |    CAST(sum(c) AS BIGINT) AS n2 FROM kv)
+             |SELECT k AS k_groups, n, CAST(tt AS BIGINT) AS tie_t,
+             |  CASE WHEN k >= 2 AND n >= 2
+             |    AND 1.0 - CAST(tt AS DOUBLE)
+             |      / (CAST(n AS DOUBLE) * n * n - n) > 0 THEN
+             |    ROUND((12.0 * CAST(sumterm AS DOUBLE) / 1e6
+             |        / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+             |      / (1.0 - CAST(tt AS DOUBLE)
+             |        / (CAST(n AS DOUBLE) * n * n - n)), 6)
+             |  ELSE NULL END AS h_stat
+             |FROM ka JOIN kb ON ka.n = kb.n2""".stripMargin)),
+
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
     // integer micro log10/token under the SAME corpus model, then 64

@@ -1386,6 +1386,70 @@ object Eval {
           .as("z"))
   }
 
+  /** Kruskal–Wallis H across the groups of `group` — the RANK-based
+    * twin of [[anovaF]], exactly as Mann–Whitney is to Welch: does
+    * ANY group's distribution sit higher, robust to the heavy tails
+    * and outliers that move means. Pooled average-tie midranks ride
+    * the shared [[midrankDoubled]] machinery (no global window over a
+    * data-sized frame); per-class doubled rank sums R2 are exact
+    * integer aggregates; each class term R2²/(4n_cl) quantizes to an
+    * integer MICRO before the cross-class sum (the q87 order-freedom
+    * discipline — R2² stays exact in decimal, the one division per
+    * class is deterministic), and the tie-corrected
+    * H = [12·Σterm/1e6/(n(n+1)) − 3(n+1)] / (1 − T/(n³−n)) is a
+    * mirrored double expression, ROUND 6 — NULL when k < 2, n < 2,
+    * or every pooled value ties (the correction hits 0). Returns one
+    * row (k_groups, n, tie_t, h_stat). */
+  def kruskalWallisH(df: DataFrame, value: Column, group: Column,
+                     cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val data = df.select(group.cast("string").as("cl"),
+        value.cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("cl").isNotNull)
+    // pinned: feeds the pooled value table AND the per-class join
+    val cv = data.groupBy("cl", "v").agg(count(lit(1)).as("cvc"))
+      .localCheckpoint()
+    val vals = cv.groupBy("v").agg(sum(col("cvc")).as("c"))
+      .localCheckpoint()
+    val mmRow = vals.agg(min(col("v")), max(col("v"))).head()
+    val (lo, hi) =
+      if (mmRow.isNullAt(0)) (0.0, 0.0)
+      else (mmRow.getDouble(0), mmRow.getDouble(1))
+    val ranked = midrankDoubled(vals, "v", "c", lo, hi, cells)
+    val perClass = cv
+      .join(ranked.select(col("v"), col("r2")), "v")
+      .groupBy("cl").agg(sum(col("cvc")).as("ncl"),
+        coalesce(sum(dec(col("cvc")) * dec(col("r2"))), z0)
+          .as("r2sum"))
+      .withColumn("term",
+        round(lit(1e6) *
+          (col("r2sum") * col("r2sum")).cast("double") /
+          (lit(4L) * col("ncl"))).cast("decimal(38,0)"))
+    val ca = perClass.agg(count(lit(1)).as("k"),
+      sum(col("ncl")).as("n"),
+      coalesce(sum(col("term")), z0).as("sumterm"))
+    val va = vals.agg(
+      coalesce(sum(dec(col("c")) * dec(col("c")) * dec(col("c")) -
+        dec(col("c"))), z0).as("tt"),
+      sum(col("c")).as("n2"))
+    val corr = lit(1.0) - col("tt").cast("double") /
+      (col("n").cast("double") * col("n") * col("n") - col("n"))
+    val h0 = lit(12.0) * col("sumterm").cast("double") / lit(1e6) /
+      (col("n").cast("double") * (col("n") + lit(1L))) -
+      lit(3.0) * (col("n") + lit(1L))
+    // the two 1-row audits meet on the attribute-dependent key
+    // n == n2 (both counted the pooled rows — the d64 convention;
+    // a constant key would plan the banned BNLJ)
+    ca.join(broadcast(va), col("n") === col("n2"))
+      .select(col("k").as("k_groups"), col("n"),
+        col("tt").cast("long").as("tie_t"),
+        when(col("k") >= 2L && col("n") >= 2L && corr > 0,
+          round(h0 / corr, 6)).as("h_stat"))
+  }
+
   /** One-way ANOVA F over `value` across the groups of `group` — the
     * MANY-group completion of the comparison family: q75/q79 ask "do
     * these TWO means differ", this asks "does ANY of the k group

@@ -900,6 +900,31 @@ class EvalSpec extends AnyFunSuite {
     assert(const.isNullAt(4), s"const: $const")
   }
 
+  test("kruskalWallisH: hand-computed tie-corrected H, degenerates") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, Long)]) =
+      Eval.kruskalWallisH(rows.toDF("g", "v"), col("v"), col("g"))
+        .head()
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // same corpus as the ANOVA golden: pooled ranks
+    // 1->1, {2,2}->2.5, 3->4, 4->5, 6->6, {10,10}->7.5;
+    // R_a=7.5 R_b=13.5 R_c=15 -> sum R^2/n = 192;
+    // H0 = 12*192/(8*9) - 27 = 5; T = 2*(8-2) = 12;
+    // H = 5 / (1 - 12/504)
+    val g = run(Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+      "b" -> 2L, "b" -> 4L, "b" -> 6L, "c" -> 10L, "c" -> 10L))
+    assert((g.getLong(0), g.getLong(1), g.getLong(2))
+      === ((3L, 8L, 12L)), s"counts: $g")
+    assert(g.getDouble(3) === r6(5.0 / (1.0 - 12.0 / 504.0)),
+      s"H: $g")
+    // one group: undefined
+    assert(run(Seq("a" -> 1L, "a" -> 2L)).isNullAt(3))
+    // every pooled value tied: the correction hits 0 -> NULL
+    assert(run(Seq("a" -> 7L, "a" -> 7L, "b" -> 7L)).isNullAt(3))
+  }
+
   test("runsTest: hand-computed runs, clumped vs alternating, degenerates") {
     val s = spark
     import s.implicits._
