@@ -5437,6 +5437,190 @@ object SparkEntry {
              |  ELSE NULL END AS h_stat
              |FROM ka JOIN kb ON ka.n = kb.n2""".stripMargin)),
 
+    // Brown–Forsythe W: does the VARIANCE of document length differ
+    // across languages — the dispersion companion that validates
+    // q87's equal-variance reading. Per-language exact lower medians
+    // (the grouped narrowing selector, weight 1), one broadcast
+    // deviation scan, then the q87 ANOVA on |v − med| (integral
+    // deviations — the median is a data value).
+    "q89_brown_forsythe" -> Q(
+      (s, dir) => graft.pipeline.Eval.brownForsytheF(
+        table(s, dir, "documents"), col("n_chars"), col("lang"),
+        buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT lang AS g,
+             |    CAST(n_chars AS BIGINT) AS v FROM documents
+             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+             |t AS (SELECT g, CAST(count(*) AS BIGINT) AS wt
+             |  FROM s GROUP BY g),
+             |kx AS (SELECT g, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT g, v, CAST(count(*) OVER (PARTITION BY g
+             |    ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw FROM s),
+             |m AS (SELECT kx.g,
+             |    (SELECT min(v) FROM c
+             |     WHERE c.g = kx.g AND c.cw >= kx.k) AS med
+             |  FROM kx),
+             |ad AS (SELECT s.g, CAST(abs(s.v - m.med) AS HUGEINT)
+             |    AS v FROM s JOIN m ON m.g = s.g),
+             |ag AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+             |    coalesce(sum(v), 0) AS sg,
+             |    coalesce(sum(v * v), 0) AS qg
+             |  FROM ad GROUP BY g),
+             |at2 AS (SELECT g, ng, sg, qg,
+             |    CAST(ROUND(1e6 * (CAST(sg AS DOUBLE) / ng)
+             |      * (CAST(sg AS DOUBLE) / ng) * ng) AS HUGEINT)
+             |      AS term FROM ag),
+             |aa AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             |    CAST(sum(ng) AS BIGINT) AS n,
+             |    coalesce(sum(qg), 0) AS ssq,
+             |    coalesce(sum(sg), 0) AS s,
+             |    coalesce(sum(term), 0) AS sumterm FROM at2)
+             |SELECT k AS k_groups, n, k - 1 AS df1, n - k AS df2,
+             |  CASE WHEN k >= 2 AND n > k
+             |    AND (1000000 * ssq - sumterm) > 0 THEN
+             |    ROUND((CAST(sumterm - CAST(ROUND(1e6
+             |        * (CAST(s AS DOUBLE) / n)
+             |        * (CAST(s AS DOUBLE) / n) * n) AS HUGEINT)
+             |        AS DOUBLE) / (k - 1))
+             |      / (CAST(1000000 * ssq - sumterm AS DOUBLE)
+             |        / (n - k)), 6)
+             |  ELSE NULL END AS w_stat
+             |FROM aa""".stripMargin)),
+
+    // Jarque–Bera normality audit of the document-length
+    // distribution: exact decimal power sums Σv..Σv⁴ in ONE
+    // aggregation, then skewness/kurtosis/JB as mirrored double
+    // expressions over those exact integers — decides whether the
+    // z-scored monitors (q38's ±3σ, q41's bins) mean what they claim.
+    "q90_jarque_bera" -> Q(
+      (s, dir) => graft.pipeline.Eval.jarqueBera(
+        table(s, dir, "documents"), col("n_chars")),
+      Some("""WITH s AS (SELECT CAST(n_chars AS HUGEINT) AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    coalesce(sum(v), 0) AS s1,
+             |    coalesce(sum(v * v), 0) AS s2,
+             |    coalesce(sum(v * v * v), 0) AS s3,
+             |    coalesce(sum(v * v * v * v), 0) AS s4 FROM s),
+             |m AS (SELECT n,
+             |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+             |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+             |  FROM a),
+             |cm AS (SELECT n, mu,
+             |    r2 - mu * mu AS m2,
+             |    r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+             |    r4 - 4.0 * mu * r3 + 6.0 * (mu * mu) * r2
+             |      - 3.0 * (mu * mu) * (mu * mu) AS m4
+             |  FROM m),
+             |st AS (SELECT n, mu, m2,
+             |    m3 / (m2 * sqrt(m2)) AS g1,
+             |    m4 / (m2 * m2) AS g2
+             |  FROM cm WHERE n >= 2 AND m2 > 0)
+             |SELECT a.n,
+             |  CASE WHEN a.n >= 1 THEN ROUND(CAST(a.s1 AS DOUBLE)
+             |    / CAST(a.n AS DOUBLE), 6) ELSE NULL END AS mean,
+             |  ROUND(st.g1, 6) AS skew_g1,
+             |  ROUND(st.g2, 6) AS kurt_g2,
+             |  ROUND(CAST(a.n AS DOUBLE) / 6.0 * (st.g1 * st.g1
+             |    + (st.g2 - 3.0) * (st.g2 - 3.0) / 4.0), 6)
+             |    AS jb_stat
+             |FROM a LEFT JOIN st ON a.n = st.n""".stripMargin)),
+
+    // Friedman Q: within each hour (the block) rank the event types'
+    // mean values against each other — does any type systematically
+    // run hot ACROSS hours, with the hour effect removed (the
+    // blocked question q88's pooled ranks cannot ask). Complete
+    // blocks only; doubled midranks over ≤k-row block windows; the
+    // tie-robust Q is exact integers into one mirrored division.
+    "q91_friedman" -> Q(
+      (s, dir) => graft.pipeline.Eval.friedmanQ(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"),
+        col("event_type")),
+      Some("""WITH ec AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS b, event_type AS t,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |    AND value IS NOT NULL AND NOT isnan(value)),
+             |cm AS (SELECT b, t, CAST(round(CAST(sum(v) AS DOUBLE)
+             |    / count(*)) AS BIGINT) AS m
+             |  FROM ec GROUP BY b, t),
+             |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k
+             |  FROM cm),
+             |bc AS (SELECT b, t, m,
+             |    count(*) OVER (PARTITION BY b) AS nb FROM cm),
+             |cb AS (SELECT b, t, m FROM bc, kk WHERE bc.nb = kk.k),
+             |rk AS (SELECT b, t,
+             |    2 * rank() OVER (PARTITION BY b ORDER BY m)
+             |      + count(*) OVER (PARTITION BY b, m) - 1 AS r2
+             |  FROM cb),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) AS nk,
+             |    CAST(coalesce(sum(CAST(r2 AS HUGEINT) * r2), 0)
+             |      AS BIGINT) AS a2 FROM rk),
+             |nn AS (SELECT CASE WHEN k = 0 THEN 0 ELSE nk // k END
+             |    AS n, k, a2 FROM ag, kk),
+             |pt AS (SELECT t, CAST(sum(r2) AS BIGINT) AS r2j
+             |  FROM rk GROUP BY t),
+             |nm AS (SELECT CAST(coalesce(sum(
+             |    (r2j - n * (k + 1)) * (r2j - n * (k + 1))), 0)
+             |    AS BIGINT) AS num FROM pt, nn)
+             |SELECT k AS k_treatments, n AS n_blocks,
+             |  CASE WHEN k >= 2 AND n >= 1
+             |    AND (a2 - n * k * (k + 1) * (k + 1)) > 0 THEN
+             |    ROUND(CAST(k - 1 AS DOUBLE) * CAST(num AS DOUBLE)
+             |      / CAST(a2 - n * k * (k + 1) * (k + 1) AS DOUBLE),
+             |      6)
+             |  ELSE NULL END AS q_stat
+             |FROM nn, nm""".stripMargin)),
+
+    // Exact ACF at lags 1..8 over the hourly mean series (the q84/q86
+    // series, one shared builder): the stream's memory profile —
+    // slow decay is the drift the changepoint family localizes,
+    // negative lag-1 is flapping. Deviations scale by n (d = n·m − S,
+    // exact integers; the n² cancels in the ratio), lag pairs ride a
+    // gap-aware equi-join on the ≤B-row bucket frame.
+    "q92_acf" -> Q(
+      (s, dir) => graft.pipeline.Eval.acf(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"), maxLag = 8),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
+             |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
+             |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
+             |lg AS (SELECT unnest(generate_series(1, 8)) AS lag),
+             |pr AS (SELECT lg.lag, a.d AS da, b.d AS db
+             |  FROM dd a CROSS JOIN lg
+             |  JOIN dd b ON a.x + lg.lag = b.x),
+             |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    coalesce(sum(da * db), 0) AS num
+             |  FROM pr GROUP BY lag)
+             |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  CASE WHEN den > 0 THEN
+             |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             |  ELSE NULL END AS acf
+             |FROM ag, dn ORDER BY lag""".stripMargin)),
+
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
     // integer micro log10/token under the SAME corpus model, then 64

@@ -1746,6 +1746,205 @@ object Eval {
           6)).as("df_ws")): _*)
   }
 
+  /** Brown–Forsythe test (Levene's test with the median center,
+    * Brown & Forsythe 1974) — does VARIANCE differ across the k
+    * groups: the dispersion companion of the location family
+    * (q87 asks "do the means differ", this asks "do the spreads",
+    * and it is the check that validates q87's equal-variance
+    * reading). W = the one-way ANOVA F computed on the absolute
+    * deviations |v − median_g| — the median center is what makes it
+    * robust to the heavy tails that wreck the classical Levene mean
+    * form.
+    *
+    * Shape at scale: per-group medians come from the grouped
+    * narrowing selector ([[graft.ops.DistributedSelect
+    * .groupedWeightedQuantile]] at q=0.5, weight 1 — log_B(n) shared
+    * pushable scans, max over groups not sum), the ≤k-row median
+    * frame broadcasts back for one deviation scan, and the rest IS
+    * [[anovaF]] (exact decimal co-moments, per-group micro terms
+    * before the cross-group sum). Integer inputs keep |v − med|
+    * exactly integral (the lower-median is a data value), so the
+    * deviation ANOVA stays engine-exact. Returns one row
+    * (k_groups, n, df1, df2, w_stat). */
+  def brownForsytheF(df: DataFrame, value: Column, group: Column,
+                     buckets: Int = 32,
+                     threshold: Long = 500): DataFrame = {
+    val data = df.select(group.cast("string").as("g"),
+        value.cast("long").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val med = graft.ops.DistributedSelect.groupedWeightedQuantile(
+        data.withColumn("w", lit(1L)), "g", "v", "w", q = 0.5,
+        buckets = buckets, threshold = threshold)
+      .select(col("g"), col("value").as("med"))
+    val dev = data.join(broadcast(med), "g")
+      .select(col("g"),
+        abs(col("v").cast("double") - col("med")).as("dv"))
+    anovaF(dev, col("dv"), col("g"))
+      .withColumnRenamed("f_stat", "w_stat")
+  }
+
+  /** Jarque–Bera normality test (Jarque & Bera 1980) over an
+    * integer-valued column: sample skewness g1 and excess-prone
+    * kurtosis g2 from EXACT central moments, and
+    * JB = n/6·(g1² + (g2−3)²/4) — the corpus-audit question "is this
+    * distribution even roughly normal", which decides whether the
+    * z-scored monitors upstream (q38's ±3σ buckets, q41's PSI bins)
+    * mean what they claim.
+    *
+    * Exactness: ONE aggregation collects the four raw power sums
+    * Σv..Σv⁴ in decimal(38,0) (map-side combine; order-free), and
+    * every moment/ratio after that is a single mirrored double
+    * expression over those exact integers — no data-dependent
+    * summation order anywhere. Integer inputs only (the power sums
+    * must stay exact; a micro-scaled column would overflow the
+    * fourth power — callers quantize COARSELY first if needed).
+    * NULL statistics when n < 2 or the variance is 0. Returns one
+    * row (n, mean, skew_g1, kurt_g2, jb_stat). */
+  def jarqueBera(df: DataFrame, value: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val v = col("v")
+    val a = df.select(value.cast("long").as("v"))
+      .filter(v.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(dec(v)), z0).as("s1"),
+        coalesce(sum(dec(v) * dec(v)), z0).as("s2"),
+        coalesce(sum(dec(v) * dec(v) * dec(v)), z0).as("s3"),
+        coalesce(sum(dec(v) * dec(v) * dec(v) * dec(v)), z0).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mu * mu
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mu * (col("s2").cast("double") / nD) +
+      lit(2.0) * mu * mu * mu
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mu * (col("s3").cast("double") / nD) +
+      lit(6.0) * (mu * mu) * (col("s2").cast("double") / nD) -
+      lit(3.0) * (mu * mu) * (mu * mu)
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / lit(6.0) *
+      (skew * skew + (kurt - lit(3.0)) * (kurt - lit(3.0)) / lit(4.0))
+    // divisions stay INSIDE the guarded branch (the welchFinish ANSI
+    // discipline); with n >= 2 and m2 > 0 every denominator is > 0
+    val ok = col("n") >= 2L && m2 > 0
+    a.select(col("n"),
+      when(col("n") >= 1L, round(mu, 6)).as("mean"),
+      when(ok, round(skew, 6)).as("skew_g1"),
+      when(ok, round(kurt, 6)).as("kurt_g2"),
+      when(ok, round(jb, 6)).as("jb_stat"))
+  }
+
+  /** Friedman test (Friedman 1937) — the BLOCKED k-treatment rank
+    * test: within each block (a time bucket) rank the k treatments'
+    * cell means against each other, then ask whether any treatment
+    * systematically ranks higher across blocks. The within-block
+    * ranking is what removes the block effect (a hot hour lifts all
+    * treatments together), which the unblocked Kruskal–Wallis (q88)
+    * cannot do. Only COMPLETE blocks (all k treatments present)
+    * participate — the standard treatment.
+    *
+    * Exactness: cell means quantize to micro (one rounded division
+    * per cell); within-block DOUBLED midranks r2 = 2·rank + eq − 1
+    * are exact integers over ≤k-row block partitions (bounded
+    * windows, never a data-sized sort); and the tie-robust statistic
+    * Q = (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (Σ r2² − nk(k+1)²) is exact
+    * integers into ONE division (the doubled-rank /4s cancel —
+    * that is why the doubling works), ROUND 6. k, n and the
+    * denominator are bounded 1-row parameter fetches (folded as
+    * literals — the constant-key-join ban). NULL when k < 2, n < 1,
+    * or every block ties completely. Returns one row
+    * (k_treatments, n_blocks, q_stat). */
+  def friedmanQ(df: DataFrame, valueMicro: Column, block: Column,
+                treatment: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val cells = df.select(block.cast("long").as("b"),
+        treatment.cast("string").as("t"),
+        valueMicro.cast("long").as("v"))
+      .filter(col("b").isNotNull && col("t").isNotNull &&
+        col("v").isNotNull)
+      .groupBy("b", "t")
+      .agg(round(sum(dec(col("v"))).cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+      .localCheckpoint()
+    // 1-row bounded parameter fetch: the treatment count
+    val k = cells.agg(countDistinct(col("t"))).head().getLong(0)
+    val wb = Window.partitionBy("b")
+    val ranked = cells
+      .withColumn("bc", count(lit(1)).over(wb))
+      .filter(col("bc") === k)
+      .withColumn("r2",
+        lit(2L) * rank().over(Window.partitionBy("b").orderBy("m")) +
+          count(lit(1)).over(Window.partitionBy("b", "m")) - lit(1L))
+      .localCheckpoint()
+    // 1-row bounded audit fetch: block count and the rank-square mass
+    val agRow = ranked.agg(count(lit(1)).as("nk"),
+      coalesce(sum(dec(col("r2")) * dec(col("r2"))), z0).as("a2"))
+      .head()
+    val n = if (k == 0L) 0L else agRow.getLong(0) / k
+    val a2 = BigDecimal(agRow.getDecimal(1)).toLong
+    val denom = a2 - n * k * (k + 1) * (k + 1)
+    ranked.groupBy("t").agg(sum(col("r2")).as("r2j"))
+      .agg(coalesce(sum(
+        dec(col("r2j") - lit(n * (k + 1))) *
+          dec(col("r2j") - lit(n * (k + 1)))), z0).as("num"))
+      .select(lit(k).as("k_treatments"), lit(n).as("n_blocks"),
+        when(lit(k >= 2L && n >= 1L && denom > 0L),
+          round(lit((k - 1).toDouble) * col("num").cast("double") /
+            lit(denom.toDouble), 6))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
+  /** Exact autocorrelation function of the per-bucket mean series at
+    * lags 1..maxLag — the memory profile of the metric stream: a slow
+    * ACF decay is the drift the changepoint family localizes, a
+    * negative lag-1 is oscillation (load-balancer flapping), near-zero
+    * everywhere is the well-mixed stream the monitors assume. The
+    * series is the SAME bucket-mean construction as q84/q86 (one
+    * shared builder — the tests cannot drift onto different series).
+    *
+    * Exactness: with n buckets and S = Σm, each deviation scales by n
+    * (d = n·m − S, an exact integer — no float mean anywhere), so
+    * r_k = Σ d_t·d_{t+k} / Σ d_t² is exact decimal integers into ONE
+    * mirrored double division per lag (the n² factors cancel). Lag
+    * pairs come from an equi-join on x+lag over the ≤B-row bucket
+    * frame (gap-aware: a missing hour simply contributes no pair —
+    * never a positional window that would silently bridge gaps).
+    * n and S are 1-row bounded parameter fetches. Lags with no pairs
+    * emit no row; a constant series reports NULL acf. Returns
+    * (lag, n_pairs, acf) ordered by lag. */
+  def acf(df: DataFrame, valueMicro: Column, bucket: Column,
+          maxLag: Int = 8): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1, 1000] (got $maxLag)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
+    // 1-row bounded parameter fetch: bucket count + series sum
+    val nsRow = mm.agg(count(lit(1)),
+      coalesce(sum(col("m")), lit(0L))).head()
+    val n = nsRow.getLong(0)
+    val sSum = nsRow.getLong(1)
+    def dev(c: Column): Column =
+      (lit(n).cast("decimal(38,0)") * c.cast("decimal(38,0)") -
+        lit(sSum).cast("decimal(38,0)"))
+    val denom = BigDecimal(mm
+      .agg(coalesce(sum(dev(col("m")) * dev(col("m"))), z0))
+      .head().getDecimal(0))
+    mm.select(col("x").as("xa"), col("m").as("ma"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .join(mm.select(col("x").as("xb"), col("m").as("mb")),
+        col("xa") + col("lag") === col("xb"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(dev(col("ma")) * dev(col("mb"))), z0).as("num"))
+      .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        when(lit(denom > 0),
+          round(col("num").cast("double") / lit(denom.toDouble), 6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+      .orderBy("lag")
+  }
+
   /** McNemar's test for two PAIRED classifiers scored on the same
     * examples — the eval question DeLong (q63) answers for scores,
     * asked of hard decisions: of the examples the two classifiers

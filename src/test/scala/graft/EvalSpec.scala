@@ -1104,6 +1104,116 @@ class EvalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBuckets"), e.getMessage)
   }
 
+  test("brownForsytheF equals anovaF on hand-derived median deviations") {
+    val s = spark
+    import s.implicits._
+    // lower medians: a→2 (k=⌈1.5⌉=2nd of 1,2,9), b→4, c→1 (even n
+    // takes the lower-middle) — deviations derived by hand below
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 9L), ("b", 4L),
+      ("b", 4L), ("b", 4L), ("b", 4L), ("c", 1L), ("c", 3L))
+    val bf = Eval.brownForsytheF(rows.toDF("g", "v"), col("v"),
+      col("g"), buckets = 4, threshold = 2).head()
+    val dev = Seq(("a", 1L), ("a", 0L), ("a", 7L), ("b", 0L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("c", 0L), ("c", 2L))
+    val ref = Eval.anovaF(dev.toDF("g", "dv"), col("dv"),
+      col("g")).head()
+    assert(bf.getLong(0) === ref.getLong(0) &&
+      bf.getLong(1) === ref.getLong(1) &&
+      bf.getLong(2) === ref.getLong(2) &&
+      bf.getLong(3) === ref.getLong(3))
+    assert(bf.getDouble(4) === ref.getDouble(4),
+      s"W $bf vs ANOVA-on-deviations $ref")
+    // constant groups: every deviation 0 → no within mass → NULL
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))
+    assert(Eval.brownForsytheF(const.toDF("g", "v"), col("v"),
+      col("g")).head().isNullAt(4))
+    // single group → k < 2 → NULL
+    assert(Eval.brownForsytheF(Seq(("a", 1L), ("a", 5L), ("a", 9L))
+      .toDF("g", "v"), col("v"), col("g")).head().isNullAt(4))
+  }
+
+  test("jarqueBera: hand-computed moments and degenerate contracts") {
+    val s = spark
+    import s.implicits._
+    def run(vs: Seq[Long]) =
+      Eval.jarqueBera(vs.toDF("v"), col("v")).head()
+    // symmetric two-point {0,0,2,2}: μ=1, m2=1, m3=0, m4=1 →
+    // g1=0, g2=1, JB = 4/6·(0 + (1−3)²/4) = 2/3
+    val sym = run(Seq(0L, 0L, 2L, 2L))
+    assert(sym.getLong(0) === 4L && sym.getDouble(1) === 1.0)
+    assert(sym.getDouble(2) === 0.0 && sym.getDouble(3) === 1.0)
+    assert(sym.getDouble(4) === 0.666667, s"JB: $sym")
+    // skewed {0,0,0,4}: m2=3, m3=6, m4=21 → g1=6/(3√3)=1.154701,
+    // g2=21/9=2.333333, JB = 26/27 = 0.962963
+    val sk = run(Seq(0L, 0L, 0L, 4L))
+    assert(sk.getDouble(2) === 1.154701 &&
+      sk.getDouble(3) === 2.333333 &&
+      sk.getDouble(4) === 0.962963, s"skewed: $sk")
+    // constant input: zero variance → NULL stats, mean still reported
+    val const = run(Seq(7L, 7L, 7L))
+    assert(const.getDouble(1) === 7.0 && const.isNullAt(2) &&
+      const.isNullAt(3) && const.isNullAt(4))
+    // n = 1 → NULL stats
+    assert(run(Seq(5L)).isNullAt(4))
+  }
+
+  test("friedmanQ: textbook monotone blocks, ties, incomplete blocks") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, String, Long)]) =
+      Eval.friedmanQ(rows.toDF("b", "t", "v"), col("v"), col("b"),
+        col("t")).head()
+    // 3 blocks × 3 treatments, same order everywhere → maximal
+    // Q = 12/(nk(k+1))·ΣR² − 3n(k+1) = 42 − 36 = 6
+    val mono = for (b <- 1L to 3L; (t, v) <- Seq(("a", 1L), ("b", 2L),
+      ("c", 3L))) yield (b, t, v)
+    val m = run(mono)
+    assert(m.getLong(0) === 3L && m.getLong(1) === 3L &&
+      m.getDouble(2) === 6.0, s"monotone: $m")
+    // third block fully tied (midranks): R2 = (8,12,16), num = 32,
+    // denom = 160 − 144 = 16 → Q = 2·32/16 = 4
+    val tied = mono.filter(_._1 <= 2L) ++
+      Seq((3L, "a", 5L), (3L, "b", 5L), (3L, "c", 5L))
+    assert(run(tied).getDouble(2) === 4.0)
+    // an incomplete block (2 of 3 treatments) is excluded entirely
+    val withIncomplete = mono ++ Seq((9L, "a", 1L), (9L, "b", 2L))
+    val wi = run(withIncomplete)
+    assert(wi.getLong(1) === 3L && wi.getDouble(2) === 6.0,
+      s"incomplete block must drop: $wi")
+    // every block fully tied → zero rank mass → NULL
+    val allTied = for (b <- 1L to 2L; t <- Seq("a", "b", "c"))
+      yield (b, t, 5L)
+    assert(run(allTied).isNullAt(2))
+    // single treatment → k < 2 → NULL
+    assert(run(Seq((1L, "a", 1L), (2L, "a", 2L))).isNullAt(2))
+  }
+
+  test("acf: hand-computed lags, gap awareness, constant series") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)], maxLag: Int) =
+      Eval.acf(rows.toDF("b", "v"), col("v"), col("b"),
+        maxLag = maxLag).collect()
+    // series 1,2,3,4: d = 4m−10 = (−6,−2,2,6), denom = 80 →
+    // r1 = 20/80, r2 = −24/80, r3 = −36/80
+    val a = run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 5)
+    assert(a.length === 3, a.mkString(","))
+    assert(a(0).getLong(0) === 1L && a(0).getLong(1) === 3L &&
+      a(0).getDouble(2) === 0.25)
+    assert(a(1).getDouble(2) === -0.3 && a(2).getDouble(2) === -0.45)
+    // a missing bucket contributes NO pair (gap-aware, never
+    // bridged): x = 0,1,3 → lag-1 pairs only (0,1)
+    val g = run(Seq((0L, 1L), (1L, 2L), (3L, 4L)), 3)
+    assert(g(0).getLong(1) === 1L &&
+      g(0).getDouble(2) === 0.095238, g.mkString(","))
+    assert(g(1).getLong(1) === 1L &&
+      g(1).getDouble(2) === -0.119048)
+    assert(g(2).getDouble(2) === -0.47619)
+    // constant series: zero deviation mass → NULL acf, pairs counted
+    val c = run(Seq((0L, 5L), (1L, 5L), (2L, 5L)), 2)
+    assert(c.forall(_.isNullAt(2)) && c(0).getLong(1) === 2L)
+  }
+
   test("mcnemar: golden counts and the never-disagree contract") {
     val s = spark
     import s.implicits._
