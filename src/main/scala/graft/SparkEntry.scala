@@ -55,6 +55,79 @@ object SparkEntry {
       graft.pipeline.DedupArtifacts.buildPinned(
         table(s, dir, "documents"), "doc_id", "text", threshold = 0.3))
 
+  // keyed by (applicationId, sfDir): localCheckpoint state dies with
+  // the SparkContext (the DedupArtifacts.staged convention)
+  private val wordGraphCache =
+    scala.collection.concurrent.TrieMap[(String, String),
+      (DataFrame, DataFrame)]()
+
+  /** The word-collocation graph family's shared state: the top-300
+    * PMI collocations as 60-bit portable-hash edges plus the word↔id
+    * map, staged ONCE per (application, sfDir) and consumed by the
+    * g8/g13/g14 graph reports — the same production shape as
+    * [[dedupArtifacts]] (compute the graph per corpus snapshot,
+    * compose reports over it). The k-row PMI result feeds BOTH frames
+    * and its lineage is the corpus token scan, so both are pinned
+    * (the round-10 PprRehearsal A/B: 5.1 → 1.9 s at sf0.1,
+    * labels identical). Returns (edges(id_a, id_b), words(word, id)). */
+  private def wordGraph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    wordGraphCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val pmi = TextStats.pmiCollocations(
+          table(s, dir, "documents"), "doc_id", "text",
+          minCount = 10, k = 300).localCheckpoint()
+        val w1 = element_at(split(col("bigram"), " "), 1)
+        val w2 = element_at(split(col("bigram"), " "), 2)
+        val edges = pmi.select(Dedup.md5Long60(w1).as("id_a"),
+          Dedup.md5Long60(w2).as("id_b")).localCheckpoint()
+        val words = pmi
+          .select(explode(array(w1, w2)).as("word")).distinct()
+          .withColumn("id", Dedup.md5Long60(col("word")))
+          .localCheckpoint()
+        (edges, words)
+      })
+
+  /** The g8/g13/g14 oracle's shared graph derivation: corpus → PMI
+    * top-300 → hashed edge list (te normalized, ed both directions)
+    * and the word↔id map (wm) — ONE text so the three graph reports
+    * cannot drift onto different graphs. */
+  private lazy val duckWordGraphCtes: String =
+    s"""tk AS (SELECT str_split(text, ' ') AS toks
+       |  FROM documents),
+       |tt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS nt,
+       |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
+       |  FROM tk),
+       |u AS (SELECT ut.tok, CAST(count(*) AS BIGINT) AS c1
+       |  FROM tk, unnest(toks) AS ut(tok) GROUP BY ut.tok),
+       |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (SELECT unnest(list_transform(
+       |      generate_series(1, greatest(len(toks) - 1, 0)),
+       |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk) b
+       |  GROUP BY bg HAVING count(*) >= 10),
+       |pm AS (SELECT bf.bg FROM bf
+       |  JOIN u u1 ON u1.tok = str_split(bf.bg, ' ')[1]
+       |  JOIN u u2 ON u2.tok = str_split(bf.bg, ' ')[2]
+       |  CROSS JOIN tt
+       |  ORDER BY CAST(round(1e6 * ln(
+       |      (CAST(bf.c2 AS DOUBLE) * tt.nt * tt.nt)
+       |      / (tt.nb * CAST(u1.c1 AS DOUBLE)
+       |         * CAST(u2.c1 AS DOUBLE)))) AS BIGINT) DESC,
+       |    bg ASC
+       |  LIMIT 300),
+       |wh AS (SELECT bg,
+       |    ${duckHash60("str_split(bg, ' ')[1]")} AS ha,
+       |    ${duckHash60("str_split(bg, ' ')[2]")} AS hb
+       |  FROM pm),
+       |te AS (SELECT DISTINCT least(ha, hb) AS lo,
+       |    greatest(ha, hb) AS hi
+       |  FROM wh WHERE ha <> hb),
+       |ed AS (SELECT lo AS src, hi AS dst FROM te
+       |       UNION ALL SELECT hi, lo FROM te),
+       |wm AS (SELECT str_split(bg, ' ')[1] AS word, ha AS id FROM wh
+       |       UNION SELECT str_split(bg, ' ')[2], hb FROM wh)"""
+      .stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full analyze metrics block (SURVEY §3.1) over the events table. */
   def entry(spark: SparkSession): DataFrame =
@@ -2954,6 +3027,49 @@ object SparkEntry {
              |GROUP BY t ORDER BY tf DESC, token ASC
              |LIMIT 100""".stripMargin)),
 
+    // Count-Min sketch (Cormode & Muthukrishnan 2005), the
+    // POINT-ESTIMATE sketch next to d29's set sketch: 4 salted
+    // portable-md5 rows x 1024 buckets, one items pass whose shuffle
+    // carries only cells; estimates for the exact top-20 tokens
+    // reported BESIDE their true counts (the sketch self-audit —
+    // est >= exact is the one-sided CMS guarantee, pinned in spec).
+    "d69_countmin_hh" -> Q(
+      (s, dir) => {
+        val toks = table(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val cms = graft.pipeline.HeavyHitters.countMinTable(
+          toks, col("tok"))
+        val top = toks.groupBy("tok")
+          .agg(count(lit(1)).as("exact_count"))
+          .orderBy(desc("exact_count"), asc("tok")).limit(20)
+        graft.pipeline.HeavyHitters.countMinEstimates(
+            cms, top, col("tok"))
+          .select(col("tok"), col("exact_count"), col("est_count"))
+          .orderBy(desc("exact_count"), asc("tok"))
+      },
+      Some(s"""WITH tks AS (SELECT unnest(str_split(text, ' '))
+             |    AS tok FROM documents),
+             |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+             |cm AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT rr.r,
+             |      ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
+             |        AS b
+             |    FROM tks CROSS JOIN rr) cell
+             |  GROUP BY r, b),
+             |tp AS (SELECT tok, CAST(count(*) AS BIGINT)
+             |    AS exact_count
+             |  FROM tks GROUP BY tok
+             |  ORDER BY exact_count DESC, tok LIMIT 20),
+             |tb AS (SELECT tok, exact_count, rr.r,
+             |    ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
+             |      AS b
+             |  FROM tp CROSS JOIN rr)
+             |SELECT tb.tok, tb.exact_count,
+             |  CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS est_count
+             |FROM tb LEFT JOIN cm USING (r, b)
+             |GROUP BY tb.tok, tb.exact_count
+             |ORDER BY exact_count DESC, tok""".stripMargin)),
+
     // Chi-square test of independence for two categorical columns
     // (lang x source): observed cell counts from one aggregation,
     // expected = row_total * col_total / n from two broadcast-sized
@@ -5621,6 +5737,60 @@ object SparkEntry {
              |  ELSE NULL END AS acf
              |FROM ag, dn ORDER BY lag""".stripMargin)),
 
+    // KMV sketch SET ALGEBRA (Beyer et al. 2007): union/intersection
+    // cardinality of viewers vs purchasers from the two k=64 sketches
+    // ALONE — the compositional question ("how many users did BOTH")
+    // answered without re-scanning keys, with the exact cardinalities
+    // riding beside as the self-audit. K(A∪B) = k smallest of
+    // K(A)∪K(B); jaccard = fraction of it in both sketches.
+    "q93_kmv_setops" -> Q(
+      (s, dir) => graft.pipeline.Eval.kmvSetOps(
+        rawEvents(s, dir), col("user_id"),
+        col("event_type") === "view",
+        col("event_type") === "purchase", k = 64),
+      Some(s"""WITH tg AS (SELECT CAST(user_id AS VARCHAR) AS u,
+             |    event_type = 'view' AS a,
+             |    event_type = 'purchase' AS b
+             |  FROM events
+             |  WHERE user_id IS NOT NULL
+             |    AND event_type IN ('view', 'purchase')),
+             |ha AS (SELECT DISTINCT ${duckHash60("u")} AS h
+             |  FROM tg WHERE a),
+             |hb AS (SELECT DISTINCT ${duckHash60("u")} AS h
+             |  FROM tg WHERE b),
+             |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+             |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+             |mg AS (SELECT DISTINCT h FROM (SELECT h FROM ka
+             |    UNION ALL SELECT h FROM kb) u2
+             |  ORDER BY h LIMIT 64),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS nm,
+             |    max(h) AS hk,
+             |    CAST(coalesce(sum(CASE WHEN h IN (SELECT h FROM ka)
+             |      AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END), 0)
+             |      AS BIGINT) AS ni
+             |  FROM mg),
+             |es AS (SELECT nm, ni,
+             |    CASE WHEN nm < 64 THEN CAST(nm AS DOUBLE)
+             |    ELSE 63.0 * CAST(1152921504606846976 AS DOUBLE)
+             |      / CAST(hk AS DOUBLE) END AS eu
+             |  FROM st),
+             |ex AS (SELECT CAST(coalesce(sum(ha2), 0) AS BIGINT)
+             |      AS n_a,
+             |    CAST(coalesce(sum(hb2), 0) AS BIGINT) AS n_b,
+             |    CAST(count(*) AS BIGINT) AS exact_union,
+             |    CAST(coalesce(sum(ha2 * hb2), 0) AS BIGINT)
+             |      AS exact_inter
+             |  FROM (SELECT u,
+             |      max(CASE WHEN a THEN 1 ELSE 0 END) AS ha2,
+             |      max(CASE WHEN b THEN 1 ELSE 0 END) AS hb2
+             |    FROM tg GROUP BY u) bu)
+             |SELECT ex.n_a, ex.n_b, ex.exact_union, ex.exact_inter,
+             |  ROUND(es.eu, 6) AS est_union,
+             |  CASE WHEN es.nm > 0 THEN
+             |    ROUND(CAST(es.ni AS DOUBLE) / es.nm * es.eu, 6)
+             |  ELSE 0.0 END AS est_inter
+             |FROM ex, es""".stripMargin)),
+
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
     // integer micro log10/token under the SAME corpus model, then 64
@@ -6336,57 +6506,14 @@ object SparkEntry {
     // its 3-round community label, joined back to the readable word.
     "g8_word_communities" -> Q(
       (s, dir) => {
-        // pinned: the k-row PMI result feeds BOTH the edge list and
-        // the word-id map, and its lineage is the corpus token scan —
-        // un-pinned it executed once per consumer (round-10 PprRehearsal
-        // A/B: 5.1 -> 1.9 s at sf0.1, labels identical)
-        val pmi = TextStats.pmiCollocations(
-          table(s, dir, "documents"), "doc_id", "text",
-          minCount = 10, k = 300).localCheckpoint()
-        val w1 = element_at(split(col("bigram"), " "), 1)
-        val w2 = element_at(split(col("bigram"), " "), 2)
-        val edges = pmi.select(Dedup.md5Long60(w1).as("id_a"),
-          Dedup.md5Long60(w2).as("id_b"))
-        val words = pmi
-          .select(explode(array(w1, w2)).as("word")).distinct()
-          .withColumn("id", Dedup.md5Long60(col("word")))
+        val (edges, words) = wordGraph(s, dir)
         graft.pipeline.GraphOps.labelPropagation(
             edges, "id_a", "id_b", rounds = 3)
           .join(words, "id")
           .select(col("word"), col("label"))
           .orderBy("word").limit(2000)
       },
-      Some(s"""WITH tk AS (SELECT str_split(text, ' ') AS toks
-             |  FROM documents),
-             |tt AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS nt,
-             |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS nb
-             |  FROM tk),
-             |u AS (SELECT ut.tok, CAST(count(*) AS BIGINT) AS c1
-             |  FROM tk, unnest(toks) AS ut(tok) GROUP BY ut.tok),
-             |bf AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2
-             |  FROM (SELECT unnest(list_transform(
-             |      generate_series(1, greatest(len(toks) - 1, 0)),
-             |      i -> toks[i] || ' ' || toks[i+1])) AS bg FROM tk) b
-             |  GROUP BY bg HAVING count(*) >= 10),
-             |pm AS (SELECT bf.bg FROM bf
-             |  JOIN u u1 ON u1.tok = str_split(bf.bg, ' ')[1]
-             |  JOIN u u2 ON u2.tok = str_split(bf.bg, ' ')[2]
-             |  CROSS JOIN tt
-             |  ORDER BY CAST(round(1e6 * ln(
-             |      (CAST(bf.c2 AS DOUBLE) * tt.nt * tt.nt)
-             |      / (tt.nb * CAST(u1.c1 AS DOUBLE)
-             |         * CAST(u2.c1 AS DOUBLE)))) AS BIGINT) DESC,
-             |    bg ASC
-             |  LIMIT 300),
-             |wh AS (SELECT bg,
-             |    ${duckHash60("str_split(bg, ' ')[1]")} AS ha,
-             |    ${duckHash60("str_split(bg, ' ')[2]")} AS hb
-             |  FROM pm),
-             |te AS (SELECT DISTINCT least(ha, hb) AS lo,
-             |    greatest(ha, hb) AS hi
-             |  FROM wh WHERE ha <> hb),
-             |ed AS (SELECT lo AS src, hi AS dst FROM te
-             |       UNION ALL SELECT hi, lo FROM te),
+      Some(s"""WITH $duckWordGraphCtes,
              |l0 AS (SELECT DISTINCT src AS id, src AS label FROM ed),
              |c1 AS (SELECT e.src, l.label, count(*) AS cnt
              |  FROM ed e JOIN l0 l ON e.dst = l.id
@@ -7032,6 +7159,99 @@ object SparkEntry {
               |      / CAST(s * s AS DOUBLE), 6)
               |  ELSE NULL END AS modularity
               |FROM mag""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Multi-source BFS hop distances over the word-collocation graph
+    // from its 2 smallest node ids (the g7 seed convention,
+    // data-derived so the oracle re-derives them): exact shortest hop
+    // counts within 3 hops — the "everything within k hops of a seed
+    // set" traversal (on a near-dup graph: review candidates around
+    // known-bad documents). Frontier-iterated (work scales with the
+    // frontier, not the node count); oracle = 3 unrolled
+    // layer-minus-settled CTEs over the shared word-graph derivation.
+    "g13_bfs_hops" -> Q(
+      (s, dir) => {
+        val (edges, words) = wordGraph(s, dir)
+        val seeds = edges.select(col("id_a").as("id"))
+          .union(edges.select(col("id_b").as("id")))
+          .distinct().orderBy("id").limit(2)
+          .collect().map(_.getLong(0)).toSeq
+        graft.pipeline.GraphOps.bfsHops(
+            edges, "id_a", "id_b", seeds, maxHops = 3)
+          .join(words, "id")
+          .select(col("word"), col("hops"))
+          .orderBy("hops", "word").limit(2000)
+      },
+      Some(s"""WITH $duckWordGraphCtes,
+              |sd AS (SELECT id FROM (SELECT DISTINCT src AS id
+              |    FROM ed) u ORDER BY id LIMIT 2),
+              |h0 AS (SELECT id, CAST(0 AS BIGINT) AS hops FROM sd),
+              |h1 AS (SELECT DISTINCT ed.dst AS id,
+              |    CAST(1 AS BIGINT) AS hops
+              |  FROM ed JOIN h0 ON ed.src = h0.id
+              |  WHERE ed.dst NOT IN (SELECT id FROM h0)),
+              |h2 AS (SELECT DISTINCT ed.dst AS id,
+              |    CAST(2 AS BIGINT) AS hops
+              |  FROM ed JOIN h1 ON ed.src = h1.id
+              |  WHERE ed.dst NOT IN (SELECT id FROM h0
+              |    UNION ALL SELECT id FROM h1)),
+              |h3 AS (SELECT DISTINCT ed.dst AS id,
+              |    CAST(3 AS BIGINT) AS hops
+              |  FROM ed JOIN h2 ON ed.src = h2.id
+              |  WHERE ed.dst NOT IN (SELECT id FROM h0
+              |    UNION ALL SELECT id FROM h1
+              |    UNION ALL SELECT id FROM h2)),
+              |hh AS (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+              |  UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+              |SELECT wm.word, hh.hops FROM hh JOIN wm USING (id)
+              |ORDER BY hops, word LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Resource-Allocation link prediction (Zhou, Lü & Zhang 2009)
+    // over the collocation graph: non-adjacent word pairs sharing
+    // collocation neighbors, scored Σ 1/deg(z) over the common
+    // neighbors — the integer-exact member of the common-neighbor
+    // family (one round(1e6/deg) per neighbor; no cross-engine log
+    // like Adamic–Adar's). These are the collocations the PMI top-k
+    // MISSED but the graph structure vouches for. Enumeration
+    // bucketed by shared neighbor, super-hubs excluded (deg ≤ 1000).
+    "g14_resource_alloc" -> Q(
+      (s, dir) => {
+        val (edges, words) = wordGraph(s, dir)
+        val ra = graft.pipeline.GraphOps.resourceAllocationMicro(
+          edges, "id_a", "id_b", maxDegree = 1000L)
+        val wa = words.select(col("id").as("id_a"),
+          col("word").as("word_a"))
+        val wb = words.select(col("id").as("id_b"),
+          col("word").as("word_b"))
+        ra.join(wa, "id_a").join(wb, "id_b")
+          .select(col("word_a"), col("word_b"), col("cn"),
+            col("ra_micro"))
+          .orderBy(desc("ra_micro"), asc("word_a"), asc("word_b"))
+          .limit(200)
+      },
+      Some(s"""WITH $duckWordGraphCtes,
+              |rd AS (SELECT src AS z, CAST(count(*) AS BIGINT) AS deg
+              |  FROM ed GROUP BY src),
+              |rv AS (SELECT ed.src AS z, ed.dst AS x, rd.deg
+              |  FROM ed JOIN rd ON rd.z = ed.src
+              |  WHERE rd.deg <= 1000),
+              |rw AS (SELECT p1.x AS xa, p2.x AS xb, p1.deg
+              |  FROM rv p1 JOIN rv p2
+              |    ON p1.z = p2.z AND p1.x < p2.x),
+              |rs AS (SELECT xa, xb, CAST(count(*) AS BIGINT) AS cn,
+              |    CAST(sum(CAST(round(1e6 / deg) AS BIGINT))
+              |      AS BIGINT) AS ra_micro
+              |  FROM rw GROUP BY xa, xb),
+              |rn AS (SELECT rs.* FROM rs
+              |  LEFT JOIN te ON te.lo = rs.xa AND te.hi = rs.xb
+              |  WHERE te.lo IS NULL)
+              |SELECT wa.word AS word_a, wb.word AS word_b, cn,
+              |  ra_micro
+              |FROM rn JOIN wm wa ON wa.id = rn.xa
+              |        JOIN wm wb ON wb.id = rn.xb
+              |ORDER BY ra_micro DESC, word_a, word_b
+              |LIMIT 200""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup

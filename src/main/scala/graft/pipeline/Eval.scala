@@ -1896,6 +1896,63 @@ object Eval {
           .otherwise(lit(null).cast("double")).as("q_stat"))
   }
 
+  /** KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007) over two
+    * segments of one key stream: union and intersection cardinality
+    * estimates computed from the two k-minimum-values sketches ALONE —
+    * the operation that makes distinct-count sketches compositional
+    * at 100 TB (per-segment sketches are built once and merged/
+    * intersected per question; the raw keys are never re-scanned).
+    * K(A∪B) is the k smallest of K(A)∪K(B) (exactly the sketch the
+    * union stream would have produced); the union estimate is the q25
+    * estimator on it; the Jaccard estimate is the fraction of
+    * K(A∪B) present in BOTH input sketches; intersection =
+    * jaccard·union.
+    *
+    * One pass builds both sketches (bounded per-sketch state,
+    * map-side merge; the 2·k-long fetch is a bounded parameter, never
+    * data); one key-collapsed aggregation reports the EXACT
+    * cardinalities beside the estimates — the self-audit every sketch
+    * entry in this engine carries. Estimates are mirrored IEEE
+    * expressions over the fetched integers (the q25 estimator
+    * contract). Returns one row (n_a, n_b, exact_union, exact_inter,
+    * est_union, est_inter). */
+  def kmvSetOps(df: DataFrame, key: Column, inA: Column, inB: Column,
+                k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 4096, s"k must be in [2, 4096] (got $k)")
+    import graft.functions.KMinValues
+    val tagged = df.select(key.cast("string").as("u"),
+        inA.as("a"), inB.as("b"))
+      .filter(col("u").isNotNull && (col("a") || col("b")))
+    // bounded parameter fetch: the two k-long sketches
+    val skRow = tagged
+      .select(Dedup.md5Long60(col("u")).as("h"), col("a"), col("b"))
+      .agg(KMinValues.agg(k, when(col("a"), col("h"))).as("ska"),
+        KMinValues.agg(k, when(col("b"), col("h"))).as("skb"))
+      .head()
+    val sa = skRow.getSeq[Long](0)
+    val sb = skRow.getSeq[Long](1)
+    val merged = KMinValues.mergeSketches(sa, sb, k)
+    val nm = merged.length.toLong
+    val saSet = sa.toSet
+    val sbSet = sb.toSet
+    val ni = merged.count(h => saSet(h) && sbSet(h)).toLong
+    val eu = KMinValues.estimateOf(merged, k)
+    tagged.groupBy("u")
+      .agg(max(when(col("a"), 1L).otherwise(0L)).as("ha"),
+        max(when(col("b"), 1L).otherwise(0L)).as("hb"))
+      .agg(coalesce(sum(col("ha")), lit(0L)).as("n_a"),
+        coalesce(sum(col("hb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("exact_union"),
+        coalesce(sum(col("ha") * col("hb")), lit(0L))
+          .as("exact_inter"))
+      .select(col("n_a"), col("n_b"), col("exact_union"),
+        col("exact_inter"),
+        round(lit(eu), 6).as("est_union"),
+        (if (nm > 0)
+          round(lit(ni.toDouble) / lit(nm.toDouble) * lit(eu), 6)
+        else lit(0.0d)).as("est_inter"))
+  }
+
   /** Exact autocorrelation function of the per-bucket mean series at
     * lags 1..maxLag — the memory profile of the metric stream: a slow
     * ACF decay is the drift the changepoint family localizes, a

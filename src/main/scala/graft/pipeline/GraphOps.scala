@@ -842,6 +842,100 @@ object GraphOps {
           6).as("assortativity"))
   }
 
+  /** Multi-source BFS hop distances over the undirected pair graph:
+    * the exact shortest hop count from the nearest seed, for every
+    * node within `maxHops` — the "how far does this duplicate family
+    * reach" traversal the scoring family (PageRank diffuses mass,
+    * this measures distance) does not answer. The canonical use:
+    * seed with a known-bad document set and pull everything within
+    * k near-dup hops for review.
+    *
+    * Frontier-iterated exactly like the sparse PPR: each round is
+    * ONE frontier⋈edges equi-join on the node id plus a distinct and
+    * an anti-join against the settled set — work scales with the
+    * frontier and its boundary, never the node count, and AQE
+    * broadcasts the frontier side when it is small. Settled/frontier
+    * frames are localCheckpointed per round (the iterative-operator
+    * lineage contract). BFS layers are set-determined (layer r =
+    * nodes reachable in exactly r hops), so the output is exact and
+    * SQL-replayable as one unrolled CTE chain per hop. Seeds absent
+    * from the graph are dropped (the PPR seed contract). Returns
+    * (id, hops) — seeds at 0; unreached nodes absent. */
+  def bfsHops(pairs: DataFrame, idACol: String, idBCol: String,
+              seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64] (got $maxHops)")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val e = normalizedEdges(pairs, idACol, idBCol)
+    val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint() // reused every round
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var settled = broadcast(seeds.distinct.toDF("id"))
+      .join(nodes, Seq("id"), "leftsemi")
+      .select(col("id"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = settled.select("id")
+    var hop = 1
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .localCheckpoint()
+      settled = settled
+        .unionAll(next.select(col("id"), lit(hop.toLong).as("hops")))
+        .localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    settled
+  }
+
+  /** Resource-Allocation link prediction (Zhou, Lü & Zhang 2009) over
+    * the undirected pair graph: for every NON-adjacent pair (a, b)
+    * sharing at least one neighbor, RA = Σ_z 1/deg(z) over the common
+    * neighbors z — the member of the common-neighbor family
+    * (CN / Adamic–Adar / RA) whose weights are INTEGER-exact (one
+    * round(1e6/deg) per neighbor, a single mirrored division — no
+    * cross-engine log like Adamic–Adar's 1/ln deg). The pipeline use:
+    * predicted links on the near-dup graph are the pairs an LSH pass
+    * MISSED but the graph structure vouches for — review candidates.
+    *
+    * Shape at scale: pairs enumerate per shared neighbor z (an
+    * equi-join of the directed edge list with itself on z — always
+    * bucketed by z, never all-pairs), which is inherently Σ deg(z)²;
+    * `maxDegree` excludes super-hub neighbors from the enumeration —
+    * the standard cap, and semantically almost free since a hub's RA
+    * contribution is the smallest possible (1/deg). Existing edges
+    * drop via one anti-join. Returns (id_a, id_b, cn, ra_micro) with
+    * id_a < id_b, the common-neighbor count, and the exact micro
+    * score. Callers order+limit. */
+  def resourceAllocationMicro(pairs: DataFrame, idACol: String,
+                              idBCol: String,
+                              maxDegree: Long = 1000L): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2 (got $maxDegree)")
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    val deg = degreesOf(e)
+    val bd = e.select(col("lo").as("z"), col("hi").as("x"))
+      .union(e.select(col("hi").as("z"), col("lo").as("x")))
+    val viaZ = bd.join(deg.filter(col("deg") <= maxDegree)
+        .select(col("id").as("z"), col("deg")), "z")
+    val wedges = viaZ.as("p1")
+      .join(viaZ.as("p2"),
+        col("p1.z") === col("p2.z") && col("p1.x") < col("p2.x"))
+      .select(col("p1.x").as("xa"), col("p2.x").as("xb"),
+        col("p1.deg").as("deg"))
+    wedges.groupBy("xa", "xb")
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1e6) / col("deg")).cast("long")).as("ra_micro"))
+      .join(e, col("xa") === col("lo") && col("xb") === col("hi"),
+        "left_anti")
+      .select(col("xa").as("id_a"), col("xb").as("id_b"), col("cn"),
+        col("ra_micro"))
+  }
+
   private def orientUp(e: DataFrame, deg: DataFrame,
                        byDegree: Boolean): DataFrame =
     if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))

@@ -108,4 +108,66 @@ object HeavyHitters {
           .as("tf"))
       .orderBy(col("tf").desc, col("item").asc)
   }
+
+  /** Portable Count–Min sketch (Cormode & Muthukrishnan 2005): `depth`
+    * salted md5 hash rows × `width` buckets, each cell the exact count
+    * of items landing there — the POINT-ESTIMATE sketch next to
+    * [[exactTopK]]'s set sketch: Misra–Gries answers "which items are
+    * frequent", Count–Min answers "roughly how frequent is THIS item"
+    * for any item, from depth·width bounded cells, with the one-sided
+    * guarantee est ≥ true (collisions only ever add).
+    *
+    * Shape at scale: one pass over the items (a `depth`-way explode,
+    * then a groupBy whose key space is ≤ depth·width — map-side
+    * combine collapses each partition to the cell table first, so the
+    * shuffle carries cells, never items). The salted bucket hash is
+    * the portable md5 (`'s<r>:' || item`), so a SQL oracle recomputes
+    * every cell exactly. Returns (r, b, c) — at most depth·width rows. */
+  def countMinTable(items: DataFrame, itemCol: Column,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"depth must be in [1, 16] (got $depth)")
+    require(width >= 2 && width <= (1 << 20),
+      s"width must be in [2, 2^20] (got $width)")
+    items.select(explode(array(cmCells(itemCol, depth, width): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Point estimates from a [[countMinTable]] for the (unique) items
+    * of `queries`: est = min over the item's depth cells, with absent
+    * cells counting 0 (a LEFT join — an item whose cell no item ever
+    * touched estimates from the zero cell, the textbook semantics).
+    * Query frames are report-grade (top-k lists, audit samples);
+    * the join is cells ⋈ queries·depth — bounded both sides. Returns
+    * `queries` plus `est_count`. */
+  def countMinEstimates(cms: DataFrame, queries: DataFrame,
+                        itemCol: Column, depth: Int = 4,
+                        width: Int = 1024): DataFrame = {
+    val est = queries
+      .select(itemCol.cast("string").as("_item"))
+      .distinct()
+      .select(col("_item"),
+        explode(array(cmCells(col("_item"), depth, width): _*))
+          .as("rb"))
+      .select(col("_item"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(cms, Seq("r", "b"), "left")
+      .groupBy("_item")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
+    queries.join(est, itemCol.cast("string") === col("_item"))
+      .drop("_item")
+  }
+
+  /** The shared CMS cell derivation: row r's bucket is the portable
+    * 60-bit md5 of `"s<r>:" || item`, mod width — ONE definition so
+    * the build and query sides cannot drift. */
+  private def cmCells(itemCol: Column, depth: Int,
+                      width: Int): Seq[Column] =
+    (0 until depth).map { r =>
+      struct(lit(r.toLong).as("r"),
+        pmod(Dedup.md5Long60(
+            concat(lit(s"s$r:"), itemCol.cast("string"))),
+          lit(width.toLong)).as("b"))
+    }
 }

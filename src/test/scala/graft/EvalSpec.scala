@@ -1214,6 +1214,40 @@ class EvalSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(2)) && c(0).getLong(1) === 2L)
   }
 
+  test("kmvSetOps: exact below k; merge equals the union-stream sketch") {
+    val s = spark
+    import s.implicits._
+    // A = 1..10, B = 6..12: union 12, intersection 5
+    val rows = (1L to 10L).map(u => (u, true, false)) ++
+      (6L to 12L).map(u => (u, false, true))
+    val df = rows.toDF("u", "a", "b")
+    val r = Eval.kmvSetOps(df, col("u"), col("a"), col("b"),
+      k = 64).head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 7L &&
+      r.getLong(2) === 12L && r.getLong(3) === 5L)
+    // sketches below k ARE the distinct sets → both estimates exact
+    assert(r.getDouble(4) === 12.0 && r.getDouble(5) === 5.0, s"$r")
+    // overflowing sketches (k=4): the union estimate must equal the
+    // estimate of the sketch built over the UNION stream directly —
+    // sketch-of-union == merge-of-sketches, the algebra being claimed
+    val r4 = Eval.kmvSetOps(df, col("u"), col("a"), col("b"),
+      k = 4).head()
+    val unionSk = df.select(graft.pipeline.Dedup.md5Long60(
+        col("u").cast("string")).as("h"))
+      .agg(graft.functions.KMinValues.agg(4, col("h")))
+      .head().getSeq[Long](0)
+    val expected = BigDecimal(
+      graft.functions.KMinValues.estimateOf(unionSk, 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r4.getDouble(4) === expected, s"union est: $r4")
+    // disjoint segments: zero intersection, exactly
+    val dis = ((1L to 3L).map(u => (u, true, false)) ++
+      (5L to 7L).map(u => (u, false, true))).toDF("u", "a", "b")
+    val d = Eval.kmvSetOps(dis, col("u"), col("a"), col("b"),
+      k = 64).head()
+    assert(d.getLong(3) === 0L && d.getDouble(5) === 0.0)
+  }
+
   test("mcnemar: golden counts and the never-disagree contract") {
     val s = spark
     import s.implicits._

@@ -551,4 +551,51 @@ class GraphOpsSpec extends AnyFunSuite {
       (4L, 4L)))
     assert(noisy.getLong(0) === 6L && noisy.getDouble(1) === -0.5)
   }
+
+  test("bfsHops: path layers, multi-seed, reconvergence, absent seed") {
+    def run(p: org.apache.spark.sql.DataFrame, seeds: Seq[Long],
+            maxHops: Int) =
+      GraphOps.bfsHops(p, "id_a", "id_b", seeds, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val path = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    // single seed: exact layers, nodes beyond maxHops absent
+    assert(run(path, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // multi-source: each node takes the NEAREST seed's distance
+    assert(run(path, Seq(1L, 6L), 3) ===
+      Map(1L -> 0L, 6L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 2L))
+    // cycle: a node reached along two routes settles once, at the
+    // shortest distance
+    val square = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(run(square, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+    // a seed absent from the graph flows nothing (the PPR contract)
+    assert(run(path, Seq(99L), 2) === Map.empty)
+  }
+
+  test("resourceAllocationMicro: star weights, edge exclusion, cap") {
+    def run(p: org.apache.spark.sql.DataFrame, maxDeg: Long) =
+      GraphOps.resourceAllocationMicro(p, "id_a", "id_b", maxDeg)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+    // star 0—{1,2,3}: every leaf pair shares only the hub (deg 3) →
+    // cn=1, ra=round(1e6/3); no leaf pair is an edge
+    val star = pairs((0L, 1L), (0L, 2L), (0L, 3L))
+    assert(run(star, 1000L) === Map(
+      (1L, 2L) -> (1L, 333333L), (1L, 3L) -> (1L, 333333L),
+      (2L, 3L) -> (1L, 333333L)))
+    // capping out the hub removes its wedges entirely
+    assert(run(star, 2L) === Map.empty)
+    // 4-cycle: (1,3) and (2,4) each share TWO deg-2 neighbors →
+    // cn=2, ra=2·500000; adjacent pairs are edges and must not appear
+    val square = pairs((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(run(square, 1000L) === Map(
+      (1L, 3L) -> (2L, 1000000L), (2L, 4L) -> (2L, 1000000L)))
+    // triangle + pendant: wedges through the deg-3 node that land on
+    // an existing edge drop; only the pendant pairs survive
+    val tri = pairs((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    assert(run(tri, 1000L) === Map(
+      (2L, 4L) -> (1L, 333333L), (3L, 4L) -> (1L, 333333L)))
+  }
 }

@@ -149,4 +149,47 @@ class MisraGriesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
   }
+
+  test("countMin: one-sided bound, conservation, zero cells, params") {
+    val xs = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++
+      Seq("c", "d", "e")
+    val exact = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toMap
+    val df = itemsDf(xs).repartition(3)
+    def estimates(width: Int): Map[String, Long] =
+      HeavyHitters.countMinEstimates(
+          HeavyHitters.countMinTable(df, col("item"), depth = 4,
+            width = width),
+          itemsDf(xs.distinct), col("item"), depth = 4, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // width 4 forces collisions: the estimate may overcount but must
+    // NEVER undercount (the one-sided CMS guarantee)
+    val tight = estimates(4)
+    exact.foreach { case (t, c) =>
+      assert(tight(t) >= c, s"CMS undercounted $t: ${tight(t)} < $c")
+    }
+    // width 1024 over 5 items: no collision survives the 4-row min
+    assert(estimates(1024) === exact)
+    // every row's cells partition the stream: each sums to N
+    val cms = HeavyHitters.countMinTable(df, col("item"), depth = 4,
+      width = 4)
+    val rowSums = cms.groupBy("r").agg(sum(col("c")).as("s"))
+      .collect().map(_.getLong(1))
+    assert(rowSums.length === 4 &&
+      rowSums.forall(_ === xs.size.toLong))
+    // an unseen item reads its (empty → 0) cells through the left
+    // join, never errors
+    val unseen = HeavyHitters.countMinEstimates(
+        HeavyHitters.countMinTable(df, col("item"), depth = 4,
+          width = 1024),
+        itemsDf(Seq("zzz")), col("item"), depth = 4, width = 1024)
+      .head()
+    assert(unseen.getLong(1) === 0L)
+    intercept[IllegalArgumentException] {
+      HeavyHitters.countMinTable(df, col("item"), depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      HeavyHitters.countMinTable(df, col("item"), width = 1)
+    }
+  }
 }
