@@ -124,9 +124,39 @@ object SparkEntry {
        |  FROM wh WHERE ha <> hb),
        |ed AS (SELECT lo AS src, hi AS dst FROM te
        |       UNION ALL SELECT hi, lo FROM te),
-       |wm AS (SELECT str_split(bg, ' ')[1] AS word, ha AS id FROM wh
-       |       UNION SELECT str_split(bg, ' ')[2], hb FROM wh)"""
+       |wm AS (SELECT DISTINCT word, id FROM (
+       |    SELECT str_split(bg, ' ')[1] AS word, ha AS id FROM wh
+       |    UNION ALL SELECT str_split(bg, ' ')[2], hb FROM wh) wmu)"""
       .stripMargin
+
+  /** The d69/d70 shared oracle: Count-Min cell table (4 salted md5
+    * rows × 1024 buckets) + top-20 exact counts + min-cell estimates
+    * — ONE text because CMS is linear: the streaming fold's merged
+    * table must equal the one-shot table, so both entries answer the
+    * identical question. */
+  private lazy val duckCmsSql: String =
+    s"""WITH tks AS (SELECT unnest(str_split(text, ' '))
+       |    AS tok FROM documents),
+       |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+       |cm AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT rr.r,
+       |      ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
+       |        AS b
+       |    FROM tks CROSS JOIN rr) cell
+       |  GROUP BY r, b),
+       |tp AS (SELECT tok, CAST(count(*) AS BIGINT)
+       |    AS exact_count
+       |  FROM tks GROUP BY tok
+       |  ORDER BY exact_count DESC, tok LIMIT 20),
+       |tb AS (SELECT tok, exact_count, rr.r,
+       |    ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
+       |      AS b
+       |  FROM tp CROSS JOIN rr)
+       |SELECT tb.tok, tb.exact_count,
+       |  CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS est_count
+       |FROM tb LEFT JOIN cm USING (r, b)
+       |GROUP BY tb.tok, tb.exact_count
+       |ORDER BY exact_count DESC, tok""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full analyze metrics block (SURVEY §3.1) over the events table. */
@@ -1352,6 +1382,73 @@ object SparkEntry {
              |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
              |  AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
              |ORDER BY purchase_id, click_id LIMIT 2000""".stripMargin)),
+
+    // INTERVAL × INTERVAL overlap join — t10's range join handles
+    // point-in-range; this joins user sessions (t1's 30-min-gap
+    // intervals) against the 5 busiest hours (data-derived windows):
+    // both sides explode to hour bins, the join is a plain equi-join
+    // on the bin, the exact overlap predicate filters, distinct
+    // collapses multi-bin matches. Never a cartesian
+    // (PlanDisciplineSpec); a span wider than the guard fails in the
+    // plan via raise_error.
+    "t12_interval_overlap" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val prev = lag(col("ts"), 1).over(w)
+        val sess = ev.select("event_id", "user_id", "ts")
+          .withColumn("session_seq",
+            sum(when(prev.isNull ||
+              col("ts") > prev + lit(1800L * 1000000000L), 1)
+              .otherwise(0))
+              .over(w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("long"))
+          .groupBy("user_id", "session_seq")
+          .agg(min(col("ts")).as("s_start"),
+            max(col("ts")).as("s_end"))
+        val windows = ev
+          .select(expr("(ts div 1000) div 3600000000").as("h"))
+          .groupBy("h").agg(count(lit(1)).as("c"))
+          .orderBy(desc("c"), asc("h")).limit(5)
+          .select(col("h").as("window_id"),
+            (col("h") * lit(3600000000000L)).as("w_start"),
+            ((col("h") + lit(1L)) * lit(3600000000000L) - lit(1L))
+              .as("w_end"))
+        graft.ops.RangeJoin.overlapJoin(sess, windows, Seq.empty,
+            "s_start", "s_end", "w_start", "w_end",
+            binWidth = 3600000000000L,
+            outCols = Seq("user_id", "session_seq", "window_id"))
+          .orderBy("user_id", "session_seq", "window_id").limit(2000)
+      },
+      Some("""WITH sb AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |sn AS (SELECT user_id, ts,
+             |    CAST(SUM(CASE WHEN prev_ts IS NULL
+             |        OR ts > prev_ts + INTERVAL 30 MINUTE
+             |      THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+             |        ROW) AS BIGINT) AS session_seq
+             |  FROM sb),
+             |si AS (SELECT user_id, session_seq,
+             |    min(epoch_ns(ts)) AS s_start,
+             |    max(epoch_ns(ts)) AS s_end
+             |  FROM sn GROUP BY user_id, session_seq),
+             |hw AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             |    count(*) AS c
+             |  FROM events GROUP BY h
+             |  ORDER BY c DESC, h ASC LIMIT 5),
+             |wv AS (SELECT h AS window_id,
+             |    h * 3600000000000 AS w_start,
+             |    (h + 1) * 3600000000000 - 1 AS w_end FROM hw)
+             |SELECT si.user_id, si.session_seq, wv.window_id
+             |FROM si JOIN wv ON si.s_start <= wv.w_end
+             |  AND wv.w_start <= si.s_end
+             |ORDER BY user_id, session_seq, window_id
+             |LIMIT 2000""".stripMargin)),
 
     // ---- relational coverage over the star schema ---------------------
     // money sums accumulate in exact DECIMAL (order-independent), then the
@@ -3047,28 +3144,36 @@ object SparkEntry {
           .select(col("tok"), col("exact_count"), col("est_count"))
           .orderBy(desc("exact_count"), asc("tok"))
       },
-      Some(s"""WITH tks AS (SELECT unnest(str_split(text, ' '))
-             |    AS tok FROM documents),
-             |rr AS (SELECT unnest(generate_series(0, 3)) AS r),
-             |cm AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
-             |  FROM (SELECT rr.r,
-             |      ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
-             |        AS b
-             |    FROM tks CROSS JOIN rr) cell
-             |  GROUP BY r, b),
-             |tp AS (SELECT tok, CAST(count(*) AS BIGINT)
-             |    AS exact_count
-             |  FROM tks GROUP BY tok
-             |  ORDER BY exact_count DESC, tok LIMIT 20),
-             |tb AS (SELECT tok, exact_count, rr.r,
-             |    ${duckHash60("'s' || rr.r || ':' || tok")} % 1024
-             |      AS b
-             |  FROM tp CROSS JOIN rr)
-             |SELECT tb.tok, tb.exact_count,
-             |  CAST(min(coalesce(cm.c, 0)) AS BIGINT) AS est_count
-             |FROM tb LEFT JOIN cm USING (r, b)
-             |GROUP BY tb.tok, tb.exact_count
-             |ORDER BY exact_count DESC, tok""".stripMargin)),
+      Some(duckCmsSql)),
+
+    // Batch REPLAY of a streaming Count-Min monitor: per-batch cell
+    // tables (doc_id mod 3 batches) merged by plain cell-count
+    // addition — CMS is a linear sketch, so the merged table must
+    // equal the one-shot d69 table bit-for-bit and the top-20 report
+    // shares d69's oracle VERBATIM (the d41/d68 replay discipline:
+    // the fold changes cost, never answers).
+    "d70_cms_stream_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val merged = (0 until 3).map { b =>
+            graft.pipeline.HeavyHitters.countMinTable(
+              docs.filter(pmod(col("doc_id"), lit(3L)) === b)
+                .select(explode(split(col("text"), " ")).as("tok")),
+              col("tok"))
+          }
+          .reduce(_ unionAll _)
+          .groupBy("r", "b").agg(sum(col("c")).as("c"))
+        val toks = docs
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val top = toks.groupBy("tok")
+          .agg(count(lit(1)).as("exact_count"))
+          .orderBy(desc("exact_count"), asc("tok")).limit(20)
+        graft.pipeline.HeavyHitters.countMinEstimates(
+            merged, top, col("tok"))
+          .select(col("tok"), col("exact_count"), col("est_count"))
+          .orderBy(desc("exact_count"), asc("tok"))
+      },
+      Some(duckCmsSql)),
 
     // Chi-square test of independence for two categorical columns
     // (lang x source): observed cell counts from one aggregation,
@@ -4903,6 +5008,74 @@ object SparkEntry {
              |      AS BIGINT) ELSE NULL END AS gini_micro
              |FROM t""".stripMargin)),
 
+    // Theil T inequality of the token-mass distribution — q65's
+    // entropy-family companion: ratio-weighted instead of
+    // rank-weighted, additively decomposable across sources (why
+    // mixture dashboards trend it). Per-doc (x·n/S)·ln(x·n/S) terms
+    // quantize to micro BEFORE the sum; one mirrored /n at the end.
+    "q95_theil_index" -> Q(
+      (s, dir) => TextStats.tokenMassTheil(
+        table(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH d AS (SELECT
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x
+             |  FROM documents WHERE text IS NOT NULL
+             |    AND len(str_split(text, ' ')) > 0),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(x), 0) AS BIGINT) AS s FROM d),
+             |m AS (SELECT CAST(round(1e6
+             |      * (CAST(x AS DOUBLE) * n / s)
+             |      * ln(CAST(x AS DOUBLE) * n / s)) AS BIGINT)
+             |    AS term
+             |  FROM d, t)
+             |SELECT t.n AS n_docs, t.s AS total_tokens,
+             |  CAST(round(CAST(coalesce(sum(term), 0) AS DOUBLE)
+             |    / t.n) AS BIGINT) AS theil_micro
+             |FROM m, t GROUP BY t.n, t.s""".stripMargin)),
+
+    // Theil decomposition by SOURCE — the property q95 was chosen
+    // for: T = T_between + T_within exactly (Gini cannot do this).
+    // between = is one source hogging tokens relative to its doc
+    // share; within = inside-source inequality. Per-row/per-group
+    // terms micro-quantize before their sums; the additive identity
+    // holds to per-term rounding slack (pinned in spec).
+    "q98_theil_decomposition" -> Q(
+      (s, dir) => TextStats.tokenMassTheilDecomposition(
+        table(s, dir, "documents"), "doc_id", "text", "source"),
+      Some("""WITH d AS (SELECT CAST(source AS VARCHAR) AS g,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS x
+             |  FROM documents WHERE text IS NOT NULL
+             |    AND source IS NOT NULL
+             |    AND len(str_split(text, ' ')) > 0),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(x), 0) AS BIGINT) AS s FROM d),
+             |gp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             |    CAST(sum(x) AS BIGINT) AS sg FROM d GROUP BY g),
+             |wt AS (SELECT CAST(round(1e6
+             |      * (CAST(x AS DOUBLE) / t.s)
+             |      * ln(CAST(x AS DOUBLE) * gp.ng / gp.sg))
+             |      AS BIGINT) AS wterm,
+             |    CAST(round(1e6 * (CAST(x AS DOUBLE) / t.s)
+             |      * ln(CAST(x AS DOUBLE) * t.n / t.s)) AS BIGINT)
+             |      AS tterm
+             |  FROM d JOIN gp USING (g) CROSS JOIN t),
+             |bt AS (SELECT CAST(coalesce(sum(CAST(round(1e6
+             |      * (CAST(sg AS DOUBLE) / t.s)
+             |      * ln(CAST(sg AS DOUBLE) * t.n
+             |        / (CAST(t.s AS DOUBLE) * CAST(ng AS DOUBLE))))
+             |      AS BIGINT)), 0) AS BIGINT) AS between_micro,
+             |    CAST(count(*) AS BIGINT) AS k FROM gp, t
+             |  GROUP BY t.n, t.s)
+             |SELECT t.n AS n_docs, t.s AS total_tokens,
+             |  bt.k AS k_groups,
+             |  CAST(coalesce(sum(tterm), 0) AS BIGINT)
+             |    AS theil_micro,
+             |  bt.between_micro,
+             |  CAST(coalesce(sum(wterm), 0) AS BIGINT)
+             |    AS within_micro
+             |FROM wt, t, bt
+             |GROUP BY t.n, t.s, bt.k, bt.between_micro"""
+        .stripMargin)),
+
     // Benford first-digit deviation — the fabricated-segment detector
     // for numeric columns (organically-grown magnitudes follow
     // log10(1+1/d); uniformly-generated ones don't): per digit, the
@@ -5056,6 +5229,80 @@ object SparkEntry {
              |    nullif(CAST(b_only + c_only AS DOUBLE), 0.0), 6)
              |    AS chi2
              |FROM m""".stripMargin)),
+
+    // Cochran's Q — q74's McNemar completed to THREE paired
+    // classifiers on the same is-English task: the full langid
+    // heuristic, the stopword-only detector, and the crude
+    // not-CJK-implies-English rule. All counts exact from one
+    // aggregation; Q = (k−1)(kΣC² − N²)/(kN − ΣR²) is one mirrored
+    // division. The oracle replays d3's langid CASE verbatim (shared
+    // derivation with q74).
+    "q96_cochran_q" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+          .filter(col("text").isNotNull && col("lang").isNotNull)
+        val truthEn = col("lang") === "en"
+        val predA = TextStats.langId(col("text")) === "en"
+        val predB = TextStats.stopwordCount(col("text"),
+          TextStats.StopwordsEn) > 0
+        val predC = length(regexp_replace(col("text"),
+          "[^\\x{4e00}-\\x{9fff}]", "")) * 3 <= length(col("text"))
+        graft.pipeline.Eval.cochranQ(docs, Seq(
+          predA === truthEn, predB === truthEn, predC === truthEn))
+      },
+      Some("""WITH t AS (SELECT lang, str_split(text, ' ') AS toks,
+             |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]',
+             |      '', 'g')) AS cjk,
+             |    length(text) AS lc
+             |  FROM documents
+             |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+             |s AS (SELECT lang, cjk, lc,
+             |    len(list_filter(toks, x -> x IN
+             |      ('the','a','an','and','of','to','in','is'))) AS en,
+             |    len(list_filter(toks, x -> x IN
+             |      ('el','la','los','de','y','en','es','un'))) AS es,
+             |    len(list_filter(toks, x -> x IN
+             |      ('le','la','les','et','de','un','une','est'))) AS fr,
+             |    len(list_filter(toks, x -> x IN
+             |      ('der','die','das','und','ein','ist','zu','von')))
+             |      AS de
+             |  FROM t),
+             |p AS (SELECT (lang = 'en') AS truth,
+             |    (CASE WHEN cjk * 3 > lc THEN 'zh'
+             |          WHEN en >= es AND en >= fr AND en >= de
+             |            AND en > 0 THEN 'en'
+             |          WHEN es >= fr AND es >= de AND es > 0 THEN 'es'
+             |          WHEN fr >= de AND fr > 0 THEN 'fr'
+             |          WHEN de > 0 THEN 'de'
+             |          ELSE 'und' END = 'en') AS pa,
+             |    (en > 0) AS pb,
+             |    (cjk * 3 <= lc) AS pc
+             |  FROM s),
+             |f AS (SELECT
+             |    CAST(CASE WHEN pa = truth THEN 1 ELSE 0 END
+             |      AS BIGINT) AS c0,
+             |    CAST(CASE WHEN pb = truth THEN 1 ELSE 0 END
+             |      AS BIGINT) AS c1,
+             |    CAST(CASE WHEN pc = truth THEN 1 ELSE 0 END
+             |      AS BIGINT) AS c2
+             |  FROM p),
+             |r AS (SELECT c0, c1, c2, c0 + c1 + c2 AS ri FROM f),
+             |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(c0), 0) AS HUGEINT) AS s0,
+             |    CAST(coalesce(sum(c1), 0) AS HUGEINT) AS s1,
+             |    CAST(coalesce(sum(c2), 0) AS HUGEINT) AS s2,
+             |    CAST(coalesce(sum(CAST(ri AS HUGEINT) * ri), 0)
+             |      AS HUGEINT) AS r2,
+             |    CAST(coalesce(sum(ri), 0) AS HUGEINT) AS nn
+             |  FROM r)
+             |SELECT n, CAST(3 AS BIGINT) AS k_classifiers,
+             |  CASE WHEN (3 * nn - r2) > 0 THEN
+             |    ROUND(CAST(3 - 1 AS DOUBLE)
+             |      * CAST(3 * (s0 * s0 + s1 * s1 + s2 * s2)
+             |        - nn * nn AS DOUBLE)
+             |      / CAST(3 * nn - r2 AS DOUBLE), 6)
+             |  ELSE NULL END AS q_stat
+             |FROM g""".stripMargin)),
 
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
@@ -5737,6 +5984,53 @@ object SparkEntry {
              |  ELSE NULL END AS acf
              |FROM ag, dn ORDER BY lag""".stripMargin)),
 
+    // Ljung-Box portmanteau over q92's lags (shared ACF derivation):
+    // LB = n(n+2)Σ r²/(n−k) — ONE whiteness number closing the
+    // series family; per-lag terms micro-quantize before the
+    // cross-lag sum.
+    "q99_ljung_box" -> Q(
+      (s, dir) => graft.pipeline.Eval.ljungBox(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"), maxLag = 8),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
+             |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
+             |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
+             |lg AS (SELECT unnest(generate_series(1, 8)) AS lag),
+             |pr AS (SELECT lg.lag, a.d AS da, b.d AS db
+             |  FROM dd a CROSS JOIN lg
+             |  JOIN dd b ON a.x + lg.lag = b.x),
+             |ag AS (SELECT lag, coalesce(sum(da * db), 0) AS num
+             |  FROM pr GROUP BY lag),
+             |af AS (SELECT lag,
+             |    CASE WHEN den > 0 THEN
+             |      ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+             |        6)
+             |    ELSE NULL END AS acf
+             |  FROM ag, dn),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mm),
+             |tm AS (SELECT CAST(round(1e6 * n * (n + 2)
+             |      * (acf * acf) / (n - lag)) AS BIGINT) AS term
+             |  FROM af, nb WHERE acf IS NOT NULL AND lag < n)
+             |SELECT nb.n AS n_buckets,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM tm) AS n_lags,
+             |  (SELECT CAST(coalesce(sum(term), 0) AS BIGINT)
+             |   FROM tm) AS lb_micro
+             |FROM nb""".stripMargin)),
+
     // KMV sketch SET ALGEBRA (Beyer et al. 2007): union/intersection
     // cardinality of viewers vs purchasers from the two k=64 sketches
     // ALONE — the compositional question ("how many users did BOTH")
@@ -5790,6 +6084,100 @@ object SparkEntry {
              |    ROUND(CAST(es.ni AS DOUBLE) / es.nm * es.eu, 6)
              |  ELSE 0.0 END AS est_inter
              |FROM ex, es""".stripMargin)),
+
+    // EWMA one-step forecast (α=1/2, window 16) over the hourly mean
+    // series — the online smoother with EXACT arithmetic: power-of-2
+    // weights over the present past buckets, one mirrored round
+    // division per bucket; resid = m − forecast is the with-memory
+    // anomaly signal next to q38's memoryless z-buckets. Gap-aware
+    // like q92 (a missing hour renormalizes, never bridges).
+    "q94_ewma_forecast" -> Q(
+      (s, dir) => graft.pipeline.Eval.ewmaForecast(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"), window = 16),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
+             |ct AS (SELECT mm.x + jj.j AS x,
+             |    CAST(mm.m AS HUGEINT) AS pm,
+             |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
+             |  FROM mm CROSS JOIN jj),
+             |fc AS (SELECT x, coalesce(sum(pm * w), 0) AS num,
+             |    CAST(sum(w) AS BIGINT) AS den
+             |  FROM ct GROUP BY x),
+             |ff AS (SELECT mm.x, mm.m,
+             |    CAST(round(CAST(num AS DOUBLE)
+             |      / CAST(den AS DOUBLE)) AS BIGINT) AS forecast_micro
+             |  FROM mm JOIN fc USING (x))
+             |SELECT x, m, forecast_micro,
+             |  m - forecast_micro AS resid_micro
+             |FROM ff ORDER BY x""".stripMargin)),
+
+    // MASE (Hyndman & Koehler 2006) for the q94 EWMA monitor: mean
+    // absolute EWMA residual over mean absolute one-step naive
+    // difference — is the smoother beating "predict the previous
+    // bucket" (MASE < 1)? Both numerators are exact integer sums;
+    // MASE is one division of exact cross-products (no intermediate
+    // mean rounding).
+    "q97_forecast_mase" -> Q(
+      (s, dir) => graft.pipeline.Eval.forecastMase(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"), window = 16),
+      Some("""WITH eb AS (SELECT
+             |    epoch_us(ts) // 3600000000 AS x,
+             |    CAST(round(value * 1e6) AS HUGEINT) AS v
+             |  FROM events
+             |  WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND NOT isnan(value)),
+             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+             |    coalesce(sum(v), 0) AS s
+             |  FROM eb GROUP BY x),
+             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+             |    AS BIGINT) AS m FROM bb),
+             |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
+             |ct AS (SELECT mm.x + jj.j AS x,
+             |    CAST(mm.m AS HUGEINT) AS pm,
+             |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
+             |  FROM mm CROSS JOIN jj),
+             |fc AS (SELECT x, coalesce(sum(pm * w), 0) AS num,
+             |    CAST(sum(w) AS BIGINT) AS den
+             |  FROM ct GROUP BY x),
+             |ff AS (SELECT mm.m - CAST(round(CAST(num AS DOUBLE)
+             |      / CAST(den AS DOUBLE)) AS BIGINT) AS resid
+             |  FROM mm JOIN fc USING (x)),
+             |nv AS (SELECT d FROM (SELECT abs(m - lag(m)
+             |      OVER (ORDER BY x)) AS d FROM mm) z
+             |  WHERE d IS NOT NULL),
+             |fa AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+             |    CAST(coalesce(sum(abs(resid)), 0) AS BIGINT) AS sf
+             |  FROM ff),
+             |na AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(coalesce(sum(d), 0) AS BIGINT) AS sn FROM nv)
+             |SELECT fa.nf AS n_forecast, na.nn AS n_naive,
+             |  CASE WHEN nf > 0 THEN
+             |    CAST(round(CAST(sf AS DOUBLE) / nf) AS BIGINT)
+             |  ELSE NULL END AS mae_f_micro,
+             |  CASE WHEN nn > 0 THEN
+             |    CAST(round(CAST(sn AS DOUBLE) / nn) AS BIGINT)
+             |  ELSE NULL END AS mae_n_micro,
+             |  CASE WHEN nf > 0 AND sn > 0 THEN
+             |    ROUND(CAST(sf AS DOUBLE) * nn
+             |      / (CAST(sn AS DOUBLE) * nf), 6)
+             |  ELSE NULL END AS mase
+             |FROM fa, na""".stripMargin)),
 
     // Paired bootstrap LM comparison (Koehn, EMNLP 2004): per-doc
     // delta = bigram LM score (d47) - unigram LM score (d28), both
@@ -7254,6 +7642,60 @@ object SparkEntry {
               |LIMIT 200""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Graph DBSCAN (Ester et al. 1996) over the collocation graph:
+    // density clustering that plain CC cannot do — a single weak
+    // bridge edge no longer fuses two dense word families, because
+    // its endpoints fail the degree-≥-2 core test and demote to
+    // border/noise. Cores cluster by CC over core-core edges (min
+    // reachable id); a border takes its smallest adjacent core
+    // cluster; cluster labels join back to readable words.
+    "g15_dbscan" -> Q(
+      (s, dir) => {
+        val (edges, words) = wordGraph(s, dir)
+        graft.pipeline.GraphOps.dbscanGraph(
+            edges, "id_a", "id_b", minPts = 2)
+          .join(words, "id")
+          .join(words.select(col("id").as("cluster"),
+            col("word").as("cluster_word")), Seq("cluster"), "left")
+          .select(col("word"), col("role"), col("cluster_word"))
+          .orderBy("word").limit(2000)
+      },
+      Some(s"""WITH RECURSIVE $duckWordGraphCtes,
+              |dg AS (SELECT src AS id, CAST(count(*) AS BIGINT)
+              |    AS deg FROM ed GROUP BY src),
+              |cr AS (SELECT id FROM dg WHERE deg >= 2),
+              |ce AS (SELECT te.lo AS a, te.hi AS b FROM te
+              |  WHERE te.lo IN (SELECT id FROM cr)
+              |    AND te.hi IN (SELECT id FROM cr)),
+              |ced AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+              |reach(s, d) AS (
+              |  SELECT a, b FROM ced
+              |  UNION
+              |  SELECT r.s, e2.b FROM reach r
+              |  JOIN ced e2 ON e2.a = r.d),
+              |cmp AS (SELECT s AS id, least(s, min(d)) AS cluster
+              |  FROM reach GROUP BY s),
+              |ccp AS (SELECT cr.id, coalesce(cmp.cluster, cr.id)
+              |    AS cluster
+              |  FROM cr LEFT JOIN cmp USING (id)),
+              |br AS (SELECT ed.src AS id, min(ccp.cluster) AS cluster
+              |  FROM ed JOIN ccp ON ccp.id = ed.dst
+              |  WHERE ed.src NOT IN (SELECT id FROM cr)
+              |  GROUP BY ed.src),
+              |ns AS (SELECT dg.id FROM dg
+              |  WHERE dg.id NOT IN (SELECT id FROM cr)
+              |    AND dg.id NOT IN (SELECT id FROM br)),
+              |al AS (SELECT id, 'core' AS role, cluster FROM ccp
+              |  UNION ALL SELECT id, 'border', cluster FROM br
+              |  UNION ALL SELECT id, 'noise', NULL FROM ns)
+              |SELECT wm.word, al.role, wc.word AS cluster_word
+              |FROM al JOIN wm ON wm.id = al.id
+              |LEFT JOIN wm wc ON wc.id = al.cluster
+              |ORDER BY wm.word LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED (")
+        .replace("reach(s, d) AS MATERIALIZED (",
+          "reach(s, d) AS ("))),
+
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /
     // small-star contraction — O(log²) rounds regardless of chain
@@ -8416,6 +8858,74 @@ object SparkEntry {
           .replace(" AS (", " AS MATERIALIZED (")
       }),
 
+    // RM3 pseudo-relevance feedback (Lavrenko & Croft 2001, the Indri
+    // recipe in rank-weighted integer form): r1's BM25 top-10 mined
+    // for the 5 terms with the highest rank-discounted term frequency
+    // Σ tf·(11−rank) (integer-exact, originals excluded), then BM25
+    // re-run with the expanded query — the recall lever a curation
+    // pipeline uses to grow a seed set. Oracle replays both rounds
+    // and the expansion derivation in one chain.
+    "r4_rm3_expansion" -> Q(
+      (s, dir) => Retrieval.rm3TopK(table(s, dir, "documents"),
+          "doc_id", "text", Seq("vector", "hash", "merge"), k = 20,
+          feedbackDocs = 10, expansion = 5)
+        .select(col("id").as("doc_id"), col("bm25")),
+      Some("""WITH tok AS (SELECT doc_id,
+             |    unnest(str_split(text, ' ')) AS t FROM documents),
+             |l AS (SELECT doc_id AS id, len(str_split(text, ' '))
+             |    AS dl FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(len(str_split(text, ' '))) AS DOUBLE)
+             |      / count(*) AS avgdl
+             |  FROM documents),
+             |p1 AS (SELECT doc_id AS id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok WHERE t IN ('vector', 'hash', 'merge')
+             |  GROUP BY id, t),
+             |i1 AS (SELECT term,
+             |    ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) AS idf,
+             |    avgdl
+             |  FROM (SELECT term, count(*) AS df FROM p1
+             |        GROUP BY term)
+             |  CROSS JOIN st),
+             |s1 AS (SELECT p1.id,
+             |    sum(i1.idf * p1.tf * 2.2
+             |      / (p1.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+             |        / i1.avgdl))) AS s
+             |  FROM p1 JOIN i1 USING (term) JOIN l ON l.id = p1.id
+             |  GROUP BY p1.id),
+             |t1 AS (SELECT id, ROUND(s, 6) AS bm25 FROM s1
+             |  ORDER BY bm25 DESC, id ASC LIMIT 10),
+             |tr AS (SELECT id, CAST(row_number() OVER (
+             |    ORDER BY bm25 DESC, id ASC) AS BIGINT) AS rnk
+             |  FROM t1),
+             |ex AS (SELECT tok.t AS term,
+             |    CAST(sum(11 - tr.rnk) AS BIGINT) AS w
+             |  FROM tok JOIN tr ON tr.id = tok.doc_id
+             |  WHERE tok.t NOT IN ('vector', 'hash', 'merge')
+             |  GROUP BY tok.t ORDER BY w DESC, term ASC LIMIT 5),
+             |qt AS (SELECT term FROM ex UNION ALL
+             |       SELECT unnest(['vector', 'hash', 'merge'])),
+             |p2 AS (SELECT doc_id AS id, t AS term,
+             |    CAST(count(*) AS BIGINT) AS tf
+             |  FROM tok WHERE t IN (SELECT term FROM qt)
+             |  GROUP BY id, t),
+             |i2 AS (SELECT term,
+             |    ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) AS idf,
+             |    avgdl
+             |  FROM (SELECT term, count(*) AS df FROM p2
+             |        GROUP BY term)
+             |  CROSS JOIN st),
+             |s2 AS (SELECT p2.id,
+             |    sum(i2.idf * p2.tf * 2.2
+             |      / (p2.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl
+             |        / i2.avgdl))) AS s
+             |  FROM p2 JOIN i2 USING (term) JOIN l ON l.id = p2.id
+             |  GROUP BY p2.id)
+             |SELECT id AS doc_id, ROUND(s, 6) AS bm25 FROM s2
+             |ORDER BY bm25 DESC, doc_id ASC
+             |LIMIT 20""".stripMargin)),
+
     // IVF-probed MMR — the production ANN -> diversified-re-rank
     // composition: the pool feeding r3's greedy is e4's probed cells
     // (nProbes/nCells of the corpus at scale), not a corpus-wide
@@ -8462,6 +8972,35 @@ object SparkEntry {
            |${duckMmrTail(10)}""".stripMargin
           .replace(" AS (", " AS MATERIALIZED (")
       }),
+
+    // Exact upper-triangle covariance of the embedding columns — the
+    // anisotropy audit behind every cosine-ranked entry: a few
+    // dominant directions mean ANN similarity is driven by a rotten
+    // subspace. Micro-quantized components, per-vector d² self-join
+    // (never cross-vector), decimal co-moments, one mirrored double
+    // per cell (the q36 discipline applied matrix-wide).
+    "e17_embedding_covariance" -> Q(
+      (s, dir) => Similarity.covarianceMicro(
+        table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |fl AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+             |    CAST(round(v[t.i] * 1e6) AS BIGINT) AS x
+             |  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+             |pr AS (SELECT a.i, b.i AS j, CAST(a.x AS HUGEINT) AS x,
+             |    CAST(b.x AS HUGEINT) AS y
+             |  FROM fl a JOIN fl b
+             |    ON a.vec_id = b.vec_id AND a.i <= b.i),
+             |ag AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+             |    coalesce(sum(x), 0) AS sx,
+             |    coalesce(sum(y), 0) AS sy,
+             |    coalesce(sum(x * y), 0) AS sxy
+             |  FROM pr GROUP BY i, j)
+             |SELECT i, j, n_vecs,
+             |  ROUND(CAST(n_vecs * sxy - sx * sy AS DOUBLE)
+             |    / (CAST(n_vecs AS DOUBLE) * n_vecs * 1e12), 6)
+             |    AS cov
+             |FROM ag ORDER BY i, j""".stripMargin)),
 
     "r2_hybrid_rrf" -> Q(
       (s, dir) => {

@@ -35,4 +35,50 @@ object RangeJoin {
         col(rightTs) <= col(leftTs))
       .drop("_bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join: pairs whose closed intervals
+    * [leftStart, leftEnd] and [rightStart, rightEnd] overlap
+    * (lStart ≤ rEnd ∧ rStart ≤ lEnd) and the equi-keys match — the
+    * sessions-versus-windows join ([[withinRange]] handles
+    * point-in-range; this handles range-against-range).
+    *
+    * Same no-cartesian discipline: BOTH sides explode to the
+    * `binWidth`-sized bins their interval covers, the join is a plain
+    * equi-join on (keys, bin), the exact overlap predicate filters,
+    * and a distinct collapses the multi-bin double-counts (a pair
+    * overlapping across b bins matches in every shared bin). Pick
+    * binWidth near the typical interval length: cost is
+    * Σ(span/binWidth + 1) exploded rows per side. A single interval
+    * spanning more than `maxBinsPerRow` bins fails IN THE PLAN via
+    * raise_error (the exactTopK in-plan-guard convention) rather than
+    * silently exploding the join — callers with one giant interval
+    * should split it upstream, not widen the guard. Inverted
+    * (end < start) intervals also fail there. Both frames must carry
+    * a unique id among `outCols`; output = outCols, distinct. */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  lStart: String, lEnd: String,
+                  rStart: String, rEnd: String,
+                  binWidth: Long, outCols: Seq[String],
+                  maxBinsPerRow: Int = 1024): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerRow >= 2,
+      s"maxBinsPerRow must be >= 2 (got $maxBinsPerRow)")
+    def bins(s: String, e: String): Column = {
+      val lo = expr(s"$s div ${binWidth}L")
+      val hi = expr(s"$e div ${binWidth}L")
+      when(col(e) < col(s), raise_error(concat(
+        lit(s"overlapJoin: inverted interval ($s > $e): "),
+        col(s), lit(" > "), col(e))))
+        .when(hi - lo >= maxBinsPerRow, raise_error(concat(
+          lit(s"overlapJoin: interval spans >= $maxBinsPerRow bins "),
+          lit(s"of $binWidth - split it upstream or raise binWidth"))))
+        .otherwise(sequence(lo, hi))
+    }
+    val lb = left.withColumn("_bin", explode(bins(lStart, lEnd)))
+    val rb = right.withColumn("_bin", explode(bins(rStart, rEnd)))
+    lb.join(rb, keys :+ "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .select(outCols.map(col): _*)
+      .distinct()
+  }
 }

@@ -1896,6 +1896,138 @@ object Eval {
           .otherwise(lit(null).cast("double")).as("q_stat"))
   }
 
+  /** EWMA one-step forecast over the per-bucket mean series (the
+    * q84/q86/q92 shared series), α = 1/2, window-truncated at
+    * `window` past buckets — the online smoother every metric
+    * dashboard runs, in an EXACT form: α = 1/2 makes every weight a
+    * power of two (past bucket at offset j weighs 2^(W−j)), so the
+    * forecast for bucket x is Σ m·2^(W−j) / Σ 2^(W−j) over the
+    * PRESENT past buckets — one rational, one mirrored
+    * round-division, no float recursion to diverge on. Gap-aware by
+    * the same argument as [[acf]]: a missing hour contributes no
+    * term and the denominator renormalizes over what exists (never a
+    * positional lag that would silently bridge gaps).
+    *
+    * Shape at scale: the series is the ≤B-row post-agg bucket frame;
+    * each bucket projects its weight onto its next `window` positions
+    * (a bounded explode), and one groupBy collapses them to the
+    * forecast table. The residual m − forecast is the anomaly signal
+    * a threshold monitor consumes (the q38 z-bucket companion with
+    * memory). Buckets with no past bucket in range emit no row.
+    * Returns (x, m, forecast_micro, resid_micro) ordered by x. */
+  def ewmaForecast(df: DataFrame, valueMicro: Column, bucket: Column,
+                   window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62,
+      s"window must be in [1, 62] (got $window)")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
+    val fc = mm
+      .select(col("x").as("src"), col("m").as("pm"),
+        explode(sequence(lit(1), lit(window))).as("j"))
+      .select((col("src") + col("j")).as("x"), col("pm"),
+        pow(lit(2.0), lit(window) - col("j")).cast("long").as("w"))
+      .groupBy("x")
+      .agg(sum(dec(col("pm")) * dec(col("w"))).as("num"),
+        sum(col("w")).as("den"))
+    mm.join(fc, "x")
+      .select(col("x"), col("m"),
+        round(col("num").cast("double") / col("den").cast("double"))
+          .cast("long").as("forecast_micro"))
+      .withColumn("resid_micro", col("m") - col("forecast_micro"))
+      .orderBy("x")
+  }
+
+  /** Cochran's Q test (Cochran 1950) — the k-classifier completion of
+    * McNemar (q74): given k PAIRED binary outcomes per subject
+    * (correct/incorrect for each of k classifiers on the SAME
+    * examples), does any classifier's success rate differ? With
+    * k = 2 it reduces to McNemar's uncorrected χ²; beyond 2 it is
+    * the blocked binary twin of Friedman.
+    *
+    * Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²), where Cⱼ are the
+    * per-classifier success totals, Rᵢ the per-subject success
+    * counts, and N = ΣRᵢ — ALL exact integers from one aggregation
+    * (per-subject row sums are width-k adds, the squares accumulate
+    * in decimal), into ONE mirrored double division, ROUND 6. NULL
+    * when the denominator is 0 (every subject all-correct or
+    * all-wrong — no discriminating subjects). Rows with any NULL
+    * flag drop (the mcnemar abstention contract). Returns one row
+    * (n, k_classifiers, q_stat). */
+  def cochranQ(df: DataFrame, corrects: Seq[Column]): DataFrame = {
+    require(corrects.size >= 2 && corrects.size <= 16,
+      s"need 2..16 paired classifiers (got ${corrects.size})")
+    val k = corrects.size
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val flags = corrects.zipWithIndex.map { case (c, i) =>
+      when(c.cast("boolean"), 1L).otherwise(0L).as(s"c$i")
+    }
+    val rows = df
+      .filter(corrects.map(_.isNotNull).reduce(_ && _))
+      .select(flags: _*)
+      .withColumn("ri", (0 until k).map(i => col(s"c$i"))
+        .reduce(_ + _))
+    val aggs = (0 until k).map(i =>
+      coalesce(sum(col(s"c$i")), lit(0L)).as(s"s$i")) ++ Seq(
+      count(lit(1)).as("n"),
+      coalesce(sum(dec(col("ri")) * dec(col("ri"))), z0).as("r2"),
+      coalesce(sum(col("ri")), lit(0L)).as("bigN"))
+    val sumC2 = (0 until k).map(i => dec(col(s"s$i")) * dec(col(s"s$i")))
+      .reduce(_ + _)
+    val num = dec(lit(k.toLong)) * sumC2 -
+      dec(col("bigN")) * dec(col("bigN"))
+    val den = dec(lit(k.toLong)) * dec(col("bigN")) - col("r2")
+    rows.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), lit(k.toLong).as("k_classifiers"),
+        when(den > 0,
+          round(lit((k - 1).toDouble) * num.cast("double") /
+            den.cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("q_stat"))
+  }
+
+  /** MASE forecast-quality report (Hyndman & Koehler 2006) for the
+    * [[ewmaForecast]] monitor: mean absolute EWMA residual over the
+    * mean absolute one-step NAIVE difference — the scale-free "is
+    * the smoother actually beating 'predict the previous bucket'"
+    * number (MASE < 1 = yes) that decides whether q94's residual
+    * thresholds mean anything.
+    *
+    * Exactness: both MAE numerators are exact integer sums of micro
+    * residuals; MASE = (Σ|r_f|·n_n)/(Σ|d_n|·n_f) is ONE mirrored
+    * double division of exact products (no intermediate mean
+    * rounding); the two reported per-series MAEs each take one
+    * mirrored round-division. The naive baseline differences the
+    * consecutive PRESENT buckets (the observed series, the standard
+    * convention). n_n/Σ|d_n| are a 1-row bounded parameter fetch.
+    * Returns one row
+    * (n_forecast, n_naive, mae_f_micro, mae_n_micro, mase). */
+  def forecastMase(df: DataFrame, valueMicro: Column, bucket: Column,
+                   window: Int = 16): DataFrame = {
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
+    val naive = mm
+      .withColumn("pm", lag(col("m"), 1).over(Window.orderBy("x")))
+      .filter(col("pm").isNotNull)
+      .select(abs(col("m") - col("pm")).as("d"))
+    // 1-row bounded parameter fetch: the naive baseline's parts
+    val nRow = naive.agg(count(lit(1)),
+      coalesce(sum(col("d")), lit(0L))).head()
+    val nn = nRow.getLong(0)
+    val sn = nRow.getLong(1)
+    ewmaForecast(df, valueMicro, bucket, window)
+      .agg(count(lit(1)).as("n_forecast"),
+        coalesce(sum(abs(col("resid_micro"))), lit(0L)).as("sf"))
+      .select(col("n_forecast"), lit(nn).as("n_naive"),
+        when(col("n_forecast") > 0,
+          round(col("sf").cast("double") / col("n_forecast"))
+            .cast("long")).as("mae_f_micro"),
+        lit(if (nn > 0) math.round(sn.toDouble / nn)
+            else null).cast("long").as("mae_n_micro"),
+        when(col("n_forecast") > 0 && lit(sn) > 0,
+          round(col("sf").cast("double") * lit(nn.toDouble) /
+            (lit(sn.toDouble) * col("n_forecast").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("mase"))
+  }
+
   /** KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007) over two
     * segments of one key stream: union and intersection cardinality
     * estimates computed from the two k-minimum-values sketches ALONE —
@@ -2000,6 +2132,34 @@ object Eval {
           round(col("num").cast("double") / lit(denom.toDouble), 6))
           .otherwise(lit(null).cast("double")).as("acf"))
       .orderBy("lag")
+  }
+
+  /** Ljung–Box portmanteau test (Ljung & Box 1978) over [[acf]]'s
+    * lags: LB = n(n+2)·Σₖ r_k²/(n−k) — ONE number answering "is
+    * there ANY autocorrelation left", the whiteness check that
+    * closes the series family (q92 profiles per-lag memory, this
+    * aggregates it into the χ²(L) statistic a residual audit
+    * thresholds — run it on q94's residuals to validate the
+    * smoother).
+    *
+    * Exactness: r_k are q92's ROUND-6 values (shared derivation —
+    * the two entries cannot drift onto different ACFs); each lag's
+    * term quantizes to micro BEFORE the cross-lag sum (8 doubles
+    * summed in engine order would not be mirrored); n is a bounded
+    * parameter fetch. Lags with undefined acf (constant series) or
+    * lag ≥ n drop. Returns one row (n_buckets, n_lags, lb_micro). */
+  def ljungBox(df: DataFrame, valueMicro: Column, bucket: Column,
+               maxLag: Int = 8): DataFrame = {
+    // 1-row bounded parameter fetch: the bucket count
+    val n = bucketMeansMicro(df, valueMicro, bucket).count()
+    val term = round(lit(1e6) * lit(n.toDouble) *
+      lit((n + 2).toDouble) * (col("acf") * col("acf")) /
+      (lit(n.toDouble) - col("lag").cast("double"))).cast("long")
+    acf(df, valueMicro, bucket, maxLag)
+      .filter(col("acf").isNotNull && col("lag") < n)
+      .agg(count(lit(1)).as("n_lags"),
+        coalesce(sum(term), lit(0L)).as("lb_micro"))
+      .select(lit(n).as("n_buckets"), col("n_lags"), col("lb_micro"))
   }
 
   /** McNemar's test for two PAIRED classifiers scored on the same

@@ -936,6 +936,62 @@ object GraphOps {
         col("ra_micro"))
   }
 
+  /** DBSCAN over an ALREADY-THRESHOLDED similarity graph (Ester et
+    * al., KDD 1996, the graph formulation): the ε-neighborhood is the
+    * pair list itself (LSH-verified near-dup pairs, collocation
+    * edges, embedding neighbors above a cosine floor), so density
+    * clustering reduces to pure graph ops — CORE nodes have degree ≥
+    * minPts, clusters are connected components over core–core edges,
+    * BORDER nodes attach to their smallest adjacent core cluster, and
+    * the rest of the graph's nodes are NOISE. What it adds over plain
+    * CC (d23): one weak bridge pair no longer fuses two dense
+    * families — the bridge endpoints fail the core test and demote to
+    * border/noise instead of conducting the merge.
+    *
+    * Determinism: the core set is a degree filter, components come
+    * from [[Dedup.connectedComponents]] (min reachable id), and a
+    * border with several core neighbors takes the SMALLEST adjacent
+    * cluster id — total rules, no randomness, SQL-replayable.
+    * Shape at scale: a degree aggregation, two semi-joins to gate the
+    * core subgraph, the CC contraction, and one neighbor join for
+    * borders — everything rides the edge list; the corpus is never
+    * touched. Isolated cores (minPts edges but no CORE neighbor)
+    * form their own singleton cluster. Returns (id, role, cluster)
+    * with role ∈ {core, border, noise}; cluster NULL for noise. */
+  def dbscanGraph(pairs: DataFrame, idACol: String, idBCol: String,
+                  minPts: Int): DataFrame = {
+    require(minPts >= 1 && minPts <= 1000,
+      s"minPts must be in [1, 1000] (got $minPts)")
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    val deg = degreesOf(e)
+    val cores = deg.filter(col("deg") >= minPts).select("id")
+      .localCheckpoint()
+    val ccEdges = e
+      .join(cores.select(col("id").as("lo")), "lo")
+      .join(cores.select(col("id").as("hi")), "hi")
+      .select(col("lo").as("id_a"), col("hi").as("id_b"))
+    val comp = Dedup.connectedComponents(ccEdges, "id_a", "id_b")
+    val coreComp = cores.join(comp, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+      .localCheckpoint()
+    val bd = e.select(col("lo").as("id"), col("hi").as("nb"))
+      .union(e.select(col("hi").as("id"), col("lo").as("nb")))
+    val borders = bd
+      .join(cores, Seq("id"), "left_anti")
+      .join(coreComp.select(col("id").as("nb"), col("cluster")), "nb")
+      .groupBy("id").agg(min(col("cluster")).as("cluster"))
+    val noise = deg.select("id")
+      .join(cores, Seq("id"), "left_anti")
+      .join(borders.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit("noise").as("role"),
+        lit(null).cast("long").as("cluster"))
+    coreComp.select(col("id"), lit("core").as("role"), col("cluster"))
+      .unionAll(borders.select(col("id"), lit("border").as("role"),
+        col("cluster")))
+      .unionAll(noise)
+  }
+
   private def orientUp(e: DataFrame, deg: DataFrame,
                        byDegree: Boolean): DataFrame =
     if (!byDegree) e.select(col("lo").as("src"), col("hi").as("dst"))

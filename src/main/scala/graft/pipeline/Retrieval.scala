@@ -84,6 +84,48 @@ object Retrieval {
       .limit(k)
   }
 
+  /** RM3-style pseudo-relevance feedback (Lavrenko & Croft 2001 /
+    * the Indri RM3 recipe, rank-weighted integer form): run BM25,
+    * mine the top `feedbackDocs` results for the terms that
+    * characterize them, and re-run BM25 with the query EXPANDED by
+    * the top `expansion` such terms — the classic recall lever when
+    * the original query undershoots (the corpus-search loop a
+    * curation pipeline runs to grow a seed set).
+    *
+    * Expansion weights are INTEGER-exact: each token occurrence in a
+    * feedback doc contributes (feedbackDocs + 1 − rank_of_doc), i.e.
+    * weight(t) = Σ_d tf(t,d)·(n+1−rank_d) — a rank-discounted term
+    * frequency with no float relevance model to diverge on — and the
+    * top-m cut is (weight desc, term asc). Original query terms are
+    * excluded from expansion. The m terms are a bounded data-derived
+    * parameter fetch (the PPR-seed convention; the oracle re-derives
+    * them in SQL), and both BM25 rounds are [[bm25TopK]] verbatim —
+    * the posting probe stays filtered to |Q| + m terms before any
+    * shuffle. Returns the round-2 (id, bm25) top-k. */
+  def rm3TopK(docs: DataFrame, idCol: String, textCol: String,
+              queryTerms: Seq[String], k: Int,
+              feedbackDocs: Int = 10, expansion: Int = 5,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(feedbackDocs >= 1 && feedbackDocs <= 100,
+      s"feedbackDocs must be in [1, 100] (got $feedbackDocs)")
+    require(expansion >= 1 && expansion <= 50,
+      s"expansion must be in [1, 50] (got $expansion)")
+    val ranked = asRanking(
+      bm25TopK(docs, idCol, textCol, queryTerms, feedbackDocs, k1, b),
+      "id", "bm25")
+    // bounded parameter fetch: the m expansion terms
+    val terms = docs
+      .select(col(idCol).as("id"),
+        explode(TextStats.tokens(col(textCol))).as("term"))
+      .join(broadcast(ranked), "id")
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy("term")
+      .agg(sum(lit(feedbackDocs.toLong + 1L) - col("rank")).as("w"))
+      .orderBy(col("w").desc, col("term").asc).limit(expansion)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(docs, idCol, textCol, queryTerms ++ terms, k, k1, b)
+  }
+
   /** Attach a dense 1-based rank to an ALREADY top-n-bounded scored
     * frame: row_number over (score desc, id asc). The single-partition
     * window is bounded by the list length (n rows post-limit), the

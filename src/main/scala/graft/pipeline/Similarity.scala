@@ -755,4 +755,46 @@ object Similarity {
       .select(col("anchor_id"), col("row._2").as("cand_id"),
         col("row._1").as("cosine"))
   }
+
+  /** Exact upper-triangle covariance matrix of the embedding columns
+    * — the anisotropy audit (Ethayarajh, EMNLP 2019 made the case):
+    * a healthy embedding table has small off-diagonal mass and
+    * comparable per-dimension variances; a few dominant directions
+    * mean the cosine scores the whole ANN family ranks by are driven
+    * by a rotten subspace. This is the one-pass co-moment shape of a
+    * covariance/PCA-prep job at scale.
+    *
+    * Exactness: components quantize to micro per element, the
+    * (id, i, x) flat frame self-joins on the vector id (i ≤ j — the
+    * join is per-vector d², never cross-vector), and n/Σx/Σy/Σxy
+    * accumulate exactly in decimal(38,0) (the q36 co-moment
+    * discipline); cov = (n·Σxy − ΣxΣy)/(n²·1e12) is one mirrored
+    * double per cell, ROUND 6. Null/absent vectors contribute no
+    * rows. Returns (i, j, n_vecs, cov) ordered by (i, j). */
+  def covarianceMicro(emb: DataFrame, idCol: String,
+                      vecCol: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val flat = emb
+      .select(col(idCol).as("id"),
+        posexplode(toDouble(col(vecCol))).as(Seq("i", "xi")))
+      .select(col("id"), col("i").cast("long").as("i"),
+        round(col("xi") * lit(1e6)).cast("long").as("x"))
+    flat.as("a")
+      .join(flat.as("b"),
+        col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
+      .select(col("a.i").as("i"), col("b.i").as("j"),
+        col("a.x").as("x"), col("b.x").as("y"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(dec(col("x"))), z0).as("sx"),
+        coalesce(sum(dec(col("y"))), z0).as("sy"),
+        coalesce(sum(dec(col("x")) * dec(col("y"))), z0).as("sxy"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        round((dec(col("n_vecs")) * col("sxy") -
+            col("sx") * col("sy")).cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs") * lit(1e12)),
+          6).as("cov"))
+      .orderBy("i", "j")
+  }
 }

@@ -499,4 +499,101 @@ object TextStats {
             "(cast(n_docs as decimal(38,0)) * total_tokens)"))
           .as("gini_micro"))
   }
+
+  /** Theil T inequality index of the corpus token-mass distribution —
+    * [[tokenMassGini]]'s entropy-family companion (Theil 1967):
+    * T = (1/n)·Σ (x/μ)·ln(x/μ). Where Gini weighs rank positions,
+    * Theil weighs RATIOS — it is additively decomposable across
+    * subgroups, which is why mixture dashboards (d20) trend it per
+    * source. T = 0 means every document carries equal token mass;
+    * ln(n) is the one-whale maximum.
+    *
+    * Exactness: n and S are one bounded parameter fetch; each
+    * document's term (x·n/S)·ln(x·n/S) is a mirrored per-row double
+    * over exact integers, quantized to micro BEFORE the sum (the d28
+    * discipline — ln lands per row, never accumulated as floats), and
+    * the final /n is one mirrored round-division. Zero-token docs are
+    * excluded (ln undefined; also excluded from the mass). Returns
+    * one row (n_docs, total_tokens, theil_micro). */
+  def tokenMassTheil(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val d = docs.filter(col(textCol).isNotNull)
+      .select(tokenCount(col(textCol)).as("x"))
+      .filter(col("x") > 0)
+    // 1-row bounded parameter fetch: doc count + total mass
+    val row = d.agg(count(lit(1)),
+      coalesce(sum(col("x")), lit(0L))).head()
+    val n = row.getLong(0)
+    val sTot = row.getLong(1)
+    val ratio = col("x").cast("double") * lit(n.toDouble) /
+      lit(sTot.toDouble)
+    val term = round(lit(1e6) * ratio * log(ratio)).cast("long")
+    d.agg(coalesce(sum(term), lit(0L)).as("tsum"))
+      .select(lit(n).as("n_docs"), lit(sTot).as("total_tokens"),
+        (if (n > 0)
+          round(col("tsum").cast("double") / lit(n.toDouble))
+            .cast("long")
+        else lit(null).cast("long")).as("theil_micro"))
+  }
+
+  /** Theil decomposition BY GROUP — the property that makes Theil the
+    * mixture dashboard's inequality index ([[tokenMassTheil]]):
+    * T = T_between + T_within exactly, where T_between measures
+    * source-level mass imbalance (is one source hogging tokens
+    * relative to its doc share) and T_within the inside-source
+    * inequality. Gini cannot decompose this way.
+    *
+    * Exactness: per-row within terms (x/S)·ln(x·n_g/S_g) and
+    * per-group between terms (S_g/S)·ln(S_g·n/(S·n_g)) are mirrored
+    * doubles over exact integers, micro-quantized BEFORE their sums
+    * (the d28 discipline); n/S are a 1-row bounded parameter fetch
+    * and the ≤k-row group frame broadcasts back. The reported total
+    * is computed DIRECTLY (same per-row form with the global mean),
+    * so the additive identity is checkable to per-term rounding
+    * slack — the spec pins |total − between − within| ≤ (rows+k)
+    * micro. Returns one row (n_docs, total_tokens, k_groups,
+    * theil_micro, between_micro, within_micro). */
+  def tokenMassTheilDecomposition(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  groupCol: String): DataFrame = {
+    val d = docs
+      .filter(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        tokenCount(col(textCol)).as("x"))
+      .filter(col("x") > 0)
+    // 1-row bounded parameter fetch: global doc count + mass
+    val row = d.agg(count(lit(1)),
+      coalesce(sum(col("x")), lit(0L))).head()
+    val n = row.getLong(0)
+    val sTot = row.getLong(1)
+    // pinned: the k-row group frame feeds the between sum, the group
+    // count AND the broadcast join — un-pinned its corpus-scan
+    // lineage executes once per consumer (the g8 fork lesson)
+    val grp = d.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum(col("x")).as("sg")).localCheckpoint()
+    val xD = col("x").cast("double")
+    val withinTerm = round(lit(1e6) * (xD / lit(sTot.toDouble)) *
+      log(xD * col("ng").cast("double") / col("sg").cast("double")))
+      .cast("long")
+    val totalTerm = round(lit(1e6) * (xD / lit(sTot.toDouble)) *
+      log(xD * lit(n.toDouble) / lit(sTot.toDouble))).cast("long")
+    val betweenTerm = round(lit(1e6) *
+      (col("sg").cast("double") / lit(sTot.toDouble)) *
+      log(col("sg").cast("double") * lit(n.toDouble) /
+        (lit(sTot.toDouble) * col("ng").cast("double")))).cast("long")
+    // 1-row bounded fetch: the k-term between sum
+    val between =
+      if (n == 0) 0L
+      else grp.agg(coalesce(sum(betweenTerm), lit(0L))).head().getLong(0)
+    val kGroups =
+      if (n == 0) 0L else grp.count()
+    d.join(broadcast(grp), "g")
+      .agg(coalesce(sum(totalTerm), lit(0L)).as("tot"),
+        coalesce(sum(withinTerm), lit(0L)).as("win"))
+      .select(lit(n).as("n_docs"), lit(sTot).as("total_tokens"),
+        lit(kGroups).as("k_groups"),
+        col("tot").as("theil_micro"),
+        lit(between).as("between_micro"),
+        col("win").as("within_micro"))
+  }
 }

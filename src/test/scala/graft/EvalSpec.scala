@@ -1214,6 +1214,88 @@ class EvalSpec extends AnyFunSuite {
     assert(c.forall(_.isNullAt(2)) && c(0).getLong(1) === 2L)
   }
 
+  test("ewmaForecast: hand-computed weights, gaps, no-past buckets") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)], w: Int) =
+      Eval.ewmaForecast(rows.toDF("b", "v"), col("v"), col("b"),
+        window = w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // m = 100,200,300,400 at x=0..3, window 2 (weights 2,1):
+    // f(1)=100; f(2)=round((100+400)/3)=167; f(3)=round(800/3)=267;
+    // x=0 has no past and must be absent
+    val a = run(Seq((0L, 100L), (1L, 200L), (2L, 300L), (3L, 400L)), 2)
+    assert(a === Seq((1L, 200L, 100L, 100L), (2L, 300L, 167L, 133L),
+      (3L, 400L, 267L, 133L)), a.mkString(","))
+    // gap at x=2: x=3's window {1,2} holds only x=1 (weight 1) →
+    // forecast renormalizes to m(1)=200, never bridges positions
+    val g = run(Seq((0L, 100L), (1L, 200L), (3L, 400L)), 2)
+    assert(g === Seq((1L, 200L, 100L, 100L), (3L, 400L, 200L, 200L)),
+      g.mkString(","))
+    // single bucket: nothing has a past → empty report
+    assert(run(Seq((5L, 42L)), 4).isEmpty)
+  }
+
+  test("ljungBox: hand-computed terms over the shared ACF, degenerate") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Long)], maxLag: Int) =
+      Eval.ljungBox(rows.toDF("b", "v"), col("v"), col("b"),
+        maxLag = maxLag).head()
+    // series 1..4: r = (0.25, −0.3, −0.45), n(n+2) = 24 →
+    // terms 24·r²/(n−k)·1e6 = 500000 + 1080000 + 4860000
+    val a = run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), 8)
+    assert(a.getLong(0) === 4L && a.getLong(1) === 3L &&
+      a.getLong(2) === 6440000L, s"LB: $a")
+    // constant series: every acf NULL → zero lags, LB 0
+    val c = run(Seq((0L, 5L), (1L, 5L), (2L, 5L)), 4)
+    assert(c.getLong(0) === 3L && c.getLong(1) === 0L &&
+      c.getLong(2) === 0L)
+  }
+
+  test("cochranQ: textbook counts, McNemar reduction, degenerates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.DataFrame
+    def run(df: DataFrame, cols: Seq[String]) =
+      Eval.cochranQ(df, cols.map(col)).head()
+    // C=(4,2,1), N=7, ΣR²=15 → Q = 2·(3·21−49)/(21−15) = 28/6
+    val tri = Seq((1L, 1L, 0L), (1L, 0L, 0L), (1L, 1L, 1L),
+      (1L, 0L, 0L)).toDF("a", "b", "c")
+    val t = run(tri, Seq("a", "b", "c"))
+    assert(t.getLong(0) === 4L && t.getLong(1) === 3L &&
+      t.getDouble(2) === 4.666667, s"Q: $t")
+    // k=2 must reduce to McNemar's UNcorrected χ² = (b−c)²/(b+c):
+    // b=5, c=1 → 16/6 = 2.666667
+    val two = (Seq.fill(5)((1L, 0L)) ++ Seq((0L, 1L)) ++
+      Seq.fill(3)((1L, 1L)) ++ Seq.fill(2)((0L, 0L))).toDF("a", "b")
+    assert(run(two, Seq("a", "b")).getDouble(2) === 2.666667)
+    // uniform subjects (all-correct / all-wrong) discriminate
+    // nothing: denominator 0 → NULL
+    val uni = Seq((1L, 1L, 1L), (0L, 0L, 0L)).toDF("a", "b", "c")
+    assert(run(uni, Seq("a", "b", "c")).isNullAt(2))
+  }
+
+  test("forecastMase: hand-computed ratio and the degenerate row") {
+    val s = spark
+    import s.implicits._
+    // series 100..400, window 2: Σ|resid| = 100+133+133 = 366 over
+    // 3 forecasts; naive diffs all 100 → MASE = 366·3/(300·3) = 1.22
+    val m = Eval.forecastMase(
+      Seq((0L, 100L), (1L, 200L), (2L, 300L), (3L, 400L))
+        .toDF("b", "v"),
+      col("v"), col("b"), window = 2).head()
+    assert(m.getLong(0) === 3L && m.getLong(1) === 3L)
+    assert(m.getLong(2) === 122L && m.getLong(3) === 100L)
+    assert(m.getDouble(4) === 1.22, s"mase: $m")
+    // single bucket: no forecasts, no naive pairs → NULLs, not NaN
+    val d = Eval.forecastMase(Seq((7L, 5L)).toDF("b", "v"),
+      col("v"), col("b"), window = 4).head()
+    assert(d.getLong(0) === 0L && d.getLong(1) === 0L &&
+      d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(4))
+  }
+
   test("kmvSetOps: exact below k; merge equals the union-stream sketch") {
     val s = spark
     import s.implicits._

@@ -573,6 +573,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run(path, Seq(99L), 2) === Map.empty)
   }
 
+  test("dbscanGraph: cores/borders/noise, bridge split, CC reduction") {
+    def run(p: org.apache.spark.sql.DataFrame, minPts: Int) =
+      GraphOps.dbscanGraph(p, "id_a", "id_b", minPts)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1),
+            if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // path 1-2-3 at minPts=2: only 2 is core (own singleton
+    // cluster); 1 and 3 are borders attaching to it
+    val path = run(pairs((1L, 2L), (2L, 3L)), 2)
+    assert(path === Map(2L -> ("core", 2L), 1L -> ("border", 2L),
+      3L -> ("border", 2L)), path.toString)
+    // two 4-cliques joined via bridge node 10 at minPts=3: the
+    // bridge fails the core test, so the cliques stay SEPARATE
+    // clusters (what plain CC cannot do) and 10 is a border of the
+    // smaller cluster id
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    val bridged = pairs(clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L)) ++ Seq((4L, 10L), (10L, 5L)): _*)
+    val two = run(bridged, 3)
+    assert(Seq(1L, 2L, 3L, 4L).forall(two(_) == ("core", 1L)) &&
+      Seq(5L, 6L, 7L, 8L).forall(two(_) == ("core", 5L)),
+      two.toString)
+    assert(two(10L) === ("border", 1L))
+    // an isolated pair at minPts=2: no cores, no core neighbors →
+    // both noise
+    assert(run(pairs((7L, 8L)), 2) ===
+      Map(7L -> ("noise", -1L), 8L -> ("noise", -1L)))
+    // minPts=1 degrades to plain connected components
+    val g = pairs((1L, 2L), (2L, 3L), (5L, 6L))
+    val db1 = run(g, 1)
+    val cc = graft.pipeline.Dedup.connectedComponents(g, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(db1.forall { case (id, (role, cl)) =>
+      role == "core" && cl == cc(id) }, s"$db1 vs CC $cc")
+  }
+
   test("resourceAllocationMicro: star weights, edge exclusion, cap") {
     def run(p: org.apache.spark.sql.DataFrame, maxDeg: Long) =
       GraphOps.resourceAllocationMicro(p, "id_a", "id_b", maxDeg)

@@ -192,4 +192,23 @@ class MisraGriesSpec extends AnyFunSuite {
       HeavyHitters.countMinTable(df, col("item"), width = 1)
     }
   }
+
+  test("countMin is LINEAR: batch cell tables summed equal one-shot") {
+    val xs = ('a' to 'j').flatMap(c =>
+      Seq.fill(c - 'a' + 1)(c.toString))
+    def cells(d: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      d.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val one = cells(HeavyHitters.countMinTable(itemsDf(xs),
+      col("item"), depth = 4, width = 64))
+    val merged = cells(
+      (0 until 3).map { i =>
+          HeavyHitters.countMinTable(
+            itemsDf(xs.zipWithIndex.filter(_._2 % 3 == i).map(_._1)),
+            col("item"), depth = 4, width = 64)
+        }
+        .reduce(_ unionAll _)
+        .groupBy("r", "b").agg(sum(col("c")).as("c")))
+    assert(merged === one, "CMS batch fold diverged from one-shot")
+  }
 }

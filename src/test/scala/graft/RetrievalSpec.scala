@@ -128,4 +128,35 @@ class RetrievalSpec extends AnyFunSuite {
     // rank 1 is the pure-relevance argmax
     assert(got.head._1 === 1L && got.head._4 === 0L)
   }
+
+  test("rm3TopK equals BM25 with the hand-derived expanded query") {
+    // query "cat": round-1 top-2 = d1, d2 (equal scores, id
+    // tie-break → ranks 1, 2). Expansion weights: dog ∈ d1 → 2,
+    // fish ∈ d2 → 1, so the m=1 expansion is "dog" — and rm3 must
+    // then equal bm25TopK({cat, dog}) verbatim.
+    val df = docs(
+      (1L, "cat dog"),
+      (2L, "cat fish"),
+      (3L, "dog bird"))
+    val got = Retrieval.rm3TopK(df, "doc_id", "text", Seq("cat"),
+        k = 3, feedbackDocs = 2, expansion = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val want = Retrieval.bm25TopK(df, "doc_id", "text",
+        Seq("cat", "dog"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(got === want, s"rm3 $got vs expanded-bm25 $want")
+    // d3 holds no original term: only the expansion can retrieve it
+    assert(got.map(_._1).contains(3L))
+    // original query terms never re-enter as expansion terms: with
+    // every feedback doc containing only query terms, the expansion
+    // is empty and rm3 degrades to plain BM25
+    val pure = docs((1L, "cat cat"), (2L, "cat"), (3L, "bird"))
+    val deg = Retrieval.rm3TopK(pure, "doc_id", "text", Seq("cat"),
+        k = 3, feedbackDocs = 2, expansion = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val degWant = Retrieval.bm25TopK(pure, "doc_id", "text",
+        Seq("cat"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(deg === degWant, s"degenerate rm3 $deg vs bm25 $degWant")
+  }
 }

@@ -625,4 +625,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.getLong(1) === 2L && got.getLong(2) === 2L &&
       got.getLong(3) === 1000000L)
   }
+
+  test("covarianceMicro: hand-computed cells, sign, triangle shape") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Seq[Float])]) =
+      Similarity.covarianceMicro(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+    // x=[1,3,5], y=[2,4,6]: population var/cov all 24/9 = 2.666667
+    val lin = run(Seq(1L -> Seq(1f, 2f), 2L -> Seq(3f, 4f),
+      3L -> Seq(5f, 6f)))
+    assert(lin.keySet === Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(lin((0L, 0L)) === (3L, 2.666667) &&
+      lin((0L, 1L)) === (3L, 2.666667) &&
+      lin((1L, 1L)) === (3L, 2.666667), lin.toString)
+    // anti-correlated axes: cov(0,1) = (2·0 − 1·1)/4 = −0.25
+    val anti = run(Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
+    assert(anti((0L, 1L))._2 === -0.25)
+    assert(anti((0L, 0L))._2 === 0.25 && anti((1L, 1L))._2 === 0.25)
+  }
 }

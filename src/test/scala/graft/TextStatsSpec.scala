@@ -354,4 +354,54 @@ class TextStatsSpec extends AnyFunSuite {
     // one-token text contributes exactly one unigram, no bogus bigram
     assert(got(1L) === bias + w((h60("one") % dim).toInt))
   }
+
+  test("tokenMassTheil: hand-computed micro terms and the zero case") {
+    val s = spark
+    import s.implicits._
+    def run(texts: Seq[String]) =
+      TextStats.tokenMassTheil(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text").head()
+    // token masses 1 and 3: μ=2, terms (0.5·ln0.5, 1.5·ln1.5) →
+    // micro −346574 + 608198 = 261624; T_micro = 261624/2 = 130812
+    val t = run(Seq("a", "a b c"))
+    assert(t.getLong(0) === 2L && t.getLong(1) === 4L)
+    assert(t.getLong(2) === 130812L, s"theil: $t")
+    // perfectly equal masses → ratio 1, ln 1 = 0 → T = 0
+    val eq = run(Seq("a b", "c d", "e f"))
+    assert(eq.getLong(2) === 0L)
+    // a whale dominates: T strictly grows with concentration
+    val whale = run(Seq("a", "a", String.valueOf("w " * 49).trim))
+    assert(whale.getLong(2) > t.getLong(2), s"whale: $whale")
+  }
+
+  test("tokenMassTheilDecomposition: hand terms and the identity") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(String, String)]) =
+      TextStats.tokenMassTheilDecomposition(
+        rows.zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+          .toDF("doc_id", "src", "text"),
+        "doc_id", "text", "src").head()
+    // A=[1,3], B=[2,2]: between = 0 (both sources hold their fair
+    // share), within = total = −86643 + 152049 = 65406
+    val bal = run(Seq("A" -> "a", "A" -> "a b c",
+      "B" -> "x y", "B" -> "p q"))
+    assert(bal.getLong(0) === 4L && bal.getLong(1) === 8L &&
+      bal.getLong(2) === 2L)
+    assert(bal.getLong(4) === 0L, s"between: $bal")
+    assert(bal.getLong(3) === 65406L &&
+      bal.getLong(5) === 65406L, s"decomp: $bal")
+    // A=[4] vs B=[1,1,1,1]: ALL inequality is between sources
+    // (within = 0); identity holds to per-term rounding slack
+    val skew = run(Seq("A" -> "w w w w", "B" -> "a", "B" -> "b",
+      "B" -> "c", "B" -> "d"))
+    assert(skew.getLong(5) === 0L, s"within: $skew")
+    assert(skew.getLong(4) === 223143L, s"between: $skew")
+    val slack = math.abs(skew.getLong(3) -
+      (skew.getLong(4) + skew.getLong(5)))
+    assert(slack <= skew.getLong(0) + skew.getLong(2),
+      s"identity slack $slack: $skew")
+  }
 }
