@@ -313,4 +313,229 @@ object StatProperties extends Properties("graft.stat") {
         got == want) :|
         s"edges=$es rounds=$rounds got=$r want=($m,$ncomm,$want)"
     }
+
+  // ---- round-11 continuation: normality / blocked / paired-k /
+  // series differentials -------------------------------------------
+
+  private def r0(x: Double): Long = BigDecimal(x)
+    .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** In-memory Jarque–Bera through the operator's mirrored-double op
+    * order over BigInt-exact power sums. */
+  private def refJb(vs: List[Long])
+      : (Long, Option[Double], Option[Double], Option[Double]) = {
+    val n = vs.size
+    if (n == 0) return (0L, None, None, None)
+    val bs = vs.map(BigInt(_))
+    val (s1, s2) = (bs.sum, bs.map(x => x * x).sum)
+    val (s3, s4) = (bs.map(x => x * x * x).sum,
+      bs.map(x => x * x * x * x).sum)
+    val nD = n.toDouble
+    val mu = s1.doubleValue / nD
+    val m2 = s2.doubleValue / nD - mu * mu
+    val m3 = s3.doubleValue / nD - 3.0 * mu * (s2.doubleValue / nD) +
+      2.0 * mu * mu * mu
+    val m4 = s4.doubleValue / nD - 4.0 * mu * (s3.doubleValue / nD) +
+      6.0 * (mu * mu) * (s2.doubleValue / nD) -
+      3.0 * (mu * mu) * (mu * mu)
+    if (n < 2 || !(m2 > 0)) return (n.toLong, None, None, None)
+    val skew = m3 / (m2 * math.sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / 6.0 *
+      (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    (n.toLong, Some(r6(skew)), Some(r6(kurt)), Some(r6(jb)))
+  }
+
+  property("jarqueBera equals the in-memory power-sum reference") =
+    Prop.forAll(Gen.choose(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 8L)))) { vs =>
+      val s = spark
+      import s.implicits._
+      val (n, skew, kurt, jb) = refJb(vs)
+      val r = Eval.jarqueBera(vs.toDF("v"), col("v")).head()
+      def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      Prop(r.getLong(0) == n && opt(2) == skew && opt(3) == kurt &&
+        opt(4) == jb) :| s"vs=$vs got=$r want=($n,$skew,$kurt,$jb)"
+    }
+
+  /** In-memory Friedman: cell means via the operator's rounded
+    * division, complete blocks only, doubled midranks, exact-integer
+    * Q into one division. */
+  private def refFriedman(rows: List[(Long, String, Long)])
+      : (Long, Long, Option[Double]) = {
+    val cells = rows.groupBy(r => (r._1, r._2)).toList
+      .map { case ((b, t), g) =>
+        (b, t, r0(g.map(x => BigInt(x._3)).sum.doubleValue / g.size))
+      }
+    val k = cells.map(_._2).distinct.size
+    val complete = cells.groupBy(_._1).values.filter(_.size == k)
+    val n = complete.size
+    var a2 = BigInt(0)
+    val r2sums = scala.collection.mutable.Map.empty[String, BigInt]
+    complete.foreach { block =>
+      val ms = block.map(_._3)
+      block.foreach { case (_, t, m) =>
+        val r2 = BigInt(2 * ms.count(_ < m) + ms.count(_ == m) + 1)
+        a2 += r2 * r2
+        r2sums(t) = r2sums.getOrElse(t, BigInt(0)) + r2
+      }
+    }
+    val denom = a2 - BigInt(n.toLong) * k * (k + 1) * (k + 1)
+    val num = r2sums.values
+      .map(rj => (rj - BigInt(n.toLong) * (k + 1)))
+      .map(d => d * d).sum
+    val q = if (k >= 2 && n >= 1 && denom > 0)
+      Some(r6((k - 1).toDouble * num.doubleValue / denom.doubleValue))
+    else None
+    (k.toLong, n.toLong, q)
+  }
+
+  property("friedmanQ equals the in-memory doubled-midrank reference") =
+    Prop.forAll(Gen.choose(3, 16).flatMap(n =>
+      Gen.listOfN(n, for {
+        b <- Gen.choose(1L, 4L)
+        t <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(0L, 5L)
+      } yield (b, t, v)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val (k, n, q) = refFriedman(rows)
+      val r = Eval.friedmanQ(rows.toDF("b", "t", "v"), col("v"),
+        col("b"), col("t")).head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      Prop(r.getLong(0) == k && r.getLong(1) == n && got == q) :|
+        s"rows=$rows got=$r want=($k,$n,$q)"
+    }
+
+  property("cochranQ equals the exact-integer formula on random " +
+    "binary panels") =
+    Prop.forAll(Gen.choose(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(3, Gen.oneOf(0L, 1L))))) { panel =>
+      val s = spark
+      import s.implicits._
+      val k = 3
+      val cj = (0 until k).map(j => BigInt(panel.map(_(j)).sum))
+      val bigN = cj.sum
+      val r2 = panel.map(row => BigInt(row.sum)).map(x => x * x).sum
+      val denom = BigInt(k) * bigN - r2
+      val num = BigInt(k) * cj.map(c => c * c).sum - bigN * bigN
+      val want = if (denom > 0)
+        Some(r6((k - 1).toDouble * num.doubleValue / denom.doubleValue))
+      else None
+      val r = Eval.cochranQ(
+        panel.map(p => (p(0), p(1), p(2))).toDF("a", "b", "c"),
+        Seq(col("a"), col("b"), col("c"))).head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      Prop(r.getLong(0) == panel.size.toLong && got == want) :|
+        s"panel=$panel got=$r want=$want"
+    }
+
+  // bucket series with gaps AND duplicate buckets (the mean path)
+  private val genSeries: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 14)
+    rows <- Gen.listOfN(n, for {
+      x <- Gen.choose(0L, 11L)
+      v <- Gen.choose(0L, 6L)
+    } yield (x, v))
+  } yield rows
+
+  private def seriesMeans(rows: List[(Long, Long)]): List[(Long, Long)] =
+    rows.groupBy(_._1).toList.sortBy(_._1).map { case (x, g) =>
+      (x, r0(g.map(r => BigInt(r._2)).sum.doubleValue / g.size))
+    }
+
+  /** In-memory gap-aware ACF + Ljung–Box through the operators'
+    * mirrored op order. */
+  private def refAcfLb(rows: List[(Long, Long)], maxLag: Int)
+      : (List[(Long, Long, Option[Double])], (Long, Long, Long)) = {
+    val mm = seriesMeans(rows)
+    val n = mm.size
+    val sSum = mm.map(_._2).sum
+    val dev = mm.map { case (x, m) =>
+      (x, BigInt(n.toLong) * m - sSum) }.toMap
+    val den = dev.values.map(d => d * d).sum
+    val acfs = (1 to maxLag).flatMap { lag =>
+      val pairs = dev.keys.toList.filter(x => dev.contains(x + lag))
+      if (pairs.isEmpty) None
+      else {
+        val num = pairs.map(x => dev(x) * dev(x + lag)).sum
+        val a = if (den > 0)
+          Some(r6(num.doubleValue / den.doubleValue)) else None
+        Some((lag.toLong, pairs.size.toLong, a))
+      }
+    }.toList
+    val nD = n.toDouble
+    val terms = acfs.collect {
+      case (lag, _, Some(a)) if lag < n =>
+        r0(1e6 * nD * (n + 2).toDouble * (a * a) / (nD - lag.toDouble))
+    }
+    (acfs, (n.toLong, terms.size.toLong, terms.sum))
+  }
+
+  property("acf + ljungBox equal the in-memory gap-aware reference") =
+    Prop.forAll(genSeries, Gen.oneOf(2, 5, 8)) { (rows, maxLag) =>
+      val s = spark
+      import s.implicits._
+      val (wantAcf, (n, nLags, lb)) = refAcfLb(rows, maxLag)
+      val df = rows.toDF("b", "v")
+      val gotAcf = Eval.acf(df, col("v"), col("b"), maxLag)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+      val lbRow = Eval.ljungBox(df, col("v"), col("b"), maxLag).head()
+      Prop(gotAcf == wantAcf && lbRow.getLong(0) == n &&
+        lbRow.getLong(1) == nLags && lbRow.getLong(2) == lb) :|
+        s"rows=$rows got=$gotAcf/$lbRow want=$wantAcf/($n,$nLags,$lb)"
+    }
+
+  /** In-memory EWMA forecast + MASE through the operators' exact
+    * integer weights and mirrored divisions. */
+  private def refEwmaMase(rows: List[(Long, Long)], window: Int)
+      : (List[(Long, Long, Long, Long)],
+         (Long, Long, Option[Long], Option[Long], Option[Double])) = {
+    val mm = seriesMeans(rows)
+    val byX = mm.toMap
+    val fc = mm.flatMap { case (x, m) =>
+      val past = (1 to window).flatMap(j =>
+        byX.get(x - j).map(pm => (BigInt(pm), BigInt(2).pow(window - j))))
+      if (past.isEmpty) None
+      else {
+        val num = past.map { case (pm, w) => pm * w }.sum
+        val den = past.map(_._2).sum
+        val f = r0(num.doubleValue / den.doubleValue)
+        Some((x, m, f, m - f))
+      }
+    }
+    val (nf, sf) = (fc.size.toLong,
+      fc.map(r => math.abs(r._4)).sum)
+    val diffs = mm.map(_._2).sliding(2).filter(_.size == 2)
+      .map(p => math.abs(p(1) - p(0))).toList
+    val (nn, sn) = (diffs.size.toLong, diffs.sum)
+    val maeF = if (nf > 0) Some(r0(sf.toDouble / nf)) else None
+    val maeN = if (nn > 0) Some(math.round(sn.toDouble / nn)) else None
+    val mase = if (nf > 0 && sn > 0)
+      Some(r6(sf.toDouble * nn.toDouble / (sn.toDouble * nf.toDouble)))
+    else None
+    (fc, (nf, nn, maeF, maeN, mase))
+  }
+
+  property("ewmaForecast + forecastMase equal the in-memory " +
+    "power-of-2 reference") =
+    Prop.forAll(genSeries, Gen.oneOf(1, 3, 16)) { (rows, window) =>
+      val s = spark
+      import s.implicits._
+      val (wantFc, (nf, nn, maeF, maeN, mase)) =
+        refEwmaMase(rows, window)
+      val df = rows.toDF("b", "v")
+      val gotFc = Eval.ewmaForecast(df, col("v"), col("b"), window)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toList
+      val m = Eval.forecastMase(df, col("v"), col("b"), window).head()
+      def optL(i: Int) = if (m.isNullAt(i)) None else Some(m.getLong(i))
+      val gotMase = if (m.isNullAt(4)) None else Some(m.getDouble(4))
+      Prop(gotFc == wantFc && m.getLong(0) == nf &&
+        m.getLong(1) == nn && optL(2) == maeF && optL(3) == maeN &&
+        gotMase == mase) :|
+        s"rows=$rows window=$window got=$gotFc/$m " +
+        s"want=$wantFc/($nf,$nn,$maeF,$maeN,$mase)"
+    }
 }
