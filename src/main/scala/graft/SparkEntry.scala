@@ -158,6 +158,38 @@ object SparkEntry {
        |GROUP BY tb.tok, tb.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
+  /** The q94/q100 shared oracle: hourly bucket means → power-of-2
+    * EWMA forecast + residual — ONE text because the streaming fold's
+    * bucket state is a pure function of the rows, so both entries
+    * answer the identical question. */
+  private lazy val duckEwmaSql: String =
+    """WITH eb AS (SELECT
+      |    epoch_us(ts) // 3600000000 AS x,
+      |    CAST(round(value * 1e6) AS HUGEINT) AS v
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    AND NOT isnan(value)),
+      |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
+      |    coalesce(sum(v), 0) AS s
+      |  FROM eb GROUP BY x),
+      |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
+      |    AS BIGINT) AS m FROM bb),
+      |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
+      |ct AS (SELECT mm.x + jj.j AS x,
+      |    CAST(mm.m AS HUGEINT) AS pm,
+      |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
+      |  FROM mm CROSS JOIN jj),
+      |fc AS (SELECT x, coalesce(sum(pm * w), 0) AS num,
+      |    CAST(sum(w) AS BIGINT) AS den
+      |  FROM ct GROUP BY x),
+      |ff AS (SELECT mm.x, mm.m,
+      |    CAST(round(CAST(num AS DOUBLE)
+      |      / CAST(den AS DOUBLE)) AS BIGINT) AS forecast_micro
+      |  FROM mm JOIN fc USING (x))
+      |SELECT x, m, forecast_micro,
+      |  m - forecast_micro AS resid_micro
+      |FROM ff ORDER BY x""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full analyze metrics block (SURVEY §3.1) over the events table. */
   def entry(spark: SparkSession): DataFrame =
@@ -6097,32 +6129,31 @@ object SparkEntry {
           !isnan(col("value"))),
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000"), window = 16),
-      Some("""WITH eb AS (SELECT
-             |    epoch_us(ts) // 3600000000 AS x,
-             |    CAST(round(value * 1e6) AS HUGEINT) AS v
-             |  FROM events
-             |  WHERE ts IS NOT NULL AND value IS NOT NULL
-             |    AND NOT isnan(value)),
-             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
-             |    coalesce(sum(v), 0) AS s
-             |  FROM eb GROUP BY x),
-             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
-             |    AS BIGINT) AS m FROM bb),
-             |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
-             |ct AS (SELECT mm.x + jj.j AS x,
-             |    CAST(mm.m AS HUGEINT) AS pm,
-             |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
-             |  FROM mm CROSS JOIN jj),
-             |fc AS (SELECT x, coalesce(sum(pm * w), 0) AS num,
-             |    CAST(sum(w) AS BIGINT) AS den
-             |  FROM ct GROUP BY x),
-             |ff AS (SELECT mm.x, mm.m,
-             |    CAST(round(CAST(num AS DOUBLE)
-             |      / CAST(den AS DOUBLE)) AS BIGINT) AS forecast_micro
-             |  FROM mm JOIN fc USING (x))
-             |SELECT x, m, forecast_micro,
-             |  m - forecast_micro AS resid_micro
-             |FROM ff ORDER BY x""".stripMargin)),
+      Some(duckEwmaSql)),
+
+    // Batch REPLAY of the streaming EWMA monitor: the q81 fold (the
+    // ONE shared per-bucket (count,sum) state of the whole series
+    // family) with q94's forecast report per micro-batch; after the
+    // last batch the report must equal the one-shot q94 over all
+    // rows — its oracle, VERBATIM (the bucket-mean series is a pure
+    // function of the folded state).
+    "q100_ewma_stream_replay" -> Q(
+      (s, dir) => {
+        val ev = rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value")))
+        val state = new java.util.concurrent.atomic.AtomicReference[
+          Map[Long, (Long, BigDecimal)]](Map.empty)
+        var out: DataFrame = null
+        (0 until 3).foreach { b =>
+          out = graft.pipeline.Eval.ewmaBatchUpdate(
+            ev.filter(pmod(col("event_id"), lit(3L)) === b),
+            round(col("value") * 1e6).cast("long"),
+            expr("(ts div 1000) div 3600000000"), state,
+            window = 16)
+        }
+        out
+      },
+      Some(duckEwmaSql)),
 
     // MASE (Hyndman & Koehler 2006) for the q94 EWMA monitor: mean
     // absolute EWMA residual over mean absolute one-step naive

@@ -1315,8 +1315,14 @@ object Eval {
     * (round-11 review). Returns (x, m). */
   private def bucketMeansMicro(df: DataFrame, valueMicro: Column,
                                bucket: Column): DataFrame =
-    cusumBuckets(df, valueMicro, bucket)
-      .select(col("bucket").as("x"),
+    meansFromBuckets(cusumBuckets(df, valueMicro, bucket))
+
+  /** The (bucket, c, s) → (x, m) rounded-mean projection — shared by
+    * the corpus path and the streaming-fold path (whose standing
+    * state IS such a frame), so batch and stream read ONE series
+    * definition. */
+  private def meansFromBuckets(b: DataFrame): DataFrame =
+    b.select(col("bucket").as("x"),
         round(col("s").cast("double") / col("c")).cast("long")
           .as("m"))
       .localCheckpoint()
@@ -1919,8 +1925,33 @@ object Eval {
                    window: Int = 16): DataFrame = {
     require(window >= 1 && window <= 62,
       s"window must be in [1, 62] (got $window)")
+    ewmaFromMeans(bucketMeansMicro(df, valueMicro, bucket), window)
+  }
+
+  /** One micro-batch of a streaming EWMA monitor: the SAME per-bucket
+    * (count, sum) fold as [[cusumBatchUpdate]] (one shared
+    * implementation — the smoother and the changepoint monitors ride
+    * identical state and cannot drift), with the [[ewmaForecast]]
+    * report over the stream so far — bit-equal to the one-shot on the
+    * same rows, because the bucket-mean series is a pure function of
+    * the folded (count, sum) state. */
+  def ewmaBatchUpdate(batch: DataFrame, valueMicro: Column,
+                      bucket: Column,
+                      state: java.util.concurrent.atomic.AtomicReference[
+                        Map[Long, (Long, BigDecimal)]],
+                      window: Int = 16,
+                      maxBuckets: Int = 8192): DataFrame = {
+    require(window >= 1 && window <= 62,
+      s"window must be in [1, 62] (got $window)")
+    ewmaFromMeans(
+      meansFromBuckets(cusumFold(batch, valueMicro, bucket, state,
+        maxBuckets)), window)
+  }
+
+  /** The [[ewmaForecast]] body over an already-built (x, m) mean
+    * series — shared by the batch and streaming-fold forms. */
+  private def ewmaFromMeans(mm: DataFrame, window: Int): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
     val fc = mm
       .select(col("x").as("src"), col("m").as("pm"),
         explode(sequence(lit(1), lit(window))).as("j"))

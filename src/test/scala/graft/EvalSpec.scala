@@ -1296,6 +1296,27 @@ class EvalSpec extends AnyFunSuite {
       d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(4))
   }
 
+  test("ewmaBatchUpdate: fold equals the one-shot forecast") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, 100L), (0L, 200L), (1L, 200L), (2L, 300L),
+      (2L, 330L), (4L, 400L), (5L, 150L), (7L, 800L))
+    val df = rows.toDF("b", "v")
+    val oneShot = Eval.ewmaForecast(df, col("v"), col("b"),
+      window = 3).collect().toSeq
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[Long, (Long, BigDecimal)]](Map.empty)
+    var out: Seq[org.apache.spark.sql.Row] = Seq.empty
+    (0 until 3).foreach { k =>
+      val batch = rows.filter { case (b, v) =>
+        math.abs((b * 31 + v).toInt) % 3 == k }
+      out = Eval.ewmaBatchUpdate(batch.toDF("b", "v"), col("v"),
+        col("b"), state, window = 3).collect().toSeq
+    }
+    assert(out === oneShot, s"fold\n${out.mkString("\n")}\nvs\n" +
+      oneShot.mkString("\n"))
+  }
+
   test("kmvSetOps: exact below k; merge equals the union-stream sketch") {
     val s = spark
     import s.implicits._
