@@ -158,12 +158,47 @@ object SparkEntry {
        |GROUP BY tb.tok, tb.exact_count
        |ORDER BY exact_count DESC, tok""".stripMargin
 
-  /** The q94/q100 shared oracle: hourly bucket means → power-of-2
-    * EWMA forecast + residual — ONE text because the streaming fold's
-    * bucket state is a pure function of the rows, so both entries
-    * answer the identical question. */
-  private lazy val duckEwmaSql: String =
-    """WITH eb AS (SELECT
+  /** The t1/q67/t12 shared sessionization: 30-minute-gap
+    * `session_seq` per (user, event) — ONE Spark definition (and one
+    * oracle CTE text, [[duckSessionCtes]]) so a gap-rule or tie-break
+    * change cannot de-sync the session family (round-11 review). */
+  private def withSessionSeq(ev: DataFrame,
+                             extraCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val prev = lag(col("ts"), 1).over(w)
+    ev.select((Seq("event_id", "user_id", "ts") ++ extraCols)
+        .map(col): _*)
+      .withColumn("session_seq",
+        sum(when(prev.isNull ||
+          col("ts") > prev + lit(1800L * 1000000000L), 1)
+          .otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long"))
+  }
+
+  /** [[withSessionSeq]]'s oracle twin: `se` = every event with its
+    * 30-minute-gap session_seq. */
+  private lazy val duckSessionCtes: String =
+    """sb AS (SELECT event_id, user_id, ts, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |se AS (SELECT event_id, user_id, ts, event_type,
+      |    CAST(SUM(CASE WHEN prev_ts IS NULL
+      |        OR ts > prev_ts + INTERVAL 30 MINUTE
+      |      THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS session_seq
+      |  FROM sb)""".stripMargin
+
+  /** The series family's shared oracle derivation: events → hourly
+    * (bucket, count, sum) → rounded-mean series `mm` — ONE text for
+    * every consumer (EWMA, ACF, Ljung–Box, MASE), the SQL twin of
+    * the Scala side's single `bucketMeansMicro` builder. */
+  private lazy val duckSeriesCtes: String =
+    """eb AS (SELECT
       |    epoch_us(ts) // 3600000000 AS x,
       |    CAST(round(value * 1e6) AS HUGEINT) AS v
       |  FROM events
@@ -173,7 +208,12 @@ object SparkEntry {
       |    coalesce(sum(v), 0) AS s
       |  FROM eb GROUP BY x),
       |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
-      |    AS BIGINT) AS m FROM bb),
+      |    AS BIGINT) AS m FROM bb)""".stripMargin
+
+  /** The q94/q97/q100 shared EWMA chain over [[duckSeriesCtes]]:
+    * power-of-2 weights → per-bucket forecast `ff`. */
+  private lazy val duckEwmaCtes: String =
+    s"""$duckSeriesCtes,
       |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
       |ct AS (SELECT mm.x + jj.j AS x,
       |    CAST(mm.m AS HUGEINT) AS pm,
@@ -185,10 +225,32 @@ object SparkEntry {
       |ff AS (SELECT mm.x, mm.m,
       |    CAST(round(CAST(num AS DOUBLE)
       |      / CAST(den AS DOUBLE)) AS BIGINT) AS forecast_micro
-      |  FROM mm JOIN fc USING (x))
+      |  FROM mm JOIN fc USING (x))""".stripMargin
+
+  /** The q94/q100 shared oracle: ONE text because the streaming
+    * fold's bucket state is a pure function of the rows, so both
+    * entries answer the identical question. */
+  private lazy val duckEwmaSql: String =
+    s"""WITH $duckEwmaCtes
       |SELECT x, m, forecast_micro,
       |  m - forecast_micro AS resid_micro
       |FROM ff ORDER BY x""".stripMargin
+
+  /** The q92/q99 shared ACF chain over [[duckSeriesCtes]]:
+    * integer deviations → per-lag sums `ag` + the denominator `dn`. */
+  private lazy val duckAcfCtes: String =
+    s"""$duckSeriesCtes,
+      |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
+      |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
+      |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
+      |lg AS (SELECT unnest(generate_series(1, 8)) AS lag),
+      |pr AS (SELECT lg.lag, a.d AS da, b.d AS db
+      |  FROM dd a CROSS JOIN lg
+      |  JOIN dd b ON a.x + lg.lag = b.x),
+      |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    coalesce(sum(da * db), 0) AS num
+      |  FROM pr GROUP BY lag)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full analyze metrics block (SURVEY §3.1) over the events table. */
@@ -1065,32 +1127,15 @@ object SparkEntry {
 
     // ---- T: time / derivation operators (SURVEY §2.6, batch forms) ----
     "t1_sessionize" -> Q(
-      (s, dir) => {
-        // ts is long ns; 30-minute gap = 1.8e12 ns, exact integer compare
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        val prev = lag(col("ts"), 1).over(w)
-        val newSession =
-          when(prev.isNull ||
-            col("ts") > prev + lit(1800L * 1000000000L), 1).otherwise(0)
-        rawEvents(s, dir).select("event_id", "user_id", "ts")
-          .withColumn("session_seq", sum(newSession)
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("long"))
-          .select("event_id", "user_id", "session_seq")
-          .orderBy("event_id").limit(1000)
-      },
-      Some("""WITH b AS (
-             |  SELECT event_id, user_id, ts,
-             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-             |      AS prev_ts
-             |  FROM events)
-             |SELECT event_id, user_id,
-             |  CAST(SUM(CASE WHEN prev_ts IS NULL
-             |      OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
-             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS BIGINT) AS session_seq
-             |FROM b ORDER BY event_id LIMIT 1000""".stripMargin)),
+      // ts is long ns; 30-minute gap = 1.8e12 ns, exact integer
+      // compare — the shared withSessionSeq builder (one definition
+      // across t1/q67/t12)
+      (s, dir) => withSessionSeq(rawEvents(s, dir), Seq.empty)
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id").limit(1000),
+      Some(s"""WITH $duckSessionCtes
+             |SELECT event_id, user_id, session_seq
+             |FROM se ORDER BY event_id LIMIT 1000""".stripMargin)),
 
     "t2_last_state" -> Q(
       (s, dir) => {
@@ -1426,16 +1471,7 @@ object SparkEntry {
     "t12_interval_overlap" -> Q(
       (s, dir) => {
         val ev = rawEvents(s, dir)
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
-        val prev = lag(col("ts"), 1).over(w)
-        val sess = ev.select("event_id", "user_id", "ts")
-          .withColumn("session_seq",
-            sum(when(prev.isNull ||
-              col("ts") > prev + lit(1800L * 1000000000L), 1)
-              .otherwise(0))
-              .over(w.rowsBetween(Window.unboundedPreceding,
-                Window.currentRow)).cast("long"))
+        val sess = withSessionSeq(ev, Seq.empty)
           .groupBy("user_id", "session_seq")
           .agg(min(col("ts")).as("s_start"),
             max(col("ts")).as("s_end"))
@@ -1453,22 +1489,11 @@ object SparkEntry {
             outCols = Seq("user_id", "session_seq", "window_id"))
           .orderBy("user_id", "session_seq", "window_id").limit(2000)
       },
-      Some("""WITH sb AS (SELECT user_id, ts, event_id,
-             |    lag(ts) OVER (PARTITION BY user_id
-             |      ORDER BY ts, event_id) AS prev_ts
-             |  FROM events),
-             |sn AS (SELECT user_id, ts,
-             |    CAST(SUM(CASE WHEN prev_ts IS NULL
-             |        OR ts > prev_ts + INTERVAL 30 MINUTE
-             |      THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-             |        ROW) AS BIGINT) AS session_seq
-             |  FROM sb),
+      Some(s"""WITH $duckSessionCtes,
              |si AS (SELECT user_id, session_seq,
              |    min(epoch_ns(ts)) AS s_start,
              |    max(epoch_ns(ts)) AS s_end
-             |  FROM sn GROUP BY user_id, session_seq),
+             |  FROM se GROUP BY user_id, session_seq),
              |hw AS (SELECT epoch_us(ts) // 3600000000 AS h,
              |    count(*) AS c
              |  FROM events GROUP BY h
@@ -4841,17 +4866,7 @@ object SparkEntry {
     // one aggregation; the session key is high-cardinality.
     "q67_session_transcripts" -> Q(
       (s, dir) => {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts"), col("event_id"))
-        val prev = lag(col("ts"), 1).over(w)
-        val newSession = when(prev.isNull ||
-          col("ts") > prev + lit(1800L * 1000000000L), 1).otherwise(0)
-        rawEvents(s, dir)
-          .select(col("event_id"), col("user_id"), col("ts"),
-            col("event_type"))
-          .withColumn("session_seq", sum(newSession)
-            .over(w.rowsBetween(Window.unboundedPreceding,
-              Window.currentRow)).cast("long"))
+        withSessionSeq(rawEvents(s, dir), Seq("event_type"))
           .groupBy("user_id", "session_seq")
           .agg(count(lit(1)).as("n_events"),
             concat_ws(" ", transform(array_sort(collect_list(
@@ -4864,18 +4879,7 @@ object SparkEntry {
               .as("entropy_micro"))
           .orderBy("user_id", "session_seq").limit(1000)
       },
-      Some("""WITH b AS (SELECT event_id, user_id, ts, event_type,
-             |    lag(ts) OVER (PARTITION BY user_id
-             |      ORDER BY ts, event_id) AS prev_ts
-             |  FROM events),
-             |se AS (SELECT event_id, user_id, ts, event_type,
-             |    CAST(SUM(CASE WHEN prev_ts IS NULL
-             |        OR ts > prev_ts + INTERVAL 30 MINUTE
-             |        THEN 1 ELSE 0 END)
-             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS BIGINT) AS session_seq
-             |  FROM b),
+      Some(s"""WITH $duckSessionCtes,
              |d AS (SELECT user_id, session_seq,
              |    CAST(count(*) AS BIGINT) AS n_events,
              |    string_agg(event_type, ' '
@@ -5988,28 +5992,7 @@ object SparkEntry {
           !isnan(col("value"))),
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000"), maxLag = 8),
-      Some("""WITH eb AS (SELECT
-             |    epoch_us(ts) // 3600000000 AS x,
-             |    CAST(round(value * 1e6) AS HUGEINT) AS v
-             |  FROM events
-             |  WHERE ts IS NOT NULL AND value IS NOT NULL
-             |    AND NOT isnan(value)),
-             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
-             |    coalesce(sum(v), 0) AS s
-             |  FROM eb GROUP BY x),
-             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
-             |    AS BIGINT) AS m FROM bb),
-             |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-             |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
-             |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
-             |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
-             |lg AS (SELECT unnest(generate_series(1, 8)) AS lag),
-             |pr AS (SELECT lg.lag, a.d AS da, b.d AS db
-             |  FROM dd a CROSS JOIN lg
-             |  JOIN dd b ON a.x + lg.lag = b.x),
-             |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
-             |    coalesce(sum(da * db), 0) AS num
-             |  FROM pr GROUP BY lag)
+      Some(s"""WITH $duckAcfCtes
              |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
              |  CASE WHEN den > 0 THEN
              |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
@@ -6026,27 +6009,7 @@ object SparkEntry {
           !isnan(col("value"))),
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000"), maxLag = 8),
-      Some("""WITH eb AS (SELECT
-             |    epoch_us(ts) // 3600000000 AS x,
-             |    CAST(round(value * 1e6) AS HUGEINT) AS v
-             |  FROM events
-             |  WHERE ts IS NOT NULL AND value IS NOT NULL
-             |    AND NOT isnan(value)),
-             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
-             |    coalesce(sum(v), 0) AS s
-             |  FROM eb GROUP BY x),
-             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
-             |    AS BIGINT) AS m FROM bb),
-             |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-             |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
-             |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
-             |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
-             |lg AS (SELECT unnest(generate_series(1, 8)) AS lag),
-             |pr AS (SELECT lg.lag, a.d AS da, b.d AS db
-             |  FROM dd a CROSS JOIN lg
-             |  JOIN dd b ON a.x + lg.lag = b.x),
-             |ag AS (SELECT lag, coalesce(sum(da * db), 0) AS num
-             |  FROM pr GROUP BY lag),
+      Some(s"""WITH $duckAcfCtes,
              |af AS (SELECT lag,
              |    CASE WHEN den > 0 THEN
              |      ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
@@ -6167,33 +6130,13 @@ object SparkEntry {
           !isnan(col("value"))),
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000"), window = 16),
-      Some("""WITH eb AS (SELECT
-             |    epoch_us(ts) // 3600000000 AS x,
-             |    CAST(round(value * 1e6) AS HUGEINT) AS v
-             |  FROM events
-             |  WHERE ts IS NOT NULL AND value IS NOT NULL
-             |    AND NOT isnan(value)),
-             |bb AS (SELECT x, CAST(count(*) AS HUGEINT) AS c,
-             |    coalesce(sum(v), 0) AS s
-             |  FROM eb GROUP BY x),
-             |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
-             |    AS BIGINT) AS m FROM bb),
-             |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
-             |ct AS (SELECT mm.x + jj.j AS x,
-             |    CAST(mm.m AS HUGEINT) AS pm,
-             |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
-             |  FROM mm CROSS JOIN jj),
-             |fc AS (SELECT x, coalesce(sum(pm * w), 0) AS num,
-             |    CAST(sum(w) AS BIGINT) AS den
-             |  FROM ct GROUP BY x),
-             |ff AS (SELECT mm.m - CAST(round(CAST(num AS DOUBLE)
-             |      / CAST(den AS DOUBLE)) AS BIGINT) AS resid
-             |  FROM mm JOIN fc USING (x)),
+      Some(s"""WITH $duckEwmaCtes,
              |nv AS (SELECT d FROM (SELECT abs(m - lag(m)
              |      OVER (ORDER BY x)) AS d FROM mm) z
              |  WHERE d IS NOT NULL),
              |fa AS (SELECT CAST(count(*) AS BIGINT) AS nf,
-             |    CAST(coalesce(sum(abs(resid)), 0) AS BIGINT) AS sf
+             |    CAST(coalesce(sum(abs(m - forecast_micro)), 0)
+             |      AS BIGINT) AS sf
              |  FROM ff),
              |na AS (SELECT CAST(count(*) AS BIGINT) AS nn,
              |    CAST(coalesce(sum(d), 0) AS BIGINT) AS sn FROM nv)

@@ -2044,7 +2044,9 @@ object Eval {
       coalesce(sum(col("d")), lit(0L))).head()
     val nn = nRow.getLong(0)
     val sn = nRow.getLong(1)
-    ewmaForecast(df, valueMicro, bucket, window)
+    // reuse the pinned mm — rebuilding the series via ewmaForecast(df)
+    // would re-aggregate the corpus a second time (round-11 review)
+    ewmaFromMeans(mm, window)
       .agg(count(lit(1)).as("n_forecast"),
         coalesce(sum(abs(col("resid_micro"))), lit(0L)).as("sf"))
       .select(col("n_forecast"), lit(nn).as("n_naive"),
@@ -2135,11 +2137,16 @@ object Eval {
     * emit no row; a constant series reports NULL acf. Returns
     * (lag, n_pairs, acf) ordered by lag. */
   def acf(df: DataFrame, valueMicro: Column, bucket: Column,
-          maxLag: Int = 8): DataFrame = {
+          maxLag: Int = 8): DataFrame =
+    acfFromMeans(bucketMeansMicro(df, valueMicro, bucket), maxLag)
+
+  /** The [[acf]] body over an already-built (x, m) mean series —
+    * shared with [[ljungBox]] so the portmanteau never rebuilds the
+    * series its per-lag inputs came from. */
+  private def acfFromMeans(mm: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1 && maxLag <= 1000,
       s"maxLag must be in [1, 1000] (got $maxLag)")
     val z0 = lit(0L).cast("decimal(38,0)")
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
     // 1-row bounded parameter fetch: bucket count + series sum
     val nsRow = mm.agg(count(lit(1)),
       coalesce(sum(col("m")), lit(0L))).head()
@@ -2181,12 +2188,15 @@ object Eval {
     * lag ≥ n drop. Returns one row (n_buckets, n_lags, lb_micro). */
   def ljungBox(df: DataFrame, valueMicro: Column, bucket: Column,
                maxLag: Int = 8): DataFrame = {
-    // 1-row bounded parameter fetch: the bucket count
-    val n = bucketMeansMicro(df, valueMicro, bucket).count()
+    // ONE pinned series feeds both the n fetch and the ACF —
+    // rebuilding it per consumer would re-aggregate the corpus
+    // (round-11 review)
+    val mm = bucketMeansMicro(df, valueMicro, bucket)
+    val n = mm.count()
     val term = round(lit(1e6) * lit(n.toDouble) *
       lit((n + 2).toDouble) * (col("acf") * col("acf")) /
       (lit(n.toDouble) - col("lag").cast("double"))).cast("long")
-    acf(df, valueMicro, bucket, maxLag)
+    acfFromMeans(mm, maxLag)
       .filter(col("acf").isNotNull && col("lag") < n)
       .agg(count(lit(1)).as("n_lags"),
         coalesce(sum(term), lit(0L)).as("lb_micro"))

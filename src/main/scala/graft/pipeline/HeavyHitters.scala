@@ -141,12 +141,15 @@ object HeavyHitters {
     * touched estimates from the zero cell, the textbook semantics).
     * Query frames are report-grade (top-k lists, audit samples);
     * the join is cells ⋈ queries·depth — bounded both sides. Returns
-    * `queries` plus `est_count`. */
+    * EVERY row of `queries` plus `est_count` — a NULL item has no
+    * cells and comes back with a NULL estimate, never a silently
+    * dropped row (round-11 review). */
   def countMinEstimates(cms: DataFrame, queries: DataFrame,
                         itemCol: Column, depth: Int = 4,
                         width: Int = 1024): DataFrame = {
     val est = queries
       .select(itemCol.cast("string").as("_item"))
+      .filter(col("_item").isNotNull)
       .distinct()
       .select(col("_item"),
         explode(array(cmCells(col("_item"), depth, width): _*))
@@ -155,7 +158,7 @@ object HeavyHitters {
       .join(cms, Seq("r", "b"), "left")
       .groupBy("_item")
       .agg(min(coalesce(col("c"), lit(0L))).as("est_count"))
-    queries.join(est, itemCol.cast("string") === col("_item"))
+    queries.join(est, itemCol.cast("string") === col("_item"), "left")
       .drop("_item")
   }
 

@@ -528,12 +528,15 @@ object TextStats {
     val ratio = col("x").cast("double") * lit(n.toDouble) /
       lit(sTot.toDouble)
     val term = round(lit(1e6) * ratio * log(ratio)).cast("long")
-    d.agg(coalesce(sum(term), lit(0L)).as("tsum"))
+    val out = d.agg(coalesce(sum(term), lit(0L)).as("tsum"))
       .select(lit(n).as("n_docs"), lit(sTot).as("total_tokens"),
         (if (n > 0)
           round(col("tsum").cast("double") / lit(n.toDouble))
             .cast("long")
         else lit(null).cast("long")).as("theil_micro"))
+    // empty corpus: mirror the oracle's empty GROUP BY (round-11
+    // review — the n=0 report row exists in neither engine)
+    if (n == 0) out.limit(0) else out
   }
 
   /** Theil decomposition BY GROUP — the property that makes Theil the
@@ -587,7 +590,7 @@ object TextStats {
       else grp.agg(coalesce(sum(betweenTerm), lit(0L))).head().getLong(0)
     val kGroups =
       if (n == 0) 0L else grp.count()
-    d.join(broadcast(grp), "g")
+    val out = d.join(broadcast(grp), "g")
       .agg(coalesce(sum(totalTerm), lit(0L)).as("tot"),
         coalesce(sum(withinTerm), lit(0L)).as("win"))
       .select(lit(n).as("n_docs"), lit(sTot).as("total_tokens"),
@@ -595,5 +598,8 @@ object TextStats {
         col("tot").as("theil_micro"),
         lit(between).as("between_micro"),
         col("win").as("within_micro"))
+    // empty corpus: mirror the oracle's empty GROUP BY (round-11
+    // review)
+    if (n == 0) out.limit(0) else out
   }
 }

@@ -191,6 +191,17 @@ class MisraGriesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       HeavyHitters.countMinTable(df, col("item"), width = 1)
     }
+    // a NULL query item keeps its row with a NULL estimate — never a
+    // silently dropped row (round-11 review)
+    val cms1k = HeavyHitters.countMinTable(df, col("item"),
+      depth = 4, width = 1024)
+    val withNull = HeavyHitters.countMinEstimates(cms1k,
+        itemsDf(Seq("a", null)), col("item"), depth = 4,
+        width = 1024)
+      .collect().map(r => Option(r.getString(0)) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(withNull === Map(Some("a") -> Some(5L), None -> None),
+      withNull.toString)
   }
 
   test("countMin is LINEAR: batch cell tables summed equal one-shot") {

@@ -374,6 +374,14 @@ class TextStatsSpec extends AnyFunSuite {
     // a whale dominates: T strictly grows with concentration
     val whale = run(Seq("a", "a", String.valueOf("w " * 49).trim))
     assert(whale.getLong(2) > t.getLong(2), s"whale: $whale")
+    // empty corpus: EMPTY report, mirroring the oracle's empty
+    // GROUP BY (round-11 review)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.tokenMassTheil(empty, "doc_id", "text")
+      .count() === 0L)
+    assert(TextStats.tokenMassTheilDecomposition(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "src", "text"),
+      "doc_id", "text", "src").count() === 0L)
   }
 
   test("tokenMassTheilDecomposition: hand terms and the identity") {
