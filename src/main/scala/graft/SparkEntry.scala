@@ -210,11 +210,11 @@ object SparkEntry {
       |mm AS (SELECT x, CAST(round(CAST(s AS DOUBLE) / c)
       |    AS BIGINT) AS m FROM bb)""".stripMargin
 
-  /** The q94/q97/q100 shared EWMA chain over [[duckSeriesCtes]]:
-    * power-of-2 weights → per-bucket forecast `ff`. */
-  private lazy val duckEwmaCtes: String =
-    s"""$duckSeriesCtes,
-      |jj AS (SELECT unnest(generate_series(1, 16)) AS j),
+  /** The EWMA chain's tail over the shared series: power-of-2
+    * weights → per-bucket forecast `ff` (spliced after
+    * [[duckSeriesCtes]] by the EWMA entries AND the panel). */
+  private lazy val duckEwmaTail: String =
+    """jj AS (SELECT unnest(generate_series(1, 16)) AS j),
       |ct AS (SELECT mm.x + jj.j AS x,
       |    CAST(mm.m AS HUGEINT) AS pm,
       |    CAST(power(2, 16 - jj.j) AS BIGINT) AS w
@@ -227,6 +227,12 @@ object SparkEntry {
       |      / CAST(den AS DOUBLE)) AS BIGINT) AS forecast_micro
       |  FROM mm JOIN fc USING (x))""".stripMargin
 
+  /** [[duckSeriesCtes]] + [[duckEwmaTail]] — the q94/q97/q100
+    * chain. */
+  private lazy val duckEwmaCtes: String =
+    s"""$duckSeriesCtes,
+      |$duckEwmaTail""".stripMargin
+
   /** The q94/q100 shared oracle: ONE text because the streaming
     * fold's bucket state is a pure function of the rows, so both
     * entries answer the identical question. */
@@ -236,11 +242,11 @@ object SparkEntry {
       |  m - forecast_micro AS resid_micro
       |FROM ff ORDER BY x""".stripMargin
 
-  /** The q92/q99 shared ACF chain over [[duckSeriesCtes]]:
-    * integer deviations → per-lag sums `ag` + the denominator `dn`. */
-  private lazy val duckAcfCtes: String =
-    s"""$duckSeriesCtes,
-      |ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+  /** The ACF chain's tail over the shared series: integer deviations
+    * → per-lag sums `ag` + the denominator `dn` (spliced after
+    * [[duckSeriesCtes]] by the ACF entries AND the panel). */
+  private lazy val duckAcfTail: String =
+    """ns AS (SELECT CAST(count(*) AS HUGEINT) AS n,
       |    CAST(coalesce(sum(m), 0) AS HUGEINT) AS sm FROM mm),
       |dd AS (SELECT x, n * m - sm AS d FROM mm, ns),
       |dn AS (SELECT coalesce(sum(d * d), 0) AS den FROM dd),
@@ -251,6 +257,26 @@ object SparkEntry {
       |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
       |    coalesce(sum(da * db), 0) AS num
       |  FROM pr GROUP BY lag)""".stripMargin
+
+  /** [[duckSeriesCtes]] + [[duckAcfTail]] — the q92/q99 chain. */
+  private lazy val duckAcfCtes: String =
+    s"""$duckSeriesCtes,
+      |$duckAcfTail""".stripMargin
+
+  /** The q99/q101 shared Ljung–Box tail over [[duckAcfTail]]'s
+    * `ag`/`dn`: rounded per-lag ACFs → micro terms `tm` + the bucket
+    * count `nb`. */
+  private lazy val duckLbTail: String =
+    """af AS (SELECT lag,
+      |    CASE WHEN den > 0 THEN
+      |      ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+      |        6)
+      |    ELSE NULL END AS acf
+      |  FROM ag, dn),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mm),
+      |tm AS (SELECT CAST(round(1e6 * n * (n + 2)
+      |      * (acf * acf) / (n - lag)) AS BIGINT) AS term
+      |  FROM af, nb WHERE acf IS NOT NULL AND lag < n)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full analyze metrics block (SURVEY §3.1) over the events table. */
@@ -6010,21 +6036,117 @@ object SparkEntry {
         round(col("value") * 1e6).cast("long"),
         expr("(ts div 1000) div 3600000000"), maxLag = 8),
       Some(s"""WITH $duckAcfCtes,
-             |af AS (SELECT lag,
-             |    CASE WHEN den > 0 THEN
-             |      ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
-             |        6)
-             |    ELSE NULL END AS acf
-             |  FROM ag, dn),
-             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM mm),
-             |tm AS (SELECT CAST(round(1e6 * n * (n + 2)
-             |      * (acf * acf) / (n - lag)) AS BIGINT) AS term
-             |  FROM af, nb WHERE acf IS NOT NULL AND lag < n)
+             |$duckLbTail
              |SELECT nb.n AS n_buckets,
              |  (SELECT CAST(count(*) AS BIGINT) FROM tm) AS n_lags,
              |  (SELECT CAST(coalesce(sum(term), 0) AS BIGINT)
              |   FROM tm) AS lb_micro
              |FROM nb""".stripMargin)),
+
+    // The WHOLE series family from ONE corpus aggregation — the
+    // dashboard query a production monitor actually runs: CUSUM
+    // localization, Mann-Kendall trend, runs randomness, ACF lag-1,
+    // Ljung-Box whiteness, and EWMA MASE, every stat bit-equal to
+    // its standalone entry because each check rides the SAME shared
+    // FromMeans body over the one collapsed (bucket, count, sum)
+    // frame (the q78/q79 shared-scan argument applied to the series
+    // family).
+    "q101_series_panel" -> Q(
+      (s, dir) => graft.pipeline.Eval.seriesPanel(
+        rawEvents(s, dir).filter(col("value").isNotNull &&
+          !isnan(col("value"))),
+        round(col("value") * 1e6).cast("long"),
+        expr("(ts div 1000) div 3600000000"),
+        maxLag = 8, window = 16),
+      Some(s"""WITH $duckSeriesCtes,
+             |$duckAcfTail,
+             |$duckLbTail,
+             |$duckEwmaTail,
+             |pcw AS (SELECT x, sum(c) OVER (ORDER BY x) AS cc,
+             |    sum(s) OVER (ORDER BY x) AS cs,
+             |    sum(c) OVER () AS tc, sum(s) OVER () AS ts_
+             |  FROM bb),
+             |pdd AS (SELECT x, tc * cs - ts_ * cc AS d FROM pcw),
+             |pcp AS (SELECT CAST(x AS DOUBLE) AS stat FROM pdd
+             |  ORDER BY abs(d) DESC, x ASC LIMIT 1),
+             |mpr AS (SELECT CASE WHEN b2.m > a2.m THEN 1
+             |    WHEN b2.m < a2.m THEN -1 ELSE 0 END AS sgn
+             |  FROM mm a2 JOIN mm b2 ON a2.x < b2.x),
+             |msg AS (SELECT CAST(coalesce(sum(sgn), 0) AS BIGINT)
+             |    AS s_stat FROM mpr),
+             |mtg AS (SELECT CAST(coalesce(sum(t * (t - 1)
+             |      * (2 * t + 5)), 0) AS BIGINT) AS tt
+             |  FROM (SELECT CAST(count(*) AS BIGINT) AS t
+             |        FROM mm GROUP BY m) z1),
+             |mv8 AS (SELECT nb.n * (nb.n - 1) * (2 * nb.n + 5)
+             |      - mtg.tt AS var18
+             |  FROM nb, mtg),
+             |mkz AS (SELECT CASE WHEN var18 > 0 THEN
+             |    CASE WHEN s_stat > 0 THEN ROUND(
+             |        CAST(s_stat - 1 AS DOUBLE)
+             |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+             |      WHEN s_stat < 0 THEN ROUND(
+             |        CAST(s_stat + 1 AS DOUBLE)
+             |          / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+             |      ELSE 0.0 END
+             |  ELSE NULL END AS stat FROM msg, mv8
+             |  WHERE EXISTS (SELECT 1 FROM mm)),
+             |rmd AS (SELECT m AS med FROM (
+             |    SELECT m, row_number() OVER (ORDER BY m, x) AS rn,
+             |      CAST(count(*) OVER () AS BIGINT) AS nb2 FROM mm)
+             |    rz1
+             |  WHERE rn = (nb2 + 1) // 2),
+             |rfl AS (SELECT x,
+             |    CASE WHEN m > med THEN 1 ELSE -1 END AS sgn
+             |  FROM mm, rmd WHERE m <> med),
+             |rfw AS (SELECT sgn,
+             |    CASE WHEN lag(sgn) OVER (ORDER BY x) IS NULL
+             |      OR lag(sgn) OVER (ORDER BY x) <> sgn
+             |    THEN 1 ELSE 0 END AS nw FROM rfl),
+             |rag AS (SELECT
+             |    CAST(coalesce(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0
+             |      END), 0) AS BIGINT) AS n_pos,
+             |    CAST(coalesce(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0
+             |      END), 0) AS BIGINT) AS n_neg,
+             |    CAST(coalesce(sum(nw), 0) AS BIGINT) AS n_runs
+             |  FROM rfw),
+             |rz AS (SELECT CASE WHEN n_pos > 0 AND n_neg > 0
+             |    AND 2.0 * n_pos * n_neg
+             |      * (2 * n_pos * n_neg - n_pos - n_neg) > 0 THEN
+             |    ROUND((CAST(n_runs AS DOUBLE)
+             |      - (2.0 * n_pos * n_neg / (n_pos + n_neg) + 1.0))
+             |      / sqrt(2.0 * n_pos * n_neg
+             |        * (2 * n_pos * n_neg - n_pos - n_neg)
+             |        / (CAST(n_pos + n_neg AS DOUBLE)
+             |          * (n_pos + n_neg) * (n_pos + n_neg - 1))), 6)
+             |  ELSE NULL END AS stat FROM rag
+             |  WHERE EXISTS (SELECT 1 FROM mm)),
+             |a1x AS (SELECT CASE WHEN den > 0 THEN
+             |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+             |  ELSE NULL END AS stat
+             |  FROM ag, dn WHERE lag = 1),
+             |lbx AS (SELECT CAST((SELECT coalesce(sum(term), 0)
+             |    FROM tm) AS DOUBLE) AS stat),
+             |nvp AS (SELECT d FROM (SELECT abs(m - lag(m)
+             |      OVER (ORDER BY x)) AS d FROM mm) z2
+             |  WHERE d IS NOT NULL),
+             |fap AS (SELECT CAST(count(*) AS BIGINT) AS nf,
+             |    CAST(coalesce(sum(abs(m - forecast_micro)), 0)
+             |      AS BIGINT) AS sf
+             |  FROM ff),
+             |nap AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             |    CAST(coalesce(sum(d), 0) AS BIGINT) AS sn FROM nvp),
+             |msx AS (SELECT CASE WHEN nf > 0 AND sn > 0 THEN
+             |    ROUND(CAST(sf AS DOUBLE) * nn
+             |      / (CAST(sn AS DOUBLE) * nf), 6)
+             |  ELSE NULL END AS stat FROM fap, nap)
+             |SELECT 'cusum_cp_bucket' AS "check", stat FROM pcp
+             |UNION ALL SELECT 'mann_kendall_z', stat FROM mkz
+             |UNION ALL SELECT 'runs_z', stat FROM rz
+             |UNION ALL SELECT 'acf_lag1', stat FROM a1x
+             |UNION ALL SELECT 'ljung_box_micro', stat FROM lbx
+             |UNION ALL SELECT 'ewma_mase', stat FROM msx
+             |ORDER BY "check"""".stripMargin)),
 
     // KMV sketch SET ALGEBRA (Beyer et al. 2007): union/intersection
     // cardinality of viewers vs purchasers from the two k=64 sketches

@@ -1345,8 +1345,12 @@ object Eval {
     * 1-row bounded parameter fetch. Returns one row
     * (n_buckets, n_pos, n_neg, n_runs, z). */
   def runsTest(df: DataFrame, valueMicro: Column,
-               bucket: Column): DataFrame = {
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
+               bucket: Column): DataFrame =
+    runsFromMeans(bucketMeansMicro(df, valueMicro, bucket))
+
+  /** The [[runsTest]] body over an already-built (x, m) series —
+    * shared with [[seriesPanel]]. */
+  private def runsFromMeans(mm: DataFrame): DataFrame = {
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val medRow = mm
@@ -1605,8 +1609,13 @@ object Eval {
     * with fewer than two buckets. */
   def mannKendallTheilSen(df: DataFrame, valueMicro: Column,
                           bucket: Column,
-                          maxBuckets: Int = 4096): DataFrame = {
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
+                          maxBuckets: Int = 4096): DataFrame =
+    mkFromMeans(bucketMeansMicro(df, valueMicro, bucket), maxBuckets)
+
+  /** The [[mannKendallTheilSen]] body over an already-built (x, m)
+    * series — shared with [[seriesPanel]]. */
+  private def mkFromMeans(mm: DataFrame,
+                          maxBuckets: Int): DataFrame = {
     val nB = mm.count()
     require(nB <= maxBuckets,
       s"trend test over $nB buckets > maxBuckets=$maxBuckets: the " +
@@ -2033,8 +2042,12 @@ object Eval {
     * Returns one row
     * (n_forecast, n_naive, mae_f_micro, mae_n_micro, mase). */
   def forecastMase(df: DataFrame, valueMicro: Column, bucket: Column,
-                   window: Int = 16): DataFrame = {
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
+                   window: Int = 16): DataFrame =
+    maseFromMeans(bucketMeansMicro(df, valueMicro, bucket), window)
+
+  /** The [[forecastMase]] body over an already-built (x, m) series —
+    * shared with [[seriesPanel]]. */
+  private def maseFromMeans(mm: DataFrame, window: Int): DataFrame = {
     val naive = mm
       .withColumn("pm", lag(col("m"), 1).over(Window.orderBy("x")))
       .filter(col("pm").isNotNull)
@@ -2187,11 +2200,15 @@ object Eval {
     * parameter fetch. Lags with undefined acf (constant series) or
     * lag ≥ n drop. Returns one row (n_buckets, n_lags, lb_micro). */
   def ljungBox(df: DataFrame, valueMicro: Column, bucket: Column,
-               maxLag: Int = 8): DataFrame = {
+               maxLag: Int = 8): DataFrame =
     // ONE pinned series feeds both the n fetch and the ACF —
     // rebuilding it per consumer would re-aggregate the corpus
     // (round-11 review)
-    val mm = bucketMeansMicro(df, valueMicro, bucket)
+    lbFromMeans(bucketMeansMicro(df, valueMicro, bucket), maxLag)
+
+  /** The [[ljungBox]] body over an already-built (x, m) series —
+    * shared with [[seriesPanel]]. */
+  private def lbFromMeans(mm: DataFrame, maxLag: Int): DataFrame = {
     val n = mm.count()
     val term = round(lit(1e6) * lit(n.toDouble) *
       lit((n + 2).toDouble) * (col("acf") * col("acf")) /
@@ -2201,6 +2218,47 @@ object Eval {
       .agg(count(lit(1)).as("n_lags"),
         coalesce(sum(term), lit(0L)).as("lb_micro"))
       .select(lit(n).as("n_buckets"), col("n_lags"), col("lb_micro"))
+  }
+
+  /** The WHOLE time-series diagnostic family from ONE corpus
+    * aggregation — the dashboard query a production monitor actually
+    * runs: where is the mean shift (CUSUM), is there a monotone trend
+    * (Mann–Kendall), does the series oscillate like noise (runs
+    * test), how much one-step memory is there (ACF lag-1), is ANY
+    * autocorrelation left (Ljung–Box), and is the smoother beating
+    * naive (MASE). The shared-scan argument of q78/q79 applied to the
+    * series family: the corpus collapses ONCE to the (bucket, count,
+    * sum) frame (localCheckpointed — six consumers must not
+    * re-aggregate), every diagnostic rides that ≤B-row state through
+    * its existing FromMeans/FromBuckets body, and each stat is
+    * bit-equal to its standalone entry by construction (one shared
+    * implementation per check — the panel cannot drift from the
+    * individual reports).
+    *
+    * Returns (check, stat) rows ordered by check, stat as double
+    * (cp_bucket and lb_micro are exact integers widened losslessly);
+    * a check whose statistic is undefined reports NULL; acf_lag1
+    * emits no row when no adjacent bucket pair exists (its q92
+    * semantics). */
+  def seriesPanel(df: DataFrame, valueMicro: Column, bucket: Column,
+                  maxLag: Int = 8, window: Int = 16,
+                  maxBuckets: Int = 4096): DataFrame = {
+    val b = cusumBuckets(df, valueMicro, bucket).localCheckpoint()
+    val mm = meansFromBuckets(b)
+    def one(name: String, frame: DataFrame,
+            stat: Column): DataFrame =
+      frame.select(lit(name).as("check"),
+        stat.cast("double").as("stat"))
+    one("cusum_cp_bucket", cusumFromBuckets(b), col("cp_bucket"))
+      .unionAll(one("mann_kendall_z", mkFromMeans(mm, maxBuckets),
+        col("z")))
+      .unionAll(one("runs_z", runsFromMeans(mm), col("z")))
+      .unionAll(one("acf_lag1", acfFromMeans(mm, 1), col("acf")))
+      .unionAll(one("ljung_box_micro", lbFromMeans(mm, maxLag),
+        col("lb_micro")))
+      .unionAll(one("ewma_mase", maseFromMeans(mm, window),
+        col("mase")))
+      .orderBy("check")
   }
 
   /** McNemar's test for two PAIRED classifiers scored on the same

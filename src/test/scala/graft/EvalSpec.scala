@@ -1296,6 +1296,39 @@ class EvalSpec extends AnyFunSuite {
       d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(4))
   }
 
+  test("seriesPanel stats equal the standalone operators' stats") {
+    val s = spark
+    import s.implicits._
+    // gaps, duplicates, a level shift and some oscillation — every
+    // check has something to say
+    val rows = Seq((0L, 100L), (0L, 140L), (1L, 90L), (2L, 130L),
+      (4L, 100L), (5L, 600L), (6L, 640L), (7L, 580L), (8L, 620L))
+    val df = rows.toDF("b", "v")
+    def stat(of: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (of.isNullAt(i)) None else Some(of.getDouble(i))
+    val panel = Eval.seriesPanel(df, col("v"), col("b"), maxLag = 8,
+        window = 16)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(panel.size === 6, panel.toString)
+    val cp = Eval.cusumChangepoint(df, col("v"), col("b")).head()
+    assert(panel("cusum_cp_bucket") ===
+      Some(cp.getLong(0).toDouble))
+    assert(panel("mann_kendall_z") ===
+      stat(Eval.mannKendallTheilSen(df, col("v"), col("b")).head(), 3))
+    assert(panel("runs_z") ===
+      stat(Eval.runsTest(df, col("v"), col("b")).head(), 4))
+    val acf1 = Eval.acf(df, col("v"), col("b"), maxLag = 1).head()
+    assert(panel("acf_lag1") === stat(acf1, 2))
+    assert(panel("ljung_box_micro") ===
+      Some(Eval.ljungBox(df, col("v"), col("b"), maxLag = 8).head()
+        .getLong(2).toDouble))
+    assert(panel("ewma_mase") ===
+      stat(Eval.forecastMase(df, col("v"), col("b"),
+        window = 16).head(), 4))
+  }
+
   test("ewmaBatchUpdate: fold equals the one-shot forecast") {
     val s = spark
     import s.implicits._
