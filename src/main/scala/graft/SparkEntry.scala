@@ -5366,6 +5366,106 @@ object SparkEntry {
              |  ELSE NULL END AS q_stat
              |FROM g""".stripMargin)),
 
+    // Two-sample Anderson-Darling (Scholz-Stephens tie-adjusted
+    // A²akN) on the q73 split — the TAIL-WEIGHTED member completing
+    // the two-sample family: KS sups the CDF gap, W1 integrates it,
+    // MW ranks it, AD weights it by 1/(F(1-F)) so tail divergence
+    // dominates. Doubled midpoint cumulatives keep every quantity
+    // integral; per-(side,value) terms are one mirrored division
+    // each, micro-quantized before the sum.
+    "q102_anderson_darling" -> Q(
+      (s, dir) => graft.pipeline.Eval.andersonDarling2(
+        lineitem(s, dir), col("l_extendedprice"),
+        col("l_linestatus") === "O"),
+      Some("""WITH d AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |vv AS (SELECT v, CAST(count(*) AS HUGEINT) AS l,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS la
+             |  FROM d GROUP BY v),
+             |tt AS (SELECT CAST(coalesce(sum(l), 0) AS BIGINT) AS n,
+             |    CAST(coalesce(sum(la), 0) AS BIGINT) AS na,
+             |    CAST(count(*) AS BIGINT) AS nv FROM vv),
+             |cw AS (SELECT l, la,
+             |    2 * (sum(l) OVER (ORDER BY v) - l) + l AS b2,
+             |    2 * (sum(la) OVER (ORDER BY v) - la) + la AS ma2,
+             |    2 * (sum(l - la) OVER (ORDER BY v) - (l - la))
+             |      + (l - la) AS mb2
+             |  FROM vv),
+             |tm AS (SELECT
+             |    CAST(round(1e6 * CAST((tt.n - 1) * l
+             |        * (tt.n * ma2 - tt.na * b2)
+             |        * (tt.n * ma2 - tt.na * b2) AS DOUBLE)
+             |      / CAST(CAST(tt.n AS HUGEINT) * tt.n * tt.na
+             |        * (b2 * (2 * tt.n - b2) - tt.n * l)
+             |        AS DOUBLE)) AS BIGINT)
+             |    + CAST(round(1e6 * CAST((tt.n - 1) * l
+             |        * (tt.n * mb2 - (tt.n - tt.na) * b2)
+             |        * (tt.n * mb2 - (tt.n - tt.na) * b2) AS DOUBLE)
+             |      / CAST(CAST(tt.n AS HUGEINT) * tt.n
+             |        * (tt.n - tt.na)
+             |        * (b2 * (2 * tt.n - b2) - tt.n * l)
+             |        AS DOUBLE)) AS BIGINT) AS term
+             |  FROM cw, tt)
+             |SELECT tt.na AS n_a, tt.n - tt.na AS n_b,
+             |  tt.nv AS n_values,
+             |  CASE WHEN tt.na > 0 AND tt.n - tt.na > 0
+             |    AND tt.nv >= 2 THEN
+             |    (SELECT CAST(coalesce(sum(term), 0) AS BIGINT)
+             |     FROM tm)
+             |  ELSE NULL END AS ad_micro
+             |FROM tt""".stripMargin)),
+
+    // Energy distance (Szekely-Rizzo) on the same split — power
+    // against ANY alternative (location, scale, shape; zero iff the
+    // distributions are equal). The three pairwise |x-y| masses come
+    // from ONE sorted pass over the value-distinct frame (the Gini
+    // integral trick — never an all-pairs join); one mirrored
+    // division of exact decimals at the end.
+    "q103_energy_distance" -> Q(
+      (s, dir) => graft.pipeline.Eval.energyDistance(
+        lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_linestatus") === "O"),
+      Some("""WITH d AS (SELECT
+             |    CAST(round(l_extendedprice * 100) AS HUGEINT) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |vv AS (SELECT v,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS la,
+             |    CAST(count(*) FILTER (WHERE NOT a) AS HUGEINT)
+             |      AS lb
+             |  FROM d GROUP BY v),
+             |cw AS (SELECT v, la, lb,
+             |    sum(la) OVER (ORDER BY v) - la AS ca,
+             |    sum(lb) OVER (ORDER BY v) - lb AS cb,
+             |    sum(la * v) OVER (ORDER BY v) - la * v AS sa,
+             |    sum(lb * v) OVER (ORDER BY v) - lb * v AS sb
+             |  FROM vv),
+             |ag AS (SELECT
+             |    CAST(coalesce(sum(la), 0) AS BIGINT) AS na,
+             |    CAST(coalesce(sum(lb), 0) AS BIGINT) AS nb,
+             |    coalesce(sum((v * ca - sa) * lb
+             |      + (v * cb - sb) * la), 0) AS sab,
+             |    coalesce(sum((v * ca - sa) * la
+             |      + (v * ca - sa) * la), 0) AS saa2,
+             |    coalesce(sum((v * cb - sb) * lb
+             |      + (v * cb - sb) * lb), 0) AS sbb2
+             |  FROM cw)
+             |SELECT na AS n_a, nb AS n_b,
+             |  CASE WHEN na > 0 AND nb > 0 THEN
+             |    ROUND(CAST(2 * sab * na * nb
+             |        - saa2 * CAST(nb AS HUGEINT) * nb
+             |        - sbb2 * CAST(na AS HUGEINT) * na AS DOUBLE)
+             |      / CAST(CAST(na AS HUGEINT) * na * nb * nb
+             |        AS DOUBLE), 6)
+             |  ELSE NULL END AS energy_micro
+             |FROM ag""".stripMargin)),
+
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
     // data: the robustness A/B an eval pipeline wants side by side).

@@ -1761,6 +1761,140 @@ object Eval {
           6)).as("df_ws")): _*)
   }
 
+  /** Two-sample Anderson–Darling (Scholz & Stephens 1987, the
+    * tie-adjusted midrank A²akN for k = 2) — the TAIL-WEIGHTED member
+    * completing the two-sample family: KS (q45) takes the sup of the
+    * CDF gap, W1 (q64) integrates it, MW (q73) ranks it; AD weights
+    * the gap by 1/(F(1−F)), so divergence in the DISTRIBUTION TAILS —
+    * exactly where corpus quality regressions hide — dominates the
+    * statistic.
+    *
+    * Exactness: the corpus collapses to its distinct-value frame
+    * (the rocAuc cardinality contract); DOUBLED midpoint cumulatives
+    * 2B̄ⱼ = 2·before + lⱼ and 2M̄ᵢⱼ = 2·beforeᵢ + lᵢⱼ keep every
+    * quantity integral (the mannWhitneyU trick), and each (side,
+    * value) term (N−1)·lⱼ·(N·2M̄ − nᵢ·2B̄)² / (N²·nᵢ·(2B̄(2N−2B̄) −
+    * N·lⱼ)) is ONE mirrored division of two exact decimals,
+    * micro-quantized BEFORE the cross-value sum. The denominator is
+    * provably positive whenever ≥2 distinct values exist
+    * (2B̄(2N−2B̄) − Nl ≥ l(N−l) > 0), so the only NULL cases are an
+    * empty side or an everything-tied corpus. N/n_a/L are a 1-row
+    * bounded parameter fetch. Returns one row
+    * (n_a, n_b, n_values, ad_micro). */
+  def andersonDarling2(df: DataFrame, value: Column,
+                       isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val g = df.select(value.cast("double").as("v"),
+        isA.cast("boolean").as("a"))
+      .filter(col("v").isNotNull && !isnan(col("v")) &&
+        col("a").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("l"),
+        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("la"))
+      .localCheckpoint()
+    // 1-row bounded parameter fetch: totals + distinct-value count
+    val tot = g.agg(coalesce(sum(col("l")), lit(0L)),
+      coalesce(sum(col("la")), lit(0L)), count(lit(1))).head()
+    val n = tot.getLong(0)
+    val na = tot.getLong(1)
+    val nb = n - na
+    val nVals = tot.getLong(2)
+    val w = Window.orderBy("v")
+    val cum = g.select(col("l"), col("la"),
+      (col("l") - col("la")).as("lb"),
+      (lit(2L) * (sum(col("l")).over(w) - col("l")) + col("l"))
+        .as("b2"),
+      (lit(2L) * (sum(col("la")).over(w) - col("la")) + col("la"))
+        .as("ma2"),
+      (lit(2L) * (sum(col("l") - col("la")).over(w) -
+        (col("l") - col("la"))) + (col("l") - col("la"))).as("mb2"))
+    def side(m2: Column, ni: Long): Column = {
+      val x = dec(lit(n)) * dec(m2) - dec(lit(ni)) * dec(col("b2"))
+      val den = dec(col("b2")) *
+        (dec(lit(2L * n)) - dec(col("b2"))) -
+        dec(lit(n)) * dec(col("l"))
+      round(lit(1e6) *
+        (dec(lit(n - 1)) * dec(col("l")) * x * x).cast("double") /
+        (dec(lit(n)) * dec(lit(n)) * dec(lit(ni)) * den)
+          .cast("double")).cast("long")
+    }
+    val out =
+      if (na == 0L || nb == 0L || nVals < 2L)
+        g.agg(count(lit(1))).select(lit(na).as("n_a"),
+          lit(nb).as("n_b"), lit(nVals).as("n_values"),
+          lit(null).cast("long").as("ad_micro"))
+      else
+        cum.agg(coalesce(sum(side(col("ma2"), na) +
+            side(col("mb2"), nb)), lit(0L)).as("ad"))
+          .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+            lit(nVals).as("n_values"), col("ad").as("ad_micro"))
+    out
+  }
+
+  /** Energy distance (Székely & Rizzo 2004) between the two segments
+    * — the two-sample test with POWER AGAINST ANY alternative
+    * (location, scale, shape): E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| ≥ 0,
+    * zero iff the distributions are equal. The pairwise absolute-sum
+    * masses S_UV = ΣΣ|u−v| come from ONE sorted pass over the
+    * distinct-value frame (prefix counts and prefix sums — the Gini
+    * integral trick, never an all-pairs join), every mass is an
+    * exact decimal integer of micro units, and
+    * E = (2·S_AB·n_a·n_b − S_AA·n_b² − S_BB·n_a²)/(n_a²·n_b²) is ONE
+    * mirrored division of exact decimals, ROUND 6 in micro units.
+    * NULL when either side is empty. `value` must be an integer
+    * quantization (micro — the d28 discipline). Returns one row
+    * (n_a, n_b, energy_micro). */
+  def energyDistance(df: DataFrame, valueMicro: Column,
+                     isA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val g = df.select(valueMicro.cast("long").as("v"),
+        isA.cast("boolean").as("a"))
+      .filter(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v").agg(
+        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("la"),
+        coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("lb"))
+    val w = Window.orderBy("v")
+    // prefix counts/sums of STRICTLY smaller values, per side
+    val cum = g.select(col("v"), col("la"), col("lb"),
+      (sum(col("la")).over(w) - col("la")).as("ca"),
+      (sum(col("lb")).over(w) - col("lb")).as("cb"),
+      (sum(dec(col("la")) * dec(col("v"))).over(w) -
+        dec(col("la")) * dec(col("v"))).as("sa"),
+      (sum(dec(col("lb")) * dec(col("v"))).over(w) -
+        dec(col("lb")) * dec(col("v"))).as("sb"))
+    // S_UV = Σ_j (v·cntU< − sumU<)·lV_j + (v·cntV< − sumV<)·lU_j
+    def mass(cu: Column, su: Column, lv: Column,
+             cv: Column, sv: Column, lu: Column): Column =
+      (dec(col("v")) * dec(cu) - su) * dec(lv) +
+        (dec(col("v")) * dec(cv) - sv) * dec(lu)
+    val agg = cum.agg(
+      coalesce(sum(col("la")), lit(0L)).as("na"),
+      coalesce(sum(col("lb")), lit(0L)).as("nb"),
+      coalesce(sum(mass(col("ca"), col("sa"), col("lb"),
+        col("cb"), col("sb"), col("la"))), z0).as("sab"),
+      coalesce(sum(mass(col("ca"), col("sa"), col("la"),
+        col("ca"), col("sa"), col("la"))), z0).as("saa2"),
+      coalesce(sum(mass(col("cb"), col("sb"), col("lb"),
+        col("cb"), col("sb"), col("lb"))), z0).as("sbb2"))
+    // saa2/sbb2 double-count ordered pairs of the SAME side — which
+    // is exactly the ΣΣ over all ordered pairs E|X−X'| needs (the
+    // within-side mass uses n² ordered pairs, |x−x|=0 included)
+    agg.select(col("na").as("n_a"), col("nb").as("n_b"),
+      when(col("na") > 0 && col("nb") > 0,
+        round((dec(lit(2L)) * col("sab") * dec(col("na")) *
+            dec(col("nb")) -
+          col("saa2") * dec(col("nb")) * dec(col("nb")) -
+          col("sbb2") * dec(col("na")) * dec(col("na")))
+            .cast("double") /
+          (dec(col("na")) * dec(col("na")) * dec(col("nb")) *
+            dec(col("nb"))).cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("energy_micro"))
+  }
+
   /** Brown–Forsythe test (Levene's test with the median center,
     * Brown & Forsythe 1974) — does VARIANCE differ across the k
     * groups: the dispersion companion of the location family

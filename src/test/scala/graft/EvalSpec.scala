@@ -1296,6 +1296,48 @@ class EvalSpec extends AnyFunSuite {
       d.isNullAt(2) && d.isNullAt(3) && d.isNullAt(4))
   }
 
+  test("andersonDarling2: hand-computed midpoint terms, degenerates") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Double, Boolean)]) =
+      Eval.andersonDarling2(rows.toDF("v", "a"), col("v"),
+        col("a")).head()
+    // A={1,2}, B={2,3}: per-side terms 125000+375000+125000 →
+    // A² micro = 1250000 (hand-derived doubled-midpoint arithmetic)
+    val r = run(Seq((1.0, true), (2.0, true), (2.0, false),
+      (3.0, false)))
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L &&
+      r.getLong(2) === 3L)
+    assert(r.getLong(3) === 1250000L, s"AD: $r")
+    // pointwise-identical samples: every X = N·M̄ − n·B̄ is 0 → A²=0
+    val eq = run(Seq((1.0, true), (2.0, true), (1.0, false),
+      (2.0, false)))
+    assert(eq.getLong(3) === 0L, s"identical: $eq")
+    // one side empty → NULL
+    assert(run(Seq((1.0, true), (2.0, true))).isNullAt(3))
+    // everything tied on one value → NULL (the only zero-denominator)
+    assert(run(Seq((5.0, true), (5.0, false))).isNullAt(3))
+  }
+
+  test("energyDistance: hand masses, zero iff equal, degenerates") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Boolean)]) =
+      Eval.energyDistance(rows.toDF("v", "a"), col("v"),
+        col("a")).head()
+    // A={0,2}, B={1,3}: 2·(6/4) − 4/4 − 4/4 = 1
+    val r = run(Seq((0L, true), (2L, true), (1L, false),
+      (3L, false)))
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L &&
+      r.getDouble(2) === 1.0, s"E: $r")
+    // identical samples → exactly 0 (the defining property)
+    val eq = run(Seq((1L, true), (2L, true), (1L, false),
+      (2L, false)))
+    assert(eq.getDouble(2) === 0.0, s"identical: $eq")
+    // empty side → NULL
+    assert(run(Seq((1L, true))).isNullAt(2))
+  }
+
   test("seriesPanel stats equal the standalone operators' stats") {
     val s = spark
     import s.implicits._

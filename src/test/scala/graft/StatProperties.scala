@@ -518,6 +518,84 @@ object StatProperties extends Properties("graft.stat") {
     (fc, (nf, nn, maeF, maeN, mase))
   }
 
+  /** In-memory tie-adjusted two-sample Anderson–Darling through the
+    * operator's doubled-midpoint integers and per-term division op
+    * order. */
+  private def refAd(rows: List[(Double, Boolean)])
+      : (Long, Long, Long, Option[Long]) = {
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, g) => (BigInt(g.size), BigInt(g.count(_._2))) }
+    val n = BigInt(rows.size)
+    val na = byV.map(_._2).sum
+    val nb = n - na
+    val nv = byV.size
+    if (na == 0 || nb == 0 || nv < 2)
+      return (na.toLong, nb.toLong, nv.toLong, None)
+    var (cum, cumA, cumB) = (BigInt(0), BigInt(0), BigInt(0))
+    var ad = 0L
+    byV.foreach { case (l, la) =>
+      val lb = l - la
+      val b2 = 2 * cum + l
+      val ma2 = 2 * cumA + la
+      val mb2 = 2 * cumB + lb
+      val den = b2 * (2 * n - b2) - n * l
+      def term(m2: BigInt, ni: BigInt): Long = {
+        val x = n * m2 - ni * b2
+        r0(1e6 * ((n - 1) * l * x * x).doubleValue /
+          (n * n * ni * den).doubleValue)
+      }
+      ad += term(ma2, na) + term(mb2, nb)
+      cum += l; cumA += la; cumB += lb
+    }
+    (na.toLong, nb.toLong, nv.toLong, Some(ad))
+  }
+
+  property("andersonDarling2 equals the in-memory midpoint reference") =
+    Prop.forAll(genSamples) { rows =>
+      val s = spark
+      import s.implicits._
+      val (na, nb, nv, ad) = refAd(rows)
+      val r = Eval.andersonDarling2(rows.toDF("v", "a"), col("v"),
+        col("a")).head()
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      Prop(r.getLong(0) == na && r.getLong(1) == nb &&
+        r.getLong(2) == nv && got == ad) :|
+        s"rows=$rows got=$r want=($na,$nb,$nv,$ad)"
+    }
+
+  /** In-memory energy distance by brute-force pairwise sums through
+    * the operator's single final division. */
+  private def refEnergy(rows: List[(Long, Boolean)])
+      : (Long, Long, Option[Double]) = {
+    val a = rows.filter(_._2).map(r => BigInt(r._1))
+    val b = rows.filterNot(_._2).map(r => BigInt(r._1))
+    val (na, nb) = (BigInt(a.size), BigInt(b.size))
+    if (na == 0 || nb == 0) return (na.toLong, nb.toLong, None)
+    def cross(u: List[BigInt], v: List[BigInt]): BigInt =
+      (for (x <- u; y <- v) yield (x - y).abs).sum
+    val num = 2 * cross(a, b) * na * nb -
+      cross(a, a) * nb * nb - cross(b, b) * na * na
+    val den = na * na * nb * nb
+    (na.toLong, nb.toLong,
+      Some(r6(num.doubleValue / den.doubleValue)))
+  }
+
+  property("energyDistance equals the brute-force pairwise reference") =
+    Prop.forAll(Gen.choose(2, 18).flatMap(n =>
+      Gen.listOfN(n, for {
+        v <- Gen.choose(0L, 6L)
+        a <- Gen.oneOf(true, false)
+      } yield (v, a)))) { rows =>
+      val s = spark
+      import s.implicits._
+      val (na, nb, e) = refEnergy(rows)
+      val r = Eval.energyDistance(rows.toDF("v", "a"), col("v"),
+        col("a")).head()
+      val got = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      Prop(r.getLong(0) == na && r.getLong(1) == nb && got == e) :|
+        s"rows=$rows got=$r want=($na,$nb,$e)"
+    }
+
   property("ewmaForecast + forecastMase equal the in-memory " +
     "power-of-2 reference") =
     Prop.forAll(genSeries, Gen.oneOf(1, 3, 16)) { (rows, window) =>
