@@ -5466,6 +5466,134 @@ object SparkEntry {
              |  ELSE NULL END AS energy_micro
              |FROM ag""".stripMargin)),
 
+    // The WHOLE two-sample family from ONE corpus aggregation — the
+    // drift dashboard: KS sup, W1 integral, MW stochastic dominance,
+    // AD tail weight, energy distance, over the same cents split —
+    // the q101 shared-scan argument applied to the two-sample
+    // family. Each stat rides its standalone FromCounts body over
+    // the one collapsed value frame (bit-equal by construction,
+    // pinned in spec).
+    "q104_drift_panel" -> Q(
+      (s, dir) => graft.pipeline.Eval.driftPanel(
+        lineitem(s, dir),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_linestatus") === "O"),
+      Some("""WITH d AS (SELECT
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             |    (l_linestatus = 'O') AS a
+             |  FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL
+             |    AND l_linestatus IS NOT NULL),
+             |vv AS (SELECT v,
+             |    CAST(count(*) FILTER (WHERE a) AS HUGEINT) AS ca,
+             |    CAST(count(*) FILTER (WHERE NOT a) AS HUGEINT)
+             |      AS cb
+             |  FROM d GROUP BY v),
+             |tt AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT)
+             |      AS na,
+             |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+             |    CAST(count(*) AS BIGINT) AS nv FROM vv),
+             |cz AS (SELECT v, ca, cb,
+             |    sum(ca) OVER (ORDER BY v) AS cma,
+             |    sum(cb) OVER (ORDER BY v) AS cmb,
+             |    lead(v) OVER (ORDER BY v) AS nxt
+             |  FROM vv),
+             |ksx AS (SELECT CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+             |    CAST((1000000 * max(abs(cma * tt.nb
+             |      - cmb * tt.na)))
+             |      // (CAST(tt.na AS HUGEINT) * tt.nb) AS DOUBLE)
+             |  ELSE NULL END AS stat
+             |  FROM cz, tt GROUP BY tt.na, tt.nb),
+             |w1x AS (SELECT CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+             |    CAST((1000000 * coalesce(sum(abs(cma * tt.nb
+             |        - cmb * tt.na)
+             |      * CAST(nxt - v AS HUGEINT)), 0))
+             |      // (CAST(tt.na AS HUGEINT) * tt.nb) AS DOUBLE)
+             |  ELSE NULL END AS stat
+             |  FROM cz, tt WHERE nxt IS NOT NULL
+             |  GROUP BY tt.na, tt.nb),
+             |mwr AS (SELECT ca, cb, ca + cb AS c,
+             |    2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb))
+             |      + (ca + cb) + 1 AS r2
+             |  FROM vv),
+             |mwa AS (SELECT coalesce(sum(c), 0) AS n,
+             |    coalesce(sum(ca), 0) AS na2,
+             |    coalesce(sum(ca * r2), 0) AS ra2,
+             |    coalesce(sum(c * c * c - c), 0) AS t FROM mwr),
+             |mwx AS (SELECT CASE WHEN n < 2 THEN NULL ELSE
+             |    ROUND(CAST(ra2 - na2 * (na2 + 1)
+             |        - na2 * (n - na2) AS DOUBLE) /
+             |      nullif(sqrt(CAST(na2 * (n - na2) AS DOUBLE)
+             |        * CAST(n * n * n - n - t AS DOUBLE)
+             |        / CAST(3 * n * (n - 1) AS DOUBLE)), 0.0), 6)
+             |  END AS stat FROM mwa),
+             |adc AS (SELECT ca + cb AS l, ca AS la,
+             |    2 * (sum(ca + cb) OVER (ORDER BY v) - (ca + cb))
+             |      + (ca + cb) AS b2,
+             |    2 * (sum(ca) OVER (ORDER BY v) - ca) + ca AS ma2,
+             |    2 * (sum(cb) OVER (ORDER BY v) - cb) + cb AS mb2
+             |  FROM vv),
+             |adt AS (SELECT
+             |    CAST(round(1e6 * CAST((tt.na + tt.nb - 1) * l
+             |        * (CAST(tt.na + tt.nb AS HUGEINT) * ma2
+             |          - tt.na * b2)
+             |        * (CAST(tt.na + tt.nb AS HUGEINT) * ma2
+             |          - tt.na * b2) AS DOUBLE)
+             |      / CAST(CAST(tt.na + tt.nb AS HUGEINT)
+             |        * (tt.na + tt.nb) * tt.na
+             |        * (b2 * (2 * (tt.na + tt.nb) - b2)
+             |          - (tt.na + tt.nb) * l) AS DOUBLE))
+             |      AS BIGINT)
+             |    + CAST(round(1e6 * CAST((tt.na + tt.nb - 1) * l
+             |        * (CAST(tt.na + tt.nb AS HUGEINT) * mb2
+             |          - tt.nb * b2)
+             |        * (CAST(tt.na + tt.nb AS HUGEINT) * mb2
+             |          - tt.nb * b2) AS DOUBLE)
+             |      / CAST(CAST(tt.na + tt.nb AS HUGEINT)
+             |        * (tt.na + tt.nb) * tt.nb
+             |        * (b2 * (2 * (tt.na + tt.nb) - b2)
+             |          - (tt.na + tt.nb) * l) AS DOUBLE))
+             |      AS BIGINT) AS term
+             |  FROM adc, tt),
+             |adx AS (SELECT CASE WHEN tt.na > 0 AND tt.nb > 0
+             |    AND tt.nv >= 2 THEN
+             |    CAST((SELECT CAST(coalesce(sum(term), 0) AS BIGINT)
+             |     FROM adt) AS DOUBLE)
+             |  ELSE NULL END AS stat FROM tt),
+             |enc AS (SELECT v, ca AS la, cb AS lb,
+             |    sum(ca) OVER (ORDER BY v) - ca AS pca,
+             |    sum(cb) OVER (ORDER BY v) - cb AS pcb,
+             |    sum(ca * CAST(v AS HUGEINT)) OVER (ORDER BY v)
+             |      - ca * CAST(v AS HUGEINT) AS psa,
+             |    sum(cb * CAST(v AS HUGEINT)) OVER (ORDER BY v)
+             |      - cb * CAST(v AS HUGEINT) AS psb
+             |  FROM vv),
+             |eng AS (SELECT
+             |    coalesce(sum((CAST(v AS HUGEINT) * pca - psa) * lb
+             |      + (CAST(v AS HUGEINT) * pcb - psb) * la), 0)
+             |      AS sab,
+             |    coalesce(sum((CAST(v AS HUGEINT) * pca - psa) * la
+             |      + (CAST(v AS HUGEINT) * pca - psa) * la), 0)
+             |      AS saa2,
+             |    coalesce(sum((CAST(v AS HUGEINT) * pcb - psb) * lb
+             |      + (CAST(v AS HUGEINT) * pcb - psb) * lb), 0)
+             |      AS sbb2
+             |  FROM enc),
+             |enx AS (SELECT CASE WHEN tt.na > 0 AND tt.nb > 0 THEN
+             |    ROUND(CAST(2 * sab * tt.na * tt.nb
+             |        - saa2 * CAST(tt.nb AS HUGEINT) * tt.nb
+             |        - sbb2 * CAST(tt.na AS HUGEINT) * tt.na
+             |        AS DOUBLE)
+             |      / CAST(CAST(tt.na AS HUGEINT) * tt.na * tt.nb
+             |        * tt.nb AS DOUBLE), 6)
+             |  ELSE NULL END AS stat FROM eng, tt)
+             |SELECT 'ad_micro' AS "check", stat FROM adx
+             |UNION ALL SELECT 'energy_micro', stat FROM enx
+             |UNION ALL SELECT 'ks_micro', stat FROM ksx
+             |UNION ALL SELECT 'mw_z', stat FROM mwx
+             |UNION ALL SELECT 'w1_micro', stat FROM w1x
+             |ORDER BY "check"""".stripMargin)),
+
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
     // data: the robustness A/B an eval pipeline wants side by side).

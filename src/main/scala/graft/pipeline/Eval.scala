@@ -1782,17 +1782,20 @@ object Eval {
     * bounded parameter fetch. Returns one row
     * (n_a, n_b, n_values, ad_micro). */
   def andersonDarling2(df: DataFrame, value: Column,
-                       isA: Column): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val z0 = lit(0L).cast("decimal(38,0)")
-    val g = df.select(value.cast("double").as("v"),
+                       isA: Column): DataFrame =
+    adFromCounts(df.select(value.cast("double").as("v"),
         isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull && !isnan(col("v")) &&
         col("a").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("l"),
         coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
-          .as("la"))
-      .localCheckpoint()
+          .as("la")))
+
+  /** The AD arithmetic over a prebuilt (v, l, la) value-count frame —
+    * shared with [[driftPanel]] (the ksFromCounts discipline). */
+  private def adFromCounts(gIn: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val g = gIn.localCheckpoint()
     // 1-row bounded parameter fetch: totals + distinct-value count
     val tot = g.agg(coalesce(sum(col("l")), lit(0L)),
       coalesce(sum(col("la")), lit(0L)), count(lit(1))).head()
@@ -1846,17 +1849,22 @@ object Eval {
     * quantization (micro — the d28 discipline). Returns one row
     * (n_a, n_b, energy_micro). */
   def energyDistance(df: DataFrame, valueMicro: Column,
-                     isA: Column): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val z0 = lit(0L).cast("decimal(38,0)")
-    val g = df.select(valueMicro.cast("long").as("v"),
+                     isA: Column): DataFrame =
+    energyFromCounts(df.select(valueMicro.cast("long").as("v"),
         isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull && col("a").isNotNull)
       .groupBy("v").agg(
         coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
           .as("la"),
         coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L))
-          .as("lb"))
+          .as("lb")))
+
+  /** The energy-distance arithmetic over a prebuilt (v, la, lb)
+    * value-count frame — shared with [[driftPanel]] (the
+    * ksFromCounts discipline). */
+  private def energyFromCounts(g: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val z0 = lit(0L).cast("decimal(38,0)")
     val w = Window.orderBy("v")
     // prefix counts/sums of STRICTLY smaller values, per side
     val cum = g.select(col("v"), col("la"), col("lb"),
@@ -1893,6 +1901,53 @@ object Eval {
           (dec(col("na")) * dec(col("na")) * dec(col("nb")) *
             dec(col("nb"))).cast("double"), 6))
         .otherwise(lit(null).cast("double")).as("energy_micro"))
+  }
+
+  /** The WHOLE two-sample family from ONE corpus aggregation — the
+    * drift dashboard a segment comparison actually runs: KS (sup of
+    * the CDF gap), W1 (its integral, in the column's units), the
+    * Mann–Whitney z (stochastic dominance), Anderson–Darling
+    * (tail-weighted), and energy distance (any-alternative) — the
+    * [[seriesPanel]] argument applied to the two-sample family. The
+    * corpus collapses ONCE to the distinct-value per-side count frame
+    * (localCheckpointed — five consumers must not re-aggregate), and
+    * each check rides its existing FromCounts body, so every stat is
+    * bit-equal to its standalone operator given the same inputs (the
+    * panel cannot drift from the individual reports; pinned in spec).
+    *
+    * `valueMicro` must be an integer quantization (W1/energy are
+    * unit-bearing; MW/AD read the same values as doubles, exact
+    * below 2^53). Returns (check, stat) rows ordered by check; NULL
+    * stats carry the operators' degenerate contracts. */
+  def driftPanel(df: DataFrame, valueMicro: Column, isA: Column,
+                 cells: Int = 1024): DataFrame = {
+    require(cells >= 1, "cells must be >= 1")
+    val g = df.select(valueMicro.cast("long").as("v"),
+        isA.cast("boolean").as("a"))
+      .filter(col("v").isNotNull && col("a").isNotNull)
+      .groupBy("v").agg(
+        coalesce(sum(when(col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("ca"),
+        coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L))
+          .as("cb"))
+      .localCheckpoint()
+    def one(name: String, frame: DataFrame, stat: Column): DataFrame =
+      frame.select(lit(name).as("check"),
+        stat.cast("double").as("stat"))
+    one("ks_micro", ksFromCounts(g), col("ks_micro"))
+      .unionAll(one("w1_micro", w1FromCounts(g), col("w1_micro")))
+      .unionAll(one("mw_z", mwFromValueCounts(
+        g.select(col("v").cast("double").as("v"),
+          (col("ca") + col("cb")).as("c"), col("ca")), cells),
+        col("z")))
+      .unionAll(one("ad_micro", adFromCounts(
+        g.select(col("v").cast("double").as("v"),
+          (col("ca") + col("cb")).as("l"),
+          col("ca").as("la"))), col("ad_micro")))
+      .unionAll(one("energy_micro", energyFromCounts(
+        g.select(col("v"), col("ca").as("la"),
+          col("cb").as("lb"))), col("energy_micro")))
+      .orderBy("check")
   }
 
   /** Brown–Forsythe test (Levene's test with the median center,

@@ -1338,6 +1338,35 @@ class EvalSpec extends AnyFunSuite {
     assert(run(Seq((1L, true))).isNullAt(2))
   }
 
+  test("driftPanel stats equal the standalone operators' stats") {
+    val s = spark
+    import s.implicits._
+    // ties, a location shift and a scale change across the split
+    val rows = Seq((10L, true), (20L, true), (20L, true),
+      (30L, true), (45L, true), (20L, false), (40L, false),
+      (40L, false), (80L, false), (90L, false), (15L, true))
+    val df = rows.toDF("v", "a")
+      .withColumn("seg", when(col("a"), "A").otherwise("B"))
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val panel = Eval.driftPanel(df, col("v"), col("a"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(panel.size === 5, panel.toString)
+    val ks = Eval.ksMicro(df, col("v"), col("seg"), "A", "B").head()
+    assert(panel("ks_micro") === Some(ks.getLong(0).toDouble))
+    val w1 = Eval.wasserstein1Micro(df, col("v"), col("seg"),
+      "A", "B").head()
+    assert(panel("w1_micro") === Some(w1.getLong(0).toDouble))
+    assert(panel("mw_z") ===
+      opt(Eval.mannWhitneyU(df, col("v"), col("a")).head(), 4))
+    assert(panel("ad_micro") ===
+      Some(Eval.andersonDarling2(df, col("v"), col("a")).head()
+        .getLong(3).toDouble))
+    assert(panel("energy_micro") ===
+      opt(Eval.energyDistance(df, col("v"), col("a")).head(), 2))
+  }
+
   test("seriesPanel stats equal the standalone operators' stats") {
     val s = spark
     import s.implicits._
