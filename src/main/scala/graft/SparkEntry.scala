@@ -57,6 +57,26 @@ object SparkEntry {
 
   // keyed by (applicationId, sfDir): localCheckpoint state dies with
   // the SparkContext (the DedupArtifacts.staged convention)
+  private val winnowKeysCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** The winnowing family's shared state: the (doc, fingerprint-key)
+    * frame over `documents` at (k=4, w=5), staged ONCE per
+    * (application, sfDir) and consumed by the d65 summary and d66
+    * pair-matching entries — fingerprints are a per-document function,
+    * so the staging table IS the standing MOSS index a production run
+    * maintains (the [[dedupArtifacts]] discipline; round-11 review:
+    * d65/d66 each recomputed the corpus fingerprint scan). d68 keeps
+    * computing its OWN three batch key-frames — the append-only
+    * replay equivalence is the thing it tests. */
+  private def winnowKeysStaged(s: SparkSession, dir: String): DataFrame =
+    winnowKeysCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir),
+      Dedup.winnowKeys(table(s, dir, "documents"), "doc_id", "text",
+        k = 4, w = 5).localCheckpoint())
+
+  // keyed by (applicationId, sfDir): localCheckpoint state dies with
+  // the SparkContext (the DedupArtifacts.staged convention)
   private val wordGraphCache =
     scala.collection.concurrent.TrieMap[(String, String),
       (DataFrame, DataFrame)]()
@@ -7514,8 +7534,9 @@ object SparkEntry {
     // 2/(w+1)-density local sketch; docs under k+w-1 words are below
     // fingerprint resolution and report 0).
     "d65_winnow_fingerprints" -> Q(
-      (s, dir) => Dedup.winnowSummary(
-          table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5)
+      (s, dir) => Dedup.winnowSummaryFromKeys(
+          table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5,
+          keys = winnowKeysStaged(s, dir))
         .select(col("id").as("doc_id"), col("n_grams"),
           col("n_windows"), col("n_fp"))
         .orderBy("doc_id").limit(2000),
@@ -7557,9 +7578,8 @@ object SparkEntry {
     // join key: a boilerplate fingerprint in f docs would emit f^2
     // rows and carries no signal).
     "d66_winnow_pairs" -> Q(
-      (s, dir) => Dedup.winnowedPairs(
-          table(s, dir, "documents"), "doc_id", "text", k = 4, w = 5,
-          maxDf = 20, minShared = 2)
+      (s, dir) => Dedup.winnowedPairsFromKeys(
+          winnowKeysStaged(s, dir), maxDf = 20, minShared = 2)
         .orderBy("id_a", "id_b").limit(5000),
       Some(duckWinnowPairsSql)),
 
@@ -9300,9 +9320,13 @@ object SparkEntry {
     // Exact upper-triangle covariance of the embedding columns — the
     // anisotropy audit behind every cosine-ranked entry: a few
     // dominant directions mean ANN similarity is driven by a rotten
-    // subspace. Micro-quantized components, per-vector d² self-join
-    // (never cross-vector), decimal co-moments, one mirrored double
-    // per cell (the q36 discipline applied matrix-wide).
+    // subspace. Micro-quantized components, MAP-SIDE upper-triangle
+    // term generation from each row's own vector (no join, no
+    // pre-aggregation shuffle), decimal co-moments, and an INTEGER-
+    // micro cell: round 11's ROUND-6 double lost the hash to DuckDB's
+    // −0.0 on one tiny-negative cell (C-library round keeps the IEEE
+    // sign; Spark's BigDecimal round cannot) — integer zero is
+    // signless (the d28 house rule).
     "e17_embedding_covariance" -> Q(
       (s, dir) => Similarity.covarianceMicro(
         table(s, dir, "embeddings"), "vec_id", "embedding"),
@@ -9321,9 +9345,9 @@ object SparkEntry {
              |    coalesce(sum(x * y), 0) AS sxy
              |  FROM pr GROUP BY i, j)
              |SELECT i, j, n_vecs,
-             |  ROUND(CAST(n_vecs * sxy - sx * sy AS DOUBLE)
-             |    / (CAST(n_vecs AS DOUBLE) * n_vecs * 1e12), 6)
-             |    AS cov
+             |  CAST(round(CAST(n_vecs * sxy - sx * sy AS DOUBLE)
+             |    / (CAST(n_vecs AS DOUBLE) * n_vecs * 1e6)) AS BIGINT)
+             |    AS cov_micro
              |FROM ag ORDER BY i, j""".stripMargin)),
 
     "r2_hybrid_rrf" -> Q(

@@ -1273,8 +1273,22 @@ object Dedup {
     * (at least one selection per w consecutive windows; at most one
     * per window) — WinnowSpec asserts the envelope. */
   def winnowSummary(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int, w: Int): DataFrame = {
-    val fp = winnowKeys(docs, idCol, textCol, k, w)
+                    k: Int, w: Int): DataFrame =
+    winnowSummaryFromKeys(docs, idCol, textCol, k, w,
+      winnowKeys(docs, idCol, textCol, k, w))
+
+  /** The [[winnowSummary]] report over an ALREADY-computed (id, key)
+    * fingerprint frame — the staged-artifact form (the
+    * [[winnowedPairsFromKeys]] split applied to the summary): a
+    * production run fingerprints the corpus snapshot once and both
+    * the per-doc report and the pair matching read the staging
+    * table. `keys` must be `winnowKeys(docs, idCol, textCol, k, w)`
+    * for the SAME parameters — the gram/window arithmetic here
+    * re-derives from (k, w). */
+  def winnowSummaryFromKeys(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int, w: Int,
+                            keys: DataFrame): DataFrame = {
+    val fp = keys
       .groupBy("id").agg(count(lit(1)).as("n_fp"))
     docs.select(col(idCol).as("id"),
         greatest(size(TextStats.tokens(col(textCol))) - (k - 1),

@@ -1535,8 +1535,13 @@ object Eval {
     require(replicates >= 4 && replicates <= 1024,
       "replicates in [4, 1024] (a bounded replicate frame)")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // `base` forks: the replicate branch AND the n_items/mean
+    // aggregate both consume it, and the caller's lineage above it
+    // can be arbitrarily expensive (q85 feeds two full LM scorings in
+    // here) — pin the skinny (id, delta) frame so the upstream runs
+    // ONCE (the llm_curate_full fork-point rule, round-11 review).
     val base = df.select(id.cast("string").as("_id"),
-      deltaMicro.cast("long").as("_d"))
+      deltaMicro.cast("long").as("_d")).localCheckpoint()
     // one shared draw with the d32 bootstrap (Curation.poissonWeighted
     // — hash-key shape and CDF table live in exactly one place)
     val repMeans = Curation.poissonWeighted(base, col("_id"),
@@ -2255,8 +2260,8 @@ object Eval {
         when(col("n_forecast") > 0,
           round(col("sf").cast("double") / col("n_forecast"))
             .cast("long")).as("mae_f_micro"),
-        lit(if (nn > 0) math.round(sn.toDouble / nn)
-            else null).cast("long").as("mae_n_micro"),
+        (if (nn > 0) lit(math.round(sn.toDouble / nn))
+         else lit(null)).cast("long").as("mae_n_micro"),
         when(col("n_forecast") > 0 && lit(sn) > 0,
           round(col("sf").cast("double") * lit(nn.toDouble) /
             (lit(sn.toDouble) * col("n_forecast").cast("double")), 6))
@@ -2438,9 +2443,16 @@ object Eval {
             stat: Column): DataFrame =
       frame.select(lit(name).as("check"),
         stat.cast("double").as("stat"))
+    // mkFromMeans returns EMPTY below two buckets (its standalone
+    // q84 contract: the median-slope selection has no pairs), but the
+    // panel's oracle emits a NULL-stat row for any non-empty series —
+    // short-circuit the 1-bucket case to a NULL row so both engines
+    // agree (round-11 advice). The count rides the pinned ≤B-row b.
+    val mkFrame =
+      if (mm.limit(2).count() >= 2) mkFromMeans(mm, maxBuckets)
+      else mm.limit(1).select(lit(null).cast("double").as("z"))
     one("cusum_cp_bucket", cusumFromBuckets(b), col("cp_bucket"))
-      .unionAll(one("mann_kendall_z", mkFromMeans(mm, maxBuckets),
-        col("z")))
+      .unionAll(one("mann_kendall_z", mkFrame, col("z")))
       .unionAll(one("runs_z", runsFromMeans(mm), col("z")))
       .unionAll(one("acf_lag1", acfFromMeans(mm, 1), col("acf")))
       .unionAll(one("ljung_box_micro", lbFromMeans(mm, maxLag),

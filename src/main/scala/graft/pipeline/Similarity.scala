@@ -764,27 +764,37 @@ object Similarity {
     * by a rotten subspace. This is the one-pass co-moment shape of a
     * covariance/PCA-prep job at scale.
     *
-    * Exactness: components quantize to micro per element, the
-    * (id, i, x) flat frame self-joins on the vector id (i ≤ j — the
-    * join is per-vector d², never cross-vector), and n/Σx/Σy/Σxy
-    * accumulate exactly in decimal(38,0) (the q36 co-moment
-    * discipline); cov = (n·Σxy − ΣxΣy)/(n²·1e12) is one mirrored
-    * double per cell, ROUND 6. Null/absent vectors contribute no
-    * rows. Returns (i, j, n_vecs, cov) ordered by (i, j). */
+    * Shape at scale: each row already holds its WHOLE vector, so the
+    * d(d+1)/2 upper-triangle (i, j, x, y) terms generate MAP-SIDE
+    * from the array (nested index-aware transform + flatten) and feed
+    * ONE (i, j) groupBy with partial aggregation — no join and no
+    * pre-aggregation exchange at all (the round-11 flat self-join
+    * shuffled n×d rows on both sides before expanding; at production
+    * embedding scale that exchange was the bottleneck).
+    *
+    * Exactness: components quantize to micro per element and
+    * n/Σx/Σy/Σxy accumulate exactly in decimal(38,0) (the q36
+    * co-moment discipline); the cell emits as INTEGER micro —
+    * round((n·Σxy − ΣxΣy)/(n²·1e6)) — one mirrored double division
+    * then a signless integer (the d28 house rule; a ROUND-6 double
+    * here lost round 11's hash to DuckDB's −0.0 on one tiny-negative
+    * cell — BigDecimal round has no signed zero). Null/absent vectors
+    * contribute no rows. Returns (i, j, n_vecs, cov_micro) ordered
+    * by (i, j). */
   def covarianceMicro(emb: DataFrame, idCol: String,
                       vecCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
-    val flat = emb
-      .select(col(idCol).as("id"),
-        posexplode(toDouble(col(vecCol))).as(Seq("i", "xi")))
-      .select(col("id"), col("i").cast("long").as("i"),
-        round(col("xi") * lit(1e6)).cast("long").as("x"))
-    flat.as("a")
-      .join(flat.as("b"),
-        col("a.id") === col("b.id") && col("a.i") <= col("b.i"))
-      .select(col("a.i").as("i"), col("b.i").as("j"),
-        col("a.x").as("x"), col("b.x").as("y"))
+    emb
+      .select(transform(toDouble(col(vecCol)),
+        x => round(x * lit(1e6)).cast("long")).as("m"))
+      .select(explode(flatten(transform(col("m"), (x, i) =>
+        transform(slice(col("m"), i + lit(1), size(col("m")) - i),
+          (y, jo) => struct(i.cast("long").as("i"),
+            (i + jo).cast("long").as("j"),
+            x.as("x"), y.as("y")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.x").as("x"), col("p.y").as("y"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n_vecs"),
         coalesce(sum(dec(col("x"))), z0).as("sx"),
@@ -793,8 +803,8 @@ object Similarity {
       .select(col("i"), col("j"), col("n_vecs"),
         round((dec(col("n_vecs")) * col("sxy") -
             col("sx") * col("sy")).cast("double") /
-          (col("n_vecs").cast("double") * col("n_vecs") * lit(1e12)),
-          6).as("cov"))
+          (col("n_vecs").cast("double") * col("n_vecs") * lit(1e6)))
+          .cast("long").as("cov_micro"))
       .orderBy("i", "j")
   }
 }

@@ -634,17 +634,49 @@ class SimilaritySpec extends AnyFunSuite {
           "vec_id", "embedding")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1)) ->
-          (r.getLong(2), r.getDouble(3))).toMap
+          (r.getLong(2), r.getLong(3))).toMap
     // x=[1,3,5], y=[2,4,6]: population var/cov all 24/9 = 2.666667
     val lin = run(Seq(1L -> Seq(1f, 2f), 2L -> Seq(3f, 4f),
       3L -> Seq(5f, 6f)))
     assert(lin.keySet === Set((0L, 0L), (0L, 1L), (1L, 1L)))
-    assert(lin((0L, 0L)) === (3L, 2.666667) &&
-      lin((0L, 1L)) === (3L, 2.666667) &&
-      lin((1L, 1L)) === (3L, 2.666667), lin.toString)
+    assert(lin((0L, 0L)) === (3L, 2666667L) &&
+      lin((0L, 1L)) === (3L, 2666667L) &&
+      lin((1L, 1L)) === (3L, 2666667L), lin.toString)
     // anti-correlated axes: cov(0,1) = (2·0 − 1·1)/4 = −0.25
     val anti = run(Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f)))
-    assert(anti((0L, 1L))._2 === -0.25)
-    assert(anti((0L, 0L))._2 === 0.25 && anti((1L, 1L))._2 === 0.25)
+    assert(anti((0L, 1L))._2 === -250000L)
+    assert(anti((0L, 0L))._2 === 250000L &&
+      anti((1L, 1L))._2 === 250000L)
+  }
+
+  test("covarianceMicro: tiny-negative cell lands on signless zero") {
+    val s = spark
+    import s.implicits._
+    // dims 0/1 across two vectors: x = [1e-6, 0], y = [0, 1e-6] →
+    // micro components x=[1,0], y=[0,1], cov_micro numerator
+    // n·Σxy − ΣxΣy = 2·0 − 1·1 = −1, /(n²·1e6) = −2.5e-7 → rounds to
+    // 0. This is exactly the r11 e17 regression shape: DuckDB's
+    // double ROUND kept the IEEE sign (−0.0) while Spark's BigDecimal
+    // round emitted +0.0 and the driver hash split on the sign bit.
+    // As an INTEGER the cell cannot carry a sign — assert it equals
+    // the literal long 0 and that no double column remains.
+    val df = Similarity.covarianceMicro(
+      Seq(1L -> Seq(1e-6f, 0f), 2L -> Seq(0f, 1e-6f))
+        .toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(df.schema("cov_micro").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val cell = df.filter(col("i") === 0L && col("j") === 1L)
+      .head().getLong(3)
+    assert(cell === 0L)
+    assert(java.lang.Long.signum(cell) === 0)
+  }
+
+  test("covarianceMicro: plan is join-free (map-side pair terms)") {
+    val s = spark
+    import s.implicits._
+    val plan = Similarity.covarianceMicro(
+      Seq(1L -> Seq(1f, 2f)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 }

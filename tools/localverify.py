@@ -29,6 +29,13 @@ def eq(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # The driver hashes the raw value bytes, where -0.0 != 0.0;
+        # Python's == says they are equal. Match the driver: equal
+        # zeros must also agree on the sign bit (r11 e17 regression —
+        # DuckDB ROUND keeps the IEEE sign, Spark's BigDecimal round
+        # cannot represent it).
+        if a == b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     return a == b
 
