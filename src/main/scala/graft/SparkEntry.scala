@@ -75,6 +75,46 @@ object SparkEntry {
       Dedup.winnowKeys(table(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 5).localCheckpoint())
 
+  /** The KLL entries' shared exact-rank audit: given the corpus value
+    * frame and a FETCHED sketch (bounded O(k) state), recount each
+    * quantile estimate's true rank interval in ONE corpus pass (a
+    * 5-way literal explode feeding conditional sums — map-side, no
+    * join) and report the rank error against the 8n/k acceptance
+    * bound. Sketch estimates depend on partition boundaries, so these
+    * entries are rows-only — the audit columns make every run
+    * self-checking anyway. */
+  private def kllAuditFrame(vals: DataFrame,
+                            st: graft.functions.KllState,
+                            k: Int): DataFrame = {
+    import graft.functions.KllSketch
+    val ests = Seq(10L, 250L, 500L, 750L, 990L)
+      .map(q => (q, KllSketch.quantileOf(st, q).getOrElse(0L)))
+    val nRet = KllSketch.numRetained(st).toLong
+    vals.select(col("v"), explode(typedlit(ests)).as("e"))
+      .select(col("e._1").as("q_permille"),
+        col("e._2").as("est_cents"), col("v"))
+      .groupBy("q_permille", "est_cents")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est_cents"), 1L).otherwise(0L))
+          .as("n_lt"),
+        sum(when(col("v") <= col("est_cents"), 1L).otherwise(0L))
+          .as("n_le"))
+      .withColumn("target_rank", least(col("n"),
+        greatest(lit(1L), expr("(q_permille * n + 999) div 1000"))))
+      .withColumn("rank_err",
+        when(col("target_rank").between(col("n_lt") + 1L, col("n_le")),
+          0L)
+          .otherwise(least(abs(col("target_rank") - col("n_lt") - 1L),
+            abs(col("target_rank") - col("n_le")))))
+      .withColumn("bound",
+        greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
+      .select(col("q_permille"), col("est_cents"), col("n"),
+        col("target_rank"), col("rank_err"), col("bound"),
+        (col("rank_err") <= col("bound")).as("within_bound"),
+        lit(nRet).as("n_retained"))
+      .orderBy("q_permille")
+  }
+
   // keyed by (applicationId, sfDir): localCheckpoint state dies with
   // the SparkContext (the DedupArtifacts.staged convention)
   private val wordGraphCache =
@@ -5614,6 +5654,109 @@ object SparkEntry {
              |UNION ALL SELECT 'w1_micro', stat FROM w1x
              |ORDER BY "check"""".stripMargin)),
 
+    // Hash-threshold quantile SAMPLE — the oracle-exact member of the
+    // quantile-sketch pair (the d6/d10 pairing: q106's KLL carries
+    // the tighter guarantee, this carries the bit-exact cross-engine
+    // verification): keep rows whose portable 60-bit key hash falls
+    // under 2^(60−L), L the smallest level with n ≤ cap·2^L (a pure
+    // integer rule both engines compute identically — n is a 1-row
+    // bounded parameter), then read quantiles off the ≈cap-row sample
+    // by exact order statistic (the q47 ceil-selection in integer
+    // form). The selection window is bounded by cap, never by n.
+    "q105_sampled_quantiles" -> Q(
+      (s, dir) => {
+        val vals = lineitem(s, dir).select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          Dedup.md5Long60(concat(col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))).as("h"))
+          .filter(col("v").isNotNull)
+        // 1-row bounded parameter: n fixes the sampling level
+        val n = vals.agg(count(lit(1))).head().getLong(0)
+        val capS = 2048L
+        var lvl = 0
+        while (n > capS * (1L << lvl) && lvl < 50) lvl += 1
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        vals.filter(col("h") < lit(1L << (60 - lvl)))
+          .withColumn("rn", row_number().over(Window.orderBy("v", "h")))
+          .withColumn("s_sample", count(lit(1)).over(wAll))
+          .withColumn("q_permille",
+            explode(typedlit(Seq(10L, 250L, 500L, 750L, 990L))))
+          .filter(col("rn") === greatest(lit(1L),
+            expr("(q_permille * s_sample + 999) div 1000")))
+          .select(col("q_permille"), col("v").as("est_cents"),
+            col("s_sample"), lit(n).as("n"),
+            lit(lvl.toLong).as("sample_level"))
+          .orderBy("q_permille")
+      },
+      Some(s"""WITH sv AS (SELECT
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             |    ${duckHash60(
+               "CAST(l_orderkey AS VARCHAR) || ':' || " +
+                 "CAST(l_linenumber AS VARCHAR)")} AS h
+             |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sv),
+             |lv AS (SELECT CAST(min(g.l) AS BIGINT) AS lvl
+             |  FROM (SELECT unnest(generate_series(0, 50)) AS l) g, nn
+             |  WHERE nn.n <= 2048 * (CAST(1 AS BIGINT) << g.l)),
+             |sm AS (SELECT v, h FROM sv, lv
+             |  WHERE h < (CAST(1 AS BIGINT) << (60 - lvl))),
+             |sr AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+             |    CAST(count(*) OVER () AS BIGINT) AS s_sample FROM sm),
+             |qq AS (SELECT CAST(unnest([10, 250, 500, 750, 990])
+             |    AS BIGINT) AS q_permille)
+             |SELECT q_permille, sr.v AS est_cents, s_sample,
+             |  nn.n AS n, lv.lvl AS sample_level
+             |FROM qq, sr, nn, lv
+             |WHERE sr.rn = greatest(1,
+             |  (q_permille * s_sample + 999) // 1000)
+             |ORDER BY q_permille""".stripMargin)),
+
+    // KLL quantile sketch (Karnin-Lang-Liberty, FOCS 2016) — the
+    // mergeable rank member of the sketch family (KMV=distinct,
+    // CMS/MG=frequency, MinHash=sets): O(k) state, map-side partials,
+    // error preserved under any merge tree. Retained items depend on
+    // partition boundaries (the MisraGries caveat), so the entry is
+    // rows-only and carries its own exact-rank audit: one corpus pass
+    // recounts each estimate's true rank interval and reports the
+    // rank error against the 8n/k acceptance bound. q105 is the
+    // oracle-exact twin; q56 the exact streaming monitor.
+    "q106_kll_quantiles" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val vals = lineitem(s, dir).select(
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        // bounded parameter fetch: the O(k) sketch, never data
+        val st = KllSketch.fromRow(
+          vals.agg(KllSketch.agg(256, col("v"))).head().getStruct(0))
+        kllAuditFrame(vals, st, k = 256)
+      },
+      None),
+
+    // Batch REPLAY of the KLL MERGE path (the q56/q66/d70 replay
+    // discipline): three deterministic batches sketch independently
+    // in ONE grouped pass, merge driver-side in batch order, and the
+    // merged sketch must pass the same exact-rank audit as the
+    // one-shot q106 — the property that lets a standing monitor keep
+    // one bounded state per column and fold batches in as they land.
+    "q107_kll_merge_replay" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val vals = lineitem(s, dir).select(
+          pmod(col("l_orderkey"), lit(3L)).as("b"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        // 3 bounded sketches from one grouped pass, merged in batch
+        // order (any order keeps the envelope; a fixed one keeps the
+        // run reproducible)
+        val states = vals.groupBy("b")
+          .agg(KllSketch.agg(256, col("v")).as("sk"))
+          .orderBy("b").collect()
+          .map(r => KllSketch.fromRow(r.getStruct(1)))
+        val merged = states.reduceLeft(KllSketch.mergeStates(_, _, 256))
+        kllAuditFrame(vals.select(col("v")), merged, k = 256)
+      },
+      None),
+
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
     // data: the robustness A/B an eval pipeline wants side by side).
@@ -8039,6 +8182,46 @@ object SparkEntry {
         .replace(" AS (", " AS MATERIALIZED (")
         .replace("reach(s, d) AS MATERIALIZED (",
           "reach(s, d) AS ("))),
+
+    // One Louvain local-move round from singletons (Blondel 2008) —
+    // the Q-DRIVEN community refinement next to g5's degree-blind
+    // majority rule: each node joins the neighbor community with the
+    // best exact-integer modularity gain 2m − deg(i)·deg(j) (the
+    // ΔQ·2m² scaling — no float enters the argmax), moves restricted
+    // to strictly-smaller community ids so the synchronous round has
+    // no swap oscillation (deterministic; cliques collapse onto
+    // their minimum id). GraphOpsSpec pins Q(after) ≥ Q(before) via
+    // modularityOfLabels on the bridged-cliques fixture.
+    "g16_louvain_move" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.louvainOneLevel(
+          dedupArtifacts(s, dir).pairs, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+              |    greatest(id_a, id_b) AS hi
+              |  FROM vpairs WHERE id_a <> id_b),
+              |led AS (SELECT lo AS src, hi AS dst FROM te
+              |       UNION ALL SELECT hi, lo FROM te),
+              |ldg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi FROM te) u GROUP BY id),
+              |ls AS (SELECT CAST(sum(deg) AS BIGINT) AS s2m FROM ldg),
+              |lmv AS (SELECT e.src, e.dst,
+              |    s2m - ds.deg * dd.deg AS gain
+              |  FROM led e JOIN ldg ds ON ds.id = e.src
+              |            JOIN ldg dd ON dd.id = e.dst, ls
+              |  WHERE e.dst < e.src AND s2m - ds.deg * dd.deg > 0),
+              |lpick AS (SELECT src, dst, gain FROM (
+              |    SELECT src, dst, gain, row_number() OVER (
+              |      PARTITION BY src ORDER BY gain DESC, dst ASC)
+              |      AS rn FROM lmv) w WHERE rn = 1)
+              |SELECT d.id AS doc_id, d.deg,
+              |  CAST(coalesce(b.dst, d.id) AS BIGINT) AS community,
+              |  CAST(coalesce(b.gain, 0) AS BIGINT) AS gain_scaled
+              |FROM ldg d LEFT JOIN lpick b ON b.src = d.id
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /

@@ -578,6 +578,58 @@ object Eval {
       .start()
   }
 
+  /** One micro-batch of [[kllQuantileStream]]: sketch the arriving
+    * frame (one bounded-state aggregation), merge into the standing
+    * sketch, report the running quantile estimates. The fetched
+    * sketch is O(k) longs — a bounded parameter, never data. */
+  private[graft] def kllBatchUpdate(batch: DataFrame, value: Column,
+      k: Int, qsPermille: Seq[Long],
+      state: java.util.concurrent.atomic.AtomicReference[
+        graft.functions.KllState]): DataFrame = {
+    import graft.functions.KllSketch
+    val sk = KllSketch.fromRow(
+      batch.agg(KllSketch.agg(k, value)).head().getStruct(0))
+    val merged = KllSketch.mergeStates(state.get, sk, k)
+    state.set(merged)
+    val w = KllSketch.totalWeight(merged)
+    val nr = KllSketch.numRetained(merged).toLong
+    val spark = batch.sparkSession
+    import spark.implicits._
+    qsPermille.map(q => (q,
+        KllSketch.quantileOf(merged, q).getOrElse(0L), w, nr))
+      .toDF("q_permille", "est", "n_seen", "n_retained")
+  }
+
+  /** Streaming quantile monitor over a KLL sketch: every micro-batch
+    * folds its own sketch into the standing one and reports running
+    * quantile estimates — the BOUNDED-state answer to the question
+    * q56 answers exactly (q56 re-runs an exact narrowing selection
+    * per batch: right for audits, corpus-sized work per batch; this
+    * keeps O(k) state and touches each row once — what a 100 TB
+    * stream actually holds). Same pairing as [[kmvDistinctStream]]/
+    * q25: the sketch monitors, the exact twin verifies.
+    *
+    * Unlike KMV's set-semantics union, KLL merge is NOT idempotent —
+    * an at-least-once replay of a batch double-counts its weight —
+    * so run this under exactly-once foreachBatch delivery
+    * (checkpointed sink) or treat n_seen as the dedup check. State
+    * lives in the foreachBatch closure (the cusum/psi monitor
+    * convention). */
+  def kllQuantileStream(docs: DataFrame, value: Column, k: Int,
+                        qsPermille: Seq[Long])
+                       (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      graft.functions.KllState](new graft.functions.KllSketch(k).zero)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(kllBatchUpdate(batch, value, k, qsPermille, state)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
   /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
     * segments of an INTEGER-VALUED column — the drift metric that
     * completes the family: KS ([[ksMicro]]) is the max CDF gap (shape

@@ -756,7 +756,17 @@ object GraphOps {
   def modularity(pairs: DataFrame, idACol: String, idBCol: String,
                  rounds: Int): DataFrame = {
     val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
-    val labels = labelPropagationNormalized(e, rounds)
+    modularityOfLabels(e, labelPropagationNormalized(e, rounds))
+  }
+
+  /** The [[modularity]] score over an ALREADY-computed (id, label)
+    * partition of a normalized (lo, hi) edge frame — public so any
+    * labeling (LPA, Louvain's local-move round, an external
+    * assignment) scores through ONE implementation; the g16 spec's
+    * Q(after) ≥ Q(before) check is exactly two calls to this. The
+    * caller owns the normalization contract (distinct, lo < hi) and
+    * should pin `e` when it also feeds the labeling. */
+  def modularityOfLabels(e: DataFrame, labels: DataFrame): DataFrame = {
     val nl = labels.join(degreesOf(e), "id")
     val dc = nl.groupBy("label").agg(sum(col("deg")).as("dsum"))
     val la = labels.select(col("id").as("lo"), col("label").as("_la"))
@@ -783,6 +793,70 @@ object GraphOps {
               .cast("double") /
             (col("s") * col("s")).cast("double"), 6))
           .otherwise(lit(null).cast("double")).as("modularity"))
+  }
+
+  /** One Louvain local-move round from the singleton partition
+    * (Blondel et al., J. Stat. Mech. 2008 — the first level's first
+    * sweep, the step that does most of Louvain's work on real
+    * graphs): every node considers joining a neighbor's community and
+    * takes the move with the best modularity gain. Next to
+    * [[labelPropagation]]: LPA's majority rule is degree-blind, this
+    * move rule is Q-driven — a hub's edge counts for less than a
+    * leaf's (the null model discounts by degree product), so it
+    * splits hub-bridged families LPA can fuse.
+    *
+    * Exact gain algebra: moving an isolated node i into community c
+    * changes Q by l_{i,c}/m − k_i·Σtot(c)/(2m²); scaled by the
+    * constant 2m² that is the INTEGER 2m·l_{i,c} − k_i·Σtot(c), so
+    * gains compare exactly in both engines — no float ever enters the
+    * argmax. From singletons, l_{i,c} = 1 and Σtot(c) = deg(j) for
+    * each neighbor j, so gain_scaled(i→j) = 2m − deg(i)·deg(j).
+    *
+    * Synchronous-update discipline: classic Louvain sweeps nodes
+    * sequentially — inherently serial. The distributed round applies
+    * all moves simultaneously, which invites the two-singleton SWAP
+    * (a adopts b's community while b adopts a's; Q unchanged,
+    * oscillation seeded). The deterministic guard: a node may only
+    * move to a community with a SMALLER id than its own — the move
+    * relation is strictly id-decreasing, so no swaps and no cycles
+    * (the LPA smallest-label tie-break promoted to an application
+    * rule), and inside a clique the whole clique collapses onto its
+    * minimum id in one round. Among eligible targets: max gain, ties
+    * to the smallest community id — a total deterministic rule,
+    * SQL-replayable as chained CTEs (the g5 discipline).
+    *
+    * Shape at scale: one edges⋈degrees join (node-keyed, the LPA
+    * exchange), one argmax groupBy (max of a (gain, −id) struct — no
+    * window), 2m fetched as a 1-row bounded parameter and folded in
+    * as a literal (a constant-key join would plan the BNLJ
+    * PlanDisciplineSpec bans). deg(i)·deg(j) stays inside Long for
+    * any degree below 3·10⁹. Returns (id, deg, community,
+    * gain_scaled) — community = own id and gain 0 for nodes that
+    * stay. */
+  def louvainOneLevel(pairs: DataFrame, idACol: String,
+                      idBCol: String): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    val deg = degreesOf(e).localCheckpoint()
+    // 1-row bounded parameter: S = 2m, the gain formula's constant
+    val s2m = deg.agg(coalesce(sum(col("deg")), lit(0L))).head()
+      .getLong(0)
+    val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
+      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
+    val gain = lit(s2m) - col("deg_src") * col("deg_dst")
+    val best = edges
+      .join(deg.select(col("id").as("dst"),
+        col("deg").as("deg_dst")), "dst")
+      .join(deg.select(col("id").as("src"),
+        col("deg").as("deg_src")), "src")
+      .filter(col("dst") < col("src") && gain > 0L)
+      .groupBy("src")
+      .agg(max(struct(gain.as("g"), (-col("dst")).as("nc"))).as("m"))
+      .select(col("src").as("id"), (-col("m.nc")).as("community"),
+        col("m.g").as("gain_scaled"))
+    deg.join(best, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("community"), col("id")).as("community"),
+        coalesce(col("gain_scaled"), lit(0L)).as("gain_scaled"))
   }
 
   /** Degree assortativity (Newman, Phys. Rev. Lett. 2002): the

@@ -446,6 +446,36 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kllQuantileStream: bounded state, exact below k, bound above") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val k = 64
+    val mem = MemoryStream[Long]
+    val seen = scala.collection.mutable.ArrayBuffer[
+      (Long, Long, Long, Long, Long)]()
+    val q = Eval.kllQuantileStream(mem.toDF().toDF("v"), col("v"), k,
+      Seq(500L)) { m =>
+      seen ++= m.collect().map(r => (r.getLong(4), r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      // batch 0: n < k — no compaction possible, the median is exact
+      mem.addData((1L to 50L): _*)
+      q.processAllAvailable()
+      // batch 1: pushes the standing sketch across k
+      mem.addData((51L to 300L): _*)
+      q.processAllAvailable()
+      val Seq(b0, b1) = seen.toList
+      assert(b0 === ((0L, 500L, 25L, 50L, 50L)), b0.toString)
+      // weight conservation across the merge; O(k) retention
+      assert(b1._4 === 300L && b1._5 <= 4L * k, b1.toString)
+      // running median of 1..300 within the 8n/k audit bound
+      assert(math.abs(b1._3 - 150L) <= 8L * 300L / k, b1.toString)
+    } finally q.stop()
+  }
+
   test("KMV sketch union is associative and commutative (the q66 pin)") {
     import graft.functions.KMinValues
     val rnd = new scala.util.Random(88)

@@ -637,4 +637,45 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(run(tri, 1000L) === Map(
       (2L, 4L) -> (1L, 333333L), (3L, 4L) -> (1L, 333333L)))
   }
+
+  test("louvainOneLevel: bridged cliques collapse, Q non-decreasing") {
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b }
+      yield (a, b)
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L)) :+ (4L, 8L)
+    val p = pairs(edges: _*)
+    val got = GraphOps.louvainOneLevel(p, "id_a", "id_b").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // 2m = 26; inside clique 1: gains 26 − deg(i)·deg(j) with degs
+    // 3/3/3/4 are all positive and the min-id rule sends 2,3,4 → 1;
+    // node 8 prefers 5/6/7 (gain 26−12=14) over bridge 4 (26−16=10)
+    assert((2L to 4L).forall(got(_)._2 == 1L), got.toString)
+    assert(got(1L)._2 === 1L && got(1L)._3 === 0L) // min id stays
+    assert((6L to 8L).forall(got(_)._2 == 5L), got.toString)
+    assert(got(5L)._2 === 5L)
+    assert(got(8L)._3 === 14L && got(2L)._3 === (26L - 9L))
+    // degrees reported: 4,8 carry the bridge
+    assert(got(4L)._1 === 4L && got(8L)._1 === 4L && got(2L)._1 === 3L)
+    // Q(after) ≥ Q(before=singletons) through the shared scorer
+    val e = GraphOps.normalizedEdges(p, "id_a", "id_b")
+    def q(labels: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularityOfLabels(e, labels).head().getDouble(2)
+    val s = spark
+    import s.implicits._
+    val before = q((1L to 8L).map(i => i -> i).toSeq.toDF("id", "label"))
+    val after = q(got.toSeq.map { case (id, (_, c, _)) => id -> c }
+      .toDF("id", "label"))
+    assert(after >= before, s"Q must not decrease: $before -> $after")
+    assert(after > 0.3, s"two cliques are real structure: $after")
+  }
+
+  test("louvainOneLevel: no synchronous swap on a single pair") {
+    // two connected singletons: without the smaller-id guard both
+    // would adopt each other's community (a swap — Q unchanged,
+    // oscillation seeded); with it only the larger id moves
+    val got = GraphOps.louvainOneLevel(pairs((7L, 3L)), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(3L -> 3L, 7L -> 3L), got.toString)
+  }
 }
