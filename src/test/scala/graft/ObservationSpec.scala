@@ -224,4 +224,29 @@ class ObservationSpec extends AnyFunSuite {
     assert(ms < 2000,
       f"drain took $ms%.0f ms — per-entry waits are back")
   }
+
+  test("pairedBootstrap executes its upstream exactly once " +
+    "(the q85 fork pin, round-11 review)") {
+    val s = spark
+    import s.implicits._
+    // a side-effecting upstream: one partition, so the counter ticks
+    // once per EXECUTION of the lineage — in q85 this position holds
+    // two full LM scorings, and the un-pinned fork ran them twice
+    ObservationSpec.upstreamRuns.set(0)
+    val df = s.range(1, 65).as[Long].repartition(1)
+      .mapPartitions { it =>
+        ObservationSpec.upstreamRuns.incrementAndGet(); it }
+      .toDF("id")
+      .withColumn("d", (col("id") % 7 - 3) * 1000000L)
+    val out = graft.pipeline.Eval.pairedBootstrap(df, col("id"),
+      col("d"), replicates = 16).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 64L)
+    assert(ObservationSpec.upstreamRuns.get() === 1,
+      "the (id, delta) base must be pinned before it forks into the " +
+        "replicate branch and the n_items/mean aggregate")
+  }
+}
+
+object ObservationSpec {
+  val upstreamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }
