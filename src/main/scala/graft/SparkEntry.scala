@@ -8223,6 +8223,73 @@ object SparkEntry {
               |ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Louvain level 2 (Blondel 2008 §2, the aggregation step): g16's
+    // communities contract to a weighted multigraph (inter-community
+    // edge counts as weights, intra counts as self-loops; total edge
+    // weight — and therefore 2m and the Q scale — conserved) and the
+    // SAME exact-integer weighted move round runs over the
+    // super-nodes: gain 2m·w_cd − k_c·k_d, smaller-id guard, no
+    // float in the argmax. GraphOpsSpec pins Q(l2 ∘ l1) ≥ Q(l1) on
+    // the clique-pairs fixture.
+    "g17_louvain_two_level" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.louvainTwoLevel(
+          dedupArtifacts(s, dir).pairs, "id_a", "id_b")
+        .orderBy("community_l1").limit(2000),
+      Some(s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+              |te AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+              |    greatest(id_a, id_b) AS hi
+              |  FROM vpairs WHERE id_a <> id_b),
+              |led AS (SELECT lo AS src, hi AS dst FROM te
+              |       UNION ALL SELECT hi, lo FROM te),
+              |ldg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+              |  FROM (SELECT lo AS id FROM te
+              |        UNION ALL SELECT hi FROM te) u GROUP BY id),
+              |ls AS (SELECT CAST(sum(deg) AS BIGINT) AS s2m FROM ldg),
+              |lmv AS (SELECT e.src, e.dst,
+              |    s2m - ds.deg * dd.deg AS gain
+              |  FROM led e JOIN ldg ds ON ds.id = e.src
+              |            JOIN ldg dd ON dd.id = e.dst, ls
+              |  WHERE e.dst < e.src AND s2m - ds.deg * dd.deg > 0),
+              |lpick AS (SELECT src, dst, gain FROM (
+              |    SELECT src, dst, gain, row_number() OVER (
+              |      PARTITION BY src ORDER BY gain DESC, dst ASC)
+              |      AS rn FROM lmv) w WHERE rn = 1),
+              |la AS (SELECT d.id, coalesce(b.dst, d.id) AS comm
+              |  FROM ldg d LEFT JOIN lpick b ON b.src = d.id),
+              |ce AS (SELECT a.comm AS ca, b.comm AS cb FROM te
+              |  JOIN la a ON a.id = te.lo JOIN la b ON b.id = te.hi),
+              |ci AS (SELECT least(ca, cb) AS lo,
+              |    greatest(ca, cb) AS hi, CAST(count(*) AS BIGINT)
+              |      AS w
+              |  FROM ce WHERE ca <> cb GROUP BY 1, 2),
+              |cl AS (SELECT ca AS id, CAST(count(*) AS BIGINT) AS w
+              |  FROM ce WHERE ca = cb GROUP BY ca),
+              |dg2 AS (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+              |    SELECT lo AS id, w FROM ci
+              |    UNION ALL SELECT hi, w FROM ci
+              |    UNION ALL SELECT id, 2 * w FROM cl) u GROUP BY id),
+              |s2 AS (SELECT CAST(sum(k) AS BIGINT) AS s2m2 FROM dg2),
+              |mv2 AS (SELECT e.src, e.dst,
+              |    s2m2 * e.w - ds.k * dd.k AS gain
+              |  FROM (SELECT lo AS src, hi AS dst, w FROM ci
+              |        UNION ALL SELECT hi, lo, w FROM ci) e
+              |  JOIN dg2 ds ON ds.id = e.src
+              |  JOIN dg2 dd ON dd.id = e.dst, s2
+              |  WHERE e.dst < e.src
+              |    AND s2m2 * e.w - ds.k * dd.k > 0),
+              |pk2 AS (SELECT src, dst, gain FROM (
+              |    SELECT src, dst, gain, row_number() OVER (
+              |      PARTITION BY src ORDER BY gain DESC, dst ASC)
+              |      AS rn FROM mv2) w2 WHERE rn = 1)
+              |SELECT d.id AS community_l1, d.k AS k_c,
+              |  coalesce(cl.w, 0) AS w_self,
+              |  CAST(coalesce(b.dst, d.id) AS BIGINT) AS community_l2,
+              |  CAST(coalesce(b.gain, 0) AS BIGINT) AS gain_scaled
+              |FROM dg2 d LEFT JOIN pk2 b ON b.src = d.id
+              |  LEFT JOIN cl ON cl.id = d.id
+              |ORDER BY community_l1 LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /
     // small-star contraction — O(log²) rounds regardless of chain
@@ -8542,6 +8609,63 @@ object SparkEntry {
               |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
               |  CAST(sum(ntok) AS BIGINT) AS kept_tokens, rate
               |FROM kept GROUP BY source, rate
+              |ORDER BY source""".stripMargin)),
+
+    // Epoch mixing plan to a target budget (the LLaMA/GPT-3 "source
+    // seen E.F epochs" table) — the UPSAMPLING d25 cannot express:
+    // sqrt-temperature allocation of 1000 slots over the 20 sources
+    // (integer-quantized √n shares, one mirrored division per
+    // target), each allocation as full epochs + a hash-threshold
+    // fractional remainder. realized_ct = epochs·n_in + n_rem is the
+    // materialized mix size per source. Plan frame pinned: it feeds
+    // both the remainder filter and the report (the fork rule).
+    "d71_mix_epoch_plan" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val plan = Curation.mixEpochPlan(docs, "source",
+          targetN = 1000L).localCheckpoint()
+        val rem = Curation.mixEpochRemainder(docs, "doc_id", "source",
+            plan)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_rem"))
+        plan.withColumnRenamed("domain", "source")
+          .join(rem, Seq("source"), "left")
+          .select(col("source"), col("n_in"), col("target_ct"),
+            col("epochs"), col("rem_rate_ppm"),
+            coalesce(col("n_rem"), lit(0L)).as("n_rem"),
+            (col("epochs") * col("n_in") +
+              coalesce(col("n_rem"), lit(0L))).as("realized_ct"))
+          .orderBy("source")
+      },
+      Some(s"""WITH mc AS (SELECT source,
+              |    CAST(count(*) AS BIGINT) AS n_in
+              |  FROM documents WHERE source IS NOT NULL
+              |  GROUP BY source),
+              |ms AS (SELECT source, n_in,
+              |    CAST(round(1e6 * sqrt(CAST(n_in AS DOUBLE)))
+              |      AS BIGINT) AS sm FROM mc),
+              |mt AS (SELECT CAST(sum(sm) AS HUGEINT) AS stot FROM ms),
+              |mr AS (SELECT source, n_in,
+              |    CAST(round(CAST(1000 * CAST(sm AS HUGEINT)
+              |        AS DOUBLE) / CAST(stot AS DOUBLE)) AS BIGINT)
+              |      AS target_ct
+              |  FROM ms, mt),
+              |me AS (SELECT source, n_in, target_ct,
+              |    CAST(target_ct // n_in AS BIGINT) AS epochs,
+              |    CAST(round(1e6 * CAST(target_ct % n_in AS DOUBLE)
+              |      / CAST(n_in AS DOUBLE)) AS BIGINT)
+              |      AS rem_rate_ppm
+              |  FROM mr),
+              |mk AS (SELECT d.source, CAST(count(*) AS BIGINT)
+              |    AS n_rem
+              |  FROM documents d JOIN me USING (source)
+              |  WHERE (${duckHash60("CAST(doc_id AS VARCHAR)")})
+              |    % 1000000 < rem_rate_ppm
+              |  GROUP BY d.source)
+              |SELECT me.source, me.n_in, me.target_ct, me.epochs,
+              |  me.rem_rate_ppm, coalesce(mk.n_rem, 0) AS n_rem,
+              |  me.epochs * me.n_in + coalesce(mk.n_rem, 0)
+              |    AS realized_ct
+              |FROM me LEFT JOIN mk USING (source)
               |ORDER BY source""".stripMargin)),
 
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram

@@ -235,6 +235,66 @@ object Curation {
         round(col("rate") * 1000000).cast("long"))
   }
 
+  /** Epoch MIXING PLAN to a target doc budget — the pretraining
+    * data-mixing table (the LLaMA/GPT-3 "source seen E.F epochs"
+    * column): allocate `targetN` document slots across domains by
+    * square-root temperature (α = 1/2, the multilingual rebalancing
+    * default), then express each domain's allocation as FULL EPOCHS
+    * over the domain plus a fractional remainder — the UPSAMPLING
+    * [[temperatureSample]] cannot express (its rates cap at 1; a rare
+    * domain a real mix repeats 3.7× needs an epoch plan, not a keep
+    * rate). Downsampled domains get epochs = 0 and a sub-1e6 ppm rate;
+    * upsampled domains get epochs ≥ 1 plus the remainder rate.
+    *
+    * Exactness: s_i = round(1e6·√n_i) is one exactly-rounded IEEE
+    * sqrt quantized to an integer; S = Σ s_i is an integer sum
+    * (order-free); target_i = round((targetN·s_i)/S) is ONE mirrored
+    * division of exact integers; epochs and the remainder are integer
+    * div/mod; rem_rate_ppm = round(1e6·rem/n_i) is one more
+    * integer-ratio round — the d28 discipline end to end, so the plan
+    * is hash-exact cross-engine. Null domains drop. Returns
+    * (domain, n_in, target_ct, epochs, rem_rate_ppm) — one row per
+    * domain, bounded by mixture cardinality. */
+  def mixEpochPlan(docs: DataFrame, domainCol: String,
+                   targetN: Long): DataFrame = {
+    require(targetN >= 1, "targetN must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val counts = docs.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_in"))
+      .withColumn("s_micro",
+        round(lit(1e6) * sqrt(col("n_in").cast("double"))).cast("long"))
+    val tot = counts.agg(coalesce(sum(dec(col("s_micro"))),
+      lit(0L).cast("decimal(38,0)")).as("s_tot"))
+    counts
+      .withColumn("_one", pmod(col("s_micro"), lit(1L)).cast("int"))
+      .join(broadcast(tot.withColumn("_one",
+        pmod(col("s_tot"), lit(1L)).cast("int"))), "_one")
+      .withColumn("target_ct",
+        round((dec(lit(targetN)) * dec(col("s_micro"))).cast("double") /
+          col("s_tot").cast("double")).cast("long"))
+      .withColumn("epochs", expr("target_ct div n_in"))
+      .withColumn("rem_rate_ppm",
+        round(lit(1e6) * (col("target_ct") - col("epochs") *
+            col("n_in")).cast("double") /
+          col("n_in").cast("double")).cast("long"))
+      .select(col("domain"), col("n_in"), col("target_ct"),
+        col("epochs"), col("rem_rate_ppm"))
+  }
+
+  /** The realized fractional remainder of a [[mixEpochPlan]]: the
+    * docs the plan samples BEYOND its full epochs, selected by the
+    * deterministic portable-hash threshold (nested, partition-free —
+    * the [[hashSample]] decision per row). The materialized mix is
+    * `epochs` full copies of each domain plus exactly these rows.
+    * Returns the input columns plus `rem_rate_ppm`. */
+  def mixEpochRemainder(docs: DataFrame, idCol: String,
+                        domainCol: String, plan: DataFrame): DataFrame =
+    docs.join(broadcast(plan.select(col("domain").as(domainCol),
+        col("rem_rate_ppm"))), domainCol)
+      .filter(pmod(Dedup.md5Long60(col(idCol).cast("string")),
+        lit(1000000L)) < col("rem_rate_ppm"))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

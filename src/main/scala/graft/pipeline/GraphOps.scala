@@ -836,13 +836,38 @@ object GraphOps {
   def louvainOneLevel(pairs: DataFrame, idACol: String,
                       idBCol: String): DataFrame = {
     val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
-    val deg = degreesOf(e).localCheckpoint()
+    louvainWeightedRound(e.withColumn("w", lit(1L)),
+      e.limit(0).select(col("lo").as("id"), col("lo").as("w")))
+  }
+
+  /** The Louvain move round over a WEIGHTED (lo, hi, w) inter-node
+    * edge frame plus (id, w) self-loop weights — the shared body of
+    * [[louvainOneLevel]] (unit weights, no loops) and the contracted
+    * second level of [[louvainTwoLevel]] (w = inter-community edge
+    * counts, loops = intra counts). Gain algebra generalizes
+    * verbatim: each super-node is again a singleton community, so
+    * gain_scaled(c→d) = 2m·w_{c,d} − k_c·k_d with
+    * k_c = Σ_d w_{c,d} + 2·w_{c,c} and 2m = Σ_c k_c; self-loops
+    * enter only through k. Same deterministic rule: among neighbors
+    * with smaller id and positive gain, max gain then smallest id.
+    * Returns (id, deg, community, gain_scaled) — deg is the weighted
+    * degree k. */
+  private[graft] def louvainWeightedRound(ew: DataFrame,
+                                          loops: DataFrame): DataFrame = {
+    val inc = ew.select(col("lo").as("id"), col("w"))
+      .union(ew.select(col("hi").as("id"), col("w")))
+      .union(loops.select(col("id"), (col("w") * 2L).as("w")))
+    val deg = inc.groupBy("id")
+      .agg(coalesce(sum(col("w")), lit(0L)).as("deg"))
+      .localCheckpoint()
     // 1-row bounded parameter: S = 2m, the gain formula's constant
     val s2m = deg.agg(coalesce(sum(col("deg")), lit(0L))).head()
       .getLong(0)
-    val edges = e.select(col("lo").as("src"), col("hi").as("dst"))
-      .union(e.select(col("hi").as("src"), col("lo").as("dst")))
-    val gain = lit(s2m) - col("deg_src") * col("deg_dst")
+    val edges = ew.select(col("lo").as("src"), col("hi").as("dst"),
+        col("w"))
+      .union(ew.select(col("hi").as("src"), col("lo").as("dst"),
+        col("w")))
+    val gain = lit(s2m) * col("w") - col("deg_src") * col("deg_dst")
     val best = edges
       .join(deg.select(col("id").as("dst"),
         col("deg").as("deg_dst")), "dst")
@@ -857,6 +882,50 @@ object GraphOps {
       .select(col("id"), col("deg"),
         coalesce(col("community"), col("id")).as("community"),
         coalesce(col("gain_scaled"), lit(0L)).as("gain_scaled"))
+  }
+
+  /** Louvain level 2: contract the level-1 communities into a
+    * weighted multigraph (inter-community edge counts as weights,
+    * intra counts as self-loops — the standard Louvain aggregation
+    * step; Blondel 2008 §2) and run the SAME weighted move round over
+    * the super-nodes. This is the step that merges communities the
+    * node-level round could only form, e.g. two cliques joined by a
+    * multi-edge bundle each collapse at level 1 and fuse at level 2
+    * when 2m·w_bundle outweighs their degree product. Total edge
+    * weight is conserved by contraction, so 2m (and the modularity
+    * scale) is the ORIGINAL graph's — Q values compare across levels.
+    *
+    * Returns one row per level-1 community: (community_l1, k_c,
+    * w_self, community_l2, gain_scaled); compose with level 1 for
+    * per-node labels (GraphOpsSpec pins Q(l2 ∘ l1) ≥ Q(l1) on the
+    * clique-pairs fixture). */
+  def louvainTwoLevel(pairs: DataFrame, idACol: String,
+                      idBCol: String): DataFrame = {
+    val e = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    // level 1 from unit weights; pinned — it feeds the contraction
+    // on both endpoints
+    val l1 = louvainWeightedRound(e.withColumn("w", lit(1L)),
+      e.limit(0).select(col("lo").as("id"), col("lo").as("w")))
+      .localCheckpoint()
+    val asg = l1.select(col("id"), col("community"))
+    val ce = e
+      .join(asg.select(col("id").as("lo"), col("community").as("ca")),
+        "lo")
+      .join(asg.select(col("id").as("hi"), col("community").as("cb")),
+        "hi")
+    val inter = ce.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("lo"),
+        greatest(col("ca"), col("cb")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("w"))
+    val loops = ce.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("id")).agg(count(lit(1)).as("w"))
+      .localCheckpoint() // feeds the round AND the w_self report
+    louvainWeightedRound(inter, loops)
+      .join(loops.select(col("id"), col("w").as("w_self")),
+        Seq("id"), "left")
+      .select(col("id").as("community_l1"), col("deg").as("k_c"),
+        coalesce(col("w_self"), lit(0L)).as("w_self"),
+        col("community").as("community_l2"), col("gain_scaled"))
   }
 
   /** Degree assortativity (Newman, Phys. Rev. Lett. 2002): the

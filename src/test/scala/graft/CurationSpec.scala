@@ -481,4 +481,43 @@ class CurationSpec extends AnyFunSuite {
     // books: 2 docs at 3/2 tokens = 1500000 micro each
     assert(got("books") === ((2L, 6L, 3000000L)))
   }
+
+  test("mixEpochPlan: sqrt allocation, epochs, remainder rates") {
+    val s = spark
+    import s.implicits._
+    // domains of 100 / 9 / 1 docs: s_micro = 10e6 / 3e6 / 1e6,
+    // S = 14e6; targets at N=55: round(55·10/14)=39, round(55·3/14)
+    // =12, round(55·1/14)=4. big: 0 epochs + 390000 ppm; mid: 1 epoch
+    // + rem 3/9 = 333333 ppm; tiny: 4 epochs + 0 ppm (pure upsample —
+    // what temperatureSample cannot express)
+    val d = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 109L).map(i => (i, "mid")) :+ (110L -> "tiny"))
+      .toDF("doc_id", "source")
+    val plan = Curation.mixEpochPlan(d, "source", targetN = 55L)
+    val got = plan.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("big") === ((100L, 39L, 0L, 390000L)), got.toString)
+    assert(got("mid") === ((9L, 12L, 1L, 333333L)), got.toString)
+    assert(got("tiny") === ((1L, 4L, 4L, 0L)), got.toString)
+    // remainder sample: per-domain subset, below the rate's
+    // expectation ceiling, and deterministic across calls
+    val rem = Curation.mixEpochRemainder(d, "doc_id", "source", plan)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+    assert(rem.forall { case (id, src) =>
+      got(src)._4 > 0L && (src match {
+        case "big" => id <= 100L
+        case "mid" => id >= 101L && id <= 109L
+        case _ => false
+      })
+    }, rem.toSeq.toString)
+    val rem2 = Curation.mixEpochRemainder(d, "doc_id", "source", plan)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source")))
+    assert(rem.sorted.toSeq === rem2.sorted.toSeq)
+    // null domains drop from the plan entirely
+    val withNull = d.unionAll(Seq((999L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source"))
+    assert(Curation.mixEpochPlan(withNull, "source", 55L).count() === 3L)
+  }
 }

@@ -670,6 +670,44 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(after > 0.3, s"two cliques are real structure: $after")
   }
 
+  test("louvainTwoLevel: merges what level 1 left, Q non-decreasing, " +
+    "weak bridge stays cut") {
+    val s = spark
+    import s.implicits._
+    // two blocks, each = two triangles joined by a 2-edge bundle;
+    // ONE weak bridge (3,9) between the blocks. Level 1 fractures
+    // each block into a big community plus singleton leftovers (the
+    // synchronous chain effect); level 2's weighted round folds the
+    // leftovers in, while the bridge's 2m·1 never outweighs the
+    // block-supernode degree product.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (1L, 4L), (2L, 5L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (7L, 10L), (8L, 11L), (3L, 9L))
+    val p = pairs(edges: _*)
+    val l1 = GraphOps.louvainOneLevel(p, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val l2 = GraphOps.louvainTwoLevel(p, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // one level-2 row per level-1 community, keyed by its label
+    assert(l2.keySet === l1.values.toSet, s"$l1 vs $l2")
+    val composed = l1.map { case (id, c) => id -> l2(c) }
+    assert(composed.values.toSet.size < l1.values.toSet.size,
+      s"level 2 must merge something: $l1 -> $composed")
+    val left = (1L to 6L).map(composed).toSet
+    val right = (7L to 12L).map(composed).toSet
+    assert(left.intersect(right).isEmpty,
+      s"bridge must not fuse blocks: $composed")
+    // Q through the shared scorer: singletons < level 1 ≤ composed
+    val e = GraphOps.normalizedEdges(p, "id_a", "id_b")
+    def q(m: Map[Long, Long]): Double = GraphOps.modularityOfLabels(e,
+      m.toSeq.toDF("id", "label")).head().getDouble(2)
+    val qSingle = q((1L to 12L).map(i => i -> i).toMap)
+    val qL1 = q(l1)
+    val qL2 = q(composed)
+    assert(qL1 > qSingle && qL2 >= qL1, s"$qSingle -> $qL1 -> $qL2")
+  }
+
   test("louvainOneLevel: no synchronous swap on a single pair") {
     // two connected singletons: without the smaller-id guard both
     // would adopt each other's community (a swap — Q unchanged,
