@@ -75,6 +75,96 @@ object SparkEntry {
       Dedup.winnowKeys(table(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 5).localCheckpoint())
 
+  // d72/d73's filter geometry: 2^16 bits / 3 probes — at the sf range
+  // this runs at, load stays low enough that the realized FPR is a
+  // meaningful audit column rather than saturation (BloomFilterSpec
+  // exercises a deliberately saturated m=4096 envelope instead)
+  private val bloomM = 65536
+  private val bloomK = 3
+
+  /** d72/d73's shared BUILD side: high-balance customer keys with the
+    * portable hash the filter inserts. */
+  private def bloomBuildKeys(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .filter(col("c_acctbal") > 7500)
+      .select(col("c_custkey").as("ck"),
+        Dedup.md5Long60(col("c_custkey").cast("string")).as("h"))
+
+  /** d72/d73's shared PROBE report over a FETCHED filter: every
+    * orders row tests membership through the pure column expression
+    * (map-side — the 100 TB fact-scan shape), then audits against the
+    * exact semi-join: false negatives must be zero by construction,
+    * false positives quantify the realized FPR. */
+  private def bloomProbeReport(s: SparkSession, dir: String,
+                               bits: Seq[Long]): DataFrame = {
+    import graft.functions.{BloomFilter60 => BF}
+    val members = bloomBuildKeys(s, dir)
+      .select(col("ck").as("o_custkey")).distinct()
+      .withColumn("truth", lit(true))
+    table(s, dir, "orders")
+      .select(col("o_custkey"),
+        BF.mightContain(bits, bloomM, bloomK,
+          Dedup.md5Long60(col("o_custkey").cast("string")))
+          .as("might"))
+      .join(broadcast(members), Seq("o_custkey"), "left")
+      .agg(count(lit(1)).as("n_probed"),
+        coalesce(sum(when(col("might"), 1L).otherwise(0L)), lit(0L))
+          .as("n_might"),
+        coalesce(sum(when(col("truth").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_true_member"),
+        coalesce(sum(when(col("might") && col("truth").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_pos"),
+        coalesce(sum(when(!col("might") && col("truth").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_false_neg"))
+      .withColumn("fpr_ppm",
+        when(col("n_probed") > col("n_true_member"),
+          expr("(1000000 * n_false_pos) div " +
+            "(n_probed - n_true_member)")).otherwise(lit(0L)))
+  }
+
+  /** d72/d73's shared oracle: replays every membership decision from
+    * the position SETS (no bit array needed — a probe hits iff all k
+    * of its positions appear among any build key's), then the same
+    * semi-join audit. */
+  private lazy val duckBloomSql: String =
+    s"""WITH bbk AS (SELECT DISTINCT c_custkey FROM customer
+       |  WHERE c_acctbal > 7500),
+       |bbh AS (SELECT c_custkey,
+       |    ${duckHash60("CAST(c_custkey AS VARCHAR)")} AS h
+       |  FROM bbk),
+       |bbp AS (SELECT DISTINCT (h % 1073741824
+       |    + g.i * ((h // 1073741824) | 1)) % $bloomM AS pos
+       |  FROM bbh, (SELECT unnest(generate_series(0, ${bloomK - 1}))
+       |    AS i) g),
+       |bpr AS (SELECT o_orderkey, o_custkey,
+       |    ${duckHash60("CAST(o_custkey AS VARCHAR)")} AS h
+       |  FROM orders),
+       |bpp AS (SELECT o_orderkey, (h % 1073741824
+       |    + g.i * ((h // 1073741824) | 1)) % $bloomM AS pos
+       |  FROM bpr, (SELECT unnest(generate_series(0, ${bloomK - 1}))
+       |    AS i) g),
+       |bht AS (SELECT o_orderkey FROM bpp JOIN bbp USING (pos)
+       |  GROUP BY o_orderkey HAVING count(*) = $bloomK),
+       |bfl AS (SELECT p.o_orderkey,
+       |    (h2.o_orderkey IS NOT NULL) AS might,
+       |    (mk.c_custkey IS NOT NULL) AS truth
+       |  FROM bpr p LEFT JOIN bht h2 USING (o_orderkey)
+       |  LEFT JOIN bbk mk ON mk.c_custkey = p.o_custkey)
+       |SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       |  CAST(count(*) FILTER (WHERE might) AS BIGINT) AS n_might,
+       |  CAST(count(*) FILTER (WHERE truth) AS BIGINT)
+       |    AS n_true_member,
+       |  CAST(count(*) FILTER (WHERE might AND NOT truth) AS BIGINT)
+       |    AS n_false_pos,
+       |  CAST(count(*) FILTER (WHERE truth AND NOT might) AS BIGINT)
+       |    AS n_false_neg,
+       |  CAST(CASE WHEN count(*) > count(*) FILTER (WHERE truth)
+       |    THEN (1000000 * count(*) FILTER (WHERE might AND NOT truth))
+       |      // (count(*) - count(*) FILTER (WHERE truth))
+       |    ELSE 0 END AS BIGINT) AS fpr_ppm
+       |FROM bfl""".stripMargin
+      .replace(" AS (", " AS MATERIALIZED (")
+
   /** The KLL entries' shared exact-rank audit: given the corpus value
     * frame and a FETCHED sketch (bounded O(k) state), recount each
     * quantile estimate's true rank interval in ONE corpus pass (a
@@ -3317,6 +3407,49 @@ object SparkEntry {
           .orderBy(desc("exact_count"), asc("tok"))
       },
       Some(duckCmsSql)),
+
+    // Bloom-filter semi-join PRE-FILTER (the membership member of
+    // the sketch family; Kirsch-Mitzenmacher double hashing over the
+    // ONE portable 60-bit hash): the high-balance customer key set
+    // travels as 1024 longs and the orders scan drops non-members
+    // map-side — the no-shuffle shape that guards a 100 TB fact join.
+    // The bit array is a PURE SET FUNCTION (OR-insert: associative,
+    // commutative, idempotent), so unlike KLL the oracle replays
+    // every membership decision exactly (a probe hits iff all k of
+    // its positions appear among any build key's positions). The
+    // report audits against the exact semi-join: n_false_neg must be
+    // 0 by construction; fpr_ppm is the realized false-positive rate.
+    "d72_bloom_prefilter" -> Q(
+      (s, dir) => {
+        import graft.functions.{BloomFilter60 => BF}
+        // bounded parameter fetch: the m/64-long filter, never data
+        val bits = bloomBuildKeys(s, dir)
+          .agg(BF.agg(bloomM, bloomK, col("h"))).head()
+          .getSeq[Long](0)
+        bloomProbeReport(s, dir, bits)
+      },
+      Some(duckBloomSql)),
+
+    // Append-only bloom INDEX replay (the d68/d70 discipline): three
+    // deterministic build batches filter independently in one grouped
+    // pass, OR-merge driver-side, and the merged filter's probe
+    // report must equal the one-shot d72 BIT-FOR-BIT — OR-insert is
+    // idempotent, so the standing index also absorbs at-least-once
+    // re-deliveries unchanged (stronger than KLL's merge, which
+    // conserves weight but not content). Oracle: d72's, verbatim.
+    "d73_bloom_index_replay" -> Q(
+      (s, dir) => {
+        import graft.functions.{BloomFilter60 => BF}
+        val parts = bloomBuildKeys(s, dir)
+          .groupBy(pmod(col("ck"), lit(3L)).as("b"))
+          .agg(BF.agg(bloomM, bloomK, col("h")).as("sk"))
+          .orderBy("b").collect()
+          .map(_.getSeq[Long](1))
+        val bits = parts.reduce((a, b) =>
+          a.zip(b).map { case (x, y) => x | y })
+        bloomProbeReport(s, dir, bits)
+      },
+      Some(duckBloomSql)),
 
     // Chi-square test of independence for two categorical columns
     // (lang x source): observed cell counts from one aggregation,
