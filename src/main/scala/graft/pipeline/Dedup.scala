@@ -985,6 +985,61 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** One micro-batch of [[bloomGateStream]]: collapse the batch's
+    * duplicate keys exactly, emit the rows whose key the STANDING
+    * filter rejects (definitely new — the bits literal is captured in
+    * the plan before the fold), then OR the batch's own filter into
+    * the state. The fetched filters are m/64 longs — bounded
+    * parameters, never data. */
+  private[graft] def bloomGateBatch(batch: DataFrame, key: Column,
+      mBits: Int, k: Int,
+      state: java.util.concurrent.atomic.AtomicReference[Seq[Long]])
+      : DataFrame = {
+    import graft.functions.{BloomFilter60 => BF}
+    val bits = state.get
+    val hashed = batch.withColumn("_h", md5Long60(key.cast("string")))
+      .filter(col("_h").isNotNull)
+    val novel = hashed.dropDuplicates("_h")
+      .filter(!BF.mightContain(bits, mBits, k, col("_h")))
+    val bf = hashed.agg(BF.agg(mBits, k, col("_h"))).head()
+      .getSeq[Long](0)
+    state.set(bits.zip(bf).map { case (x, y) => x | y })
+    novel.drop("_h")
+  }
+
+  /** Streaming first-seen gate with BOUNDED state: a standing Bloom
+    * filter of every key seen so far; each micro-batch emits only the
+    * rows whose key the filter rejects, then folds the batch's own
+    * filter in. [[exactDedupStream]] keeps exact per-key state inside
+    * a watermark horizon — exact there, but state grows with distinct
+    * keys and stragglers past the horizon re-emit; this holds m/64
+    * longs FOREVER at the opposite trade: duplicates are NEVER
+    * re-emitted across batches (no false negatives, ever), while a
+    * new key colliding into set bits is lost at the filter's current
+    * false-positive rate. That is the trade a 100 TB dedup stream
+    * takes for never-growing state — size m for the expected key
+    * volume and the loss rate is (1−e^(−kn/m))^k.
+    *
+    * Duplicates WITHIN one batch collapse exactly before the probe
+    * (batch-local distinct on the hash). Because the batch's keys
+    * fold in before the next batch and OR-insert is idempotent, an
+    * at-least-once BATCH replay re-emits nothing — the gate's
+    * emission is at-most-once per key by construction. State lives in
+    * the foreachBatch closure (the kllQuantileStream convention). */
+  def bloomGateStream(docs: DataFrame, key: Column, mBits: Int, k: Int)
+                     (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Seq[Long]](new graft.functions.BloomFilter60(mBits, k).zero)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(bloomGateBatch(batch, key, mBits, k, state)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
   /** 64-bit SimHash over tokens: per token take xxhash64, vote ±1 per
     * bit position, the sign of each vote sum becomes the output bit.
     * Per-row map work only — no shuffle. `tokensExpr` must be a SQL

@@ -76,6 +76,37 @@ class BloomFilterSpec extends AnyFunSuite {
       .forall(got(_)))
   }
 
+  test("bloomGateStream: at-most-once emission per key, replay-safe") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Dedup.bloomGateStream(
+      mem.toDF().toDF("key", "payload"), col("key"),
+      mBits = 65536, k = 3) { b =>
+      seen ++= b.collect().map(r =>
+        (r.getAs[Long]("batch_id"), r.getAs[Long]("key")))
+    }
+    try {
+      // batch 0: 1,2,3 with an in-batch duplicate of 2 → one each
+      mem.addData((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"))
+      q.processAllAvailable()
+      // batch 1: 2 and 3 are standing state; only 4 is new
+      mem.addData((2L, "b3"), (3L, "c2"), (4L, "d"))
+      q.processAllAvailable()
+      // batch 2: a full replay of everything → nothing emits
+      mem.addData((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      q.processAllAvailable()
+      val byBatch = seen.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      assert(byBatch(0L) === Set(1L, 2L, 3L), seen.toString)
+      assert(byBatch(1L) === Set(4L), seen.toString)
+      assert(!byBatch.contains(2L), seen.toString)
+    } finally q.stop()
+  }
+
   test("nulls are skipped; empty filter rejects everything") {
     val s = spark
     import s.implicits._
