@@ -165,6 +165,50 @@ object SparkEntry {
        |FROM bfl""".stripMargin
       .replace(" AS (", " AS MATERIALIZED (")
 
+  /** e18's oracle: e17's covariance chain, mirrored to the full
+    * symmetric matrix, then the 5 power-iteration steps UNROLLED
+    * (exact HUGEINT matvec, exact max-abs, one mirrored double
+    * division per component per step); λ from the last step's max
+    * alone — no wide-integer-to-double conversion is ever compared. */
+  private lazy val duckDominantDirSql: String = {
+    val steps = (1 to 5).map { t =>
+      s"""w$t AS (SELECT fm.i AS j,
+         |    sum(CAST(fm.c AS HUGEINT) * vp.v) AS w
+         |  FROM fm JOIN v${t - 1} vp ON vp.j = fm.j GROUP BY fm.i),
+         |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+         |v$t AS (SELECT j, CAST(round(1e6 * (CAST(w AS DOUBLE)
+         |    / CAST(m AS DOUBLE))) AS BIGINT) AS v FROM w$t, m$t)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |fl AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
+       |    CAST(round(v[t.i] * 1e6) AS BIGINT) AS x
+       |  FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+       |pr AS (SELECT a.i, b.i AS j, CAST(a.x AS HUGEINT) AS x,
+       |    CAST(b.x AS HUGEINT) AS y
+       |  FROM fl a JOIN fl b
+       |    ON a.vec_id = b.vec_id AND a.i <= b.i),
+       |ag AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    coalesce(sum(x), 0) AS sx,
+       |    coalesce(sum(y), 0) AS sy,
+       |    coalesce(sum(x * y), 0) AS sxy
+       |  FROM pr GROUP BY i, j),
+       |cm AS (SELECT i, j,
+       |  CAST(round(CAST(n_vecs * sxy - sx * sy AS DOUBLE)
+       |    / (CAST(n_vecs AS DOUBLE) * n_vecs * 1e6)) AS BIGINT)
+       |    AS c FROM ag),
+       |fm AS (SELECT i, j, c FROM cm
+       |       UNION ALL SELECT j, i, c FROM cm WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v
+       |  FROM fm),
+       |$steps
+       |SELECT v5.j AS dim, v5.v AS v_micro,
+       |  CAST(round(CAST(m5.m AS DOUBLE) / 1e6) AS BIGINT)
+       |    AS lambda_micro
+       |FROM v5, m5 ORDER BY dim""".stripMargin
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
   /** The KLL entries' shared exact-rank audit: given the corpus value
     * frame and a FETCHED sketch (bounded O(k) state), recount each
     * quantile estimate's true rank interval in ONE corpus pass (a
@@ -5890,6 +5934,58 @@ object SparkEntry {
       },
       None),
 
+    // Per-GROUP KLL medians from ONE grouped aggregation pass — the
+    // production shape of the sketch (one bounded state per domain in
+    // a single scan; q44's groupedWeightedQuantile is the exact,
+    // oracle-checked twin that re-scans per narrowing round). The 20
+    // fetched sketches are bounded parameters; a second grouped pass
+    // recounts each estimate's exact rank interval per source — the
+    // q106 audit, grouped. Rows-only (retained items are
+    // partition-dependent, the standing KLL adjudication).
+    "q108_grouped_kll" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val k = 64
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"))
+          .filter(col("source").isNotNull && col("v").isNotNull)
+        val ests = docs.groupBy("source")
+          .agg(KllSketch.agg(k, col("v")).as("sk"))
+          .collect()
+          .map { r =>
+            val st = KllSketch.fromRow(r.getStruct(1))
+            (r.getString(0),
+              KllSketch.quantileOf(st, 500L).getOrElse(0L),
+              KllSketch.numRetained(st).toLong)
+          }.toSeq
+        val sImp = s
+        import sImp.implicits._
+        docs.join(broadcast(
+            ests.toDF("source", "est_chars", "n_retained")), "source")
+          .groupBy("source", "est_chars", "n_retained")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("v") < col("est_chars"), 1L).otherwise(0L))
+              .as("n_lt"),
+            sum(when(col("v") <= col("est_chars"), 1L).otherwise(0L))
+              .as("n_le"))
+          .withColumn("target_rank", least(col("n"),
+            greatest(lit(1L), expr("(500 * n + 999) div 1000"))))
+          .withColumn("rank_err",
+            when(col("target_rank").between(col("n_lt") + 1L,
+              col("n_le")), 0L)
+              .otherwise(least(
+                abs(col("target_rank") - col("n_lt") - 1L),
+                abs(col("target_rank") - col("n_le")))))
+          .withColumn("bound",
+            greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
+          .select(col("source"), col("n"), col("est_chars"),
+            col("target_rank"), col("rank_err"), col("bound"),
+            (col("rank_err") <= col("bound")).as("within_bound"),
+            col("n_retained"))
+          .orderBy("source")
+      },
+      None),
+
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
     // data: the robustness A/B an eval pipeline wants side by side).
@@ -9789,6 +9885,19 @@ object SparkEntry {
              |    / (CAST(n_vecs AS DOUBLE) * n_vecs * 1e6)) AS BIGINT)
              |    AS cov_micro
              |FROM ag ORDER BY i, j""".stripMargin)),
+
+    // Dominant covariance direction (power iteration, 5 steps) — the
+    // second half of e17's anisotropy audit: the direction carrying
+    // the off-diagonal mass and its eigenvalue share (Mu & Viswanath,
+    // ICLR 2018: removing these directions repairs cosine geometry).
+    // Distributed work = the e17 matrix; the d² cells are then a
+    // bounded parameter and each iteration is exact-integer matvec +
+    // exact max + ONE mirrored double division per component; λ from
+    // the last step's max alone. Oracle unrolls the identical steps.
+    "e18_dominant_direction" -> Q(
+      (s, dir) => Similarity.dominantDirectionMicro(
+        table(s, dir, "embeddings"), "vec_id", "embedding", iters = 5),
+      Some(duckDominantDirSql)),
 
     "r2_hybrid_rrf" -> Q(
       (s, dir) => {

@@ -781,6 +781,67 @@ object Similarity {
     * cell — BigDecimal round has no signed zero). Null/absent vectors
     * contribute no rows. Returns (i, j, n_vecs, cov_micro) ordered
     * by (i, j). */
+  /** Dominant covariance direction by POWER ITERATION over the e17
+    * matrix — the second half of the anisotropy audit: e17 says how
+    * much off-diagonal mass exists, this names the direction carrying
+    * it and its eigenvalue share (Mu & Viswanath, ICLR 2018 showed
+    * removing exactly these dominant directions repairs embedding
+    * cosine geometry). The distributed work is [[covarianceMicro]];
+    * the d(d+1)/2-cell matrix is then a BOUNDED PARAMETER (d ≤ 256
+    * required) and the iteration is exact driver math the oracle
+    * replays as unrolled CTEs:
+    *
+    *   v₀ = 1e6·𝟙; per step: w = C·v (exact integers — BigInt here,
+    *   HUGEINT there), m = max|w| (exact), v' = round(1e6·(w/m)) —
+    *   per component ONE double division of two exact integers then
+    *   ONE multiply, mirrored op order, BigDecimal HALF_UP = DuckDB's
+    *   away-from-zero. λ comes from the LAST step's m alone:
+    *   λ_micro = round(m/1e6) (max|v| is 1e6 by construction, so m =
+    *   λ·1e12 at convergence) — m < 2⁵³ keeps the conversion exact in
+    *   both engines; no big-integer-to-double rounding is ever
+    *   compared.
+    *
+    * Sign is pinned by the iteration itself (deterministic from 𝟙 —
+    * the oracle replays the identical steps, so no canonical-flip
+    * step is needed). Returns one row per dimension
+    * (dim, v_micro, lambda_micro), ordered by dim. */
+  def dominantDirectionMicro(emb: DataFrame, idCol: String,
+                             vecCol: String,
+                             iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1, 16]")
+    // bounded parameter fetch: the covariance matrix, never data
+    val cells = covarianceMicro(emb, idCol, vecCol)
+      .select(col("i"), col("j"), col("cov_micro")).collect()
+    require(cells.nonEmpty, "empty embedding table")
+    val d = (cells.map(_.getLong(0)).max + 1).toInt
+    require(d <= 256, s"power iteration is driver math over a " +
+      s"bounded matrix; got d=$d > 256")
+    val C = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val i = r.getLong(0).toInt
+      val j = r.getLong(1).toInt
+      C(i)(j) = r.getLong(2)
+      C(j)(i) = r.getLong(2)
+    }
+    def half(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(d)(1000000L)
+    var mLast = BigInt(0)
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate(d)(j =>
+        (0 until d).map(i => BigInt(C(j)(i)) * v(i)).sum)
+      mLast = w.map(_.abs).max
+      require(mLast > 0,
+        "zero covariance matrix has no dominant direction")
+      v = w.map(x => half(1e6 * (x.toDouble / mLast.toDouble)))
+    }
+    val lam = half(mLast.toDouble / 1e6)
+    val s = emb.sparkSession
+    import s.implicits._
+    (0 until d).map(j => (j.toLong, v(j), lam))
+      .toDF("dim", "v_micro", "lambda_micro").orderBy("dim")
+  }
+
   def covarianceMicro(emb: DataFrame, idCol: String,
                       vecCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")

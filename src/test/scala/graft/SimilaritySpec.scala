@@ -671,6 +671,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(java.lang.Long.signum(cell) === 0)
   }
 
+  test("dominantDirectionMicro: axis-aligned and degenerate spectra") {
+    val s = spark
+    import s.implicits._
+    def run(rows: Seq[(Long, Seq[Float])]) =
+      Similarity.dominantDirectionMicro(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // C = diag(0.5, 0.005): the iteration locks onto axis 0 and
+    // λ_micro = 500000 (the 5th matvec max is C00·v0 = 5e11)
+    val axis = run(Seq(1L -> Seq(1f, 0f), 2L -> Seq(-1f, 0f),
+      3L -> Seq(0f, 0.1f), 4L -> Seq(0f, -0.1f)))
+    assert(axis(0L)._1 === 1000000L, axis.toString)
+    assert(math.abs(axis(1L)._1) < 100L, axis.toString)
+    assert(axis(0L)._2 === 500000L)
+    // rank-1: vectors (1,1) and (−1,−1) → C = all-ones·1e6; the
+    // all-ones start IS the eigenvector, λ = 2 exactly
+    val rank1 = run(Seq(1L -> Seq(1f, 1f), 2L -> Seq(-1f, -1f)))
+    assert(rank1(0L) === ((1000000L, 2000000L)) &&
+      rank1(1L) === ((1000000L, 2000000L)), rank1.toString)
+  }
+
   test("covarianceMicro: plan is join-free (map-side pair terms)") {
     val s = spark
     import s.implicits._
