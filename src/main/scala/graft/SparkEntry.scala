@@ -57,6 +57,24 @@ object SparkEntry {
 
   // keyed by (applicationId, sfDir): localCheckpoint state dies with
   // the SparkContext (the DedupArtifacts.staged convention)
+  private val covarianceCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** The anisotropy audit's shared state: the e17 upper-triangle
+    * covariance matrix over `embeddings`, staged ONCE per
+    * (application, sfDir) and consumed by BOTH the e17 report and
+    * e18's power iteration — the winnowKeys discipline (a production
+    * run materializes the co-moment pass once per snapshot; every
+    * spectral question reads the staging table). Both oracles keep
+    * their full standalone SQL replays. */
+  private def covarianceStaged(s: SparkSession, dir: String): DataFrame =
+    covarianceCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir),
+      Similarity.covarianceMicro(table(s, dir, "embeddings"),
+        "vec_id", "embedding").localCheckpoint())
+
+  // keyed by (applicationId, sfDir): localCheckpoint state dies with
+  // the SparkContext (the DedupArtifacts.staged convention)
   private val winnowKeysCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
@@ -9864,8 +9882,7 @@ object SparkEntry {
     // sign; Spark's BigDecimal round cannot) — integer zero is
     // signless (the d28 house rule).
     "e17_embedding_covariance" -> Q(
-      (s, dir) => Similarity.covarianceMicro(
-        table(s, dir, "embeddings"), "vec_id", "embedding"),
+      (s, dir) => covarianceStaged(s, dir).orderBy("i", "j"),
       Some("""WITH e AS (SELECT vec_id,
              |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |fl AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
@@ -9895,8 +9912,8 @@ object SparkEntry {
     // exact max + ONE mirrored double division per component; λ from
     // the last step's max alone. Oracle unrolls the identical steps.
     "e18_dominant_direction" -> Q(
-      (s, dir) => Similarity.dominantDirectionMicro(
-        table(s, dir, "embeddings"), "vec_id", "embedding", iters = 5),
+      (s, dir) => Similarity.dominantDirectionFromCov(
+        covarianceStaged(s, dir), iters = 5),
       Some(duckDominantDirSql)),
 
     "r2_hybrid_rrf" -> Q(

@@ -807,10 +807,19 @@ object Similarity {
     * (dim, v_micro, lambda_micro), ordered by dim. */
   def dominantDirectionMicro(emb: DataFrame, idCol: String,
                              vecCol: String,
-                             iters: Int = 5): DataFrame = {
+                             iters: Int = 5): DataFrame =
+    dominantDirectionFromCov(covarianceMicro(emb, idCol, vecCol),
+      iters)
+
+  /** The [[dominantDirectionMicro]] iteration over an ALREADY-built
+    * (i, j, n_vecs, cov_micro) upper-triangle frame — the staged-
+    * artifact form: e17 and e18 share one covariance computation per
+    * corpus snapshot (the winnowKeys/DedupArtifacts discipline). */
+  def dominantDirectionFromCov(cov: DataFrame,
+                               iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 16, "iters in [1, 16]")
     // bounded parameter fetch: the covariance matrix, never data
-    val cells = covarianceMicro(emb, idCol, vecCol)
+    val cells = cov
       .select(col("i"), col("j"), col("cov_micro")).collect()
     require(cells.nonEmpty, "empty embedding table")
     val d = (cells.map(_.getLong(0)).max + 1).toInt
@@ -836,7 +845,7 @@ object Similarity {
       v = w.map(x => half(1e6 * (x.toDouble / mLast.toDouble)))
     }
     val lam = half(mLast.toDouble / 1e6)
-    val s = emb.sparkSession
+    val s = cov.sparkSession
     import s.implicits._
     (0 until d).map(j => (j.toLong, v(j), lam))
       .toDF("dim", "v_micro", "lambda_micro").orderBy("dim")
