@@ -3507,8 +3507,13 @@ object SparkEntry {
           .agg(BF.agg(bloomM, bloomK, col("h")).as("sk"))
           .orderBy("b").collect()
           .map(_.getSeq[Long](1))
-        val bits = parts.reduce((a, b) =>
-          a.zip(b).map { case (x, y) => x | y })
+        // foldLeft from the zero filter, not reduce: an empty build
+        // side (possible at a tiny SF) yields zero groups, and the
+        // report must degrade to the all-zeros filter exactly as the
+        // one-shot d72 does via finish(zero)
+        val bits = parts.foldLeft(
+          new graft.functions.BloomFilter60(bloomM, bloomK).zero)(
+          (a, b) => a.zip(b).map { case (x, y) => x | y })
         bloomProbeReport(s, dir, bits)
       },
       Some(duckBloomSql)),
@@ -7982,11 +7987,17 @@ object SparkEntry {
     "d68_winnow_index_replay" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")
+        // pinned: the matching tail reads the accumulated index 3x
+        // (df count + both pair-join sides); un-pinned, each read
+        // re-ran all three batch fingerprint scans (r12's slowest
+        // entry at 5.91 s for one corpus of fingerprints). The
+        // replay still COMPUTES its three batch key-frames — once,
+        // which is exactly what a standing append-only index holds.
         val keys = (0 until 3).map(b =>
             Dedup.winnowKeys(
               docs.filter(pmod(col("doc_id"), lit(3L)) === b),
               "doc_id", "text", k = 4, w = 5))
-          .reduce(_ unionAll _)
+          .reduce(_ unionAll _).localCheckpoint()
         Dedup.winnowedPairsFromKeys(keys, maxDf = 20, minShared = 2)
           .orderBy("id_a", "id_b").limit(5000)
       },

@@ -37,12 +37,22 @@ class BloomFilter60(mBits: Int, k: Int)
   override def reduce(buf: Seq[Long], h: java.lang.Long): Seq[Long] =
     if (h == null) buf // SQL aggregates skip nulls
     else {
-      var b = buf
-      BloomFilter60.positions(h.longValue, mBits, k).foreach { pos =>
-        val w = (pos >> 6).toInt
-        b = b.updated(w, b(w) | (1L << (pos & 63L)))
+      // Aggregator.reduce may mutate its buffer in place (the
+      // documented contract). The previous form set each probe bit
+      // through immutable Seq.updated — O(k·m/64) word copies per
+      // input row once the encoder round-trip made the buffer
+      // array-backed, the wrong shape for a 100 TB build side. Here
+      // the first reduce per buffer pays ONE array copy (zero is a
+      // Vector); every later call mutates the wrapped array, O(k).
+      val a = buf match {
+        case w: scala.collection.immutable.ArraySeq.ofLong =>
+          w.unsafeArray
+        case other => other.toArray
       }
-      b
+      BloomFilter60.positions(h.longValue, mBits, k).foreach { pos =>
+        a((pos >> 6).toInt) |= (1L << (pos & 63L))
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
     }
 
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =

@@ -987,24 +987,26 @@ object Dedup {
 
   /** One micro-batch of [[bloomGateStream]]: collapse the batch's
     * duplicate keys exactly, emit the rows whose key the STANDING
-    * filter rejects (definitely new — the bits literal is captured in
-    * the plan before the fold), then OR the batch's own filter into
-    * the state. The fetched filters are m/64 longs — bounded
+    * filter `bits` rejects (definitely new — the bits literal is
+    * captured in the plan), and return that frame alongside the
+    * FOLDED filter (bits OR the batch's own filter). Pure with
+    * respect to the standing state: the CALLER commits the folded
+    * filter, and only after its sink has consumed the emitted rows —
+    * folding first would mean a failed sink permanently drops the
+    * batch's new keys (the probe would reject them as already-seen on
+    * every retry). The fetched filters are m/64 longs — bounded
     * parameters, never data. */
   private[graft] def bloomGateBatch(batch: DataFrame, key: Column,
-      mBits: Int, k: Int,
-      state: java.util.concurrent.atomic.AtomicReference[Seq[Long]])
-      : DataFrame = {
+      mBits: Int, k: Int, bits: Seq[Long])
+      : (DataFrame, Seq[Long]) = {
     import graft.functions.{BloomFilter60 => BF}
-    val bits = state.get
     val hashed = batch.withColumn("_h", md5Long60(key.cast("string")))
       .filter(col("_h").isNotNull)
     val novel = hashed.dropDuplicates("_h")
       .filter(!BF.mightContain(bits, mBits, k, col("_h")))
     val bf = hashed.agg(BF.agg(mBits, k, col("_h"))).head()
       .getSeq[Long](0)
-    state.set(bits.zip(bf).map { case (x, y) => x | y })
-    novel.drop("_h")
+    (novel.drop("_h"), bits.zip(bf).map { case (x, y) => x | y })
   }
 
   /** Streaming first-seen gate with BOUNDED state: a standing Bloom
@@ -1023,9 +1025,16 @@ object Dedup {
     * Duplicates WITHIN one batch collapse exactly before the probe
     * (batch-local distinct on the hash). Because the batch's keys
     * fold in before the next batch and OR-insert is idempotent, an
-    * at-least-once BATCH replay re-emits nothing — the gate's
-    * emission is at-most-once per key by construction. State lives in
-    * the foreachBatch closure (the kllQuantileStream convention). */
+    * at-least-once BATCH replay re-emits nothing after a SUCCESSFUL
+    * delivery — emission is at-most-once per key on the happy path.
+    * The fold commits only AFTER `sink` returns: a sink failure
+    * leaves the standing filter unchanged, so the micro-batch retry
+    * re-probes against the pre-batch state and the batch's new keys
+    * re-emit (at-least-once on the failure path — a partially-
+    * consumed failed attempt can hand an idempotent downstream the
+    * same keys twice) instead of being permanently dropped, which is
+    * what folding-before-delivery did. State lives in the
+    * foreachBatch closure (the kllQuantileStream convention). */
   def bloomGateStream(docs: DataFrame, key: Column, mBits: Int, k: Int)
                      (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -1034,8 +1043,10 @@ object Dedup {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        sink(bloomGateBatch(batch, key, mBits, k, state)
-          .withColumn("batch_id", lit(batchId)))
+        val (novel, folded) =
+          bloomGateBatch(batch, key, mBits, k, state.get)
+        sink(novel.withColumn("batch_id", lit(batchId)))
+        state.set(folded) // commit point: delivery succeeded
       }
       .start()
   }

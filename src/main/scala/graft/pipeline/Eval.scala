@@ -580,25 +580,51 @@ object Eval {
 
   /** One micro-batch of [[kllQuantileStream]]: sketch the arriving
     * frame (one bounded-state aggregation), merge into the standing
-    * sketch, report the running quantile estimates. The fetched
-    * sketch is O(k) longs — a bounded parameter, never data. */
+    * sketch, report the running quantile estimates. Pure with
+    * respect to the standing state — returns (report, merged) and
+    * the CALLER commits the merged sketch (after its sink succeeds,
+    * the bloomGateBatch discipline). The fetched sketch is O(k)
+    * longs — a bounded parameter, never data. */
   private[graft] def kllBatchUpdate(batch: DataFrame, value: Column,
       k: Int, qsPermille: Seq[Long],
-      state: java.util.concurrent.atomic.AtomicReference[
-        graft.functions.KllState]): DataFrame = {
+      state: graft.functions.KllState)
+      : (DataFrame, graft.functions.KllState) = {
     import graft.functions.KllSketch
     val sk = KllSketch.fromRow(
       batch.agg(KllSketch.agg(k, value)).head().getStruct(0))
-    val merged = KllSketch.mergeStates(state.get, sk, k)
-    state.set(merged)
+    val merged = KllSketch.mergeStates(state, sk, k)
     val w = KllSketch.totalWeight(merged)
     val nr = KllSketch.numRetained(merged).toLong
     val spark = batch.sparkSession
     import spark.implicits._
-    qsPermille.map(q => (q,
+    (qsPermille.map(q => (q,
         KllSketch.quantileOf(merged, q).getOrElse(0L), w, nr))
-      .toDF("q_permille", "est", "n_seen", "n_retained")
+      .toDF("q_permille", "est", "n_seen", "n_retained"), merged)
   }
+
+  /** The guarded foreachBatch body of [[kllQuantileStream]], exposed
+    * for direct spec coverage (a real redelivery cannot be staged
+    * through MemoryStream): skip any batchId at or below the last
+    * APPLIED one — Spark redelivers a failed micro-batch under the
+    * SAME id, so the check turns KLL merge's non-idempotence (an
+    * at-least-once replay would double-count the batch's weight —
+    * merge conserves weight, unlike the Bloom gate's idempotent OR)
+    * into at-most-once application per id. Both commits (sketch +
+    * last-applied id) happen only after `sink` returns: a failed
+    * sink leaves the state untouched and the retry re-applies. */
+  private[graft] def kllGuardedUpdate(batch: DataFrame, value: Column,
+      k: Int, qsPermille: Seq[Long], batchId: Long,
+      state: java.util.concurrent.atomic.AtomicReference[
+        graft.functions.KllState],
+      lastApplied: java.util.concurrent.atomic.AtomicLong)
+      (sink: DataFrame => Unit): Unit =
+    if (batchId > lastApplied.get) {
+      val (report, merged) =
+        kllBatchUpdate(batch, value, k, qsPermille, state.get)
+      sink(report.withColumn("batch_id", lit(batchId)))
+      state.set(merged) // commit point: delivery succeeded
+      lastApplied.set(batchId)
+    }
 
   /** Streaming quantile monitor over a KLL sketch: every micro-batch
     * folds its own sketch into the standing one and reports running
@@ -610,9 +636,13 @@ object Eval {
     * q25: the sketch monitors, the exact twin verifies.
     *
     * Unlike KMV's set-semantics union, KLL merge is NOT idempotent —
-    * an at-least-once replay of a batch double-counts its weight —
-    * so run this under exactly-once foreachBatch delivery
-    * (checkpointed sink) or treat n_seen as the dedup check. State
+    * an at-least-once replay of a batch would double-count its
+    * weight — so the foreachBatch body is GUARDED by the
+    * last-applied batchId (one Long of extra state): Spark
+    * redelivers a failed micro-batch under the same id, and
+    * [[kllGuardedUpdate]] skips ids already applied, upgrading the
+    * old "run only under exactly-once delivery" caveat into the same
+    * replay safety the Bloom gate gets from OR-idempotence. State
     * lives in the foreachBatch closure (the cusum/psi monitor
     * convention). */
   def kllQuantileStream(docs: DataFrame, value: Column, k: Int,
@@ -621,11 +651,12 @@ object Eval {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val state = new java.util.concurrent.atomic.AtomicReference[
       graft.functions.KllState](new graft.functions.KllSketch(k).zero)
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(-1L)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        sink(kllBatchUpdate(batch, value, k, qsPermille, state)
-          .withColumn("batch_id", lit(batchId)))
+        kllGuardedUpdate(batch, value, k, qsPermille, batchId,
+          state, lastApplied)(sink)
       }
       .start()
   }

@@ -756,31 +756,6 @@ object Similarity {
         col("row._1").as("cosine"))
   }
 
-  /** Exact upper-triangle covariance matrix of the embedding columns
-    * — the anisotropy audit (Ethayarajh, EMNLP 2019 made the case):
-    * a healthy embedding table has small off-diagonal mass and
-    * comparable per-dimension variances; a few dominant directions
-    * mean the cosine scores the whole ANN family ranks by are driven
-    * by a rotten subspace. This is the one-pass co-moment shape of a
-    * covariance/PCA-prep job at scale.
-    *
-    * Shape at scale: each row already holds its WHOLE vector, so the
-    * d(d+1)/2 upper-triangle (i, j, x, y) terms generate MAP-SIDE
-    * from the array (nested index-aware transform + flatten) and feed
-    * ONE (i, j) groupBy with partial aggregation — no join and no
-    * pre-aggregation exchange at all (the round-11 flat self-join
-    * shuffled n×d rows on both sides before expanding; at production
-    * embedding scale that exchange was the bottleneck).
-    *
-    * Exactness: components quantize to micro per element and
-    * n/Σx/Σy/Σxy accumulate exactly in decimal(38,0) (the q36
-    * co-moment discipline); the cell emits as INTEGER micro —
-    * round((n·Σxy − ΣxΣy)/(n²·1e6)) — one mirrored double division
-    * then a signless integer (the d28 house rule; a ROUND-6 double
-    * here lost round 11's hash to DuckDB's −0.0 on one tiny-negative
-    * cell — BigDecimal round has no signed zero). Null/absent vectors
-    * contribute no rows. Returns (i, j, n_vecs, cov_micro) ordered
-    * by (i, j). */
   /** Dominant covariance direction by POWER ITERATION over the e17
     * matrix — the second half of the anisotropy audit: e17 says how
     * much off-diagonal mass exists, this names the direction carrying
@@ -803,8 +778,21 @@ object Similarity {
     *
     * Sign is pinned by the iteration itself (deterministic from 𝟙 —
     * the oracle replays the identical steps, so no canonical-flip
-    * step is needed). Returns one row per dimension
-    * (dim, v_micro, lambda_micro), ordered by dim. */
+    * step is needed).
+    *
+    * The output is the `iters`-STEP ITERATE, not a converged
+    * eigenpair guarantee: when the top two eigenvalues are close, or
+    * the dominant eigenvector is nearly orthogonal to the all-ones
+    * start, (v, λ) after a fixed step count can still be far from
+    * the dominant pair (cross-engine agreement holds regardless —
+    * the oracle mirrors the steps, so both engines report the SAME
+    * iterate). Consumers needing a convergence signal use the
+    * distributed variant [[dominantDirectionDistributed]], which
+    * reports delta_micro = max|v_last − v_prev| per run; a
+    * delta_micro near 0 certifies the fixture-style fast
+    * convergence, a large one flags a contested spectrum. Returns
+    * one row per dimension (dim, v_micro, lambda_micro), ordered by
+    * dim. */
   def dominantDirectionMicro(emb: DataFrame, idCol: String,
                              vecCol: String,
                              iters: Int = 5): DataFrame =
@@ -851,6 +839,31 @@ object Similarity {
       .toDF("dim", "v_micro", "lambda_micro").orderBy("dim")
   }
 
+  /** Exact upper-triangle covariance matrix of the embedding columns
+    * — the anisotropy audit (Ethayarajh, EMNLP 2019 made the case):
+    * a healthy embedding table has small off-diagonal mass and
+    * comparable per-dimension variances; a few dominant directions
+    * mean the cosine scores the whole ANN family ranks by are driven
+    * by a rotten subspace. This is the one-pass co-moment shape of a
+    * covariance/PCA-prep job at scale.
+    *
+    * Shape at scale: each row already holds its WHOLE vector, so the
+    * d(d+1)/2 upper-triangle (i, j, x, y) terms generate MAP-SIDE
+    * from the array (nested index-aware transform + flatten) and feed
+    * ONE (i, j) groupBy with partial aggregation — no join and no
+    * pre-aggregation exchange at all (the round-11 flat self-join
+    * shuffled n×d rows on both sides before expanding; at production
+    * embedding scale that exchange was the bottleneck).
+    *
+    * Exactness: components quantize to micro per element and
+    * n/Σx/Σy/Σxy accumulate exactly in decimal(38,0) (the q36
+    * co-moment discipline); the cell emits as INTEGER micro —
+    * round((n·Σxy − ΣxΣy)/(n²·1e6)) — one mirrored double division
+    * then a signless integer (the d28 house rule; a ROUND-6 double
+    * here lost round 11's hash to DuckDB's −0.0 on one tiny-negative
+    * cell — BigDecimal round has no signed zero). Null/absent vectors
+    * contribute no rows. Returns (i, j, n_vecs, cov_micro) ordered
+    * by (i, j). */
   def covarianceMicro(emb: DataFrame, idCol: String,
                       vecCol: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")

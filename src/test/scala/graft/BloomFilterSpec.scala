@@ -107,6 +107,29 @@ class BloomFilterSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomGateBatch is pure w.r.t. standing state: failed-sink " +
+    "retry re-emits, post-commit replay emits nothing") {
+    val s = spark
+    import s.implicits._
+    val zero = new graft.functions.BloomFilter60(65536, 3).zero
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("key", "payload")
+    def keysOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select("key").collect().map(_.getLong(0)).sorted.toSeq
+    // the probe does NOT fold: re-running the same batch against the
+    // same pre-batch state (the retry after a failed sink, which the
+    // stream models by committing state only after sink() returns)
+    // re-emits the same new keys instead of dropping them forever
+    val (n1, f1) = Dedup.bloomGateBatch(b0, col("key"), 65536, 3, zero)
+    val (n2, f2) = Dedup.bloomGateBatch(b0, col("key"), 65536, 3, zero)
+    assert(keysOf(n1) === Seq(1L, 2L) && keysOf(n2) === Seq(1L, 2L))
+    assert(f1 === f2, "the folded filter is a pure function of " +
+      "(state, batch)")
+    // after the commit point a full replay emits nothing (OR-insert
+    // idempotence — the happy-path at-most-once guarantee)
+    val (n3, f3) = Dedup.bloomGateBatch(b0, col("key"), 65536, 3, f1)
+    assert(keysOf(n3).isEmpty && f3 === f1)
+  }
+
   test("nulls are skipped; empty filter rejects everything") {
     val s = spark
     import s.implicits._

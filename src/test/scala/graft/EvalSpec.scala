@@ -476,6 +476,46 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kllGuardedUpdate: redelivered batchId leaves state and sink " +
+    "untouched; failed sink leaves state unapplied") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.KllSketch
+    val k = 64
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      graft.functions.KllState](new KllSketch(k).zero)
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val sunk = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def goodSink(df: org.apache.spark.sql.DataFrame): Unit =
+      sunk ++= df.collect().map(r =>
+        (r.getAs[Long]("batch_id"), r.getAs[Long]("n_seen")))
+    val b0 = (1L to 50L).toDF("v")
+    // a sink failure before the commit point: neither the sketch nor
+    // the last-applied id advance, so the retry (same id) re-applies
+    intercept[RuntimeException] {
+      Eval.kllGuardedUpdate(b0, col("v"), k, Seq(500L), 0L,
+        state, lastApplied)(_ => throw new RuntimeException("sink"))
+    }
+    assert(KllSketch.totalWeight(state.get) === 0L &&
+      lastApplied.get === -1L)
+    Eval.kllGuardedUpdate(b0, col("v"), k, Seq(500L), 0L,
+      state, lastApplied)(goodSink)
+    assert(sunk.toList === List((0L, 50L)) && lastApplied.get === 0L)
+    // an at-least-once REDELIVERY of batch 0 after success: KLL merge
+    // is not idempotent, so without the guard this would double the
+    // weight to 100; the id check skips it — state and sink unchanged
+    Eval.kllGuardedUpdate(b0, col("v"), k, Seq(500L), 0L,
+      state, lastApplied)(goodSink)
+    assert(sunk.toList === List((0L, 50L)),
+      "replayed id must not re-emit")
+    assert(KllSketch.totalWeight(state.get) === 50L,
+      "replayed id must not double-count weight")
+    // the next fresh id still applies
+    Eval.kllGuardedUpdate((51L to 60L).toDF("v"), col("v"), k,
+      Seq(500L), 1L, state, lastApplied)(goodSink)
+    assert(sunk.toList === List((0L, 50L), (1L, 60L)))
+  }
+
   test("KMV sketch union is associative and commutative (the q66 pin)") {
     import graft.functions.KMinValues
     val rnd = new scala.util.Random(88)
