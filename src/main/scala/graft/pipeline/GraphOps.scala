@@ -928,6 +928,89 @@ object GraphOps {
         col("community").as("community_l2"), col("gain_scaled"))
   }
 
+  /** Louvain to a FIXPOINT (Blondel 2008 §2, the full pyramid run
+    * synchronously): alternate the exact-integer weighted move round
+    * with community contraction until a sweep performs no move —
+    * [[louvainOneLevel]] is the first sweep, [[louvainTwoLevel]] the
+    * second; this iterates the pair until the partition stops
+    * improving. Termination is structural, twice over: every move
+    * goes to a strictly SMALLER community id (the synchronous-swap
+    * guard), and every contraction strictly reduces the node count
+    * when any move happened, so the level loop can run at most
+    * n − 1 times — `maxLevels` is a cost cap, not a correctness
+    * crutch. Each sweep's Q is non-decreasing (only positive-gain
+    * moves apply from a singleton super-node partition, and
+    * contraction conserves 2m so Q compares across levels —
+    * GraphOpsSpec pins Q(sweep 2) > Q(sweep 1) on the bundle
+    * fixture, via [[modularityOfLabels]]).
+    *
+    * Cross-engine replay: a level past convergence is the IDENTITY
+    * (no positive gain → every super-node keeps its own id → the
+    * contraction rebuilds the same graph), so a SQL oracle unrolls
+    * exactly `maxLevels` levels as chained CTEs and matches the
+    * early-exiting loop bit-for-bit — the g5/d55 fixed-unroll
+    * discipline, made safe by idempotence at the fixpoint. Shape at
+    * scale: per level, one node-keyed join+groupBy for the round and
+    * one edge contraction groupBy — all keyed exchanges; the graph
+    * SHRINKS every level, so level 1 dominates. Driver state is one
+    * Long per level (the move count — a bounded parameter); labels
+    * and edges stay DataFrames, pinned per level.
+    *
+    * Returns one row per ORIGINAL node: (id, community, n_levels)
+    * where community is the converged label and n_levels counts the
+    * sweeps that performed at least one move (identical on every
+    * row — the q61/e18 report convention). */
+  def louvainConverged(pairs: DataFrame, idACol: String,
+                       idBCol: String, maxLevels: Int = 4): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 16, "maxLevels in [1, 16]")
+    val e0 = normalizedEdges(pairs, idACol, idBCol).localCheckpoint()
+    var ew = e0.withColumn("w", lit(1L))
+    var loops = e0.limit(0).select(col("lo").as("id"),
+      col("lo").as("w"))
+    var labels = degreesOf(e0).select(col("id"),
+      col("id").as("community"))
+    var nLevels = 0L
+    var moved = true
+    while (moved && nLevels < maxLevels) {
+      val r = louvainWeightedRound(ew, loops).localCheckpoint()
+      // 1-row bounded parameter: did this sweep move anything?
+      val nMoves = r.filter(col("community") =!= col("id")).count()
+      moved = nMoves > 0
+      if (moved) {
+        nLevels += 1
+        val asg = r.select(col("id"), col("community"))
+        labels = labels
+          .join(asg.select(col("community").as("_c"),
+            col("id").as("community")), "community")
+          .select(col("id"), col("_c").as("community"))
+          .localCheckpoint(false)
+        // contraction: inter-community weights sum, intra weights and
+        // mapped old self-loops fold into the new loops — total edge
+        // weight (and the Q scale) conserved
+        val ce = ew
+          .join(asg.select(col("id").as("lo"),
+            col("community").as("ca")), "lo")
+          .join(asg.select(col("id").as("hi"),
+            col("community").as("cb")), "hi")
+          .localCheckpoint(false)
+        ew = ce.filter(col("ca") =!= col("cb"))
+          .select(least(col("ca"), col("cb")).as("lo"),
+            greatest(col("ca"), col("cb")).as("hi"), col("w"))
+          .groupBy("lo", "hi").agg(sum(col("w")).as("w"))
+          .localCheckpoint(false)
+        loops = ce.filter(col("ca") === col("cb"))
+          .select(col("ca").as("id"), col("w"))
+          .unionByName(loops.join(asg, "id")
+            .select(col("community").as("id"), col("w")))
+          .groupBy("id").agg(sum(col("w")).as("w"))
+          .localCheckpoint(false)
+      }
+    }
+    graft.ops.Counters.note("louvain", "loop",
+      Map("levels" -> nLevels, "cap" -> maxLevels))
+    labels.withColumn("n_levels", lit(nLevels))
+  }
+
   /** Degree assortativity (Newman, Phys. Rev. Lett. 2002): the
     * Pearson correlation of endpoint degrees over every directed
     * edge — one number answering "do well-connected documents

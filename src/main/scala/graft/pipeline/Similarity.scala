@@ -839,6 +839,77 @@ object Similarity {
       .toDF("dim", "v_micro", "lambda_micro").orderBy("dim")
   }
 
+  /** [[dominantDirectionFromCov]] with the MATVEC DISTRIBUTED — the
+    * d = 1024-4096 production-embedding shape the driver form's
+    * d ≤ 256 cap cannot hold (a 4096² covariance is 8M cells; the
+    * driver fetch stops being a bounded parameter). The matrix stays
+    * a DataFrame: the upper triangle symmetrizes MAP-SIDE (each
+    * off-diagonal cell emits both orientations — no join), pinned
+    * once; each step broadcasts v as a d-long literal (d longs — a
+    * bounded parameter), computes w = C·v as ONE row-keyed groupBy
+    * with partial aggregation (decimal(38,0) products and sums — the
+    * exact twin of the driver's BigInt matvec), and fetches the d-row
+    * w vector back (bounded, one row per dimension). The
+    * normalize-and-λ scalar tail runs the SAME half()/toDouble code
+    * as [[dominantDirectionFromCov]] on the fetched exact integers,
+    * so distributed ≡ driver BIT-FOR-BIT wherever both can run
+    * (SimilaritySpec pins it on the fixture) and the e19 oracle is
+    * the same unrolled-CTE replay.
+    *
+    * Also surfaces delta_micro = max_j |v_iters(j) − v_{iters−1}(j)|
+    * — the convergence residual a fixed-step iterate needs: near 0
+    * certifies the fixture-style fast convergence; large flags a
+    * contested spectrum (top two eigenvalues close), where the
+    * iterate is NOT yet the dominant eigenpair. Returns one row per
+    * dimension (dim, v_micro, lambda_micro, delta_micro), ordered by
+    * dim. */
+  def dominantDirectionDistributed(cov: DataFrame,
+                                   iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters in [1, 16]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // symmetrize map-side and pin: every iteration re-reads this
+    // frame, and the diagonal guarantees one cell per dimension
+    val sym = cov.select(col("j").as("r"), col("i").as("c"),
+        col("cov_micro").as("a"))
+      .unionAll(cov.filter(col("i") =!= col("j"))
+        .select(col("i").as("r"), col("j").as("c"),
+          col("cov_micro").as("a")))
+      .localCheckpoint()
+    val d = (sym.agg(max(col("r"))).head().getLong(0) + 1).toInt
+    require(d >= 1 && d <= 65536,
+      s"v must stay a bounded broadcast parameter; got d=$d")
+    def half(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    var v = Array.fill(d)(1000000L)
+    var prev = v
+    var mLast = BigInt(0)
+    (1 to iters).foreach { _ =>
+      val vLit = typedlit(v.toSeq)
+      // THE distributed step: w = C·v as one row-keyed groupBy; the
+      // result is d rows of exact integers — a bounded fetch
+      val wRows = sym.select(col("r"),
+          (dec(col("a")) *
+            dec(element_at(vLit, col("c").cast("int") + 1))).as("t"))
+        .groupBy("r").agg(sum(col("t")).as("w"))
+        .collect()
+      val w = Array.fill(d)(BigInt(0))
+      wRows.foreach(row =>
+        w(row.getLong(0).toInt) = BigInt(row.getDecimal(1).toBigInteger))
+      mLast = w.map(_.abs).max
+      require(mLast > 0,
+        "zero covariance matrix has no dominant direction")
+      prev = v
+      v = w.map(x => half(1e6 * (x.toDouble / mLast.toDouble)))
+    }
+    val lam = half(mLast.toDouble / 1e6)
+    val delta = v.zip(prev).map { case (a, b) => (a - b).abs }.max
+    val s = cov.sparkSession
+    import s.implicits._
+    (0 until d).map(j => (j.toLong, v(j), lam, delta))
+      .toDF("dim", "v_micro", "lambda_micro", "delta_micro")
+      .orderBy("dim")
+  }
+
   /** Exact upper-triangle covariance matrix of the embedding columns
     * — the anisotropy audit (Ethayarajh, EMNLP 2019 made the case):
     * a healthy embedding table has small off-diagonal mass and

@@ -708,6 +708,51 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(qL1 > qSingle && qL2 >= qL1, s"$qSingle -> $qL1 -> $qL2")
   }
 
+  test("louvainConverged: sweep 2 strictly improves Q, fixpoint " +
+    "equals the l2∘l1 composition, extra cap is a no-op") {
+    val s = spark
+    import s.implicits._
+    // the louvainTwoLevel fixture: level 1 fractures each block,
+    // level 2 folds the leftovers in, level 3 finds no positive gain
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (1L, 4L), (2L, 5L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (7L, 10L), (8L, 11L), (3L, 9L))
+    val p = pairs(edges: _*)
+    // the smaller-id guard merges one link of a chain per sweep, so
+    // this fixture needs FOUR sweeps (verified by hand: level 1
+    // fractures, levels 2-4 fold 10/5/3/1 moves); sweep 5 finds no
+    // positive gain (the bridge's 2m·1 = 34 < k1·k3 = 289) and the
+    // loop exits below the cap — true convergence, not cap exhaustion
+    val conv = GraphOps.louvainConverged(p, "id_a", "id_b",
+      maxLevels = 8).collect()
+    val labels = conv.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nLevels = conv.map(r => r.getLong(2)).distinct
+    assert(nLevels === Array(4L), conv.mkString(","))
+    // the fixpoint: each block one community, the bridge never fuses
+    assert((1L to 6L).map(labels).toSet === Set(1L), labels.toString)
+    assert((7L to 12L).map(labels).toSet === Set(3L), labels.toString)
+    // Q strictly improves past sweep 1 AND past the g17 two-sweep
+    // composition (sweeps 3-4 still applied positive-gain moves)
+    val l1 = GraphOps.louvainOneLevel(p, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val l2 = GraphOps.louvainTwoLevel(p, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val composed = l1.map { case (id, c) => id -> l2(c) }
+    val e = GraphOps.normalizedEdges(p, "id_a", "id_b")
+    def q(m: Map[Long, Long]): Double = GraphOps.modularityOfLabels(e,
+      m.toSeq.toDF("id", "label")).head().getDouble(2)
+    assert(q(composed) > q(l1), s"${q(l1)} -> ${q(composed)}")
+    assert(q(labels) > q(composed), s"${q(composed)} -> ${q(labels)}")
+    // a tighter cap that still covers convergence changes nothing;
+    // n_levels rides along identically (sweep 5 is a no-op)
+    val conv4 = GraphOps.louvainConverged(p, "id_a", "id_b",
+        maxLevels = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(conv4 === conv.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("louvainOneLevel: no synchronous swap on a single pair") {
     // two connected singletons: without the smaller-id guard both
     // would adopt each other's community (a swap — Q unchanged,

@@ -693,6 +693,40 @@ class SimilaritySpec extends AnyFunSuite {
       rank1(1L) === ((1000000L, 2000000L)), rank1.toString)
   }
 
+  test("dominantDirectionDistributed equals the driver form; " +
+    "delta_micro reports convergence") {
+    val s = spark
+    import s.implicits._
+    // an asymmetric-enough fixture that the iteration actually moves:
+    // correlated dims 0/1 plus a weak dim 2
+    val rows = Seq(
+      1L -> Seq(1f, 0.8f, 0.1f), 2L -> Seq(-1f, -0.7f, 0f),
+      3L -> Seq(0.5f, 0.6f, -0.1f), 4L -> Seq(-0.4f, -0.5f, 0.05f),
+      5L -> Seq(0.2f, 0.1f, 0.2f)).toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceMicro(rows, "vec_id", "embedding")
+      .localCheckpoint()
+    val driver = Similarity.dominantDirectionFromCov(cov, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = Similarity.dominantDirectionDistributed(cov, iters = 5)
+      .collect()
+    // bit-for-bit on the shared columns: the distributed matvec's
+    // decimal(38,0) sums are the exact twin of the driver's BigInt
+    assert(dist.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      driver.toSeq)
+    // the residual: one value on every row, exact |v5 - v4| max; on
+    // this well-separated spectrum the iterate has settled to within
+    // a few percent of the 1e6 scale
+    val deltas = dist.map(_.getLong(3)).distinct
+    assert(deltas.length === 1 && deltas.head >= 0L &&
+      deltas.head < 100000L, dist.mkString(","))
+    // iters = 1 from the all-ones start must report a LARGER (or
+    // equal) residual than iters = 5 — the signal consumers read
+    val d1 = Similarity.dominantDirectionDistributed(cov, iters = 1)
+      .head().getLong(3)
+    assert(d1 >= deltas.head, s"d1=$d1 d5=${deltas.head}")
+  }
+
   test("covarianceMicro: plan is join-free (map-side pair terms)") {
     val s = spark
     import s.implicits._
