@@ -44,11 +44,39 @@ object Bench {
     // runs' in-plan counters (they carry sf0.001 values).
     spark.catalog.clearCache()
     graft.ops.Counters.drain()
+    // Standing CALIBRATION preamble (round-12 drift adjudication):
+    // suite totals on this box carry ±20-25% state noise, and the
+    // adjudicated signal is per-entry isolated A/Bs. Time three
+    // trivially-planned standing queries in isolation BEFORE the
+    // suite and ride them in the artifact's counters, so every future
+    // drift call has same-run box-state reference points without a
+    // re-run. Not folded into the total; failures skip silently (the
+    // suite run below reports them properly).
+    val calibration = Seq("s1_scan_project", "t4_rank_derive",
+        "t1_sessionize")
+      .flatMap { n =>
+        selected.get(n).map { fn =>
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          n -> t
+        }
+      }
+    spark.catalog.clearCache()
+    graft.ops.Counters.drain()
     // Errors are reported explicitly, never folded into the total as
     // negative time (a broken query must not make the bench look faster).
     // Two timed runs per query, min reported: steady-state cost, less
     // JIT/IO noise.
     val counterLines = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (calibration.nonEmpty) counterLines += "_calibration" ->
+      calibration.map { case (n, t) =>
+        s"${n.split('_').head}=${String.format(java.util.Locale.ROOT,
+          "%.4f", Double.box(t))}"
+      }.mkString(" ")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()

@@ -183,12 +183,14 @@ object SparkEntry {
        |FROM bfl""".stripMargin
       .replace(" AS (", " AS MATERIALIZED (")
 
-  /** e18's oracle: e17's covariance chain, mirrored to the full
-    * symmetric matrix, then the 5 power-iteration steps UNROLLED
+  /** e18/e19's shared oracle: e17's covariance chain, mirrored to the
+    * full symmetric matrix, then the 5 power-iteration steps UNROLLED
     * (exact HUGEINT matvec, exact max-abs, one mirrored double
     * division per component per step); λ from the last step's max
-    * alone — no wide-integer-to-double conversion is ever compared. */
-  private lazy val duckDominantDirSql: String = {
+    * alone — no wide-integer-to-double conversion is ever compared.
+    * `withDelta` appends e19's convergence residual
+    * max|v5 − v4| (exact integers — the same replay, one more CTE). */
+  private def duckDominantDirSqlWith(withDelta: Boolean): String = {
     val steps = (1 to 5).map { t =>
       s"""w$t AS (SELECT fm.i AS j,
          |    sum(CAST(fm.c AS HUGEINT) * vp.v) AS w
@@ -197,6 +199,14 @@ object SparkEntry {
          |v$t AS (SELECT j, CAST(round(1e6 * (CAST(w AS DOUBLE)
          |    / CAST(m AS DOUBLE))) AS BIGINT) AS v FROM w$t, m$t)"""
     }.mkString(",\n")
+    val deltaCte = if (withDelta)
+      """,
+        |dl AS (SELECT CAST(max(abs(v5.v - v4.v)) AS BIGINT) AS d
+        |  FROM v5 JOIN v4 USING (j))""".stripMargin
+    else ""
+    val deltaCol =
+      if (withDelta) ",\n  dl.d AS delta_micro" else ""
+    val deltaFrom = if (withDelta) ", dl" else ""
     s"""WITH e AS (SELECT vec_id,
        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |fl AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i,
@@ -219,12 +229,119 @@ object SparkEntry {
        |       UNION ALL SELECT j, i, c FROM cm WHERE i <> j),
        |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v
        |  FROM fm),
-       |$steps
+       |$steps$deltaCte
        |SELECT v5.j AS dim, v5.v AS v_micro,
        |  CAST(round(CAST(m5.m AS DOUBLE) / 1e6) AS BIGINT)
-       |    AS lambda_micro
-       |FROM v5, m5 ORDER BY dim""".stripMargin
+       |    AS lambda_micro$deltaCol
+       |FROM v5, m5$deltaFrom ORDER BY dim""".stripMargin
       .replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  private lazy val duckDominantDirSql: String =
+    duckDominantDirSqlWith(withDelta = false)
+
+  /** g18's oracle: the Louvain pyramid unrolled to a FIXED `levels`
+    * count over the verified near-dup graph. Each level is the g17
+    * block generalized to a weighted graph with self-loops: weighted
+    * degrees (loops count twice), 2m, the exact-integer gain argmax
+    * with the smaller-id guard, label composition onto ORIGINAL
+    * nodes, then contraction (inter weights sum; intra weights and
+    * mapped old loops fold into the new self-loops). A level past
+    * convergence is the identity, so fixed unrolling matches the
+    * early-exiting Spark loop exactly; n_levels re-derives as the
+    * count of levels whose pick set is non-empty. */
+  private def duckLouvainConvergedSql(levels: Int): String = {
+    val lvl = (1 to levels).map { t =>
+      s"""dg$t AS (SELECT id, CAST(sum(w) AS BIGINT) AS k FROM (
+         |    SELECT lo AS id, w FROM e$t
+         |    UNION ALL SELECT hi, w FROM e$t
+         |    UNION ALL SELECT id, 2 * w FROM l$t) u GROUP BY id),
+         |s$t AS (SELECT CAST(sum(k) AS BIGINT) AS s2m FROM dg$t),
+         |mv$t AS (SELECT e.src, e.dst, s2m * e.w - ds.k * dd.k AS gain
+         |  FROM (SELECT lo AS src, hi AS dst, w FROM e$t
+         |        UNION ALL SELECT hi, lo, w FROM e$t) e
+         |  JOIN dg$t ds ON ds.id = e.src
+         |  JOIN dg$t dd ON dd.id = e.dst, s$t
+         |  WHERE e.dst < e.src AND s2m * e.w - ds.k * dd.k > 0),
+         |pk$t AS (SELECT src, dst FROM (
+         |    SELECT src, dst, row_number() OVER (
+         |      PARTITION BY src ORDER BY gain DESC, dst ASC) AS rn
+         |    FROM mv$t) r WHERE rn = 1),
+         |la$t AS (SELECT d.id, coalesce(b.dst, d.id) AS comm
+         |  FROM dg$t d LEFT JOIN pk$t b ON b.src = d.id),
+         |lab$t AS (SELECT p.orig, la.comm FROM lab${t - 1} p
+         |  JOIN la$t la ON la.id = p.comm),
+         |ce$t AS (SELECT a.comm AS ca, b.comm AS cb, e.w FROM e$t e
+         |  JOIN la$t a ON a.id = e.lo JOIN la$t b ON b.id = e.hi),
+         |e${t + 1} AS (SELECT least(ca, cb) AS lo,
+         |    greatest(ca, cb) AS hi, CAST(sum(w) AS BIGINT) AS w
+         |  FROM ce$t WHERE ca <> cb GROUP BY 1, 2),
+         |l${t + 1} AS (SELECT id, CAST(sum(w) AS BIGINT) AS w FROM (
+         |    SELECT ca AS id, w FROM ce$t WHERE ca = cb
+         |    UNION ALL SELECT la.comm AS id, l.w FROM l$t l
+         |      JOIN la$t la ON la.id = l.id) u GROUP BY id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val nLevels = (1 to levels).map(t =>
+      s"(CASE WHEN EXISTS (SELECT 1 FROM pk$t) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH ${duckLshVerifiedCtes("documents", 0.3)},
+       |te AS (SELECT DISTINCT least(id_a, id_b) AS lo,
+       |    greatest(id_a, id_b) AS hi
+       |  FROM vpairs WHERE id_a <> id_b),
+       |e1 AS (SELECT lo, hi, CAST(1 AS BIGINT) AS w FROM te),
+       |l1 AS (SELECT CAST(NULL AS BIGINT) AS id,
+       |    CAST(NULL AS BIGINT) AS w WHERE 1 = 0),
+       |lab0 AS (SELECT id AS orig, id AS comm FROM (
+       |    SELECT lo AS id FROM te UNION SELECT hi FROM te) n),
+       |$lvl,
+       |nl AS (SELECT CAST($nLevels AS BIGINT) AS n_levels)
+       |SELECT lab$levels.orig AS doc_id,
+       |  CAST(lab$levels.comm AS BIGINT) AS community, nl.n_levels
+       |FROM lab$levels, nl ORDER BY doc_id LIMIT 2000""".stripMargin
+      .replace(" AS (", " AS MATERIALIZED (")
+  }
+
+  /** q108/q109's shared input frame: per-document (doc_id, source,
+    * value) with nulls dropped on both key and value. */
+  private def groupedKllDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        col("n_chars").cast("long").as("v"))
+      .filter(col("source").isNotNull && col("v").isNotNull)
+
+  /** q108/q109's shared grouped exact-rank audit: each per-source
+    * median estimate (a bounded sketch fetch) is recounted against
+    * its source's exact rank interval in ONE grouped pass, with the
+    * 8n/k acceptance bound riding per row — the kllAuditFrame shape,
+    * grouped. */
+  private def groupedKllAudit(s: SparkSession, docs: DataFrame,
+      ests: Seq[(String, Long, Long)], k: Int): DataFrame = {
+    val sImp = s
+    import sImp.implicits._
+    docs.join(broadcast(
+        ests.toDF("source", "est_chars", "n_retained")), "source")
+      .groupBy("source", "est_chars", "n_retained")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("est_chars"), 1L).otherwise(0L))
+          .as("n_lt"),
+        sum(when(col("v") <= col("est_chars"), 1L).otherwise(0L))
+          .as("n_le"))
+      .withColumn("target_rank", least(col("n"),
+        greatest(lit(1L), expr("(500 * n + 999) div 1000"))))
+      .withColumn("rank_err",
+        when(col("target_rank").between(col("n_lt") + 1L,
+          col("n_le")), 0L)
+          .otherwise(least(
+            abs(col("target_rank") - col("n_lt") - 1L),
+            abs(col("target_rank") - col("n_le")))))
+      .withColumn("bound",
+        greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
+      .select(col("source"), col("n"), col("est_chars"),
+        col("target_rank"), col("rank_err"), col("bound"),
+        (col("rank_err") <= col("bound")).as("within_bound"),
+        col("n_retained"))
+      .orderBy("source")
   }
 
   /** The KLL entries' shared exact-rank audit: given the corpus value
@@ -5969,9 +6086,7 @@ object SparkEntry {
       (s, dir) => {
         import graft.functions.KllSketch
         val k = 64
-        val docs = table(s, dir, "documents")
-          .select(col("source"), col("n_chars").cast("long").as("v"))
-          .filter(col("source").isNotNull && col("v").isNotNull)
+        val docs = groupedKllDocs(s, dir)
         val ests = docs.groupBy("source")
           .agg(KllSketch.agg(k, col("v")).as("sk"))
           .collect()
@@ -5981,31 +6096,38 @@ object SparkEntry {
               KllSketch.quantileOf(st, 500L).getOrElse(0L),
               KllSketch.numRetained(st).toLong)
           }.toSeq
-        val sImp = s
-        import sImp.implicits._
-        docs.join(broadcast(
-            ests.toDF("source", "est_chars", "n_retained")), "source")
-          .groupBy("source", "est_chars", "n_retained")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("v") < col("est_chars"), 1L).otherwise(0L))
-              .as("n_lt"),
-            sum(when(col("v") <= col("est_chars"), 1L).otherwise(0L))
-              .as("n_le"))
-          .withColumn("target_rank", least(col("n"),
-            greatest(lit(1L), expr("(500 * n + 999) div 1000"))))
-          .withColumn("rank_err",
-            when(col("target_rank").between(col("n_lt") + 1L,
-              col("n_le")), 0L)
-              .otherwise(least(
-                abs(col("target_rank") - col("n_lt") - 1L),
-                abs(col("target_rank") - col("n_le")))))
-          .withColumn("bound",
-            greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
-          .select(col("source"), col("n"), col("est_chars"),
-            col("target_rank"), col("rank_err"), col("bound"),
-            (col("rank_err") <= col("bound")).as("within_bound"),
-            col("n_retained"))
-          .orderBy("source")
+        groupedKllAudit(s, docs, ests, k)
+      },
+      None),
+
+    // Batch REPLAY of the per-domain KLL monitor (q107's discipline
+    // applied to q108's grouped shape — the kllGroupedQuantileStream
+    // fold made oracle-checkable outside a streaming harness): three
+    // deterministic batches sketch per (source, batch) in ONE grouped
+    // pass, fold per source in batch order — exactly the standing
+    // map the streaming monitor holds — and the folded estimates must
+    // pass the SAME per-source exact-rank audit as the one-shot q108.
+    // Rows-only (merge-order changes retained items, the standing KLL
+    // adjudication); q44 remains the grouped exact twin.
+    "q109_grouped_kll_replay" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val k = 64
+        val docs = groupedKllDocs(s, dir)
+        val cells = docs
+          .withColumn("b", pmod(col("doc_id"), lit(3L)))
+          .groupBy("source", "b")
+          .agg(KllSketch.agg(k, col("v")).as("sk"))
+          .orderBy("source", "b").collect()
+        val ests = cells.groupBy(_.getString(0)).toSeq
+          .map { case (src, rows) =>
+            val st = rows.sortBy(_.getLong(1))
+              .map(r => KllSketch.fromRow(r.getStruct(2)))
+              .reduceLeft(KllSketch.mergeStates(_, _, k))
+            (src, KllSketch.quantileOf(st, 500L).getOrElse(0L),
+              KllSketch.numRetained(st).toLong)
+          }
+        groupedKllAudit(s, docs, ests, k)
       },
       None),
 
@@ -8548,6 +8670,22 @@ object SparkEntry {
               |ORDER BY community_l1 LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Louvain to the FIXPOINT: alternate the weighted move round with
+    // contraction until a sweep performs no move (g16 is sweep 1, g17
+    // sweep 2; this runs the pyramid out). The loop early-exits on
+    // the first no-move sweep, but a level past convergence is the
+    // IDENTITY (no positive gain -> identity labeling -> identity
+    // contraction), so the oracle unrolls a FIXED 4 levels as chained
+    // CTEs and matches bit-for-bit — the g5/d55 fixed-unroll
+    // discipline made safe by idempotence at the fixpoint. n_levels
+    // counts the sweeps that moved (both engines re-derive it).
+    "g18_louvain_converged" -> Q(
+      (s, dir) => graft.pipeline.GraphOps.louvainConverged(
+          dedupArtifacts(s, dir).pairs, "id_a", "id_b", maxLevels = 6)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id").limit(2000),
+      Some(duckLouvainConvergedSql(6))),
+
     // Pairs → CLUSTERS: connected components of the verified near-dup
     // graph (Dedup.connectedComponents, alternating large-star /
     // small-star contraction — O(log²) rounds regardless of chain
@@ -8925,6 +9063,100 @@ object SparkEntry {
               |    AS realized_ct
               |FROM me LEFT JOIN mk USING (source)
               |ORDER BY source""".stripMargin)),
+
+    // The plan MATERIALIZED (d71 promises, this delivers): epochs
+    // full copies of every upsampled domain (map-side explode over
+    // the broadcast plan) plus the hash-threshold remainder as
+    // epoch_no 0 — the actual "source seen E.F epochs" training
+    // stream. Per-domain realized volume is counted FROM THE MIX and
+    // audited against the plan's target: |realized − target| =
+    // |kept − rem| deviates only by the ppm rounding plus hash-
+    // sampling noise, bounded per row by 8 + ⌈4·√(n·p·(1−p))⌉ (a
+    // >4σ envelope, deterministic given the data — the oracle
+    // recomputes the identical bound, so within_bound is itself
+    // cross-engine checked).
+    "d74_mix_realized" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val plan = Curation.mixEpochPlan(docs, "source",
+          targetN = 1337L).localCheckpoint()
+        val mix = Curation.mixRealize(docs, "doc_id", "source", plan)
+        val counts = mix.groupBy(col("source"))
+          .agg(count(lit(1)).as("realized_ct"),
+            sum(when(col("epoch_no") >= 1L, 1L).otherwise(0L))
+              .as("n_copies"),
+            sum(when(col("epoch_no") === 0L, 1L).otherwise(0L))
+              .as("n_rem"))
+        plan.withColumnRenamed("domain", "source")
+          .join(counts, Seq("source"), "left")
+          .withColumn("realized_ct",
+            coalesce(col("realized_ct"), lit(0L)))
+          .withColumn("dev",
+            abs(col("realized_ct") - col("target_ct")))
+          .withColumn("_p",
+            col("rem_rate_ppm").cast("double") / lit(1e6))
+          .withColumn("bound", lit(8L) + ceil(lit(4.0) *
+            sqrt(col("n_in").cast("double") * col("_p") *
+              (lit(1.0) - col("_p")))).cast("long"))
+          .select(col("source"), col("n_in"), col("target_ct"),
+            col("epochs"),
+            coalesce(col("n_copies"), lit(0L)).as("n_copies"),
+            coalesce(col("n_rem"), lit(0L)).as("n_rem"),
+            col("realized_ct"), col("dev"), col("bound"),
+            (col("dev") <= col("bound")).as("within_bound"))
+          .orderBy("source")
+      },
+      Some(s"""WITH mc AS (SELECT source,
+              |    CAST(count(*) AS BIGINT) AS n_in
+              |  FROM documents WHERE source IS NOT NULL
+              |  GROUP BY source),
+              |ms AS (SELECT source, n_in,
+              |    CAST(round(1e6 * sqrt(CAST(n_in AS DOUBLE)))
+              |      AS BIGINT) AS sm FROM mc),
+              |mt AS (SELECT CAST(sum(sm) AS HUGEINT) AS stot FROM ms),
+              |mr AS (SELECT source, n_in,
+              |    CAST(round(CAST(1337 * CAST(sm AS HUGEINT)
+              |        AS DOUBLE) / CAST(stot AS DOUBLE)) AS BIGINT)
+              |      AS target_ct
+              |  FROM ms, mt),
+              |me AS (SELECT source, n_in, target_ct,
+              |    CAST(target_ct // n_in AS BIGINT) AS epochs,
+              |    CAST(round(1e6 * CAST(target_ct % n_in AS DOUBLE)
+              |      / CAST(n_in AS DOUBLE)) AS BIGINT)
+              |      AS rem_rate_ppm
+              |  FROM mr),
+              |mx AS (SELECT d.source, CAST(t.e AS BIGINT) AS epoch_no
+              |  FROM documents d JOIN me USING (source),
+              |    unnest(generate_series(1, me.epochs)) AS t(e)
+              |  WHERE me.epochs >= 1
+              |  UNION ALL
+              |  SELECT d.source, CAST(0 AS BIGINT)
+              |  FROM documents d JOIN me USING (source)
+              |  WHERE (${duckHash60("CAST(doc_id AS VARCHAR)")})
+              |    % 1000000 < me.rem_rate_ppm),
+              |mg AS (SELECT source,
+              |    CAST(count(*) AS BIGINT) AS realized_ct,
+              |    CAST(count(*) FILTER (WHERE epoch_no >= 1)
+              |      AS BIGINT) AS n_copies,
+              |    CAST(count(*) FILTER (WHERE epoch_no = 0)
+              |      AS BIGINT) AS n_rem
+              |  FROM mx GROUP BY source),
+              |ma AS (SELECT me.source, me.n_in, me.target_ct,
+              |    me.epochs,
+              |    coalesce(mg.n_copies, 0) AS n_copies,
+              |    coalesce(mg.n_rem, 0) AS n_rem,
+              |    coalesce(mg.realized_ct, 0) AS realized_ct,
+              |    abs(coalesce(mg.realized_ct, 0) - me.target_ct)
+              |      AS dev,
+              |    8 + CAST(ceil(4 * sqrt(CAST(me.n_in AS DOUBLE)
+              |      * (CAST(me.rem_rate_ppm AS DOUBLE) / 1e6)
+              |      * (1 - CAST(me.rem_rate_ppm AS DOUBLE) / 1e6)))
+              |      AS BIGINT) AS bound
+              |  FROM me LEFT JOIN mg USING (source))
+              |SELECT source, n_in, target_ct, epochs, n_copies,
+              |  n_rem, realized_ct, dev, bound,
+              |  (dev <= bound) AS within_bound
+              |FROM ma ORDER BY source""".stripMargin)),
 
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.
@@ -9926,6 +10158,22 @@ object SparkEntry {
       (s, dir) => Similarity.dominantDirectionFromCov(
         covarianceStaged(s, dir), iters = 5),
       Some(duckDominantDirSql)),
+
+    // The SAME power iteration with the matvec DISTRIBUTED — the
+    // d = 1024-4096 production shape e18's d <= 256 driver cap cannot
+    // hold: the matrix stays a DataFrame (map-side symmetrized, pinned
+    // once), v broadcasts per step as a d-long literal, w = C·v is one
+    // row-keyed groupBy in exact decimal(38,0), and only the d-row w
+    // vector is fetched per step. The scalar tail reuses the driver
+    // form's exact code, so e19 ≡ e18 bit-for-bit on (dim, v_micro,
+    // lambda_micro) — SimilaritySpec pins it — plus delta_micro, the
+    // convergence residual max|v5 − v4| (near 0 certifies the
+    // iterate converged; large flags a contested spectrum). Oracle:
+    // the same unrolled-CTE replay with one more CTE for the delta.
+    "e19_dominant_direction_dist" -> Q(
+      (s, dir) => Similarity.dominantDirectionDistributed(
+        covarianceStaged(s, dir), iters = 5),
+      Some(duckDominantDirSqlWith(withDelta = true))),
 
     "r2_hybrid_rrf" -> Q(
       (s, dir) => {

@@ -295,6 +295,29 @@ object Curation {
       .filter(pmod(Dedup.md5Long60(col(idCol).cast("string")),
         lit(1000000L)) < col("rem_rate_ppm"))
 
+  /** The MATERIALIZED mix of a [[mixEpochPlan]]: every upsampled
+    * domain's documents repeat `epochs` times (epoch_no 1..epochs —
+    * a map-side explode over a broadcast plan, no shuffle) and the
+    * deterministic hash-threshold remainder rides along as
+    * epoch_no 0 ([[mixEpochRemainder]]'s rows) — together exactly
+    * the "source seen E.F epochs" training stream the plan promises.
+    * Realized per-domain volume is epochs·n_in + |remainder|; the
+    * d74 entry audits |realized − target| against the threshold's
+    * quantization+sampling bound. Returns (idCol, domainCol,
+    * epoch_no). */
+  def mixRealize(docs: DataFrame, idCol: String, domainCol: String,
+                 plan: DataFrame): DataFrame =
+    docs.join(broadcast(plan.select(col("domain").as(domainCol),
+        col("epochs"))), domainCol)
+      // Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of emitting
+      // empty — epochs = 0 domains must drop before the explode
+      .filter(col("epochs") >= 1L)
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(1L), col("epochs"))).as("epoch_no"))
+      .unionByName(mixEpochRemainder(docs, idCol, domainCol, plan)
+        .select(col(idCol), col(domainCol),
+          lit(0L).as("epoch_no")))
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

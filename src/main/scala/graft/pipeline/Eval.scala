@@ -661,6 +661,87 @@ object Eval {
       .start()
   }
 
+  /** One micro-batch of [[kllGroupedQuantileStream]]: ONE grouped
+    * aggregation sketches the arriving frame per domain, each
+    * domain's sketch folds into its standing one, and the report
+    * carries every domain's running quantile. Pure w.r.t. the
+    * standing map (the kllBatchUpdate discipline — the caller
+    * commits). The fetched state is one O(k) sketch per domain —
+    * bounded by mixture cardinality, enforced by `maxGroups`. */
+  private[graft] def kllGroupedBatchUpdate(batch: DataFrame,
+      group: Column, value: Column, k: Int, qPermille: Long,
+      state: Map[String, graft.functions.KllState],
+      maxGroups: Int)
+      : (DataFrame, Map[String, graft.functions.KllState]) = {
+    import graft.functions.KllSketch
+    val perGroup = batch
+      .filter(group.isNotNull && value.isNotNull)
+      .groupBy(group.cast("string").as("g"))
+      .agg(KllSketch.agg(k, value).as("sk"))
+      .collect() // one bounded sketch per arriving domain, never data
+      .map(r => r.getString(0) -> KllSketch.fromRow(r.getStruct(1)))
+    val merged = state ++ perGroup.map { case (g, sk) =>
+      g -> state.get(g).map(KllSketch.mergeStates(_, sk, k))
+        .getOrElse(sk)
+    }
+    require(merged.size <= maxGroups,
+      s"domain cardinality ${merged.size} exceeds maxGroups=" +
+        s"$maxGroups — the standing state must stay bounded")
+    val rows = merged.toSeq.sortBy(_._1).map { case (g, st) =>
+      (g, qPermille, KllSketch.quantileOf(st, qPermille).getOrElse(0L),
+        KllSketch.totalWeight(st), KllSketch.numRetained(st).toLong)
+    }
+    val spark = batch.sparkSession
+    import spark.implicits._
+    (rows.toDF("g", "q_permille", "est", "n_seen", "n_retained"),
+      merged)
+  }
+
+  /** The guarded foreachBatch body of [[kllGroupedQuantileStream]] —
+    * the [[kllGuardedUpdate]] shape over the per-domain state map:
+    * skip redelivered batchIds (KLL merge is not idempotent), commit
+    * map + id only after the sink returns. */
+  private[graft] def kllGroupedGuardedUpdate(batch: DataFrame,
+      group: Column, value: Column, k: Int, qPermille: Long,
+      batchId: Long, maxGroups: Int,
+      state: java.util.concurrent.atomic.AtomicReference[
+        Map[String, graft.functions.KllState]],
+      lastApplied: java.util.concurrent.atomic.AtomicLong)
+      (sink: DataFrame => Unit): Unit =
+    if (batchId > lastApplied.get) {
+      val (report, merged) = kllGroupedBatchUpdate(batch, group,
+        value, k, qPermille, state.get, maxGroups)
+      sink(report.withColumn("batch_id", lit(batchId)))
+      state.set(merged) // commit point: delivery succeeded
+      lastApplied.set(batchId)
+    }
+
+  /** PER-DOMAIN streaming quantile monitor — the production
+    * drift-watch shape: one bounded KLL sketch per source held
+    * forever, each micro-batch folded in through ONE grouped
+    * aggregation, every batch reporting every domain's running
+    * quantile ([[kllQuantileStream]] is the single-column form; q108
+    * is this monitor's one-shot batch twin and q44 the exact grouped
+    * twin). State is |domains| × O(k) longs — bounded by mixture
+    * cardinality (`maxGroups` enforces it), not by stream length —
+    * and the batchId guard + commit-after-sink give the same
+    * at-most-once application per id as [[kllQuantileStream]]. */
+  def kllGroupedQuantileStream(docs: DataFrame, group: Column,
+      value: Column, k: Int, qPermille: Long, maxGroups: Int = 4096)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, graft.functions.KllState]](Map.empty)
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        kllGroupedGuardedUpdate(batch, group, value, k, qPermille,
+          batchId, maxGroups, state, lastApplied)(sink)
+      }
+      .start()
+  }
+
   /** Exact 1-D Wasserstein-1 (earth mover's) distance between two
     * segments of an INTEGER-VALUED column — the drift metric that
     * completes the family: KS ([[ksMicro]]) is the max CDF gap (shape

@@ -520,4 +520,36 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "source"))
     assert(Curation.mixEpochPlan(withNull, "source", 55L).count() === 3L)
   }
+
+  test("mixRealize: epochs copies + remainder rows, exact where the " +
+    "rate quantizes to 0 or the domain only downsamples") {
+    val s = spark
+    import s.implicits._
+    // the mixEpochPlan fixture: big = 0 ep @390000ppm (remainder
+    // only), mid = 1 ep @333333ppm, tiny = 4 ep @0ppm (pure integer
+    // upsample — realized EXACTLY 4, no hash noise)
+    val d = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 109L).map(i => (i, "mid")) :+ (110L -> "tiny"))
+      .toDF("doc_id", "source")
+    val plan = Curation.mixEpochPlan(d, "source", targetN = 55L)
+      .localCheckpoint()
+    val mix = Curation.mixRealize(d, "doc_id", "source", plan)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("source"), r.getAs[Long]("epoch_no")))
+    val bySrc = mix.groupBy(_._2)
+    // tiny: exactly 4 full copies (epoch_no 1..4), zero remainder
+    assert(bySrc("tiny").map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // mid: every doc exactly once at epoch 1, plus remainder at 0
+    val mid = bySrc("mid")
+    assert(mid.count(_._3 == 1L) === 9)
+    assert(mid.filter(_._3 == 0L).map(_._1).toSet.subsetOf(
+      (101L to 109L).toSet))
+    assert(mid.forall(t => t._3 == 0L || t._3 == 1L))
+    // big: remainder-only (no full copies), every row epoch_no 0
+    assert(bySrc("big").forall(_._3 == 0L))
+    // the remainder rows ARE mixEpochRemainder's rows
+    val remIds = Curation.mixEpochRemainder(d, "doc_id", "source",
+      plan).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(mix.filter(_._3 == 0L).map(_._1).sorted.toSeq === remIds)
+  }
 }

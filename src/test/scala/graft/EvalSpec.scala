@@ -476,6 +476,75 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kllGroupedQuantileStream: one bounded sketch per domain, " +
+    "exact below k, per-domain folds accumulate") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val k = 64
+    val mem = MemoryStream[(String, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Long)]()
+    val q = Eval.kllGroupedQuantileStream(
+      mem.toDF().toDF("src", "v"), col("src"), col("v"), k, 500L) {
+      m => seen ++= m.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[String]("g"), r.getAs[Long]("est"),
+        r.getAs[Long]("n_seen")))
+    }
+    try {
+      // batch 0: two domains, both below k — medians are exact
+      mem.addData(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L))
+      q.processAllAvailable()
+      // batch 1: domain a grows, domain c appears, b is absent but
+      // its standing sketch still reports
+      mem.addData(("a", 4L), ("a", 5L), ("c", 7L))
+      q.processAllAvailable()
+      val b0 = seen.filter(_._1 == 0L).map(t => t._2 -> (t._3, t._4))
+        .toMap
+      val b1 = seen.filter(_._1 == 1L).map(t => t._2 -> (t._3, t._4))
+        .toMap
+      assert(b0 === Map("a" -> ((2L, 3L)), "b" -> ((10L, 1L))),
+        seen.toString)
+      assert(b1 === Map("a" -> ((3L, 5L)), "b" -> ((10L, 1L)),
+        "c" -> ((7L, 1L))), seen.toString)
+    } finally q.stop()
+  }
+
+  test("kllGroupedGuardedUpdate: redelivered batchId is skipped; " +
+    "maxGroups bounds the standing map") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.KllSketch
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, graft.functions.KllState]](Map.empty)
+    val lastApplied = new java.util.concurrent.atomic.AtomicLong(-1L)
+    var sinks = 0
+    val b0 = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("src", "v")
+    def apply(id: Long): Unit = Eval.kllGroupedGuardedUpdate(b0,
+      col("src"), col("v"), 64, 500L, id, 4096, state, lastApplied)(
+      _ => sinks += 1)
+    apply(0L)
+    assert(sinks === 1 &&
+      KllSketch.totalWeight(state.get()("a")) === 2L)
+    // at-least-once redelivery: same id, no double-count, no re-emit
+    apply(0L)
+    assert(sinks === 1 &&
+      KllSketch.totalWeight(state.get()("a")) === 2L)
+    apply(1L)
+    assert(sinks === 2 &&
+      KllSketch.totalWeight(state.get()("a")) === 4L)
+    // the cardinality guard: a third domain over a cap of 2 refuses
+    val tiny = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, graft.functions.KllState]](Map.empty)
+    val tinyLast = new java.util.concurrent.atomic.AtomicLong(-1L)
+    intercept[IllegalArgumentException] {
+      Eval.kllGroupedGuardedUpdate(
+        Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("src", "v"),
+        col("src"), col("v"), 64, 500L, 0L, 2, tiny, tinyLast)(_ => ())
+    }
+  }
+
   test("kllGuardedUpdate: redelivered batchId leaves state and sink " +
     "untouched; failed sink leaves state unapplied") {
     val s = spark
