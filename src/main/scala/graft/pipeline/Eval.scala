@@ -210,6 +210,30 @@ object Eval {
       .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
         sum(when(segment === segB, 1L).otherwise(0L)).as("cb")))
 
+  /** Hard ceiling on the FromCounts family's single-partition value
+    * window: the (v, ca, cb) frame is bounded by VALUE CARDINALITY
+    * (the ksMicro contract — quantize continuous columns first), and
+    * at 2²² distinct values the one sort partition holds ~100 MB —
+    * past that the input has violated the contract and must fail
+    * LOUDLY, not OOM an executor mid-sort. */
+  private[graft] val MaxWindowValues: Long = 1L << 22
+
+  /** The guarded constant-join key the FromCounts bodies thread their
+    * totals through: passes 0 below the cap, raises in-plan above it.
+    * It rides the BROADCAST side of the totals join, which
+    * materializes before the probe side's global window sorts — so a
+    * contract-violating cardinality kills the query before the
+    * expensive (and memory-unsafe) work starts, the
+    * exactTopK/RangeJoin in-plan-guard convention. */
+  private[graft] def guardedOneKey(nvals: Column, cap: Long,
+                                   op: String): Column =
+    when(nvals <= cap, lit(0L))
+      .otherwise(raise_error(concat(
+        lit(s"$op: value cardinality "), nvals,
+        lit(s" exceeds $cap — the global value window is bounded by"),
+        lit(" distinct values; quantize the column first (the"),
+        lit(" ksMicro contract)")))).cast("int")
+
   /** The KS arithmetic over a prebuilt (v, ca, cb) value-count frame —
     * shared by the two-segment batch form and the streaming drift
     * monitor so the cumulative/quantization semantics cannot drift
@@ -222,7 +246,8 @@ object Eval {
       .withColumn("cum_b", sum(col("cb")).over(w))
     val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("nvals"))
-      .withColumn("_one", pmod(col("nvals"), lit(1L)).cast("int"))
+      .withColumn("_one",
+        guardedOneKey(col("nvals"), MaxWindowValues, "ksFromCounts"))
     c.withColumn("_one",
         pmod(col("cum_a") + col("cum_b"), lit(1L)).cast("int"))
       .join(broadcast(totals), "_one")
@@ -817,7 +842,8 @@ object Eval {
       .filter(col("next_v").isNotNull)
     val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("nvals"))
-      .withColumn("_one", pmod(col("nvals"), lit(1L)).cast("int"))
+      .withColumn("_one",
+        guardedOneKey(col("nvals"), MaxWindowValues, "w1FromCounts"))
     // terms grouped on the constant key, then a LEFT join from totals:
     // a single-support-value input has no intervals (empty terms) and
     // must report W1 = 0, not an empty frame
@@ -1972,6 +1998,13 @@ object Eval {
     val na = tot.getLong(1)
     val nb = n - na
     val nVals = tot.getLong(2)
+    // the driver already fetched the cardinality — guard it here,
+    // BEFORE the single-partition window job launches (the ks/w1
+    // guardedOneKey contract, free on this code path)
+    require(nVals <= MaxWindowValues,
+      s"adFromCounts: value cardinality $nVals exceeds " +
+        s"$MaxWindowValues — quantize the column first (the ksMicro " +
+        "contract)")
     val w = Window.orderBy("v")
     val cum = g.select(col("l"), col("la"),
       (col("l") - col("la")).as("lb"),

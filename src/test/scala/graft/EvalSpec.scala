@@ -476,6 +476,23 @@ class EvalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("guardedOneKey: the FromCounts cardinality guard passes " +
+    "below the cap and raises in-plan above it") {
+    val s = spark
+    import s.implicits._
+    val ok = Seq(3L).toDF("nvals")
+      .select(Eval.guardedOneKey(col("nvals"), 5L, "t").as("k"))
+      .head().getInt(0)
+    assert(ok === 0)
+    val ex = intercept[Exception] {
+      Seq(9L).toDF("nvals")
+        .select(Eval.guardedOneKey(col("nvals"), 5L, "t").as("k"))
+        .collect()
+    }
+    assert(Option(ex.getMessage).exists(_.contains("cardinality")),
+      ex.toString)
+  }
+
   test("kllGroupedQuantileStream: one bounded sketch per domain, " +
     "exact below k, per-domain folds accumulate") {
     val s = spark
