@@ -55,14 +55,17 @@ object Bench {
     val calibration = Seq("s1_scan_project", "t4_rank_derive",
         "t1_sessionize")
       .flatMap { n =>
-        selected.get(n).map { fn =>
-          val t = (1 to 2).map { _ =>
+        selected.get(n).flatMap { fn =>
+          // only SUCCESSFUL runs calibrate: a fail-fast elapsed time
+          // would publish a bogus near-zero box-state reference (and
+          // .min would prefer it over a valid timing)
+          val ts = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).count()
-            catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
-          }.min
-          n -> t
+            try { fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          ts.minOption.map(n -> _)
         }
       }
     spark.catalog.clearCache()

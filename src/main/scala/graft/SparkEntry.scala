@@ -302,12 +302,13 @@ object SparkEntry {
       .replace(" AS (", " AS MATERIALIZED (")
   }
 
-  /** q108/q109's shared input frame: per-document (doc_id, source,
-    * value) with nulls dropped on both key and value. */
+  /** q108/q109's shared input frame: per-document (source, value)
+    * with nulls dropped on both key and value — only the columns the
+    * sketch and the audit read, so q108's scan stays two columns
+    * (q109 adds its batch key in its own frame). */
   private def groupedKllDocs(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        col("n_chars").cast("long").as("v"))
+      .select(col("source"), col("n_chars").cast("long").as("v"))
       .filter(col("source").isNotNull && col("v").isNotNull)
 
   /** q108/q109's shared grouped exact-rank audit: each per-source
@@ -6114,8 +6115,15 @@ object SparkEntry {
         import graft.functions.KllSketch
         val k = 64
         val docs = groupedKllDocs(s, dir)
-        val cells = docs
-          .withColumn("b", pmod(col("doc_id"), lit(3L)))
+        // the batch split carries its own frame (doc_id is q109's
+        // alone — q108's scan must stay two columns) with the same
+        // null filters as the audit frame; a null doc_id lands in
+        // batch 0 via coalesce so every audited row is in exactly
+        // one batch (getLong on a null key would NPE driver-side)
+        val cells = table(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"),
+            pmod(coalesce(col("doc_id"), lit(0L)), lit(3L)).as("b"))
+          .filter(col("source").isNotNull && col("v").isNotNull)
           .groupBy("source", "b")
           .agg(KllSketch.agg(k, col("v")).as("sk"))
           .orderBy("source", "b").collect()

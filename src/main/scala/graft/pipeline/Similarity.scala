@@ -875,7 +875,9 @@ object Similarity {
         .select(col("i").as("r"), col("j").as("c"),
           col("cov_micro").as("a")))
       .localCheckpoint()
-    val d = (sym.agg(max(col("r"))).head().getLong(0) + 1).toInt
+    val mx = sym.agg(max(col("r"))).head()
+    require(!mx.isNullAt(0), "empty embedding table")
+    val d = (mx.getLong(0) + 1).toInt
     require(d >= 1 && d <= 65536,
       s"v must stay a bounded broadcast parameter; got d=$d")
     def half(x: Double): Long = BigDecimal(x)
