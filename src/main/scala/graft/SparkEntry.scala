@@ -93,6 +93,55 @@ object SparkEntry {
       Dedup.winnowKeys(table(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 5).localCheckpoint())
 
+  // keyed by (applicationId, sfDir): the winnowKeys discipline
+  private val dsirRatiosCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** DSIR's trained artifact, staged ONCE per (application, sfDir):
+    * the 1024-bucket hashed-bigram log-ratio table between the
+    * English subset (the target distribution) and the whole corpus —
+    * consumed by BOTH the d75 ratio report and d76's per-document
+    * scoring (a production run trains the ratio table once per
+    * target; every selection pass reads it). */
+  private def dsirRatiosStaged(s: SparkSession, dir: String): DataFrame =
+    dsirRatiosCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val docs = table(s, dir, "documents")
+        Curation.dsirLogRatios(docs.filter(col("lang") === "en"),
+          docs, "text", buckets = 1024).localCheckpoint()
+      })
+
+  /** d75/d76's shared oracle prefix: the DSIR bigram bucketing, the
+    * two bucket distributions (target = lang 'en', raw = all), and
+    * the smoothed per-bucket log ratio — operand order mirrored
+    * token for token with [[graft.pipeline.Curation.dsirLogRatios]]
+    * (ONE ln per bucket over identical doubles, the g6 aa_micro
+    * precedent, quantized to micro immediately). */
+  private lazy val duckDsirCtes: String =
+    s"""dtk AS (SELECT doc_id, lang, str_split(text, ' ') AS toks
+       |  FROM documents),
+       |dbg AS (SELECT doc_id, lang,
+       |    (${duckHash60("toks[gi] || ' ' || toks[gi+1]")}) % 1024
+       |      AS b
+       |  FROM dtk, unnest(generate_series(1, len(toks) - 1)) AS g(gi)
+       |  WHERE len(toks) >= 2),
+       |dtb AS (SELECT b, CAST(count(*) AS BIGINT) AS t_ct FROM dbg
+       |  WHERE lang = 'en' GROUP BY b),
+       |drb AS (SELECT b, CAST(count(*) AS BIGINT) AS r_ct FROM dbg
+       |  GROUP BY b),
+       |dtt AS (SELECT count(*) AS tn FROM dbg WHERE lang = 'en'),
+       |drt AS (SELECT count(*) AS rn FROM dbg),
+       |ddom AS (SELECT CAST(u.b AS BIGINT) AS b FROM
+       |  (SELECT unnest(generate_series(0, 1023)) AS b) u),
+       |drat AS (SELECT ddom.b,
+       |    coalesce(t_ct, 0) AS t_ct, coalesce(r_ct, 0) AS r_ct,
+       |    CAST(round(1e6 * ln(
+       |      (CAST(coalesce(t_ct, 0) + 1 AS DOUBLE) / (tn + 1024))
+       |      / (CAST(coalesce(r_ct, 0) + 1 AS DOUBLE) / (rn + 1024))))
+       |      AS BIGINT) AS ratio_micro
+       |  FROM ddom LEFT JOIN dtb USING (b) LEFT JOIN drb USING (b),
+       |    dtt, drt)""".stripMargin
+
   // d72/d73's filter geometry: 2^16 bits / 3 probes — at the sf range
   // this runs at, load stays low enough that the realized FPR is a
   // meaningful audit column rather than saturation (BloomFilterSpec
@@ -9165,6 +9214,46 @@ object SparkEntry {
               |  n_rem, realized_ct, dev, bound,
               |  (dev <= bound) AS within_bound
               |FROM ma ORDER BY source""".stripMargin)),
+
+    // DSIR's trained artifact (Xie et al., NeurIPS 2023 — the
+    // importance-resampling data selection that shaped GPT-3-style
+    // quality subsets): per hashed-bigram bucket, the Laplace-
+    // smoothed ln(p_target/p_raw) between the English subset and the
+    // whole corpus, as integer micro. Two bounded bucket
+    // aggregations + 1-row total fetches + a map-side expression —
+    // the result is a 1024-row broadcastable parameter table, staged
+    // once and shared with d76 (the winnowKeys discipline). The one
+    // transcendental (ln) runs over identical doubles in a pinned
+    // operand order (the g6 precedent) and quantizes immediately.
+    "d75_dsir_ratios" -> Q(
+      (s, dir) => dsirRatiosStaged(s, dir).orderBy("b"),
+      Some(s"""WITH $duckDsirCtes
+              |SELECT b, t_ct, r_ct, ratio_micro FROM drat
+              |ORDER BY b""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Per-document DSIR importance scores over the staged ratio
+    // table: each doc's hashed bigrams join the broadcast artifact
+    // and the score is the ORDER-FREE integer-micro sum of its
+    // buckets' log ratios (= ln of its importance weight, up to
+    // quantization) — resample/threshold by this to shift the raw
+    // corpus toward the target distribution. Map-side explode +
+    // broadcast join + one doc-keyed aggregation; gram-less docs
+    // keep (0, 0).
+    "d76_dsir_scores" -> Q(
+      (s, dir) => Curation.dsirScores(table(s, dir, "documents"),
+          "doc_id", "text", dsirRatiosStaged(s, dir))
+        .orderBy("doc_id").limit(2000),
+      Some(s"""WITH $duckDsirCtes,
+              |dsc AS (SELECT doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_grams,
+              |    CAST(sum(ratio_micro) AS BIGINT) AS score_micro
+              |  FROM dbg JOIN drat USING (b) GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+              |  coalesce(score_micro, 0) AS score_micro
+              |FROM documents d LEFT JOIN dsc USING (doc_id)
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.

@@ -318,6 +318,101 @@ object Curation {
         .select(col(idCol), col(domainCol),
           lit(0L).as("epoch_no")))
 
+  /** Hashed-bigram bucket ids of one document's text — DSIR's feature
+    * map (and nothing else's: winnowing keeps positions, this is a
+    * bag): word bigrams through the portable [[Dedup.md5Long60]] into
+    * `buckets` buckets, map-side per row. Documents under 2 tokens
+    * emit nothing. */
+  private def bigramBuckets(text: Column, buckets: Int): Column = {
+    val toks = TextStats.tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => pmod(
+          Dedup.md5Long60(concat_ws(" ", slice(toks, i, lit(2)))),
+          lit(buckets.toLong))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** DSIR importance log-ratios (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): the trained artifact of the data-selection pass —
+    * per hashed-bigram bucket, the smoothed log ratio
+    * ln(p_target(b) / p_raw(b)) between a SMALL target corpus (the
+    * domain you want more of) and the big raw corpus, Laplace α = 1.
+    * A document's importance weight is then the SUM of its bigrams'
+    * ratios ([[dsirScores]]), and resampling by that weight shifts
+    * the raw corpus toward the target distribution — the
+    * hashed-n-gram importance scheme that selected GPT-3-style
+    * quality subsets at corpus scale.
+    *
+    * Shape at scale: two bucket-count aggregations (each bounded by
+    * `buckets`, partial map-side combine), totals fetched as 1-row
+    * bounded parameters, one map-side expression per bucket — the
+    * result is `buckets` rows, a broadcastable parameter table.
+    * Exactness: the only transcendental is ONE ln per bucket over
+    * identical doubles in a pinned operand order (the g6 aa_micro
+    * precedent), quantized to integer micro immediately — so
+    * per-document sums downstream are order-free integer sums.
+    * Returns (b, t_ct, r_ct, ratio_micro) for ALL buckets, ordered
+    * by b. */
+  def dsirLogRatios(target: DataFrame, raw: DataFrame,
+                    textCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "buckets in [2, 2^20] — the ratio table must stay broadcastable")
+    def counts(df: DataFrame): DataFrame = df
+      .select(explode(bigramBuckets(col(textCol), buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val tc = counts(target).localCheckpoint()
+    val rc = counts(raw).localCheckpoint()
+    // 1-row bounded parameters: total bigram masses
+    val tn = tc.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val rn = rc.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    val s = target.sparkSession
+    val dom = s.range(buckets.toLong).select(col("id").as("b"))
+    dom.join(tc.withColumnRenamed("ct", "t_ct"), Seq("b"), "left")
+      .join(rc.withColumnRenamed("ct", "r_ct"), Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("t_ct"), lit(0L)).as("t_ct"),
+        coalesce(col("r_ct"), lit(0L)).as("r_ct"))
+      .withColumn("ratio_micro",
+        round(lit(1e6) * log(
+          ((col("t_ct") + 1L).cast("double") /
+            lit((tn + buckets).toDouble)) /
+          ((col("r_ct") + 1L).cast("double") /
+            lit((rn + buckets).toDouble)))).cast("long"))
+      .orderBy("b")
+  }
+
+  /** Per-document DSIR importance scores over a trained
+    * [[dsirLogRatios]] table: each document's hashed bigrams join the
+    * broadcast ratio table and the score is the integer-micro SUM of
+    * its buckets' log ratios (= ln of the document's importance
+    * weight, up to the per-bucket quantization) — order-free, so
+    * hash-exact cross-engine. Map-side explode + broadcast join +
+    * one doc-keyed aggregation; documents without bigrams keep
+    * (0, 0). Returns (idCol, n_grams, score_micro). */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+                 ratios: DataFrame): DataFrame = {
+    // the feature map is parameterized by the RATIO TABLE's bucket
+    // count — re-derived from the artifact itself (one bounded count
+    // over a broadcastable table) so a caller cannot mismatch
+    // feature map and artifact
+    val buckets = ratios.count().toInt
+    val scored = docs
+      .select(col(idCol),
+        explode(bigramBuckets(col(textCol), buckets)).as("b"))
+      .join(broadcast(ratios.select(col("b"), col("ratio_micro"))),
+        "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("ratio_micro")), lit(0L)).as("score_micro"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

@@ -521,6 +521,48 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.mixEpochPlan(withNull, "source", 55L).count() === 3L)
   }
 
+  test("dsirLogRatios/dsirScores: target-only phrases score " +
+    "positive, raw-only negative, gram-less docs keep (0, 0)") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = target.unionAll(Seq(
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "x")).toDF("doc_id", "text"))
+    val B = 64
+    val ratios = Curation.dsirLogRatios(target, raw, "text", B)
+      .localCheckpoint()
+    // full bucket domain; target mass = the 5 bigrams of 6 tokens
+    assert(ratios.count() === B.toLong)
+    val masses = ratios.agg(sum(col("t_ct")), sum(col("r_ct")))
+      .head()
+    assert(masses.getLong(0) === 5L && masses.getLong(1) === 10L)
+    val scores = Curation.dsirScores(raw, "doc_id", "text", ratios)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // the target document's phrase is over-represented in the target
+    // distribution -> positive log ratios; the raw-only phrase is
+    // under-represented -> negative; one token = no bigrams = (0, 0)
+    assert(scores(1L)._1 === 5L && scores(1L)._2 > 0L,
+      scores.toString)
+    assert(scores(2L)._1 === 5L && scores(2L)._2 < 0L,
+      scores.toString)
+    assert(scores(3L) === ((0L, 0L)), scores.toString)
+    // the score IS the sum of the doc's bucket ratios: re-derive
+    // doc 2's score from the artifact directly
+    val byBucket = ratios.collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val gd = Seq("gamma delta", "delta gamma", "gamma delta",
+      "delta gamma", "gamma delta")
+    val expect2 = gd.map(g => byBucket(
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.take(15), 16) % B)).sum
+    assert(scores(2L)._2 === expect2, scores.toString)
+  }
+
   test("mixRealize: epochs copies + remainder rows, exact where the " +
     "rate quantizes to 0 or the domain only downsamples") {
     val s = spark
