@@ -9255,6 +9255,54 @@ object SparkEntry {
               |ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Benchmark DECONTAMINATION (GPT-3 appendix C / Dolma): training
+    // docs sharing any word 3-gram with a deterministic eval slice
+    // (doc_id % 97 = 0) are flagged before pretraining — exact
+    // containment at gram granularity, the deliberately-unfuzzy dedup
+    // member (a single leaked eval sentence must flag regardless of
+    // the surrounding doc). One hash-keyed equi-join over map-side
+    // DISTINCT (id, gram) pairs + a doc-keyed count; no broadcast
+    // hint (AQE decides — the bench side is small here, unbounded in
+    // general).
+    "d77_decontaminate" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        Dedup.contaminationReport(
+            docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L),
+            "doc_id", "text",
+            docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+            "text", k = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH ctk AS (SELECT doc_id, str_split(text, ' ')
+              |    AS toks FROM documents),
+              |cg AS (SELECT doc_id,
+              |    ${duckHash60(
+                     "toks[gi] || ' ' || toks[gi+1] || ' ' || " +
+                       "toks[gi+2]")} AS h
+              |  FROM ctk,
+              |    unnest(generate_series(1, len(toks) - 2)) AS g(gi)
+              |  WHERE len(toks) >= 3),
+              |cbg AS (SELECT DISTINCT h FROM cg
+              |  WHERE doc_id % 97 = 0),
+              |ctg AS (SELECT DISTINCT doc_id, h FROM cg
+              |  WHERE doc_id % 97 <> 0),
+              |cng AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+              |    AS n_grams FROM ctg GROUP BY doc_id),
+              |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+              |    AS n_hit_grams
+              |  FROM ctg JOIN cbg USING (h) GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(cng.n_grams, 0) AS n_grams,
+              |  coalesce(chit.n_hit_grams, 0) AS n_hit_grams,
+              |  (coalesce(chit.n_hit_grams, 0) > 0) AS contaminated
+              |FROM documents d
+              |LEFT JOIN cng USING (doc_id)
+              |LEFT JOIN chit USING (doc_id)
+              |WHERE d.doc_id % 97 <> 0
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.
     // Exact small-int ratio in double — bit-identical cross-engine,

@@ -1282,6 +1282,59 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** The portable k-gram hash array of one document — decontamination
+    * and DSIR's positionless cousin of the winnowing gram stream:
+    * word k-grams joined by a single space through [[md5Long60]],
+    * map-side per row; documents under k tokens emit nothing. */
+  private def kgramHashes(text: Column, k: Int): Column = {
+    val toks = graft.pipeline.TextStats.tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => md5Long60(concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Benchmark DECONTAMINATION report (the GPT-3 appendix-C /
+    * Dolma-pipeline step): flag every training document sharing at
+    * least one word k-gram with an EVALUATION set, so eval leakage is
+    * removed before pretraining rather than discovered in a paper's
+    * rebuttal. Exact containment at gram granularity — the
+    * deliberately-unfuzzy member of the dedup family (minhash/simhash
+    * fuzz whole documents; a single leaked eval sentence must flag
+    * regardless of the surrounding document).
+    *
+    * Shape at scale: both sides explode to DISTINCT (id, gram-hash)
+    * pairs map-side; the contamination test is ONE hash-keyed
+    * equi-join (shuffle on the gram hash — the join key is uniform by
+    * construction, no skew salt needed) followed by a doc-keyed
+    * count. No broadcast hint: a real benchmark suite is small but a
+    * caller may pass a second corpus — AQE picks broadcast when it
+    * fits (the d1/sizes-table argument). Returns one row per TRAIN
+    * document: (id, n_grams, n_hit_grams, contaminated), where
+    * n_grams counts the doc's distinct k-gram hashes. */
+  def contaminationReport(train: DataFrame, idCol: String,
+                          textCol: String, bench: DataFrame,
+                          benchTextCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64]")
+    val bg = bench
+      .select(explode(kgramHashes(col(benchTextCol), k)).as("h"))
+      .distinct()
+    val tg = train
+      .select(col(idCol).as("id"),
+        explode(kgramHashes(col(textCol), k)).as("h"))
+      .distinct()
+    val ng = tg.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = tg.join(bg, "h")
+      .groupBy("id").agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol).as("id"))
+      .join(ng, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .withColumn("contaminated", col("n_hit_grams") > 0L)
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
     * MOSS algorithm): hash every word k-gram, slide a window of w

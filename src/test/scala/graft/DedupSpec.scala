@@ -1172,4 +1172,28 @@ class DedupSpec extends AnyFunSuite {
       assert(kept + nr === nw, s"doc $id: $kept + $nr != $nw")
     }
   }
+
+  test("contaminationReport: a planted eval leak flags, a disjoint " +
+    "doc does not, a sub-k doc reports zero grams") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "secret eval answer here"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // contains the bench gram "secret eval answer" (and only it)
+      (1L, "padding secret eval answer more pad"),
+      // shares WORDS but no 3-gram — exact containment must not fuzz
+      (2L, "eval secret here answer in other order"),
+      (3L, "totally different words entirely"),
+      (4L, "ab cd")) // under k tokens: no grams at all
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, "doc_id", "text",
+        bench, "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) === ((4L, 1L, true)), got.toString)
+    assert(got(2L)._2 === 0L && !got(2L)._3, got.toString)
+    assert(got(3L) === ((2L, 0L, false)), got.toString)
+    assert(got(4L) === ((0L, 0L, false)), got.toString)
+  }
 }
