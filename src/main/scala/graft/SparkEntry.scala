@@ -9255,6 +9255,37 @@ object SparkEntry {
               |ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // DSIR SELECTION — the resampling step that closes the d75/d76
+    // pipeline (train ratios -> score -> select): standard Gumbel
+    // noise on each document's log importance weight, top-k keys =
+    // sampling without replacement proportional to the weights (the
+    // Gumbel-top-k identity), with the noise drawn DETERMINISTICALLY
+    // from the portable hash so the draw itself replays in the
+    // oracle. One map-side key expression over d76's scores + a
+    // global top-k.
+    "d78_dsir_select" -> Q(
+      (s, dir) => Curation.dsirSelect(table(s, dir, "documents"),
+        "doc_id", "text", dsirRatiosStaged(s, dir), k = 100),
+      Some(s"""WITH $duckDsirCtes,
+              |dsc AS (SELECT doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_grams,
+              |    CAST(sum(ratio_micro) AS BIGINT) AS score_micro
+              |  FROM dbg JOIN drat USING (b) GROUP BY doc_id),
+              |dky AS (SELECT d.doc_id,
+              |    coalesce(n_grams, 0) AS n_grams,
+              |    coalesce(score_micro, 0) AS score_micro,
+              |    CAST(round(1e6 * -ln(-ln(
+              |      (CAST((${duckHash60("CAST(d.doc_id AS VARCHAR)")})
+              |        % 1000000 AS DOUBLE) + 0.5) / 1e6)))
+              |      AS BIGINT) AS gumbel_micro
+              |  FROM documents d LEFT JOIN dsc USING (doc_id))
+              |SELECT doc_id, n_grams, score_micro, gumbel_micro,
+              |  score_micro + gumbel_micro AS key_micro
+              |FROM dky
+              |ORDER BY key_micro DESC, doc_id ASC
+              |LIMIT 100""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Benchmark DECONTAMINATION (GPT-3 appendix C / Dolma): training
     // docs sharing any word 3-gram with a deterministic eval slice
     // (doc_id % 97 = 0) are flagged before pretraining — exact

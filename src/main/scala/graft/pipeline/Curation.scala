@@ -413,6 +413,35 @@ object Curation {
         coalesce(col("score_micro"), lit(0L)).as("score_micro"))
   }
 
+  /** DSIR SELECTION by the Gumbel top-k trick: [[dsirScores]] gives
+    * each document its log importance weight ln w_i (integer micro);
+    * adding an independent standard Gumbel draw to each log weight
+    * and taking the k LARGEST keys samples k documents WITHOUT
+    * replacement with probability proportional to w_i — exactly the
+    * importance resampling DSIR prescribes, as one sort instead of a
+    * sequential draw (the Gumbel-top-k identity; the A-ES reservoir
+    * [[weightedReservoir]] is the linear-weight sibling). The Gumbel
+    * is DETERMINISTIC: u from the portable hash of the id,
+    * g = −ln(−ln(u)), so the draw replays cross-engine (same ppm
+    * uniform, same libm ln — the d75 precedent) and re-running the
+    * selection over the same corpus is reproducible. key =
+    * score_micro + round(1e6·g); ties break on ascending id. Returns
+    * the k selected rows (idCol, n_grams, score_micro, gumbel_micro,
+    * key_micro), highest key first. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 ratios: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val u = (pmod(Dedup.md5Long60(col(idCol).cast("string")),
+      lit(1000000L)).cast("double") + 0.5) / lit(1e6)
+    dsirScores(docs, idCol, textCol, ratios)
+      .withColumn("gumbel_micro",
+        round(lit(1e6) * -log(-log(u))).cast("long"))
+      .withColumn("key_micro",
+        col("score_micro") + col("gumbel_micro"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

@@ -563,6 +563,42 @@ class CurationSpec extends AnyFunSuite {
     assert(scores(2L)._2 === expect2, scores.toString)
   }
 
+  test("dsirSelect: Gumbel top-k keys are score + deterministic " +
+    "draw, k >= n returns everything, prefix-consistent") {
+    val s = spark
+    import s.implicits._
+    val target = Seq((1L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val raw = target.unionAll(Seq(
+      (2L, "gamma delta gamma delta gamma delta"),
+      (3L, "x")).toDF("doc_id", "text"))
+    val ratios = Curation.dsirLogRatios(target, raw, "text", 64)
+      .localCheckpoint()
+    val all = Curation.dsirSelect(raw, "doc_id", "text", ratios,
+      k = 10).collect()
+    assert(all.length === 3, all.mkString(","))
+    // keys non-increasing; key = score + gumbel on every row
+    val keys = all.map(_.getLong(4))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    all.foreach(r =>
+      assert(r.getLong(4) === r.getLong(2) + r.getLong(3), r.toString))
+    // smaller k is a prefix of the full ordering (sampling without
+    // replacement: the draw is one set of keys, k only truncates)
+    val top2 = Curation.dsirSelect(raw, "doc_id", "text", ratios,
+      k = 2).collect().map(_.getLong(0)).toSeq
+    assert(top2 === all.take(2).map(_.getLong(0)).toSeq)
+    // the Gumbel draw is the documented deterministic function of
+    // the id's portable hash — re-derive doc 2's draw independently
+    val h = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("2".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16) % 1000000L
+    val u = (h.toDouble + 0.5) / 1e6
+    val g = BigDecimal(1e6 * -math.log(-math.log(u)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(all.find(_.getLong(0) == 2L).get.getLong(3) === g)
+  }
+
   test("mixRealize: epochs copies + remainder rows, exact where the " +
     "rate quantizes to 0 or the domain only downsamples") {
     val s = spark
