@@ -1335,6 +1335,42 @@ object Dedup {
       .withColumn("contaminated", col("n_hit_grams") > 0L)
   }
 
+  /** Streaming DECONTAMINATION gate: [[contaminationReport]]'s test
+    * applied to a document stream — each micro-batch drops the rows
+    * sharing any word k-gram with the evaluation set and emits the
+    * clean remainder. Unlike the Bloom gate's growing filter, the
+    * standing state is EXACT and IMMUTABLE: the benchmark's distinct
+    * gram hashes, pinned once (eval suites are bounded by
+    * construction — the state never grows with the stream), and the
+    * per-batch test is a pure row-local decision (explode + semi-join
+    * + anti-join inside the batch). Statelessness buys the strongest
+    * replay story in the streaming family for free: re-delivered rows
+    * re-evaluate identically, so at-least-once delivery degrades to
+    * duplicate emission of CLEAN rows only — no key is ever lost and
+    * no contaminated row ever leaks, under any failure interleaving.
+    * (Contrast kllGuardedUpdate's batchId guard and the Bloom gate's
+    * commit-after-sink — both exist because their state mutates.) */
+  def decontaminateStream(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String, k: Int)
+      (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val bg = bench
+      .select(explode(kgramHashes(col(benchTextCol), k)).as("h"))
+      .distinct().localCheckpoint()
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val hits = batch
+          .select(col(idCol).as("_cid"),
+            explode(kgramHashes(col(textCol), k)).as("h"))
+          .join(bg, "h").select(col("_cid")).distinct()
+        sink(batch
+          .join(hits, batch(idCol) === hits("_cid"), "left_anti")
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
     * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
     * MOSS algorithm): hash every word k-gram, slide a window of w

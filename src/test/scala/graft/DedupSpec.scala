@@ -1173,6 +1173,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateStream: leaky rows drop per batch, clean rows " +
+    "pass, replay re-emits clean rows only (stateless gate)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    val bench = Seq((100L, "secret eval answer here"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Dedup.decontaminateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      bench, "text", k = 3) { b =>
+      seen ++= b.collect().map(r =>
+        (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_id")))
+    }
+    try {
+      mem.addData(
+        (1L, "padding secret eval answer more pad"), // leaks
+        (2L, "totally different words entirely")) // clean
+      q.processAllAvailable()
+      // a REPLAY of the same rows: the gate is stateless, so the
+      // clean row re-emits (at-least-once passthrough) and the leaky
+      // row is still dropped — no interleaving leaks it
+      mem.addData(
+        (1L, "padding secret eval answer more pad"),
+        (2L, "totally different words entirely"),
+        (3L, "eval secret here answer reordered")) // words, no 3-gram
+      q.processAllAvailable()
+      val byBatch = seen.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      assert(byBatch(0L) === Set(2L), seen.toString)
+      assert(byBatch(1L) === Set(2L, 3L), seen.toString)
+    } finally q.stop()
+  }
+
   test("contaminationReport: a planted eval leak flags, a disjoint " +
     "doc does not, a sub-k doc reports zero grams") {
     val s = spark
