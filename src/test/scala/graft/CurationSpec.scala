@@ -563,6 +563,27 @@ class CurationSpec extends AnyFunSuite {
     assert(scores(2L)._2 === expect2, scores.toString)
   }
 
+  test("dsirLogRatios invariance: identical target and raw corpora " +
+    "give all-zero ratios and all-zero scores") {
+    val s = spark
+    import s.implicits._
+    // T = R and t_ct = r_ct per bucket -> the smoothed ratio is
+    // ln(1) = 0 in EVERY bucket, so every document scores 0: the
+    // selection degenerates to pure Gumbel (uniform sampling) —
+    // exactly DSIR's semantics when the target adds no information
+    val rnd = new scala.util.Random(1313)
+    val words = Vector("ka", "po", "mi", "ra", "zu", "el", "fo")
+    val corpus = (1L to 30L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ratios = Curation.dsirLogRatios(corpus, corpus, "text", 32)
+    assert(ratios.filter(col("ratio_micro") =!= 0L).count() === 0L)
+    val scores = Curation.dsirScores(corpus, "doc_id", "text",
+      ratios.localCheckpoint())
+    assert(scores.filter(col("score_micro") =!= 0L).count() === 0L)
+  }
+
   test("dsirSelect: Gumbel top-k keys are score + deterministic " +
     "draw, k >= n returns everything, prefix-consistent") {
     val s = spark

@@ -1173,6 +1173,42 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationReport invariants on a seeded random corpus: " +
+    "a bench doc in train flags fully, hits never exceed grams, " +
+    "adding bench docs is monotone") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    val words = Vector("ta", "re", "mo", "ki", "su", "ne")
+    def doc(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val train = (1L to 25L).map(i => (i, doc(3 + rnd.nextInt(10))))
+      .toDF("doc_id", "text").localCheckpoint()
+    val benchSmall = train.filter(col("doc_id") <= 3L)
+      .select(col("doc_id") + 1000L, col("text"))
+      .toDF("doc_id", "text")
+    val benchBig = benchSmall.unionAll(
+      (1L to 5L).map(i => (2000L + i, doc(6))).toDF("doc_id", "text"))
+    def report(b: org.apache.spark.sql.DataFrame) =
+      Dedup.contaminationReport(train, "doc_id", "text", b, "text",
+          k = 3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    val small = report(benchSmall)
+    val big = report(benchBig)
+    // docs 1-3 ARE bench docs (re-id'd): every gram hits
+    (1L to 3L).foreach { i =>
+      assert(small(i)._1 === small(i)._2 && small(i)._1 > 0L,
+        small.toString)
+    }
+    (1L to 25L).foreach { i =>
+      // hits bounded by grams; a bigger bench never un-flags
+      assert(small(i)._2 <= small(i)._1, small.toString)
+      assert(big(i)._2 >= small(i)._2, s"$i: $small vs $big")
+      assert(big(i)._1 === small(i)._1, "n_grams is bench-independent")
+    }
+  }
+
   test("decontaminateStream: leaky rows drop per batch, clean rows " +
     "pass, replay re-emits clean rows only (stateless gate)") {
     val s = spark
