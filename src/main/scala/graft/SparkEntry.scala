@@ -9286,15 +9286,15 @@ object SparkEntry {
               |LIMIT 100""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
-    // Benchmark DECONTAMINATION (GPT-3 appendix C / Dolma): training
-    // docs sharing any word 3-gram with a deterministic eval slice
-    // (doc_id % 97 = 0) are flagged before pretraining — exact
-    // containment at gram granularity, the deliberately-unfuzzy dedup
-    // member (a single leaked eval sentence must flag regardless of
-    // the surrounding doc). One hash-keyed equi-join over map-side
-    // DISTINCT (id, gram) pairs + a doc-keyed count; no broadcast
-    // hint (AQE decides — the bench side is small here, unbounded in
-    // general).
+    // Benchmark DECONTAMINATION (GPT-3 appendix C / Dolma): the d18
+    // contamination scan COMPLETED into the gate report the pipeline
+    // acts on — d18 reports hit docs and their shared-gram counts;
+    // this reports EVERY train doc with the gram denominator and the
+    // drop boolean, against a deterministic eval slice (doc_id % 97
+    // = 0). Shares d18's gram machinery (Curation.wordNgrams + the
+    // gram-keyed join) so the two reports cannot drift; the
+    // completion adds only a map-side per-row gram count and one
+    // null-safe left join.
     "d77_decontaminate" -> Q(
       (s, dir) => {
         val docs = table(s, dir, "documents")

@@ -320,18 +320,13 @@ object Curation {
 
   /** Hashed-bigram bucket ids of one document's text — DSIR's feature
     * map (and nothing else's: winnowing keeps positions, this is a
-    * bag): word bigrams through the portable [[Dedup.md5Long60]] into
-    * `buckets` buckets, map-side per row. Documents under 2 tokens
-    * emit nothing. */
-  private def bigramBuckets(text: Column, buckets: Int): Column = {
-    val toks = TextStats.tokens(text)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => pmod(
-          Dedup.md5Long60(concat_ws(" ", slice(toks, i, lit(2)))),
-          lit(buckets.toLong))))
-      .otherwise(array().cast("array<bigint>"))
-  }
+    * bag): the shared [[wordNgrams]] gram builder (which let-binds the
+    * token split — one tokenization per row) mapped through the
+    * portable [[Dedup.md5Long60]] into `buckets` buckets, map-side
+    * per row. Documents under 2 tokens emit nothing. */
+  private def bigramBuckets(text: Column, buckets: Int): Column =
+    transform(wordNgrams(text, 2),
+      g => pmod(Dedup.md5Long60(g), lit(buckets.toLong)))
 
   /** DSIR importance log-ratios (Xie, Santurkar, Ma & Liang, "Data
     * Selection for Language Models via Importance Resampling",
@@ -396,8 +391,16 @@ object Curation {
     // the feature map is parameterized by the RATIO TABLE's bucket
     // count — re-derived from the artifact itself (one bounded count
     // over a broadcastable table) so a caller cannot mismatch
-    // feature map and artifact
+    // feature map and artifact. That re-derivation is only sound for
+    // a DENSE domain, so a sparse table (e.g. filtered to non-zero
+    // buckets — which would silently re-bucket every gram with the
+    // wrong modulus AND drop grams at the join) is refused.
     val buckets = ratios.count().toInt
+    val mxb = ratios.agg(max(col("b"))).head()
+    require(!mxb.isNullAt(0) && mxb.getLong(0) + 1 == buckets.toLong,
+      s"ratio table must span the dense bucket domain 0..B-1 as " +
+        s"produced by dsirLogRatios (count=$buckets, max b=" +
+        s"${if (mxb.isNullAt(0)) "null" else mxb.getLong(0)})")
     val scored = docs
       .select(col(idCol),
         explode(bigramBuckets(col(textCol), buckets)).as("b"))

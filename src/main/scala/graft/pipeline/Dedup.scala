@@ -1282,56 +1282,40 @@ object Dedup {
           .as("clean_text"))
   }
 
-  /** The portable k-gram hash array of one document — decontamination
-    * and DSIR's positionless cousin of the winnowing gram stream:
-    * word k-grams joined by a single space through [[md5Long60]],
-    * map-side per row; documents under k tokens emit nothing. */
-  private def kgramHashes(text: Column, k: Int): Column = {
-    val toks = graft.pipeline.TextStats.tokens(text)
-    when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => md5Long60(concat_ws(" ", slice(toks, i, lit(k))))))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
   /** Benchmark DECONTAMINATION report (the GPT-3 appendix-C /
-    * Dolma-pipeline step): flag every training document sharing at
-    * least one word k-gram with an EVALUATION set, so eval leakage is
-    * removed before pretraining rather than discovered in a paper's
-    * rebuttal. Exact containment at gram granularity — the
-    * deliberately-unfuzzy member of the dedup family (minhash/simhash
-    * fuzz whole documents; a single leaked eval sentence must flag
-    * regardless of the surrounding document).
+    * Dolma-pipeline step): [[graft.pipeline.Curation.contamination]]
+    * — the standing d18 scan — completed into the per-document gate
+    * report decontamination acts on: EVERY train document (d18
+    * reports only hit docs), the distinct-gram denominator, and the
+    * drop boolean. One shared gram pipeline (Curation.wordNgrams +
+    * the d18 gram-keyed join), so a fix there fixes both reports —
+    * this function owns only the completion join and a map-side
+    * per-row gram count (size ∘ array_distinct — no second shuffle).
     *
-    * Shape at scale: both sides explode to DISTINCT (id, gram-hash)
-    * pairs map-side; the contamination test is ONE hash-keyed
-    * equi-join (shuffle on the gram hash — the join key is uniform by
-    * construction, no skew salt needed) followed by a doc-keyed
-    * count. No broadcast hint: a real benchmark suite is small but a
-    * caller may pass a second corpus — AQE picks broadcast when it
-    * fits (the d1/sizes-table argument). Returns one row per TRAIN
-    * document: (id, n_grams, n_hit_grams, contaminated), where
-    * n_grams counts the doc's distinct k-gram hashes. */
+    * Null ids: the completion join is NULL-SAFE, so rows with a null
+    * id POOL their hit counts (conservative in the safe direction —
+    * one leaked null-id row flags every null-id row; n_hit_grams may
+    * then exceed the per-row n_grams). Supply unique ids for
+    * per-row precision. Returns one row per TRAIN document:
+    * (id, n_grams, n_hit_grams, contaminated). */
   def contaminationReport(train: DataFrame, idCol: String,
                           textCol: String, bench: DataFrame,
-                          benchTextCol: String, k: Int): DataFrame = {
+                          benchTextCol: String, k: Int,
+                          broadcastBench: Boolean = true): DataFrame = {
     require(k >= 1 && k <= 64, "k in [1, 64]")
-    val bg = bench
-      .select(explode(kgramHashes(col(benchTextCol), k)).as("h"))
-      .distinct()
-    val tg = train
+    val hits = graft.pipeline.Curation.contamination(
+      train.select(col(idCol).as("doc_id"),
+        col(textCol).as("text")),
+      bench.select(col(benchTextCol).as("text")), k, broadcastBench)
+      .withColumnRenamed("doc_id", "_hid")
+    train
       .select(col(idCol).as("id"),
-        explode(kgramHashes(col(textCol), k)).as("h"))
-      .distinct()
-    val ng = tg.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val hits = tg.join(bg, "h")
-      .groupBy("id").agg(count(lit(1)).as("n_hit_grams"))
-    train.select(col(idCol).as("id"))
-      .join(ng, Seq("id"), "left")
-      .join(hits, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+        size(array_distinct(
+          graft.pipeline.Curation.wordNgrams(col(textCol), k)))
+          .cast("long").as("n_grams"))
+      .join(hits, col("id") <=> col("_hid"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("n_hit_grams"))
       .withColumn("contaminated", col("n_hit_grams") > 0L)
   }
 
@@ -1349,23 +1333,31 @@ object Dedup {
     * duplicate emission of CLEAN rows only — no key is ever lost and
     * no contaminated row ever leaks, under any failure interleaving.
     * (Contrast kllGuardedUpdate's batchId guard and the Bloom gate's
-    * commit-after-sink — both exist because their state mutates.) */
+    * commit-after-sink — both exist because their state mutates.)
+    * The anti-join is NULL-SAFE on the id, so a contaminated row
+    * with a NULL id drops every null-id row in its batch —
+    * conservative in the safe direction; supply unique ids for
+    * per-row precision. Gram machinery is the shared
+    * [[graft.pipeline.Curation.wordNgrams]] (the d18/d77 pipeline). */
   def decontaminateStream(docs: DataFrame, idCol: String,
       textCol: String, bench: DataFrame, benchTextCol: String, k: Int)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.pipeline.Curation.wordNgrams
     val bg = bench
-      .select(explode(kgramHashes(col(benchTextCol), k)).as("h"))
+      .select(explode(array_distinct(
+        wordNgrams(col(benchTextCol), k))).as("gram"))
       .distinct().localCheckpoint()
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
         val hits = batch
           .select(col(idCol).as("_cid"),
-            explode(kgramHashes(col(textCol), k)).as("h"))
-          .join(bg, "h").select(col("_cid")).distinct()
+            explode(array_distinct(wordNgrams(col(textCol), k)))
+              .as("gram"))
+          .join(bg, "gram").select(col("_cid")).distinct()
         sink(batch
-          .join(hits, batch(idCol) === hits("_cid"), "left_anti")
+          .join(hits, batch(idCol) <=> hits("_cid"), "left_anti")
           .withColumn("batch_id", lit(batchId)))
       }
       .start()
