@@ -93,7 +93,13 @@ object SparkEntry {
       Dedup.winnowKeys(table(s, dir, "documents"), "doc_id", "text",
         k = 4, w = 5).localCheckpoint())
 
-  // keyed by (applicationId, sfDir): the winnowKeys discipline
+  // keyed by (applicationId, sfDir): the winnowKeys discipline.
+  // Deliberately unbounded + never unpersisted (r13 ADVICE,
+  // adjudicated): the gate harness sees at most a handful of sfDirs
+  // per JVM and each entry is a 1024-row checkpointed table; a
+  // long-lived multi-dataset SERVICE embedding this entry should
+  // evict (unpersist + remove) per retired dataset — the cache is a
+  // harness staging convention, not a production artifact store.
   private val dsirRatiosCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
@@ -141,6 +147,33 @@ object SparkEntry {
        |      AS BIGINT) AS ratio_micro
        |  FROM ddom LEFT JOIN dtb USING (b) LEFT JOIN drb USING (b),
        |    dtt, drt)""".stripMargin
+
+  /** d77/d79's shared oracle prefix: the decontamination gram chain
+    * (word 3-grams hashed through the portable 60-bit hash; bench =
+    * the deterministic doc_id % 97 = 0 eval slice; train = the rest)
+    * down to each train doc's distinct-gram denominator (cng) and
+    * hit count (chit) — one chain so the report entry and the
+    * stream-replay entry cannot drift, mirroring the shared
+    * Curation.wordNgrams pipeline on the Spark side. */
+  private lazy val duckDecontamCtes: String =
+    s"""ctk AS (SELECT doc_id, str_split(text, ' ')
+       |    AS toks FROM documents),
+       |cg AS (SELECT doc_id,
+       |    ${duckHash60(
+              "toks[gi] || ' ' || toks[gi+1] || ' ' || " +
+                "toks[gi+2]")} AS h
+       |  FROM ctk,
+       |    unnest(generate_series(1, len(toks) - 2)) AS g(gi)
+       |  WHERE len(toks) >= 3),
+       |cbg AS (SELECT DISTINCT h FROM cg
+       |  WHERE doc_id % 97 = 0),
+       |ctg AS (SELECT DISTINCT doc_id, h FROM cg
+       |  WHERE doc_id % 97 <> 0),
+       |cng AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+       |    AS n_grams FROM ctg GROUP BY doc_id),
+       |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+       |    AS n_hit_grams
+       |  FROM ctg JOIN cbg USING (h) GROUP BY doc_id)""".stripMargin
 
   // d72/d73's filter geometry: 2^16 bits / 3 probes — at the sf range
   // this runs at, load stays low enough that the realized FPR is a
@@ -9306,24 +9339,7 @@ object SparkEntry {
           .withColumnRenamed("id", "doc_id")
           .orderBy("doc_id").limit(2000)
       },
-      Some(s"""WITH ctk AS (SELECT doc_id, str_split(text, ' ')
-              |    AS toks FROM documents),
-              |cg AS (SELECT doc_id,
-              |    ${duckHash60(
-                     "toks[gi] || ' ' || toks[gi+1] || ' ' || " +
-                       "toks[gi+2]")} AS h
-              |  FROM ctk,
-              |    unnest(generate_series(1, len(toks) - 2)) AS g(gi)
-              |  WHERE len(toks) >= 3),
-              |cbg AS (SELECT DISTINCT h FROM cg
-              |  WHERE doc_id % 97 = 0),
-              |ctg AS (SELECT DISTINCT doc_id, h FROM cg
-              |  WHERE doc_id % 97 <> 0),
-              |cng AS (SELECT doc_id, CAST(count(*) AS BIGINT)
-              |    AS n_grams FROM ctg GROUP BY doc_id),
-              |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT)
-              |    AS n_hit_grams
-              |  FROM ctg JOIN cbg USING (h) GROUP BY doc_id)
+      Some(s"""WITH $duckDecontamCtes
               |SELECT d.doc_id, coalesce(cng.n_grams, 0) AS n_grams,
               |  coalesce(chit.n_hit_grams, 0) AS n_hit_grams,
               |  (coalesce(chit.n_hit_grams, 0) > 0) AS contaminated
@@ -9331,6 +9347,42 @@ object SparkEntry {
               |LEFT JOIN cng USING (doc_id)
               |LEFT JOIN chit USING (doc_id)
               |WHERE d.doc_id % 97 <> 0
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
+    // Batch REPLAY of the decontamination gate (r13 verdict task 2 —
+    // the d73/q107 replay discipline, closing the one streaming
+    // family member whose replay equivalence was spec-only): d77's
+    // train slice splits into 3 deterministic batches, each drives
+    // the SAME batch body the stream's foreachBatch runs
+    // (Dedup.decontaminateBatch over the pinned decontaminateState),
+    // and the union of emitted clean ids must equal the one-shot
+    // contaminationReport-filtered clean set BIT-FOR-BIT — the
+    // standing state is exact and immutable, so unlike the Bloom/KLL
+    // replays there is no envelope and no rows-only adjudication:
+    // the d77 oracle chain re-derives the clean set and the batch
+    // assignment exactly.
+    "d79_decontaminate_stream_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val train = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        val bg = Dedup.decontaminateState(
+          docs.filter(pmod(col("doc_id"), lit(97L)) === 0L),
+          "text", k = 3)
+        (0L until 3L).map { b =>
+          Dedup.decontaminateBatch(
+              train.filter(pmod(col("doc_id"), lit(3L)) === b),
+              "doc_id", "text", bg, k = 3)
+            .select(col("doc_id"), lit(b).as("batch_id"))
+        }.reduce(_ unionAll _)
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH $duckDecontamCtes
+              |SELECT d.doc_id, d.doc_id % 3 AS batch_id
+              |FROM documents d
+              |LEFT JOIN chit USING (doc_id)
+              |WHERE d.doc_id % 97 <> 0
+              |  AND coalesce(chit.n_hit_grams, 0) = 0
               |ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 

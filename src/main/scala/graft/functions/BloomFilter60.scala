@@ -44,6 +44,13 @@ class BloomFilter60(mBits: Int, k: Int)
       // array-backed, the wrong shape for a 100 TB build side. Here
       // the first reduce per buffer pays ONE array copy (zero is a
       // Vector); every later call mutates the wrapped array, O(k).
+      // OWNERSHIP (r13 ADVICE): reduce therefore takes ownership of
+      // an ArraySeq.ofLong input — legal inside Spark's aggregation
+      // (buffers originate from zero/reduce/the encoder and are never
+      // shared), but do NOT pass a RETAINED filter (e.g. a fetched
+      // d72/d73 artifact) through reduce directly: its "immutable"
+      // Seq would be mutated in place. Fold retained filters with
+      // merge(), which allocates fresh words.
       val a = buf match {
         case w: scala.collection.immutable.ArraySeq.ofLong =>
           w.unsafeArray

@@ -1034,7 +1034,13 @@ object Dedup {
     * consumed failed attempt can hand an idempotent downstream the
     * same keys twice) instead of being permanently dropped, which is
     * what folding-before-delivery did. State lives in the
-    * foreachBatch closure (the kllQuantileStream convention). */
+    * foreachBatch closure (the kllQuantileStream convention).
+    *
+    * CONTRACT (r13 ADVICE): commit-after-sink delivers its guarantee
+    * only if `sink` synchronously MATERIALIZES the novel frame before
+    * returning (collect/write/count — every sink in this repo does);
+    * a deferred/async sink lets the fold commit before delivery and
+    * reintroduces the permanent-key-loss mode this ordering fixed. */
   def bloomGateStream(docs: DataFrame, key: Column, mBits: Int, k: Int)
                      (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -1297,7 +1303,15 @@ object Dedup {
     * one leaked null-id row flags every null-id row; n_hit_grams may
     * then exceed the per-row n_grams). Supply unique ids for
     * per-row precision. Returns one row per TRAIN document:
-    * (id, n_grams, n_hit_grams, contaminated). */
+    * (id, n_grams, n_hit_grams, contaminated).
+    *
+    * Gram identity is the 60-bit portable hash ([[md5Long60]]) on
+    * BOTH the hit join (via [[graft.pipeline.Curation.contamination]])
+    * and the denominator (distinct md5Long60(gram), not distinct gram
+    * STRINGS — r13 ADVICE: a string-counted denominator would diverge
+    * from the hash-counted oracle by one on an intra-document 60-bit
+    * collision; counting hashes makes the two engines exactly
+    * symmetric, at the house convention's ~n²/2⁶¹ collision odds). */
   def contaminationReport(train: DataFrame, idCol: String,
                           textCol: String, bench: DataFrame,
                           benchTextCol: String, k: Int,
@@ -1310,8 +1324,9 @@ object Dedup {
       .withColumnRenamed("doc_id", "_hid")
     train
       .select(col(idCol).as("id"),
-        size(array_distinct(
-          graft.pipeline.Curation.wordNgrams(col(textCol), k)))
+        size(array_distinct(transform(
+          graft.pipeline.Curation.wordNgrams(col(textCol), k),
+          g => md5Long60(g))))
           .cast("long").as("n_grams"))
       .join(hits, col("id") <=> col("_hid"), "left")
       .select(col("id"), col("n_grams"),
@@ -1343,24 +1358,49 @@ object Dedup {
       textCol: String, bench: DataFrame, benchTextCol: String, k: Int)
       (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.pipeline.Curation.wordNgrams
-    val bg = bench
-      .select(explode(array_distinct(
-        wordNgrams(col(benchTextCol), k))).as("gram"))
-      .distinct().localCheckpoint()
+    val bg = decontaminateState(bench, benchTextCol, k)
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
-        val hits = batch
-          .select(col(idCol).as("_cid"),
-            explode(array_distinct(wordNgrams(col(textCol), k)))
-              .as("gram"))
-          .join(bg, "gram").select(col("_cid")).distinct()
-        sink(batch
-          .join(hits, batch(idCol) <=> hits("_cid"), "left_anti")
+        sink(decontaminateBatch(batch.toDF(), idCol, textCol, bg, k)
           .withColumn("batch_id", lit(batchId)))
       }
       .start()
+  }
+
+  /** The decontamination gate's STANDING STATE, pinned once: the
+    * benchmark's distinct word k-grams (exact and immutable — eval
+    * suites are bounded by construction, so this never grows with
+    * the stream). Shared by [[decontaminateStream]] and the d79
+    * batch-replay entry so the stream and the replay audit probe the
+    * IDENTICAL state frame. */
+  def decontaminateState(bench: DataFrame, benchTextCol: String,
+                         k: Int): DataFrame = {
+    import graft.pipeline.Curation.wordNgrams
+    bench
+      .select(explode(array_distinct(
+        wordNgrams(col(benchTextCol), k))).as("gram"))
+      .distinct().localCheckpoint()
+  }
+
+  /** One micro-batch of [[decontaminateStream]]: the rows of `batch`
+    * sharing NO word k-gram with the pinned benchmark gram set `bg`
+    * ([[decontaminateState]]). Pure and stateless w.r.t. the stream
+    * (explode + semi-join + null-safe anti-join inside the batch), so
+    * replaying batches through this body in ANY order or multiplicity
+    * yields exactly the one-shot [[contaminationReport]]-filtered
+    * clean set — the equivalence d79 drives through the driver's
+    * oracle and DedupSpec's MemoryStream redelivery test drives
+    * through the real stream. */
+  def decontaminateBatch(batch: DataFrame, idCol: String,
+      textCol: String, bg: DataFrame, k: Int): DataFrame = {
+    import graft.pipeline.Curation.wordNgrams
+    val hits = batch
+      .select(col(idCol).as("_cid"),
+        explode(array_distinct(wordNgrams(col(textCol), k)))
+          .as("gram"))
+      .join(bg, "gram").select(col("_cid")).distinct()
+    batch.join(hits, batch(idCol) <=> hits("_cid"), "left_anti")
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:

@@ -636,7 +636,14 @@ object Eval {
     * merge conserves weight, unlike the Bloom gate's idempotent OR)
     * into at-most-once application per id. Both commits (sketch +
     * last-applied id) happen only after `sink` returns: a failed
-    * sink leaves the state untouched and the retry re-applies. */
+    * sink leaves the state untouched and the retry re-applies.
+    *
+    * CONTRACT (r13 ADVICE): that guarantee holds only if `sink`
+    * synchronously MATERIALIZES the report before returning
+    * (collect/write/count — every sink in this repo does). A sink
+    * that merely registers the plan or defers the action lets the
+    * commit land before delivery, silently reintroducing the
+    * permanent-loss failure mode this ordering exists to prevent. */
   private[graft] def kllGuardedUpdate(batch: DataFrame, value: Column,
       k: Int, qsPermille: Seq[Long], batchId: Long,
       state: java.util.concurrent.atomic.AtomicReference[
@@ -725,7 +732,9 @@ object Eval {
   /** The guarded foreachBatch body of [[kllGroupedQuantileStream]] —
     * the [[kllGuardedUpdate]] shape over the per-domain state map:
     * skip redelivered batchIds (KLL merge is not idempotent), commit
-    * map + id only after the sink returns. */
+    * map + id only after the sink returns. Same sink contract as
+    * [[kllGuardedUpdate]]: `sink` must materialize synchronously, or
+    * the commit precedes delivery. */
   private[graft] def kllGroupedGuardedUpdate(batch: DataFrame,
       group: Column, value: Column, k: Int, qPermille: Long,
       batchId: Long, maxGroups: Int,
@@ -1745,6 +1754,15 @@ object Eval {
         round(col("sd").cast("double") / col("ne").cast("double"))
           .cast("long").as("rm"))
       .localCheckpoint()
+    // driver-loop counters (Counters.note — the louvain/cc
+    // convention; r13 verdict task 3): q85's +39% r13 drift was the
+    // one heavy entry unprovable from the artifact alone. Both
+    // frames are already checkpointed, so the two counts are cheap
+    // re-reads of pinned partitions, and the numbers that adjudicate
+    // a drift (scored items flat but time up → the plan or the box,
+    // not the data) ride in BENCH's counters object.
+    graft.ops.Counters.note("paired_bootstrap", "stage", Map(
+      "items" -> base.count(), "replicates" -> repMeans.count()))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val ranked = repMeans
