@@ -148,6 +148,29 @@ object SparkEntry {
        |  FROM ddom LEFT JOIN dtb USING (b) LEFT JOIN drb USING (b),
        |    dtt, drt)""".stripMargin
 
+  /** d76/d78/llm_select_full's shared scoring CTE: per-document
+    * DSIR importance score = the order-free integer-micro sum of its
+    * bigram buckets' log ratios over [[duckDsirCtes]]'s drat. */
+  private lazy val duckDsirDsc: String =
+    """dsc AS (SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_grams,
+      |    CAST(sum(ratio_micro) AS BIGINT) AS score_micro
+      |  FROM dbg JOIN drat USING (b) GROUP BY doc_id)""".stripMargin
+
+  /** d78/llm_select_full's shared Gumbel-key CTE: every document's
+    * score joined back (gram-less docs keep (0,0)) plus the
+    * deterministic Gumbel draw from the portable id hash — the
+    * replayable key the top-k selection orders by. */
+  private lazy val duckDsirDky: String =
+    s"""dky AS (SELECT d.doc_id,
+       |    coalesce(n_grams, 0) AS n_grams,
+       |    coalesce(score_micro, 0) AS score_micro,
+       |    CAST(round(1e6 * -ln(-ln(
+       |      (CAST((${duckHash60("CAST(d.doc_id AS VARCHAR)")})
+       |        % 1000000 AS DOUBLE) + 0.5) / 1e6)))
+       |      AS BIGINT) AS gumbel_micro
+       |  FROM documents d LEFT JOIN dsc USING (doc_id))""".stripMargin
+
   /** d77/d79's shared oracle prefix: the decontamination gram chain
     * (word 3-grams hashed through the portable 60-bit hash; bench =
     * the deterministic doc_id % 97 = 0 eval slice; train = the rest)
@@ -461,6 +484,81 @@ object SparkEntry {
       .withColumn("bound",
         greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
       .select(col("q_permille"), col("est_cents"), col("n"),
+        col("target_rank"), col("rank_err"), col("bound"),
+        (col("rank_err") <= col("bound")).as("within_bound"),
+        lit(nRet).as("n_retained"))
+      .orderBy("q_permille")
+  }
+
+  /** [[groupedKllAudit]] in WEIGHT space (q112): each per-source
+    * token-weighted median estimate recounted against its source's
+    * exact WEIGHTED rank interval in one grouped pass, bound 8W_g/k
+    * per group (W_g the group's total weight). */
+  private def groupedWeightedKllAudit(s: SparkSession, docs: DataFrame,
+      ests: Seq[(String, Long, Long)], k: Int): DataFrame = {
+    val sImp = s
+    import sImp.implicits._
+    docs.join(broadcast(
+        ests.toDF("source", "est_chars", "n_retained")), "source")
+      .select(col("source"), col("est_chars"), col("n_retained"),
+        col("v"), greatest(col("w"), lit(0L)).as("w"))
+      .groupBy("source", "est_chars", "n_retained")
+      .agg(coalesce(sum(col("w")), lit(0L)).as("n"),
+        coalesce(sum(when(col("v") < col("est_chars"), col("w"))
+          .otherwise(0L)), lit(0L)).as("n_lt"),
+        coalesce(sum(when(col("v") <= col("est_chars"), col("w"))
+          .otherwise(0L)), lit(0L)).as("n_le"))
+      .withColumn("target_rank", least(col("n"),
+        greatest(lit(1L), expr("(500 * n + 999) div 1000"))))
+      .withColumn("rank_err",
+        when(col("target_rank").between(col("n_lt") + 1L,
+          col("n_le")), 0L)
+          .otherwise(least(
+            abs(col("target_rank") - col("n_lt") - 1L),
+            abs(col("target_rank") - col("n_le")))))
+      .withColumn("bound",
+        greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
+      .select(col("source"), col("n").as("w_total"), col("est_chars"),
+        col("target_rank"), col("rank_err"), col("bound"),
+        (col("rank_err") <= col("bound")).as("within_bound"),
+        col("n_retained"))
+      .orderBy("source")
+  }
+
+  /** [[kllAuditFrame]] in WEIGHT space (q110): the corpus frame
+    * carries (v, w) and every rank quantity is a weighted sum — the
+    * target is the ⌈q·W⌉-th unit of WEIGHT, the estimate's rank
+    * interval is (Σw over v<est, Σw over v<=est], and the acceptance
+    * bound is 8W/k for total weight W. Same one-pass 5-way literal
+    * explode; rows with w <= 0 contribute nothing to either side
+    * (the aggregator skips them, the sums weight them zero). */
+  private def weightedKllAuditFrame(vals: DataFrame,
+                                    st: graft.functions.KllState,
+                                    k: Int): DataFrame = {
+    import graft.functions.KllSketch
+    val ests = Seq(10L, 250L, 500L, 750L, 990L)
+      .map(q => (q, KllSketch.quantileOf(st, q).getOrElse(0L)))
+    val nRet = KllSketch.numRetained(st).toLong
+    vals.select(col("v"), col("w"), explode(typedlit(ests)).as("e"))
+      .select(col("e._1").as("q_permille"),
+        col("e._2").as("est_chars"), col("v"),
+        greatest(col("w"), lit(0L)).as("w"))
+      .groupBy("q_permille", "est_chars")
+      .agg(coalesce(sum(col("w")), lit(0L)).as("n"),
+        coalesce(sum(when(col("v") < col("est_chars"), col("w"))
+          .otherwise(0L)), lit(0L)).as("n_lt"),
+        coalesce(sum(when(col("v") <= col("est_chars"), col("w"))
+          .otherwise(0L)), lit(0L)).as("n_le"))
+      .withColumn("target_rank", least(col("n"),
+        greatest(lit(1L), expr("(q_permille * n + 999) div 1000"))))
+      .withColumn("rank_err",
+        when(col("target_rank").between(col("n_lt") + 1L, col("n_le")),
+          0L)
+          .otherwise(least(abs(col("target_rank") - col("n_lt") - 1L),
+            abs(col("target_rank") - col("n_le")))))
+      .withColumn("bound",
+        greatest(lit(2L), expr(s"(8 * n + ${k - 1}) div $k")))
+      .select(col("q_permille"), col("est_chars"), col("n").as("w_total"),
         col("target_rank"), col("rank_err"), col("bound"),
         (col("rank_err") <= col("bound")).as("within_bound"),
         lit(nRet).as("n_retained"))
@@ -6221,6 +6319,122 @@ object SparkEntry {
       },
       None),
 
+    // TOKEN-WEIGHTED KLL (r13 verdict task 6): the curation family
+    // selects by DOCUMENT but trains by TOKEN — the length
+    // distribution a drift watch should track weighs each doc's
+    // n_chars by its token count. KllSketchWeighted inserts by the
+    // binary decomposition of w across the compactor's native 2^l
+    // weight levels (weight conserved exactly — KllSketchSpec pins
+    // Σw; an unweighted insert is the w = 1 special case). Rows-only
+    // (retained items partition-dependent, the standing KLL
+    // adjudication) with the q106 exact-rank audit moved to WEIGHT
+    // space: one corpus pass recounts each estimate's weighted rank
+    // interval against the 8W/k bound. q111_token_weighted_median is
+    // the oracle-exact twin on the SAME (value, weight) pair.
+    "q110_weighted_kll" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val k = 256
+        val vals = table(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("v"),
+            TextStats.tokenCount(col("text")).as("w"))
+          .filter(col("v").isNotNull)
+        // bounded parameter fetch: the O(k) sketch, never data
+        val st = KllSketch.fromRow(
+          vals.agg(KllSketch.aggWeighted(k, col("v"), col("w")))
+            .head().getStruct(0))
+        weightedKllAuditFrame(vals, st, k)
+      },
+      None),
+
+    // q110's ORACLE-EXACT twin (the q105/q106 pairing, weighted):
+    // the exact token-weighted median of n_chars via the bounded
+    // narrowing selection (q52's machinery over the documents pair),
+    // so the weighted-quantile QUESTION q110 sketches has a
+    // hash-checked exact answer beside it. The oracle replays the
+    // cumulative-weight crossing.
+    "q111_token_weighted_median" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.exactWeightedQuantile(
+        table(s, dir, "documents")
+          .select(col("n_chars").cast("long").as("v"),
+            TextStats.tokenCount(col("text")).as("w")),
+        "v", "w", q = 0.5, buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM s),
+             |kx AS (SELECT wt, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT v, CAST(sum(w) OVER (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw
+             |  FROM s)
+             |SELECT (SELECT min(v) FROM c, kx WHERE c.cw >= kx.k)
+             |    AS value,
+             |  wt AS w_total, k FROM kx""".stripMargin)),
+
+    // The GROUPED form of q110 — one token-weighted KLL sketch per
+    // source from a single grouped pass, the production per-domain
+    // monitoring shape (q108's discipline with weighted inserts):
+    // 20 bounded sketches fetched, each source's weighted median
+    // recounted against its exact weighted rank interval in one
+    // second grouped pass, bound 8·W_g/k per group. Rows-only (the
+    // standing KLL adjudication); q113_group_token_weighted_median
+    // is the oracle-exact twin on the same (group, value, weight)
+    // triple.
+    "q112_grouped_weighted_kll" -> Q(
+      (s, dir) => {
+        import graft.functions.KllSketch
+        val k = 64
+        val docs = table(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"),
+            TextStats.tokenCount(col("text")).as("w"))
+          .filter(col("source").isNotNull && col("v").isNotNull)
+        val ests = docs.groupBy("source")
+          .agg(KllSketch.aggWeighted(k, col("v"), col("w")).as("sk"))
+          .collect() // one bounded sketch per source, never data
+          .map { r =>
+            val st = KllSketch.fromRow(r.getStruct(1))
+            (r.getString(0),
+              KllSketch.quantileOf(st, 500L).getOrElse(0L),
+              KllSketch.numRetained(st).toLong)
+          }.toSeq
+        groupedWeightedKllAudit(s, docs, ests, k)
+      },
+      None),
+
+    // q112's ORACLE-EXACT twin: the exact per-source token-weighted
+    // median via the shared-scan grouped narrowing selection (q53's
+    // machinery on the documents triple) — every source resolves in
+    // the SAME bounded scans. The oracle replays the per-group
+    // cumulative-weight crossing.
+    "q113_group_token_weighted_median" -> Q(
+      (s, dir) => graft.ops.DistributedSelect.groupedWeightedQuantile(
+        table(s, dir, "documents")
+          .select(col("source"), col("n_chars").cast("long").as("v"),
+            TextStats.tokenCount(col("text")).as("w")),
+        "source", "v", "w", q = 0.5, buckets = 32, threshold = 500),
+      Some("""WITH s AS (SELECT source AS grp,
+             |    CAST(n_chars AS DOUBLE) AS v,
+             |    CAST(len(str_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents),
+             |t AS (SELECT grp, CAST(sum(w) AS BIGINT) AS wt
+             |  FROM s GROUP BY grp),
+             |kx AS (SELECT grp, wt, greatest(CAST(1 AS BIGINT),
+             |    CAST(ceil(CAST(0.5 AS DOUBLE) * wt) AS BIGINT)) AS k
+             |  FROM t),
+             |c AS (SELECT grp, v, CAST(sum(w) OVER (PARTITION BY grp
+             |    ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cw
+             |  FROM s)
+             |SELECT kx.grp AS source,
+             |  (SELECT min(v) FROM c
+             |   WHERE c.grp = kx.grp AND c.cw >= kx.k) AS value,
+             |  wt AS w_total, k
+             |FROM kx ORDER BY source""".stripMargin)),
+
     // Welch's unequal-variance t-test — q73's parametric companion on
     // the SAME split (rank test vs mean test over the identical
     // data: the robustness A/B an eval pipeline wants side by side).
@@ -9278,10 +9492,7 @@ object SparkEntry {
           "doc_id", "text", dsirRatiosStaged(s, dir))
         .orderBy("doc_id").limit(2000),
       Some(s"""WITH $duckDsirCtes,
-              |dsc AS (SELECT doc_id,
-              |    CAST(count(*) AS BIGINT) AS n_grams,
-              |    CAST(sum(ratio_micro) AS BIGINT) AS score_micro
-              |  FROM dbg JOIN drat USING (b) GROUP BY doc_id)
+              |$duckDsirDsc
               |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
               |  coalesce(score_micro, 0) AS score_micro
               |FROM documents d LEFT JOIN dsc USING (doc_id)
@@ -9300,18 +9511,8 @@ object SparkEntry {
       (s, dir) => Curation.dsirSelect(table(s, dir, "documents"),
         "doc_id", "text", dsirRatiosStaged(s, dir), k = 100),
       Some(s"""WITH $duckDsirCtes,
-              |dsc AS (SELECT doc_id,
-              |    CAST(count(*) AS BIGINT) AS n_grams,
-              |    CAST(sum(ratio_micro) AS BIGINT) AS score_micro
-              |  FROM dbg JOIN drat USING (b) GROUP BY doc_id),
-              |dky AS (SELECT d.doc_id,
-              |    coalesce(n_grams, 0) AS n_grams,
-              |    coalesce(score_micro, 0) AS score_micro,
-              |    CAST(round(1e6 * -ln(-ln(
-              |      (CAST((${duckHash60("CAST(d.doc_id AS VARCHAR)")})
-              |        % 1000000 AS DOUBLE) + 0.5) / 1e6)))
-              |      AS BIGINT) AS gumbel_micro
-              |  FROM documents d LEFT JOIN dsc USING (doc_id))
+              |$duckDsirDsc,
+              |$duckDsirDky
               |SELECT doc_id, n_grams, score_micro, gumbel_micro,
               |  score_micro + gumbel_micro AS key_micro
               |FROM dky
@@ -9606,6 +9807,71 @@ object SparkEntry {
              |  CAST(count(DISTINCT strt // 512) AS BIGINT)
              |    AS n_start_seqs
              |FROM pk GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // SELECTION CAPSTONE (r13 verdict task 4) — the
+    // train→score→select→pack path a pretraining data team runs as
+    // ONE job, composed from the verified stages (the llm_curate_full
+    // discipline): d75's staged ratio artifact trains once per
+    // corpus, d76's map-side scoring prices every document, d78's
+    // deterministic Gumbel top-k resamples 100 docs without
+    // replacement ∝ importance weight, and d22's sharded packer lays
+    // the selected docs into 512-token training sequences. Counters
+    // ride every stage (ratio-table rows, scored docs via an
+    // Observation on the scoring frame, selected k, packed
+    // sequences). Every stage replays in the oracle's single CTE
+    // chain, so a seam between any two stages breaks the hash. The
+    // selection is 100 rows by construction, so the text join and
+    // the final annotation join both broadcast — corpus-sized work
+    // is exactly one scoring pass, as in d78.
+    "llm_select_full" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val ratios = dsirRatiosStaged(s, dir)
+        val obsScored = graft.ops.Counters.register("llm_select_full",
+          "scored", org.apache.spark.sql.Observation(
+            "llm_select_full_scored"))
+        // fork point: the k-row selection feeds BOTH the text join
+        // and the final annotation join — pin it so the corpus
+        // scoring pass runs once (the llm_curate_full fork rule)
+        val sel = Curation.dsirSelect(docs, "doc_id", "text", ratios,
+          k = 100, observeScored = Some(obsScored)).localCheckpoint()
+        val selTexts = docs.select(col("doc_id"), col("text"))
+          .join(broadcast(sel.select(col("doc_id"))), "doc_id")
+        val packed = Curation.packSequences(selTexts, "doc_id",
+            "text", seqTokens = 512, shards = 4)
+          .join(broadcast(sel.select(col("doc_id"),
+            col("score_micro"), col("key_micro"))), "doc_id")
+          .select(col("doc_id"), col("score_micro"), col("key_micro"),
+            col("shard"), col("seq_id"), col("seq_offset"))
+          .localCheckpoint() // bounded: k rows; lets the seq count
+                             // below reuse it instead of re-scanning
+        graft.ops.Counters.note("llm_select_full", "stage", Map(
+          "ratio_rows" -> ratios.count(), "selected" -> sel.count(),
+          "seqs" -> packed.select("shard", "seq_id").distinct()
+            .count()))
+        packed.orderBy("doc_id")
+      },
+      Some(s"""WITH $duckDsirCtes,
+              |$duckDsirDsc,
+              |$duckDsirDky,
+              |sel AS (SELECT doc_id, score_micro,
+              |    score_micro + gumbel_micro AS key_micro
+              |  FROM dky
+              |  ORDER BY key_micro DESC, doc_id ASC LIMIT 100),
+              |sp AS (SELECT s.doc_id, s.score_micro, s.key_micro,
+              |    s.doc_id % 4 AS shard,
+              |    len(str_split(d.text, ' ')) AS n
+              |  FROM sel s JOIN documents d USING (doc_id)),
+              |pc AS (SELECT doc_id, score_micro, key_micro, shard,
+              |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id)
+              |      - n AS strt
+              |  FROM sp)
+              |SELECT doc_id, score_micro, key_micro,
+              |  CAST(shard AS BIGINT) AS shard,
+              |  CAST(strt // 512 AS BIGINT) AS seq_id,
+              |  CAST(strt % 512 AS BIGINT) AS seq_offset
+              |FROM pc ORDER BY doc_id""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
 
     // The transitive-cluster twin of llm_clean_pipeline: near-dup
     // removal keeps each CONNECTED COMPONENT's minimum id instead of
@@ -10402,6 +10668,75 @@ object SparkEntry {
       (s, dir) => Similarity.dominantDirectionDistributed(
         covarianceStaged(s, dir), iters = 5),
       Some(duckDominantDirSqlWith(withDelta = true))),
+
+    // e19 at the PRODUCTION WIDTH, driver-verified (r13 verdict task
+    // 5 — the DominantDirectionRehearsal promoted to an oracle
+    // entry): d = 1024, a width e18's driver form REFUSES, over a
+    // deterministic synthetic covariance planted in-plan as the
+    // d(d+1)/2 upper-triangle cell frame e17 would produce:
+    // C = a·uuᵀ + b·I with u's components drawn per-dimension from a
+    // Knuth multiplicative hash (the SyntheticEvents discipline — no
+    // data dependence, no randomness; the rank-1 spike makes the
+    // dominant direction known and the 5-step iterate convergent, so
+    // delta_micro is auditable in-entry: `converged` pins the
+    // residual under 1% of the 1e6 scale from exact integers). The
+    // oracle re-derives the SAME cells and unrolls the SAME 5 exact-
+    // integer matvec steps, so the distributed groupBy matvec at
+    // production width — 524 800 cells, 1 048 576 symmetrized rows
+    // per step, v broadcast as 1024 longs — is cross-engine verified
+    // end to end, not just rehearsal-asserted.
+    "e20_dominant_direction_large" -> Q(
+      (s, dir) => {
+        val d = 1024
+        // u_j in [-1, 1) from the Knuth multiplicative hash — the
+        // operand order below is mirrored token-for-token in the
+        // oracle (one shared IEEE evaluation, the g6 precedent)
+        def uOf(c: Column): Column =
+          ((c * lit(2654435761L)).bitwiseAND(lit(65535L))
+            .cast("double") / lit(65535.0) - lit(0.5)) * lit(2.0)
+        val cells = s.range(d.toLong).select(col("id").as("i"))
+          .select(col("i"),
+            explode(expr(s"sequence(i, ${d - 1})")).as("j"))
+          .select(col("i"), col("j"),
+            round(lit(1e6) * (lit(0.04) * uOf(col("i")) * uOf(col("j"))
+              + when(col("i") === col("j"), lit(0.001))
+                .otherwise(lit(0.0))))
+              .cast("long").as("cov_micro"))
+        Similarity.dominantDirectionDistributed(cells, iters = 5)
+          .withColumn("converged", col("delta_micro") < lit(10000L))
+      },
+      Some({
+        val steps = (1 to 5).map { t =>
+          s"""w$t AS (SELECT fm.i AS j,
+             |    sum(CAST(fm.c AS HUGEINT) * vp.v) AS w
+             |  FROM fm JOIN v${t - 1} vp ON vp.j = fm.j GROUP BY fm.i),
+             |m$t AS (SELECT max(abs(w)) AS m FROM w$t),
+             |v$t AS (SELECT j, CAST(round(1e6 * (CAST(w AS DOUBLE)
+             |    / CAST(m AS DOUBLE))) AS BIGINT) AS v FROM w$t, m$t)"""
+        }.mkString(",\n")
+        s"""WITH uu AS (SELECT CAST(g.j AS BIGINT) AS j,
+           |    ((CAST(((g.j * 2654435761) & 65535) AS DOUBLE)
+           |      / 65535.0 - 0.5) * 2.0) AS u
+           |  FROM (SELECT unnest(generate_series(0, 1023)) AS j) g),
+           |cm AS (SELECT a.j AS i, b.j AS j,
+           |    CAST(round(1e6 * (0.04 * a.u * b.u +
+           |      CASE WHEN a.j = b.j THEN 0.001 ELSE 0.0 END))
+           |      AS BIGINT) AS c
+           |  FROM uu a JOIN uu b ON a.j <= b.j),
+           |fm AS (SELECT i, j, c FROM cm
+           |       UNION ALL SELECT j, i, c FROM cm WHERE i <> j),
+           |v0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v
+           |  FROM fm),
+           |$steps,
+           |dl AS (SELECT CAST(max(abs(v5.v - v4.v)) AS BIGINT) AS d
+           |  FROM v5 JOIN v4 USING (j))
+           |SELECT v5.j AS dim, v5.v AS v_micro,
+           |  CAST(round(CAST(m5.m AS DOUBLE) / 1e6) AS BIGINT)
+           |    AS lambda_micro, dl.d AS delta_micro,
+           |  (dl.d < 10000) AS converged
+           |FROM v5, m5, dl ORDER BY dim""".stripMargin
+          .replace(" AS (", " AS MATERIALIZED (")
+      })),
 
     "r2_hybrid_rrf" -> Q(
       (s, dir) => {

@@ -46,14 +46,78 @@ class KllSketch(k: Int)
 
   override def zero: KllState = KllState(Seq(Vector.empty), Seq(0L))
 
+  // boxed input: null values are SKIPPED like every SQL aggregate
+  // (the KMinValues convention)
+  override def reduce(buf: KllState, v: java.lang.Long): KllState =
+    if (v == null) buf
+    else {
+      val l0 = buf.levels.head :+ v.longValue
+      val levels = l0 +: buf.levels.tail
+      if (l0.size > KllSketch.cap(k, 0, levels.length))
+        KllSketch.compact(k, levels, buf.flips)
+      else KllState(levels, buf.flips)
+    }
+
+  override def merge(a: KllState, b: KllState): KllState =
+    KllSketch.mergeCompact(k, a, b)
+
+  override def finish(buf: KllState): KllState = buf
+  override def bufferEncoder: Encoder[KllState] = KllSketch.enc
+  override def outputEncoder: Encoder[KllState] = KllSketch.enc
+}
+
+/** Boxed (value, weight) input row for [[KllSketchWeighted]] —
+  * either side NULL (or a non-positive weight) skips the row, the
+  * SQL-aggregate convention. */
+case class KllWeightedIn(v: java.lang.Long, w: java.lang.Long)
+
+/** TOKEN-WEIGHTED KLL ([[KllSketch]] with per-item integer weights):
+  * the curation family selects by document but trains by TOKEN, so
+  * the length-distribution drift watch wants each document's value
+  * weighted by its token count. The compactor's native currency is
+  * already weights of 2^l — level l holds items of weight 2^l — so a
+  * weighted insert is just the BINARY DECOMPOSITION of w: the item
+  * lands once at every set-bit level, total weight is conserved
+  * EXACTLY (Σ 2^l over set bits = w; compaction conserves as always),
+  * and the same capacity/compaction machinery applies unchanged —
+  * the standard weighted-update move (Apache DataSketches' KLL takes
+  * it for its weighted update too). An unweighted insert is the
+  * special case w = 1. Same deterministic-parity compaction, same
+  * merge, same rows-only adjudication: retained items are partition-
+  * dependent; the error envelope (now in WEIGHT space: rank error
+  * O(W/k) for total weight W) is what the entries audit. */
+class KllSketchWeighted(k: Int)
+    extends Aggregator[KllWeightedIn, KllState, KllState] {
+  require(k >= 8 && k <= 4096, "k must be in [8, 4096]")
+
+  override def zero: KllState = KllState(Seq(Vector.empty), Seq(0L))
+
+  override def reduce(buf: KllState, in: KllWeightedIn): KllState =
+    if (in == null || in.v == null || in.w == null || in.w <= 0L) buf
+    else KllSketch.insertWeighted(k, buf, in.v.longValue,
+      in.w.longValue)
+
+  override def merge(a: KllState, b: KllState): KllState =
+    KllSketch.mergeCompact(k, a, b)
+
+  override def finish(buf: KllState): KllState = buf
+  override def bufferEncoder: Encoder[KllState] = KllSketch.enc
+  override def outputEncoder: Encoder[KllState] = KllSketch.enc
+}
+
+object KllSketch {
+  private[functions] val enc: Encoder[KllState] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllState]()
+
   // capacity decays geometrically below the top level; two slots
-  // minimum keep every level compactable
-  private def cap(level: Int, h: Int): Int =
+  // minimum keep every level compactable. Shared by the unweighted
+  // and weighted aggregators — ONE compactor, two insert paths.
+  private[functions] def cap(k: Int, level: Int, h: Int): Int =
     math.max(2, math.ceil(
       k * math.pow(2.0 / 3.0, (h - 1 - level).toDouble)).toInt)
 
-  private def compact(levels0: Seq[Seq[Long]],
-                      flips0: Seq[Long]): KllState = {
+  private[functions] def compact(k: Int, levels0: Seq[Seq[Long]],
+                                 flips0: Seq[Long]): KllState = {
     var levels = levels0.map(_.toVector).toVector
     var flips = flips0.toVector
     var changed = true
@@ -61,7 +125,7 @@ class KllSketch(k: Int)
       changed = false
       var l = 0
       while (l < levels.length) {
-        if (levels(l).size > cap(l, levels.length)) {
+        if (levels(l).size > cap(k, l, levels.length)) {
           val sorted = levels(l).sorted
           // only an EVEN count compacts exactly (m items of weight w
           // become m/2 of weight 2w); an odd level leaves its
@@ -89,18 +153,10 @@ class KllSketch(k: Int)
     KllState(levels, flips)
   }
 
-  // boxed input: null values are SKIPPED like every SQL aggregate
-  // (the KMinValues convention)
-  override def reduce(buf: KllState, v: java.lang.Long): KllState =
-    if (v == null) buf
-    else {
-      val l0 = buf.levels.head :+ v.longValue
-      val levels = l0 +: buf.levels.tail
-      if (l0.size > cap(0, levels.length)) compact(levels, buf.flips)
-      else KllState(levels, buf.flips)
-    }
-
-  override def merge(a: KllState, b: KllState): KllState = {
+  // the shared merge body: pad to a common height, concatenate
+  // level-wise, sum flips, compact once
+  private[functions] def mergeCompact(k: Int, a: KllState,
+                                      b: KllState): KllState = {
     val h = math.max(a.levels.length, b.levels.length)
     def pad(s: Seq[Seq[Long]]): Seq[Seq[Long]] =
       s ++ Seq.fill(h - s.length)(Vector.empty[Long])
@@ -109,23 +165,53 @@ class KllSketch(k: Int)
       .map { case (x, y) => x ++ y }
     val flips = padF(a.flips).zip(padF(b.flips))
       .map { case (x, y) => x + y }
-    compact(levels, flips)
+    compact(k, levels, flips)
   }
 
-  override def finish(buf: KllState): KllState = buf
-  override def bufferEncoder: Encoder[KllState] = KllSketch.enc
-  override def outputEncoder: Encoder[KllState] = KllSketch.enc
-}
-
-object KllSketch {
-  private[functions] val enc: Encoder[KllState] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[KllState]()
+  /** Weighted insert by binary decomposition: item `v` of weight `w`
+    * lands once at every set-bit level of w (level l's items carry
+    * weight 2^l), then one compaction pass if any level overflowed.
+    * Weight is conserved EXACTLY: Σ 2^l over w's set bits = w, and
+    * compaction conserves — so [[totalWeight]] equals Σ w over all
+    * inserts, the invariant KllSketchSpec pins. O(log w) appends per
+    * insert; w must be positive (the aggregators skip w <= 0). */
+  private[functions] def insertWeighted(k: Int, buf: KllState,
+                                        v: Long, w: Long): KllState = {
+    var levels = buf.levels.map(_.toVector).toVector
+    var flips = buf.flips.toVector
+    var l = 0
+    var rem = w
+    while (rem != 0L) {
+      if (levels.length <= l) {
+        levels = levels :+ Vector.empty[Long]
+        flips = flips :+ 0L
+      }
+      if ((rem & 1L) == 1L) levels = levels.updated(l, levels(l) :+ v)
+      rem >>>= 1
+      l += 1
+    }
+    if (levels.indices.exists(i =>
+        levels(i).size > cap(k, i, levels.length)))
+      compact(k, levels, flips)
+    else KllState(levels, flips)
+  }
 
   /** Column form over a long column (quantize doubles to cents/micro
     * first — the d28 contract). Nulls are skipped. */
   def agg(k: Int, value: Column): Column =
     org.apache.spark.sql.functions.udaf(new KllSketch(k),
       Encoders.LONG).apply(value)
+
+  /** Weighted column form: each row's `value` carries integer weight
+    * `weight` (a NULL on either side, or a non-positive weight,
+    * skips the row). The quantile/rank machinery downstream is
+    * unchanged — [[totalWeight]] is now Σ w and [[quantileOf]]
+    * selects by cumulative WEIGHT. */
+  def aggWeighted(k: Int, value: Column, weight: Column): Column =
+    org.apache.spark.sql.functions.udaf(new KllSketchWeighted(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[KllWeightedIn]())
+      .apply(value, weight)
 
   /** Decode a finished sketch from its struct row (the bounded
     * parameter fetch — O(k) longs, never data). */

@@ -430,13 +430,25 @@ object Curation {
     * selection over the same corpus is reproducible. key =
     * score_micro + round(1e6·g); ties break on ascending id. Returns
     * the k selected rows (idCol, n_grams, score_micro, gumbel_micro,
-    * key_micro), highest key first. */
+    * key_micro), highest key first.
+    *
+    * `observeScored` (the curateSurvivors observeWith convention):
+    * an Observation to ride the scored frame with its row count, so
+    * a composition entry (llm_select_full) publishes the scored-doc
+    * volume in the bench artifact without a second scan. */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
-                 ratios: DataFrame, k: Int): DataFrame = {
+                 ratios: DataFrame, k: Int,
+                 observeScored: Option[
+                   org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
     require(k >= 1, "k >= 1")
     val u = (pmod(Dedup.md5Long60(col(idCol).cast("string")),
       lit(1000000L)).cast("double") + 0.5) / lit(1e6)
-    dsirScores(docs, idCol, textCol, ratios)
+    val scored0 = dsirScores(docs, idCol, textCol, ratios)
+    val scored = observeScored
+      .map(o => scored0.observe(o, count(lit(1)).as("rows")))
+      .getOrElse(scored0)
+    scored
       .withColumn("gumbel_micro",
         round(lit(1e6) * -log(-log(u))).cast("long"))
       .withColumn("key_micro",

@@ -34,13 +34,15 @@ object Eval {
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val pts = df.select(score.as("s"),
       when(label === 1, 1L).otherwise(0L).as("y"))
+    // pinned distinct-score frame; the exclusive below-count comes
+    // from the distributed celled cums (r14 — no global sort)
     val g = pts.groupBy("s").agg(
-      sum(col("y")).as("pos"),
-      (count(lit(1)) - sum(col("y"))).as("neg"))
-    val w = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val u2 = g
-      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+        sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+      .localCheckpoint()
+    val u2 = celledCums(g, "s", Seq("_cn" -> col("neg")),
+        withNextV = false)
+      .withColumn("neg_below", col("_cn") - col("neg"))
       .agg(sum(lit(2L) * col("neg_below") * col("pos") +
         col("neg") * col("pos")).as("u2"),
         sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
@@ -73,14 +75,27 @@ object Eval {
   def prAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val pts = df.select(score.as("s"),
       when(label === 1, 1L).otherwise(0L).as("y"))
+    // pinned distinct-score frame (feeds the celled cums AND the
+    // totals); the DESCENDING inclusive cums derive from the
+    // ascending celled cums + totals — cum_desc = total −
+    // (cum_asc_incl − own) — exact integer identities, so the terms
+    // are bit-equal to the former desc global window (r14)
     val g = pts.groupBy("s").agg(
-      sum(col("y")).as("pos"),
-      (count(lit(1)) - sum(col("y"))).as("neg"))
-    val w = Window.orderBy(col("s").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val terms = g
-      .withColumn("cum_pos", sum(col("pos")).over(w))
-      .withColumn("cum_n", sum(col("pos") + col("neg")).over(w))
+        sum(col("y")).as("pos"),
+        (count(lit(1)) - sum(col("y"))).as("neg"))
+      .localCheckpoint()
+    val totals = g.agg(sum(col("pos")).as("_tp"),
+        sum(col("pos") + col("neg")).as("_tt"))
+      .withColumn("_one", pmod(col("_tt"), lit(1L)).cast("int"))
+    val terms = celledCums(g, "s", Seq("_cp" -> col("pos"),
+        "_cn" -> (col("pos") + col("neg"))), withNextV = false)
+      .withColumn("_one",
+        pmod(col("_cp") + col("_cn"), lit(1L)).cast("int"))
+      .join(broadcast(totals), "_one")
+      .withColumn("cum_pos",
+        col("_tp") - (col("_cp") - col("pos")))
+      .withColumn("cum_n",
+        col("_tt") - (col("_cn") - (col("pos") + col("neg"))))
       .select(
         when(col("pos") > 0,
           round(lit(1e6) * col("pos") * col("cum_pos") / col("cum_n"))
@@ -234,20 +249,108 @@ object Eval {
         lit(" distinct values; quantize the column first (the"),
         lit(" ksMicro contract)")))).cast("int")
 
+  /** DISTRIBUTED cumulative sums over a per-distinct-value frame —
+    * the [[midrankDoubled]] cell trick generalized, closing the
+    * standing "global value window" watch item (r13 verdict: the
+    * drift family's Window.orderBy(v) was the first re-audit for a
+    * high-cardinality column, and q104 over price cents IS one —
+    * 583k distinct values through one single-partition sort): assign
+    * each row to one of `cells` value-range cells from a bounded
+    * envelope fetch, cumulate cell totals over the ≤cells-row
+    * aggregate frame (a bounded window — the B-row-stats class),
+    * then run per-CELL inclusive prefix sums (parallel across cells)
+    * and add each cell's offset. Exact integer/decimal sums compose
+    * associatively, so the result is BIT-EQUAL to the global-window
+    * form under any partitioning — only the exchange shape changes
+    * (two keyed shuffles instead of one all-to-one sort).
+    *
+    * For each (name, expr) in `sums`, appends `name` = the INCLUSIVE
+    * cumulative sum of expr over ascending `v`; `withNextV` appends
+    * `next_v` = the global lead of v (within-cell lead patched at
+    * cell boundaries with the next non-empty cell's first value —
+    * NULL on the last row, matching the global form). CALLERS must
+    * pass a PINNED frame (localCheckpoint) — the envelope fetch here
+    * plus the caller's own totals/main consumers would otherwise
+    * re-execute an expensive lineage once per consumer; the frame is
+    * bounded by the callers' MaxWindowValues contract. A degenerate
+    * envelope (one distinct value, non-finite width) collapses to
+    * one cell — correct, just unsplit. */
+  private def celledCums(g: DataFrame, valueCol: String,
+                         sums: Seq[(String, Column)],
+                         withNextV: Boolean,
+                         cells: Int = 1024): DataFrame = {
+    val mm = g.agg(min(col(valueCol).cast("double")),
+      max(col(valueCol).cast("double"))).head()
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0.0, 0.0)
+      else (mm.getDouble(0), mm.getDouble(1))
+    val cell =
+      if (!(hi > lo) || !java.lang.Double.isFinite(hi - lo)) lit(0L)
+      else least(lit(cells - 1L), greatest(lit(0L),
+        floor((col(valueCol).cast("double") - lit(lo)) /
+          lit((hi - lo) / cells)).cast("long")))
+    val celled = g.withColumn("_cell", cell)
+    // per-cell totals of every summed expr + the cell's first value;
+    // offsets cumulate EXCLUSIVELY over the bounded cell frame
+    val offAggs = sums.zipWithIndex.map { case ((_, e), i) =>
+      sum(e).as(s"_t$i") } :+ min(col(valueCol)).as("_first_v")
+    val offWindow = Window.orderBy("_cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = celled.groupBy(col("_cell"))
+      .agg(offAggs.head, offAggs.tail: _*)
+    val offs1 = sums.zipWithIndex.foldLeft(offs0) {
+      case (df, ((_, _), i)) => df.withColumn(s"_off$i",
+        sum(col(s"_t$i")).over(offWindow))
+    }
+    val offs = (if (withNextV)
+        offs1.withColumn("_next_first",
+          lead(col("_first_v"), 1).over(Window.orderBy("_cell")))
+      else offs1)
+      .drop((sums.indices.map(i => s"_t$i") :+ "_first_v"): _*)
+    val inCell = Window.partitionBy("_cell").orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withCums = sums.zipWithIndex.foldLeft(
+        celled.join(broadcast(offs), Seq("_cell"))) {
+      case (df, ((name, e), i)) => df.withColumn(name,
+        sum(e).over(inCell) +
+          coalesce(col(s"_off$i"), e * lit(0L)))
+    }
+    val withLead = if (withNextV)
+        withCums.withColumn("next_v",
+          coalesce(lead(col(valueCol), 1).over(
+            Window.partitionBy("_cell").orderBy(valueCol)),
+            col("_next_first")))
+      else withCums
+    withLead.drop((sums.indices.map(i => s"_off$i").toSeq ++
+      Seq("_cell", "_next_first")): _*)
+  }
+
   /** The KS arithmetic over a prebuilt (v, ca, cb) value-count frame —
     * shared by the two-segment batch form and the streaming drift
     * monitor so the cumulative/quantization semantics cannot drift
-    * (the psiFromCounts discipline). */
-  private def ksFromCounts(g: DataFrame): DataFrame = {
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val c = g
-      .withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
+    * (the psiFromCounts discipline). Cumulatives run through the
+    * distributed [[celledCums]] (bit-equal to the former global
+    * window; the MaxWindowValues guard still bounds the frame). */
+  private def ksFromCounts(gIn: DataFrame): DataFrame = {
+    // pinned: the celled envelope fetch, the cum pass, and the totals
+    // below all consume this frame — its lineage (a corpus scan in
+    // the standalone form) must run once
+    val g = gIn.localCheckpoint()
+    ksFinish(celledCums(g, "v",
+      Seq("cum_a" -> col("ca"), "cum_b" -> col("cb")),
+      withNextV = false), g, "ksFromCounts")
+  }
+
+  /** The KS finish over a frame already carrying INCLUSIVE cum_a /
+    * cum_b (and the g frame for totals) — shared by the standalone
+    * form and [[driftPanel]]'s single shared cum pass, so the
+    * arithmetic exists once. */
+  private def ksFinish(c: DataFrame, g: DataFrame,
+                       op: String): DataFrame = {
     val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("nvals"))
       .withColumn("_one",
-        guardedOneKey(col("nvals"), MaxWindowValues, "ksFromCounts"))
+        guardedOneKey(col("nvals"), MaxWindowValues, op))
     c.withColumn("_one",
         pmod(col("cum_a") + col("cum_b"), lit(1L)).cast("int"))
       .join(broadcast(totals), "_one")
@@ -840,19 +943,25 @@ object Eval {
   /** The W1 arithmetic over a prebuilt (v, ca, cb) value-count frame —
     * shared by the two-segment batch form and the reference monitor
     * (the ksFromCounts discipline). */
-  private def w1FromCounts(g: DataFrame): DataFrame = {
+  private def w1FromCounts(gIn: DataFrame): DataFrame = {
+    // pinned: celled cums + totals share one lineage execution
+    val g = gIn.localCheckpoint()
+    w1Finish(celledCums(g, "v",
+      Seq("cum_a" -> col("ca"), "cum_b" -> col("cb")),
+      withNextV = true), g, "w1FromCounts")
+  }
+
+  /** The W1 finish over a frame carrying INCLUSIVE cum_a / cum_b and
+    * next_v — shared by the standalone form and [[driftPanel]]'s
+    * single cum pass (the ksFinish discipline). */
+  private def w1Finish(cIn: DataFrame, g: DataFrame,
+                       op: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val c = g
-      .withColumn("cum_a", sum(col("ca")).over(w))
-      .withColumn("cum_b", sum(col("cb")).over(w))
-      .withColumn("next_v", lead(col("v"), 1).over(Window.orderBy("v")))
-      .filter(col("next_v").isNotNull)
+    val c = cIn.filter(col("next_v").isNotNull)
     val totals = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
         count(lit(1)).as("nvals"))
       .withColumn("_one",
-        guardedOneKey(col("nvals"), MaxWindowValues, "w1FromCounts"))
+        guardedOneKey(col("nvals"), MaxWindowValues, op))
     // terms grouped on the constant key, then a LEFT join from totals:
     // a single-support-value input has no intervals (empty terms) and
     // must report W1 = 0, not an empty frame
@@ -931,16 +1040,21 @@ object Eval {
     if (m == 0 || n == 0) return out(None, None, None, None)
 
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // (value, W10, W01) per distinct score value of one column
+    // (value, W10, W01) per distinct score value of one column —
+    // inclusive cums through the distributed celledCums (r14; the
+    // distinct-score frame pins so the envelope fetch and the main
+    // pass share one lineage execution)
     def wTable(scol: String): DataFrame = {
       val g = data.groupBy(col(scol).as("_v")).agg(
-        coalesce(sum(col("y")), lit(0L)).as("_pos"),
-        (count(lit(1)) - coalesce(sum(col("y")), lit(0L))).as("_neg"))
-      val w = Window.orderBy("_v")
-      g.select(col("_v"),
-        (lit(2L) * sum(col("_neg")).over(w) - col("_neg")).as("_w10"),
-        (lit(2L) * (lit(m) - sum(col("_pos")).over(w)) + col("_pos"))
-          .as("_w01"))
+          coalesce(sum(col("y")), lit(0L)).as("_pos"),
+          (count(lit(1)) - coalesce(sum(col("y")), lit(0L)))
+            .as("_neg"))
+        .localCheckpoint()
+      celledCums(g, "_v", Seq("_cn" -> col("_neg"),
+          "_cp" -> col("_pos")), withNextV = false)
+        .select(col("_v"),
+          (lit(2L) * col("_cn") - col("_neg")).as("_w10"),
+          (lit(2L) * (lit(m) - col("_cp")) + col("_pos")).as("_w01"))
     }
     // value-distinct tables built ONCE and pinned: each has two
     // consumers (the positive and negative class aggregations)
@@ -2017,21 +2131,32 @@ object Eval {
     val nb = n - na
     val nVals = tot.getLong(2)
     // the driver already fetched the cardinality — guard it here,
-    // BEFORE the single-partition window job launches (the ks/w1
+    // BEFORE the celled cumulative-sum jobs launch (the ks/w1
     // guardedOneKey contract, free on this code path)
     require(nVals <= MaxWindowValues,
       s"adFromCounts: value cardinality $nVals exceeds " +
         s"$MaxWindowValues — quantize the column first (the ksMicro " +
         "contract)")
-    val w = Window.orderBy("v")
-    val cum = g.select(col("l"), col("la"),
+    // distributed inclusive cums (celledCums — bit-equal to the
+    // former global window), then the same exclusive-doubled forms
+    val cc = celledCums(g, "v", Seq(
+      "_cl" -> col("l"), "_cla" -> col("la"),
+      "_clb" -> (col("l") - col("la"))), withNextV = false)
+    adFinish(cc, g, n, na, nb, nVals)
+  }
+
+  /** The AD finish over a frame carrying INCLUSIVE _cl / _cla / _clb
+    * cums of l / la / (l − la) — shared by the standalone form and
+    * [[driftPanel]]'s single cum pass (the ksFinish discipline). */
+  private def adFinish(cc: DataFrame, g: DataFrame, n: Long, na: Long,
+                       nb: Long, nVals: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val cum = cc.select(col("l"), col("la"),
       (col("l") - col("la")).as("lb"),
-      (lit(2L) * (sum(col("l")).over(w) - col("l")) + col("l"))
-        .as("b2"),
-      (lit(2L) * (sum(col("la")).over(w) - col("la")) + col("la"))
-        .as("ma2"),
-      (lit(2L) * (sum(col("l") - col("la")).over(w) -
-        (col("l") - col("la"))) + (col("l") - col("la"))).as("mb2"))
+      (lit(2L) * (col("_cl") - col("l")) + col("l")).as("b2"),
+      (lit(2L) * (col("_cla") - col("la")) + col("la")).as("ma2"),
+      (lit(2L) * (col("_clb") - (col("l") - col("la"))) +
+        (col("l") - col("la"))).as("mb2"))
     def side(m2: Column, ni: Long): Column = {
       val x = dec(lit(n)) * dec(m2) - dec(lit(ni)) * dec(col("b2"))
       val den = dec(col("b2")) *
@@ -2082,18 +2207,32 @@ object Eval {
   /** The energy-distance arithmetic over a prebuilt (v, la, lb)
     * value-count frame — shared with [[driftPanel]] (the
     * ksFromCounts discipline). */
-  private def energyFromCounts(g: DataFrame): DataFrame = {
+  private def energyFromCounts(gIn: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // pinned: the celled envelope fetch + the main pass share one
+    // lineage execution
+    val g = gIn.localCheckpoint()
+    // prefix counts/sums of STRICTLY smaller values, per side —
+    // inclusive distributed cums (celledCums) minus the row's own
+    // contribution, bit-equal to the former global window
+    energyFinish(celledCums(g, "v", Seq(
+      "_ca" -> col("la"), "_cb" -> col("lb"),
+      "_sa" -> (dec(col("la")) * dec(col("v"))),
+      "_sb" -> (dec(col("lb")) * dec(col("v")))), withNextV = false))
+  }
+
+  /** The energy finish over a frame carrying INCLUSIVE _ca / _cb /
+    * _sa / _sb cums of la / lb / la·v / lb·v — shared by the
+    * standalone form and [[driftPanel]]'s single cum pass (the
+    * ksFinish discipline). */
+  private def energyFinish(cc: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
-    val w = Window.orderBy("v")
-    // prefix counts/sums of STRICTLY smaller values, per side
-    val cum = g.select(col("v"), col("la"), col("lb"),
-      (sum(col("la")).over(w) - col("la")).as("ca"),
-      (sum(col("lb")).over(w) - col("lb")).as("cb"),
-      (sum(dec(col("la")) * dec(col("v"))).over(w) -
-        dec(col("la")) * dec(col("v"))).as("sa"),
-      (sum(dec(col("lb")) * dec(col("v"))).over(w) -
-        dec(col("lb")) * dec(col("v"))).as("sb"))
+    val cum = cc.select(col("v"), col("la"), col("lb"),
+      (col("_ca") - col("la")).as("ca"),
+      (col("_cb") - col("lb")).as("cb"),
+      (col("_sa") - dec(col("la")) * dec(col("v"))).as("sa"),
+      (col("_sb") - dec(col("lb")) * dec(col("v"))).as("sb"))
     // S_UV = Σ_j (v·cntU< − sumU<)·lV_j + (v·cntV< − sumV<)·lU_j
     def mass(cu: Column, su: Column, lv: Column,
              cv: Column, sv: Column, lu: Column): Column =
@@ -2142,6 +2281,7 @@ object Eval {
   def driftPanel(df: DataFrame, valueMicro: Column, isA: Column,
                  cells: Int = 1024): DataFrame = {
     require(cells >= 1, "cells must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val g = df.select(valueMicro.cast("long").as("v"),
         isA.cast("boolean").as("a"))
       .filter(col("v").isNotNull && col("a").isNotNull)
@@ -2151,22 +2291,50 @@ object Eval {
         coalesce(sum(when(!col("a"), 1L).otherwise(0L)), lit(0L))
           .as("cb"))
       .localCheckpoint()
+    // ONE shared distributed cum pass feeds ks, w1, ad AND energy
+    // (their finishes read disjoint projections of the same
+    // inclusive cums — Σl = Σca+Σcb, the per-side value-weighted
+    // sums ride as decimal columns), pinned once; mw keeps its own
+    // midrankDoubled machinery (already celled). Before the r14
+    // celledCums refit each body ran its own single-partition global
+    // window over the value frame — 4 sorts of up to MaxWindowValues
+    // rows through one task; now it is one celled pass + four cheap
+    // finishes, and the per-stat arithmetic still lives in exactly
+    // one place (the FromCounts/Finish split — panel ≡ standalone is
+    // pinned in spec).
+    val cc = celledCums(g, "v", Seq(
+        "cum_a" -> col("ca"), "cum_b" -> col("cb"),
+        "_sa" -> (dec(col("ca")) * dec(col("v"))),
+        "_sb" -> (dec(col("cb")) * dec(col("v")))),
+      withNextV = true).localCheckpoint()
+    // ad's bounded parameters (the adFromCounts driver fetch, off
+    // the pinned g)
+    val tot = g.agg(coalesce(sum(col("ca") + col("cb")), lit(0L)),
+      coalesce(sum(col("ca")), lit(0L)), count(lit(1))).head()
+    val (n, na, nVals) = (tot.getLong(0), tot.getLong(1),
+      tot.getLong(2))
     def one(name: String, frame: DataFrame, stat: Column): DataFrame =
       frame.select(lit(name).as("check"),
         stat.cast("double").as("stat"))
-    one("ks_micro", ksFromCounts(g), col("ks_micro"))
-      .unionAll(one("w1_micro", w1FromCounts(g), col("w1_micro")))
+    one("ks_micro", ksFinish(cc, g, "ksFromCounts"), col("ks_micro"))
+      .unionAll(one("w1_micro", w1Finish(cc, g, "w1FromCounts"),
+        col("w1_micro")))
       .unionAll(one("mw_z", mwFromValueCounts(
         g.select(col("v").cast("double").as("v"),
           (col("ca") + col("cb")).as("c"), col("ca")), cells),
         col("z")))
-      .unionAll(one("ad_micro", adFromCounts(
-        g.select(col("v").cast("double").as("v"),
-          (col("ca") + col("cb")).as("l"),
-          col("ca").as("la"))), col("ad_micro")))
-      .unionAll(one("energy_micro", energyFromCounts(
-        g.select(col("v"), col("ca").as("la"),
-          col("cb").as("lb"))), col("energy_micro")))
+      .unionAll(one("ad_micro", adFinish(
+        cc.select((col("ca") + col("cb")).as("l"),
+          col("ca").as("la"),
+          (col("cum_a") + col("cum_b")).as("_cl"),
+          col("cum_a").as("_cla"), col("cum_b").as("_clb")),
+        g.select((col("ca") + col("cb")).as("l"),
+          col("ca").as("la")),
+        n, na, n - na, nVals), col("ad_micro")))
+      .unionAll(one("energy_micro", energyFinish(
+        cc.select(col("v"), col("ca").as("la"), col("cb").as("lb"),
+          col("cum_a").as("_ca"), col("cum_b").as("_cb"),
+          col("_sa"), col("_sb"))), col("energy_micro")))
       .orderBy("check")
   }
 

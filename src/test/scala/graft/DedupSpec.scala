@@ -1245,6 +1245,35 @@ class DedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminateBatch: batched union over any split equals the " +
+    "one-shot contaminationReport-filtered clean set (d79)") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((100L, "secret eval answer here"))
+      .toDF("doc_id", "text")
+    val train = (1L to 30L).map { i =>
+      val t = if (i % 5L == 0L) s"pad $i secret eval answer tail"
+        else s"clean words only number $i here"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val bg = Dedup.decontaminateState(bench, "text", k = 3)
+    val oneShot = Dedup.contaminationReport(train, "doc_id", "text",
+        bench, "text", k = 3)
+      .filter(!col("contaminated"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // two different splits, one with a redelivered (duplicated)
+    // batch: the stateless gate's emitted-clean id set is invariant
+    Seq(Seq(0L, 1L, 2L), Seq(2L, 0L, 1L, 0L)).foreach { order =>
+      val emitted = order.flatMap { b =>
+        Dedup.decontaminateBatch(
+            train.filter(pmod(col("doc_id"), lit(3L)) === b),
+            "doc_id", "text", bg, k = 3)
+          .select("doc_id").collect().map(_.getLong(0))
+      }.toSet
+      assert(emitted === oneShot, s"order $order")
+    }
+  }
+
   test("contaminationReport: a planted eval leak flags, a disjoint " +
     "doc does not, a sub-k doc reports zero grams") {
     val s = spark

@@ -107,4 +107,79 @@ class KllSketchSpec extends AnyFunSuite {
     assert(KllSketch.quantileOf(st, 500L).get === 50L * 11L)
     assert(KllSketch.quantileOf(st, 10L).get === 11L)
   }
+
+  // ---- weighted inserts (q110) ----------------------------------
+
+  private def buildW(k: Int, vws: Seq[(Long, Long)]): KllState = {
+    val a = new graft.functions.KllSketchWeighted(k)
+    vws.foldLeft(a.zero)((b, vw) =>
+      a.reduce(b, graft.functions.KllWeightedIn(vw._1, vw._2)))
+  }
+
+  test("weighted insert: weight conserved exactly, w=1 degenerates " +
+    "to the unweighted sketch, below-capacity exactness") {
+    // below capacity with total weight counted in WEIGHT units:
+    // 10 items of weights 1..10 — Σw = 55, all items retained
+    val vws = (1L to 10L).map(i => (i * 100L, i))
+    val s = buildW(64, vws)
+    assert(KllSketch.totalWeight(s) === 55L)
+    // weighted median: target ⌈0.5·55⌉ = 28, cum weight crosses at
+    // v=700 (1+..+6=21 < 28 ≤ 28=1+..+7)
+    assert(KllSketch.quantileOf(s, 500L).get === 700L)
+    // w = 1 inserts ≡ the unweighted aggregator, state for state
+    val vs = scrambled((1L to 3000L).map(i => i % 613L))
+    assert(buildW(128, vs.map(v => (v, 1L))) === build(128, vs))
+  }
+
+  test("weighted insert: binary decomposition matches w repeated " +
+    "unit inserts in WEIGHT (rank envelope over a skewed corpus)") {
+    val k = 128
+    // token-weighted shape: value = length bucket, weight = tokens
+    // (heavy tail: a few huge docs dominate the weight mass)
+    val vws = scrambled((1L to 4000L)).map { i =>
+      val w = if (i % 97L == 0L) 500L + (i % 13L) else 1L + (i % 7L)
+      (i, w)
+    }
+    val s = buildW(k, vws)
+    val totW = vws.map(_._2).sum
+    assert(KllSketch.totalWeight(s) === totW)
+    assert(KllSketch.numRetained(s) <= 4 * k)
+    // weighted rank error within the entries' 8W/k acceptance bound
+    val sorted = vws.sortBy(_._1)
+    qs.foreach { q =>
+      val est = KllSketch.quantileOf(s, q).get
+      val target = math.min(totW, math.max(1L, (q * totW + 999L) / 1000L))
+      val lo = sorted.filter(_._1 < est).map(_._2).sum + 1L
+      val hi = sorted.filter(_._1 <= est).map(_._2).sum
+      val err = if (target >= lo && target <= hi) 0L
+        else math.min(math.abs(target - lo), math.abs(target - hi))
+      assert(err <= 8L * totW / k, s"q=$q est=$est err=$err")
+    }
+  }
+
+  test("weighted Spark aggregation path: null value, null weight, " +
+    "and non-positive weight rows all skip; merge conserves Σw") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Option[Long], Option[Long])](
+      (Some(10L), Some(3L)), (Some(20L), Some(5L)),
+      (Some(30L), Some(0L)), // zero weight: skipped
+      (Some(40L), Some(-2L)), // negative: skipped
+      (None, Some(9L)), (Some(50L), None))
+      .toDF("v", "w")
+    val st = KllSketch.fromRow(
+      df.agg(KllSketch.aggWeighted(64, col("v"), col("w")))
+        .head().getStruct(0))
+    assert(KllSketch.totalWeight(st) === 8L)
+    assert(KllSketch.quantileOf(st, 500L).get === 20L)
+    // grouped partials + driver merge conserve weight exactly
+    val big = (1L to 2000L).map(i => (i, 1L + i % 11L)).toDF("v", "w")
+    val parts = big.groupBy(pmod(col("v"), lit(4L)).as("b"))
+      .agg(KllSketch.aggWeighted(64, col("v"), col("w")).as("sk"))
+      .orderBy("b").collect()
+      .map(r => KllSketch.fromRow(r.getStruct(1)))
+    val merged = parts.reduceLeft(KllSketch.mergeStates(_, _, 64))
+    assert(KllSketch.totalWeight(merged) ===
+      (1L to 2000L).map(i => 1L + i % 11L).sum)
+  }
 }
