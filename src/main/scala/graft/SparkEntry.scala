@@ -9587,6 +9587,37 @@ object SparkEntry {
               |ORDER BY doc_id LIMIT 2000""".stripMargin
         .replace(" AS (", " AS MATERIALIZED ("))),
 
+    // Batch REPLAY of the streaming DSIR quality gate (the d79
+    // discipline applied to the DSIR artifact — completing the
+    // stateless-gate pair): documents split into 3 deterministic
+    // batches, each scored through the SAME batch body the stream's
+    // foreachBatch runs (Curation.dsirGateBatch over the staged d75
+    // ratio table — exact, immutable, stream-independent state), and
+    // the union of emitted gate reports must equal the one-shot
+    // d76 scoring filtered at the threshold BIT-FOR-BIT. The oracle
+    // replays scoring, threshold, and batch assignment exactly.
+    "d80_dsir_gate_replay" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val ratios = dsirRatiosStaged(s, dir)
+        (0L until 3L).map { b =>
+          Curation.dsirGateBatch(
+              docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+              "doc_id", "text", ratios, minScoreMicro = 1L)
+            .withColumn("batch_id", lit(b))
+        }.reduce(_ unionAll _)
+          .orderBy("doc_id").limit(2000)
+      },
+      Some(s"""WITH $duckDsirCtes,
+              |$duckDsirDsc
+              |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+              |  coalesce(score_micro, 0) AS score_micro,
+              |  d.doc_id % 3 AS batch_id
+              |FROM documents d LEFT JOIN dsc USING (doc_id)
+              |WHERE coalesce(score_micro, 0) >= 1
+              |ORDER BY doc_id LIMIT 2000""".stripMargin
+        .replace(" AS (", " AS MATERIALIZED ("))),
+
     // Intra-document repetition (RefinedWeb/Gopher duplicate-n-gram
     // fraction): the quality signal corpus-level dedup can't see.
     // Exact small-int ratio in double — bit-identical cross-engine,

@@ -457,6 +457,44 @@ object Curation {
       .limit(k)
   }
 
+  /** One micro-batch of [[dsirGateStream]]: the DSIR importance gate
+    * report over the arriving rows — each document scored by
+    * [[dsirScores]] against the PINNED ratio artifact, rows clearing
+    * `minScoreMicro` emitted as (idCol, n_grams, score_micro). Pure
+    * and stateless w.r.t. the stream (the artifact is trained once
+    * per corpus snapshot and immutable — the decontaminateBatch
+    * argument), so replaying batches in any order or multiplicity
+    * reproduces the one-shot filtered [[dsirScores]] exactly; d80
+    * drives that equivalence through the driver's oracle. */
+  def dsirGateBatch(batch: DataFrame, idCol: String, textCol: String,
+                    ratios: DataFrame, minScoreMicro: Long)
+      : DataFrame =
+    dsirScores(batch, idCol, textCol, ratios)
+      .filter(col("score_micro") >= minScoreMicro)
+
+  /** Streaming DSIR quality gate: the importance-threshold filter a
+    * streaming ingestion runs against a trained [[dsirLogRatios]]
+    * artifact — every micro-batch scores its documents map-side
+    * (explode + broadcast ratio join + one doc-keyed sum) and emits
+    * the rows shifted far enough toward the target distribution.
+    * Standing state is the 1024-row ratio table: EXACT, IMMUTABLE,
+    * and stream-independent, so the gate inherits the strongest
+    * replay story in the streaming family (the decontaminateStream
+    * argument): re-delivered rows re-score identically under any
+    * failure interleaving — no batchId guard or commit ordering
+    * needed, nothing mutates. */
+  def dsirGateStream(docs: DataFrame, idCol: String, textCol: String,
+                     ratios: DataFrame, minScoreMicro: Long)
+                    (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        sink(dsirGateBatch(batch.toDF(), idCol, textCol, ratios,
+          minScoreMicro).withColumn("batch_id", lit(batchId)))
+      }
+      .start()
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences — the step between chunking (d12) and training order.
     * A doc's sequence id is the bin its STARTING token offset falls in

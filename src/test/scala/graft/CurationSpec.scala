@@ -651,4 +651,51 @@ class CurationSpec extends AnyFunSuite {
       plan).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(mix.filter(_._3 == 0L).map(_._1).sorted.toSeq === remIds)
   }
+
+  test("dsirGateStream: below-threshold rows drop per batch, " +
+    "passing rows emit with scores, replay re-emits identically " +
+    "(stateless gate over the pinned artifact)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = s.sqlContext
+    // target phrase-heavy artifact: the target corpus must carry
+    // enough bigram MASS relative to the bucket count that Laplace
+    // smoothing doesn't flatten observed grams below the raw rate
+    // (with tn << B every ratio goes negative and nothing gates in)
+    val target = Seq((100L,
+        Iterator.continually("alpha beta").take(10).mkString(" ")))
+      .toDF("doc_id", "text")
+    val raw = target.unionByName(Seq(
+      (1L, "alpha beta alpha beta"), // target-like: positive score
+      (2L, "gamma delta gamma delta gamma")) // off-target: negative
+      .toDF("doc_id", "text"))
+    val ratios = Curation.dsirLogRatios(target, raw, "text", 16)
+      .localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val q = Curation.dsirGateStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      ratios, minScoreMicro = 1L) { b =>
+      seen ++= b.collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    }
+    try {
+      mem.addData((1L, "alpha beta alpha beta"),
+        (2L, "gamma delta gamma delta gamma"))
+      q.processAllAvailable()
+      // replay the same rows: stateless, so the passing row re-emits
+      // with the IDENTICAL score and the failing row still drops
+      mem.addData((1L, "alpha beta alpha beta"),
+        (2L, "gamma delta gamma delta gamma"))
+      q.processAllAvailable()
+      val byBatch = seen.groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+      assert(byBatch.keySet === Set(0L, 1L), seen.toString)
+      assert(byBatch(0L).map(_._1) === Set(1L), seen.toString)
+      assert(byBatch(0L) === byBatch(1L), "replay must re-emit " +
+        s"identically (stateless): $seen")
+      assert(byBatch(0L).forall(_._2 >= 1L), seen.toString)
+    } finally q.stop()
+  }
 }
