@@ -225,12 +225,17 @@ object Eval {
       .agg(sum(when(segment === segA, 1L).otherwise(0L)).as("ca"),
         sum(when(segment === segB, 1L).otherwise(0L)).as("cb")))
 
-  /** Hard ceiling on the FromCounts family's single-partition value
-    * window: the (v, ca, cb) frame is bounded by VALUE CARDINALITY
-    * (the ksMicro contract — quantize continuous columns first), and
-    * at 2²² distinct values the one sort partition holds ~100 MB —
-    * past that the input has violated the contract and must fail
-    * LOUDLY, not OOM an executor mid-sort. */
+  /** Hard ceiling on the FromCounts family's value frame: the
+    * (v, ca, cb) frame is bounded by VALUE CARDINALITY (the ksMicro
+    * contract — quantize continuous columns first). Since the r14
+    * celledCums refit the cumulatives are distributed across
+    * value-range cells (no single sort task), so the cap no longer
+    * guards one partition's memory — it now bounds the pinned
+    * (localCheckpoint) frame and keeps the contract loud: past it
+    * the input has violated the quantization contract and must fail
+    * EARLY, not grind through a corpus-sized "distinct-value" frame
+    * that was supposed to be a summary. DriftRehearsal exercises the
+    * celled path at this cap with planted-truth shift distributions. */
   private[graft] val MaxWindowValues: Long = 1L << 22
 
   /** The guarded constant-join key the FromCounts bodies thread their
@@ -1144,6 +1149,11 @@ object Eval {
     // not corpus-sized, so the pin is cheap)
     val pairTable = data.groupBy("x", "y")
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // driver-loop counter (the q85 convention): the distinct-pair
+    // volume is q61's cost driver — a drifted timing adjudicates
+    // from the artifact (pairs flat but time up → box/plan, not data)
+    graft.ops.Counters.note("spearman", "stage",
+      Map("pairs" -> pairTable.count()))
     // ONE blocking job fetches both columns' envelopes (the 1-row
     // parameter precedent) instead of one job per rank table
     val mmRow = pairTable.agg(min(col("x")), max(col("x")),
