@@ -2323,6 +2323,11 @@ object Eval {
       coalesce(sum(col("ca")), lit(0L)), count(lit(1))).head()
     val (n, na, nVals) = (tot.getLong(0), tot.getLong(1),
       tot.getLong(2))
+    // driver-loop counter (the q85 convention): the distinct-value
+    // cardinality is the panel's cost driver — rows flat but time up
+    // adjudicates as box/plan from the artifact alone
+    graft.ops.Counters.note("drift_panel", "stage",
+      Map("values" -> nVals, "rows" -> n))
     def one(name: String, frame: DataFrame, stat: Column): DataFrame =
       frame.select(lit(name).as("check"),
         stat.cast("double").as("stat"))

@@ -905,6 +905,12 @@ object Similarity {
     }
     val lam = half(mLast.toDouble / 1e6)
     val delta = v.zip(prev).map { case (a, b) => (a - b).abs }.max
+    // driver-loop counter, tagged by width so e19 (corpus d) and e20
+    // (d = 1024) report separately in one bench run (drain keeps the
+    // last note per tag): the matvec volume is d²·iters — width flat
+    // but time up adjudicates as box/plan from the artifact alone
+    graft.ops.Counters.note(s"dominant_direction_d$d", "loop",
+      Map("d" -> d, "iters" -> iters, "delta_micro" -> delta))
     val s = cov.sparkSession
     import s.implicits._
     (0 until d).map(j => (j.toLong, v(j), lam, delta))
