@@ -38,8 +38,9 @@ import graft.pipeline.GraphOps
   *     non-decreasing over L = 1, 2, 3, 8 (the g18 scaladoc claim,
   *     measured through modularityOfLabels on the full graph);
   *  3. recovery: final Q ≥ 0.85 and the community count lands in
-  *     [C/20, 2C] (a collapse to a handful of giant communities and
-  *     a no-contraction stall both fail);
+  *     [C/4, 2C] — the corridor around the C/2 merged pairs the
+  *     resolution limit prescribes (a collapse to a handful of
+  *     giant communities and a no-contraction stall both fail);
   *  4. level-loop state: the label frame stays exactly one row per
   *     ORIGINAL node at every L (labels compose; they never expand),
   *     and driver-side state is one Long per level (the move count)

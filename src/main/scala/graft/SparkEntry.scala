@@ -172,31 +172,32 @@ object SparkEntry {
        |  FROM documents d LEFT JOIN dsc USING (doc_id))""".stripMargin
 
   /** d77/d79's shared oracle prefix: the decontamination gram chain
-    * (word 3-grams hashed through the portable 60-bit hash; bench =
-    * the deterministic doc_id % 97 = 0 eval slice; train = the rest)
-    * down to each train doc's distinct-gram denominator (cng) and
-    * hit count (chit) — one chain so the report entry and the
-    * stream-replay entry cannot drift, mirroring the shared
-    * Curation.wordNgrams pipeline on the Spark side. */
+    * (word 3-grams as RAW STRINGS — the d18 convention, and the
+    * exact mirror of the Spark side's string-joined
+    * Curation.contamination + string-distinct denominator: no hash
+    * anywhere, so no collision caveat; r14 review replaced the
+    * earlier hashed chain that was asymmetric with the string-joined
+    * numerator); bench = the deterministic doc_id % 97 = 0 eval
+    * slice; train = the rest; down to each train doc's distinct-gram
+    * denominator (cng) and hit count (chit) — one chain so the
+    * report entry and the stream-replay entry cannot drift. */
   private lazy val duckDecontamCtes: String =
-    s"""ctk AS (SELECT doc_id, str_split(text, ' ')
-       |    AS toks FROM documents),
-       |cg AS (SELECT doc_id,
-       |    ${duckHash60(
-              "toks[gi] || ' ' || toks[gi+1] || ' ' || " +
-                "toks[gi+2]")} AS h
-       |  FROM ctk,
-       |    unnest(generate_series(1, len(toks) - 2)) AS g(gi)
-       |  WHERE len(toks) >= 3),
-       |cbg AS (SELECT DISTINCT h FROM cg
-       |  WHERE doc_id % 97 = 0),
-       |ctg AS (SELECT DISTINCT doc_id, h FROM cg
-       |  WHERE doc_id % 97 <> 0),
-       |cng AS (SELECT doc_id, CAST(count(*) AS BIGINT)
-       |    AS n_grams FROM ctg GROUP BY doc_id),
-       |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT)
-       |    AS n_hit_grams
-       |  FROM ctg JOIN cbg USING (h) GROUP BY doc_id)""".stripMargin
+    """ctk AS (SELECT doc_id, str_split(text, ' ')
+      |    AS toks FROM documents),
+      |cg AS (SELECT doc_id,
+      |    toks[gi] || ' ' || toks[gi+1] || ' ' || toks[gi+2] AS gram
+      |  FROM ctk,
+      |    unnest(generate_series(1, len(toks) - 2)) AS g(gi)
+      |  WHERE len(toks) >= 3),
+      |cbg AS (SELECT DISTINCT gram FROM cg
+      |  WHERE doc_id % 97 = 0),
+      |ctg AS (SELECT DISTINCT doc_id, gram FROM cg
+      |  WHERE doc_id % 97 <> 0),
+      |cng AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+      |    AS n_grams FROM ctg GROUP BY doc_id),
+      |chit AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+      |    AS n_hit_grams
+      |  FROM ctg JOIN cbg USING (gram) GROUP BY doc_id)""".stripMargin
 
   // d72/d73's filter geometry: 2^16 bits / 3 probes — at the sf range
   // this runs at, load stays low enough that the realized FPR is a
@@ -6335,10 +6336,14 @@ object SparkEntry {
       (s, dir) => {
         import graft.functions.KllSketch
         val k = 256
+        // pinned (the llm_curate_full fork rule): the sketch pass
+        // and the weighted audit recount both consume this frame —
+        // the corpus scan + tokenization must run once
         val vals = table(s, dir, "documents")
           .select(col("n_chars").cast("long").as("v"),
             TextStats.tokenCount(col("text")).as("w"))
           .filter(col("v").isNotNull)
+          .localCheckpoint()
         // bounded parameter fetch: the O(k) sketch, never data
         val st = KllSketch.fromRow(
           vals.agg(KllSketch.aggWeighted(k, col("v"), col("w")))
@@ -6387,10 +6392,13 @@ object SparkEntry {
       (s, dir) => {
         import graft.functions.KllSketch
         val k = 64
+        // pinned (the q110 fork rule): the grouped sketch pass and
+        // the per-source audit recount share one scan+tokenization
         val docs = table(s, dir, "documents")
           .select(col("source"), col("n_chars").cast("long").as("v"),
             TextStats.tokenCount(col("text")).as("w"))
           .filter(col("source").isNotNull && col("v").isNotNull)
+          .localCheckpoint()
         val ests = docs.groupBy("source")
           .agg(KllSketch.aggWeighted(k, col("v"), col("w")).as("sk"))
           .collect() // one bounded sketch per source, never data

@@ -1305,13 +1305,14 @@ object Dedup {
     * per-row precision. Returns one row per TRAIN document:
     * (id, n_grams, n_hit_grams, contaminated).
     *
-    * Gram identity is the 60-bit portable hash ([[md5Long60]]) on
-    * BOTH the hit join (via [[graft.pipeline.Curation.contamination]])
-    * and the denominator (distinct md5Long60(gram), not distinct gram
-    * STRINGS — r13 ADVICE: a string-counted denominator would diverge
-    * from the hash-counted oracle by one on an intra-document 60-bit
-    * collision; counting hashes makes the two engines exactly
-    * symmetric, at the house convention's ~n²/2⁶¹ collision odds). */
+    * Gram identity is the RAW GRAM STRING on BOTH the hit join (via
+    * [[graft.pipeline.Curation.contamination]], which joins gram
+    * text — the d18 convention) and the denominator (distinct gram
+    * strings), and the d77/d79 oracles join gram text too — so the
+    * two engines are EXACTLY symmetric with no hash-collision caveat
+    * anywhere (the r13 ADVICE asymmetry resolved in the strict
+    * direction: r14 review found the hash-denominator fix had left a
+    * string-joined numerator against a hash-joined oracle). */
   def contaminationReport(train: DataFrame, idCol: String,
                           textCol: String, bench: DataFrame,
                           benchTextCol: String, k: Int,
@@ -1324,9 +1325,8 @@ object Dedup {
       .withColumnRenamed("doc_id", "_hid")
     train
       .select(col(idCol).as("id"),
-        size(array_distinct(transform(
-          graft.pipeline.Curation.wordNgrams(col(textCol), k),
-          g => md5Long60(g))))
+        size(array_distinct(
+          graft.pipeline.Curation.wordNgrams(col(textCol), k)))
           .cast("long").as("n_grams"))
       .join(hits, col("id") <=> col("_hid"), "left")
       .select(col("id"), col("n_grams"),

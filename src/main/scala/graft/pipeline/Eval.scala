@@ -279,11 +279,33 @@ object Eval {
     * re-execute an expensive lineage once per consumer; the frame is
     * bounded by the callers' MaxWindowValues contract. A degenerate
     * envelope (one distinct value, non-finite width) collapses to
-    * one cell — correct, just unsplit. */
+    * one cell — correct, just unsplit.
+    *
+    * Honest limit: cells are EQUI-WIDTH from the envelope, so a
+    * heavy-tailed value DOMAIN (one outlier stretching the envelope
+    * while the distinct values cluster in a narrow band)
+    * concentrates rows into few cells and degrades toward the
+    * single-cell form — never WORSE than the pre-r14 global window
+    * (same work, same MaxWindowValues cap), just not better.
+    * Equi-depth boundaries would fix it at the price of a quantile
+    * pre-pass per call; not paid until a real profile shows
+    * clustered-domain inputs (the drift family feeds quantized
+    * metric domains, which spread). */
   private def celledCums(g: DataFrame, valueCol: String,
                          sums: Seq[(String, Column)],
                          withNextV: Boolean,
                          cells: Int = 1024): DataFrame = {
+    // cells are assigned by the DOUBLE cast but rows order within a
+    // cell by the native type, so the value must order like its
+    // double cast — true for numerics, false for e.g. strings
+    // ("10" < "9" lexicographically): fail loudly rather than
+    // silently hybrid-order the cumulative (r14 review)
+    require(g.schema(valueCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"celledCums: value column '$valueCol' has type " +
+        s"${g.schema(valueCol).dataType} — the celled cumulative " +
+        "orders by the double cast, so the column must be numeric " +
+        "(quantize or cast first; the ksMicro contract)")
     val mm = g.agg(min(col(valueCol).cast("double")),
       max(col(valueCol).cast("double"))).head()
     val (lo, hi) =
@@ -2312,22 +2334,30 @@ object Eval {
     // finishes, and the per-stat arithmetic still lives in exactly
     // one place (the FromCounts/Finish split — panel ≡ standalone is
     // pinned in spec).
-    val cc = celledCums(g, "v", Seq(
-        "cum_a" -> col("ca"), "cum_b" -> col("cb"),
-        "_sa" -> (dec(col("ca")) * dec(col("v"))),
-        "_sb" -> (dec(col("cb")) * dec(col("v")))),
-      withNextV = true).localCheckpoint()
+    //
     // ad's bounded parameters (the adFromCounts driver fetch, off
-    // the pinned g)
+    // the pinned g) — fetched BEFORE the celled pass so the
+    // MaxWindowValues contract fails EARLY, not after the eager cum
+    // machinery has ground through a contract-violating frame (r14
+    // review: the panel had the fetch after the checkpointed cums)
     val tot = g.agg(coalesce(sum(col("ca") + col("cb")), lit(0L)),
       coalesce(sum(col("ca")), lit(0L)), count(lit(1))).head()
     val (n, na, nVals) = (tot.getLong(0), tot.getLong(1),
       tot.getLong(2))
+    require(nVals <= MaxWindowValues,
+      s"driftPanel: value cardinality $nVals exceeds " +
+        s"$MaxWindowValues — quantize the column first (the ksMicro " +
+        "contract)")
     // driver-loop counter (the q85 convention): the distinct-value
     // cardinality is the panel's cost driver — rows flat but time up
     // adjudicates as box/plan from the artifact alone
     graft.ops.Counters.note("drift_panel", "stage",
       Map("values" -> nVals, "rows" -> n))
+    val cc = celledCums(g, "v", Seq(
+        "cum_a" -> col("ca"), "cum_b" -> col("cb"),
+        "_sa" -> (dec(col("ca")) * dec(col("v"))),
+        "_sb" -> (dec(col("cb")) * dec(col("v")))),
+      withNextV = true).localCheckpoint()
     def one(name: String, frame: DataFrame, stat: Column): DataFrame =
       frame.select(lit(name).as("check"),
         stat.cast("double").as("stat"))
