@@ -3344,6 +3344,48 @@ object SparkEntry {
              |    AS segmentation
              |FROM v6 ORDER BY word""".stripMargin)),
 
+    // Tokenizer FERTILITY by language (Ács 2019; Rust et al., ACL
+    // 2021 — subwords per word, THE standard multilingual
+    // tokenizer-quality metric): a tokenizer trained on a skewed
+    // mixture fragments under-represented languages into more
+    // subwords, inflating their effective sequence length and
+    // training cost — the report a mixture-planning stage reads next
+    // to d20/d71. Composes the verified pieces: d55's 6-merge BPE
+    // vocabulary segments once (the d57 cache join — corpus words
+    // never replay the merge chain), corpus word occurrences join it
+    // per language, and fertility is ONE exact integer division
+    // (micro) per language — order-free, hash-exact.
+    "d81_bpe_fertility" -> Q(
+      (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val vocab = graft.pipeline.Bpe.segmentVocab(
+          docs.select(col("text")), "text", rounds = 6)
+        docs.select(col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z0-9]+$"))
+          .join(vocab.select(col("w"), col("n_subwords")), "w")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_subwords")).as("n_subwords"))
+          .withColumn("fertility_micro",
+            expr("(1000000 * n_subwords) div n_words"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeChainCtes(6)},
+             |fw AS (SELECT lang, u.w AS w
+             |  FROM (SELECT lang, str_split(text, ' ') AS ts
+             |        FROM documents) c, unnest(ts) AS u(w)
+             |  WHERE regexp_full_match(u.w, '[a-z0-9]+')),
+             |seg AS (SELECT w,
+             |    CAST(len(str_split(trim(enc, '()'), ')(')) AS BIGINT)
+             |      AS nsub FROM v6)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(seg.nsub) AS BIGINT) AS n_subwords,
+             |  CAST((1000000 * sum(seg.nsub)) // count(*) AS BIGINT)
+             |    AS fertility_micro
+             |FROM fw JOIN seg USING (w)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // Learned-classifier TRAINING: multinomial Naive Bayes with
     // Laplace smoothing, trained on (text, lang) and re-scored over
     // the same corpus — train, score, and the confusion-matrix
