@@ -10775,7 +10775,10 @@ object SparkEntry {
         def uOf(c: Column): Column =
           ((c * lit(2654435761L)).bitwiseAND(lit(65535L))
             .cast("double") / lit(65535.0) - lit(0.5)) * lit(2.0)
-        val cells = s.range(d.toLong).select(col("id").as("i"))
+        // 8 generator partitions (r14): the triangle is ~525k skinny
+        // rows — range's default 32 partitions made the symmetrize
+        // checkpoint a 64-tiny-task job (scheduling, not compute)
+        val cells = s.range(0L, d.toLong, 1L, 8).select(col("id").as("i"))
           .select(col("i"),
             explode(expr(s"sequence(i, ${d - 1})")).as("j"))
           .select(col("i"), col("j"),

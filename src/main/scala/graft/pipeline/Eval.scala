@@ -368,6 +368,11 @@ object Eval {
       withNextV = false), g, "ksFromCounts")
   }
 
+  /** The KS statistic's scalar tail over columns named (dnum, na,
+    * nb) — ONE definition shared by [[ksFinish]] and [[driftPanel]]'s
+    * fused finish (the single-source arithmetic rule). */
+  private val ksStatExpr = "(1000000 * dnum) div (na * nb)"
+
   /** The KS finish over a frame already carrying INCLUSIVE cum_a /
     * cum_b (and the g frame for totals) — shared by the standalone
     * form and [[driftPanel]]'s single shared cum pass, so the
@@ -386,7 +391,7 @@ object Eval {
         .as("dnum"))
       .select(
         when(col("na") > 0 && col("nb") > 0,
-          expr("(1000000 * dnum) div (na * nb)")).as("ks_micro"),
+          expr(ksStatExpr)).as("ks_micro"),
         col("na").as("n_a"), col("nb").as("n_b"),
         col("nvals").as("n_values"))
   }
@@ -978,6 +983,13 @@ object Eval {
       withNextV = true), g, "w1FromCounts")
   }
 
+  /** The W1 statistic's scalar tail over columns named (wnum, na,
+    * nb) — shared by [[w1Finish]] and [[driftPanel]]'s fused finish
+    * (the ksStatExpr discipline). */
+  private val w1StatExpr =
+    "(1000000 * coalesce(wnum, CAST(0 AS DECIMAL(38,0))))" +
+      " div (cast(na as decimal(38,0)) * nb)"
+
   /** The W1 finish over a frame carrying INCLUSIVE cum_a / cum_b and
     * next_v — shared by the standalone form and [[driftPanel]]'s
     * single cum pass (the ksFinish discipline). */
@@ -1002,9 +1014,8 @@ object Eval {
         dec(col("next_v") - col("v"))).as("wnum"))
     totals.join(terms, Seq("_one"), "left")
       .select(
-        when(col("na") > 0 && col("nb") > 0, expr(
-          "(1000000 * coalesce(wnum, CAST(0 AS DECIMAL(38,0))))" +
-            " div (cast(na as decimal(38,0)) * nb)")).as("w1_micro"),
+        when(col("na") > 0 && col("nb") > 0,
+          expr(w1StatExpr)).as("w1_micro"),
         col("na").as("n_a"), col("nb").as("n_b"),
         col("nvals").as("n_values"))
   }
@@ -1435,17 +1446,22 @@ object Eval {
       longOrNull(col("ra2") - col("na") * (col("na") + lit(1L)))
         .as("u2_a"),
       longOrNull(col("t")).as("tie_t"),
-      when(col("n") < 2, lit(null).cast("double")).otherwise(
-        round((col("ra2") - col("na") * (col("na") + lit(1L)) -
-            col("na") * (col("n") - col("na"))).cast("double") /
-          nullif(sqrt(
-            (col("na") * (col("n") - col("na"))).cast("double") *
-            (col("n") * col("n") * col("n") - col("n") - col("t"))
-              .cast("double") /
-            (lit(3L) * col("n") * (col("n") - lit(1L)))
-              .cast("double")), lit(0.0d)),
-          6)).as("z")): _*)
+      mwZ(col("n"), col("na"), col("ra2"), col("t")).as("z")): _*)
   }
+
+  /** The tie-corrected Mann–Whitney z over aggregated exact-decimal
+    * (n, na, ra2, t) columns — shared by [[mwFinish]] and
+    * [[driftPanel]]'s fused finish (the ksStatExpr discipline). */
+  private def mwZ(n: Column, na: Column, ra2: Column,
+                  t: Column): Column =
+    when(n < 2, lit(null).cast("double")).otherwise(
+      round((ra2 - na * (na + lit(1L)) -
+          na * (n - na)).cast("double") /
+        nullif(sqrt(
+          (na * (n - na)).cast("double") *
+          (n * n * n - n - t).cast("double") /
+          (lit(3L) * n * (n - lit(1L))).cast("double")), lit(0.0d)),
+        6))
 
   /** Offline CUSUM changepoint localization over time buckets — the
     * drift family's WHERE: KS/PSI/W1/MW say the distribution moved,
@@ -2180,33 +2196,43 @@ object Eval {
   /** The AD finish over a frame carrying INCLUSIVE _cl / _cla / _clb
     * cums of l / la / (l − la) — shared by the standalone form and
     * [[driftPanel]]'s single cum pass (the ksFinish discipline). */
+  /** The per-row AD term (micro) over the doubled forms — shared by
+    * [[adFinish]] and [[driftPanel]]'s fused finish (the ksStatExpr
+    * discipline): both sides' tail-weighted squared CDF gaps at one
+    * distinct value, n/na/nb folded in as exact literals. */
+  private def adTermMicro(n: Long, na: Long, nb: Long, l: Column,
+                          b2: Column, ma2: Column,
+                          mb2: Column): Column = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def side(m2: Column, ni: Long): Column = {
+      val x = dec(lit(n)) * dec(m2) - dec(lit(ni)) * dec(b2)
+      val den = dec(b2) *
+        (dec(lit(2L * n)) - dec(b2)) -
+        dec(lit(n)) * dec(l)
+      round(lit(1e6) *
+        (dec(lit(n - 1)) * dec(l) * x * x).cast("double") /
+        (dec(lit(n)) * dec(lit(n)) * dec(lit(ni)) * den)
+          .cast("double")).cast("long")
+    }
+    side(ma2, na) + side(mb2, nb)
+  }
+
   private def adFinish(cc: DataFrame, g: DataFrame, n: Long, na: Long,
                        nb: Long, nVals: Long): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val cum = cc.select(col("l"), col("la"),
       (col("l") - col("la")).as("lb"),
       (lit(2L) * (col("_cl") - col("l")) + col("l")).as("b2"),
       (lit(2L) * (col("_cla") - col("la")) + col("la")).as("ma2"),
       (lit(2L) * (col("_clb") - (col("l") - col("la"))) +
         (col("l") - col("la"))).as("mb2"))
-    def side(m2: Column, ni: Long): Column = {
-      val x = dec(lit(n)) * dec(m2) - dec(lit(ni)) * dec(col("b2"))
-      val den = dec(col("b2")) *
-        (dec(lit(2L * n)) - dec(col("b2"))) -
-        dec(lit(n)) * dec(col("l"))
-      round(lit(1e6) *
-        (dec(lit(n - 1)) * dec(col("l")) * x * x).cast("double") /
-        (dec(lit(n)) * dec(lit(n)) * dec(lit(ni)) * den)
-          .cast("double")).cast("long")
-    }
     val out =
       if (na == 0L || nb == 0L || nVals < 2L)
         g.agg(count(lit(1))).select(lit(na).as("n_a"),
           lit(nb).as("n_b"), lit(nVals).as("n_values"),
           lit(null).cast("long").as("ad_micro"))
       else
-        cum.agg(coalesce(sum(side(col("ma2"), na) +
-            side(col("mb2"), nb)), lit(0L)).as("ad"))
+        cum.agg(coalesce(sum(adTermMicro(n, na, nb, col("l"),
+            col("b2"), col("ma2"), col("mb2"))), lit(0L)).as("ad"))
           .select(lit(na).as("n_a"), lit(nb).as("n_b"),
             lit(nVals).as("n_values"), col("ad").as("ad_micro"))
     out
@@ -2257,6 +2283,32 @@ object Eval {
     * _sa / _sb cums of la / lb / la·v / lb·v — shared by the
     * standalone form and [[driftPanel]]'s single cum pass (the
     * ksFinish discipline). */
+  /** One S_UV pairwise-mass term at a distinct value — shared by
+    * [[energyFinish]] and [[driftPanel]]'s fused finish (the
+    * ksStatExpr discipline):
+    * S_UV = Σ_j (v·cntU< − sumU<)·lV_j + (v·cntV< − sumV<)·lU_j. */
+  private def energyMassTerm(v: Column, cu: Column, su: Column,
+                             lv: Column, cv: Column, sv: Column,
+                             lu: Column): Column = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    (dec(v) * dec(cu) - su) * dec(lv) +
+      (dec(v) * dec(cv) - sv) * dec(lu)
+  }
+
+  /** The energy-distance scalar tail over aggregated (na, nb, sab,
+    * saa2, sbb2) — shared by [[energyFinish]] and [[driftPanel]]'s
+    * fused finish. */
+  private def energyStat(na: Column, nb: Column, sab: Column,
+                         saa2: Column, sbb2: Column): Column = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    when(na > 0 && nb > 0,
+      round((dec(lit(2L)) * sab * dec(na) * dec(nb) -
+        saa2 * dec(nb) * dec(nb) -
+        sbb2 * dec(na) * dec(na)).cast("double") /
+        (dec(na) * dec(na) * dec(nb) * dec(nb)).cast("double"), 6))
+      .otherwise(lit(null).cast("double"))
+  }
+
   private def energyFinish(cc: DataFrame): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val z0 = lit(0L).cast("decimal(38,0)")
@@ -2265,33 +2317,21 @@ object Eval {
       (col("_cb") - col("lb")).as("cb"),
       (col("_sa") - dec(col("la")) * dec(col("v"))).as("sa"),
       (col("_sb") - dec(col("lb")) * dec(col("v"))).as("sb"))
-    // S_UV = Σ_j (v·cntU< − sumU<)·lV_j + (v·cntV< − sumV<)·lU_j
-    def mass(cu: Column, su: Column, lv: Column,
-             cv: Column, sv: Column, lu: Column): Column =
-      (dec(col("v")) * dec(cu) - su) * dec(lv) +
-        (dec(col("v")) * dec(cv) - sv) * dec(lu)
     val agg = cum.agg(
       coalesce(sum(col("la")), lit(0L)).as("na"),
       coalesce(sum(col("lb")), lit(0L)).as("nb"),
-      coalesce(sum(mass(col("ca"), col("sa"), col("lb"),
-        col("cb"), col("sb"), col("la"))), z0).as("sab"),
-      coalesce(sum(mass(col("ca"), col("sa"), col("la"),
-        col("ca"), col("sa"), col("la"))), z0).as("saa2"),
-      coalesce(sum(mass(col("cb"), col("sb"), col("lb"),
-        col("cb"), col("sb"), col("lb"))), z0).as("sbb2"))
+      coalesce(sum(energyMassTerm(col("v"), col("ca"), col("sa"),
+        col("lb"), col("cb"), col("sb"), col("la"))), z0).as("sab"),
+      coalesce(sum(energyMassTerm(col("v"), col("ca"), col("sa"),
+        col("la"), col("ca"), col("sa"), col("la"))), z0).as("saa2"),
+      coalesce(sum(energyMassTerm(col("v"), col("cb"), col("sb"),
+        col("lb"), col("cb"), col("sb"), col("lb"))), z0).as("sbb2"))
     // saa2/sbb2 double-count ordered pairs of the SAME side — which
     // is exactly the ΣΣ over all ordered pairs E|X−X'| needs (the
     // within-side mass uses n² ordered pairs, |x−x|=0 included)
     agg.select(col("na").as("n_a"), col("nb").as("n_b"),
-      when(col("na") > 0 && col("nb") > 0,
-        round((dec(lit(2L)) * col("sab") * dec(col("na")) *
-            dec(col("nb")) -
-          col("saa2") * dec(col("nb")) * dec(col("nb")) -
-          col("sbb2") * dec(col("na")) * dec(col("na")))
-            .cast("double") /
-          (dec(col("na")) * dec(col("na")) * dec(col("nb")) *
-            dec(col("nb"))).cast("double"), 6))
-        .otherwise(lit(null).cast("double")).as("energy_micro"))
+      energyStat(col("na"), col("nb"), col("sab"), col("saa2"),
+        col("sbb2")).as("energy_micro"))
   }
 
   /** The WHOLE two-sample family from ONE corpus aggregation — the
@@ -2353,33 +2393,91 @@ object Eval {
     // adjudicates as box/plan from the artifact alone
     graft.ops.Counters.note("drift_panel", "stage",
       Map("values" -> nVals, "rows" -> n))
+    val nb = n - na
     val cc = celledCums(g, "v", Seq(
         "cum_a" -> col("ca"), "cum_b" -> col("cb"),
         "_sa" -> (dec(col("ca")) * dec(col("v"))),
         "_sb" -> (dec(col("cb")) * dec(col("v")))),
-      withNextV = true).localCheckpoint()
-    def one(name: String, frame: DataFrame, stat: Column): DataFrame =
-      frame.select(lit(name).as("check"),
-        stat.cast("double").as("stat"))
-    one("ks_micro", ksFinish(cc, g, "ksFromCounts"), col("ks_micro"))
-      .unionAll(one("w1_micro", w1Finish(cc, g, "w1FromCounts"),
-        col("w1_micro")))
-      .unionAll(one("mw_z", mwFromValueCounts(
-        g.select(col("v").cast("double").as("v"),
-          (col("ca") + col("cb")).as("c"), col("ca")), cells),
-        col("z")))
-      .unionAll(one("ad_micro", adFinish(
-        cc.select((col("ca") + col("cb")).as("l"),
-          col("ca").as("la"),
-          (col("cum_a") + col("cum_b")).as("_cl"),
-          col("cum_a").as("_cla"), col("cum_b").as("_clb")),
-        g.select((col("ca") + col("cb")).as("l"),
-          col("ca").as("la")),
-        n, na, n - na, nVals), col("ad_micro")))
-      .unionAll(one("energy_micro", energyFinish(
-        cc.select(col("v"), col("ca").as("la"), col("cb").as("lb"),
-          col("cum_a").as("_ca"), col("cum_b").as("_cb"),
-          col("_sa"), col("_sb"))), col("energy_micro")))
+      withNextV = true, cells = cells)
+    // ONE fused finish aggregation (r14, guide §1.2/§2.4): every
+    // stat's reduction is an order-free max/sum over the SAME cum
+    // frame, so the five finish jobs (plus mw's second celled
+    // midrank pass — its doubled midrank r2 = 2·(cumΣ − c) + c + 1
+    // derives from the inclusive cums already on cc) collapse into
+    // one wide aggregation, and cc itself no longer needs a
+    // localCheckpoint: the celled pass has exactly one consumer.
+    // Totals (n, na, nb, nVals) were fetched driver-side above, so
+    // they fold in as exact literals — the same longs the standalone
+    // finishes thread through their broadcast totals join. Each
+    // per-row term and each scalar tail is the SHARED builder its
+    // standalone finish uses (ksStatExpr / w1StatExpr / mwZ /
+    // adTermMicro / energyMassTerm / energyStat), so the panel still
+    // cannot drift from the individual operators (pinned in spec).
+    // Measured on q104 (sf0.1, 583k distinct values): 6 jobs over
+    // the value frame + 2 checkpoints + a second celled pass → 1
+    // job + 1 checkpoint (g).
+    val z0 = lit(0L).cast("decimal(38,0)")
+    val c = col("ca") + col("cb")
+    val cumC = col("cum_a") + col("cum_b")
+    val gap = abs(col("cum_a") * lit(nb) - col("cum_b") * lit(na))
+    val wide = cc.select(
+      col("v"), col("ca"), col("cb"), col("next_v"),
+      c.as("_c"), gap.as("_gap"),
+      // mw's doubled midrank over the pooled counts
+      (lit(2L) * (cumC - c) + c + lit(1L)).as("_r2"),
+      // ad's doubled forms (the adFinish derivations over the cums)
+      (lit(2L) * (cumC - c) + c).as("_b2"),
+      (lit(2L) * (col("cum_a") - col("ca")) + col("ca")).as("_ma2"),
+      (lit(2L) * (col("cum_b") - col("cb")) + col("cb")).as("_mb2"),
+      // energy's strictly-smaller prefixes (the energyFinish
+      // exclusive-ization of the inclusive cums)
+      (col("cum_a") - col("ca")).as("_eca"),
+      (col("cum_b") - col("cb")).as("_ecb"),
+      (col("_sa") - dec(col("ca")) * dec(col("v"))).as("_esa"),
+      (col("_sb") - dec(col("cb")) * dec(col("v"))).as("_esb"))
+    val degAd = na == 0L || nb == 0L || nVals < 2L
+    val aggCols = Seq(
+      max(col("_gap")).as("dnum"),
+      sum(when(col("next_v").isNotNull,
+        dec(col("_gap")) * dec(col("next_v") - col("v")))).as("wnum"),
+      coalesce(sum(dec(col("_c"))), z0).as("mw_n"),
+      coalesce(sum(dec(col("ca"))), z0).as("mw_na"),
+      coalesce(sum(dec(col("ca")) * dec(col("_r2"))), z0).as("mw_ra2"),
+      coalesce(sum(dec(col("_c")) * dec(col("_c")) * dec(col("_c")) -
+        dec(col("_c"))), z0).as("mw_t"),
+      coalesce(sum(energyMassTerm(col("v"), col("_eca"), col("_esa"),
+        col("cb"), col("_ecb"), col("_esb"), col("ca"))), z0)
+        .as("sab"),
+      coalesce(sum(energyMassTerm(col("v"), col("_eca"), col("_esa"),
+        col("ca"), col("_eca"), col("_esa"), col("ca"))), z0)
+        .as("saa2"),
+      coalesce(sum(energyMassTerm(col("v"), col("_ecb"), col("_esb"),
+        col("cb"), col("_ecb"), col("_esb"), col("cb"))), z0)
+        .as("sbb2")) ++
+      (if (degAd) Nil
+       else Seq(coalesce(sum(adTermMicro(n, na, nb, col("_c"),
+         col("_b2"), col("_ma2"), col("_mb2"))), lit(0L)).as("ad")))
+    val f = wide.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("na", lit(na)).withColumn("nb", lit(nb))
+    val adStat =
+      if (degAd) lit(null).cast("double")
+      else col("ad").cast("double")
+    val rows = array(
+      struct(lit("ad_micro").as("check"), adStat.as("stat")),
+      struct(lit("energy_micro").as("check"),
+        energyStat(col("na"), col("nb"), col("sab"), col("saa2"),
+          col("sbb2")).cast("double").as("stat")),
+      struct(lit("ks_micro").as("check"),
+        when(col("na") > 0 && col("nb") > 0, expr(ksStatExpr))
+          .cast("double").as("stat")),
+      struct(lit("mw_z").as("check"),
+        mwZ(col("mw_n"), col("mw_na"), col("mw_ra2"), col("mw_t"))
+          .cast("double").as("stat")),
+      struct(lit("w1_micro").as("check"),
+        when(col("na") > 0 && col("nb") > 0, expr(w1StatExpr))
+          .cast("double").as("stat")))
+    f.select(explode(rows).as("_p"))
+      .select(col("_p.check").as("check"), col("_p.stat").as("stat"))
       .orderBy("check")
   }
 

@@ -880,6 +880,22 @@ object Similarity {
     val d = (mx.getLong(0) + 1).toInt
     require(d >= 1 && d <= 65536,
       s"v must stay a bounded broadcast parameter; got d=$d")
+    // Scale-adaptive iteration read (r14, guide §2.2/§6): the matvec
+    // re-reads `sym` once per iteration, and a d=1024 matrix is only
+    // ~d² = 1M skinny rows — inheriting the generator's 64 partitions
+    // made every iteration pay ~64 map-task schedulings for ~16k rows
+    // each (measured 0.76 s/iter at 64p vs 0.23 s at 8p; 1p is WORSE,
+    // 0.68 s, one thread grinding 1M decimal multiplies). Target
+    // ~128k rows per task (decimal multiply ≈ µs/row → ~25 ms tasks)
+    // and only ever COALESCE DOWN — a narrow, shuffle-free view over
+    // the checkpoint blocks — so corpus-scale covariances (d², not
+    // corpus-sized, but large at d=65536) keep their parallelism.
+    val symParts = sym.rdd.getNumPartitions
+    val targetParts = math.max(1L,
+      math.min(symParts.toLong, (d.toLong * d + (1L << 17) - 1) >> 17))
+      .toInt
+    val symIter = if (targetParts < symParts) sym.coalesce(targetParts)
+      else sym
     def half(x: Double): Long = BigDecimal(x)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     var v = Array.fill(d)(1000000L)
@@ -889,7 +905,7 @@ object Similarity {
       val vLit = typedlit(v.toSeq)
       // THE distributed step: w = C·v as one row-keyed groupBy; the
       // result is d rows of exact integers — a bounded fetch
-      val wRows = sym.select(col("r"),
+      val wRows = symIter.select(col("r"),
           (dec(col("a")) *
             dec(element_at(vLit, col("c").cast("int") + 1))).as("t"))
         .groupBy("r").agg(sum(col("t")).as("w"))
