@@ -3228,7 +3228,11 @@ object SparkEntry {
               |ORDER BY id_a, id_b LIMIT 2000""".stripMargin)),
 
     "d7_simhash" -> Q(
-      (s, dir) => table(s, dir, "documents")
+      // spread (r14, guide §2.5): the per-token md5 vote is heavy
+      // map work and a single-row-group scan ran it one-threaded;
+      // the TakeOrdered tail merges per-partition heaps identically
+      (s, dir) => graft.pipeline.ExprUtils
+        .spread(table(s, dir, "documents"))
         .select(col("doc_id"),
           Dedup.simhash60Portable(split(col("text"), " ")).as("simhash"))
         .orderBy("doc_id").limit(500),
@@ -9841,7 +9845,8 @@ object SparkEntry {
           .localCheckpoint()
         val vocab = graft.pipeline.Bpe.segmentVocab(
           curated.select(col("text")), "text", rounds = 6)
-        val occ = curated.select(col("doc_id"),
+        val occ = graft.pipeline.ExprUtils.spread(curated)
+          .select(col("doc_id"),
             explode(split(col("text"), " ")).as("w"))
           .filter(col("w").rlike("^[a-z0-9]+$"))
         val perDocTok = occ

@@ -71,7 +71,10 @@ object Bpe {
       s"alphabet '$alphabet' must not admit '(' or ')': the " +
         "paren-encoded merge relies on parens never appearing in symbols")
     val spark = docs.sparkSession
-    val words = docs
+    // spread BEFORE the word explode (r14, guide §2.5): the trainer's
+    // corpus pass is map-heavy and its input is often a 1-partition
+    // checkpointed frame
+    val words = ExprUtils.spread(docs)
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w").rlike("^" + alphabet + "$"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -106,7 +109,10 @@ object Bpe {
         vocab = vocab.select(col("w"), col("n"),
             replace(col("enc"), lit(s"($l)($rr)"),
               lit(s"(${l + rr})")).as("enc"))
-          .localCheckpoint()
+          // lazy (r14, the d44 trick): the next round's argmax job —
+          // or the final count/segmentation — materializes it, so a
+          // round costs ONE job instead of checkpoint-job + agg-job
+          .localCheckpoint(false)
         r += 1
       }
     }

@@ -108,7 +108,8 @@ object Curation {
     * (proved in CurationSpec). */
   def contamination(corpus: DataFrame, bench: DataFrame, n: Int,
                     broadcastBench: Boolean = true): DataFrame = {
-    val cg = corpus.select(col("doc_id"),
+    // spread BEFORE the corpus-side n-gram explode (r14, guide §2.5)
+    val cg = ExprUtils.spread(corpus).select(col("doc_id"),
       explode(array_distinct(wordNgrams(col("text"), n))).as("gram"))
     val bg0 = bench
       .select(explode(array_distinct(wordNgrams(col("text"), n)))
@@ -354,7 +355,10 @@ object Curation {
                     textCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 20),
       "buckets in [2, 2^20] — the ratio table must stay broadcastable")
-    def counts(df: DataFrame): DataFrame = df
+    // spread BEFORE the per-bigram portable-md5 explode — the CPU
+    // cost of the trainer (r14, guide §2.5); the bucket agg
+    // reshuffles right after anyway
+    def counts(df: DataFrame): DataFrame = ExprUtils.spread(df)
       .select(explode(bigramBuckets(col(textCol), buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("ct"))
     val tc = counts(target).localCheckpoint()
@@ -401,7 +405,10 @@ object Curation {
       s"ratio table must span the dense bucket domain 0..B-1 as " +
         s"produced by dsirLogRatios (count=$buckets, max b=" +
         s"${if (mxb.isNullAt(0)) "null" else mxb.getLong(0)})")
-    val scored = docs
+    // spread BEFORE the per-bigram portable-md5 explode (r14, guide
+    // §2.5): scoring is embarrassingly parallel map work, but a
+    // single-row-group corpus scan would run it one-threaded
+    val scored = ExprUtils.spread(docs)
       .select(col(idCol),
         explode(bigramBuckets(col(textCol), buckets)).as("b"))
       .join(broadcast(ratios.select(col("b"), col("ratio_micro"))),

@@ -378,7 +378,10 @@ object Dedup {
     val sigExpr =
       if (native) minhashSignaturePortableNative(col(textCol), k, shingleSize)
       else minhashSignaturePortable(shingles(col(textCol), shingleSize), k)
-    docs.select(col(idCol).as("id"),
+    // spread BEFORE the signature build: k minhashes over every
+    // shingle are the CPU cost, and a single-row-group input would
+    // compute them one-threaded (r14, guide §2.5)
+    ExprUtils.spread(docs).select(col(idCol).as("id"),
         explode(ExprUtils.let(sigExpr) {
           sig =>
             transform(sequence(lit(0), lit(bands - 1)),
@@ -439,7 +442,9 @@ object Dedup {
     * shared by the Jaccard and containment paths. */
   private def distinctTokens(df: DataFrame, idCol: String,
                              textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    // spread: the distinct-tokenize explode is map-heavy and the
+    // verification join that follows reshuffles anyway (r14)
+    ExprUtils.spread(df).select(col(idCol).as("id"),
       explode(array_distinct(split(col(textCol), " "))).as("t"))
 
   private def distinctTokenSizes(df: DataFrame, idCol: String,
@@ -568,7 +573,11 @@ object Dedup {
     // lineages (image decode), not cheap ones. When the upstream scan
     // itself is the dominant cost (100 TB), materialize this frame
     // once as a staging TABLE and run the three consumers against it.
-    val shRows = docs.select(col(idCol).as("id"),
+    // spread (r14, guide §2.5) is the complementary fix the round-9
+    // A/B never tried: it keeps the re-explosion UNpinned (codegen'd,
+    // fused) but gives every consumer's copy 32-way parallelism
+    // instead of one scan task each.
+    val shRows = ExprUtils.spread(docs).select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleSize)).as("sh"))
     val df_ = shRows.groupBy("sh").agg(count(lit(1)).as("_df"))
     // `sizes` has TWO consumers (the prefix rank filter and the
@@ -700,7 +709,8 @@ object Dedup {
   object ContainmentIndex {
     def build(corpus: DataFrame, idCol: String, textCol: String,
               shingleSize: Int = 3): ContainmentIndex = {
-      val sh = corpus.select(col(idCol).as("id"),
+      // spread BEFORE the shingle explode (r14, guide §2.5)
+      val sh = ExprUtils.spread(corpus).select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleSize)).as("sh"))
       ContainmentIndex(sh,
         sh.groupBy("sh").agg(count(lit(1)).as("_df")),
@@ -1137,17 +1147,30 @@ object Dedup {
     * exactly. */
   def crossDocNgramStats(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val base = docs.select(col(idCol).as("id"),
+    // spread BEFORE the n-gram build: the gram construction is the
+    // CPU cost of this operator, and a single-row-group input would
+    // run it one-threaded (r14, guide §2.5)
+    val base = ExprUtils.spread(docs).select(col(idCol).as("id"),
       array_distinct(Curation.wordNgrams(col(textCol), n)).as("ga"))
     val g = base.select(col("id"), explode(col("ga")).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("gram"))
-    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
-    val dup = g.join(dfreq.filter(col("df") > 1), "gram")
-      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    // n_dup(id) = n_grams(id) − #{grams of id with corpus df = 1}:
+    // a df=1 gram's ONE owner is its min(id), so the per-doc unique
+    // count reads straight off the gram aggregate — the corpus-keyed
+    // g ⋈ dfreq join-back (both sides gram-shuffled) this operator
+    // shipped with is gone outright (r14, guide §2.4; min(id)
+    // combines map-side like the count). Bit-equal: each g row is
+    // one DISTINCT gram of the doc, so rows with df>1 = all rows −
+    // rows with df=1.
+    val uniq = g.groupBy("gram")
+      .agg(count(lit(1)).as("df"), min(col("id")).as("mn"))
+      .filter(col("df") === 1)
+      .groupBy(col("mn").as("id")).agg(count(lit(1)).as("n_uniq"))
     base.select(col("id"), size(col("ga")).cast("long").as("n_grams"))
-      .join(dup, Seq("id"), "left")
+      .join(uniq, Seq("id"), "left")
       .select(col("id"), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"))
+        (col("n_grams") - coalesce(col("n_uniq"), lit(0L)))
+          .as("n_dup_grams"))
       .withColumn("dup_frac",
         when(col("n_grams") > 0,
           round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
@@ -1220,8 +1243,10 @@ object Dedup {
 
   /** The bounds-only core of [[dupSpans]] over a prepared (id, toks)
     * frame: (id, span_start, span_end), no text rehydration. */
-  private def dupSpanBounds(base: DataFrame, n: Int): DataFrame = {
+  private def dupSpanBounds(baseIn: DataFrame, n: Int): DataFrame = {
     require(n >= 2, "n >= 2: span chaining needs multi-word grams")
+    // spread BEFORE the positional gram build (r14, guide §2.5)
+    val base = ExprUtils.spread(baseIn)
     val g = base.select(col("id"), explode(
         when(size(col("toks")) >= n,
           transform(sequence(lit(1), size(col("toks")) - (n - 1)),
@@ -1435,7 +1460,10 @@ object Dedup {
     require(k >= 1 && w >= 1, "k, w >= 1")
     val M = 1L << 24
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val base = docs.select(col(idCol).as("id"),
+    // spread BEFORE the per-gram md5 explode — the CPU cost of this
+    // operator (r14, guide §2.5); the id-window shuffles right after
+    // anyway
+    val base = ExprUtils.spread(docs).select(col(idCol).as("id"),
       TextStats.tokens(col(textCol)).as("toks"))
     val g = base.select(col("id"), explode(
         when(size(col("toks")) >= k,

@@ -262,8 +262,12 @@ object TextStats {
     * absorbs); the 1-row corpus total rides a broadcast join on a
     * constant key. Two shuffles total, both on keys the plan already
     * needs. */
-  def unigramLogProb(docs: DataFrame, idCol: String,
+  def unigramLogProb(docsIn: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
+    // spread BEFORE the tokenize explode (r14, guide §2.5): a
+    // single-row-group input runs the whole corpus tokenization as
+    // one task otherwise
+    val docs = ExprUtils.spread(docsIn)
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -312,8 +316,10 @@ object TextStats {
     * skew-split, the d27 contract); the corpus total N is the 1-row
     * parameter fetched driver-side and folded in as a literal (a
     * constant-key join would fold to `true` → banned BNLJ). */
-  def bigramLogProb(docs: DataFrame, idCol: String,
+  def bigramLogProb(docsIn: DataFrame, idCol: String,
                     textCol: String): DataFrame = {
+    // spread BEFORE the tokenize/bigram explodes (r14, guide §2.5)
+    val docs = ExprUtils.spread(docsIn)
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
